@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis building blocks for the LLM-data-pipeline surface
+  * (dedup, quality scoring, language id, fingerprinting) over a
+  * whitespace-tokenized `text` column.
+  *
+  * Everything that feeds an oracle-checked query is built from codegen'd
+  * built-ins (`split`/`filter`/`transform`/`aggregate`/`xxhash64`/`md5`);
+  * the MinHash/SimHash signatures used only for candidate generation are
+  * compact Scala UDFs (single pass per document, no Python, no
+  * serialization beyond the token array).
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word n-gram shingles (space-joined), the dedup unit for
+    * Jaccard / MinHash. Documents shorter than n yield the whole text as a
+    * single shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val ngrams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))
+    array_distinct(
+      when(size(toks) >= n, ngrams).otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** |A ∩ B| / |A ∪ B| over two pre-distinct string arrays, in fp64. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+
+  /** Ratio of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+      .cast(DoubleType) / size(toks).cast(DoubleType)
+  }
+
+  /** Mean token length (chars), assuming single-space joining. */
+  def avgTokenLength(text: Column): Column = {
+    val n = tokenCount(text)
+    (length(text) - n + 1).cast(DoubleType) / n.cast(DoubleType)
+  }
+
+  /** Ratio of non-alphanumeric, non-space chars — a classic quality signal. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+      .cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType)
+
+  /** Canonical document fingerprint: md5 of the case/whitespace-normalized
+    * text. Exact-dedup key that survives trivial reformatting. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  // ---------------------------------------------------------------------
+  // MinHash / SimHash signatures (candidate generation for near-dedup).
+  // ---------------------------------------------------------------------
+
+  private def hash64(s: String, seed: Long): Long = {
+    // FNV-1a 64-bit with a seed fold — cheap, deterministic across JVMs.
+    var h = 0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** MinHash signature: for each of `numPerms` seeded hash functions, the
+    * minimum hash over the document's shingles. One pass per document. */
+  def minhashUdf(numPerms: Int) = udf { (sh: Seq[String]) =>
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    sh.foreach { s =>
+      var p = 0
+      while (p < numPerms) {
+        val h = hash64(s, p.toLong)
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+    }
+    sig.toSeq
+  }
+
+  /** LSH band keys from a MinHash signature: `numBands` keys, each hashing
+    * `rowsPerBand` consecutive signature slots. Two docs collide on a band
+    * iff that band's slots are all equal. */
+  def bandsUdf(numBands: Int, rowsPerBand: Int) = udf { (sig: Seq[Long]) =>
+    (0 until numBands).map { b =>
+      val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+      b.toLong << 56 | (slice.foldLeft(0xcbf29ce484222325L) { (h, v) =>
+        (h ^ v) * 0x100000001b3L
+      } & 0x00ffffffffffffffL)
+    }
+  }
+
+  /** 64-bit SimHash over the token multiset. Near-duplicate docs land
+    * within a small Hamming distance. */
+  val simhashUdf = udf { (toks: Seq[String]) =>
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = hash64(t, 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Hamming distance between two 64-bit simhashes (codegen'd, no UDF). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing-style rolling-hash fingerprint set: hash every k-gram of
+    * chars, keep the minimum hash per window of w consecutive k-grams.
+    * Compact sketch for containment-style near-dup detection. */
+  def winnowUdf(k: Int, w: Int) = udf { (text: String) =>
+    if (text == null || text.length < k) Seq.empty[Long]
+    else {
+      val grams = (0 to text.length - k).map(i => hash64(text.substring(i, i + k), 1L))
+      (0 to grams.length - w)
+        .map(i => grams.slice(i, i + w).min)
+        .distinct
+    }
+  }
+}

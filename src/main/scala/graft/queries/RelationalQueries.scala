@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface over the TPC-H-ish star schema: scans,
+  * hash/broadcast/sort-merge joins (inner/left/semi/anti), partial+final
+  * hash aggregation, distinct aggregation, rollup, rank/frame windows, set
+  * ops, scalar string/date/case/JSON functions (SURVEY.md §2 J7-J10,
+  * A7-A8, W3, U4, F10-F11).
+  *
+  * Scale notes are per-query; the common principles: only `lineitem` and
+  * `orders` are "big" tables — every dimension join broadcasts; all
+  * aggregations are partial+final (`HashAggregateExec`); windows shuffle
+  * once on their partition key; filters/projection reach the parquet scan.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, Query] = Map(
+    // Full-scan partial+final hash aggregate, TPC-H Q1 shape.
+    "q01_pricing_summary" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // 5-way star join: lineitem⋈orders (shuffle) with broadcast dims.
+    "q02_revenue_by_nation" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+
+    // Join + aggregate + TakeOrderedAndProject (top-k, no full sort).
+    "q03_top_orders" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    },
+
+    // Broadcast join fact⋈dim + distinct aggregation.
+    "q04_brand_volume" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_items"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"))
+        .orderBy("p_brand")
+    },
+
+    // Left-semi join (EXISTS).
+    "q05_segment_customers" -> { (s, dir) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Left-anti join (NOT EXISTS) — the reference's skip-existing ingest
+    // check as a relational operator (reference: vector_db.py:127-132).
+    "q06_customers_without_orders" -> { (s, dir) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders").filter(year(col("o_orderdate")) === 2001),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Left outer join preserving empty groups.
+    "q07_customer_order_stats" -> { (s, dir) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    // Running-sum frame window (one shuffle on the partition key).
+    "q08_running_revenue" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "orders")
+        .withColumn("running_total", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Rank window with group-limit (InferWindowGroupLimit).
+    "q09_top_orders_per_customer" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // lag/lead analytics over the event stream table.
+    "q10_event_deltas" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      table(s, dir, "events")
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .select("event_id", "user_id", "value", "prev_value", "delta")
+        .orderBy("event_id")
+    },
+
+    // Distinct + plain aggregates per key.
+    "q11_supplier_part_stats" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("l_suppkey")
+    },
+
+    // ROLLUP grouping sets.
+    "q12_rollup_flags" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // INTERSECT over derived relations.
+    "q13_nations_in_both" -> { (s, dir) =>
+      val custNations = table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name")
+      val suppNations = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select("n_name")
+      custNations.intersect(suppNations).orderBy("n_name")
+    },
+
+    // EXCEPT over derived relations.
+    "q14_nations_customers_only" -> { (s, dir) =>
+      val custNations = table(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name")
+      val suppNations = table(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .join(broadcast(table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select("n_name")
+      custNations.except(suppNations).orderBy("n_name")
+    },
+
+    // String function surface.
+    "q15_part_strings" -> { (s, dir) =>
+      table(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 6).as("type_prefix"),
+          size(split(col("p_name"), " ")).as("name_tokens"))
+        .orderBy("p_partkey")
+    },
+
+    // Date extraction + aggregate.
+    "q16_monthly_revenue" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("yr", "mon")
+    },
+
+    // CASE bucketing + exact mean.
+    "q17_acctbal_buckets" -> { (s, dir) =>
+      table(s, dir, "customer")
+        .withColumn("bucket",
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("avg_bal"))
+        .orderBy("bucket")
+    },
+
+    // JSON extraction from the events props column (F6).
+    "q18_event_props_json" -> { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("k_val")
+    },
+
+    // UNION ALL + aggregate over the merged relation.
+    "q19_account_union" -> { (s, dir) =>
+      val c = table(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"))
+      val su = table(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey"), col("s_acctbal").as("acctbal"))
+      c.unionByName(su)
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n_accounts"), dsum(col("acctbal")).as("total_bal"))
+        .orderBy("nationkey")
+    },
+
+    // Tumbling event-time window, batch form (streaming twin in
+    // graft.streaming.EventStreams with watermarking).
+    "q20_hourly_events" -> { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(
+          col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          ${sqlDsum("l_quantity")} AS sum_qty,
+          ${sqlDsum("l_extendedprice")} AS sum_base_price,
+          ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+          ${sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+          ${sqlDavg("l_quantity")} AS avg_qty,
+          COUNT(*) AS count_order
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_revenue_by_nation" ->
+      s"""SELECT n_name, r_name,
+          ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY n_name, r_name
+          ORDER BY revenue DESC, n_name""",
+
+    "q03_top_orders" ->
+      s"""SELECT o_orderkey, o_orderdate,
+          ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderkey, o_orderdate
+          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "q04_brand_volume" ->
+      s"""SELECT p_brand, ${sqlDsum("l_quantity")} AS sum_qty,
+          COUNT(*) AS n_items, COUNT(DISTINCT l_suppkey) AS n_suppliers
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand ORDER BY p_brand""",
+
+    "q05_segment_customers" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q06_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND EXTRACT(year FROM o_orderdate) = 2001)
+         ORDER BY c_custkey""",
+
+    "q07_customer_order_stats" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+          COALESCE(${sqlDsum("o_totalprice")}, 0.0) AS total_spent
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "q08_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "q09_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q10_event_deltas" ->
+      """SELECT event_id, user_id, value, prev_value, value - prev_value AS delta FROM (
+           SELECT event_id, user_id, value,
+             LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+           FROM events) ORDER BY event_id""",
+
+    "q11_supplier_part_stats" ->
+      s"""SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+          ${sqlDsum("l_quantity")} AS sum_qty, MAX(l_extendedprice) AS max_price
+          FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+
+    "q12_rollup_flags" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          ${sqlDsum("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q13_nations_in_both" ->
+      """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+         INTERSECT
+         SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY n_name""",
+
+    "q14_nations_customers_only" ->
+      """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_acctbal > 9000
+         EXCEPT
+         SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           WHERE s_acctbal > 9000
+         ORDER BY n_name""",
+
+    "q15_part_strings" ->
+      """SELECT p_partkey, UPPER(p_name) AS name_upper,
+         CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+         SUBSTRING(p_type, 1, 6) AS type_prefix,
+         CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INTEGER) AS name_tokens
+         FROM part ORDER BY p_partkey""",
+
+    "q16_monthly_revenue" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+          CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mon,
+          COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS revenue
+          FROM orders GROUP BY yr, mon ORDER BY yr, mon""",
+
+    "q17_acctbal_buckets" ->
+      s"""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                      WHEN c_acctbal < 5000 THEN 'mid'
+                      ELSE 'high' END AS bucket,
+          COUNT(*) AS n, ${sqlDavg("c_acctbal")} AS avg_bal
+          FROM customer GROUP BY bucket ORDER BY bucket""",
+
+    "q18_event_props_json" ->
+      s"""SELECT CAST(JSON_EXTRACT_STRING(props, '$$.k') AS INTEGER) AS k_val,
+          COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+          FROM events GROUP BY k_val ORDER BY k_val""",
+
+    "q19_account_union" ->
+      s"""SELECT nationkey, COUNT(*) AS n_accounts, ${sqlDsum("acctbal")} AS total_bal
+          FROM (SELECT c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+                UNION ALL
+                SELECT s_nationkey, s_acctbal FROM supplier)
+          GROUP BY nationkey ORDER BY nationkey""",
+
+    "q20_hourly_events" ->
+      s"""SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+          COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+          FROM events GROUP BY window_start, event_type
+          ORDER BY window_start, event_type"""
+  )
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{LangId, TaxonomyParser, TextOps}
+import graft.operators.Dedup
+
+/** Text-analysis + dedup surface over `documents` (SURVEY.md north-star
+  * operators: token counting, quality scoring, fingerprinting, language id,
+  * exact/near dedup) and the taxonomy parser (F1) behavior contract.
+  *
+  * The `documents` table has no exact duplicates, so the exact-dedup and
+  * simhash queries build a deterministic duplicated corpus in-query
+  * (UNION ALL with id-shifted copies) — the same construction is in the
+  * oracle SQL. Near-dup Jaccard uses the real corpus (it contains natural
+  * near-duplicate pairs) with a modulo block on the left side to bound the
+  * pair space; the MinHash-LSH and SimHash queries are the approximate
+  * scale paths (candidate generation, exact verify), checked rows-only.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a")
+
+  val queries: Map[String, Query] = Map(
+    // Token counting (whitespace tokenizer).
+    "text_token_stats" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: stopword ratio + mean token length.
+    "text_quality" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          round(TextOps.stopwordRatio(col("text"), stopwords), 6).as("stop_ratio"),
+          round(TextOps.avgTokenLength(col("text")), 6).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+
+    // Canonical fingerprint (md5 of normalized text) + byte length.
+    "text_fingerprint" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          octet_length(col("text")).as("n_bytes"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup by content hash over a corpus with injected duplicates.
+    "dedup_exact" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.exactGroups(corpus, "doc_id", "text")
+        .orderBy("keep_id")
+    },
+
+    // Exact n-gram-Jaccard near-dup pairs (real corpus, blocked left side).
+    "dedup_jaccard_pairs" -> { (s, dir) =>
+      Dedup.jaccardPairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.5,
+          leftFilter = df => df.filter(col("id") % 10 === 0))
+        .orderBy("left_id", "right_id")
+    },
+
+    // MinHash-LSH near-dup (approximate candidates, exact verify) —
+    // rows-only check: LSH recall near the threshold is probabilistic.
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashPairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+        .orderBy("left_id", "right_id")
+    },
+
+    // SimHash near-dup over a corpus with injected near-duplicates
+    // (copies missing their first token) — rows-only check.
+    "dedup_simhash" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3, numBands = 4)
+        .orderBy("left_id", "right_id")
+    },
+
+    // Language id (n-gram/stopword heuristic) — rows-only check.
+    "text_langid" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          LangId.detectLang(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")
+    },
+
+    // Taxonomy-tag parser (F1): build tags from nation/region names, parse
+    // with the single-pass parser, emit the extracted ranks. The oracle
+    // reconstructs the expected values directly.
+    "taxonomy_parse" -> { (s, dir) =>
+      val tags = table(s, dir, "nation")
+        .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"),
+          concat(lit("a photo of kingdom "), col("r_name"),
+            lit(" genus "), col("n_name"),
+            lit(" species "), lower(col("n_name")),
+            lit(" with common name the "), lower(col("n_name")), lit(".")).as("tag"))
+      tags
+        .withColumn("m", TaxonomyParser.parseTag(col("tag")))
+        .select(col("n_nationkey"),
+          col("m")("kingdom").as("kingdom"),
+          col("m")("genus").as("genus"),
+          col("m")("species").as("species"),
+          col("m")("common name").as("common_name"))
+        .orderBy("n_nationkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "text_quality" ->
+      """SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+           ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')), 6) AS stop_ratio,
+           ROUND(CAST(LENGTH(text) - LEN(STRING_SPLIT(text, ' ')) + 1 AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')), 6) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fp,
+         CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes
+         FROM documents ORDER BY doc_id""",
+
+    "dedup_exact" ->
+      """SELECT MD5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+         FROM (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text FROM documents)
+         GROUP BY h HAVING COUNT(*) > 1 ORDER BY keep_id""",
+
+    "dedup_jaccard_pairs" ->
+      """WITH sh AS (
+           SELECT doc_id, LIST_DISTINCT(CASE WHEN LEN(toks) >= 3
+             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN RANGE(1, LEN(toks) - 1)]
+             ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS s
+           FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents))
+         SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+             / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) AS jaccard
+         FROM sh a, sh b
+         WHERE a.doc_id % 10 = 0 AND a.doc_id < b.doc_id
+           AND ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+             / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) >= 0.5
+         ORDER BY left_id, right_id""",
+
+    "text_langid" -> "", // rows-only: heuristic operator, no SQL oracle
+
+    "taxonomy_parse" ->
+      """SELECT n_nationkey, r_name AS kingdom, n_name AS genus,
+         LOWER(n_name) AS species, 'the ' || LOWER(n_name) AS common_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_nationkey"""
+  ).filter(_._2.nonEmpty)
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.{AnnIvf, Dedup, Knn}
+
+/** Vector-search surface: the reference's KNN semantics (inner product on
+  * L2-normalized vectors, per-partition top-k, hierarchical merge,
+  * metadata enrichment — SURVEY.md §2 J1-J5, W1-W2, T1-T3) plus
+  * embedding-cosine near-dup. Scores are rounded to 6 dp *before* ranking
+  * on both sides so ordering and values are oracle-identical.
+  */
+object VectorQueries {
+
+  private def roundedDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    round(VectorOps.dot(a, b), 6)
+
+  private val sqlDot =
+    (a: String, b: String) =>
+      s"ROUND(LIST_DOT_PRODUCT(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), 6)"
+
+  val queries: Map[String, Query] = Map(
+    // Flagship: brute-force KNN for one query vector with label enrichment.
+    "knn_bruteforce" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Knn.bruteForce(
+          vectors = emb,
+          queries = emb.filter(col("vec_id") === 0),
+          idCol = "vec_id", queryIdCol = "vec_id", vecCol = "embedding",
+          k = 10, excludeSelf = true, score = roundedDot)
+        .select(col("vec_id"), col("label"), col("score"),
+          col("rank").as("rnk"))
+        .orderBy("rnk")
+    },
+
+    // Batched KNN: top-5 per query for a query set (the scatter-gather
+    // client collapsed to one window).
+    "knn_topk_per_query" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Knn.bruteForce(
+          vectors = emb,
+          queries = emb.filter(col("vec_id") < 5),
+          idCol = "vec_id", queryIdCol = "vec_id", vecCol = "embedding",
+          k = 5, excludeSelf = true, score = roundedDot)
+        .select(col("query_id"), col("vec_id"), col("score"),
+          col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // F2/A3: per-vector norm + dimension check (all ≈ 1.0 / 64).
+    "vector_norms" -> { (s, dir) =>
+      table(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(VectorOps.l2Norm(col("embedding")), 6).as("norm"))
+        .orderBy("vec_id")
+    },
+
+    // Embedding-cosine near-dup pairs, exact with a left-side block
+    // (the LSH/IVF-bucketed variant is the non-oracle scale path below).
+    "dedup_embedding_pairs" -> { (s, dir) =>
+      Dedup.embeddingPairs(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4,
+          leftFilter = df => df.filter(col("id") % 10 === 0))
+        .orderBy("left_id", "right_id")
+    },
+
+    // ANN end-to-end: k-means partitioning + nprobe search (not
+    // SQL-expressible — driver records the rows-only check).
+    "ann_ivf_search" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      AnnIvf.search(index,
+          queries = emb.filter(col("vec_id") < 5),
+          queryIdCol = "vec_id", vecCol = "embedding", k = 10, nprobe = 4)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("label"),
+          round(col("score"), 6).as("score"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "knn_bruteforce" ->
+      s"""SELECT vec_id, label, score, CAST(rn AS INTEGER) AS rnk FROM (
+            SELECT b.vec_id, b.label,
+              ${sqlDot("b.embedding", "a.embedding")} AS score,
+              ROW_NUMBER() OVER (ORDER BY ${sqlDot("b.embedding", "a.embedding")} DESC, b.vec_id) AS rn
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id = 0 AND b.vec_id <> 0)
+          WHERE rn <= 10 ORDER BY rnk""",
+
+    "knn_topk_per_query" ->
+      s"""SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rnk FROM (
+            SELECT a.vec_id AS query_id, b.vec_id,
+              ${sqlDot("b.embedding", "a.embedding")} AS score,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY ${sqlDot("b.embedding", "a.embedding")} DESC, b.vec_id) AS rn
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
+          WHERE rn <= 5 ORDER BY query_id, rnk""",
+
+    "vector_norms" ->
+      """SELECT vec_id, CAST(LEN(embedding) AS INTEGER) AS dim,
+         ROUND(SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm
+         FROM embeddings ORDER BY vec_id""",
+
+    "dedup_embedding_pairs" ->
+      s"""SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+          ${sqlDot("a.embedding", "b.embedding")} AS score
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+            AND ${sqlDot("a.embedding", "b.embedding")} >= 0.4
+          ORDER BY left_id, right_id"""
+  )
+}

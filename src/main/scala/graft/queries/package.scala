@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers for the oracle-checked query surface.
+  *
+  * Oracle-parity rules (SURVEY.md §5.1, §7.4):
+  *  - money/quantity sums aggregate in DECIMAL(18,4) — exact, order-
+  *    independent — then cast to DOUBLE for output, so Spark and DuckDB
+  *    produce bit-identical values regardless of shuffle order;
+  *  - every computed float column is explicitly rounded;
+  *  - every query output is deterministically ordered with explicit
+  *    tiebreak keys, and every aggregate/computed column is aliased to the
+  *    same name on both sides.
+  */
+package object queries {
+
+  type Query = (SparkSession, String) => DataFrame
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.parquet declares TIMESTAMP(NANOS), which the vectorized
+      // parquet reader rejects; read nanos as long and convert to a µs
+      // timestamp (lossless here: the generator emits whole microseconds,
+      // which is also what DuckDB sees after its NANOS→TIMESTAMP coercion).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal view of a double expression. Scale 6 because every
+    * summand in the testdata is an exact ≤6-dp decimal (prices/balances
+    * have 2 dp; discount/tax products have ≤6), so the double→decimal cast
+    * is exact — and identical — in both Spark (shortest-string HALF_UP)
+    * and DuckDB (numeric scaling), keeping sums bit-equal. A 4-dp scale is
+    * NOT safe: 6-dp products land on .xxxx5 boundaries where the two
+    * engines' rounding modes diverge. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Order-independent sum of a double expression: exact decimal
+    * accumulation, double output. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Mean from an exact decimal sum: deterministic double division. */
+  def davg(c: Column): Column =
+    round(sum(dec(c)).cast(DoubleType) / count(lit(1)), 4)
+
+  /** DuckDB fragments mirroring dsum/davg. */
+  def sqlDsum(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+  def sqlDavg(expr: String): String =
+    s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)"
+}
