@@ -21,11 +21,15 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Distinct word n-gram shingles (space-joined), the dedup unit for
-    * Jaccard / MinHash. Documents shorter than n yield the whole text as a
-    * single shingle. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Distinct word n-gram shingles (space-joined) from a PRE-MATERIALIZED
+    * token-array column, the dedup unit for Jaccard / MinHash. Documents
+    * shorter than n yield the whole text as a single shingle.
+    *
+    * `toks` must be a bound column (`withColumn("toks", tokens(text))`),
+    * NOT an inline `split(...)`: each `element_at` in the lambda would
+    * re-run the regex split, turning shingling O(tokens²) per document —
+    * measured 10× slower at sf0.1. */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val ngrams = transform(
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))
@@ -66,26 +70,32 @@ object TextOps {
   // MinHash / SimHash signatures (candidate generation for near-dedup).
   // ---------------------------------------------------------------------
 
-  private def hash64(s: String, seed: Long): Long = {
-    // FNV-1a 64-bit with a seed fold — cheap, deterministic across JVMs.
-    var h = 0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)
-    var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
+  /** Shingles hashed to 64-bit with codegen'd xxhash64 — the cheap set
+    * representation for Jaccard/MinHash at scale (string sets and their
+    * 64-bit images have equal cardinalities modulo ~2⁻⁶⁴ collisions).
+    * Same bound-column contract as [[shinglesFromTokens]]. */
+  def hashedShingles(toks: Column, n: Int): Column =
+    transform(shinglesFromTokens(toks, n), s => xxhash64(s))
+
+  /** splitmix64 — the standard 64-bit finalizer; each MinHash permutation
+    * is splitmix64(shingleHash + golden·(p+1)), so the per-shingle string
+    * hash is computed once (by xxhash64 upstream) and each permutation is
+    * three multiplies. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
-  /** MinHash signature: for each of `numPerms` seeded hash functions, the
-    * minimum hash over the document's shingles. One pass per document. */
-  def minhashUdf(numPerms: Int) = udf { (sh: Seq[String]) =>
+  /** MinHash signature over pre-hashed shingles: for each of `numPerms`
+    * seeded mixes, the minimum over the document's shingle hashes. */
+  def minhashUdf(numPerms: Int) = udf { (sh: Seq[Long]) =>
     val sig = Array.fill(numPerms)(Long.MaxValue)
-    sh.foreach { s =>
+    sh.foreach { s0 =>
       var p = 0
       while (p < numPerms) {
-        val h = hash64(s, p.toLong)
+        val h = mix64(s0 + 0x9e3779b97f4a7c15L * (p + 1))
         if (h < sig(p)) sig(p) = h
         p += 1
       }
@@ -105,12 +115,12 @@ object TextOps {
     }
   }
 
-  /** 64-bit SimHash over the token multiset. Near-duplicate docs land
+  /** 64-bit SimHash over pre-hashed tokens (feed
+    * `transform(tokens(c), t => xxhash64(t))`). Near-duplicate docs land
     * within a small Hamming distance. */
-  val simhashUdf = udf { (toks: Seq[String]) =>
+  val simhashUdf = udf { (hashes: Seq[Long]) =>
     val acc = new Array[Int](64)
-    toks.foreach { t =>
-      val h = hash64(t, 0L)
+    hashes.foreach { h =>
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -135,7 +145,13 @@ object TextOps {
   def winnowUdf(k: Int, w: Int) = udf { (text: String) =>
     if (text == null || text.length < k) Seq.empty[Long]
     else {
-      val grams = (0 to text.length - k).map(i => hash64(text.substring(i, i + k), 1L))
+      // rolling FNV-1a over char k-grams, one pass
+      val grams = (0 to text.length - k).map { i =>
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < i + k) { h ^= text.charAt(j); h *= 0x100000001b3L; j += 1 }
+        h
+      }
       (0 to grams.length - w)
         .map(i => grams.slice(i, i + w).min)
         .distinct

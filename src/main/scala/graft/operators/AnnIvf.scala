@@ -60,8 +60,9 @@ object AnnIvf {
       .select(array_to_vector(col(vecCol)).as("features"))
       .limit(trainLimit)
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("features")
+      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setInitMode("random") // k-means|| costs several extra passes; random
+      .setFeaturesCol("features") // init is fine for partition layout quality
       .fit(train)
     val centers: Array[Array[Float]] =
       model.clusterCenters.map(_.toArray.map(_.toFloat))
@@ -132,7 +133,8 @@ object AnnIvf {
       queryIdCol: String,
       vecCol: String,
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
     val q = queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
 
@@ -153,7 +155,7 @@ object AnnIvf {
     Knn.topKPerGroup(
       cands.withColumn("score",
         VectorOps.dot(col(vecCol), col("__query_vec"))),
-      Seq(col("query_id")), k, desc("score"), asc("partition_id"))
+      Seq(col("query_id")), k, desc("score"), asc(idCol))
       .drop("__query_vec")
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextOps, VectorOps}
+import graft.functions.{SortedLongJaccard, TextOps, VectorOps}
 
 /** Deduplication operators for a large-scale training-data pipeline:
   * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
@@ -53,21 +53,28 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.6): DataFrame = {
     val numPerms = numBands * rowsPerBand
-    val withSig = docs
+    val sh = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
       .select(col(idCol).as("id"),
-        TextOps.shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", TextOps.minhashUdf(numPerms)(col("sh")))
-      .withColumn("band", explode(TextOps.bandsUdf(numBands, rowsPerBand)(col("sig"))))
-      .select("id", "sh", "band")
-    val a = withSig.select(col("band"), col("id").as("left_id"), col("sh").as("left_sh"))
-    val b = withSig.select(col("band"), col("id").as("right_id"), col("sh").as("right_sh"))
-    a.join(b, Seq("band"))
-      .filter(col("left_id") < col("right_id"))
-      .select("left_id", "right_id", "left_sh", "right_sh")
+        SortedLongJaccard.sortedHashedShingles(col("__toks"), shingleSize).as("sh"))
+    val bands = sh
+      .withColumn("band",
+        explode(TextOps.bandsUdf(numBands, rowsPerBand)(
+          TextOps.minhashUdf(numPerms)(col("sh")))))
+      .select("band", "id")
+    // bucket join carries only ids; the (small) shingle table is joined
+    // back after pair dedup so arrays never ride through the explode.
+    val cands = bands.join(bands.withColumnRenamed("id", "rid"), Seq("band"))
+      .filter(col("id") < col("rid"))
+      .select(col("id").as("left_id"), col("rid").as("right_id"))
       .dropDuplicates("left_id", "right_id")
-      .withColumn("jaccard", TextOps.jaccard(col("left_sh"), col("right_sh")))
+    cands
+      .join(sh.select(col("id").as("left_id"), col("sh").as("left_sh")), Seq("left_id"))
+      .join(sh.select(col("id").as("right_id"), col("sh").as("right_sh")), Seq("right_id"))
+      .withColumn("jaccard",
+        round(SortedLongJaccard.sortedJaccard(col("left_sh"), col("right_sh")), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("left_id"), col("right_id"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
   /** SimHash near-dup pairs: 64-bit signature, banded into `numBands`
@@ -84,7 +91,8 @@ object Dedup {
     require(maxHamming < numBands,
       s"pigeonhole needs maxHamming < numBands ($maxHamming >= $numBands)")
     val sig = docs.select(col(idCol).as("id"),
-      TextOps.simhashUdf(TextOps.tokens(col(textCol))).as("sim"))
+      TextOps.simhashUdf(
+        transform(TextOps.tokens(col(textCol)), t => xxhash64(t))).as("sim"))
     val banded = sig.select(col("id"), col("sim"),
       explode(array((0 until numBands).map { i =>
         struct(lit(i).as("band"),
@@ -113,14 +121,16 @@ object Dedup {
       shingleSize: Int,
       threshold: Double,
       leftFilter: DataFrame => DataFrame = identity): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      TextOps.shingles(col(textCol), shingleSize).as("sh"))
+    val sh = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        SortedLongJaccard.sortedHashedShingles(col("__toks"), shingleSize).as("sh"))
     val a = leftFilter(sh).select(col("id").as("left_id"), col("sh").as("left_sh"))
     val b = sh.select(col("id").as("right_id"), col("sh").as("right_sh"))
     a.crossJoin(b)
       .filter(col("left_id") < col("right_id"))
       .withColumn("jaccard",
-        round(TextOps.jaccard(col("left_sh"), col("right_sh")), 6))
+        round(SortedLongJaccard.sortedJaccard(col("left_sh"), col("right_sh")), 6))
       .filter(col("jaccard") >= threshold)
       .select("left_id", "right_id", "jaccard")
   }

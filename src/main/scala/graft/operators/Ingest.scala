@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch ingest semantics from the reference's load path (SURVEY.md §3.1),
+  * Spark-first:
+  *
+  *  - idempotent "skip existing" ingest (reference: vector_db.py:127-132,
+  *    a per-row N+1 `storage.query(id)` lookup) becomes ONE anti-join —
+  *    at scale a shuffle or broadcast-hash join picked by Catalyst;
+  *  - per-partition buffered appends (faiss_utils.py:64-97, with its
+  *    read-entire-file-rewrite O(n²) flush) become
+  *    `repartition(partition_id).write.partitionBy(partition_id)` append —
+  *    Spark buffers, spills, and never rewrites closed files;
+  *  - duplicate-PK-ignore on (partition_id, faiss_id)
+  *    (metadata_storage.py:68-101) becomes dropDuplicates before append.
+  */
+object Ingest {
+
+  /** Rows of `incoming` whose id is not yet in `existing` — the idempotent
+    * ingest filter (J6/P3). */
+  def newRecords(incoming: DataFrame, existing: DataFrame, idCol: String): DataFrame =
+    incoming.join(existing.select(idCol), Seq(idCol), "left_anti")
+
+  /** Idempotent partitioned append: anti-join against what's already at
+    * `path`, assign dense per-partition ordinals (the reference's faiss_id,
+    * metadata_storage.py:49-51), append partitioned Parquet. */
+  def appendNew(
+      spark: SparkSession,
+      incoming: DataFrame,
+      path: String,
+      idCol: String,
+      partitionCol: String): Unit = {
+    val fresh =
+      if (exists(spark, path))
+        newRecords(incoming, spark.read.parquet(path), idCol)
+      else incoming
+    fresh
+      .dropDuplicates(idCol)
+      .repartition(col(partitionCol))
+      .write.mode(SaveMode.Append)
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
+  /** Dense per-partition ordinal (the reference's monotonically increasing
+    * faiss_id per partition, faiss_utils.py:113-115) via a rank window —
+    * deterministic given the id ordering. */
+  def withPartitionOrdinals(df: DataFrame, partitionCol: String, idCol: String): DataFrame =
+    df.withColumn("ordinal",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(partitionCol).orderBy(idCol)) - 1)
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+}

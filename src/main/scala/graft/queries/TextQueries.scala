@@ -88,6 +88,16 @@ object TextQueries {
         .orderBy("left_id", "right_id")
     },
 
+    // Multimodal plumbing: binary payload column → batched (stub) decode →
+    // compact metadata projection — rows-only check (stub decoder).
+    "multimodal_decode" -> { (s, dir) =>
+      graft.operators.Multimodal.decodeMeta(
+          graft.operators.Multimodal.withBinaryPayload(
+            table(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .orderBy("media_id")
+    },
+
     // Language id (n-gram/stopword heuristic) — rows-only check.
     "text_langid" -> { (s, dir) =>
       table(s, dir, "documents")

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.dec
+
+/** Structured Streaming surface over the `events` stream (SURVEY.md §2.9).
+  *
+  * The reference is batch-only; its streaming-shaped behaviors (buffered
+  * micro-batch ingest faiss_utils.py:92-97, idempotent re-ingest
+  * vector_db.py:127-132, incremental add-after-train storage_impl.py:125-144)
+  * map to `foreachBatch` partitioned appends, watermarked dedup, and
+  * stream-static joins. Every transform here is expressed on a plain
+  * DataFrame so the SAME function runs in batch (oracle-checked via the
+  * q20-q22 twins in graft.queries) and on a `readStream` source with a
+  * watermark (checked by batch-equivalence in StreamingSpec) — watermarking
+  * only governs state eviction/output finalization, not the aggregate
+  * values themselves.
+  *
+  * At scale: event-time aggregation state is partitioned by (window, keys)
+  * in the state store; watermarks bound state size; `dropDuplicates` dedup
+  * state is similarly watermark-bounded.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregate (ST4). */
+  def tumblingCounts(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding event-time window aggregate. */
+  def slidingCounts(events: DataFrame, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Session windows per user with an inactivity gap. */
+  def sessionStats(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("total_value"))
+
+  /** Watermarked form: apply to a `readStream` DataFrame before one of the
+    * aggregates above so state is evicted once the watermark passes. */
+  def withWatermark(stream: DataFrame, delay: String): DataFrame =
+    stream.withWatermark("ts", delay)
+
+  /** Streaming dedup on event_id within the watermark horizon — the
+    * idempotent-ingest semantics (ST2). */
+  def dedupWithinWatermark(stream: DataFrame, delay: String): DataFrame =
+    stream.withWatermark("ts", delay).dropDuplicates("event_id")
+
+  /** Stream-static enrichment join against a frozen dimension (ST3) — the
+    * add-after-train shape: the static side (centroids / dimension table)
+    * broadcasts under the join threshold; stream rows never shuffle. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: Column): DataFrame =
+    stream.join(broadcast(dim), key)
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.SortedLongJaccard
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different content about spark engines and columnar formats"),
+    (5L, "totally unrelated short text"))
+    .toDF("doc_id", "text")
+
+  test("exactGroups finds exact duplicate groups with min-id survivor") {
+    val got = Dedup.exactGroups(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
+
+  test("dropExactDuplicates keeps one row per distinct text") {
+    val got = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    assert(got.count() === 4)
+    assert(got.filter($"doc_id" === 2L).count() === 0)
+  }
+
+  test("jaccardPairs finds exact + near duplicates above threshold") {
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", shingleSize = 3, threshold = 0.5)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L))) // identical → jaccard 1.0
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L))) // one word differs
+    assert(!got.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhashPairs recovers the same high-similarity pairs") {
+    val got = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("simhashPairs flags near-identical token multisets") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, numBands = 4)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L))) // identical → hamming 0
+    assert(!got.exists { case (a, b) => Set(a, b) == Set(4L, 5L) })
+  }
+
+  test("embeddingPairs thresholds on rounded cosine") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.99f, 0.14f)), (3L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingPairs(vecs, "vec_id", "embedding", threshold = 0.9)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("SortedLongJaccard matches set-based jaccard on random inputs") {
+    val g = for {
+      a <- Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted)
+      b <- Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted)
+    } yield (a, b)
+    val cases = (0 until 100)
+      .map(i => g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    val got = cases.toDF("a", "b")
+      .select(SortedLongJaccard.sortedJaccard($"a", $"b"))
+      .as[Double].collect()
+    got.zip(cases).foreach { case (j, (a, b)) =>
+      val sa = a.toSet; val sb = b.toSet
+      val want =
+        if (sa.isEmpty && sb.isEmpty) 1.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      assert(j === want, s"jaccard($a, $b)")
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIvf, Knn}
+
+/** Brute-force KNN semantics + the IVF exactness property
+  * (nprobe = nlist ⇒ identical to brute force — SURVEY.md §5.3, §7.2). */
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tiny = Seq(
+    (0L, Seq(1f, 0f), "a"),
+    (1L, Seq(0.9f, 0.1f), "b"),
+    (2L, Seq(0f, 1f), "c"),
+    (3L, Seq(-1f, 0f), "d"))
+    .toDF("vec_id", "embedding", "label")
+
+  test("brute force ranks by descending inner product, excludes self") {
+    val got = Knn.bruteForce(
+      tiny, tiny.filter($"vec_id" === 0L),
+      "vec_id", "vec_id", "embedding", k = 3)
+      .select("vec_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.toSeq === Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("ties broken by ascending id") {
+    val dup = Seq(
+      (0L, Seq(1f, 0f)), (5L, Seq(0f, 1f)), (4L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Knn.bruteForce(
+      dup, dup.filter($"vec_id" === 0L), "vec_id", "vec_id", "embedding", k = 2)
+      .select("vec_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.toSeq === Seq((4L, 1), (5L, 2)))
+  }
+
+  test("IVF search with nprobe = nlist equals brute force (sf0.001)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val nlist = 8
+    val index = AnnIvf.build(emb, "vec_id", "embedding", nlist, seed = 42L)
+    val ivf = AnnIvf.search(index, queries, "vec_id", "embedding",
+        k = 10, nprobe = nlist, idCol = "vec_id")
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val bf = Knn.bruteForce(emb, queries, "vec_id", "vec_id", "embedding",
+        k = 10, excludeSelf = false)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf === bf)
+  }
+
+  test("IVF search with nprobe < nlist returns k rows per query from probed partitions") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 8, seed = 42L)
+    val got = AnnIvf.search(index, emb.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 5, nprobe = 2, idCol = "vec_id")
+    assert(got.count() === 5)
+    // results really come from ≤2 partitions
+    assert(got.select("partition_id").distinct().count() <= 2)
+  }
+
+  test("index write/read roundtrip prunes partitions at search") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 4, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("annivf").toString
+    AnnIvf.write(index, dir)
+    val reread = AnnIvf.read(spark, dir)
+    assert(reread.assigned.count() === emb.count())
+    val got = AnnIvf.search(reread, emb.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 3, nprobe = 1, idCol = "vec_id")
+    assert(got.count() === 3)
+  }
+}

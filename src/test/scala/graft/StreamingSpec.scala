@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.queries.table
+import graft.streaming.EventStreams
+
+/** Structured Streaming specs: replay the events table as a file-source
+  * stream and assert batch-equivalence of the windowed aggregates
+  * (SURVEY.md §5/§7.2 — streaming has no DuckDB oracle, so the batch twin
+  * is the ground truth).
+  *
+  * The replay files are written in random row order, so a short watermark
+  * genuinely drops late rows — complete-mode tests assert exact
+  * equivalence (no watermark, no drops); the append-mode test asserts the
+  * contract that watermarking can only UNDER-count emitted windows, never
+  * corrupt them. */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val (batchEvents, streamEvents): (DataFrame, DataFrame) = {
+    val batch = table(spark, sf0001, "events")
+    val dir = Files.createTempDirectory("events-stream").toString
+    batch.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    (batch, stream)
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("tumbling window aggregate (complete mode) equals the batch twin") {
+    val streamed = runToMemory(
+      EventStreams.tumblingCounts(streamEvents, "1 hour"),
+      "tumbling_out", "complete")
+    val batch = EventStreams.tumblingCounts(batchEvents, "1 hour")
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch,
+      Seq("window_start", "event_type", "n", "total_value")).count() === batch.count())
+  }
+
+  test("session window aggregate (complete mode) equals the batch twin") {
+    val streamed = runToMemory(
+      EventStreams.sessionStats(streamEvents, "30 minutes"),
+      "session_out", "complete")
+    val batch = EventStreams.sessionStats(batchEvents, "30 minutes")
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch,
+      Seq("session_start", "user_id", "n_events", "total_value")).count() === batch.count())
+  }
+
+  test("watermarked append output is a value-correct subset of batch") {
+    val streamed = runToMemory(
+      EventStreams.tumblingCounts(
+        EventStreams.withWatermark(streamEvents, "10 minutes"), "1 hour"),
+      "tumbling_wm_out", "append")
+    val batch = EventStreams.tumblingCounts(batchEvents, "1 hour")
+    assert(streamed.count() > 0)
+    assert(streamed.count() <= batch.count())
+    // late-row drops can only reduce a window's count, never inflate it
+    val joined = streamed.alias("s")
+      .join(batch.alias("b"), Seq("window_start", "event_type"))
+    assert(joined.count() === streamed.count()) // no fabricated windows
+    assert(joined.filter(col("s.n") > col("b.n")).count() === 0)
+  }
+
+  test("streaming dedup drops re-delivered event ids") {
+    val dup = streamEvents.union(streamEvents)
+    val deduped = runToMemory(
+      EventStreams.dedupWithinWatermark(dup, "1 hour")
+        .groupBy().count(),
+      "dedup_out", "complete")
+    val want = batchEvents.count()
+    assert(deduped.orderBy(desc("count")).head().getLong(0) === want)
+  }
+
+  test("stream-static enrichment join broadcasts the dimension") {
+    val dim = batchEvents.select(col("event_type")).distinct()
+      .withColumn("type_tag", upper(col("event_type")))
+    val enriched = runToMemory(
+      EventStreams.enrich(streamEvents, dim,
+        streamEvents("event_type") === dim("event_type")).drop(dim("event_type")),
+      "enrich_out", "append")
+    assert(enriched.count() === batchEvents.count())
+    assert(enriched.filter(col("type_tag").isNull).count() === 0)
+  }
+}

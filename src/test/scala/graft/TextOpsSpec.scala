@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{LangId, TextOps}
+import graft.operators.{Ingest, Multimodal}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount / stopwordRatio / avgTokenLength") {
+    val got = Seq("the cat sat on a mat").toDF("text")
+      .select(
+        TextOps.tokenCount($"text"),
+        TextOps.stopwordRatio($"text", Seq("the", "a")),
+        TextOps.avgTokenLength($"text"))
+      .as[(Int, Double, Double)].head()
+    assert(got._1 === 6)
+    assert(got._2 === 2.0 / 6.0)
+    assert(got._3 === (20 - 5).toDouble / 6.0)
+  }
+
+  test("shinglesFromTokens: n-grams, distinct, short-doc fallback") {
+    val got = Seq("a b c d", "a b c a b c", "xy").toDF("text")
+      .withColumn("toks", TextOps.tokens($"text"))
+      .select(TextOps.shinglesFromTokens($"toks", 3))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq("a b c", "b c a", "c a b")) // distinct
+    assert(got(2) === Seq("xy")) // shorter than n → whole text
+  }
+
+  test("fingerprint is case/whitespace-normalization invariant") {
+    val got = Seq("Hello  World ", "hello world").toDF("text")
+      .select(TextOps.fingerprint($"text")).as[String].collect()
+    assert(got(0) === got(1))
+  }
+
+  test("punctRatio counts non-alphanumeric chars") {
+    val r = Seq("ab, cd!").toDF("text")
+      .select(TextOps.punctRatio($"text")).as[Double].head()
+    assert(r === 2.0 / 7.0)
+  }
+
+  test("winnow fingerprints: deterministic, shared windows overlap") {
+    val f = TextOps.winnowUdf(4, 3)
+    val got = Seq(
+      ("abcdefghijklmnop", "abcdefghijklmnop"),
+      ("abcdefghijklmnop", "abcdefghijklmnoq"))
+      .toDF("a", "b")
+      .select(f($"a"), f($"b")).as[(Seq[Long], Seq[Long])].collect()
+    assert(got(0)._1 === got(0)._2) // identical text → identical sketch
+    assert(got(1)._1.toSet.intersect(got(1)._2.toSet).nonEmpty) // shared prefix
+  }
+
+  test("langid picks the profile with most stopword hits") {
+    assert(LangId.detect("the cat and the dog in a house") === "en")
+    assert(LangId.detect("el gato y la casa de un perro") === "es")
+    assert(LangId.detect("zzz qqq vvv") === "und")
+    assert(LangId.detect("") === "und")
+  }
+
+  test("multimodal stub decode: deterministic metadata from payload bytes") {
+    val docs = Seq((1L, "hello"), (2L, "hello"), (3L, "other")).toDF("doc_id", "text")
+    val got = Multimodal.decodeMeta(
+      Multimodal.withBinaryPayload(docs, "doc_id", "text"))
+      .collect().sortBy(_.media_id)
+    assert(got(0).n_bytes === 5)
+    assert(got(0).copy(media_id = 2L) === got(1)) // same payload → same meta
+    assert(got(0).format !== null)
+    assert(got(0).width >= 16 && got(0).height >= 16)
+  }
+
+  test("idempotent ingest: anti-join keeps only new ids; append dedups") {
+    val existing = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val incoming = Seq((2L, "y2"), (3L, "z")).toDF("id", "v")
+    val got = Ingest.newRecords(incoming, existing, "id").as[(Long, String)].collect()
+    assert(got.toSeq === Seq((3L, "z")))
+  }
+
+  test("partition ordinals are dense per partition") {
+    val df = Seq((0, 10L), (0, 12L), (1, 11L), (0, 11L)).toDF("pid", "id")
+    val got = Ingest.withPartitionOrdinals(df, "pid", "id")
+      .select("pid", "id", "ordinal").as[(Int, Long, Int)].collect().toSet
+    assert(got === Set((0, 10L, 0), (0, 11L, 1), (0, 12L, 2), (1, 11L, 0)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.VectorOps
+
+/** ScalaCheck-generated properties for the vector math (SURVEY.md §5.3),
+  * evaluated through the actual Column implementation — all generated
+  * cases go through one DataFrame job per property. */
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.chooseNum(1, 16).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-10f, 10f)).map(_.toSeq))
+
+  private def sample[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+
+  test("dot(a,a) ≥ 0; |normalize(a)| ∈ {0, 1}; l2dist(a,a) = 0") {
+    val vecs = sample(vecGen, 80)
+    val got = vecs.toDF("a")
+      .select(
+        VectorOps.normSquared($"a").as("aa"),
+        VectorOps.l2Norm(VectorOps.l2Normalize($"a")).as("na"),
+        VectorOps.l2Distance($"a", $"a").as("daa"))
+      .as[(Double, Double, Double)].collect()
+    got.foreach { case (aa, na, daa) =>
+      assert(aa >= 0.0)
+      assert(daa == 0.0)
+      assert(math.abs(na) < 1e-9 || math.abs(na - 1.0) < 1e-6)
+    }
+  }
+
+  test("dot is symmetric and matches a sequential fp64 fold") {
+    val cases = sample(
+      vecGen.flatMap(a =>
+        Gen.listOfN(a.length, Gen.chooseNum(-10f, 10f)).map(b => (a, b.toSeq))), 60)
+    val got = cases.toDF("a", "b")
+      .select(VectorOps.dot($"a", $"b"), VectorOps.dot($"b", $"a"))
+      .as[(Double, Double)].collect()
+    got.zip(cases).foreach { case ((ab, ba), (a, b)) =>
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      assert(ab == want, s"dot mismatch for $a · $b")
+      assert(ab == ba)
+    }
+  }
+
+  test("cosine(v, v) = 1 for non-zero vectors") {
+    val vecs = sample(vecGen, 40).filter(_.exists(_ != 0f))
+    val got = vecs.map(v => (v, v)).toDF("a", "b")
+      .select(VectorOps.cosine($"a", $"b")).as[Double].collect()
+    got.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
+  }
+}
