@@ -22,8 +22,14 @@ import org.apache.spark.sql.types._
 object VectorOps {
 
   /** Inner product Σ aᵢ·bᵢ accumulated in DoubleType, left-to-right —
-    * bit-identical to a sequential fold over the array. */
-  def dot(a: Column, b: Column): Column =
+    * bit-identical to a sequential fold over the array. Dispatches to the
+    * fused codegen expression [[DotProductFP64]] for ARRAY<FLOAT> inputs;
+    * [[dotHof]] is the pure-built-in formulation (same bits, slower). */
+  def dot(a: Column, b: Column): Column = DotProductFP64(a, b)
+
+  /** Reference higher-order-function implementation of [[dot]]; kept for
+    * spec-level cross-checking and for non-float array inputs. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0),

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series joins over event streams (SURVEY.md §2 J10): as-of join and
+  * bounded range join, built scale-first.
+  *
+  * A naive as-of join is a non-equi theta join (BroadcastNestedLoop —
+  * quadratic per key). Instead:
+  *
+  *  - [[asOfJoin]] uses the union-and-carry pattern: union both sides
+  *    tagged, sort per key by time, and carry the most recent right-side
+  *    row forward with a `last(..., ignoreNulls)` running window. ONE
+  *    shuffle on the key, linear scan per key — the same plan a
+  *    sort-merge as-of would produce, with no custom SparkPlan needed.
+  *  - [[rangeJoin]] buckets both sides by `⌊ts/width⌋` and equi-joins on
+  *    (key, bucket ± 1), turning the inequality predicate into a hash join
+  *    with a residual filter — candidate space is bounded by bucket
+  *    occupancy instead of |left|×|right| per key.
+  */
+object TemporalJoins {
+
+  /** For each left row, attach the latest right row (by `tsCol`) with
+    * `right.ts <= left.ts`, matching on `keyCol` — e.g. "the signup a
+    * session error refers back to". Right-side payload columns come
+    * through as `prefix<col>`, null when no prior right row exists. */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightPayload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val lCols = left.columns.toSeq
+    // tag: right rows sort BEFORE left rows at identical ts (<= semantics)
+    val lSel: Seq[Column] =
+      Seq(col(keyCol).as("__key"), col(tsCol).as("__ts"), lit(1).as("__side"),
+        struct(lCols.map(col): _*).as("__lrow")) ++
+        rightPayload.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))
+    val l = left.select(lSel: _*)
+    val rSel: Seq[Column] =
+      Seq(col(keyCol).as("__key"), col(tsCol).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(l.schema("__lrow").dataType).as("__lrow")) ++
+        rightPayload.map(c => col(c).as(s"__r_$c"))
+    val r = right.select(rSel: _*)
+    val w = Window.partitionBy(col("__key")).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(Seq(col("__lrow")) ++ rightPayload.map(c =>
+        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")): _*)
+      .filter(col("__lrow").isNotNull)
+    carried.select(lCols.map(c => col(s"__lrow.$c").as(c)) ++
+      rightPayload.map(c => col(s"$prefix$c")): _*)
+  }
+
+  /** Pairs (l, r) matching on `keyCol` with |l.ts − r.ts| ≤ `widthSec`,
+    * via bucketized equi-join. Output: key, left ts/id, right ts/id. */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      widthSec: Long): DataFrame = {
+    def bucketed(df: DataFrame, side: String, shift: Int = 0) = df.select(
+      col(keyCol),
+      (floor(unix_timestamp(col(tsCol)) / widthSec) + shift).as("__bucket"),
+      col(tsCol).as(s"${side}_ts"),
+      col(idCol).as(s"${side}_id"))
+    // right appears once per bucket in {b-1, b, b+1} so every candidate
+    // within widthSec of a left row shares a bucket with it exactly once
+    val r = bucketed(right, "right", -1)
+      .unionByName(bucketed(right, "right", 0))
+      .unionByName(bucketed(right, "right", 1))
+    bucketed(left, "left").join(r, Seq(keyCol, "__bucket"))
+      .filter(abs(unix_timestamp(col("left_ts")) - unix_timestamp(col("right_ts"))) <= widthSec)
+      .drop("__bucket")
+  }
+}

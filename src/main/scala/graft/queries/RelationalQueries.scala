@@ -222,6 +222,35 @@ object RelationalQueries {
         .orderBy("nationkey")
     },
 
+    // Key point-lookup (P5): the reference's `query(id)` as a pruned scan.
+    "q25_point_lookup" -> { (s, dir) =>
+      table(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("vec_id"), col("label"),
+          round(graft.functions.VectorOps.l2Norm(col("embedding")), 6).as("norm"))
+    },
+
+    // Exact interpolated percentiles (A8) per group.
+    "q26_percentiles" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // Approximate profiling (A8): HLL distinct + approximate quantiles —
+    // sketch outputs are implementation-defined, so rows-only check.
+    "q27_profile_approx" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_p50"))
+        .orderBy("l_returnflag")
+    },
+
     // Tumbling event-time window, batch form (streaming twin in
     // graft.streaming.EventStreams with watermarking).
     "q20_hourly_events" -> { (s, dir) =>
@@ -364,6 +393,17 @@ object RelationalQueries {
                 UNION ALL
                 SELECT s_nationkey, s_acctbal FROM supplier)
           GROUP BY nationkey ORDER BY nationkey""",
+
+    "q25_point_lookup" ->
+      """SELECT vec_id, label,
+         ROUND(SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm
+         FROM embeddings WHERE vec_id = 42""",
+
+    "q26_percentiles" ->
+      """SELECT l_returnflag,
+         QUANTILE_CONT(l_quantity, 0.5) AS p50_qty,
+         QUANTILE_CONT(l_extendedprice, 0.9) AS p90_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q20_hourly_events" ->
       s"""SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS window_start, event_type,

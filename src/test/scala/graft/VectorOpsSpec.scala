@@ -47,6 +47,16 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("codegen DotProductFP64 is bit-identical to the HOF formulation") {
+    val cases = sample(
+      vecGen.flatMap(a =>
+        Gen.listOfN(a.length, Gen.chooseNum(-10f, 10f)).map(b => (a, b.toSeq))), 60)
+    val got = cases.toDF("a", "b")
+      .select(VectorOps.dot($"a", $"b"), VectorOps.dotHof($"a", $"b"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (fused, hof) => assert(fused == hof) }
+  }
+
   test("cosine(v, v) = 1 for non-zero vectors") {
     val vecs = sample(vecGen, 40).filter(_.exists(_ != 0f))
     val got = vecs.map(v => (v, v)).toDF("a", "b")
