@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+import graft.operators._
+
+/** Public facade of the engine: the operator library re-exported under one
+  * namespace, plus SQL registration so every capability is reachable from
+  * `spark.sql(...)` as well as the DataFrame API.
+  *
+  * A user of the reference's stack maps onto this as:
+  *  - build index (vector_db.py main)        → [[Graft.annBuild]] + [[AnnIvf.write]]
+  *  - POST /search (neighborhood_server.py)  → [[Graft.annSearch]] / [[Graft.knn]]
+  *  - scatter-gather client                  → the same call (partitions ARE the shards)
+  *  - taxonomy parsing (parse_utils.py)      → `graft_parse_taxontag` / [[TaxonomyParser]]
+  *  - skip-existing ingest (vector_db.py)    → [[Ingest.appendNew]]
+  */
+object Graft {
+
+  // ----- vector search ---------------------------------------------------
+  def knn(vectors: DataFrame, queries: DataFrame, idCol: String,
+      queryIdCol: String, vecCol: String, k: Int): DataFrame =
+    Knn.bruteForce(vectors, queries, idCol, queryIdCol, vecCol, k)
+
+  def annBuild(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L): AnnIvf.Index =
+    AnnIvf.build(vectors, idCol, vecCol, nlist, seed)
+
+  def annSearch(index: AnnIvf.Index, queries: DataFrame, queryIdCol: String,
+      vecCol: String, k: Int, nprobe: Int, idCol: String = "vec_id"): DataFrame =
+    AnnIvf.search(index, queries, queryIdCol, vecCol, k, nprobe, idCol)
+
+  // ----- column functions ------------------------------------------------
+  def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
+  def cosine(a: Column, b: Column): Column = VectorOps.cosine(a, b)
+  def l2Normalize(a: Column): Column = VectorOps.l2Normalize(a)
+  def parseTaxontag(c: Column): Column = TaxonomyParser.parseTag(c)
+
+  /** Register the engine's SQL functions on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      (es: Seq[Expression]) => DotProductFP64(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_jaccard",
+      (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1)), "built-in")
+    spark.udf.register("graft_parse_taxontag", TaxonomyParser.parseUdf)
+    spark.udf.register("graft_lang_id", LangId.detectUdf)
+    spark.udf.register("graft_simhash", TextOps.simhashUdf)
+  }
+}
+
+/** `SparkSessionExtensions` hook: the expression-backed functions become
+  * session builtins, e.g.
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductFP64].getName, "graft_dot"),
+      (es: Seq[Expression]) => DotProductFP64(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_sorted_jaccard"),
+      new ExpressionInfo(classOf[SortedLongJaccard].getName, "graft_sorted_jaccard"),
+      (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1))))
+  }
+}

@@ -146,6 +146,14 @@ object RelationalQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    // CUBE grouping sets (all 4 combinations).
+    "q28_cube_status" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    },
+
     // INTERSECT over derived relations.
     "q13_nations_in_both" -> { (s, dir) =>
       val custNations = table(s, dir, "customer")
@@ -347,6 +355,12 @@ object RelationalQueries {
           ${sqlDsum("l_quantity")} AS sum_qty
           FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
           ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q28_cube_status" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          ${sqlDsum("o_totalprice")} AS total
+          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
     "q13_nations_in_both" ->
       """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIvf, Knn, TopKAggregator}
+
+class GraftApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL registration: graft_dot / graft_sorted_jaccard / udfs usable from spark.sql") {
+    Graft.register(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot(CAST(ARRAY(1.0, 2.0) AS ARRAY<FLOAT>), CAST(ARRAY(3.0, 4.0) AS ARRAY<FLOAT>))")
+      .as[Double].head()
+    assert(dot === 11.0)
+    val jac = spark.sql(
+      "SELECT graft_sorted_jaccard(ARRAY(1L, 2L, 3L), ARRAY(2L, 3L, 4L))")
+      .as[Double].head()
+    assert(jac === 0.5)
+    val parsed = spark.sql(
+      "SELECT graft_parse_taxontag('a photo of kingdom Animalia species x.')['kingdom']")
+      .as[String].head()
+    assert(parsed === "Animalia")
+    assert(spark.sql("SELECT graft_lang_id('the cat and the dog')").as[String].head() === "en")
+  }
+
+  test("TopKAggregator matches the window-based top-k") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val scored = Knn.bruteForce(
+      emb, emb.filter($"vec_id" < 3), "vec_id", "vec_id", "embedding",
+      k = Int.MaxValue - 1, excludeSelf = true)
+      .select($"query_id", $"vec_id", $"score")
+    val viaAgg = TopKAggregator.topK(scored, "query_id", "vec_id", "score", 5)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val viaWindow = Knn.topKPerGroup(scored, Seq($"query_id"), 5,
+        desc("score"), asc("vec_id"))
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("durable IVF search prunes parquet partitions (PartitionFilters)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 8, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("annivf-prune").toString
+    AnnIvf.write(index, dir)
+    val durable = AnnIvf.read(spark, dir)
+    // static partition list (the probed set) → PartitionFilters in the scan
+    val probedPartitions = Seq(0, 1)
+    val pruned = durable.assigned
+      .filter(col("partition_id").isin(probedPartitions: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the partition predicate must land in PartitionFilters (metadata-only
+    // pruning), not in PushedFilters/data filters
+    assert(plan.contains("PartitionFilters: [partition_id"), plan.take(800))
+    // and row counts confirm only the probed partitions were read
+    val want = index.assigned
+      .filter(col("partition_id").isin(probedPartitions: _*)).count()
+    assert(pruned.count() === want)
+  }
+}
