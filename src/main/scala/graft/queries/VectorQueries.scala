@@ -80,7 +80,26 @@ object VectorQueries {
         .select(col("query_id"), col("vec_id"), col("label"),
           round(col("score"), 6).as("score"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
-    }
+    },
+
+    // ANN quality metric: recall@10 of nprobe=4 (of 16) vs brute force —
+    // the measurement a serving deployment tunes nprobe with. Rows-only.
+    "ann_recall_at_10" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      val ann = AnnIvf.search(index, queries, "vec_id", "embedding",
+          k = 10, nprobe = 4, idCol = "vec_id")
+        .select(col("query_id"), col("vec_id"))
+      val bf = Knn.bruteForce(emb, queries, "vec_id", "vec_id", "embedding",
+          k = 10, excludeSelf = false)
+        .select(col("query_id"), col("vec_id"))
+      bf.join(ann, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg((count(lit(1)) / 10.0).as("recall_at_10"))
+        .groupBy().agg(
+          round(avg(col("recall_at_10")), 4).as("mean_recall"),
+          count(lit(1)).as("n_queries"))
+    },
   )
 
   val oracle: Map[String, String] = Map(

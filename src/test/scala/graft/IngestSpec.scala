@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Ingest
+import graft.queries.table
+
+/** Ingest-path specs: idempotent partitioned append (batch + streaming
+  * foreachBatch — reference ST1/ST2), binaryFile source (S2), and the
+  * serving JSON envelope (S7). */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("appendNew is idempotent: re-appending the same batch adds nothing") {
+    val dir = Files.createTempDirectory("ingest").toString + "/t"
+    val batch1 = Seq((1L, 0, "a"), (2L, 1, "b")).toDF("id", "pid", "v")
+    Ingest.appendNew(spark, batch1, dir, "id", "pid")
+    assert(spark.read.parquet(dir).count() === 2)
+    Ingest.appendNew(spark, batch1, dir, "id", "pid") // replay
+    assert(spark.read.parquet(dir).count() === 2)
+    val batch2 = Seq((2L, 1, "b2"), (3L, 0, "c")).toDF("id", "pid", "v")
+    Ingest.appendNew(spark, batch2, dir, "id", "pid") // only id=3 is new
+    val got = spark.read.parquet(dir)
+    assert(got.count() === 3)
+    assert(got.filter($"id" === 2L).select("v").as[String].head() === "b")
+    // layout is hive-partitioned by pid → partition pruning works
+    assert(got.filter($"pid" === 0).queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(pid"))
+  }
+
+  test("streaming foreachBatch drives the same idempotent partitioned append (ST1)") {
+    val src = Files.createTempDirectory("stream-src").toString
+    val dst = Files.createTempDirectory("stream-dst").toString + "/t"
+    val events = table(spark, sf0001, "events")
+      .select($"event_id".as("id"), (pmod($"user_id", lit(4))).as("pid"), $"event_type".as("v"))
+    events.limit(100).repartition(3).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ingest.appendNew(spark, batch, dst, "id", "pid")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(dst).count() === 100)
+    assert(spark.read.parquet(dst).select("id").distinct().count() === 100)
+  }
+
+  test("binaryFile source reads opaque payloads with metadata (S2)") {
+    val dir = Files.createTempDirectory("bin").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.jpg"), "payload-a".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "b.jpg"), "payload-bb".getBytes)
+    val got = spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("length"), col("content"))
+    assert(got.count() === 2)
+    assert(got.filter(col("path").endsWith("b.jpg"))
+      .select("length").as[Long].head() === 10L)
+  }
+
+  test("serving envelope round-trips via to_json/from_json (S7)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val results = Graft.knn(emb, emb.filter($"vec_id" === 0L),
+        "vec_id", "vec_id", "embedding", k = 3)
+      .select($"query_id", $"vec_id".as("id"), $"score".as("distance"))
+    val envelope = results
+      .groupBy("query_id")
+      .agg(collect_list(struct($"id", $"distance")).as("merged_neighbors"))
+      .select(to_json(struct(
+        lit("success").as("status"),
+        struct($"merged_neighbors").as("data"))).as("body"))
+    val body = envelope.as[String].head()
+    assert(body.startsWith("""{"status":"success","data":{"merged_neighbors":["""))
+    val parsed = envelope.select(from_json($"body",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "status STRING, data STRUCT<merged_neighbors: ARRAY<STRUCT<id: BIGINT, distance: DOUBLE>>>")))
+      .select("from_json(body).data.merged_neighbors")
+    assert(parsed.head().getSeq(0).size === 3)
+  }
+}
