@@ -230,6 +230,18 @@ object RelationalQueries {
         .orderBy("nationkey")
     },
 
+    // Date/time function surface (F10): trunc, datediff, dow, quarter.
+    "q29_date_functions" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(lit(java.sql.Date.valueOf("2002-01-01")), col("o_orderdate")).as("days_to_2002"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .orderBy("o_orderkey")
+    },
+
     // Key point-lookup (P5): the reference's `query(id)` as a pruned scan.
     "q25_point_lookup" -> { (s, dir) =>
       table(s, dir, "embeddings")
@@ -407,6 +419,14 @@ object RelationalQueries {
                 UNION ALL
                 SELECT s_nationkey, s_acctbal FROM supplier)
           GROUP BY nationkey ORDER BY nationkey""",
+
+    "q29_date_functions" ->
+      """SELECT o_orderkey,
+         DATE_TRUNC('month', o_orderdate) AS month_start,
+         CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002,
+         CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS dow,
+         CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr
+         FROM orders ORDER BY o_orderkey""",
 
     "q25_point_lookup" ->
       """SELECT vec_id, label,

@@ -41,6 +41,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BPE-ish subword counting: greedy fixed-width chunking via regex —
+    // the token-budget estimator of a training-data pipeline.
+    "text_bpe_tokens" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).as("n_subwords"),
+          TextOps.tokenCount(col("text")).as("n_words"))
+        .orderBy("doc_id")
+    },
+
+    // Winnowing rolling-hash sketch (document fingerprinting) — rows-only.
+    "text_winnow_sketch" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.winnowUdf(5, 4)(col("text"))).as("sketch_size"))
+        .orderBy("doc_id")
+    },
+
     // Canonical fingerprint (md5 of normalized text) + byte length.
     "text_fingerprint" -> { (s, dir) =>
       table(s, dir, "documents")
@@ -140,6 +158,12 @@ object TextQueries {
              / LEN(STRING_SPLIT(text, ' ')), 6) AS stop_ratio,
            ROUND(CAST(LENGTH(text) - LEN(STRING_SPLIT(text, ' ')) + 1 AS DOUBLE)
              / LEN(STRING_SPLIT(text, ' ')), 6) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+         CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}')) AS INTEGER) AS n_subwords,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_words
          FROM documents ORDER BY doc_id""",
 
     "text_fingerprint" ->
