@@ -63,4 +63,34 @@ object EventStreams {
     * broadcasts under the join threshold; stream rows never shuffle. */
   def enrich(stream: DataFrame, dim: DataFrame, key: Column): DataFrame =
     stream.join(broadcast(dim), key)
+
+  /** Per-user running state for [[userRunningStats]]. */
+  final case class UserState(nEvents: Long, total: Double)
+
+  /** Emitted row: the user's running totals as of each processed batch. */
+  final case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via `flatMapGroupsWithState` (ST4): running
+    * per-user counters that survive across micro-batches — the shape for
+    * any bespoke state machine (sessionization, CEP, dedup-with-TTL) the
+    * built-in windows can't express. State lives in the state store keyed
+    * by user; each batch folds its rows in and emits one snapshot. */
+  def userRunningStats(events: DataFrame): org.apache.spark.sql.Dataset[UserSnapshot] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          val (n, tot) = rows.foldLeft((prev.nEvents, prev.total)) {
+            case ((c, t), (_, v)) => (c + 1, t + v)
+          }
+          state.update(UserState(n, tot))
+          Iterator.single(UserSnapshot(user, n, tot))
+      }
+  }
 }

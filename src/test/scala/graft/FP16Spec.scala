@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.{FP16, VectorOps}
+import graft.streaming.EventStreams
+
+class FP16Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("fp16 pack/unpack: 2 bytes per element, bounded error, idempotent") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val got = emb.select(
+      size($"embedding").as("dim"),
+      length(FP16.packCol($"embedding")).as("packed_bytes"),
+      round(VectorOps.l2Distance(
+        FP16.unpackCol(FP16.packCol($"embedding")), $"embedding"), 6).as("err"),
+      (FP16.packCol(FP16.unpackCol(FP16.packCol($"embedding"))) ===
+        FP16.packCol($"embedding")).as("idempotent"))
+    assert(got.filter($"packed_bytes" =!= $"dim" * 2).count() === 0)
+    // unit vectors, 64 dims: per-element quantization ≤ 2^-11 ⇒ tiny L2 error
+    assert(got.filter($"err" > 0.01).count() === 0)
+    assert(got.filter(!$"idempotent").count() === 0)
+    // scoring on dequantized vectors still ranks sanely: top-1 neighbor of
+    // vec 0 under fp16 equals the fp32 top-1
+    val packed = emb.select($"vec_id", FP16.unpackCol(FP16.packCol($"embedding")).as("embedding"))
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Knn.bruteForce(df, df.filter($"vec_id" === 0L),
+        "vec_id", "vec_id", "embedding", k = 1)
+        .select("vec_id").as[Long].head()
+    assert(top1(packed) === top1(emb.select($"vec_id", $"embedding")))
+  }
+
+  test("flatMapGroupsWithState: running per-user totals across micro-batches") {
+    val batch = graft.queries.table(spark, sf0001, "events")
+    val dir = java.nio.file.Files.createTempDirectory("fmgs").toString
+    batch.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStreams.userRunningStats(stream)
+      .writeStream.format("memory").queryName("fmgs_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the LAST snapshot per user equals the batch totals
+    val lastSnap = spark.table("fmgs_out")
+      .groupBy("user_id").agg(max(struct($"n_events", $"total_value")).as("s"))
+      .select($"user_id", $"s.n_events".as("n_events"))
+    val want = batch.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    assert(lastSnap.join(want, Seq("user_id", "n_events")).count() === want.count())
+    // multiple snapshots per user ⇒ state really crossed batches
+    assert(spark.table("fmgs_out").count() > want.count())
+  }
+}
