@@ -230,6 +230,19 @@ object RelationalQueries {
         .orderBy("nationkey")
     },
 
+    // Filtered scan: the timestamp range predicate must reach the parquet
+    // reader as PushedFilters (plan-audited via tools/Explain).
+    "q30_filtered_revenue" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") > 0.02)
+        .groupBy(month(col("l_shipdate")).as("mon"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("mon")
+    },
+
     // Date/time function surface (F10): trunc, datediff, dow, quarter.
     "q29_date_functions" -> { (s, dir) =>
       table(s, dir, "orders")
@@ -419,6 +432,16 @@ object RelationalQueries {
                 UNION ALL
                 SELECT s_nationkey, s_acctbal FROM supplier)
           GROUP BY nationkey ORDER BY nationkey""",
+
+    "q30_filtered_revenue" ->
+      s"""SELECT CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS mon,
+          COUNT(*) AS n,
+          ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_discount > 0.02
+          GROUP BY mon ORDER BY mon""",
 
     "q29_date_functions" ->
       """SELECT o_orderkey,
