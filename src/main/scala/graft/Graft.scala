@@ -33,6 +33,11 @@ object Graft {
       vecCol: String, k: Int, nprobe: Int, idCol: String = "vec_id"): DataFrame =
     AnnIvf.search(index, queries, queryIdCol, vecCol, k, nprobe, idCol)
 
+  /** Serving path against a durable index: static partition pruning. */
+  def annSearchPruned(index: AnnIvf.Index, queries: DataFrame, queryIdCol: String,
+      vecCol: String, k: Int, nprobe: Int, idCol: String = "vec_id"): DataFrame =
+    AnnIvf.searchPruned(index, queries, queryIdCol, vecCol, k, nprobe, idCol)
+
   // ----- column functions ------------------------------------------------
   def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
   def cosine(a: Column, b: Column): Column = VectorOps.cosine(a, b)

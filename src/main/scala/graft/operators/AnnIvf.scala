@@ -159,6 +159,43 @@ object AnnIvf {
       .drop("__query_vec")
   }
 
+  /** Serving-path search against a DURABLE (partitioned-parquet) index:
+    * the probe step runs first and its partition list becomes a STATIC
+    * `isin` predicate, so the candidate scan is metadata-only partition
+    * pruning (`PartitionFilters` — no file of an unprobed partition is
+    * even listed). This is the 100 TB read path: cost ∝ nprobe/nlist of
+    * the corpus, like the reference's `local_{p}.index` loads
+    * (neighborhood_server.py:209-224) but without a serving tier.
+    *
+    * The probe materialization is a driver round-trip of ≤ |queries|·nprobe
+    * ints — the same "leader search first" sequencing the reference does. */
+  def searchPruned(
+      index: Index,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val q = queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
+    val probed = Knn.topKPerGroup(
+      q.crossJoin(broadcast(index.centroids))
+        .withColumn("pscore", VectorOps.dot(col("__query_vec"), col("centroid"))),
+      Seq(col("query_id")), nprobe, desc("pscore"), asc("partition_id"))
+      .select(col("query_id"), col("partition_id"), col("__query_vec"))
+    val probedIds = probed.select("partition_id").distinct()
+      .collect().map(_.get(0))
+    val prunedVectors = index.assigned
+      .filter(col("partition_id").isin(probedIds.toSeq: _*))
+    val cands = broadcast(probed).join(prunedVectors, Seq("partition_id"))
+    Knn.topKPerGroup(
+      cands.withColumn("score",
+        VectorOps.dot(col(vecCol), col("__query_vec"))),
+      Seq(col("query_id")), k, desc("score"), asc(idCol))
+      .drop("__query_vec")
+  }
+
   /** Scale path for embedding near-dup: bucket by IVF partition, pair only
     * within a partition (near-dups share a centroid with overwhelming
     * probability), exact-verify the cosine. */

@@ -57,4 +57,24 @@ class GraftApiSpec extends SparkSpec {
       .filter(col("partition_id").isin(probedPartitions: _*)).count()
     assert(pruned.count() === want)
   }
+
+  test("searchPruned on durable index: PartitionFilters + equals in-memory search") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 8, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("annivf-sp").toString
+    AnnIvf.write(index, dir)
+    val durable = AnnIvf.read(spark, dir)
+    val queries = emb.filter($"vec_id" < 3)
+    val prunedSearch = AnnIvf.searchPruned(durable, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2, idCol = "vec_id")
+    val plan = prunedSearch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [partition_id"), plan.take(800))
+    val viaJoin = AnnIvf.search(durable, queries,
+        "vec_id", "embedding", k = 5, nprobe = 2, idCol = "vec_id")
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val got = prunedSearch.select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === viaJoin)
+  }
 }
