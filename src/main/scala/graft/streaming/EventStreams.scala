@@ -64,6 +64,25 @@ object EventStreams {
   def enrich(stream: DataFrame, dim: DataFrame, key: Column): DataFrame =
     stream.join(broadcast(dim), key)
 
+  /** Watermarked stream-stream interval join: error events joined to
+    * signup events of the same user within `intervalSec` seconds BEFORE the
+    * error. Both sides buffer in the state store; the watermark + time
+    * bound let Spark evict matched/expired rows — the canonical bounded
+    * stream-stream join shape. */
+  def streamStreamSignupErrors(
+      errors: DataFrame, signups: DataFrame,
+      watermarkDelay: String, intervalSec: Long): DataFrame = {
+    val e = errors.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"))
+    val s = signups.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+    e.join(s,
+      col("user_id") === col("s_user_id") &&
+        col("signup_ts") <= col("error_ts") &&
+        col("signup_ts") >= col("error_ts") - expr(s"INTERVAL $intervalSec SECONDS"))
+      .select("error_id", "user_id", "error_ts", "signup_ts")
+  }
+
   /** Per-user running state for [[userRunningStats]]. */
   final case class UserState(nEvents: Long, total: Double)
 

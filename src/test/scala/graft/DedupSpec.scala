@@ -61,6 +61,18 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("IVF-bucketed cosine pairs: precision 1 vs exact, recall reported") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.35)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val index = graft.operators.AnnIvf.build(emb, "vec_id", "embedding", nlist = 8, seed = 42L)
+    val viaIndex = graft.operators.AnnIvf
+      .cosinePairsViaIndex(index, "vec_id", "embedding", threshold = 0.35)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(viaIndex.subsetOf(exact)) // every returned pair is a true pair
+    assert(exact.isEmpty || viaIndex.nonEmpty) // and the bucketing finds some
+  }
+
   test("SortedLongJaccard matches set-based jaccard on random inputs") {
     val g = for {
       a <- Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted)

@@ -87,6 +87,24 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.orderBy(desc("count")).head().getLong(0) === want)
   }
 
+  test("stream-stream interval join equals the batch join on emitted rows") {
+    val errors = streamEvents.filter(col("event_type") === "error")
+    val signups = streamEvents.filter(col("event_type") === "signup")
+    val streamed = runToMemory(
+      EventStreams.streamStreamSignupErrors(errors, signups, "40 days", 3600L),
+      "ss_join_out", "append")
+    val be = batchEvents.filter(col("event_type") === "error")
+    val bs = batchEvents.filter(col("event_type") === "signup")
+    val batch = EventStreams.streamStreamSignupErrors(be, bs, "40 days", 3600L)
+    // the replay files are in random time order, so any watermark shorter
+    // than the 30-day span would drop genuinely-late rows; a 40-day
+    // watermark admits everything and the inner join emits every match
+    assert(streamed.count() > 0)
+    assert(streamed.join(batch,
+      Seq("error_id", "user_id", "error_ts", "signup_ts")).count() === streamed.count())
+    assert(streamed.count() === batch.count())
+  }
+
   test("stream-static enrichment join broadcasts the dimension") {
     val dim = batchEvents.select(col("event_type")).distinct()
       .withColumn("type_tag", upper(col("event_type")))
