@@ -43,6 +43,18 @@ object AnnIvf {
   def defaultNlist(datasetSize: Long): Int =
     math.max(1, math.floor(10 * math.sqrt(datasetSize.toDouble)).toInt)
 
+  /** Parse the reference's CLI partition-subset spec `"1,2,5-10"` into a
+    * sorted, de-duplicated id list (reference:
+    * query/neighborhood_server.py:353-365 — U3). Used with
+    * `assigned.filter($"partition_id".isin(...))` to serve a shard subset. */
+  def parsePartitionSpec(spec: String): Seq[Int] =
+    spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).flatMap { part =>
+      part.split("-", 2) match {
+        case Array(single) => Seq(single.toInt)
+        case Array(lo, hi) => lo.trim.toInt to hi.trim.toInt
+      }
+    }.toSeq.distinct.sorted
+
   /** Train k-means on a bounded sample (the reference trains on a
     * `50·nlist` prefix, storage_impl.py:83; we sample for better statistics
     * — SURVEY.md §4) and assign every vector to its nearest centroid.
@@ -134,7 +146,8 @@ object AnnIvf {
       vecCol: String,
       k: Int,
       nprobe: Int,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      perPartitionK: Int = 0): DataFrame = {
     val q = queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
 
@@ -151,10 +164,19 @@ object AnnIvf {
       .join(index.assigned, Seq("partition_id"))
 
     // 3. per-query exact top-k + hierarchical merge (W1/W2/T2) in one
-    // group-limit window.
-    Knn.topKPerGroup(
-      cands.withColumn("score",
-        VectorOps.dot(col(vecCol), col("__query_vec"))),
+    // group-limit window. With perPartitionK > 0 the REFERENCE contract is
+    // reproduced literally: top-perPartitionK within each probed partition
+    // first (server-side top_n, neighborhood_server.py:209-216), then the
+    // global cap (client truncation, nearest_neighbor_client.py:70-72) —
+    // so a query can see at most nprobe·perPartitionK candidates.
+    val scored = cands.withColumn("score",
+      VectorOps.dot(col(vecCol), col("__query_vec")))
+    val candidates =
+      if (perPartitionK > 0)
+        Knn.topKPerGroup(scored, Seq(col("query_id"), col("partition_id")),
+          perPartitionK, desc("score"), asc(idCol)).drop("rank")
+      else scored
+    Knn.topKPerGroup(candidates,
       Seq(col("query_id")), k, desc("score"), asc(idCol))
       .drop("__query_vec")
   }

@@ -60,6 +60,30 @@ class KnnSpec extends SparkSpec {
     assert(got.select("partition_id").distinct().count() <= 2)
   }
 
+  test("perPartitionK reproduces the reference per-partition top_n contract") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 8, seed = 42L)
+    val q = emb.filter($"vec_id" === 0L)
+    // nprobe=3, per-partition top_n=2 → at most 6 candidates → k=10 can
+    // return at most 6 rows
+    val got = AnnIvf.search(index, q, "vec_id", "embedding",
+      k = 10, nprobe = 3, idCol = "vec_id", perPartitionK = 2)
+    assert(got.count() === 6)
+    assert(got.groupBy("partition_id").count()
+      .filter($"count" > 2).count() === 0)
+    // and unrestricted search at the same nprobe dominates it
+    val unrestricted = AnnIvf.search(index, q, "vec_id", "embedding",
+      k = 10, nprobe = 3, idCol = "vec_id")
+    assert(unrestricted.count() === 10)
+  }
+
+  test("parsePartitionSpec matches the reference CLI grammar") {
+    assert(AnnIvf.parsePartitionSpec("1,2,5-10") === Seq(1, 2, 5, 6, 7, 8, 9, 10))
+    assert(AnnIvf.parsePartitionSpec("3") === Seq(3))
+    assert(AnnIvf.parsePartitionSpec("4-4,2, 1") === Seq(1, 2, 4))
+    assert(AnnIvf.parsePartitionSpec("7,5-8") === Seq(5, 6, 7, 8)) // dedup
+  }
+
   test("index write/read roundtrip prunes partitions at search") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 4, seed = 42L)

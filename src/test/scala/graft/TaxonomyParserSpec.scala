@@ -84,6 +84,13 @@ class TaxonomyParserSpec extends AnyFunSuite {
         "species" -> "mucidaria", "common name" -> "coppery taupe"))
   }
 
+  test("non-ASCII rank values parse (UNICODE regex)") {
+    expect(
+      "a photo of kingdom Животные genus Öl species ñandú with common name 蜂鸟.",
+      Map("kingdom" -> "Животные", "genus" -> "Öl", "species" -> "ñandú",
+        "common name" -> "蜂鸟"))
+  }
+
   test("null input behaves like empty") {
     assert(TaxonomyParser.parse(null).forall {
       case ("raw_tag", v) => v == ""
