@@ -59,6 +59,11 @@ object AnnIvf {
     * `50·nlist` prefix, storage_impl.py:83; we sample for better statistics
     * — SURVEY.md §4) and assign every vector to its nearest centroid.
     * Assignment is a single broadcast pass, no shuffle. */
+  /** Training sets at or below this size run Lloyd's locally on the
+    * driver: the sample is bounded by design (50·nlist), and below ~100k
+    * rows MLlib's per-iteration job scheduling costs more than the math. */
+  val LocalTrainThreshold = 100000
+
   def build(
       vectors: DataFrame,
       idCol: String,
@@ -68,16 +73,23 @@ object AnnIvf {
       trainSize: Int = 0): Index = {
     val spark = vectors.sparkSession
     val trainLimit = if (trainSize > 0) trainSize else 50 * nlist
-    val train = vectors
-      .select(array_to_vector(col(vecCol)).as("features"))
-      .limit(trainLimit)
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10)
-      .setInitMode("random") // k-means|| costs several extra passes; random
-      .setFeaturesCol("features") // init is fine for partition layout quality
-      .fit(train)
     val centers: Array[Array[Float]] =
-      model.clusterCenters.map(_.toArray.map(_.toFloat))
+      if (trainLimit <= LocalTrainThreshold) {
+        val sample = vectors.select(col(vecCol)).limit(trainLimit)
+          .collect().map(_.getSeq[Float](0).toArray)
+        localKMeans(sample, nlist, seed, maxIter = 10)
+      } else {
+        // distributed path for reference-scale nlist (⌊10√10M⌋ ⇒ 1.6M rows)
+        val train = vectors
+          .select(array_to_vector(col(vecCol)).as("features"))
+          .limit(trainLimit)
+        val model = new KMeans()
+          .setK(nlist).setSeed(seed).setMaxIter(10)
+          .setInitMode("random")
+          .setFeaturesCol("features")
+          .fit(train)
+        model.clusterCenters.map(_.toArray.map(_.toFloat))
+      }
 
     val assigned = assignPartitions(vectors, vecCol, centers)
     val centroidRows = centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
@@ -86,6 +98,47 @@ object AnnIvf {
       .toDF("partition_id", "centroid")
       .withColumn("centroid", col("centroid").cast("array<float>"))
     Index(assigned, centroids)
+  }
+
+  /** Seeded Lloyd's with deterministic sampling init — the local fast path
+    * of [[build]]. Empty clusters re-seed from the sample. */
+  private[operators] def localKMeans(
+      points: Array[Array[Float]], k: Int, seed: Long, maxIter: Int): Array[Array[Float]] = {
+    require(points.nonEmpty, "k-means needs a non-empty training sample")
+    val rnd = new java.util.Random(seed)
+    val dim = points(0).length
+    val kEff = math.min(k, points.length)
+    // init: k distinct random sample points
+    val centers = rnd.ints(0, points.length).distinct().limit(kEff)
+      .toArray.map(i => points(i).clone())
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Int](kEff)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kEff) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < kEff) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centers(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+        } else centers(c) = points(rnd.nextInt(points.length)).clone()
+        c += 1
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** Nearest-centroid partition assignment: broadcast the centroid matrix
