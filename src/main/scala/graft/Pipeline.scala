@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.AnnIvf
+
+/** CLI twin of the reference's two entry points (SURVEY.md §3.1-3.2):
+  * the ingest/build `main()` of vector_db.py and the `/search` route of
+  * neighborhood_server.py — no services, just Spark jobs over a durable
+  * partitioned index.
+  *
+  * {{{
+  * runMain graft.Pipeline build  <vectorsParquet> <idCol> <vecCol> <indexDir> [nlist]
+  * runMain graft.Pipeline search <indexDir> <queriesParquet> <idCol> <vecCol> [k] [nprobe] [partitions]
+  * }}}
+  *
+  * `partitions` is the reference's shard-subset spec (`"1,2,5-10"`) —
+  * serving a subset of partitions, as one filter instead of N servers.
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        math.min(32, Runtime.getRuntime.availableProcessors).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try args.toList match {
+      case "build" :: vectors :: idCol :: vecCol :: indexDir :: rest =>
+        val df = spark.read.parquet(vectors)
+        val nlist = rest.headOption.map(_.toInt)
+          .getOrElse(AnnIvf.defaultNlist(df.count()))
+        val index = AnnIvf.build(df, idCol, vecCol, nlist)
+        AnnIvf.write(index, indexDir)
+        println(s"[pipeline] built index: ${df.count()} vectors, nlist=$nlist → $indexDir")
+
+      case "search" :: indexDir :: queriesPath :: idCol :: vecCol :: rest =>
+        val k = rest.headOption.map(_.toInt).getOrElse(10)
+        val nprobe = rest.drop(1).headOption.map(_.toInt).getOrElse(1)
+        val index0 = AnnIvf.read(spark, indexDir)
+        val index = rest.drop(2).headOption match {
+          case Some(spec) =>
+            val subset = AnnIvf.parsePartitionSpec(spec)
+            index0.copy(assigned =
+              index0.assigned.filter(col("partition_id").isin(subset: _*)))
+          case None => index0
+        }
+        val queries = spark.read.parquet(queriesPath)
+        val hits = AnnIvf.searchPruned(index, queries, idCol, vecCol, k, nprobe,
+          idCol = idCol)
+        hits.orderBy("query_id", "rank").show(50, truncate = false)
+        println(s"[pipeline] ${hits.count()} results")
+
+      case other =>
+        System.err.println(s"unknown args: $other (want build|search ...)")
+        sys.exit(2)
+    } finally spark.stop()
+  }
+}

@@ -63,4 +63,53 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => StubDecode(id, bytes) })
   }
+
+  /** STUB resize: binary → binary, deterministic in (payload, w, h). A real
+    * implementation decodes, scales, re-encodes; the engine-side contract —
+    * payload stays opaque bytes, runs batched per partition, output size
+    * bounded by the target dims — is what this preserves. */
+  def resizeUdf(w: Int, h: Int) = udf { (payload: Array[Byte]) =>
+    if (payload == null) null
+    else {
+      val outLen = math.min(payload.length, w * h / 8 + 16)
+      val out = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) { out(i) = (payload(i % payload.length) ^ (w + h)).toByte; i += 1 }
+      out
+    }
+  }
+
+  /** STUB frame sampling: one synthetic "frame" payload per sampled index —
+    * the video-to-frames explode shape (rows multiply by nFrames, payload
+    * stays on executors). */
+  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame =
+    media.select(col("media_id"), posexplode(
+      transform(sequence(lit(0), lit(nFrames - 1)),
+        i => struct(i.as("frame_no"),
+          substring(col("payload"), lit(1) + i * 8, lit(32)).as("frame_payload")))))
+      .select(col("media_id"), col("col.frame_no").as("frame_no"),
+        col("col.frame_payload").as("frame_payload"))
+
+  /** STUB feature extraction: payload → deterministic L2-normalized
+    * `dim`-d embedding (a seeded hash projection standing in for the
+    * BioCLIP encoder, reference vector_db.py:102-118 — the GPU boundary).
+    * Output plugs straight into [[AnnIvf.build]] / [[Knn.bruteForce]]. */
+  def embedUdf(dim: Int) = udf { (payload: Array[Byte]) =>
+    val v = new Array[Float](dim)
+    if (payload != null && payload.nonEmpty) {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < payload.length) {
+        h = (h ^ payload(i)) * 1099511628211L
+        v((i + (h & 0x7fffffff).toInt) % dim) += ((h >> 32).toInt % 1000) / 1000.0f
+        i += 1
+      }
+      var ss = 0.0
+      var j = 0
+      while (j < dim) { ss += v(j).toDouble * v(j).toDouble; j += 1 }
+      val n = math.sqrt(ss)
+      if (n > 0) { j = 0; while (j < dim) { v(j) = (v(j) / n).toFloat; j += 1 } }
+    }
+    v.toSeq
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIvf, Ingest, Knn, Multimodal}
+
+/** End-to-end replica of the reference's ingest lifecycle (SURVEY.md §3.1)
+  * with the stub embedder standing in for BioCLIP:
+  *
+  * raw records → binary payload → (stub) embed → skip-existing anti-join →
+  * k-means partition assignment → partitioned parquet write →
+  * durable pruned search → enrichment join,
+  *
+  * i.e. `main()` of vector_db.py + `POST /search` + client merge, as one
+  * Spark pipeline with no services. */
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full reference lifecycle: embed → dedup → assign → write → search → enrich") {
+    val docs = graft.queries.table(spark, sf0001, "documents")
+
+    // 1. "embed each image" (stub encoder, GPU boundary in the reference)
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+    val embedded = media
+      .withColumn("embedding", Multimodal.embedUdf(32)($"payload"))
+      .select($"media_id".as("vec_id"), $"embedding")
+
+    // 2. idempotent ingest: second half is "already stored"
+    val existing = embedded.filter($"vec_id" >= 250)
+    val fresh = Ingest.newRecords(embedded, existing, "vec_id")
+    assert(fresh.count() === 250)
+
+    // 3. train + assign + durable partitioned write
+    val index = AnnIvf.build(embedded, "vec_id", "embedding", nlist = 8, seed = 7L)
+    val dir = Files.createTempDirectory("lifecycle").toString
+    AnnIvf.write(index, dir)
+
+    // 4. serve: pruned search for 3 query docs, k=5, nprobe=2
+    val durable = AnnIvf.read(spark, dir)
+    val queries = embedded.filter($"vec_id" < 3)
+    val hits = AnnIvf.searchPruned(durable, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, idCol = "vec_id")
+    assert(hits.groupBy("query_id").count()
+      .filter($"count" =!= 5).count() === 0)
+    // self-match ranks first with score ≈ 1 (unit vectors)
+    val self = hits.filter($"query_id" === $"vec_id")
+    assert(self.count() === 3)
+    assert(self.filter($"rank" =!= 1).count() === 0)
+    assert(self.filter(abs($"score" - 1.0) > 1e-6).count() === 0)
+
+    // 5. metadata enrichment (the reference's sqlite lookup as a join)
+    val enriched = hits.join(docs, hits("vec_id") === docs("doc_id"), "left")
+    assert(enriched.filter($"lang".isNull).count() === 0)
+
+    // 6. stub transforms keep the plumbing shape
+    val resized = media.withColumn("small", Multimodal.resizeUdf(64, 64)($"payload"))
+    assert(resized.filter(length($"small") > length($"payload")).count() === 0)
+    val frames = Multimodal.sampleFrames(media, nFrames = 4)
+    assert(frames.count() === media.count() * 4)
+  }
+}
