@@ -38,6 +38,19 @@ object Graft {
       vecCol: String, k: Int, nprobe: Int, idCol: String = "vec_id"): DataFrame =
     AnnIvf.searchPruned(index, queries, queryIdCol, vecCol, k, nprobe, idCol)
 
+  /** The reference's `/health` aggregate (neighborhood_server.py:275-295):
+    * total vectors, partition count, distinct embedding dims (must be 1 —
+    * A3), as one stats row. */
+  def annStats(index: AnnIvf.Index, vecCol: String = "embedding"): DataFrame =
+    index.assigned.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("total_vectors"),
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("partition_id")).as("n_partitions"),
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col(vecCol))).as("n_distinct_dims"))
+
   // ----- column functions ------------------------------------------------
   def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
   def cosine(a: Column, b: Column): Column = VectorOps.cosine(a, b)

@@ -54,8 +54,15 @@ object Pipeline {
         hits.orderBy("query_id", "rank").show(50, truncate = false)
         println(s"[pipeline] ${hits.count()} results")
 
+      case "health" :: indexDir :: Nil =>
+        val index = AnnIvf.read(spark, indexDir)
+        val row = Graft.annStats(index).head()
+        println(s"[pipeline] health: total_vectors=${row.getLong(0)} " +
+          s"n_partitions=${row.getLong(1)} n_distinct_dims=${row.getLong(2)} " +
+          s"status=${if (row.getLong(2) == 1L) "SERVING" else "DEGRADED"}")
+
       case other =>
-        System.err.println(s"unknown args: $other (want build|search ...)")
+        System.err.println(s"unknown args: $other (want build|search|health ...)")
         sys.exit(2)
     } finally spark.stop()
   }

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{AnnIvf, Dedup, Knn, TemporalJoins}
+
+/** Edge cases + an as-of join property check against a per-key reference
+  * computation. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KNN with an empty query set returns no rows") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val got = Knn.bruteForce(emb, emb.filter($"vec_id" < 0),
+      "vec_id", "vec_id", "embedding", k = 5)
+    assert(got.count() === 0)
+  }
+
+  test("KNN with k larger than the corpus returns the whole corpus ranked") {
+    val tiny = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val got = Knn.bruteForce(tiny, tiny.filter($"vec_id" === 0L),
+      "vec_id", "vec_id", "embedding", k = 100)
+    assert(got.count() === 1)
+  }
+
+  test("AnnIvf.build with nlist > corpus size still assigns everything") {
+    val tiny = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val index = AnnIvf.build(tiny, "vec_id", "embedding", nlist = 10, seed = 1L)
+    assert(index.assigned.count() === 3)
+    assert(index.assigned.filter($"partition_id".isNull).count() === 0)
+    val hits = AnnIvf.search(index, tiny, "vec_id", "embedding", k = 2, nprobe = 10)
+    assert(hits.groupBy("query_id").count().filter($"count" =!= 2).count() === 0)
+  }
+
+  test("dedup operators on an empty corpus return empty, not error") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exactGroups(empty, "doc_id", "text").count() === 0)
+    assert(Dedup.minhashPairs(empty, "doc_id", "text").count() === 0)
+    assert(Dedup.simhashPairs(empty, "doc_id", "text").count() === 0)
+  }
+
+  test("asOfJoin property: equals per-key scala reference on random events") {
+    val g = for {
+      user <- Gen.chooseNum(0, 3)
+      t <- Gen.chooseNum(0L, 100000L)
+      isLeft <- Gen.oneOf(true, false)
+    } yield (user, t, isLeft)
+    val rows = (0 until 400)
+      .map(i => g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+      .zipWithIndex
+      .map { case ((u, t, l), i) => (i.toLong, u.toLong, new Timestamp(t), l) }
+    // drop duplicate (user, ts) pairs: ties between two right rows make the
+    // carried value order-dependent in BOTH implementations
+    val deduped = rows.groupBy(r => (r._2, r._3)).map(_._2.head).toSeq
+    val df = deduped.toDF("id", "user_id", "ts", "is_left")
+    val left = df.filter($"is_left").select("id", "user_id", "ts")
+    val right = df.filter(!$"is_left")
+      .select($"user_id", $"ts", $"id".as("right_id"))
+
+    val got = TemporalJoins.asOfJoin(left, right, "user_id", "ts",
+        rightPayload = Seq("right_id"))
+      .select($"id", $"asof_right_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    // reference: per key, latest right with right.ts <= left.ts
+    val rightByUser = deduped.filter(!_._4).groupBy(_._2)
+    val want = deduped.filter(_._4).map { case (id, u, ts, _) =>
+      val candidates = rightByUser.getOrElse(u, Seq.empty)
+        .filter(r => !r._3.after(ts))
+      id -> (if (candidates.isEmpty) None
+             else Some(candidates.maxBy(_._3.getTime)._1))
+    }.toMap
+    assert(got === want)
+  }
+}
