@@ -230,6 +230,17 @@ object RelationalQueries {
         .orderBy("nationkey")
     },
 
+    // Correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + left outer join (RewriteCorrelatedScalarSubquery).
+    "q31_correlated_subquery" -> { (s, dir) =>
+      table(s, dir, "customer").createOrReplaceTempView("customer_v")
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_custkey,
+               (SELECT MAX(o_totalprice) FROM orders_v WHERE o_custkey = c_custkey) AS max_order
+        FROM customer_v ORDER BY c_custkey""")
+    },
+
     // Filtered scan: the timestamp range predicate must reach the parquet
     // reader as PushedFilters (plan-audited via tools/Explain).
     "q30_filtered_revenue" -> { (s, dir) =>
@@ -432,6 +443,11 @@ object RelationalQueries {
                 UNION ALL
                 SELECT s_nationkey, s_acctbal FROM supplier)
           GROUP BY nationkey ORDER BY nationkey""",
+
+    "q31_correlated_subquery" ->
+      """SELECT c_custkey,
+         (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+         FROM customer ORDER BY c_custkey""",
 
     "q30_filtered_revenue" ->
       s"""SELECT CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS mon,
