@@ -61,6 +61,17 @@ object VectorOps {
       lit(0.0),
       (acc, v) => acc + v))
 
+  /** Manhattan (L1) distance. */
+  def l1Distance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => abs(x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Chebyshev (L∞) distance. */
+  def lInfDistance(a: Column, b: Column): Column =
+    array_max(zip_with(a, b, (x, y) => abs(x.cast(DoubleType) - y.cast(DoubleType))))
+
   /** L2-normalize to unit length, keeping fp32 element type (the storage
     * type of the embedding column). Zero vectors pass through unchanged. */
   def l2Normalize(a: Column): Column = {

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.Sampling
+import graft.queries.table
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("seeded sampling is reproducible; stratified respects strata") {
+    val docs = table(spark, sf0001, "documents")
+    val s1 = Sampling.uniform(docs, 0.3, seed = 11L).select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.uniform(docs, 0.3, seed = 11L).select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2)
+    assert(s1.size > 50 && s1.size < 250)
+    val strat = Sampling.stratified(docs, "lang",
+      Map("en" -> 1.0, "es" -> 0.0), seed = 11L)
+    assert(strat.filter($"lang" === "es").count() === 0)
+    assert(strat.filter($"lang" === "en").count() ===
+      docs.filter($"lang" === "en").count())
+  }
+
+  test("hash split: disjoint, covering, stable under repartitioning") {
+    val docs = table(spark, sf0001, "documents")
+    val (train, valid) = Sampling.hashSplit(docs, "doc_id", 9, 10, seed = 5L)
+    assert(train.count() + valid.count() === docs.count())
+    assert(train.join(valid, Seq("doc_id"), "left_semi").count() === 0)
+    val (train2, _) = Sampling.hashSplit(docs.repartition(13), "doc_id", 9, 10, seed = 5L)
+    assert(train2.select("doc_id").as[Long].collect().toSet ===
+      train.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("capPerGroup keeps at most n deterministic rows per group") {
+    val docs = table(spark, sf0001, "documents")
+    val capped = Sampling.capPerGroup(docs, "lang", "doc_id", 10)
+    assert(capped.groupBy("lang").count().filter($"count" > 10).count() === 0)
+    // deterministic: the kept rows are the lowest doc_ids per lang
+    val minIds = docs.groupBy("lang").agg(min("doc_id").as("m"))
+    assert(capped.join(minIds, capped("lang") === minIds("lang") &&
+      capped("doc_id") === minIds("m")).count() === minIds.count())
+  }
+
+  test("L1 and Linf distances: zero to self, triangle sanity") {
+    val got = Seq((Seq(1f, 2f, -3f), Seq(0f, 2f, 1f)))
+      .toDF("a", "b")
+      .select(
+        VectorOps.l1Distance($"a", $"b"),
+        VectorOps.lInfDistance($"a", $"b"),
+        VectorOps.l1Distance($"a", $"a"),
+        VectorOps.lInfDistance($"a", $"a"))
+      .as[(Double, Double, Double, Double)].head()
+    assert(got._1 === 5.0)
+    assert(got._2 === 4.0)
+    assert(got._3 === 0.0)
+    assert(got._4 === 0.0)
+  }
+}
