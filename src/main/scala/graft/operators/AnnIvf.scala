@@ -59,10 +59,12 @@ object AnnIvf {
     * `50·nlist` prefix, storage_impl.py:83; we sample for better statistics
     * — SURVEY.md §4) and assign every vector to its nearest centroid.
     * Assignment is a single broadcast pass, no shuffle. */
-  /** Training sets at or below this size run Lloyd's locally on the
-    * driver: the sample is bounded by design (50·nlist), and below ~100k
-    * rows MLlib's per-iteration job scheduling costs more than the math. */
-  val LocalTrainThreshold = 100000
+  /** Local-training cost is O(points · k · dim · iters) single-threaded,
+    * so the driver-local Lloyd's path is only right when points·k is small
+    * — NOT merely when the sample is small (a 70k-point, k=1414 sample is
+    * 6×10¹² FLOPs locally but parallelizes fine in MLlib; measured 116 s
+    * vs distributed). */
+  val LocalTrainOpsThreshold = 4000000L // points · k
 
   def build(
       vectors: DataFrame,
@@ -74,7 +76,7 @@ object AnnIvf {
     val spark = vectors.sparkSession
     val trainLimit = if (trainSize > 0) trainSize else 50 * nlist
     val centers: Array[Array[Float]] =
-      if (trainLimit <= LocalTrainThreshold) {
+      if (trainLimit.toLong * nlist <= LocalTrainOpsThreshold) {
         val sample = vectors.select(col(vecCol)).limit(trainLimit)
           .collect().map(_.getSeq[Float](0).toArray)
         localKMeans(sample, nlist, seed, maxIter = 10)
@@ -84,9 +86,9 @@ object AnnIvf {
           .select(array_to_vector(col(vecCol)).as("features"))
           .limit(trainLimit)
         val model = new KMeans()
-          .setK(nlist).setSeed(seed).setMaxIter(10)
-          .setInitMode("random")
-          .setFeaturesCol("features")
+          .setK(nlist).setSeed(seed).setMaxIter(5).setTol(1e-3)
+          .setInitMode("random") // partition routing doesn't need full
+          .setFeaturesCol("features") // Lloyd convergence
           .fit(train)
         model.clusterCenters.map(_.toArray.map(_.toFloat))
       }

@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.{AnnIvf, Dedup, Knn}
+import graft.queries.{dec, table}
+
+/** Scale-headroom smoke: replicate sf0.1 Nx with key-shifted copies (join
+  * keys stay consistent within each replica) and time the headline
+  * operator shapes — evidence that the plans scale linearly rather than
+  * degrade (shuffle explosions, driver collects, quadratic candidate
+  * spaces would all show here).
+  *
+  * Usage: SPARK_GRAFT_SCALE=10 runMain graft.tools.ScaleSmoke
+  */
+object ScaleSmoke {
+  def time(label: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = f
+    println(f"[scale] $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s   ($n rows)")
+  }
+
+  def replicate(df: DataFrame, keyCols: Seq[String], copies: Int): DataFrame =
+    df.withColumn("__rep", explode(sequence(lit(0L), lit(copies - 1L))))
+      .select(df.columns.map {
+        case c if keyCols.contains(c) =>
+          (col(c) + col("__rep") * 1000000000L).as(c)
+        case c => col(c)
+      }: _*)
+
+  def main(args: Array[String]): Unit = {
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val dir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val li = replicate(table(spark, dir, "lineitem"), Seq("l_orderkey"), copies)
+    val orders = replicate(table(spark, dir, "orders"), Seq("o_orderkey", "o_custkey"), copies)
+    val cust = replicate(table(spark, dir, "customer"), Seq("c_custkey"), copies)
+    val emb = replicate(table(spark, dir, "embeddings"), Seq("vec_id"), copies)
+    val docs = replicate(table(spark, dir, "documents"), Seq("doc_id"), copies)
+
+    println(s"[scale] ${copies}x sf0.1: lineitem=${li.count()} orders=${orders.count()} " +
+      s"embeddings=${emb.count()} documents=${docs.count()}")
+
+    time("q1-shape full-scan aggregate") {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(dec(col("l_quantity"))), count(lit(1))).count()
+    }
+    time("3-way star join + aggregate") {
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+        .count()
+    }
+    time("window rank top-3 per customer") {
+      import org.apache.spark.sql.expressions.Window
+      orders.withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))))
+        .filter(col("rn") <= 3).count()
+    }
+    time(s"brute-force KNN 10 queries x ${copies * 2000} vectors") {
+      Knn.bruteForce(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "vec_id", "embedding", k = 10,
+        score = (a, b) => VectorOps.dot(a, b)).count()
+    }
+    time("IVF build (assign all) + nprobe search") {
+      val index = AnnIvf.build(emb, "vec_id", "embedding",
+        nlist = AnnIvf.defaultNlist(copies * 2000L), seed = 42L)
+      AnnIvf.search(index, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, nprobe = 4).count()
+    }
+    time("minhash LSH near-dup pairs") {
+      Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5).count()
+    }
+    spark.stop()
+  }
+}
