@@ -73,6 +73,32 @@ class DedupSpec extends SparkSpec {
     assert(exact.isEmpty || viaIndex.nonEmpty) // and the bucketing finds some
   }
 
+  test("minhash signature agreement estimates true jaccard (LSH premise)") {
+    // doc pairs of graded overlap: i-th pair shares i/10 of its tokens
+    val vocab = (0 until 200).map(i => s"tok$i")
+    val pairs = (1 to 9).map { tenths =>
+      val shared = vocab.take(tenths * 10)
+      val aOnly = vocab.slice(100, 100 + (10 - tenths) * 5)
+      val bOnly = vocab.slice(150, 150 + (10 - tenths) * 5)
+      ((shared ++ aOnly).mkString(" "), (shared ++ bOnly).mkString(" "))
+    }
+    val df = pairs.toDF("ta", "tb")
+      .withColumn("sa", graft.functions.TextOps.tokens($"ta"))
+      .withColumn("sb", graft.functions.TextOps.tokens($"tb"))
+      .withColumn("ha", sort_array(transform($"sa", t => xxhash64(t))))
+      .withColumn("hb", sort_array(transform($"sb", t => xxhash64(t))))
+    val sig = graft.functions.TextOps.minhashUdf(128)
+    val got = df.select(
+        graft.functions.SortedLongJaccard.sortedJaccard($"ha", $"hb").as("true_j"),
+        zip_with(sig($"ha"), sig($"hb"), (x, y) => (x === y).cast("int")).as("agree"))
+      .withColumn("est_j", aggregate($"agree", lit(0), (a, v) => a + v) / 128.0)
+      .as[(Double, Seq[Int], Double)].collect()
+    got.foreach { case (trueJ, _, estJ) =>
+      assert(math.abs(trueJ - estJ) < 0.15,
+        s"minhash estimate $estJ too far from true $trueJ")
+    }
+  }
+
   test("SortedLongJaccard matches set-based jaccard on random inputs") {
     val g = for {
       a <- Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted)
