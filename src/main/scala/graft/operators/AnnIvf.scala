@@ -273,6 +273,56 @@ object AnnIvf {
       .drop("__query_vec")
   }
 
+  /** Corpus×corpus KNN join: top-k neighbors for EVERY indexed vector —
+    * the batch shape of similarity search (each training document gets its
+    * nearest neighbors), where the query side is as big as the corpus and
+    * can NOT be broadcast.
+    *
+    * Plan: centroid probe per vector is a broadcast pass (no shuffle) that
+    * EXPLODES each vector into its `nprobe` probed partitions; the
+    * candidate pairing is then one shuffle-hash join co-partitioned on
+    * `partition_id`; per-vector group-limit keeps k. Candidate volume per
+    * vector is bounded by the occupancy of its probed partitions — the
+    * quadratic blowup of a crossJoin never materializes.
+    *
+    * With nprobe = nlist this equals brute force per row (KnnSpec). */
+  def knnJoin(
+      index: Index,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val centers = index.centroids.orderBy("partition_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val sc = index.assigned.sparkSession.sparkContext
+    val bc = sc.broadcast(centers)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      val scores = Array.tabulate(cs.length) { p =>
+        val c = cs(p)
+        var s = 0.0; var i = 0
+        val n = math.min(c.length, v.length)
+        while (i < n) { s += c(i).toDouble * v(i).toDouble; i += 1 }
+        (s, p)
+      }
+      scores.sortBy { case (s, p) => (-s, p) }.take(nprobe).map(_._2).toSeq
+    }
+    val queries = index.assigned
+      .select(col(idCol).as("query_id"), col(vecCol).as("__query_vec"),
+        explode(probeUdf(col(vecCol))).as("partition_id"))
+    val cands = index.assigned
+      .select(col("partition_id"), col(idCol), col(vecCol))
+    val joined = queries.join(cands, Seq("partition_id"))
+    val filtered =
+      if (excludeSelf) joined.filter(col(idCol) =!= col("query_id"))
+      else joined
+    Knn.topKPerGroup(
+      filtered.withColumn("score", VectorOps.dot(col(vecCol), col("__query_vec"))),
+      Seq(col("query_id")), k, desc("score"), asc(idCol))
+      .drop("__query_vec")
+  }
+
   /** Scale path for embedding near-dup: bucket by IVF partition, pair only
     * within a partition (near-dups share a centroid with overwhelming
     * probability), exact-verify the cosine. */

@@ -64,6 +64,26 @@ object EventStreams {
   def enrich(stream: DataFrame, dim: DataFrame, key: Column): DataFrame =
     stream.join(broadcast(dim), key)
 
+  /** Streaming ANN ingest (reference ST3 at index level,
+    * storage_impl.py:125-144: add-after-train, never retrain): each
+    * micro-batch is assigned against the FROZEN broadcast centroids and
+    * idempotently appended to the partitioned index layout. Returns the
+    * running StreamingQuery. */
+  def annIngest(
+      stream: DataFrame,
+      centers: Array[Array[Float]],
+      indexVectorsPath: String,
+      idCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val assigned = graft.operators.AnnIvf
+          .assignPartitions(batch, "embedding", centers)
+        graft.operators.Ingest.appendNew(
+          batch.sparkSession, assigned, indexVectorsPath, idCol, "partition_id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Watermarked stream-stream interval join: error events joined to
     * signup events of the same user within `intervalSec` seconds BEFORE the
     * error. Both sides buffer in the state store; the watermark + time

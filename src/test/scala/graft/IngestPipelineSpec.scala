@@ -54,7 +54,30 @@ class IngestPipelineSpec extends SparkSpec {
     val enriched = hits.join(docs, hits("vec_id") === docs("doc_id"), "left")
     assert(enriched.filter($"lang".isNull).count() === 0)
 
-    // 6. stub transforms keep the plumbing shape
+    // 6. streaming continuation (ST3): new vectors arrive as a stream and
+    // are routed by the SAME frozen centroids into the SAME layout
+    val centers = index.centroids.orderBy("partition_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val late = embedded.filter($"vec_id" >= 400)
+      .withColumn("vec_id", $"vec_id" + 1000) // "new" ids
+    val srcDir = Files.createTempDirectory("ann-stream").toString
+    late.repartition(2).write.mode("overwrite").parquet(srcDir)
+    val q = graft.streaming.EventStreams.annIngest(
+      spark.readStream.schema(late.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      centers, s"$dir/vectors", "vec_id")
+    q.awaitTermination(120000)
+    val grown = AnnIvf.read(spark, dir)
+    assert(grown.assigned.count() === 500 + 100)
+    // streamed vectors landed in the same partition the batch assigner picks
+    val want = AnnIvf.assignPartitions(late, "embedding", centers)
+      .select($"vec_id", $"partition_id".as("want_pid"))
+    val mismatch = grown.assigned.filter($"vec_id" >= 1000)
+      .join(want, Seq("vec_id"))
+      .filter($"partition_id" =!= $"want_pid")
+    assert(mismatch.count() === 0)
+
+    // 7. stub transforms keep the plumbing shape
     val resized = media.withColumn("small", Multimodal.resizeUdf(64, 64)($"payload"))
     assert(resized.filter(length($"small") > length($"payload")).count() === 0)
     val frames = Multimodal.sampleFrames(media, nFrames = 4)

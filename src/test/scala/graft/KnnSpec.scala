@@ -84,6 +84,28 @@ class KnnSpec extends SparkSpec {
     assert(AnnIvf.parsePartitionSpec("7,5-8") === Seq(5, 6, 7, 8)) // dedup
   }
 
+  test("knnJoin with nprobe = nlist equals per-row brute force") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
+    val nlist = 4
+    val index = AnnIvf.build(emb, "vec_id", "embedding", nlist, seed = 42L)
+    val viaJoin = AnnIvf.knnJoin(index, "vec_id", "embedding", k = 3, nprobe = nlist)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val bf = Knn.bruteForce(emb, emb, "vec_id", "vec_id", "embedding", k = 3)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaJoin === bf)
+  }
+
+  test("knnJoin with nprobe < nlist returns k rows per vector from probed partitions") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 8, seed = 42L)
+    val got = AnnIvf.knnJoin(index, "vec_id", "embedding", k = 5, nprobe = 2)
+    // every vector got neighbors, nobody got more than k
+    assert(got.groupBy("query_id").count().filter($"count" > 5).count() === 0)
+    assert(got.select("query_id").distinct().count() === emb.count())
+  }
+
   test("index write/read roundtrip prunes partitions at search") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 4, seed = 42L)
