@@ -174,9 +174,14 @@ object AnnIvf {
     * shuffle on partition_id, then partition-pruned reads forever after
     * (replaces the reference's `partition_{p}.npy` + `local_{p}.index` +
     * sqlite sidecar with a single self-describing table). */
-  def write(index: Index, path: String): Unit = {
+  def write(index: Index, path: String, writeSalt: Int = 4): Unit = {
+    // k-means partitions are skewed by construction (SURVEY.md §7.4); a
+    // salt in the repartition spreads each hot partition over `writeSalt`
+    // write tasks while the on-disk layout (partition_id=... dirs, hence
+    // pruning) is unchanged — the dir just holds writeSalt files.
     index.assigned
-      .repartition(col("partition_id"))
+      .repartition(col("partition_id"),
+        pmod(xxhash64(index.assigned.columns.map(col): _*), lit(writeSalt)))
       .write.mode("overwrite")
       .partitionBy("partition_id")
       .parquet(s"$path/vectors")

@@ -82,6 +82,17 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // Corpus×corpus similarity search: top-3 neighbors for EVERY vector
+    // via the co-partitioned IVF join — the batch scale path. Rows-only.
+    "knn_join_all" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      AnnIvf.knnJoin(index, "vec_id", "embedding", k = 3, nprobe = 2)
+        .select(col("query_id"), col("vec_id"),
+          round(col("score"), 6).as("score"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+
     // ANN quality metric: recall@10 of nprobe=4 (of 16) vs brute force —
     // the measurement a serving deployment tunes nprobe with. Rows-only.
     "ann_recall_at_10" -> { (s, dir) =>
