@@ -86,6 +86,30 @@ object TextQueries {
         .orderBy("left_id", "right_id")
     },
 
+    // C4-style quality gate: keep documents passing token-count and
+    // stopword-ratio bounds — the filter stage of a training-data pipeline.
+    "text_quality_filter" -> { (s, dir) =>
+      val toks = TextOps.tokenCount(col("text"))
+      val stopR = TextOps.stopwordRatio(col("text"), stopwords)
+      table(s, dir, "documents")
+        .filter(toks >= 20 && toks <= 400 && round(stopR, 6) < 0.12)
+        .select(col("doc_id"), col("lang"), toks.as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Near-dup REMOVAL (the apply form): drop the higher-id side of every
+    // verified near-dup pair, keep the rest of the corpus.
+    "dedup_jaccard_apply" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5,
+        leftFilter = df => df.filter(col("id") % 10 === 0))
+      docs.join(pairs.select(col("right_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // MinHash-LSH near-dup (approximate candidates, exact verify) —
     // rows-only check: LSH recall near the threshold is probabilistic.
     "dedup_minhash_lsh" -> { (s, dir) =>
@@ -191,6 +215,30 @@ object TextQueries {
            AND ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
              / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) >= 0.5
          ORDER BY left_id, right_id""",
+
+    "text_quality_filter" ->
+      """SELECT doc_id, lang, CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens
+         FROM documents
+         WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN 20 AND 400
+           AND ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 6) < 0.12
+         ORDER BY doc_id""",
+
+    "dedup_jaccard_apply" ->
+      """WITH sh AS (
+           SELECT doc_id, LIST_DISTINCT(CASE WHEN LEN(toks) >= 3
+             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN RANGE(1, LEN(toks) - 1)]
+             ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS s
+           FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)),
+         dupes AS (
+           SELECT DISTINCT b.doc_id
+           FROM sh a, sh b
+           WHERE a.doc_id % 10 = 0 AND a.doc_id < b.doc_id
+             AND ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) >= 0.5)
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+         ORDER BY doc_id""",
 
     "text_langid" -> "", // rows-only: heuristic operator, no SQL oracle
 
