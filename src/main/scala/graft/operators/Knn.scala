@@ -56,6 +56,63 @@ object Knn {
       desc("score"), asc(idCol))
   }
 
+  /** Blocked brute-force KNN: the same contract as [[bruteForce]] (and
+    * bit-identical scores/ranking — spec-checked) but executed as one
+    * `mapPartitions` pass with primitive-array math and an in-scan bounded
+    * top-k per query per partition.
+    *
+    * Why it wins at scale: the crossJoin plan materializes
+    * |queries|·|corpus| joined rows before the window group-limit trims
+    * them; this never materializes a pair — each task keeps k entries per
+    * query and emits only |queries|·k rows into the final merge. Same
+    * partial/merge structure as the reference's per-partition FAISS search
+    * + client merge (SURVEY.md §3.2-3.3).
+    *
+    * Output: (query_id, id, score, rank) — join payload columns back by id.
+    */
+  def bruteForceBlocked(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col(queryIdCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (i, v) => (i, v.toArray) }
+    val bc = spark.sparkContext.broadcast(qArr)
+    val partial = vectors
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val tops = Array.fill(qs.length)(List.empty[TopKAggregator.Entry])
+        it.foreach { case (id, vSeq) =>
+          val v = vSeq.toArray
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv) = qs(qi)
+            if (!(excludeSelf && id == qid)) {
+              var s = 0.0; var i = 0
+              val n = math.min(v.length, qv.length)
+              while (i < n) { s += v(i).toDouble * qv(i).toDouble; i += 1 }
+              tops(qi) = TopKAggregator.insert(tops(qi), (id, s), k)
+            }
+            qi += 1
+          }
+        }
+        qs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+          tops(qi).map { case (id, s) => (qid, id, s) }
+        }
+      }
+      .toDF("query_id", idCol, "score")
+    topKPerGroup(partial, Seq(col("query_id")), k, desc("score"), asc(idCol))
+  }
+
   /** Generic per-group top-k via rank window (planner turns the rank filter
     * into a group-limit: only k rows per group survive each partial sort). */
   def topKPerGroup(

@@ -67,10 +67,14 @@ object ScaleSmoke {
           Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))))
         .filter(col("rn") <= 3).count()
     }
-    time(s"brute-force KNN 10 queries x ${copies * 2000} vectors") {
-      Knn.bruteForce(emb, emb.filter(col("vec_id") < 10),
+    time(s"brute-force KNN 100 queries (crossJoin plan)") {
+      Knn.bruteForce(emb, emb.filter(col("vec_id") < 100),
         "vec_id", "vec_id", "embedding", k = 10,
         score = (a, b) => VectorOps.dot(a, b)).count()
+    }
+    time(s"brute-force KNN 100 queries (blocked mapPartitions)") {
+      Knn.bruteForceBlocked(emb, emb.filter(col("vec_id") < 100),
+        "vec_id", "vec_id", "embedding", k = 10).count()
     }
     time("IVF build (assign all) + nprobe search") {
       val index = AnnIvf.build(emb, "vec_id", "embedding",

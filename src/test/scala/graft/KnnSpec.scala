@@ -84,6 +84,20 @@ class KnnSpec extends SparkSpec {
     assert(AnnIvf.parsePartitionSpec("7,5-8") === Seq(5, 6, 7, 8)) // dedup
   }
 
+  test("bruteForceBlocked is bit-identical to the crossJoin plan") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 7)
+    val blocked = Knn.bruteForceBlocked(emb, queries,
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select($"query_id", $"vec_id", $"score", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val plain = Knn.bruteForce(emb, queries,
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select($"query_id", $"vec_id", $"score", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(blocked === plain) // including raw double score bits
+  }
+
   test("knnJoin with nprobe = nlist equals per-row brute force") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
     val nlist = 4
