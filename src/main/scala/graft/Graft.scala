@@ -67,6 +67,12 @@ object Graft {
     spark.udf.register("graft_parse_taxontag", TaxonomyParser.parseUdf)
     spark.udf.register("graft_lang_id", LangId.detectUdf)
     spark.udf.register("graft_simhash", TextOps.simhashUdf)
+    reg.createOrReplaceTempFunction("graft_hll_sketch",
+      (es: Seq[Expression]) => HllSketchAgg(es.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_hll_merge",
+      (es: Seq[Expression]) => HllMergeAgg(es.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_hll_estimate",
+      (es: Seq[Expression]) => HllEstimate(es.head), "built-in")
   }
 }
 

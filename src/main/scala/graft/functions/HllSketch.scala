@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Dependency-free HyperLogLog with MERGEABLE binary sketches.
+  *
+  * `approx_count_distinct` returns only the estimate; a training-data
+  * profiling pipeline needs the SKETCH itself so per-partition / per-day
+  * profiles compose without rescanning (SURVEY.md A8 generalized — the
+  * mergeable form is what survives at 100 TB). Shapes:
+  *
+  *  - [[HllSketchAgg]]: aggregates a pre-hashed LongType column (feed
+  *    `xxhash64(cols...)`) into a register array (BinaryType);
+  *  - [[HllMergeAgg]]: merges sketch columns (register-wise max);
+  *  - [[HllEstimate]]: scalar sketch → distinct estimate, with the
+  *    standard bias correction + linear-counting small-range correction.
+  *
+  * Merging per-group sketches is REGISTER-EXACT equal to sketching the
+  * union (max commutes) — spec-checked by byte equality.
+  */
+object Hll {
+  val P = 12 // 4096 registers, standard error ≈ 1.04/√m ≈ 1.6 %
+  val M = 1 << P
+
+  def emptySketch(): Array[Byte] = new Array[Byte](M)
+
+  def add(sketch: Array[Byte], hash: Long): Unit = {
+    val idx = (hash >>> (64 - P)).toInt
+    val rest = hash << P
+    val rank = (if (rest == 0) 64 - P else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+    if (rank > sketch(idx)) sketch(idx) = rank.toByte
+  }
+
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  def estimate(sketch: Array[Byte]): Long = {
+    val m = M.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      invSum += 1.0 / (1L << (sketch(i) & 0xff)).toDouble
+      if (sketch(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m * m / invSum
+    val corrected =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros.toDouble)
+      else raw
+    math.round(corrected)
+  }
+
+  def sketchAgg(hashed: Column): Column =
+    ColumnBridge.column(
+      HllSketchAgg(ColumnBridge.expression(hashed)).toAggregateExpression())
+
+  def mergeAgg(sketch: Column): Column =
+    ColumnBridge.column(
+      HllMergeAgg(ColumnBridge.expression(sketch)).toAggregateExpression())
+
+  def estimateCol(sketch: Column): Column =
+    ColumnBridge.column(HllEstimate(ColumnBridge.expression(sketch)))
+}
+
+abstract class HllAggBase extends TypedImperativeAggregate[Array[Byte]] {
+  override def createAggregationBuffer(): Array[Byte] = Hll.emptySketch()
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
+    Hll.merge(buf, other)
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+}
+
+/** Sketch-building aggregate over a pre-hashed LongType column. */
+case class HllSketchAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends HllAggBase {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hll_sketch expects a 64-bit hash column (use xxhash64(...)), got ${t.sql}")
+  }
+
+  override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
+    val v = child.eval(row)
+    if (v != null) Hll.add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllSketchAgg =
+    copy(child = c.head)
+}
+
+/** Sketch-merging aggregate over a BinaryType sketch column. */
+case class HllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends HllAggBase {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hll_merge expects a sketch (BINARY) column, got ${t.sql}")
+  }
+
+  override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
+    val v = child.eval(row)
+    if (v != null) Hll.merge(buf, v.asInstanceOf[Array[Byte]])
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllMergeAgg =
+    copy(child = c.head)
+}
+
+/** Scalar estimate from a sketch. */
+case class HllEstimate(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hll_estimate expects BINARY, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    Hll.estimate(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): HllEstimate =
+    copy(child = c)
+}

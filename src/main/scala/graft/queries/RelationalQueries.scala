@@ -284,6 +284,20 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // Mergeable HLL sketch profiling: per-group sketches merged to the
+    // global estimate without rescanning — rows-only (sketch internals are
+    // implementation-defined; accuracy/mergeability are spec-checked).
+    "profile_hll_sketch" -> { (s, dir) =>
+      import graft.functions.Hll
+      val perGroup = table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(Hll.sketchAgg(xxhash64(col("l_partkey"))).as("sk"),
+          count(lit(1)).as("n"))
+      perGroup.agg(
+        Hll.estimateCol(Hll.mergeAgg(col("sk"))).as("approx_distinct_parts"),
+        sum(col("n")).as("total_rows"))
+    },
+
     // Approximate profiling (A8): HLL distinct + approximate quantiles —
     // sketch outputs are implementation-defined, so rows-only check.
     "q27_profile_approx" -> { (s, dir) =>
