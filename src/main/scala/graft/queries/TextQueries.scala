@@ -59,6 +59,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // TF-IDF top terms per document: explode → tf per (doc, term) → df per
+    // term → score → per-doc rank window. Exercises the generator (UDTF)
+    // surface against DuckDB UNNEST.
+    "text_tfidf_top_terms" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val n = docs.count()
+      val terms = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(df, Seq("term"))
+        .withColumn("score",
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      graft.operators.Knn.topKPerGroup(
+          scored.filter(col("doc_id") < 50),
+          Seq(col("doc_id")), 3, desc("score"), asc("term"))
+        .select(col("doc_id"), col("term"), col("score"),
+          col("rank").as("rnk"))
+        .orderBy("doc_id", "rnk")
+    },
+
     // Canonical fingerprint (md5 of normalized text) + byte length.
     "text_fingerprint" -> { (s, dir) =>
       table(s, dir, "documents")
@@ -215,6 +237,23 @@ object TextQueries {
            AND ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
              / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) >= 0.5
          ORDER BY left_id, right_id""",
+
+    "text_tfidf_top_terms" ->
+      """WITH terms AS (
+           SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+           FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+           WHERE tf.doc_id < 50)
+         SELECT doc_id, term, score, CAST(rn AS INTEGER) AS rnk FROM (
+           SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+           FROM scored)
+         WHERE rn <= 3 ORDER BY doc_id, rnk""",
 
     "text_quality_filter" ->
       """SELECT doc_id, lang, CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens

@@ -86,6 +86,18 @@ object ScaleSmoke {
       Dedup.minhashPairs(docs, "doc_id", "text",
         shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5).count()
     }
+    // skew: 95% of rows in ONE group; countDistinct forces the full key
+    // stream through the reducers (no partial collapse), so the hot group
+    // pins one task unless salted
+    val skewed = li.withColumn("k",
+      when(pmod(col("l_orderkey"), lit(20)) =!= 0, lit("hot")).otherwise(col("l_returnflag")))
+    time("skewed distinct-agg, direct") {
+      skewed.groupBy("k").agg(countDistinct("l_partkey"), count(lit(1))).count()
+    }
+    time("skewed sum-agg, salted 2-phase") {
+      graft.operators.Salting.saltedSumCount(
+        skewed, Seq("k"), 32, Map(col("l_quantity") -> "sq"), Some("n")).count()
+    }
     spark.stop()
   }
 }
