@@ -51,17 +51,27 @@ object Dedup {
       shingleSize: Int = 3,
       numBands: Int = 8,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      maxBucketSize: Int = 100000): DataFrame = {
     val numPerms = numBands * rowsPerBand
     val sh = docs
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .select(col(idCol).as("id"),
         SortedLongJaccard.sortedHashedShingles(col("__toks"), shingleSize).as("sh"))
-    val bands = sh
+    val allBands = sh
       .withColumn("band",
         explode(TextOps.bandsUdf(numBands, rowsPerBand)(
           TextOps.minhashUdf(numPerms)(col("sh")))))
       .select("band", "id")
+    // scale guard: a degenerate band key (boilerplate/empty docs) would
+    // make its bucket-join quadratic; such buckets carry no near-dup
+    // signal worth O(bucket²), so drop them (standard LSH practice)
+    val bands =
+      if (maxBucketSize == Int.MaxValue) allBands
+      else allBands.join(
+        allBands.groupBy("band").count()
+          .filter(col("count") <= maxBucketSize).select("band"),
+        Seq("band"))
     // bucket join carries only ids; the (small) shingle table is joined
     // back after pair dedup so arrays never ride through the explode.
     val cands = bands.join(bands.withColumnRenamed("id", "rid"), Seq("band"))

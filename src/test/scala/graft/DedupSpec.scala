@@ -73,6 +73,27 @@ class DedupSpec extends SparkSpec {
     assert(exact.isEmpty || viaIndex.nonEmpty) // and the bucketing finds some
   }
 
+  test("simhash banding finds ALL pairs within maxHamming (pigeonhole completeness)") {
+    val docs500 = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = docs500.unionByName(
+      docs500.select(($"doc_id" + 100000).as("doc_id"),
+        regexp_replace($"text", "^[^ ]+ ", "").as("text")))
+    val viaBanding = Dedup.simhashPairs(corpus, "doc_id", "text",
+        maxHamming = 3, numBands = 4)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // brute force over collected signatures
+    val sigs = corpus
+      .withColumn("sim", graft.functions.TextOps.simhashUdf(
+        transform(graft.functions.TextOps.tokens($"text"), t => xxhash64(t))))
+      .select("doc_id", "sim").as[(Long, Long)].collect()
+    val bruteForce = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(viaBanding === bruteForce) // banding misses nothing ≤ maxHamming
+  }
+
   test("minhash signature agreement estimates true jaccard (LSH premise)") {
     // doc pairs of graded overlap: i-th pair shares i/10 of its tokens
     val vocab = (0 until 200).map(i => s"tok$i")
