@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** 64-bit Morton (Z-order) interleave of two integer keys — the
+  * multi-column clustering primitive: sorting a table by `z(a, b)` before
+  * writing makes Parquet row-group min/max ranges tight in BOTH columns,
+  * so filters on either (or both) prune row groups, where a plain sort
+  * clusters only its leading column (docs/NEXT.md #4).
+  *
+  * The low 32 bits of each key are bit-interleaved (a even positions, b
+  * odd). Keys are offset by Int.MinValue so negative values order
+  * correctly as unsigned bit patterns.
+  */
+case class ZOrder64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zorder64 needs two integral columns, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ZOrder64.interleave(asLong(l), asLong(r))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ZOrder64.interleave((long)$a, (long)$b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder64 {
+
+  /** Spread the low 32 bits of v into the even bit positions of a long. */
+  def spread(v0: Long): Long = {
+    var v = v0 & 0xffffffffL
+    v = (v | (v << 16)) & 0x0000ffff0000ffffL
+    v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** Raw 64-bit Morton word (b's top bit lands in bit 63). */
+  def rawInterleave(a: Long, b: Long): Long =
+    spread(a - Int.MinValue) | (spread(b - Int.MinValue) << 1)
+
+  /** Morton interleave with SIGNED-comparable output: inputs are offset so
+    * negatives sort below positives, and the final sign-bit flip converts
+    * the unsigned z-word into a signed long with the same order (without
+    * it, b ≥ 0 rows — offset bit 31 → position 63 — would sort below
+    * b < 0 rows under signed comparison). */
+  def interleave(a: Long, b: Long): Long =
+    rawInterleave(a, b) ^ java.lang.Long.MIN_VALUE
+
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(ZOrder64(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
