@@ -63,20 +63,24 @@ object Dedup {
         explode(TextOps.bandsUdf(numBands, rowsPerBand)(
           TextOps.minhashUdf(numPerms)(col("sh")))))
       .select("band", "id")
-    // scale guard: a degenerate band key (boilerplate/empty docs) would
-    // make its bucket-join quadratic; such buckets carry no near-dup
-    // signal worth O(bucket²), so drop them (standard LSH practice)
-    val bands =
-      if (maxBucketSize == Int.MaxValue) allBands
-      else allBands.join(
-        allBands.groupBy("band").count()
-          .filter(col("count") <= maxBucketSize).select("band"),
-        Seq("band"))
-    // bucket join carries only ids; the (small) shingle table is joined
-    // back after pair dedup so arrays never ride through the explode.
-    val cands = bands.join(bands.withColumnRenamed("id", "rid"), Seq("band"))
-      .filter(col("id") < col("rid"))
-      .select(col("id").as("left_id"), col("rid").as("right_id"))
+    // candidate pairs from bucket MEMBER LISTS (one aggregation — the
+    // shingle+minhash lineage is evaluated once, not once per join side).
+    // The scale guard lives here too: a degenerate band key (boilerplate /
+    // empty docs) would make its bucket quadratic; such buckets carry no
+    // near-dup signal worth O(bucket²), so drop them (standard LSH
+    // practice).
+    val pairsUdf = udf { (ids: Seq[Long]) =>
+      val sorted = ids.sorted
+      for {
+        i <- sorted.indices
+        j <- (i + 1) until sorted.length
+      } yield (sorted(i), sorted(j))
+    }
+    val cands = allBands
+      .groupBy("band").agg(collect_list(col("id").cast("long")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("left_id"), col("p._2").as("right_id"))
       .dropDuplicates("left_id", "right_id")
     cands
       .join(sh.select(col("id").as("left_id"), col("sh").as("left_sh")), Seq("left_id"))
