@@ -73,6 +73,14 @@ object Graft {
       (es: Seq[Expression]) => HllMergeAgg(es.head).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_hll_estimate",
       (es: Seq[Expression]) => HllEstimate(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_zorder64",
+      (es: Seq[Expression]) => ZOrder64(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_fp16_pack",
+      (es: Seq[Expression]) => PackFP16(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_fp16_unpack",
+      (es: Seq[Expression]) => UnpackFP16(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_l2_normalize",
+      (es: Seq[Expression]) => L2NormalizeFP32(es.head), "built-in")
   }
 }
 

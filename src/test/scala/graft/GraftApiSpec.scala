@@ -22,6 +22,16 @@ class GraftApiSpec extends SparkSpec {
       .as[String].head()
     assert(parsed === "Animalia")
     assert(spark.sql("SELECT graft_lang_id('the cat and the dog')").as[String].head() === "en")
+    assert(spark.sql("SELECT graft_zorder64(1L, 1L) < graft_zorder64(2L, 2L)")
+      .as[Boolean].head())
+    val rt = spark.sql(
+      "SELECT graft_fp16_unpack(graft_fp16_pack(CAST(ARRAY(0.5, -1.25) AS ARRAY<FLOAT>)))")
+      .as[Seq[Float]].head()
+    assert(rt === Seq(0.5f, -1.25f)) // exact half-representable values
+    val nrm = spark.sql(
+      "SELECT graft_l2_normalize(CAST(ARRAY(3.0, 4.0) AS ARRAY<FLOAT>))")
+      .as[Seq[Float]].head()
+    assert(nrm === Seq(0.6f, 0.8f))
   }
 
   test("TopKAggregator matches the window-based top-k") {

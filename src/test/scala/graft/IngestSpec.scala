@@ -50,6 +50,22 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(dst).select("id").distinct().count() === 100)
   }
 
+  test("CSV and JSON sources round-trip the events subset (S1 generality)") {
+    val events = table(spark, sf0001, "events")
+      .select("event_id", "user_id", "event_type", "value").limit(200)
+    val base = java.nio.file.Files.createTempDirectory("srcfmt").toString
+    events.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    events.write.mode("overwrite").json(s"$base/json")
+    val fromCsv = spark.read.option("header", "true").schema(events.schema).csv(s"$base/csv")
+    val fromJson = spark.read.schema(events.schema).json(s"$base/json")
+    assert(fromCsv.count() === 200)
+    assert(fromJson.count() === 200)
+    assert(fromCsv.join(events, Seq("event_id", "user_id", "event_type", "value"))
+      .count() === 200)
+    assert(fromJson.join(events, Seq("event_id", "user_id", "event_type", "value"))
+      .count() === 200)
+  }
+
   test("binaryFile source reads opaque payloads with metadata (S2)") {
     val dir = Files.createTempDirectory("bin").toString
     Files.write(java.nio.file.Paths.get(dir, "a.jpg"), "payload-a".getBytes)
