@@ -8,6 +8,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // single-node bench: a mid-size dim (orders at sf0.1 ~8-12 MB) is
+      // cheaper broadcast than shuffled; 64 MB is also a sane cluster value
+      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
