@@ -174,14 +174,26 @@ object AnnIvf {
     * shuffle on partition_id, then partition-pruned reads forever after
     * (replaces the reference's `partition_{p}.npy` + `local_{p}.index` +
     * sqlite sidecar with a single self-describing table). */
-  def write(index: Index, path: String, writeSalt: Int = 4): Unit = {
+  /** fp16 storage convention: the packed column keeps the vector column's
+    * name plus this suffix, so `read` can transparently restore it. */
+  private val Fp16Suffix = "__fp16"
+
+  def write(index: Index, path: String, writeSalt: Int = 4,
+      fp16: Boolean = false, vecCol: String = "embedding"): Unit = {
     // k-means partitions are skewed by construction (SURVEY.md §7.4); a
     // salt in the repartition spreads each hot partition over `writeSalt`
     // write tasks while the on-disk layout (partition_id=... dirs, hence
     // pruning) is unchanged — the dir just holds writeSalt files.
-    index.assigned
+    val stored =
+      if (fp16)
+        // the reference's SQfp16 index compression (storage_impl.py:87):
+        // 2 bytes/element at rest, decoded on scan by `read`
+        index.assigned.withColumn(s"$vecCol$Fp16Suffix",
+          graft.functions.FP16.packCol(col(vecCol))).drop(vecCol)
+      else index.assigned
+    stored
       .repartition(col("partition_id"),
-        pmod(xxhash64(index.assigned.columns.map(col): _*), lit(writeSalt)))
+        pmod(xxhash64(stored.columns.map(col): _*), lit(writeSalt)))
       .write.mode("overwrite")
       .partitionBy("partition_id")
       .parquet(s"$path/vectors")
@@ -189,10 +201,16 @@ object AnnIvf {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  def read(spark: SparkSession, path: String): Index =
-    Index(
-      assigned = spark.read.parquet(s"$path/vectors"),
-      centroids = spark.read.parquet(s"$path/centroids"))
+  def read(spark: SparkSession, path: String): Index = {
+    val raw = spark.read.parquet(s"$path/vectors")
+    val assigned = raw.columns.find(_.endsWith(Fp16Suffix)) match {
+      case Some(packed) =>
+        raw.withColumn(packed.dropRight(Fp16Suffix.length),
+          graft.functions.FP16.unpackCol(col(packed))).drop(packed)
+      case None => raw
+    }
+    Index(assigned, spark.read.parquet(s"$path/centroids"))
+  }
 
   /** ANN search: probe → pruned per-partition exact top-k → global merge.
     *

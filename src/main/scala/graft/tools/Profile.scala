@@ -30,10 +30,9 @@ object Profile {
       .select(col("doc_id").as("id"),
         SortedLongJaccard.sortedHashedShingles(col("__toks"), 3).as("sh"))
     time("shingles")(sh.agg(sum(size(col("sh")))).collect())
-    val sig = sh.withColumn("sig", TextOps.minhashUdf(32)(col("sh")))
-    time("minhash")(sig.agg(sum(size(col("sig")))).collect())
-    val sig2 = sig.persist(); time("minhash persist")(sig2.count())
-    val bands = sig2
+    val sig = sh.withColumn("sig", TextOps.minhashUdf(32)(col("sh"))).persist()
+    time("minhash (persist)")(sig.agg(sum(size(col("sig")))).collect())
+    val bands = sig
       .withColumn("band", explode(TextOps.bandsUdf(8, 4)(col("sig"))))
       .select("band", "id")
     time("bands")(bands.count())

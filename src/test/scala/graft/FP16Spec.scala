@@ -32,6 +32,42 @@ class FP16Spec extends SparkSpec {
     assert(top1(packed) === top1(emb.select($"vec_id", $"embedding")))
   }
 
+  test("fp16-compressed durable index: smaller on disk, searchable after read") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = graft.operators.AnnIvf.build(emb, "vec_id", "embedding", nlist = 8, seed = 42L)
+    def dirSize(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.isFile).map(_.length).sum +
+        d.listFiles().filter(_.isDirectory).map(f => dirSize(f.getPath)).sum
+    }
+    val full = java.nio.file.Files.createTempDirectory("ivf-f32").toString
+    val half = java.nio.file.Files.createTempDirectory("ivf-f16").toString
+    graft.operators.AnnIvf.write(index, full)
+    graft.operators.AnnIvf.write(index, half, fp16 = true)
+    val fullBytes = dirSize(s"$full/vectors")
+    val halfBytes = dirSize(s"$half/vectors")
+    assert(halfBytes < fullBytes * 0.75, s"fp16=$halfBytes vs fp32=$fullBytes")
+
+    // search works transparently and matches search over hand-quantized
+    // vectors (same fp16 values → same scores/ranking)
+    val reread = graft.operators.AnnIvf.read(spark, half)
+    assert(reread.assigned.schema("embedding").dataType.typeName === "array")
+    val got = graft.operators.AnnIvf.searchPruned(reread,
+      emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val quantized = emb.select($"vec_id",
+      FP16.unpackCol(FP16.packCol($"embedding")).as("embedding"),
+      $"label")
+    val wantIdx = graft.operators.AnnIvf.Index(
+      graft.operators.AnnIvf.assignPartitions(quantized, "embedding",
+        index.centroids.orderBy("partition_id").collect().map(_.getSeq[Float](1).toArray)),
+      index.centroids)
+    val want = graft.operators.AnnIvf.search(wantIdx,
+      emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+  }
+
   test("flatMapGroupsWithState: running per-user totals across micro-batches") {
     val batch = graft.queries.table(spark, sf0001, "events")
     val dir = java.nio.file.Files.createTempDirectory("fmgs").toString
