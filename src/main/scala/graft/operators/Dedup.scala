@@ -52,7 +52,7 @@ object Dedup {
       numBands: Int = 8,
       rowsPerBand: Int = 4,
       threshold: Double = 0.6,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 1024): DataFrame = {
     val numPerms = numBands * rowsPerBand
     val sh = docs
       .withColumn("__toks", TextOps.tokens(col(textCol)))
@@ -68,7 +68,8 @@ object Dedup {
     // The scale guard lives here too: a degenerate band key (boilerplate /
     // empty docs) would make its bucket quadratic; such buckets carry no
     // near-dup signal worth O(bucket²), so drop them (standard LSH
-    // practice).
+    // practice). The cap also bounds the in-memory pair expansion below:
+    // maxBucketSize² / 2 tuples per bucket (1024 → ≤ ~524k pairs, ~8 MB).
     val pairsUdf = udf { (ids: Seq[Long]) =>
       val sorted = ids.sorted
       for {
