@@ -32,6 +32,28 @@ class FP16Spec extends SparkSpec {
     assert(top1(packed) === top1(emb.select($"vec_id", $"embedding")))
   }
 
+  test("fp16 conversion properties over random + special values") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.oneOf(
+      Gen.chooseNum(-65000f, 65000f),
+      Gen.chooseNum(-1f, 1f),
+      Gen.oneOf(0f, -0f, Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity, 1e-7f, -1e-7f, 6.1e-5f, 65504f))
+    val vals = (0 until 300).map(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    vals.foreach { f =>
+      val h = graft.functions.FP16.floatToHalf(f)
+      val back = graft.functions.FP16.halfToFloat(h & 0xffff)
+      // idempotency: a value already representable survives exactly
+      assert(graft.functions.FP16.floatToHalf(back) === h, s"not idempotent for $f")
+      if (f.isNaN) assert(back.isNaN)
+      else if (f.isInfinite) assert(back === f)
+      else if (math.abs(f) <= 65504f && math.abs(f) >= 6.2e-5f)
+        // normal half range: relative error ≤ 2^-11 (+ rounding slack)
+        assert(math.abs(back - f) <= math.abs(f) * 0.0005 + 1e-7, s"f=$f back=$back")
+    }
+  }
+
   test("fp16-compressed durable index: smaller on disk, searchable after read") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val index = graft.operators.AnnIvf.build(emb, "vec_id", "embedding", nlist = 8, seed = 42L)

@@ -1,0 +1,51 @@
+package graft
+
+/** Physical-plan regression guard: the scale-relevant plan features
+  * (docs/PLANS.md checklist) are asserted here so a refactor that silently
+  * loses pushdown, broadcast, a group-limit, or top-k fails the suite —
+  * not just the eyeball audit. */
+class PlanAuditSpec extends SparkSpec {
+
+  // FormattedMode: the simple plan string abbreviates long PushedFilters
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q30: range + selectivity predicates reach the parquet scan") {
+    val p = plan("q30_filtered_revenue")
+    assert(p.contains("PushedFilters:"), p.take(400))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(1200))
+    assert(p.contains("GreaterThan(l_discount,0.02)"), p.take(1200))
+  }
+
+  test("q02: dimension joins broadcast; scans are column-pruned") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+    // lineitem scan reads only the join key + revenue columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("q03: global top-k is TakeOrderedAndProject, not a full sort") {
+    assert(plan("q03_top_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q09: rank filter becomes a WindowGroupLimit below the exchange") {
+    val p = plan("q09_top_orders_per_customer")
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    // partial (Partial mode before the shuffle) AND final group limits
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("knn_bruteforce: query side broadcasts; group-limit applies") {
+    val p = plan("knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+  }
+
+  test("q01: partial+final hash aggregation around one exchange") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortAggregate"))
+  }
+}
