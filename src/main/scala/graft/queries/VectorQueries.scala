@@ -48,6 +48,23 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // The §2.6 semantics flag, tied off: ranking by ASCENDING cosine
+    // distance (1 − ip) returns the same neighbors as descending
+    // similarity — the corrected contract the engine uses everywhere
+    // (the reference's ascending-IP merge returned the LEAST similar).
+    "knn_cosine_distance" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__q"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_dist",
+          round(lit(1.0) - VectorOps.dot(col("embedding"), col("__q")), 6))
+        .select("vec_id", "label", "cos_dist")
+        .orderBy(asc("cos_dist"), asc("vec_id"))
+        .limit(10)
+    },
+
     // F2/A3: per-vector norm + dimension check (all ≈ 1.0 / 64).
     "vector_norms" -> { (s, dir) =>
       table(s, dir, "embeddings")
@@ -132,6 +149,14 @@ object VectorQueries {
             FROM embeddings a, embeddings b
             WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
           WHERE rn <= 5 ORDER BY query_id, rnk""",
+
+    "knn_cosine_distance" ->
+      """SELECT vec_id, label, cos_dist FROM (
+           SELECT b.vec_id, b.label,
+             ROUND(1 - LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 6) AS cos_dist
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id = 0 AND b.vec_id <> 0)
+         ORDER BY cos_dist ASC, vec_id LIMIT 10""",
 
     "vector_norms" ->
       """SELECT vec_id, CAST(LEN(embedding) AS INTEGER) AS dim,
