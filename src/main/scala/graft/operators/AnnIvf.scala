@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorOps
 
@@ -81,16 +80,12 @@ object AnnIvf {
           .collect().map(_.getSeq[Float](0).toArray)
         localKMeans(sample, nlist, seed, maxIter = 10)
       } else {
-        // distributed path for reference-scale nlist (⌊10√10M⌋ ⇒ 1.6M rows)
-        val train = vectors
-          .select(array_to_vector(col(vecCol)).as("features"))
-          .limit(trainLimit)
-        val model = new KMeans()
-          .setK(nlist).setSeed(seed).setMaxIter(5).setTol(1e-3)
-          .setInitMode("random") // partition routing doesn't need full
-          .setFeaturesCol("features") // Lloyd convergence
-          .fit(train)
-        model.clusterCenters.map(_.toArray.map(_.toFloat))
+        // distributed path for reference-scale nlist (⌊10√10M⌋ ⇒ 1.6M rows):
+        // block-gemm Lloyd's — no MLlib/BLAS dependency (the container's
+        // f2j fallback made the MLlib path the build bottleneck)
+        distributedKMeans(
+          vectors.select(col(vecCol)).limit(trainLimit),
+          vecCol, nlist, seed, maxIter = 5)
       }
 
     val assigned = assignPartitions(vectors, vecCol, centers)
@@ -144,9 +139,19 @@ object AnnIvf {
   }
 
   /** Nearest-centroid partition assignment: broadcast the centroid matrix
-    * to every task and argmax the inner product in one pass (the BLAS-style
-    * plan from SURVEY.md §2 J1 — no crossJoin, no shuffle). */
+    * to every task and argmax the inner product (SURVEY.md §2 J1 — no
+    * crossJoin, no shuffle). Executes as a blocked gemm
+    * ([[CentroidGemm.assign]]) — bit-equal to the scalar reference
+    * implementation below (KnnSpec property test). */
   def assignPartitions(
+      vectors: DataFrame,
+      vecCol: String,
+      centers: Array[Array[Float]]): DataFrame =
+    CentroidGemm.assign(vectors, vecCol, centers)
+
+  /** Scalar per-row form of [[assignPartitions]] — kept as the semantic
+    * reference for the gemm kernel's bit-equality property test. */
+  private[graft] def assignPartitionsUdf(
       vectors: DataFrame,
       vecCol: String,
       centers: Array[Array[Float]]): DataFrame = {
@@ -168,6 +173,113 @@ object AnnIvf {
       best
     }
     vectors.withColumn("partition_id", assignUdf(col(vecCol)))
+  }
+
+  /** Distributed Lloyd's over the block-gemm kernel: per-task partial
+    * (sum, count) accumulators merged by `treeReduce` — one pass over the
+    * data per iteration, no MLlib/BLAS (the container's netlib falls back
+    * to f2j, which made `ml.clustering.KMeans` ~64 s for 20k×k=1414).
+    * Accumulator size is k·dim doubles per task (≈130 MB at reference
+    * scale k=31,622 · dim=512 — sized for executor heaps, not the driver).
+    *
+    * Centers are deterministic given a fixed input partitioning EXCEPT for
+    * floating-point merge order in `treeReduce` (same caveat as MLlib);
+    * routing quality is insensitive to last-ulp differences and no
+    * oracle-checked query uses this path (small-nlist builds take the
+    * seeded local fast path). Empty clusters keep their previous center. */
+  private[graft] def distributedKMeans(
+      train: DataFrame,
+      vecCol: String,
+      k: Int,
+      seed: Long,
+      maxIter: Int,
+      tol: Double = 1e-4): Array[Array[Float]] = {
+    val vecIdx = train.schema.fieldIndex(vecCol)
+    val data = train.rdd
+      .map(r => CentroidGemm.toFloatArray(r.getSeq[Float](vecIdx)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centers = data.takeSample(withReplacement = false, k, seed)
+      require(centers.nonEmpty, "k-means needs a non-empty training set")
+      val dim = centers(0).length
+      val kEff = centers.length
+      var iter = 0
+      var moved = Double.MaxValue
+      while (iter < maxIter && moved > tol) {
+        val bc = data.sparkContext.broadcast(centers)
+        val (sums, counts) = data
+          .mapPartitions { it =>
+            val cs = bc.value
+            val kk = cs.length
+            val d = cs(0).length
+            val flat = new Array[Float](kk * d)
+            var c = 0
+            while (c < kk) { System.arraycopy(cs(c), 0, flat, c * d, d); c += 1 }
+            val sums = new Array[Double](kk * d)
+            val counts = new Array[Long](kk)
+            it.grouped(CentroidGemm.BlockSize).foreach { block =>
+              val b = block.length
+              val best = new Array[Int](b)
+              val bestS = Array.fill(b)(Double.NegativeInfinity)
+              var c2 = 0
+              while (c2 < kk) {
+                val off = c2 * d
+                var r = 0
+                while (r < b) {
+                  val v = block(r)
+                  val n = math.min(d, v.length)
+                  var s = 0.0; var i = 0
+                  while (i < n) { s += flat(off + i).toDouble * v(i).toDouble; i += 1 }
+                  if (s > bestS(r)) { bestS(r) = s; best(r) = c2 }
+                  r += 1
+                }
+                c2 += 1
+              }
+              var r = 0
+              while (r < b) {
+                val v = block(r)
+                val off = best(r) * d
+                val n = math.min(d, v.length)
+                var i = 0
+                while (i < n) { sums(off + i) += v(i); i += 1 }
+                counts(best(r)) += 1
+                r += 1
+              }
+            }
+            Iterator.single((sums, counts))
+          }
+          .treeReduce { case ((s1, c1), (s2, c2)) =>
+            var i = 0
+            while (i < s1.length) { s1(i) += s2(i); i += 1 }
+            var j = 0
+            while (j < c1.length) { c1(j) += c2(j); j += 1 }
+            (s1, c1)
+          }
+        bc.destroy()
+        moved = 0.0
+        val next = new Array[Array[Float]](kEff)
+        var c = 0
+        while (c < kEff) {
+          if (counts(c) > 0) {
+            val nc = new Array[Float](dim)
+            var d2 = 0.0
+            var i = 0
+            while (i < dim) {
+              nc(i) = (sums(c * dim + i) / counts(c)).toFloat
+              val t = nc(i) - centers(c)(i)
+              d2 += t * t
+              i += 1
+            }
+            next(c) = nc
+            moved = math.max(moved, d2)
+          } else next(c) = centers(c)
+          c += 1
+        }
+        centers = next
+        iter += 1
+      }
+      centers
+    } finally data.unpersist(blocking = false)
   }
 
   /** Persist the index as partitioned Parquet — the durable form. One
@@ -318,22 +430,13 @@ object AnnIvf {
       excludeSelf: Boolean = true): DataFrame = {
     val centers = index.centroids.orderBy("partition_id")
       .collect().map(_.getSeq[Float](1).toArray)
-    val sc = index.assigned.sparkSession.sparkContext
-    val bc = sc.broadcast(centers)
-    val probeUdf = udf { (v: Seq[Float]) =>
-      val cs = bc.value
-      val scores = Array.tabulate(cs.length) { p =>
-        val c = cs(p)
-        var s = 0.0; var i = 0
-        val n = math.min(c.length, v.length)
-        while (i < n) { s += c(i).toDouble * v(i).toDouble; i += 1 }
-        (s, p)
-      }
-      scores.sortBy { case (s, p) => (-s, p) }.take(nprobe).map(_._2).toSeq
-    }
-    val queries = index.assigned
-      .select(col(idCol).as("query_id"), col(vecCol).as("__query_vec"),
-        explode(probeUdf(col(vecCol))).as("partition_id"))
+    // corpus-sized probe side → blocked-gemm multi-probe, not a per-row UDF
+    val queries = CentroidGemm.probe(
+        index.assigned.select(
+          col(idCol).as("query_id"), col(vecCol).as("__query_vec")),
+        "__query_vec", centers, nprobe)
+      .select(col("query_id"), col("__query_vec"),
+        explode(col("__probes")).as("partition_id"))
     val cands = index.assigned
       .select(col("partition_id"), col(idCol), col(vecCol))
     val joined = queries.join(cands, Seq("partition_id"))

@@ -120,6 +120,66 @@ class KnnSpec extends SparkSpec {
     assert(got.select("query_id").distinct().count() === emb.count())
   }
 
+  test("gemm assignment is bit-identical to the scalar per-row reference") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // centers drawn from the data itself → plenty of near-ties to stress
+    // the tie-break, plus a duplicated center for an exact-tie case
+    val centers = emb.filter($"vec_id" < 7).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val withDup = centers :+ centers(3).clone()
+    val gemm = AnnIvf.assignPartitions(emb, "embedding", withDup)
+      .select($"vec_id", $"partition_id").as[(Long, Int)].collect().toMap
+    val scalar = AnnIvf.assignPartitionsUdf(emb, "embedding", withDup)
+      .select($"vec_id", $"partition_id").as[(Long, Int)].collect().toMap
+    assert(gemm === scalar)
+    assert(gemm.nonEmpty)
+  }
+
+  test("gemm probe returns top-nprobe centroids by (score desc, id asc)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+    val centers = emb.orderBy("vec_id").limit(6)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val got = graft.operators.CentroidGemm.probe(
+        emb.select($"vec_id", $"embedding"), "embedding", centers, nprobe = 3)
+      .select($"vec_id", $"__probes").as[(Long, Seq[Int])].collect().toMap
+    // oracle: exhaustive per-row sort, the semantics the old UDF had
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    vecs.foreach { case (id, v) =>
+      val scores = centers.zipWithIndex.map { case (c, p) =>
+        val n = math.min(c.length, v.length)
+        var s = 0.0; var i = 0
+        while (i < n) { s += c(i).toDouble * v(i).toDouble; i += 1 }
+        (s, p)
+      }
+      val want = scores.sortBy { case (s, p) => (-s, p) }.take(3).map(_._2).toSeq
+      assert(got(id) === want, s"probe mismatch for vec $id")
+    }
+  }
+
+  test("distributed k-means recovers well-separated cluster means") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 3).flatMap { c =>
+      val base = Array.fill(8)(0f); base(c) = 10f
+      (0 until 200).map { _ =>
+        (c * 200L, base.toSeq.map(x => x + rnd.nextGaussian().toFloat * 0.05f))
+      }
+    }
+    val df = pts.toDF("id", "embedding")
+    val centers = AnnIvf.distributedKMeans(
+      df.select($"embedding"), "embedding", k = 3, seed = 42L, maxIter = 10)
+    assert(centers.length === 3)
+    assert(centers.forall(_.length === 8))
+    // each true mean has a recovered center within 0.5 of it
+    (0 until 3).foreach { c =>
+      val truth = Array.fill(8)(0.0); truth(c) = 10.0
+      val best = centers.map { ctr =>
+        math.sqrt(ctr.zip(truth).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.min
+      assert(best < 0.5, s"cluster $c center off by $best")
+    }
+  }
+
   test("index write/read roundtrip prunes partitions at search") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 4, seed = 42L)
