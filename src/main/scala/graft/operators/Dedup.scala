@@ -95,13 +95,20 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit signature, banded into `numBands`
     * chunks (a pair within Hamming distance d < numBands must agree on at
     * least one chunk — pigeonhole), bucket-join on (band index, chunk),
-    * exact-verify with `bit_count(xor)`. */
+    * exact-verify with `bit_count(xor)`.
+    *
+    * `maxBucketSize` mirrors [[minhashPairs]]' guard: a degenerate chunk
+    * (short/boilerplate docs collapsing to the same 16-bit value) would
+    * make its bucket's self-join quadratic; such buckets carry no usable
+    * near-dup signal at O(bucket²) cost, so they are dropped — standard
+    * LSH practice, bounding the candidate space at any corpus shape. */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      numBands: Int = 4): DataFrame = {
+      numBands: Int = 4,
+      maxBucketSize: Int = 1024): DataFrame = {
     val bits = 64 / numBands
     require(maxHamming < numBands,
       s"pigeonhole needs maxHamming < numBands ($maxHamming >= $numBands)")
@@ -115,8 +122,13 @@ object Dedup {
             .bitwiseAND(lit((1L << bits) - 1)).as("chunk"))
       }: _*)).as("bk"))
       .select(col("id"), col("sim"), col("bk.band"), col("bk.chunk"))
-    val a = banded.select(col("band"), col("chunk"), col("id").as("left_id"), col("sim").as("left_sim"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("right_id"), col("sim").as("right_sim"))
+    val sizes = banded.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select("band", "chunk")
+    val bounded = banded.join(sizes, Seq("band", "chunk"))
+    val a = bounded.select(col("band"), col("chunk"), col("id").as("left_id"), col("sim").as("left_sim"))
+    val b = bounded.select(col("band"), col("chunk"), col("id").as("right_id"), col("sim").as("right_sim"))
     a.join(b, Seq("band", "chunk"))
       .filter(col("left_id") < col("right_id"))
       .dropDuplicates("left_id", "right_id")
@@ -125,11 +137,62 @@ object Dedup {
       .select("left_id", "right_id", "hamming")
   }
 
-  /** Exact n-gram-Jaccard near-dup pairs with a blocking predicate on the
-    * left side (`leftFilter`) to bound the pair space; at full scale the
-    * MinHash path above is the candidate generator and this is the verify
-    * stage. */
+  /** Exact n-gram-Jaccard near-dup pairs via PPJoin-style prefix filtering
+    * — sub-quadratic with ZERO false negatives (same result set as the
+    * naive cartesian scan, equivalence-spec'd).
+    *
+    * Lemma (prefix filter, Bayardo/Chaudhuri all-pairs): under any fixed
+    * total order on shingles, if J(A,B) ≥ t then the smallest element of
+    * A∩B lies within the first |X| − ⌈t·|X|⌉ + 1 elements of BOTH
+    * X ∈ {A,B} (were it deeper in X, the intersection would fit inside a
+    * suffix smaller than ⌈t·|X|⌉ ≤ |A∩B|). So candidates = pairs sharing
+    * at least one PREFIX shingle — an equi-join on prefix-shingle hash —
+    * and everything else is skipped exactly. Shingle hashes are uniform,
+    * so prefix buckets are near-singletons on non-duplicate text; a
+    * corpus whose buckets degenerate is one whose true pair OUTPUT is
+    * quadratic, which no exact algorithm avoids.
+    *
+    * ε guards (both only ever LENGTHEN the prefix — extra candidates are
+    * discarded by the exact verify, never missed): t − 1e-6 covers the
+    * query-side `round(j, 6) ≥ t` admitting true j down to t − 5e-7;
+    * the 1e-9 inside ceil() absorbs fp error in t·|X| landing a hair
+    * above an integer. */
   def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      threshold: Double,
+      leftFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val sh = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        SortedLongJaccard.sortedHashedShingles(col("__toks"), shingleSize).as("sh"))
+    val tEff = math.max(threshold - 1e-6, 0.0)
+    def prefixToks(df: DataFrame) = {
+      val plen = greatest(lit(1),
+        (size(col("sh")) - ceil(size(col("sh")) * lit(tEff) - lit(1e-9)) + lit(1))
+          .cast("int"))
+      df.select(col("id"), explode(slice(col("sh"), lit(1), plen)).as("tok"))
+    }
+    val aPre = prefixToks(leftFilter(sh)).select(col("id").as("left_id"), col("tok"))
+    val bPre = prefixToks(sh).select(col("id").as("right_id"), col("tok"))
+    val cands = aPre.join(bPre, Seq("tok"))
+      .filter(col("left_id") < col("right_id"))
+      .select("left_id", "right_id")
+      .dropDuplicates("left_id", "right_id")
+    cands
+      .join(sh.select(col("id").as("left_id"), col("sh").as("left_sh")), Seq("left_id"))
+      .join(sh.select(col("id").as("right_id"), col("sh").as("right_sh")), Seq("right_id"))
+      .withColumn("jaccard",
+        round(SortedLongJaccard.sortedJaccard(col("left_sh"), col("right_sh")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("left_id", "right_id", "jaccard")
+  }
+
+  /** Reference cartesian form of [[jaccardPairs]] — kept only as the
+    * equivalence-spec oracle; never the declared query plan. */
+  private[graft] def jaccardPairsNaive(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -150,9 +213,78 @@ object Dedup {
       .select("left_id", "right_id", "jaccard")
   }
 
-  /** Embedding-cosine near-dup pairs (exact, blocked on the left side).
-    * The LSH-bucketed scale path is [[AnnIvf.cosinePairsViaIndex]]. */
+  /** Embedding-cosine near-dup pairs: EXACT threshold pairs between a
+    * bounded left sample and the full corpus, executed as a broadcast
+    * blocked-gemm scan — one pass over the corpus, |left|·|corpus|·dim
+    * flops, and NO joined pair rows ever materialize (the crossJoin form
+    * built |left|·|corpus| rows before filtering; this emits only
+    * near-threshold survivors).
+    *
+    * Contract: the left side (after `leftFilter`) must fit on the driver —
+    * asserted via `maxLeftRows`, and ids must be integral non-null (also
+    * asserted, not silently cast). Exact UNBOUNDED all-pairs over dense
+    * vectors is inherently n²·dim flops; the sub-quadratic scale path for
+    * that shape is [[AnnIvf.cosinePairsViaIndex]] (IVF-bucketed,
+    * approximate candidates, exact verify). */
   def embeddingPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      leftFilter: DataFrame => DataFrame = identity,
+      maxLeftRows: Int = 1 << 20): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val left: Array[(Long, Array[Float])] = leftFilter(v)
+      .select(col("id").cast("long"), col("vec"))
+      .as[(java.lang.Long, Seq[Float])].collect()
+      .map { case (i, vec) =>
+        require(i != null,
+          s"embeddingPairs: id column '$idCol' must be integral and non-null")
+        (i.longValue(), CentroidGemm.toFloatArray(vec))
+      }
+    require(left.length <= maxLeftRows,
+      s"embeddingPairs: left side has ${left.length} rows > maxLeftRows=" +
+        s"$maxLeftRows — not broadcastable; use AnnIvf.cosinePairsViaIndex")
+    val bc = spark.sparkContext.broadcast(left)
+    // raw cutoff t − 1e-6: every pair whose ROUNDED score passes the final
+    // filter has raw ≥ t − 5e-7, so nothing the crossJoin form returned is
+    // lost; the final round+filter below is identical to the naive plan's.
+    val cut = threshold - 1e-6
+    val raw = v.select(col("id").cast("long"), col("vec"))
+      .as[(java.lang.Long, Seq[Float])]
+      .mapPartitions { it =>
+        val ls = bc.value
+        it.flatMap { case (ridBoxed, rvecSeq) =>
+          require(ridBoxed != null,
+            "embeddingPairs: id column must be integral and non-null")
+          val rid = ridBoxed.longValue()
+          val rv = CentroidGemm.toFloatArray(rvecSeq)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var li = 0
+          while (li < ls.length) {
+            val (lid, lv) = ls(li)
+            if (lid < rid) {
+              val n = math.min(lv.length, rv.length)
+              var s = 0.0; var i = 0
+              while (i < n) { s += lv(i).toDouble * rv(i).toDouble; i += 1 }
+              if (s >= cut) out += ((lid, rid, s))
+            }
+            li += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("left_id", "right_id", "__raw")
+    raw.withColumn("score", round(col("__raw"), 6))
+      .filter(col("score") >= threshold)
+      .select("left_id", "right_id", "score")
+  }
+
+  /** Reference cartesian form of [[embeddingPairs]] — equivalence-spec
+    * oracle only. */
+  private[graft] def embeddingPairsNaive(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,

@@ -120,6 +120,72 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccardPairs equals the cartesian form (sf0.001)") {
+    val docs500 = spark.read.parquet(s"$sf0001/documents.parquet")
+    def run(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = Seq(
+      Dedup.jaccardPairs(docs500, "doc_id", "text", 3, 0.5, f),
+      Dedup.jaccardPairsNaive(docs500, "doc_id", "text", 3, 0.5, f))
+      .map(_.select("left_id", "right_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet)
+    val Seq(gotBlocked, wantBlocked) = run(df => df.filter($"id" % 10 === 0))
+    assert(gotBlocked === wantBlocked)
+    assert(wantBlocked.nonEmpty) // the corpus really has near-dups
+    val Seq(gotAll, wantAll) = run(identity) // and unblocked all-pairs
+    assert(gotAll === wantAll)
+  }
+
+  test("prefix filter is exact down at low thresholds too") {
+    // low threshold → short prefixes stress the ceil/ε guards
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val want = Dedup.jaccardPairsNaive(docs, "doc_id", "text", 3, 0.2)
+      .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+
+  test("gemm embeddingPairs equals the cartesian form (sf0.001)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val f = (df: org.apache.spark.sql.DataFrame) => df.filter($"id" % 10 === 0)
+    val got = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.35, f)
+      .select("left_id", "right_id", "score").as[(Long, Long, Double)].collect().toSet
+    val want = Dedup.embeddingPairsNaive(emb, "vec_id", "embedding", 0.35, f)
+      .select("left_id", "right_id", "score").as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("embeddingPairs fails fast on non-integral ids and oversized left side") {
+    val strIds = Seq(("x1", Seq(1f, 0f)), ("x2", Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Dedup.embeddingPairs(strIds, "vec_id", "embedding", 0.5).collect()
+    }
+    assert(e.getMessage.contains("integral") || e.getMessage.contains("CAST"),
+      e.getMessage)
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.5, maxLeftRows = 1).collect()
+    }
+    assert(e2.getMessage.contains("maxLeftRows"))
+  }
+
+  test("simhash bucket cap drops degenerate buckets, leaves healthy corpora unchanged") {
+    // degenerate: 300 identical docs → every bucket holds all 300 → capped out
+    val degenerate = (0L until 300L).map(i => (i, "same boilerplate text every time"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(degenerate, "doc_id", "text",
+      maxHamming = 3, numBands = 4, maxBucketSize = 128).count() === 0)
+    // healthy: capped result identical to uncapped
+    val docs500 = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+    val capped = Dedup.simhashPairs(docs500, "doc_id", "text", 3, 4, maxBucketSize = 1024)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.simhashPairs(docs500, "doc_id", "text", 3, 4,
+        maxBucketSize = Int.MaxValue)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(capped === uncapped)
+  }
+
   test("SortedLongJaccard matches set-based jaccard on random inputs") {
     val g = for {
       a <- Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted)

@@ -48,4 +48,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
     assert(!p.contains("SortAggregate"))
   }
+
+  test("near-dup pair queries contain no cartesian/nested-loop join") {
+    // the scale-killer audit: exact near-dup candidates must come from
+    // prefix-filter / gemm-scan plans, never a materialized pair space
+    Seq("dedup_jaccard_pairs", "dedup_jaccard_apply", "dedup_embedding_pairs",
+        "dedup_simhash", "dedup_minhash_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a BroadcastNestedLoopJoin")
+    }
+  }
 }
