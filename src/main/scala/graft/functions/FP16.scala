@@ -56,7 +56,14 @@ object FP16 {
 
   /** fp32 → binary16 bits (JDK17 has no Float.floatToFloat16; this is the
     * standard public bit algorithm, round-half-up, NaN/Inf/subnormal
-    * preserving). */
+    * preserving).
+    *
+    * Rounding-mode deviation: exact-tie values round half-UP here, where
+    * IEEE 754 (and FAISS's F16C-based SQfp16 encoder) round half-to-EVEN —
+    * a 1-ulp difference on ties only. The "SQfp16 parity" claim is parity
+    * of format and error bound (≤ 2⁻¹¹ relative), NOT bit parity with
+    * FAISS-encoded bytes; decode ([[halfToFloat]]) is exact for any
+    * binary16 input, so foreign fp16 data reads back bit-exactly. */
   def floatToHalf(fval: Float): Short = {
     val fbits = java.lang.Float.floatToIntBits(fval)
     val sign = (fbits >>> 16) & 0x8000

@@ -39,6 +39,9 @@ object Hll {
   }
 
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(b.length == M,
+      s"hll_merge: input is not a graft HLL sketch — expected $M register " +
+        s"bytes, got ${b.length} (feed only columns produced by hll_sketch/hll_merge)")
     var i = 0
     while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
     a

@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * so filters on either (or both) prune row groups, where a plain sort
   * clusters only its leading column (docs/NEXT.md #4).
   *
-  * The low 32 bits of each key are bit-interleaved (a even positions, b
-  * odd). Keys are offset by Int.MinValue so negative values order
-  * correctly as unsigned bit patterns.
+  * Keys live in the 32-bit domain: each input is CLAMPED to
+  * [Int.MinValue, Int.MaxValue] before interleaving (a even positions, b
+  * odd), so out-of-range longs saturate — ordering degrades monotonically
+  * at the domain edge rather than wrapping (2^32 never aliases 0). Keys
+  * are offset by Int.MinValue so negative values order correctly as
+  * unsigned bit patterns.
   */
 case class ZOrder64(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -64,9 +67,15 @@ object ZOrder64 {
     v
   }
 
+  /** Clamp to the 32-bit key domain: out-of-range longs saturate at the
+    * domain edge instead of wrapping (2^32 must not alias 0 — clustering
+    * order degrades monotonically, never scrambles). */
+  def clamp32(v: Long): Long =
+    math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v))
+
   /** Raw 64-bit Morton word (b's top bit lands in bit 63). */
   def rawInterleave(a: Long, b: Long): Long =
-    spread(a - Int.MinValue) | (spread(b - Int.MinValue) << 1)
+    spread(clamp32(a) - Int.MinValue) | (spread(clamp32(b) - Int.MinValue) << 1)
 
   /** Morton interleave with SIGNED-comparable output: inputs are offset so
     * negatives sort below positives, and the final sign-bit flip converts

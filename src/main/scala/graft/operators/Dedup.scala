@@ -53,6 +53,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.6,
       maxBucketSize: Int = 1024): DataFrame = {
+    requireIntegralId(docs, idCol, "minhashPairs")
     val numPerms = numBands * rowsPerBand
     val sh = docs
       .withColumn("__toks", TextOps.tokens(col(textCol)))
@@ -233,6 +234,7 @@ object Dedup {
       threshold: Double,
       leftFilter: DataFrame => DataFrame = identity,
       maxLeftRows: Int = 1 << 20): DataFrame = {
+    requireIntegralId(vectors, idCol, "embeddingPairs")
     val spark = vectors.sparkSession
     import spark.implicits._
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))

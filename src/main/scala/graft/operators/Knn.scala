@@ -78,6 +78,8 @@ object Knn {
       vecCol: String,
       k: Int,
       excludeSelf: Boolean = true): DataFrame = {
+    requireIntegralId(vectors, idCol, "bruteForceBlocked")
+    requireIntegralId(queries, queryIdCol, "bruteForceBlocked")
     val spark = vectors.sparkSession
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries

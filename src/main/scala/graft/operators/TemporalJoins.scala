@@ -34,26 +34,31 @@ object TemporalJoins {
       rightPayload: Seq[String],
       prefix: String = "asof_"): DataFrame = {
     val lCols = left.columns.toSeq
+    // The right payload is carried as ONE struct (non-null for every right
+    // row even when its fields are null), so the attached as-of values all
+    // come from the SAME right row — a per-column last(ignoreNulls) would
+    // back-fill a null field from an OLDER right row, mixing rows.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(right.schema.fieldIndex(c))))
     // tag: right rows sort BEFORE left rows at identical ts (<= semantics)
     val lSel: Seq[Column] =
       Seq(col(keyCol).as("__key"), col(tsCol).as("__ts"), lit(1).as("__side"),
-        struct(lCols.map(col): _*).as("__lrow")) ++
-        rightPayload.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))
+        struct(lCols.map(col): _*).as("__lrow"),
+        lit(null).cast(rStructType).as("__rrow"))
     val l = left.select(lSel: _*)
     val rSel: Seq[Column] =
       Seq(col(keyCol).as("__key"), col(tsCol).as("__ts"), lit(0).as("__side"),
-        lit(null).cast(l.schema("__lrow").dataType).as("__lrow")) ++
-        rightPayload.map(c => col(c).as(s"__r_$c"))
+        lit(null).cast(l.schema("__lrow").dataType).as("__lrow"),
+        struct(rightPayload.map(col): _*).as("__rrow"))
     val r = right.select(rSel: _*)
     val w = Window.partitionBy(col("__key")).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select(Seq(col("__lrow")) ++ rightPayload.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")): _*)
+      .select(col("__lrow"),
+        last(col("__rrow"), ignoreNulls = true).over(w).as("__r"))
       .filter(col("__lrow").isNotNull)
     carried.select(lCols.map(c => col(s"__lrow.$c").as(c)) ++
-      rightPayload.map(c => col(s"$prefix$c")): _*)
+      rightPayload.map(c => col(s"__r.$c").as(s"$prefix$c")): _*)
   }
 
   /** Pairs (l, r) matching on `keyCol` with |l.ts − r.ts| ≤ `widthSec`,

@@ -51,6 +51,7 @@ object TopKAggregator {
     * emit exploded (group, id, score, rank) rows. */
   def topK(df: DataFrame, groupCol: String, idCol: String, scoreCol: String,
       k: Int): DataFrame = {
+    requireIntegralId(df, idCol, "TopKAggregator.topK")
     val topkUdaf = udaf(aggregator(k))
     df.groupBy(col(groupCol))
       .agg(topkUdaf(col(idCol).cast("long"), col(scoreCol).cast("double")).as("topk"))

@@ -77,4 +77,20 @@ class EdgeCaseSpec extends SparkSpec {
     }.toMap
     assert(got === want)
   }
+
+  test("asOfJoin keeps null payload fields from the matched row (no cross-row backfill)") {
+    // right row at t=20 has v=null; the left row at t=30 must see
+    // (right_id=2, v=null) — NOT v back-filled from the older t=10 row
+    val left = Seq((100L, 1L, new Timestamp(30L)))
+      .toDF("id", "user_id", "ts")
+    val right = Seq(
+      (1L, new Timestamp(10L), 1L, Option(7L)),
+      (1L, new Timestamp(20L), 2L, Option.empty[Long]))
+      .toDF("user_id", "ts", "right_id", "v")
+    val got = TemporalJoins.asOfJoin(left, right, "user_id", "ts",
+        rightPayload = Seq("right_id", "v"))
+      .select($"id", $"asof_right_id", $"asof_v")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got === Seq((100L, Some(2L), None)))
+  }
 }

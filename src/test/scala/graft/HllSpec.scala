@@ -38,4 +38,14 @@ class HllSpec extends SparkSpec {
       .as[Long].head()
     assert(got === 40L)
   }
+
+  test("hll_merge rejects non-sketch binary with a descriptive error") {
+    val junk = Seq(Array[Byte](1, 2, 3)).toDF("sk")
+    val e = intercept[Exception] {
+      junk.agg(Hll.mergeAgg($"sk")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("hll_merge")), msgs(e).mkString(" | "))
+  }
 }

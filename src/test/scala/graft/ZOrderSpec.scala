@@ -44,4 +44,16 @@ class ZOrderSpec extends SparkSpec {
     assert(aSortFrac > 0.9, s"aSort=$aSortFrac")
     assert(zFrac < 0.5, s"z=$zFrac vs aSort=$aSortFrac")
   }
+
+  test("out-of-32-bit longs saturate instead of wrapping") {
+    // 2^32 must NOT alias 0 (the old wrap) — it clamps to Int.MaxValue
+    assert(ZOrder64.interleave(1L << 32, 0L) === ZOrder64.interleave(Int.MaxValue.toLong, 0L))
+    assert(ZOrder64.interleave(1L << 32, 0L) !== ZOrder64.interleave(0L, 0L))
+    assert(ZOrder64.interleave(Long.MinValue, 0L) === ZOrder64.interleave(Int.MinValue.toLong, 0L))
+    // ordering stays monotone across the domain edge
+    val xs = Seq(-(1L << 40), Int.MinValue.toLong, -5L, 0L, 5L,
+      Int.MaxValue.toLong, 1L << 40)
+    val zs = xs.map(ZOrder64.interleave(_, 0L))
+    assert(zs === zs.sorted)
+  }
 }
