@@ -34,8 +34,12 @@ import graft.functions.VectorOps
 object AnnIvf {
 
   /** The built index: vectors with partition assignments + the centroid
-    * "leader" table (partition_id, centroid). */
-  final case class Index(assigned: DataFrame, centroids: DataFrame)
+    * "leader" table (partition_id, centroid). `writeSalt` > 1 on a durable
+    * index means `assigned` carries a stored `__salt` column in [0,
+    * writeSalt) — the skew-spreading sub-key (k-means partitions are
+    * skewed by construction; the reference has no answer to this). */
+  final case class Index(
+      assigned: DataFrame, centroids: DataFrame, writeSalt: Int = 1)
 
   /** `nlist = ⌊10·√N⌋` — the reference's partition-count heuristic
     * (reference: storage/storage_impl.py:82). */
@@ -292,10 +296,12 @@ object AnnIvf {
 
   def write(index: Index, path: String, writeSalt: Int = 4,
       fp16: Boolean = false, vecCol: String = "embedding"): Unit = {
-    // k-means partitions are skewed by construction (SURVEY.md §7.4); a
-    // salt in the repartition spreads each hot partition over `writeSalt`
-    // write tasks while the on-disk layout (partition_id=... dirs, hence
-    // pruning) is unchanged — the dir just holds writeSalt files.
+    // k-means partitions are skewed by construction (SURVEY.md §7.4); the
+    // salt is a STORED column: it spreads each hot partition over
+    // `writeSalt` write tasks AND files, and survives as a join sub-key so
+    // the search-side co-partitioned join ([[knnJoin]]) can spread a hot
+    // partition over `writeSalt` reducers. The on-disk layout
+    // (partition_id=... dirs, hence pruning) is unchanged.
     val stored =
       if (fp16)
         // the reference's SQfp16 index compression (storage_impl.py:87):
@@ -303,14 +309,19 @@ object AnnIvf {
         index.assigned.withColumn(s"$vecCol$Fp16Suffix",
           graft.functions.FP16.packCol(col(vecCol))).drop(vecCol)
       else index.assigned
-    stored
-      .repartition(col("partition_id"),
-        pmod(xxhash64(stored.columns.map(col): _*), lit(writeSalt)))
+    val salted = stored.withColumn("__salt",
+      pmod(xxhash64(stored.columns.map(col): _*), lit(writeSalt)).cast("int"))
+    salted
+      .repartition(col("partition_id"), col("__salt"))
       .write.mode("overwrite")
       .partitionBy("partition_id")
       .parquet(s"$path/vectors")
     index.centroids.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    Seq(writeSalt).toDF("write_salt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def read(spark: SparkSession, path: String): Index = {
@@ -321,7 +332,10 @@ object AnnIvf {
           graft.functions.FP16.unpackCol(col(packed))).drop(packed)
       case None => raw
     }
-    Index(assigned, spark.read.parquet(s"$path/centroids"))
+    val writeSalt =
+      try spark.read.parquet(s"$path/meta").select("write_salt").head().getInt(0)
+      catch { case _: org.apache.spark.sql.AnalysisException => 1 } // pre-salt layout
+    Index(assigned, spark.read.parquet(s"$path/centroids"), writeSalt)
   }
 
   /** ANN search: probe → pruned per-partition exact top-k → global merge.
@@ -368,7 +382,7 @@ object AnnIvf {
       else scored
     Knn.topKPerGroup(candidates,
       Seq(col("query_id")), k, desc("score"), asc(idCol))
-      .drop("__query_vec")
+      .drop("__query_vec", "__salt")
   }
 
   /** Serving-path search against a DURABLE (partitioned-parquet) index:
@@ -405,7 +419,7 @@ object AnnIvf {
       cands.withColumn("score",
         VectorOps.dot(col(vecCol), col("__query_vec"))),
       Seq(col("query_id")), k, desc("score"), asc(idCol))
-      .drop("__query_vec")
+      .drop("__query_vec", "__salt")
   }
 
   /** Corpus×corpus KNN join: top-k neighbors for EVERY indexed vector —
@@ -437,16 +451,40 @@ object AnnIvf {
         "__query_vec", centers, nprobe)
       .select(col("query_id"), col("__query_vec"),
         explode(col("__probes")).as("partition_id"))
-    val cands = index.assigned
-      .select(col("partition_id"), col(idCol), col(vecCol))
-    val joined = queries.join(cands, Seq("partition_id"))
+    // skew spreading: on a salted durable layout the probe side explodes
+    // over the stored salt domain, so a hot k-means partition hashes to
+    // writeSalt reducer keys instead of one straggler. Each vector holds
+    // exactly ONE salt value, so the candidate set (and result) is
+    // identical to the unsalted join — spec-checked.
+    val salted = index.writeSalt > 1 && index.assigned.columns.contains("__salt")
+    val joined =
+      if (salted) {
+        val cands = index.assigned
+          .select(col("partition_id"), col("__salt"), col(idCol), col(vecCol))
+        queries
+          .withColumn("__salt",
+            explode(array((0 until index.writeSalt).map(lit): _*)))
+          .join(cands, Seq("partition_id", "__salt"))
+          .drop("__salt")
+      } else {
+        val cands = index.assigned
+          .select(col("partition_id"), col(idCol), col(vecCol))
+        queries.join(cands, Seq("partition_id"))
+      }
     val filtered =
       if (excludeSelf) joined.filter(col(idCol) =!= col("query_id"))
       else joined
-    Knn.topKPerGroup(
-      filtered.withColumn("score", VectorOps.dot(col(vecCol), col("__query_vec"))),
-      Seq(col("query_id")), k, desc("score"), asc(idCol))
-      .drop("__query_vec")
+    // merge via the algebraic bounded top-k aggregator, NOT a rank window:
+    // the window form needs its input sorted per task, and on a skewed
+    // partition that sort (tens of millions of candidate rows in one task)
+    // IS the straggler; the hash-agg form streams each candidate into a
+    // k-bounded buffer with a partial before the exchange, so no task ever
+    // sorts or shuffles more than k rows per query.
+    TopKAggregator.topK(
+      filtered
+        .withColumn("score", VectorOps.dot(col(vecCol), col("__query_vec")))
+        .select(col("query_id"), col(idCol), col("score")),
+      "query_id", idCol, "score", k)
   }
 
   /** Scale path for embedding near-dup: bucket by IVF partition, pair only

@@ -86,6 +86,27 @@ object ScaleSmoke {
       Dedup.minhashPairs(docs, "doc_id", "text",
         shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5).count()
     }
+    // IVF skew: force 90% of vectors into ONE partition, then compare the
+    // co-partitioned knnJoin on an unsalted vs salted durable layout — the
+    // salt spreads the hot partition's join work over writeSalt reducers
+    // NB: AQE's skew-join split is BYTE-sized (256 MB default); a hot ANN
+    // partition is FLOP-skewed at tiny byte size, so only the stored salt
+    // spreads it
+    locally {
+      val base = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      val skewed = AnnIvf.Index(
+        base.assigned.withColumn("partition_id",
+          when(pmod(col("vec_id"), lit(10)) < 9, lit(0)).otherwise(col("partition_id"))),
+        base.centroids)
+      Seq(1, 8).foreach { salt =>
+        val dir = java.nio.file.Files.createTempDirectory(s"skewivf$salt").toString
+        AnnIvf.write(skewed, dir, writeSalt = salt)
+        val idx = AnnIvf.read(spark, dir)
+        time(s"skewed-partition knnJoin, salt=$salt") {
+          AnnIvf.knnJoin(idx, "vec_id", "embedding", k = 3, nprobe = 2).count()
+        }
+      }
+    }
     // skew: 95% of rows in ONE group; countDistinct forces the full key
     // stream through the reducers (no partial collapse), so the hot group
     // pins one task unless salted

@@ -180,6 +180,33 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("salted durable index: knnJoin spreads hot partitions, results identical") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // skewed by construction: nlist=4 k-means over clustered data leaves a
+    // hot partition; the salted layout must give the same neighbors
+    val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 4, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("annsalt").toString
+    AnnIvf.write(index, dir, writeSalt = 4)
+    val reread = AnnIvf.read(spark, dir)
+    assert(reread.writeSalt === 4)
+    assert(reread.assigned.columns.contains("__salt"))
+    // the co-partitioned join runs on (partition_id, __salt)
+    val plan = AnnIvf.knnJoin(reread, "vec_id", "embedding", k = 3, nprobe = 2)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("__salt"), plan.take(2000))
+    val viaSalted = AnnIvf.knnJoin(reread, "vec_id", "embedding", k = 3, nprobe = 2)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val viaPlain = AnnIvf.knnJoin(index, "vec_id", "embedding", k = 3, nprobe = 2)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaSalted === viaPlain)
+    // and search results carry no salt plumbing
+    val got = AnnIvf.search(reread, emb.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 3, nprobe = 2, idCol = "vec_id")
+    assert(!got.columns.contains("__salt"))
+  }
+
   test("index write/read roundtrip prunes partitions at search") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 4, seed = 42L)
