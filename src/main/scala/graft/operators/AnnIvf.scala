@@ -459,8 +459,14 @@ object AnnIvf {
     val salted = index.writeSalt > 1 && index.assigned.columns.contains("__salt")
     val joined =
       if (salted) {
+        // rows appended after the salted write (streaming annIngest) carry
+        // a null salt — re-derive one in-domain so they are never dropped
         val cands = index.assigned
-          .select(col("partition_id"), col("__salt"), col(idCol), col(vecCol))
+          .select(col("partition_id"),
+            coalesce(col("__salt"),
+              pmod(xxhash64(col(idCol)), lit(index.writeSalt)).cast("int"))
+              .as("__salt"),
+            col(idCol), col(vecCol))
         queries
           .withColumn("__salt",
             explode(array((0 until index.writeSalt).map(lit): _*)))

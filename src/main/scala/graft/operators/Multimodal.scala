@@ -5,21 +5,25 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `BinaryType` columns with typed metadata, processed in batched
-  * per-partition passes (SURVEY.md north star).
+  * per-partition passes (SURVEY.md north star; reference boundary:
+  * vector_db.py:144-148 image preprocessing before the encoder).
   *
-  * The decode step is a clearly-marked STUB (no codec libraries in this
-  * environment): [[StubDecode]] derives deterministic fake
-  * width/height/format from the payload bytes. Everything around it — the
-  * schema contract, the `mapPartitions` batching shape (the Scala-side
-  * equivalent of an Arrow-batched UDF: one iterator per task, amortized
-  * setup, no per-row driver involvement), and the partitioning — is the
-  * real 100 TB design: payloads never leave executors, the decode pass is
-  * embarrassingly parallel, and downstream joins use only the compact
-  * metadata projection.
+  * Decode and resize are REAL for JDK-supported raster formats
+  * (PNG/JPEG/GIF/BMP/WBMP via `javax.imageio` — no external codec libs
+  * needed): [[decodeMeta]] reads true width/height/format from the
+  * container header without decoding pixels; [[resizeUdf]] decodes,
+  * rescales, and re-encodes. The GPU-bound feature extraction
+  * ([[embedUdf]]) and video frame sampling ([[sampleFrames]]) remain
+  * clearly-marked stubs (no encoder / video codecs in the JDK). The
+  * engine-side design holds for all of them: payloads never leave
+  * executors, passes are batched per partition (iterator-in/iterator-out,
+  * the Scala-side shape of an Arrow-batched UDF), and downstream joins
+  * use only the compact metadata projection.
   */
 object Multimodal {
 
-  /** Typed result of the (stubbed) decode pass. */
+  /** Typed result of the decode pass. Non-image payloads decode as
+    * format "unknown" with 0×0 dims rather than failing the batch. */
   final case class MediaMeta(
       media_id: Long,
       n_bytes: Int,
@@ -27,24 +31,24 @@ object Multimodal {
       width: Int,
       height: Int)
 
-  /** STUB decoder: a real implementation would parse the container header
-    * (JPEG SOF / WAV fmt / MP4 moov). Deterministic in the payload so specs
-    * can assert on it. */
-  object StubDecode {
-    def apply(id: Long, payload: Array[Byte]): MediaMeta = {
-      val n = if (payload == null) 0 else payload.length
-      val h = {
-        var acc = 1469598103934665603L
-        var i = 0
-        while (i < n) { acc = (acc ^ payload(i)) * 1099511628211L; i += 1 }
-        acc
-      }
-      val formats = Array("jpeg", "png", "wav", "mp4")
-      val fmt = formats(((h % 4) + 4).toInt % 4)
-      MediaMeta(id, n, fmt,
-        width = 16 + (((h >>> 8) % 1024) + 1024).toInt % 1024,
-        height = 16 + (((h >>> 24) % 1024) + 1024).toInt % 1024)
-    }
+  /** Header-only image decode via `javax.imageio`: reader is chosen by
+    * content sniffing; `getWidth/getHeight` read the header, NOT the pixel
+    * data — the cheap metadata pass a 100 TB profiling scan wants. */
+  def decodeHeader(id: Long, payload: Array[Byte]): MediaMeta = {
+    val n = if (payload == null) 0 else payload.length
+    if (n == 0) return MediaMeta(id, 0, "empty", 0, 0)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          MediaMeta(id, n, r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0))
+        } finally r.dispose()
+      } else MediaMeta(id, n, "unknown", 0, 0)
+    } finally iis.close()
   }
 
   /** Attach a binary payload column (here: utf-8 of a text column — the
@@ -53,29 +57,69 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"),
       encode(col(textCol), "UTF-8").as("payload"))
 
+  /** Deterministic REAL-PNG fixture payloads: a `w×h` image whose dims are
+    * pure functions of the id (w = 16 + id % 32, h = 16 + (id / 32) % 32)
+    * and whose pixels hash off (id, x, y). The bytes are genuine PNG —
+    * decodable by any conformant reader — so decode results are
+    * oracle-checkable from the id alone. */
+  def withPngPayload(df: DataFrame, idCol: String): DataFrame = {
+    val pngUdf = udf { (id: Long) =>
+      val w = 16 + (id % 32).toInt
+      val h = 16 + ((id / 32) % 32).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (id * 2654435761L + x * 40503 + y * 65537).toInt & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    df.select(col(idCol).cast("long").as("media_id"),
+      pngUdf(col(idCol).cast("long")).as("payload"))
+  }
+
   /** Batched decode pass: one partition = one batch, iterator-in /
     * iterator-out like `mapInPandas`, producing the compact metadata
-    * projection. */
+    * projection via the header-only [[decodeHeader]]. */
   def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => StubDecode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decodeHeader(id, bytes) })
   }
 
-  /** STUB resize: binary → binary, deterministic in (payload, w, h). A real
-    * implementation decodes, scales, re-encodes; the engine-side contract —
-    * payload stays opaque bytes, runs batched per partition, output size
-    * bounded by the target dims — is what this preserves. */
+  /** REAL resize for JDK raster formats: decode → smooth-scale to (w, h) →
+    * re-encode as PNG. Payload stays opaque bytes end to end, runs batched
+    * on executors, output size bounded by the target dims. Non-image
+    * payloads map to null (filter or quarantine downstream). */
   def resizeUdf(w: Int, h: Int) = udf { (payload: Array[Byte]) =>
     if (payload == null) null
     else {
-      val outLen = math.min(payload.length, w * h / 8 + 16)
-      val out = new Array[Byte](outLen)
-      var i = 0
-      while (i < outLen) { out(i) = (payload(i % payload.length) ^ (w + h)).toByte; i += 1 }
-      out
+      val src =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (src == null) null
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      }
     }
   }
 

@@ -152,13 +152,17 @@ object TextQueries {
         .orderBy("left_id", "right_id")
     },
 
-    // Multimodal plumbing: binary payload column → batched (stub) decode →
-    // compact metadata projection — rows-only check (stub decoder).
+    // Multimodal: REAL PNG payloads (deterministic dims from doc_id) →
+    // batched javax.imageio header decode → compact metadata projection.
+    // Oracle-checked: the oracle recomputes the dims from doc_id, so the
+    // query only matches if genuine PNG encode → header decode round-trips.
+    // n_bytes is encoder-dependent and excluded from the projection.
     "multimodal_decode" -> { (s, dir) =>
       graft.operators.Multimodal.decodeMeta(
-          graft.operators.Multimodal.withBinaryPayload(
-            table(s, dir, "documents"), "doc_id", "text"))
+          graft.operators.Multimodal.withPngPayload(
+            table(s, dir, "documents"), "doc_id"))
         .toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"))
         .orderBy("media_id")
     },
 
@@ -280,6 +284,12 @@ object TextQueries {
          ORDER BY doc_id""",
 
     "text_langid" -> "", // rows-only: heuristic operator, no SQL oracle
+
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id, 'png' AS format,
+         CAST(16 + doc_id % 32 AS INTEGER) AS width,
+         CAST(16 + (doc_id // 32) % 32 AS INTEGER) AS height
+         FROM documents ORDER BY media_id""",
 
     "taxonomy_parse" ->
       """SELECT n_nationkey, r_name AS kingdom, n_name AS genus,
