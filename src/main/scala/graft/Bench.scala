@@ -1,10 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every `SparkEntry.queries` entry
+  * on `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  *
+  * Methodology (so two runs on identical code agree): one shared warmed
+  * session; each query executed `trials` times in round-robin order (all
+  * queries trial 1, then all trial 2, ...) so JIT/codegen warming spreads
+  * evenly; per-query time = median of trials; `value` = sum of medians.
+  * `spread` is per-query (max-min)/median — the run-to-run noise floor —
+  * and `spread_mean` its average, so a regression can be told from jitter.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,15 +35,35 @@ object Bench {
     }
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toVector.sorted
+    // untimed warmup pass: codegen compile + parquet footer cache for every
+    // query, so timed trials measure steady-state execution, not first-run
+    // compilation (which made r3's single-trial numbers 40% noise)
+    names.foreach { name =>
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
+    }
+    val samples = collection.mutable.Map.empty[String, Vector[Double]]
+    for (_ <- 1 to trials; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(v: Vector[Double]): Double = { val s = v.sorted; s(s.size / 2) }
+    def r(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val med = names.map(n => n -> median(samples(n))).toMap
+    val spread = names.map { n =>
+      val v = samples(n)
+      n -> r(if (med(n) > 0) (v.max - v.min) / med(n) else 0.0)
+    }.toMap
+    val qs = names.map(n => s"\"$n\":" + r(med(n))).mkString("{", ",", "}")
+    val sp = names.map(n => s"\"$n\":" + spread(n)).mkString("{", ",", "}")
+    val total = r(med.values.sum)
+    val spreadMean = r(if (names.nonEmpty) spread.values.sum / names.size else 0.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"spread_mean":$spreadMean,"spread":$sp}""")
     spark.stop()
   }
 }

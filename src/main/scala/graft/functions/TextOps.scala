@@ -19,6 +19,75 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** 63-bit token hash from two char-polynomial folds, each finalized by
+    * a Wang-style 32-bit mixer — unlike `xxhash64`, bit-for-bit
+    * reproducible in ANSI SQL (the DuckDB `dedup_simhash` oracle
+    * recomputes it): h = (mix₃₂(poly₃₁) ≫ 1)·2³² + mix₃₂(poly₃₇),
+    * always ≥ 0 (bit 63 clear). The mixer (`((h≫16)⊕h)·0x45d9f3b mod
+    * 2³²`, twice, then a final xor-shift) spreads short-token polys over
+    * all 32 bits — without it the high bits of every short token are
+    * zero and the simhash degenerates. Every intermediate stays < 2⁵⁹ so
+    * ANSI overflow checking never trips on either engine. Empty chars
+    * are filtered on both sides because Spark's `ascii('') = 0` and
+    * DuckDB's `ord('') = -1` disagree. */
+  def portableTokenHash64(tok: Column): Column = {
+    val m32 = (1L << 32) - 1
+    def mix(x: Column): Column = {
+      def step(h: Column): Column =
+        (h.bitwiseXOR(shiftrightunsigned(h, 16)) * lit(0x45d9f3bL)).bitwiseAND(lit(m32))
+      val b = step(step(x))
+      b.bitwiseXOR(shiftrightunsigned(b, 16))
+    }
+    def poly(base: Int): Column =
+      aggregate(filter(split(tok, ""), c => length(c) > 0),
+        lit(0L), (h, c) => (h * base + ascii(c)).bitwiseAND(lit(m32)))
+    shiftrightunsigned(mix(poly(31)), 1) * lit(1L << 32) + mix(poly(37))
+  }
+
+  /** Scala twin of [[portableTokenHash64]] — identical bits (parity
+    * spec'd), one pass per char with no per-char array materialization.
+    * The Column form costs two `split(tok, "")` array builds per token,
+    * which measured 5× slower on the sf0.1 simhash pipeline. */
+  def portableTokenHash64(tok: String): Long = {
+    var p1 = 0L; var p2 = 0L
+    var i = 0
+    while (i < tok.length) {
+      val c = tok.charAt(i).toLong
+      p1 = (p1 * 31 + c) & 0xffffffffL
+      p2 = (p2 * 37 + c) & 0xffffffffL
+      i += 1
+    }
+    def mix(x: Long): Long = {
+      var h = x
+      h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xffffffffL
+      h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xffffffffL
+      h ^ (h >>> 16)
+    }
+    ((mix(p1) >>> 1) << 32) | mix(p2)
+  }
+
+  /** SimHash straight from the token array: portable per-token hash +
+    * per-bit majority vote fused into one UDF pass — the hot path of
+    * [[graft.operators.Dedup.simhashPairs]]. */
+  val simhashFromTokensUdf = udf { (toks: Seq[String]) =>
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = portableTokenHash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Distinct word n-gram shingles (space-joined) from a PRE-MATERIALIZED
@@ -116,8 +185,9 @@ object TextOps {
   }
 
   /** 64-bit SimHash over pre-hashed tokens (feed
-    * `transform(tokens(c), t => xxhash64(t))`). Near-duplicate docs land
-    * within a small Hamming distance. */
+    * `transform(tokens(c), t => portableTokenHash64(t))` for the
+    * oracle-checkable pipeline). Near-duplicate docs land within a small
+    * Hamming distance. */
   val simhashUdf = udf { (hashes: Seq[Long]) =>
     val acc = new Array[Int](64)
     hashes.foreach { h =>
@@ -141,15 +211,20 @@ object TextOps {
 
   /** Winnowing-style rolling-hash fingerprint set: hash every k-gram of
     * chars, keep the minimum hash per window of w consecutive k-grams.
-    * Compact sketch for containment-style near-dup detection. */
+    * Compact sketch for containment-style near-dup detection.
+    *
+    * Gram hash is polynomial base-31 over UTF-16 units with NO modulus —
+    * for k ≤ 9 printable-ASCII chars it stays far below 2⁶³, so the
+    * identical value is computable in plain SQL and the
+    * `text_winnow_sketch` DuckDB oracle recomputes it (ord == UTF-16
+    * unit on ASCII; the testdata corpus is ASCII-only). */
   def winnowUdf(k: Int, w: Int) = udf { (text: String) =>
     if (text == null || text.length < k) Seq.empty[Long]
     else {
-      // rolling FNV-1a over char k-grams, one pass
       val grams = (0 to text.length - k).map { i =>
-        var h = 0xcbf29ce484222325L
+        var h = 0L
         var j = i
-        while (j < i + k) { h ^= text.charAt(j); h *= 0x100000001b3L; j += 1 }
+        while (j < i + k) { h = h * 31 + text.charAt(j); j += 1 }
         h
       }
       (0 to grams.length - w)

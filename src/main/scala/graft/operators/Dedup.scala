@@ -114,8 +114,7 @@ object Dedup {
     require(maxHamming < numBands,
       s"pigeonhole needs maxHamming < numBands ($maxHamming >= $numBands)")
     val sig = docs.select(col(idCol).as("id"),
-      TextOps.simhashUdf(
-        transform(TextOps.tokens(col(textCol)), t => xxhash64(t))).as("sim"))
+      TextOps.simhashFromTokensUdf(TextOps.tokens(col(textCol))).as("sim"))
     val banded = sig.select(col("id"), col("sim"),
       explode(array((0 until numBands).map { i =>
         struct(lit(i).as("band"),

@@ -51,11 +51,15 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // Winnowing rolling-hash sketch (document fingerprinting) — rows-only.
+    // Winnowing rolling-hash sketch (document fingerprinting). The
+    // poly-31 gram hash is SQL-reproducible, so the sketch cardinality
+    // AND content (via its sum) are DuckDB-oracle-checked.
     "text_winnow_sketch" -> { (s, dir) =>
       table(s, dir, "documents")
+        .withColumn("sk", TextOps.winnowUdf(5, 4)(col("text")))
         .select(col("doc_id"),
-          size(TextOps.winnowUdf(5, 4)(col("text"))).as("sketch_size"))
+          size(col("sk")).as("sketch_size"),
+          aggregate(col("sk"), lit(0L), (a, x) => a + x).as("sketch_sum"))
         .orderBy("doc_id")
     },
 
@@ -284,6 +288,77 @@ object TextQueries {
          ORDER BY doc_id""",
 
     "text_langid" -> "", // rows-only: heuristic operator, no SQL oracle
+
+    // Winnowing sketch recomputed from scratch in SQL: poly-31 gram hash
+    // (ORD == UTF-16 unit on the ASCII corpus), window minima, distinct.
+    "text_winnow_sketch" ->
+      """WITH grams AS (
+           SELECT doc_id, i,
+               ORD(SUBSTR(text, i, 1)) * 923521 + ORD(SUBSTR(text, i+1, 1)) * 29791
+             + ORD(SUBSTR(text, i+2, 1)) * 961 + ORD(SUBSTR(text, i+3, 1)) * 31
+             + ORD(SUBSTR(text, i+4, 1)) AS g,
+             LEN(text) - 4 AS ng
+           FROM (SELECT doc_id, text,
+                   UNNEST(RANGE(1, GREATEST(LEN(text) - 3, 1))) AS i FROM documents)),
+         wins AS (
+           SELECT doc_id, i, ng,
+             MIN(g) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+           FROM grams),
+         sk AS (SELECT DISTINCT doc_id, m FROM wins WHERE i <= ng - 3)
+         SELECT d.doc_id, CAST(COALESCE(COUNT(sk.m), 0) AS INTEGER) AS sketch_size,
+                CAST(COALESCE(SUM(sk.m), 0) AS BIGINT) AS sketch_sum
+         FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+
+    // Full SimHash pipeline recomputed in SQL: portable token hash
+    // (char polys + Wang-mix per 32-bit half), per-bit majority vote,
+    // 16-bit banded buckets with the 1024 cap, hamming<=3 verify.
+    "dedup_simhash" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+                  REGEXP_REPLACE(text, '^[^ ]+ ', '') AS text FROM documents),
+         toks AS (
+           SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM corpus),
+         p AS (
+           SELECT doc_id,
+             LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+                 [ORD(c) FOR c IN REGEXP_SPLIT_TO_ARRAY(tok, '') IF c <> '']),
+               (a, b) -> (a * 31 + b) & 4294967295) AS p1,
+             LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+                 [ORD(c) FOR c IN REGEXP_SPLIT_TO_ARRAY(tok, '') IF c <> '']),
+               (a, b) -> (a * 37 + b) & 4294967295) AS p2
+           FROM toks),
+         m1 AS (SELECT doc_id, (XOR(p1, p1 >> 16) * 73244475) & 4294967295 AS p1,
+                               (XOR(p2, p2 >> 16) * 73244475) & 4294967295 AS p2 FROM p),
+         m2 AS (SELECT doc_id, (XOR(p1, p1 >> 16) * 73244475) & 4294967295 AS p1,
+                               (XOR(p2, p2 >> 16) * 73244475) & 4294967295 AS p2 FROM m1),
+         th AS (SELECT doc_id,
+                  (XOR(p1, p1 >> 16) >> 1) * 4294967296 + XOR(p2, p2 >> 16) AS h FROM m2),
+         bits AS (
+           SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM th CROSS JOIN (SELECT UNNEST(RANGE(0, 63)) AS b) bs
+           GROUP BY doc_id, b),
+         sims AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sim
+           FROM bits GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, sim, band, (sim >> (band * 16)) & 65535 AS chunk
+           FROM sims CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS band) bn),
+         ok AS (
+           SELECT band, chunk FROM banded GROUP BY band, chunk HAVING COUNT(*) <= 1024),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id,
+                  a.sim AS ls, b.sim AS rs
+           FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+           JOIN ok ON ok.band = a.band AND ok.chunk = a.chunk
+           WHERE a.doc_id < b.doc_id)
+         SELECT left_id, right_id, CAST(BIT_COUNT(XOR(ls, rs)) AS INTEGER) AS hamming
+         FROM cand WHERE BIT_COUNT(XOR(ls, rs)) <= 3
+         ORDER BY left_id, right_id""",
 
     "multimodal_decode" ->
       """SELECT doc_id AS media_id, 'png' AS format,

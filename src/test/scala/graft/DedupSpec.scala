@@ -85,7 +85,10 @@ class DedupSpec extends SparkSpec {
     // brute force over collected signatures
     val sigs = corpus
       .withColumn("sim", graft.functions.TextOps.simhashUdf(
-        transform(graft.functions.TextOps.tokens($"text"), t => xxhash64(t))))
+        transform(graft.functions.TextOps.tokens($"text"),
+          t => graft.functions.TextOps.portableTokenHash64(t))))
+      // Column-expression hash path: equals the fused-UDF path by the
+      // portableTokenHash64 parity spec in TextOpsSpec
       .select("doc_id", "sim").as[(Long, Long)].collect()
     val bruteForce = (for {
       (a, sa) <- sigs; (b, sb) <- sigs

@@ -53,6 +53,16 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1)._1.toSet.intersect(got(1)._2.toSet).nonEmpty) // shared prefix
   }
 
+  test("portableTokenHash64: Column expression and Scala twin agree bit-for-bit") {
+    val toks = Seq("", "a", "the", "supplier", "antique-misty-chocolate",
+      "x" * 100, "MiXeD", "123", "a b")
+    val viaCol = toks.toDF("tok")
+      .select(TextOps.portableTokenHash64(col("tok"))).as[Long].collect()
+    val viaScala = toks.map(TextOps.portableTokenHash64)
+    assert(viaCol.toSeq === viaScala)
+    viaScala.foreach(h => assert(h >= 0L)) // bit 63 always clear
+  }
+
   test("langid picks the profile with most stopword hits") {
     assert(LangId.detect("the cat and the dog in a house") === "en")
     assert(LangId.detect("el gato y la casa de un perro") === "es")
@@ -60,15 +70,29 @@ class TextOpsSpec extends SparkSpec {
     assert(LangId.detect("") === "und")
   }
 
-  test("multimodal stub decode: deterministic metadata from payload bytes") {
+  test("multimodal decode: real PNG headers yield closed-form dims") {
+    val docs = Seq(1L, 35L, 64L).toDF("doc_id")
+    val got = Multimodal.decodeMeta(Multimodal.withPngPayload(docs, "doc_id"))
+      .collect().sortBy(_.media_id)
+    // withPngPayload dims are pure functions of the id:
+    //   w = 16 + id % 32, h = 16 + (id / 32) % 32
+    got.foreach { m =>
+      assert(m.format === "png")
+      assert(m.width === 16 + (m.media_id % 32).toInt)
+      assert(m.height === 16 + ((m.media_id / 32) % 32).toInt)
+      assert(m.n_bytes > 0)
+    }
+  }
+
+  test("multimodal decode: non-image payloads map to unknown/0x0, not failure") {
     val docs = Seq((1L, "hello"), (2L, "hello"), (3L, "other")).toDF("doc_id", "text")
     val got = Multimodal.decodeMeta(
       Multimodal.withBinaryPayload(docs, "doc_id", "text"))
       .collect().sortBy(_.media_id)
     assert(got(0).n_bytes === 5)
     assert(got(0).copy(media_id = 2L) === got(1)) // same payload → same meta
-    assert(got(0).format !== null)
-    assert(got(0).width >= 16 && got(0).height >= 16)
+    assert(got(0).format === "unknown")
+    assert(got(0).width === 0 && got(0).height === 0)
   }
 
   test("idempotent ingest: anti-join keeps only new ids; append dedups") {
