@@ -51,6 +51,18 @@ object Graft {
         org.apache.spark.sql.functions.size(
           org.apache.spark.sql.functions.col(vecCol))).as("n_distinct_dims"))
 
+  /** Serving-mode cache over a (durable) index: lazy per-partition
+    * `persist` with LRU eviction and hit/miss/eviction counters — the
+    * reference's lazy-load LRU serving tier (neighborhood_server.py:
+    * 134-161). */
+  def annServingCache(index: AnnIvf.Index, maxCachedPartitions: Int): ServingCache =
+    new ServingCache(index, maxCachedPartitions)
+
+  /** Full `/health` parity: index totals + cache counters in one row
+    * (neighborhood_server.py:286-291). */
+  def annStats(index: AnnIvf.Index, cache: ServingCache, vecCol: String): DataFrame =
+    annStats(index, vecCol).crossJoin(cache.stats)
+
   // ----- column functions ------------------------------------------------
   def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
   def cosine(a: Column, b: Column): Column = VectorOps.cosine(a, b)

@@ -343,6 +343,26 @@ object AnnIvf {
     * With `nprobe = nlist` this is exact (equals brute force) — the
     * property test in AnnIvfSpec. Queries are broadcast (serving contract:
     * the query batch is small; the corpus is the 100 TB side). */
+  /** Centroid probe (J2) shared by every search flavor: tiny theta-join
+    * against the broadcast leader table, top-`nprobe` partitions per
+    * query. `q` must carry (`query_id`, `__query_vec`). */
+  private[operators] def probeStep(index: Index, q: DataFrame, nprobe: Int): DataFrame =
+    Knn.topKPerGroup(
+      q.crossJoin(broadcast(index.centroids))
+        .withColumn("pscore", VectorOps.dot(col("__query_vec"), col("centroid"))),
+      Seq(col("query_id")), nprobe, desc("pscore"), asc("partition_id"))
+      .select(col("query_id"), col("partition_id"), col("__query_vec"))
+
+  /** Public probe surface: which partitions would `nprobe` touch per
+    * query — the tuning observable behind `ann_nprobe_sweep` (the
+    * reference exposes the knob but not the measurement). */
+  def probePartitions(index: Index, queries: DataFrame, queryIdCol: String,
+      vecCol: String, nprobe: Int): DataFrame =
+    probeStep(index,
+      queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec")),
+      nprobe)
+      .select("query_id", "partition_id")
+
   def search(
       index: Index,
       queries: DataFrame,
@@ -356,11 +376,7 @@ object AnnIvf {
       col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
 
     // 1. centroid probe (J2): tiny theta-join, top-nprobe partitions/query.
-    val probed = Knn.topKPerGroup(
-      q.crossJoin(broadcast(index.centroids))
-        .withColumn("pscore", VectorOps.dot(col("__query_vec"), col("centroid"))),
-      Seq(col("query_id")), nprobe, desc("pscore"), asc("partition_id"))
-      .select(col("query_id"), col("partition_id"), col("__query_vec"))
+    val probed = probeStep(index, q, nprobe)
 
     // 2. pruned candidate join (J3/P4): equi-join on partition_id; on the
     // durable layout this hits Parquet PartitionFilters.
@@ -405,11 +421,7 @@ object AnnIvf {
       idCol: String = "vec_id"): DataFrame = {
     val q = queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
-    val probed = Knn.topKPerGroup(
-      q.crossJoin(broadcast(index.centroids))
-        .withColumn("pscore", VectorOps.dot(col("__query_vec"), col("centroid"))),
-      Seq(col("query_id")), nprobe, desc("pscore"), asc("partition_id"))
-      .select(col("query_id"), col("partition_id"), col("__query_vec"))
+    val probed = probeStep(index, q, nprobe)
     val probedIds = probed.select("partition_id").distinct()
       .collect().map(_.get(0))
     val prunedVectors = index.assigned
@@ -495,14 +507,49 @@ object AnnIvf {
 
   /** Scale path for embedding near-dup: bucket by IVF partition, pair only
     * within a partition (near-dups share a centroid with overwhelming
-    * probability), exact-verify the cosine. */
+    * probability), exact-verify the cosine.
+    *
+    * k-means partitions are skewed by construction (SURVEY.md §7.4), and a
+    * within-partition self-join is quadratic in partition occupancy — so
+    * the same two guards as the LSH paths (`Dedup.minhashPairs` /
+    * `simhashPairs`) apply here:
+    *   - skew SPREADING: partitions larger than `targetRowsPerTask` are
+    *     sub-bucketed by a stored hash salt; the left side explodes over
+    *     the partition's salt domain (the `knnJoin` pattern), so a hot
+    *     partition's n²/2 candidate work lands on up to `maxSalt` reducer
+    *     keys instead of one straggler task. Each pair still meets exactly
+    *     once (right rows carry ONE salt value), so results are identical
+    *     to the unsalted join — spec-checked on uniform and 90%-hot
+    *     corpora.
+    *   - hard CAP: partitions above `maxPartitionRows` are excluded
+    *     entirely — a partition that big means the index is undertrained
+    *     for the corpus (nlist = ⌊10√N⌋ keeps expected occupancy at
+    *     √N/10 ≪ the cap) and its O(rows²) pairing is not a useful
+    *     near-dup signal at any budget; retrain with a larger nlist or
+    *     route through [[knnJoin]] (k-bounded, never quadratic). */
   def cosinePairsViaIndex(index: Index, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      targetRowsPerTask: Int = 1 << 12,
+      maxSalt: Int = 16,
+      maxPartitionRows: Long = 1L << 20): DataFrame = {
     val v = index.assigned.select(
       col("partition_id"), col(idCol).as("id"), col(vecCol).as("vec"))
-    val a = v.select(col("partition_id"), col("id").as("left_id"), col("vec").as("left_vec"))
-    val b = v.select(col("partition_id"), col("id").as("right_id"), col("vec").as("right_vec"))
-    a.join(b, Seq("partition_id"))
+    val sizes = v.groupBy("partition_id")
+      .agg(count(lit(1)).as("__prows"))
+      .filter(col("__prows") <= maxPartitionRows)
+      .withColumn("__nsalt", greatest(lit(1),
+        least(ceil(col("__prows") / lit(targetRowsPerTask)), lit(maxSalt)))
+        .cast("int"))
+      .select("partition_id", "__nsalt")
+    val sized = v.join(broadcast(sizes), Seq("partition_id"))
+    val right = sized.select(col("partition_id"),
+      pmod(xxhash64(col("id")), col("__nsalt")).cast("int").as("__sb"),
+      col("id").as("right_id"), col("vec").as("right_vec"))
+    val left = sized
+      .withColumn("__sb", explode(sequence(lit(0), col("__nsalt") - 1)))
+      .select(col("partition_id"), col("__sb").cast("int").as("__sb"),
+        col("id").as("left_id"), col("vec").as("left_vec"))
+    left.join(right, Seq("partition_id", "__sb"))
       .filter(col("left_id") < col("right_id"))
       .withColumn("score", round(VectorOps.dot(col("left_vec"), col("right_vec")), 6))
       .filter(col("score") >= threshold)

@@ -222,17 +222,21 @@ object Dedup {
     *
     * Contract: the left side (after `leftFilter`) must fit on the driver —
     * asserted via `maxLeftRows`, and ids must be integral non-null (also
-    * asserted, not silently cast). Exact UNBOUNDED all-pairs over dense
-    * vectors is inherently n²·dim flops; the sub-quadratic scale path for
-    * that shape is [[AnnIvf.cosinePairsViaIndex]] (IVF-bucketed,
-    * approximate candidates, exact verify). */
+    * asserted, not silently cast). The default cap is 2¹⁷ rows: at dim
+    * 512 × 4 B that is ~256 MB collected AND broadcast, already the upper
+    * end of comfortable; the old 2²⁰ default would have been ~2 GB and
+    * OOMed the driver the guard exists to protect. Raise it only with
+    * driver memory to match. Exact UNBOUNDED all-pairs over dense
+    * vectors is inherently n²·dim flops; the sub-quadratic scale paths
+    * for that shape are [[AnnIvf.cosinePairsViaIndex]] (IVF-bucketed,
+    * skew-salted) and [[AnnIvf.knnJoin]] (k-bounded). */
   def embeddingPairs(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
       leftFilter: DataFrame => DataFrame = identity,
-      maxLeftRows: Int = 1 << 20): DataFrame = {
+      maxLeftRows: Int = 1 << 17): DataFrame = {
     requireIntegralId(vectors, idCol, "embeddingPairs")
     val spark = vectors.sparkSession
     import spark.implicits._

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.LongAccumulator
+
+/** Lazy-loading LRU partition cache for the ANN serving path — the
+  * Spark-first twin of the reference's per-partition index cache
+  * (query/neighborhood_server.py:134-161: partitions load on first
+  * search, an LRU bounds resident count, `/health` reports
+  * hit/miss/eviction counters at :286-291).
+  *
+  * Each probed IVF partition is loaded once as its own
+  * `persist(MEMORY_AND_DISK)` DataFrame (a partition-pruned scan on a
+  * durable index — only that partition's files are read) and reused by
+  * every subsequent search that probes it; beyond `maxCachedPartitions`
+  * the least-recently-used partition is unpersisted. Counters are
+  * `LongAccumulator`s, so they also surface in the Spark UI.
+  *
+  * Cache decisions are driver-side (the probe result is a ≤
+  * |queries|·nprobe driver round-trip in [[AnnIvf.searchPruned]] too —
+  * the reference's "leader search first" sequencing), so methods are
+  * synchronized for concurrent serving threads.
+  */
+final class ServingCache(val index: AnnIvf.Index, val maxCachedPartitions: Int) {
+  require(maxCachedPartitions > 0,
+    s"ServingCache needs maxCachedPartitions > 0, got $maxCachedPartitions")
+
+  private val sc = index.assigned.sparkSession.sparkContext
+  val hits: LongAccumulator = sc.longAccumulator("graft.ann.cache.hits")
+  val misses: LongAccumulator = sc.longAccumulator("graft.ann.cache.misses")
+  val evictions: LongAccumulator = sc.longAccumulator("graft.ann.cache.evictions")
+  /** Rows materialized by cache loads, cumulative (the reference's
+    * per-load `index.ntotal` roll-up). */
+  val rowsLoaded: LongAccumulator = sc.longAccumulator("graft.ann.cache.rows_loaded")
+
+  // access-ordered LinkedHashMap = LRU; values are persisted partition scans
+  private val lru = new java.util.LinkedHashMap[Int, DataFrame](16, 0.75f, true)
+
+  def cachedPartitions: Seq[Int] = synchronized {
+    import scala.jdk.CollectionConverters._
+    lru.keySet().asScala.toSeq
+  }
+
+  private def partitionDf(pid: Int): DataFrame = synchronized {
+    val got = lru.get(pid)
+    if (got != null) { hits.add(1); got }
+    else {
+      misses.add(1)
+      val df = index.assigned.filter(col("partition_id") === pid)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      rowsLoaded.add(df.count()) // eager load, like the reference's read_index
+      lru.put(pid, df)
+      while (lru.size > maxCachedPartitions) {
+        val it = lru.entrySet().iterator()
+        it.next().getValue.unpersist(blocking = false)
+        it.remove()
+        evictions.add(1)
+      }
+      df
+    }
+  }
+
+  /** [[AnnIvf.searchPruned]] semantics served from the cache: probe,
+    * load/touch each probed partition, exact top-k over their union.
+    * Result equality with the uncached path is spec-checked. */
+  def search(queries: DataFrame, queryIdCol: String, vecCol: String,
+      k: Int, nprobe: Int, idCol: String = "vec_id"): DataFrame = {
+    val q = queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
+    val probed = AnnIvf.probeStep(index, q, nprobe)
+    val pids = probed.select("partition_id").distinct()
+      .collect().map(_.getAs[Number]("partition_id").intValue()).sorted
+    if (pids.isEmpty) return AnnIvf.searchPruned(
+      index, queries, queryIdCol, vecCol, k, nprobe, idCol)
+    val cands = pids.map(partitionDf).reduce(_.unionByName(_))
+    Knn.topKPerGroup(
+      broadcast(probed).join(cands, Seq("partition_id"))
+        .withColumn("score",
+          graft.functions.VectorOps.dot(col(vecCol), col("__query_vec"))),
+      Seq(col("query_id")), k, desc("score"), asc(idCol))
+      .drop("__query_vec", "__salt")
+  }
+
+  /** One stats row — the cache half of the reference's `/health`. */
+  def stats: DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    synchronized {
+      Seq((lru.size(), hits.value: Long, misses.value: Long,
+          evictions.value: Long, rowsLoaded.value: Long))
+        .toDF("cached_partitions", "cache_hits", "cache_misses",
+          "cache_evictions", "rows_loaded")
+    }
+  }
+
+  /** Unpersist everything and reset the resident set (counters keep
+    * their lifetime totals, matching the reference's process-lifetime
+    * counters). */
+  def invalidate(): Unit = synchronized {
+    val it = lru.entrySet().iterator()
+    while (it.hasNext) { it.next().getValue.unpersist(blocking = false); it.remove() }
+  }
+}

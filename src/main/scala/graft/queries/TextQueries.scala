@@ -65,18 +65,20 @@ object TextQueries {
 
     // TF-IDF top terms per document: explode → tf per (doc, term) → df per
     // term → score → per-doc rank window. Exercises the generator (UDTF)
-    // surface against DuckDB UNNEST.
+    // surface against DuckDB UNNEST. The corpus size N enters as a 1-row
+    // broadcast crossJoin, not a driver-side count() — one Spark job.
     "text_tfidf_top_terms" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val n = docs.count()
+      val n = docs.agg(count(lit(1)).cast("double").as("__n"))
       val terms = docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = terms.groupBy("term")
         .agg(countDistinct(col("doc_id")).as("df"))
       val scored = tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
         .withColumn("score",
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+          round(col("tf") * log(col("__n") / col("df")), 6))
       graft.operators.Knn.topKPerGroup(
           scored.filter(col("doc_id") < 50),
           Seq(col("doc_id")), 3, desc("score"), asc("term"))

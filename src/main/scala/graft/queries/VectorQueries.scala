@@ -110,6 +110,37 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // Recall-vs-cost tuning surface: one row per nprobe in {1,2,4,8,16}
+    // with mean recall@10 against brute force AND the candidate rows the
+    // probe admits — the (nprobe, recall, cost) curve the reference
+    // delegates to its nprobe / hnsw:search_ef knobs without ever
+    // measuring (storage_factory.py:33, neighborhood_server.py:417-421).
+    // Rows-only (k-means is not SQL-expressible); monotonicity and the
+    // exact-at-nprobe=nlist endpoint are spec-asserted.
+    "ann_nprobe_sweep" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      val sizes = index.assigned.groupBy("partition_id")
+        .agg(count(lit(1)).as("__prows"))
+      val bf = Knn.bruteForce(emb, queries, "vec_id", "vec_id", "embedding",
+          k = 10, excludeSelf = false)
+        .select(col("query_id"), col("vec_id"))
+      Seq(1, 2, 4, 8, 16).map { np =>
+        val ann = AnnIvf.search(index, queries, "vec_id", "embedding",
+            k = 10, nprobe = np, idCol = "vec_id")
+          .select(col("query_id"), col("vec_id"))
+        val recall = bf.join(ann, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy("query_id").agg((count(lit(1)) / 10.0).as("r"))
+          .agg(round(avg(col("r")), 4).as("mean_recall_at_10"))
+        val cost = AnnIvf.probePartitions(index, queries, "vec_id", "embedding", np)
+          .join(sizes, Seq("partition_id"))
+          .agg(sum(col("__prows")).as("candidate_rows"))
+        recall.crossJoin(cost).withColumn("nprobe", lit(np))
+          .select("nprobe", "mean_recall_at_10", "candidate_rows")
+      }.reduce(_.unionByName(_)).orderBy("nprobe")
+    },
+
     // ANN quality metric: recall@10 of nprobe=4 (of 16) vs brute force —
     // the measurement a serving deployment tunes nprobe with. Rows-only.
     "ann_recall_at_10" -> { (s, dir) =>

@@ -73,6 +73,36 @@ class DedupSpec extends SparkSpec {
     assert(exact.isEmpty || viaIndex.nonEmpty) // and the bucketing finds some
   }
 
+  test("cosinePairsViaIndex: salt sub-bucketing leaves results unchanged on a 90%-hot corpus") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // degenerate routing: 1 centroid (nlist=1) → 100% of rows in ONE
+    // partition, the shape that made the unsalted self-join a one-task
+    // straggler. Forcing tiny targetRowsPerTask maximizes sub-bucketing.
+    val index = graft.operators.AnnIvf.build(emb, "vec_id", "embedding", nlist = 1, seed = 42L)
+    val salted = graft.operators.AnnIvf
+      .cosinePairsViaIndex(index, "vec_id", "embedding", threshold = 0.35,
+        targetRowsPerTask = 16, maxSalt = 16)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val unsalted = graft.operators.AnnIvf
+      .cosinePairsViaIndex(index, "vec_id", "embedding", threshold = 0.35,
+        targetRowsPerTask = Int.MaxValue)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(salted === unsalted)
+    // with ONE partition holding everything, this equals the exact scan
+    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.35)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(salted === exact)
+  }
+
+  test("cosinePairsViaIndex: partitions above maxPartitionRows are excluded") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = graft.operators.AnnIvf.build(emb, "vec_id", "embedding", nlist = 1, seed = 42L)
+    val capped = graft.operators.AnnIvf
+      .cosinePairsViaIndex(index, "vec_id", "embedding", threshold = 0.35,
+        maxPartitionRows = 10) // the single partition holds 500 ≫ 10
+    assert(capped.count() === 0)
+  }
+
   test("simhash banding finds ALL pairs within maxHamming (pigeonhole completeness)") {
     val docs500 = spark.read.parquet(s"$sf0001/documents.parquet")
       .select($"doc_id", $"text")

@@ -207,6 +207,33 @@ class KnnSpec extends SparkSpec {
     assert(!got.columns.contains("__salt"))
   }
 
+  test("nprobe sweep: recall non-decreasing in nprobe, exact at nprobe = nlist") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val nlist = 8
+    val index = AnnIvf.build(emb, "vec_id", "embedding", nlist, seed = 42L)
+    val bf = Knn.bruteForce(emb, queries, "vec_id", "vec_id", "embedding",
+        k = 10, excludeSelf = false)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      val ann = AnnIvf.search(index, queries, "vec_id", "embedding",
+          k = 10, nprobe = np, idCol = "vec_id")
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+      ann.intersect(bf).size.toDouble / bf.size
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(recalls.last === 1.0) // nprobe = nlist is exact
+    // probe cost observable: candidate volume grows with nprobe, and at
+    // nprobe = nlist it covers the whole corpus for every query
+    val costs = Seq(1, 8).map { np =>
+      AnnIvf.probePartitions(index, queries, "vec_id", "embedding", np)
+        .join(index.assigned.groupBy("partition_id").count(), Seq("partition_id"))
+        .agg(sum($"count")).as[Long].head()
+    }
+    assert(costs(0) < costs(1))
+    assert(costs(1) === queries.count() * emb.count())
+  }
+
   test("index write/read roundtrip prunes partitions at search") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 4, seed = 42L)
