@@ -44,6 +44,17 @@ object TextOps {
     shiftrightunsigned(mix(poly(31)), 1) * lit(1L << 32) + mix(poly(37))
   }
 
+  /** Wang-style 32-bit mixer shared by every portable hash: two rounds of
+    * `((h≫16)⊕h)·0x45d9f3b mod 2³²` plus a final xor-shift. Intermediates
+    * stay < 2⁵⁹, so the identical value is computable in overflow-checked
+    * SQL (`BIGINT` only — the DuckDB oracles inline this expansion). */
+  private[graft] def mix32(x: Long): Long = {
+    var h = x
+    h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xffffffffL
+    h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xffffffffL
+    h ^ (h >>> 16)
+  }
+
   /** Scala twin of [[portableTokenHash64]] — identical bits (parity
     * spec'd), one pass per char with no per-char array materialization.
     * The Column form costs two `split(tok, "")` array builds per token,
@@ -57,13 +68,60 @@ object TextOps {
       p2 = (p2 * 37 + c) & 0xffffffffL
       i += 1
     }
-    def mix(x: Long): Long = {
-      var h = x
-      h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xffffffffL
-      h = ((h ^ (h >>> 16)) * 0x45d9f3bL) & 0xffffffffL
-      h ^ (h >>> 16)
+    ((mix32(p1) >>> 1) << 32) | mix32(p2)
+  }
+
+  /** Sorted-distinct PORTABLE shingle hashes, one UDF pass: the exact
+    * shingle semantics of [[shinglesFromTokens]] (distinct word n-grams,
+    * whole-text fallback for short docs) hashed with
+    * [[portableTokenHash64]] — so a SQL oracle can rebuild the set
+    * string-for-string, hash-for-hash. */
+  def portableHashedShinglesUdf(n: Int) = udf { (toks: Seq[String]) =>
+    val shingles =
+      if (toks.length >= n)
+        (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).distinct
+      else Seq(toks.mkString(" "))
+    shingles.map(portableTokenHash64).distinct.sorted.toArray
+  }
+
+  /** Portable MinHash permutations over 63-bit shingle hashes: perm `p`
+    * re-keys each half through [[mix32]] with an additive per-perm
+    * constant — h = (mix₃₂(hi + φ₃₂·(p+1)) ≫ 1)·2³² + mix₃₂(lo +
+    * c₂·(p+1)) — then takes the per-perm minimum. Unlike the splitmix64
+    * form ([[minhashUdf]]) every intermediate fits overflow-checked
+    * BIGINT arithmetic, so the DuckDB oracle replays it exactly. */
+  def portableMinhashUdf(numPerms: Int) = udf { (sh: Seq[Long]) =>
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    sh.foreach { s =>
+      val hi = s >>> 32
+      val lo = s & 0xffffffffL
+      var p = 0
+      while (p < numPerms) {
+        val h = ((mix32((hi + 2654435761L * (p + 1)) & 0xffffffffL) >>> 1) << 32) |
+          mix32((lo + 2246822507L * (p + 1)) & 0xffffffffL)
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
     }
-    ((mix(p1) >>> 1) << 32) | mix(p2)
+    sig.toSeq
+  }
+
+  /** Portable LSH band keys: fold each band's slots — flattened to
+    * (hi₃₂, lo₃₂) words — through `f = mix₃₂((f ⊕ word) ∧ (2³²−1))`, key =
+    * band·2³² + f. Same collision contract as [[bandsUdf]] (equal keys ⟺
+    * equal slots w.h.p.), SQL-replayable. */
+  def portableBandsUdf(numBands: Int, rowsPerBand: Int) = udf { (sig: Seq[Long]) =>
+    (0 until numBands).map { b =>
+      var f = 0L
+      var i = b * rowsPerBand
+      while (i < (b + 1) * rowsPerBand) {
+        val v = sig(i)
+        f = mix32((f ^ (v >>> 32)) & 0xffffffffL)
+        f = mix32((f ^ (v & 0xffffffffL)) & 0xffffffffL)
+        i += 1
+      }
+      (b.toLong << 32) | f
+    }
   }
 
   /** SimHash straight from the token array: portable per-token hash +

@@ -401,6 +401,34 @@ object AnnIvf {
       .drop("__query_vec", "__salt")
   }
 
+  /** The reference's VERBOSE response envelope
+    * (neighborhood_server.py:323-331): per probed partition, that
+    * partition's local top-k as an ordered struct array — the
+    * pre-merge scatter-gather shape, one row per (query, partition).
+    * The global [[search]] result is the k-bounded merge of exactly
+    * these arrays (spec-checked). */
+  def searchVerbose(
+      index: Index,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val q = queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
+    val probed = probeStep(index, q, nprobe)
+    val scored = broadcast(probed)
+      .join(index.assigned, Seq("partition_id"))
+      .withColumn("score", VectorOps.dot(col(vecCol), col("__query_vec")))
+    Knn.topKPerGroup(scored, Seq(col("query_id"), col("partition_id")),
+        k, desc("score"), asc(idCol))
+      .groupBy("query_id", "partition_id")
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col(idCol).as("neighbor_id"), col("score"))))
+        .as("neighbors"))
+  }
+
   /** Serving-path search against a DURABLE (partitioned-parquet) index:
     * the probe step runs first and its partition list becomes a STATIC
     * `isin` predicate, so the candidate scan is metadata-only partition

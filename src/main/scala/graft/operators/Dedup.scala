@@ -55,14 +55,17 @@ object Dedup {
       maxBucketSize: Int = 1024): DataFrame = {
     requireIntegralId(docs, idCol, "minhashPairs")
     val numPerms = numBands * rowsPerBand
+    // portable hash stack (shingle / perm / band) so the whole pipeline —
+    // candidates AND verify — is bit-for-bit replayable by the DuckDB
+    // `dedup_minhash_lsh` oracle
     val sh = docs
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .select(col(idCol).as("id"),
-        SortedLongJaccard.sortedHashedShingles(col("__toks"), shingleSize).as("sh"))
+        TextOps.portableHashedShinglesUdf(shingleSize)(col("__toks")).as("sh"))
     val allBands = sh
       .withColumn("band",
-        explode(TextOps.bandsUdf(numBands, rowsPerBand)(
-          TextOps.minhashUdf(numPerms)(col("sh")))))
+        explode(TextOps.portableBandsUdf(numBands, rowsPerBand)(
+          TextOps.portableMinhashUdf(numPerms)(col("sh")))))
       .select("band", "id")
     // candidate pairs from bucket MEMBER LISTS (one aggregation — the
     // shingle+minhash lineage is evaluated once, not once per join side).

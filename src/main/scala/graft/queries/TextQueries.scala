@@ -139,7 +139,9 @@ object TextQueries {
     },
 
     // MinHash-LSH near-dup (approximate candidates, exact verify) —
-    // rows-only check: LSH recall near the threshold is probabilistic.
+    // oracle-checked: the portable hash stack makes the probabilistic
+    // candidate generation itself deterministic and SQL-replayable, so
+    // DuckDB reproduces candidates AND verdicts bit-for-bit.
     "dedup_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashPairs(
           table(s, dir, "documents"), "doc_id", "text",
@@ -172,7 +174,8 @@ object TextQueries {
         .orderBy("media_id")
     },
 
-    // Language id (n-gram/stopword heuristic) — rows-only check.
+    // Language id (stopword-profile argmax) — oracle-checked: the
+    // profiles and tie-break are replayed in SQL.
     "text_langid" -> { (s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
@@ -201,6 +204,19 @@ object TextQueries {
         .orderBy("n_nationkey")
     }
   )
+
+  /** DuckDB expansion of `TextOps.mix32` — the shared 32-bit finalizer
+    * behind every portable hash (token/simhash/minhash/bands). */
+  private def mixSql(y: String): String = {
+    val s1 = s"((XOR(($y), ($y) >> 16) * 73244475) & 4294967295)"
+    val s2 = s"((XOR($s1, $s1 >> 16) * 73244475) & 4294967295)"
+    s"XOR($s2, $s2 >> 16)"
+  }
+
+  /** DuckDB expansion of `TextOps.portableTokenHash64(sh)` given char
+    * polys `p1`/`p2` already computed. */
+  private def tokenHashSql(p1: String, p2: String): String =
+    s"(${mixSql(p1)} >> 1) * 4294967296 + ${mixSql(p2)}"
 
   val oracle: Map[String, String] = Map(
     "text_token_stats" ->
@@ -289,7 +305,87 @@ object TextQueries {
          WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
          ORDER BY doc_id""",
 
-    "text_langid" -> "", // rows-only: heuristic operator, no SQL oracle
+    // The stopword-profile argmax recomputed in SQL: distinct lowercase
+    // tokens, per-language intersection counts, alphabetical tie-break,
+    // 'und' on zero hits — exactly LangId.detect.
+    "text_langid" -> {
+      val profiles = Seq(
+        "de" -> Seq("der", "die", "das", "und", "in", "von", "zu", "mit"),
+        "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "with"),
+        "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "con"),
+        "fr" -> Seq("le", "la", "de", "et", "un", "en", "du", "avec"),
+        "zh" -> Seq("的", "了", "在", "是", "我", "有", "和", "人"))
+      val scoreCols = profiles.map { case (l, ws) =>
+        s"LEN(LIST_INTERSECT(toks, [${ws.map(w => s"'$w'").mkString(", ")}])) AS $l"
+      }.mkString(",\n           ")
+      val g = profiles.map(_._1).mkString(", ")
+      val cases = profiles.map { case (l, _) =>
+        s"WHEN $l = GREATEST($g) THEN '$l'"
+      }.mkString("\n                ")
+      s"""WITH t AS (
+           SELECT doc_id, lang,
+             LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+')) AS toks
+           FROM documents),
+         sc AS (
+           SELECT doc_id, lang,
+           $scoreCols
+           FROM t)
+         SELECT doc_id, lang,
+           CASE WHEN GREATEST($g) = 0 THEN 'und'
+                $cases
+           END AS predicted_lang
+         FROM sc ORDER BY doc_id"""
+    },
+
+    // The full MinHash-LSH pipeline replayed in SQL: portable shingle
+    // hashes (char polys + mix32), 32 per-perm minima, band-key folds,
+    // the >1 / <=1024 bucket window, exact hashed-set Jaccard verify.
+    "dedup_minhash_lsh" -> {
+      val permHi = mixSql("((h >> 32) + 2654435761 * (p + 1)) & 4294967295")
+      val permLo = mixSql("((h & 4294967295) + 2246822507 * (p + 1)) & 4294967295")
+      val fold = mixSql("XOR(f, x) & 4294967295")
+      s"""WITH toks AS (
+           SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+         shs AS (
+           SELECT doc_id, LIST_DISTINCT(CASE WHEN LEN(t) >= 3
+             THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t) - 1)]
+             ELSE [ARRAY_TO_STRING(t, ' ')] END) AS s
+           FROM toks),
+         shex AS (SELECT doc_id, UNNEST(s) AS sh FROM shs),
+         pp AS (
+           SELECT doc_id,
+             LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+                 [ORD(c) FOR c IN REGEXP_SPLIT_TO_ARRAY(sh, '') IF c <> '']),
+               (a, b) -> (a * 31 + b) & 4294967295) AS p1,
+             LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+                 [ORD(c) FOR c IN REGEXP_SPLIT_TO_ARRAY(sh, '') IF c <> '']),
+               (a, b) -> (a * 37 + b) & 4294967295) AS p2
+           FROM shex),
+         hh AS (SELECT DISTINCT doc_id, ${tokenHashSql("p1", "p2")} AS h FROM pp),
+         hset AS (SELECT doc_id, LIST(DISTINCT h) AS hs FROM hh GROUP BY doc_id),
+         mins AS (
+           SELECT doc_id, p, MIN(($permHi >> 1) * 4294967296 + ($permLo)) AS m
+           FROM hh CROSS JOIN (SELECT UNNEST(RANGE(0, 32)) AS p) ps
+           GROUP BY doc_id, p),
+         bk AS (
+           SELECT doc_id, (p // 4) * 4294967296 +
+             LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+                 FLATTEN(LIST([m >> 32, m & 4294967295] ORDER BY p))),
+               (f, x) -> $fold) AS band
+           FROM mins GROUP BY doc_id, p // 4),
+         ok AS (SELECT band FROM bk GROUP BY band HAVING COUNT(*) > 1 AND COUNT(*) <= 1024),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+           FROM bk a JOIN bk b ON a.band = b.band JOIN ok ON ok.band = a.band
+           WHERE a.doc_id < b.doc_id),
+         ver AS (
+           SELECT left_id, right_id,
+             ROUND(CAST(LEN(LIST_INTERSECT(ha.hs, hb.hs)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(LIST_CONCAT(ha.hs, hb.hs))), 6) AS jaccard
+           FROM cand JOIN hset ha ON ha.doc_id = left_id JOIN hset hb ON hb.doc_id = right_id)
+         SELECT left_id, right_id, jaccard FROM ver WHERE jaccard >= 0.5
+         ORDER BY left_id, right_id"""
+    },
 
     // Winnowing sketch recomputed from scratch in SQL: poly-31 gram hash
     // (ORD == UTF-16 unit on the ASCII corpus), window minima, distinct.

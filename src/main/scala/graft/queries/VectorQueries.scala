@@ -110,6 +110,22 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // The reference's verbose scatter-gather envelope: per (query, probed
+    // partition) the local top-k, pre-merge — one row per shard response
+    // (neighborhood_server.py:323-331). Rows-only (k-means routing).
+    "ann_search_verbose" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      AnnIvf.searchVerbose(index, emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, nprobe = 3)
+        .withColumn("neighbor_ids",
+          transform(col("neighbors"), n => n("neighbor_id")))
+        .withColumn("top_score",
+          round(element_at(col("neighbors"), 1)("score"), 6))
+        .select("query_id", "partition_id", "neighbor_ids", "top_score")
+        .orderBy("query_id", "partition_id")
+    },
+
     // Recall-vs-cost tuning surface: one row per nprobe in {1,2,4,8,16}
     // with mean recall@10 against brute force AND the candidate rows the
     // probe admits — the (nprobe, recall, cost) curve the reference

@@ -207,6 +207,30 @@ class KnnSpec extends SparkSpec {
     assert(!got.columns.contains("__salt"))
   }
 
+  test("searchVerbose: global search is the merge of the per-partition envelopes") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 8, seed = 42L)
+    val q = emb.filter($"vec_id" < 4)
+    val verbose = AnnIvf.searchVerbose(index, q, "vec_id", "embedding", k = 5, nprobe = 3)
+    // per-partition arrays are rank-ordered and k-bounded
+    val rows = verbose.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ns = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("neighbors")
+      assert(ns.size <= 5)
+      assert(ns.map(_.getAs[Int]("rank")) === (1 to ns.size))
+    }
+    // the global top-k (same nprobe) merges exactly these candidates
+    val global = AnnIvf.search(index, q, "vec_id", "embedding", k = 5, nprobe = 3)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val enveloped = rows.flatMap { r =>
+      val qid = r.getAs[Long]("query_id")
+      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("neighbors")
+        .map(n => (qid, n.getAs[Long]("neighbor_id")))
+    }.toSet
+    assert(global.subsetOf(enveloped))
+  }
+
   test("nprobe sweep: recall non-decreasing in nprobe, exact at nprobe = nlist") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 10)

@@ -63,6 +63,17 @@ class TextOpsSpec extends SparkSpec {
     viaScala.foreach(h => assert(h >= 0L)) // bit 63 always clear
   }
 
+  test("portableHashedShinglesUdf matches shinglesFromTokens + portable hash") {
+    val docs = Seq("a b c d e", "x y", "one one one one").toDF("text")
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val viaUdf = docs.select(TextOps.portableHashedShinglesUdf(3)(col("toks")))
+      .as[Seq[Long]].collect()
+    val viaCols = docs.select(TextOps.shinglesFromTokens(col("toks"), 3))
+      .as[Seq[String]].collect()
+      .map(_.map(TextOps.portableTokenHash64).distinct.sorted.toSeq)
+    assert(viaUdf.map(_.toSeq).toSeq === viaCols.toSeq)
+  }
+
   test("langid picks the profile with most stopword hits") {
     assert(LangId.detect("the cat and the dog in a house") === "en")
     assert(LangId.detect("el gato y la casa de un perro") === "es")
