@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: product-quantized vector codes over the IVF partition layout —
+  * the standard billion-scale ANN storage design (Jégou/Douze/Schmid,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+  * layout FAISS calls `IVFx,PQy`). The reference's compression story tops
+  * out at SQfp16 (2 B/dimension, storage_impl.py:87 — our
+  * [[graft.functions.FP16]]); PQ stores `m` BYTES per vector (dim/m-dim
+  * subspaces, 256 centroids each), e.g. 8 B for a 64-dim embedding — 32×
+  * smaller than fp32, the difference between a 100 TB corpus and a 3 TB
+  * candidate scan.
+  *
+  * Spark shape: codebooks are a driver-trained broadcast constant (m·256
+  * sub-centroids ≈ 64 KB here — the same bounded-sample train contract as
+  * [[AnnIvf.build]]); encode is one UDF pass appending a `binary` code
+  * column to the partitioned layout; search probes IVF partitions as
+  * usual, scores candidates against a per-query lookup table (ADC —
+  * asymmetric distance computation: 1 table lookup + add per subspace
+  * instead of dim multiplies), and optionally re-ranks the ADC top-R with
+  * exact dots over the full vectors (`refine`), joining only ≤
+  * |queries|·R rows back to the fp32 column.
+  */
+object AnnPq {
+
+  /** Per-subspace codebooks: `centers(s)(c)` is sub-centroid `c` of
+    * subspace `s` (an `m × ksub × dsub` tensor). */
+  final case class Codebooks(
+      dim: Int, m: Int, ksub: Int, centers: Array[Array[Array[Float]]]) {
+    def dsub: Int = dim / m
+    def codeBytes: Int = m
+  }
+
+  /** Train per-subspace codebooks with the seeded local Lloyd's used for
+    * small-nlist IVF builds — deterministic for a fixed (sample, seed). */
+  def train(
+      vectors: DataFrame,
+      vecCol: String,
+      m: Int,
+      ksub: Int = 256,
+      seed: Long = 42L,
+      sampleLimit: Int = 1 << 14): Codebooks = {
+    require(ksub >= 2 && ksub <= 256,
+      s"PQ codes are single bytes: need 2 <= ksub <= 256, got $ksub")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sample = vectors.select(col(vecCol)).limit(sampleLimit)
+      .as[Seq[Float]].collect().map(CentroidGemm.toFloatArray)
+    require(sample.nonEmpty, "AnnPq.train: empty sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"AnnPq.train: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val k = math.min(ksub, sample.length)
+    // the m sub-quantizers are independent — train them concurrently
+    // (driver cores are otherwise idle during this local phase)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val centers = Await.result(
+      Future.sequence((0 until m).toVector.map { s =>
+        Future {
+          val sub = sample.map(v =>
+            java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+          AnnIvf.localKMeans(sub, k, seed + s, maxIter = 10)
+        }
+      }), Duration.Inf).toArray
+    Codebooks(dim, m, k, centers)
+  }
+
+  /** Nearest sub-centroid per subspace by L2 (the PQ assignment that
+    * minimizes quantization error), one byte each. */
+  def encodeUdf(cb: Codebooks) = udf { (vec: Seq[Float]) =>
+    val v = CentroidGemm.toFloatArray(vec)
+    val out = new Array[Byte](cb.m)
+    var s = 0
+    while (s < cb.m) {
+      val cs = cb.centers(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0
+        var i = 0
+        while (i < cb.dsub) {
+          val diff = v(s * cb.dsub + i) - cs(c)(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** The compact searchable layout: (partition_id, id, pq_code) — `m`
+    * bytes of payload per vector; the fp32 column stays in the full
+    * index for the optional refine join only.
+    *
+    * Persisted (MEMORY_AND_DISK): the codes are the index ARTIFACT — an
+    * unpersisted lineage would re-run `encodeUdf` inside every search
+    * plan, and after projection collapse into the candidate join that
+    * means once per (query, vector) PAIR, not per vector (measured 5× on
+    * sf0.1). Spark's cache manager dedupes by canonicalized plan, so
+    * repeated `encode` calls over the same index share one entry; call
+    * `.unpersist()` when done, or write it out as partitioned parquet
+    * (same layout contract as [[AnnIvf.write]]) for the durable form. */
+  def encode(index: AnnIvf.Index, cb: Codebooks,
+      idCol: String, vecCol: String): DataFrame =
+    index.assigned.select(col("partition_id"), col(idCol),
+      encodeUdf(cb)(col(vecCol)).as("pq_code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Per-query ADC lookup table: partial inner products of each query
+    * subvector with every sub-centroid, flattened to m·ksub floats. */
+  private def computeLut(cb: Codebooks, qa: Array[Float]): Array[Float] = {
+    val lut = new Array[Float](cb.m * cb.ksub)
+    var s = 0
+    while (s < cb.m) {
+      val cs = cb.centers(s)
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0f
+        var i = 0
+        while (i < cb.dsub) { d += qa(s * cb.dsub + i) * cs(c)(i); i += 1 }
+        lut(s * cb.ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /** IVF-PQ search: centroid probe → ADC score over the byte codes of the
+    * probed partitions → per-query top-k; with `refine > 0` the ADC
+    * top-`refine` re-rank exactly against the fp32 vectors (a ≤
+    * |queries|·refine row join — the standard two-stage serving plan).
+    *
+    * LUT transport matters: the tables (m·ksub floats ≈ 8 KB each) ship
+    * ONCE per query as one executor broadcast, and candidate rows carry
+    * only (query_id, id, m-byte code) — an earlier draft that attached
+    * the LUT as a column repeated ~8 KB through every joined candidate
+    * row and was 5× slower at sf0.1. The driver-side query collect is
+    * the same serving-contract bound as [[AnnIvf.searchPruned]]'s probe
+    * round-trip (the query batch is small; the corpus is the big side). */
+  def searchADC(
+      index: AnnIvf.Index,
+      cb: Codebooks,
+      encoded: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      refine: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(
+      col(queryIdCol).cast("long").as("query_id"), col(vecCol).as("__query_vec"))
+    val probed = AnnIvf.probeStep(index, q, nprobe)
+      .select("query_id", "partition_id")
+    val luts = q.as[(Long, Seq[Float])].collect()
+      .map { case (qid, v) => qid -> computeLut(cb, CentroidGemm.toFloatArray(v)) }
+      .toMap
+    val bc = spark.sparkContext.broadcast(luts)
+    val m = cb.m
+    val ksub = cb.ksub
+    val scoreUdf = udf { (qid: Long, code: Array[Byte]) =>
+      val l = bc.value(qid)
+      var s = 0.0
+      var i = 0
+      while (i < m) { s += l(i * ksub + (code(i) & 0xff)); i += 1 }
+      s
+    }
+    val scored = broadcast(probed)
+      .join(encoded, Seq("partition_id"))
+      .withColumn("adc_score", scoreUdf(col("query_id"), col("pq_code")))
+    if (refine <= 0)
+      Knn.topKPerGroup(scored, Seq(col("query_id")), k,
+          desc("adc_score"), asc(idCol))
+        .drop("pq_code")
+    else {
+      val shortlist = Knn.topKPerGroup(scored, Seq(col("query_id")),
+          math.max(refine, k), desc("adc_score"), asc(idCol))
+        .select(col("query_id"), col(idCol))
+      val exact = shortlist
+        .join(broadcast(q), Seq("query_id"))
+        .join(index.assigned.select(col(idCol), col(vecCol)), Seq(idCol))
+        .withColumn("score",
+          graft.functions.VectorOps.dot(col(vecCol), col("__query_vec")))
+      Knn.topKPerGroup(exact, Seq(col("query_id")), k,
+          desc("score"), asc(idCol))
+        .drop("__query_vec", vecCol)
+    }
+  }
+}

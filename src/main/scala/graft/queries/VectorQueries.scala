@@ -110,6 +110,34 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // IVF-PQ end-to-end: 8-byte product codes (32x smaller than fp32 at
+    // dim 64), ADC candidate scoring, exact top-50 refine — recall of
+    // both stages vs brute force in one row. Rows-only (k-means).
+    "ann_pq_recall" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      val cb = graft.operators.AnnPq.train(emb, "embedding", m = 8, ksub = 256,
+        seed = 42L, sampleLimit = 2048)
+      val encoded = graft.operators.AnnPq.encode(index, cb, "vec_id", "embedding")
+      val bf = Knn.bruteForce(emb, queries, "vec_id", "vec_id", "embedding",
+          k = 10, excludeSelf = false)
+        .select(col("query_id"), col("vec_id"))
+      def recallOf(res: org.apache.spark.sql.DataFrame, name: String) =
+        bf.join(res.select(col("query_id"), col("vec_id")),
+            Seq("query_id", "vec_id"), "left_semi")
+          .groupBy("query_id").agg((count(lit(1)) / 10.0).as("r"))
+          .agg(round(avg(col("r")), 4).as(name))
+      val adc = recallOf(graft.operators.AnnPq.searchADC(index, cb, encoded,
+        queries, "vec_id", "embedding", k = 10, nprobe = 16), "recall_adc")
+      val refined = recallOf(graft.operators.AnnPq.searchADC(index, cb, encoded,
+        queries, "vec_id", "embedding", k = 10, nprobe = 16, refine = 50), "recall_refined")
+      adc.crossJoin(refined)
+        .withColumn("code_bytes", lit(cb.codeBytes))
+        .withColumn("compression_x", lit(64 * 4 / cb.codeBytes))
+        .select("code_bytes", "compression_x", "recall_adc", "recall_refined")
+    },
+
     // The reference's verbose scatter-gather envelope: per (query, probed
     // partition) the local top-k, pre-merge — one row per shard response
     // (neighborhood_server.py:323-331). Rows-only (k-means routing).

@@ -49,6 +49,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("cosinePairsViaIndex: salted self-join is a hash join on (partition, sub-bucket)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = graft.operators.AnnIvf.build(emb, "vec_id", "embedding",
+      nlist = 4, seed = 42L)
+    val p = graft.operators.AnnIvf
+      .cosinePairsViaIndex(index, "vec_id", "embedding", threshold = 0.35,
+        targetRowsPerTask = 32)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    // the pair join keys on BOTH partition_id and the spreading sub-bucket
+    assert(p.contains("__sb"), p.take(2000))
+  }
+
+  test("ann_search_verbose: per-partition group-limit, no global sort") {
+    val p = plan("ann_search_verbose")
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("near-dup pair queries contain no cartesian/nested-loop join") {
     // the scale-killer audit: exact near-dup candidates must come from
     // prefix-filter / gemm-scan plans, never a materialized pair space
