@@ -115,6 +115,41 @@ object AnnPq {
       encodeUdf(cb)(col(vecCol)).as("pq_code"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Durable form: codes as partition-pruned parquet (same layout
+    * contract as [[AnnIvf.write]] — `partition_id=` dirs, so an ADC scan
+    * of `nprobe` partitions reads only their files, and each file holds
+    * `m` B/vector), codebooks as one tiny sidecar table. */
+  def write(encoded: DataFrame, cb: Codebooks, path: String): Unit = {
+    encoded
+      .repartition(col("partition_id"))
+      .write.mode("overwrite")
+      .partitionBy("partition_id")
+      .parquet(s"$path/codes")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until cb.m
+      c <- 0 until cb.centers(s).length
+    } yield (cb.dim, cb.m, cb.ksub, s, c, cb.centers(s)(c).toSeq)
+    rows.toDF("dim", "m", "ksub", "subspace", "code", "center")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, Codebooks) = {
+    import spark.implicits._
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .select("dim", "m", "ksub", "subspace", "code", "center")
+      .as[(Int, Int, Int, Int, Int, Seq[Float])].collect()
+    require(cbRows.nonEmpty, s"AnnPq.read: no codebooks at $path")
+    val (dim, m, ksub, _, _, _) = cbRows.head
+    val centers = Array.ofDim[Array[Float]](m, ksub)
+    cbRows.foreach { case (_, _, _, s, c, v) =>
+      centers(s)(c) = CentroidGemm.toFloatArray(v)
+    }
+    (spark.read.parquet(s"$path/codes"), Codebooks(dim, m, ksub, centers))
+  }
+
   /** Per-query ADC lookup table: partial inner products of each query
     * subvector with every sub-centroid, flattened to m·ksub floats. */
   private def computeLut(cb: Codebooks, qa: Array[Float]): Array[Float] = {

@@ -55,6 +55,23 @@ class AnnPqSpec extends SparkSpec {
     assert(refined >= 0.8) // two-stage plan recovers ranking quality
   }
 
+  test("durable write/read roundtrip: same codebooks, same search results") {
+    val cb = AnnPq.train(emb, "embedding", m = 8, ksub = 16, seed = 7L)
+    val encoded = AnnPq.encode(index, cb, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annpq").toString
+    AnnPq.write(encoded, cb, dir)
+    val (codes2, cb2) = AnnPq.read(spark, dir)
+    assert(cb2.dim === cb.dim && cb2.m === cb.m && cb2.ksub === cb.ksub)
+    assert(cb2.centers.flatten.flatten.toSeq === cb.centers.flatten.flatten.toSeq)
+    val q = emb.filter($"vec_id" < 5)
+    def res(e: org.apache.spark.sql.DataFrame, c: AnnPq.Codebooks) =
+      AnnPq.searchADC(index, c, e, q, "vec_id", "embedding", k = 5, nprobe = 4)
+        .select($"query_id", $"vec_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(res(codes2, cb2) === res(encoded, cb))
+    encoded.unpersist()
+  }
+
   test("refine result carries exact scores, ADC-only carries adc_score") {
     val cb = AnnPq.train(emb, "embedding", m = 8, ksub = 16, seed = 7L)
     val encoded = AnnPq.encode(index, cb, "vec_id", "embedding")

@@ -44,6 +44,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.simhashPairs(empty, "doc_id", "text").count() === 0)
   }
 
+  test("AnnPq.train rejects bad shapes with clear errors") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.AnnPq.train(emb, "embedding", m = 7) // 64 % 7 != 0
+    }
+    assert(e1.getMessage.contains("not divisible"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.AnnPq.train(emb, "embedding", m = 8, ksub = 512)
+    }
+    assert(e2.getMessage.contains("ksub"))
+  }
+
+  test("ServingCache rejects non-positive capacity; empty query set falls through") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = graft.operators.AnnIvf.build(emb, "vec_id", "embedding", nlist = 4, seed = 42L)
+    intercept[IllegalArgumentException] {
+      new graft.operators.ServingCache(index, maxCachedPartitions = 0)
+    }
+    val cache = new graft.operators.ServingCache(index, maxCachedPartitions = 2)
+    val none = cache.search(emb.filter($"vec_id" < 0), "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(none.count() === 0)
+    assert(cache.misses.value === 0) // nothing probed, nothing loaded
+  }
+
+  test("WebDataset.samples on a dir with no tars is empty, not an error") {
+    val dir = java.nio.file.Files.createTempDirectory("wds-empty").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "notatar.txt"),
+      "hello".getBytes("UTF-8"))
+    assert(graft.sources.WebDataset.samples(spark, dir).count() === 0)
+  }
+
   test("asOfJoin property: equals per-key scala reference on random events") {
     val g = for {
       user <- Gen.chooseNum(0, 3)
