@@ -573,10 +573,16 @@ object AnnIvf {
     val right = sized.select(col("partition_id"),
       pmod(xxhash64(col("id")), col("__nsalt")).cast("int").as("__sb"),
       col("id").as("right_id"), col("vec").as("right_vec"))
+    // the explicit repartition pins the shuffle (REPARTITION_BY_NUM):
+    // AQE's byte-sized coalescing would otherwise fold the sub-bucket
+    // keys back into one reducer — the pair work is FLOP-skewed at tiny
+    // byte size (measured: coalesced salted run was as slow as unsalted)
+    val parts = v.sparkSession.sessionState.conf.numShufflePartitions
     val left = sized
       .withColumn("__sb", explode(sequence(lit(0), col("__nsalt") - 1)))
       .select(col("partition_id"), col("__sb").cast("int").as("__sb"),
         col("id").as("left_id"), col("vec").as("left_vec"))
+      .repartition(parts, col("partition_id"), col("__sb"))
     left.join(right, Seq("partition_id", "__sb"))
       .filter(col("left_id") < col("right_id"))
       .withColumn("score", round(VectorOps.dot(col("left_vec"), col("right_vec")), 6))

@@ -84,6 +84,32 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming IVF-PQ ingest: the compact-index twin of [[annIngest]] —
+    * each micro-batch is assigned against the FROZEN broadcast centroids
+    * AND product-quantized with the FROZEN broadcast codebooks (both
+    * trained once, add-after-train), then idempotently appended to the
+    * durable codes layout ([[graft.operators.AnnPq.write]]'s
+    * `<path>/codes`). Stream to searchable m-bytes-per-vector index with
+    * no retrain and no fp32 landing zone. */
+  def annIngestPq(
+      stream: DataFrame,
+      centers: Array[Array[Float]],
+      cb: graft.operators.AnnPq.Codebooks,
+      codesPath: String,
+      idCol: String,
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val assigned = graft.operators.AnnIvf
+          .assignPartitions(batch, vecCol, centers)
+        val coded = assigned.select(col("partition_id"), col(idCol),
+          graft.operators.AnnPq.encodeUdf(cb)(col(vecCol)).as("pq_code"))
+        graft.operators.Ingest.appendNew(
+          batch.sparkSession, coded, codesPath, idCol, "partition_id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Watermarked stream-stream interval join: error events joined to
     * signup events of the same user within `intervalSec` seconds BEFORE the
     * error. Both sides buffer in the state store; the watermark + time

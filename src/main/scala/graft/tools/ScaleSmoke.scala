@@ -107,6 +107,26 @@ object ScaleSmoke {
         }
       }
     }
+    // same 90%-hot shape through the within-partition pair scan: unsalted,
+    // the hot partition's n²/2 cosine pairs run in ONE task; the adaptive
+    // sub-bucket salt spreads them over maxSalt reducer keys with
+    // identical results (DedupSpec equality)
+    locally {
+      val base = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      val skewed = AnnIvf.Index(
+        base.assigned.withColumn("partition_id",
+          when(pmod(col("vec_id"), lit(10)) < 9, lit(0)).otherwise(col("partition_id"))),
+        base.centroids)
+      time("skewed cosinePairsViaIndex, unsalted") {
+        AnnIvf.cosinePairsViaIndex(skewed, "vec_id", "embedding",
+          threshold = 0.9, targetRowsPerTask = Int.MaxValue).count()
+      }
+      time("skewed cosinePairsViaIndex, salted") {
+        AnnIvf.cosinePairsViaIndex(skewed, "vec_id", "embedding",
+          threshold = 0.9, targetRowsPerTask = 1 << 12, maxSalt = 32).count()
+      }
+    }
+
     // skew: 95% of rows in ONE group; countDistinct forces the full key
     // stream through the reducers (no partial collapse), so the hot group
     // pins one task unless salted

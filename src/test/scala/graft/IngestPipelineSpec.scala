@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIvf, Ingest, Knn, Multimodal}
+import graft.operators.{AnnIvf, AnnPq, Ingest, Knn, Multimodal}
 
 /** End-to-end replica of the reference's ingest lifecycle (SURVEY.md §3.1)
   * with the stub embedder standing in for BioCLIP:
@@ -82,5 +82,40 @@ class IngestPipelineSpec extends SparkSpec {
     assert(resized.filter(length($"small") > length($"payload")).count() === 0)
     val frames = Multimodal.sampleFrames(media, nFrames = 4)
     assert(frames.count() === media.count() * 4)
+  }
+
+  test("streaming PQ ingest appends codes identical to the batch encoder") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val base = emb.filter($"vec_id" < 300)
+    val index = AnnIvf.build(base, "vec_id", "embedding", nlist = 4, seed = 42L)
+    val cb = AnnPq.train(base, "embedding", m = 8, ksub = 16, seed = 7L)
+    val dir = Files.createTempDirectory("pq-ingest").toString
+    val encoded = AnnPq.encode(index, cb, "vec_id", "embedding")
+    AnnPq.write(encoded, cb, dir)
+    encoded.unpersist()
+
+    // stream 100 new vectors (fresh ids) through the frozen models
+    val centers = index.centroids.orderBy("partition_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val late = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val srcDir = Files.createTempDirectory("pq-src").toString
+    late.write.mode("overwrite").parquet(srcDir)
+    val q = graft.streaming.EventStreams.annIngestPq(
+      spark.readStream.schema(late.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      centers, cb, s"$dir/codes", "vec_id")
+    q.awaitTermination(120000)
+
+    val (codes, cb2) = AnnPq.read(spark, dir)
+    assert(codes.count() === 300 + 100)
+    // streamed codes equal what the batch encoder computes for the same rows
+    val want = AnnIvf.assignPartitions(late, "embedding", centers)
+      .select($"vec_id", $"partition_id".as("want_pid"),
+        AnnPq.encodeUdf(cb2)($"embedding").as("want_code"))
+    val mismatch = codes.filter($"vec_id" >= 10000)
+      .join(want, Seq("vec_id"))
+      .filter($"partition_id" =!= $"want_pid" || $"pq_code" =!= $"want_code")
+    assert(mismatch.count() === 0)
   }
 }
