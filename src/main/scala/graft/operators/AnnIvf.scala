@@ -507,9 +507,15 @@ object AnnIvf {
               pmod(xxhash64(col(idCol)), lit(index.writeSalt)).cast("int"))
               .as("__salt"),
             col(idCol), col(vecCol))
+        // pin the salted shuffle (REPARTITION_BY_NUM): AQE's byte-based
+        // reducer coalescing would fold the salt keys of a FLOP-skewed
+        // hot partition back into one task (same finding as
+        // cosinePairsViaIndex — measured there: 104 s vs 23 s)
+        val parts = queries.sparkSession.sessionState.conf.numShufflePartitions
         queries
           .withColumn("__salt",
             explode(array((0 until index.writeSalt).map(lit): _*)))
+          .repartition(parts, col("partition_id"), col("__salt"))
           .join(cands, Seq("partition_id", "__salt"))
           .drop("__salt")
       } else {
