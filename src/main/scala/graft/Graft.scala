@@ -63,6 +63,27 @@ object Graft {
   def annStats(index: AnnIvf.Index, cache: ServingCache, vecCol: String): DataFrame =
     annStats(index, vecCol).crossJoin(cache.stats)
 
+  // ----- product quantization (compact billion-scale index) --------------
+  def pqTrain(vectors: DataFrame, vecCol: String, m: Int,
+      ksub: Int = 256, seed: Long = 42L): AnnPq.Codebooks =
+    AnnPq.train(vectors, vecCol, m, ksub, seed)
+
+  def pqEncode(index: AnnIvf.Index, cb: AnnPq.Codebooks,
+      idCol: String, vecCol: String): DataFrame =
+    AnnPq.encode(index, cb, idCol, vecCol)
+
+  /** ADC search over byte codes; `refine > 0` re-ranks exactly. */
+  def pqSearch(index: AnnIvf.Index, cb: AnnPq.Codebooks, encoded: DataFrame,
+      queries: DataFrame, queryIdCol: String, vecCol: String, k: Int,
+      nprobe: Int, idCol: String = "vec_id", refine: Int = 0): DataFrame =
+    AnnPq.searchADC(index, cb, encoded, queries, queryIdCol, vecCol,
+      k, nprobe, idCol, refine)
+
+  // ----- sources ---------------------------------------------------------
+  /** WebDataset tar shards → one row per sample (shard, key, ext→bytes). */
+  def webDataset(spark: SparkSession, path: String): DataFrame =
+    graft.sources.WebDataset.samples(spark, path).toDF()
+
   // ----- column functions ------------------------------------------------
   def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
   def cosine(a: Column, b: Column): Column = VectorOps.cosine(a, b)
@@ -87,6 +108,8 @@ object Graft {
       (es: Seq[Expression]) => HllEstimate(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_zorder64",
       (es: Seq[Expression]) => ZOrder64(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hilbert64",
+      (es: Seq[Expression]) => Hilbert64(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fp16_pack",
       (es: Seq[Expression]) => PackFP16(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_fp16_unpack",

@@ -87,4 +87,17 @@ class GraftApiSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(got === viaJoin)
   }
+
+  test("facade: pqTrain/pqEncode/pqSearch and webDataset wire through") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = Graft.annBuild(emb, "vec_id", "embedding", nlist = 4)
+    val cb = Graft.pqTrain(emb, "embedding", m = 8, ksub = 16)
+    val encoded = Graft.pqEncode(index, cb, "vec_id", "embedding")
+    val got = Graft.pqSearch(index, cb, encoded, emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 5, nprobe = 4, refine = 20)
+    assert(got.count() === 5)
+    encoded.unpersist()
+    val dir = java.nio.file.Files.createTempDirectory("wds-api").toString
+    assert(Graft.webDataset(spark, dir).count() === 0)
+  }
 }

@@ -45,6 +45,41 @@ class ZOrderSpec extends SparkSpec {
     assert(zFrac < 0.5, s"z=$zFrac vs aSort=$aSortFrac")
   }
 
+  test("hilbert: aligned blocks are contiguous index ranges; bijective on a grid") {
+    import graft.functions.Hilbert64
+    // every aligned 16×16 block maps to a CONTIGUOUS run of 256 curve
+    // positions — the defining locality property Morton order lacks
+    for (bx <- Seq(0L, 16L, 64L); by <- Seq(0L, 48L)) {
+      val ds = for (x <- 0 until 16; y <- 0 until 16)
+        yield Hilbert64.index(bx + x, by + y)
+      assert(ds.distinct.size === 256)
+      assert(ds.max - ds.min === 255L, s"block ($bx,$by) not contiguous")
+    }
+    // signed ordering conventions match ZOrder64
+    assert(Hilbert64.index(-1L, 0L) < Hilbert64.index(1L << 20, 0L))
+    assert(Hilbert64.index(Long.MinValue, 0L) === Hilbert64.index(Int.MinValue.toLong, 0L))
+    assert(Hilbert64.index(1L << 32, 0L) === Hilbert64.index(Int.MaxValue.toLong, 0L))
+  }
+
+  test("hilbert layout prunes at least as well as z-order on the second column") {
+    import graft.functions.Hilbert64
+    val grid = spark.range(128L * 128L)
+      .select(($"id" / 128).cast("long").as("a"), ($"id" % 128).cast("long").as("b"))
+    def bSpanFraction(sortCol: org.apache.spark.sql.Column): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("hilbert").toString
+      grid.repartition(1).sortWithinPartitions(sortCol)
+        .write.mode("overwrite").option("maxRecordsPerFile", 1024).parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(((max("b") - min("b") + 1) / 128.0).as("frac"))
+        .agg(avg("frac")).as[Double].head()
+    }
+    val hFrac = bSpanFraction(Hilbert64(col("a"), col("b")))
+    val zFrac = bSpanFraction(ZOrder64(col("a"), col("b")))
+    assert(hFrac < 0.5, s"hilbert=$hFrac")
+    assert(hFrac <= zFrac + 0.05, s"hilbert=$hFrac vs z=$zFrac")
+  }
+
   test("out-of-32-bit longs saturate instead of wrapping") {
     // 2^32 must NOT alias 0 (the old wrap) — it clamps to Int.MaxValue
     assert(ZOrder64.interleave(1L << 32, 0L) === ZOrder64.interleave(Int.MaxValue.toLong, 0L))
