@@ -115,6 +115,55 @@ object AnnPq {
       encodeUdf(cb)(col(vecCol)).as("pq_code"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Seeded random orthogonal rotation (Gram-Schmidt over a Gaussian
+    * matrix): the cheap four-fifths of OPQ (Ge et al., "Optimized
+    * Product Quantization", CVPR 2013 — a random rotation decorrelates
+    * dimensions and balances per-subspace energy, recovering most of the
+    * optimized rotation's recall gain on real embeddings). Orthogonality
+    * means inner products are invariant — rotate the corpus once at
+    * ingest ([[rotateUdf]]), build IVF + PQ in the rotated space, and
+    * every search semantics (scores, ranks, refine) is unchanged while
+    * the PQ codes quantize a better-conditioned space. */
+  def randomRotation(dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    val m = Array.fill(dim, dim)(rnd.nextGaussian())
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < i) {
+        var d = 0.0
+        var k = 0
+        while (k < dim) { d += m(i)(k) * m(j)(k); k += 1 }
+        k = 0
+        while (k < dim) { m(i)(k) -= d * m(j)(k); k += 1 }
+        j += 1
+      }
+      var n = 0.0
+      var k = 0
+      while (k < dim) { n += m(i)(k) * m(i)(k); k += 1 }
+      val inv = 1.0 / math.sqrt(n)
+      k = 0
+      while (k < dim) { m(i)(k) *= inv; k += 1 }
+      i += 1
+    }
+    m.map(_.map(_.toFloat))
+  }
+
+  /** Apply a rotation matrix to a vector column (one gemv per row). */
+  def rotateUdf(r: Array[Array[Float]]) = udf { (v: Array[Float]) =>
+    val out = new Array[Float](r.length)
+    var i = 0
+    while (i < r.length) {
+      val row = r(i)
+      var d = 0.0f
+      var k = 0
+      while (k < row.length) { d += row(k) * v(k); k += 1 }
+      out(i) = d
+      i += 1
+    }
+    out
+  }
+
   /** Durable form: codes as partition-pruned parquet (same layout
     * contract as [[AnnIvf.write]] — `partition_id=` dirs, so an ADC scan
     * of `nprobe` partitions reads only their files, and each file holds

@@ -44,6 +44,54 @@ object Ingest {
       .parquet(path)
   }
 
+  /** Compact a partitioned layout in place: every micro-batch append
+    * ([[appendNew]], streaming `annIngest`/`annIngestPq`) closes at least
+    * one file per touched partition, so a long-running stream degrades
+    * the read path into a small-file storm (at 100 TB that is metadata
+    * pressure and per-file open cost, not just local clutter). Rewrites
+    * the table as one coalesced pass — `repartition(partitionCol)` gives
+    * one task and therefore one file per partition (plus
+    * `maxRecordsPerFile` splits for genuinely large partitions) — into a
+    * staging dir, then atomically swaps directories. The swap is the
+    * local-FS twin of a metastore location flip; readers opened before
+    * the swap keep their snapshot, new reads see only compacted files.
+    * Returns (filesBefore, filesAfter). */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      maxRecordsPerFile: Long = 4_000_000L): (Long, Long) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = dataFiles(target)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}__compacting")
+    fs.delete(staging, true)
+    spark.read.parquet(path)
+      .repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(staging.toString)
+    val retired = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}__retired")
+    fs.delete(retired, true)
+    require(fs.rename(target, retired), s"compact: cannot retire $target")
+    require(fs.rename(staging, target), s"compact: cannot publish $staging")
+    fs.delete(retired, true)
+    (before, dataFiles(target))
+  }
+
   /** Dense per-partition ordinal (the reference's monotonically increasing
     * faiss_id per partition, faiss_utils.py:113-115) via a rank window —
     * deterministic given the id ordering. */

@@ -72,6 +72,65 @@ class AnnPqSpec extends SparkSpec {
     encoded.unpersist()
   }
 
+  test("random rotation: orthogonal, inner-product invariant, deterministic") {
+    val r = AnnPq.randomRotation(16, seed = 3L)
+    assert(r.toSeq.map(_.toSeq) === AnnPq.randomRotation(16, seed = 3L).toSeq.map(_.toSeq))
+    // R Rᵀ = I
+    for (i <- 0 until 16; j <- 0 until 16) {
+      val d = (0 until 16).map(k => r(i)(k).toDouble * r(j)(k)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-5, s"RRt($i,$j)=$d")
+    }
+    // <Rv, Rq> = <v, q>
+    val rnd = new scala.util.Random(9)
+    val v = Array.fill(16)(rnd.nextFloat()); val q = Array.fill(16)(rnd.nextFloat())
+    def rot(x: Array[Float]) = r.map(row => row.zip(x).map { case (a, b) => a * b }.sum)
+    val raw = v.zip(q).map { case (a, b) => a.toDouble * b }.sum
+    val rotated = rot(v).zip(rot(q)).map { case (a, b) => a.toDouble * b }.sum
+    assert(math.abs(raw - rotated) < 1e-4)
+  }
+
+  test("rotation improves PQ recall on dimension-correlated embeddings") {
+    // adversarial-for-PQ corpus: energy imbalance with the metric intact.
+    // Dims 0-3 carry all the signal (N(0,1)); dims 4-15 are near-silent
+    // noise. With 2-dim subspaces, raw PQ packs the four informative dims
+    // into TWO subspaces (16 cells each for a 2-D Gaussian — coarse)
+    // while six subspaces spend their code bits on noise; a random
+    // rotation spreads the signal energy over all eight subspaces, so
+    // the same total bit budget quantizes the signal much finer.
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 400L).map { id =>
+      val v = Array.tabulate(16)(i =>
+        if (i < 4) rnd.nextGaussian().toFloat
+        else (0.05 * rnd.nextGaussian()).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (id, v.map(_ / n).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 20)
+    val bf = Knn.bruteForce(df, queries, "vec_id", "vec_id", "embedding",
+        k = 5, excludeSelf = false)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    def recallWith(data: org.apache.spark.sql.DataFrame): Double = {
+      val idx = AnnIvf.build(data, "vec_id", "embedding", nlist = 1, seed = 42L)
+      val cb = AnnPq.train(data, "embedding", m = 8, ksub = 16, seed = 42L)
+      val enc = AnnPq.encode(idx, cb, "vec_id", "embedding")
+      val q2 = data.filter($"vec_id" < 20)
+      val got = AnnPq.searchADC(idx, cb, enc, q2, "vec_id", "embedding",
+          k = 5, nprobe = 1)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+      enc.unpersist()
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val rawRecall = recallWith(df)
+    val r = AnnPq.randomRotation(16, seed = 5L)
+    val rotated = df.select($"vec_id",
+      AnnPq.rotateUdf(r)($"embedding").as("embedding"))
+    // brute-force top-k is rotation-invariant, so bf stays the oracle
+    val rotRecall = recallWith(rotated)
+    info(s"raw PQ recall = $rawRecall, rotated PQ recall = $rotRecall")
+    assert(rotRecall > rawRecall)
+  }
+
   test("refine result carries exact scores, ADC-only carries adc_score") {
     val cb = AnnPq.train(emb, "embedding", m = 8, ksub = 16, seed = 7L)
     val encoded = AnnPq.encode(index, cb, "vec_id", "embedding")

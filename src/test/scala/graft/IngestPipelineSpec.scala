@@ -84,6 +84,31 @@ class IngestPipelineSpec extends SparkSpec {
     assert(frames.count() === media.count() * 4)
   }
 
+  test("compact collapses micro-batch file storms, preserves rows + pruning layout") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = AnnIvf.build(emb.filter($"vec_id" < 200), "vec_id", "embedding",
+      nlist = 4, seed = 42L)
+    val dir = Files.createTempDirectory("compact").toString + "/vectors"
+    // 5 appends = 5 files per touched partition
+    (0 until 5).foreach { i =>
+      val slice = AnnIvf.assignPartitions(
+        emb.filter($"vec_id" >= i * 100 && $"vec_id" < (i + 1) * 100),
+        "embedding",
+        index.centroids.orderBy("partition_id").collect().map(_.getSeq[Float](1).toArray))
+      Ingest.appendNew(spark, slice, dir, "vec_id", "partition_id")
+    }
+    val rowsBefore = spark.read.parquet(dir).count()
+    val sumBefore = spark.read.parquet(dir).agg(sum($"vec_id")).as[Long].head()
+    val (before, after) = Ingest.compact(spark, dir, "partition_id")
+    assert(before > after, s"before=$before after=$after")
+    assert(after <= 4) // one file per partition
+    val got = spark.read.parquet(dir)
+    assert(got.count() === rowsBefore)
+    assert(got.agg(sum($"vec_id")).as[Long].head() === sumBefore)
+    // layout still partition-pruned
+    assert(got.columns.contains("partition_id"))
+  }
+
   test("streaming PQ ingest appends codes identical to the batch encoder") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val base = emb.filter($"vec_id" < 300)
