@@ -298,6 +298,27 @@ object RelationalQueries {
         sum(col("n")).as("total_rows"))
     },
 
+    // The HLL sketch MECHANICS, oracle-checked (A8 companion to the
+    // rows-only estimate queries): portable hash → 8-bit bucket →
+    // rho = trailing zeros + 1 → per-bucket max register. All-integer,
+    // so DuckDB replays the registers bit-for-bit — the float estimate
+    // stays rows-only because ln() is a cross-engine ulp gamble, but the
+    // sketch layer itself is now hash-verified.
+    "profile_hll_registers" -> { (s, dir) =>
+      val hUdf = udf((x: String) => graft.functions.TextOps.portableTokenHash64(x))
+      val h = table(s, dir, "lineitem")
+        .select(hUdf(col("l_partkey").cast("string")).as("h"))
+      val w = shiftrightunsigned(col("h"), 8)
+      h.select(col("h").bitwiseAND(lit(255L)).as("bucket"),
+          when(w === 0, lit(56))
+            .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1).as("rho"))
+        .groupBy("bucket")
+        .agg(max(col("rho")).as("register"))
+        .select(col("bucket").cast("int").as("bucket"),
+          col("register").cast("int").as("register"))
+        .orderBy("bucket")
+    },
+
     // Approximate profiling (A8): HLL distinct + approximate quantiles —
     // sketch outputs are implementation-defined, so rows-only check.
     "q27_profile_approx" -> { (s, dir) =>
@@ -323,6 +344,24 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // HLL registers recomputed from scratch: portable string hash of the
+    // key, low-8-bit bucket, trailing-zeros rho, per-bucket max.
+    "profile_hll_registers" -> {
+      s"""WITH pp AS (
+           SELECT ${polySql("CAST(l_partkey AS VARCHAR)", 31)} AS p1,
+                  ${polySql("CAST(l_partkey AS VARCHAR)", 37)} AS p2
+           FROM lineitem),
+         hh AS (SELECT ${tokenHashSql("p1", "p2")} AS h FROM pp),
+         r AS (SELECT h & 255 AS bucket,
+                 CASE WHEN (h >> 8) = 0 THEN 56
+                      ELSE BIT_COUNT(((h >> 8) & -(h >> 8)) - 1) + 1
+                 END AS rho
+               FROM hh)
+         SELECT CAST(bucket AS INTEGER) AS bucket,
+                CAST(MAX(rho) AS INTEGER) AS register
+         FROM r GROUP BY bucket ORDER BY bucket"""
+    },
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
           ${sqlDsum("l_quantity")} AS sum_qty,

@@ -205,18 +205,9 @@ object TextQueries {
     }
   )
 
-  /** DuckDB expansion of `TextOps.mix32` — the shared 32-bit finalizer
-    * behind every portable hash (token/simhash/minhash/bands). */
-  private def mixSql(y: String): String = {
-    val s1 = s"((XOR(($y), ($y) >> 16) * 73244475) & 4294967295)"
-    val s2 = s"((XOR($s1, $s1 >> 16) * 73244475) & 4294967295)"
-    s"XOR($s2, $s2 >> 16)"
-  }
-
-  /** DuckDB expansion of `TextOps.portableTokenHash64(sh)` given char
-    * polys `p1`/`p2` already computed. */
-  private def tokenHashSql(p1: String, p2: String): String =
-    s"(${mixSql(p1)} >> 1) * 4294967296 + ${mixSql(p2)}"
+  // mixSql / tokenHashSql (the DuckDB expansions of the portable hash
+  // stack) live in the package object — shared with RelationalQueries'
+  // HLL-register oracle.
 
   val oracle: Map[String, String] = Map(
     "text_token_stats" ->

@@ -52,4 +52,24 @@ package object queries {
     s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
   def sqlDavg(expr: String): String =
     s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)"
+
+  /** DuckDB expansion of `TextOps.mix32` — the shared 32-bit finalizer
+    * behind every portable hash (token/simhash/minhash/bands/HLL). */
+  def mixSql(y: String): String = {
+    val s1 = s"((XOR(($y), ($y) >> 16) * 73244475) & 4294967295)"
+    val s2 = s"((XOR($s1, $s1 >> 16) * 73244475) & 4294967295)"
+    s"XOR($s2, $s2 >> 16)"
+  }
+
+  /** DuckDB expansion of `TextOps.portableTokenHash64(s)` given char
+    * polys `p1`/`p2` already computed. */
+  def tokenHashSql(p1: String, p2: String): String =
+    s"(${mixSql(p1)} >> 1) * 4294967296 + ${mixSql(p2)}"
+
+  /** The char polys over a string SQL expression, as a 2-element list:
+    * plug into [[tokenHashSql]] after naming them in a CTE. */
+  def polySql(strExpr: String, base: Int): String =
+    s"""LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+       [ORD(c) FOR c IN REGEXP_SPLIT_TO_ARRAY($strExpr, '') IF c <> '']),
+       (a, b) -> (a * $base + b) & 4294967295)"""
 }
