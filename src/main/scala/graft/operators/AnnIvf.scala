@@ -351,7 +351,15 @@ object AnnIvf {
       q.crossJoin(broadcast(index.centroids))
         .withColumn("pscore", VectorOps.dot(col("__query_vec"), col("centroid"))),
       Seq(col("query_id")), nprobe, desc("pscore"), asc("partition_id"))
-      .select(col("query_id"), col("partition_id"), col("__query_vec"))
+      .select(col("query_id"), col("partition_id"), col("__query_vec"), col("pscore"))
+
+  /** Partition-id → centroid array, driver-resident (the leader table is
+    * nlist·dim floats — the same bound every probe relies on). */
+  private[operators] def centerMap(index: Index): Map[Int, Array[Float]] =
+    index.centroids.collect()
+      .map(r => r.getAs[Number]("partition_id").intValue ->
+        CentroidGemm.toFloatArray(r.getSeq[Float](1)))
+      .toMap
 
   /** Public probe surface: which partitions would `nprobe` touch per
     * query — the tuning observable behind `ann_nprobe_sweep` (the
@@ -376,7 +384,7 @@ object AnnIvf {
       col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
 
     // 1. centroid probe (J2): tiny theta-join, top-nprobe partitions/query.
-    val probed = probeStep(index, q, nprobe)
+    val probed = probeStep(index, q, nprobe).drop("pscore")
 
     // 2. pruned candidate join (J3/P4): equi-join on partition_id; on the
     // durable layout this hits Parquet PartitionFilters.
@@ -417,7 +425,7 @@ object AnnIvf {
       idCol: String = "vec_id"): DataFrame = {
     val q = queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
-    val probed = probeStep(index, q, nprobe)
+    val probed = probeStep(index, q, nprobe).drop("pscore")
     val scored = broadcast(probed)
       .join(index.assigned, Seq("partition_id"))
       .withColumn("score", VectorOps.dot(col(vecCol), col("__query_vec")))
@@ -449,7 +457,7 @@ object AnnIvf {
       idCol: String = "vec_id"): DataFrame = {
     val q = queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
-    val probed = probeStep(index, q, nprobe)
+    val probed = probeStep(index, q, nprobe).drop("pscore")
     val probedIds = probed.select("partition_id").distinct()
       .collect().map(_.get(0))
     val prunedVectors = index.assigned

@@ -69,10 +69,7 @@ object AnnPq {
     Codebooks(dim, m, k, centers)
   }
 
-  /** Nearest sub-centroid per subspace by L2 (the PQ assignment that
-    * minimizes quantization error), one byte each. */
-  def encodeUdf(cb: Codebooks) = udf { (vec: Seq[Float]) =>
-    val v = CentroidGemm.toFloatArray(vec)
+  private def encodeVec(cb: Codebooks, v: Array[Float]): Array[Byte] = {
     val out = new Array[Byte](cb.m)
     var s = 0
     while (s < cb.m) {
@@ -97,6 +94,51 @@ object AnnPq {
     out
   }
 
+  /** Nearest sub-centroid per subspace by L2 (the PQ assignment that
+    * minimizes quantization error), one byte each. */
+  def encodeUdf(cb: Codebooks) = udf { (vec: Seq[Float]) =>
+    encodeVec(cb, CentroidGemm.toFloatArray(vec))
+  }
+
+  /** RESIDUAL encoding — the faithful FAISS `IVFx,PQy` formulation: codes
+    * quantize `v − c(partition(v))`, which has far less energy than `v`
+    * itself (the coarse quantizer already explains the centroid part), so
+    * the same byte budget quantizes much finer. Scores stay exact-form
+    * because inner products decompose linearly:
+    * ⟨q, c_p + r̂⟩ = ⟨q, c_p⟩ (the probe's `pscore`) + ⟨q, r̂⟩ (ADC). */
+  def encodeResidualUdf(cb: Codebooks, centers: Map[Int, Array[Float]]) =
+    udf { (pid: Int, vec: Seq[Float]) =>
+      val v = CentroidGemm.toFloatArray(vec).clone()
+      val c = centers(pid)
+      var i = 0
+      while (i < v.length) { v(i) -= c(i); i += 1 }
+      encodeVec(cb, v)
+    }
+
+  /** Train codebooks on the RESIDUALS of an assigned index — pair with
+    * `encode(..., residual = true)` and `searchADC(..., residual = true)`. */
+  def trainResidual(
+      index: AnnIvf.Index,
+      vecCol: String,
+      m: Int,
+      ksub: Int = 256,
+      seed: Long = 42L,
+      sampleLimit: Int = 1 << 14): Codebooks = {
+    val centers = AnnIvf.centerMap(index)
+    val spark = index.assigned.sparkSession
+    val bc = spark.sparkContext.broadcast(centers)
+    val residUdf = udf { (pid: Int, vec: Seq[Float]) =>
+      val v = CentroidGemm.toFloatArray(vec).clone()
+      val c = bc.value(pid)
+      var i = 0
+      while (i < v.length) { v(i) -= c(i); i += 1 }
+      v
+    }
+    train(index.assigned.select(
+        residUdf(col("partition_id"), col(vecCol)).as(vecCol)),
+      vecCol, m, ksub, seed, sampleLimit)
+  }
+
   /** The compact searchable layout: (partition_id, id, pq_code) — `m`
     * bytes of payload per vector; the fp32 column stays in the full
     * index for the optional refine join only.
@@ -110,10 +152,16 @@ object AnnPq {
     * `.unpersist()` when done, or write it out as partitioned parquet
     * (same layout contract as [[AnnIvf.write]]) for the durable form. */
   def encode(index: AnnIvf.Index, cb: Codebooks,
-      idCol: String, vecCol: String): DataFrame =
+      idCol: String, vecCol: String, residual: Boolean = false): DataFrame = {
+    val codeCol =
+      if (residual)
+        encodeResidualUdf(cb, AnnIvf.centerMap(index))(
+          col("partition_id"), col(vecCol))
+      else encodeUdf(cb)(col(vecCol))
     index.assigned.select(col("partition_id"), col(idCol),
-      encodeUdf(cb)(col(vecCol)).as("pq_code"))
+      codeCol.as("pq_code"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Seeded random orthogonal rotation (Gram-Schmidt over a Gaussian
     * matrix): the cheap four-fifths of OPQ (Ge et al., "Optimized
@@ -241,13 +289,16 @@ object AnnPq {
       k: Int,
       nprobe: Int,
       idCol: String = "vec_id",
-      refine: Int = 0): DataFrame = {
+      refine: Int = 0,
+      residual: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val q = queries.select(
       col(queryIdCol).cast("long").as("query_id"), col(vecCol).as("__query_vec"))
+    // residual mode keeps the probe's ⟨q, c_p⟩ term: candidate score =
+    // pscore + ADC over the residual codes (linear decomposition)
     val probed = AnnIvf.probeStep(index, q, nprobe)
-      .select("query_id", "partition_id")
+      .select("query_id", "partition_id", "pscore")
     val luts = q.as[(Long, Seq[Float])].collect()
       .map { case (qid, v) => qid -> computeLut(cb, CentroidGemm.toFloatArray(v)) }
       .toMap
@@ -261,9 +312,11 @@ object AnnPq {
       while (i < m) { s += l(i * ksub + (code(i) & 0xff)); i += 1 }
       s
     }
+    val adc = scoreUdf(col("query_id"), col("pq_code"))
     val scored = broadcast(probed)
       .join(encoded, Seq("partition_id"))
-      .withColumn("adc_score", scoreUdf(col("query_id"), col("pq_code")))
+      .withColumn("adc_score", if (residual) adc + col("pscore") else adc)
+      .drop("pscore")
     if (refine <= 0)
       Knn.topKPerGroup(scored, Seq(col("query_id")), k,
           desc("adc_score"), asc(idCol))

@@ -69,7 +69,7 @@ final class ServingCache(val index: AnnIvf.Index, val maxCachedPartitions: Int) 
       k: Int, nprobe: Int, idCol: String = "vec_id"): DataFrame = {
     val q = queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
-    val probed = AnnIvf.probeStep(index, q, nprobe)
+    val probed = AnnIvf.probeStep(index, q, nprobe).drop("pscore")
     val pids = probed.select("partition_id").distinct()
       .collect().map(_.getAs[Number]("partition_id").intValue()).sorted
     if (pids.isEmpty) return AnnIvf.searchPruned(

@@ -110,16 +110,18 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     },
 
-    // IVF-PQ end-to-end: 8-byte product codes (32x smaller than fp32 at
-    // dim 64), ADC candidate scoring, exact top-50 refine — recall of
-    // both stages vs brute force in one row. Rows-only (k-means).
+    // IVF-PQ end-to-end (faithful residual formulation): 8-byte product
+    // codes over v − centroid (32x smaller than fp32 at dim 64), ADC +
+    // pscore candidate scoring, exact top-50 refine — recall of both
+    // stages vs brute force in one row. Rows-only (k-means).
     "ann_pq_recall" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
       val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
-      val cb = graft.operators.AnnPq.train(emb, "embedding", m = 8, ksub = 256,
-        seed = 42L, sampleLimit = 2048)
-      val encoded = graft.operators.AnnPq.encode(index, cb, "vec_id", "embedding")
+      val cb = graft.operators.AnnPq.trainResidual(index, "embedding", m = 8,
+        ksub = 256, seed = 42L, sampleLimit = 2048)
+      val encoded = graft.operators.AnnPq.encode(index, cb, "vec_id", "embedding",
+        residual = true)
       val bf = Knn.bruteForce(emb, queries, "vec_id", "vec_id", "embedding",
           k = 10, excludeSelf = false)
         .select(col("query_id"), col("vec_id"))
@@ -129,9 +131,11 @@ object VectorQueries {
           .groupBy("query_id").agg((count(lit(1)) / 10.0).as("r"))
           .agg(round(avg(col("r")), 4).as(name))
       val adc = recallOf(graft.operators.AnnPq.searchADC(index, cb, encoded,
-        queries, "vec_id", "embedding", k = 10, nprobe = 16), "recall_adc")
+        queries, "vec_id", "embedding", k = 10, nprobe = 16,
+        residual = true), "recall_adc")
       val refined = recallOf(graft.operators.AnnPq.searchADC(index, cb, encoded,
-        queries, "vec_id", "embedding", k = 10, nprobe = 16, refine = 50), "recall_refined")
+        queries, "vec_id", "embedding", k = 10, nprobe = 16, refine = 50,
+        residual = true), "recall_refined")
       adc.crossJoin(refined)
         .withColumn("code_bytes", lit(cb.codeBytes))
         .withColumn("compression_x", lit(64 * 4 / cb.codeBytes))

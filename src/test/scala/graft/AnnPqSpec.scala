@@ -55,6 +55,29 @@ class AnnPqSpec extends SparkSpec {
     assert(refined >= 0.8) // two-stage plan recovers ranking quality
   }
 
+  test("residual encoding beats plain PQ at the same byte budget") {
+    val queries = emb.filter($"vec_id" < 20)
+    val bf = Knn.bruteForce(emb, queries, "vec_id", "vec_id", "embedding",
+        k = 10, excludeSelf = false)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    def recall(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.select($"query_id", $"vec_id")
+        .as[(Long, Long)].collect().toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val cbPlain = AnnPq.train(emb, "embedding", m = 8, ksub = 256, seed = 42L)
+    val encPlain = AnnPq.encode(index, cbPlain, "vec_id", "embedding")
+    val plain = recall(AnnPq.searchADC(index, cbPlain, encPlain, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    val cbRes = AnnPq.trainResidual(index, "embedding", m = 8, ksub = 256, seed = 42L)
+    val encRes = AnnPq.encode(index, cbRes, "vec_id", "embedding", residual = true)
+    val res = recall(AnnPq.searchADC(index, cbRes, encRes, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4, residual = true))
+    info(s"plain ADC recall@10 = $plain, residual ADC recall@10 = $res")
+    assert(res >= plain)
+    encPlain.unpersist(); encRes.unpersist()
+  }
+
   test("durable write/read roundtrip: same codebooks, same search results") {
     val cb = AnnPq.train(emb, "embedding", m = 8, ksub = 16, seed = 7L)
     val encoded = AnnPq.encode(index, cb, "vec_id", "embedding")
