@@ -51,6 +51,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // LEARNED BPE token budget: merge rules trained on a corpus sample
+    // (driver-side, the standard tokenizer-training shape), applied
+    // distributed with the rule table broadcast. Rows-only: iterative
+    // merge training is not SQL-expressible; losslessness, determinism,
+    // and compression are spec-checked (BpeSpec).
+    "text_bpe_learned" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val model = graft.functions.Bpe.train(docs, "text",
+        numMerges = 200, sampleLimit = 500)
+      docs.select(col("doc_id"),
+          graft.functions.Bpe.subwordCount(model)(col("text")).as("n_subwords_learned"),
+          TextOps.tokenCount(col("text")).as("n_words"))
+        .orderBy("doc_id")
+    },
+
     // Winnowing rolling-hash sketch (document fingerprinting). The
     // poly-31 gram hash is SQL-reproducible, so the sketch cardinality
     // AND content (via its sum) are DuckDB-oracle-checked.

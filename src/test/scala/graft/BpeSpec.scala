@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+
+/** Learned BPE: deterministic training, exact detokenization, and real
+  * compression vs character-level on the documents corpus. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("training learns the expected merges on a toy corpus, deterministically") {
+    val docs = Seq.fill(10)("low lower lowest").toDF("text")
+    val m1 = Bpe.train(docs, "text", numMerges = 3)
+    val m2 = Bpe.train(docs, "text", numMerges = 3)
+    assert(m1.merges === m2.merges)
+    // every word contains l-o-w, so the first two merges assemble "low"
+    // (tie on count broken lexicographically: (o,w) before (l,ow))
+    assert(m1.merges.take(2) === Seq(("o", "w"), ("l", "ow")))
+    assert(Bpe.tokenizeWord(m1, "low").head === "low")
+  }
+
+  test("tokenization is lossless: concatenated tokens rebuild each word") {
+    val docs = graft.queries.table(spark, sf0001, "documents")
+    val model = Bpe.train(docs, "text", numMerges = 100, sampleLimit = 200)
+    val words = Seq("the", "antique", "chocolate", "xylophone-ish", "a")
+    words.foreach { w =>
+      val toks = Bpe.tokenizeWord(model, w)
+      assert(toks.mkString.stripSuffix(Bpe.Eow) === w, s"word $w -> $toks")
+    }
+  }
+
+  test("learned merges compress the corpus vs character-level") {
+    val docs = graft.queries.table(spark, sf0001, "documents")
+    val model = Bpe.train(docs, "text", numMerges = 200, sampleLimit = 500)
+    assert(model.merges.size > 50) // natural text has plenty of repeated pairs
+    val stats = docs
+      .select(Bpe.subwordCount(model)(col("text")).as("n_sub"),
+        length(regexp_replace(col("text"), " ", "")).as("n_chars"))
+      .agg(sum(col("n_sub")).as("sub"), sum(col("n_chars")).as("chars"))
+      .as[(Long, Long)].head()
+    // every word is <= chars+1 symbols and merges strictly reduce tokens
+    assert(stats._1 < stats._2 / 2, s"subwords=${stats._1} chars=${stats._2}")
+  }
+}
