@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -489,7 +489,8 @@ object AnnIvf {
       vecCol: String,
       k: Int,
       nprobe: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      score: (Column, Column) => Column = VectorOps.dot(_, _)): DataFrame = {
     val centers = index.centroids.orderBy("partition_id")
       .collect().map(_.getSeq[Float](1).toArray)
     // corpus-sized probe side → blocked-gemm multi-probe, not a per-row UDF
@@ -542,7 +543,7 @@ object AnnIvf {
     // sorts or shuffles more than k rows per query.
     TopKAggregator.topK(
       filtered
-        .withColumn("score", VectorOps.dot(col(vecCol), col("__query_vec")))
+        .withColumn("score", score(col(vecCol), col("__query_vec")))
         .select(col("query_id"), col(idCol), col("score")),
       "query_id", idCol, "score", k)
   }

@@ -319,6 +319,40 @@ object RelationalQueries {
         .orderBy("bucket")
     },
 
+    // The MERGED sketch content, oracle-checked (A8 — closes the gap the
+    // float-estimate queries leave): per-group sketches built by
+    // `Hll.sketchAgg` over the PORTABLE hash, merged by `Hll.mergeAgg`,
+    // then reduced to three integer checksums of the 4096-register array
+    // (sum, nonzero count, position-weighted sum). Merging per-group
+    // maxes equals the global max per register, so DuckDB recomputes the
+    // same registers from scratch — every value integral, no ln() ulp
+    // gamble. This puts the TypedImperativeAggregate partial/merge path
+    // itself under the driver's hash gate.
+    "profile_hll_merge_checksum" -> { (s, dir) =>
+      import graft.functions.{Hll, TextOps}
+      val hUdf = udf((x: String) => TextOps.portableTokenHash64(x))
+      val ckUdf = udf { (sk: Array[Byte]) =>
+        var sum = 0L; var nz = 0L; var wsum = 0L
+        var i = 0
+        while (i < sk.length) {
+          val r = sk(i) & 0xff
+          sum += r; if (r > 0) nz += 1; wsum += (i + 1).toLong * r
+          i += 1
+        }
+        (sum, nz, wsum)
+      }
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          hUdf(col("l_partkey").cast("string")).as("h"))
+        .groupBy("l_returnflag")
+        .agg(Hll.sketchAgg(col("h")).as("sk"))
+        .agg(Hll.mergeAgg(col("sk")).as("sk"))
+        .select(ckUdf(col("sk")).as("ck"))
+        .select(col("ck._1").as("register_sum"),
+          col("ck._2").as("nonzero_buckets"),
+          col("ck._3").as("weighted_sum"))
+    },
+
     // Approximate profiling (A8): HLL distinct + approximate quantiles —
     // sketch outputs are implementation-defined, so rows-only check.
     "q27_profile_approx" -> { (s, dir) =>
@@ -360,6 +394,35 @@ object RelationalQueries {
          SELECT CAST(bucket AS INTEGER) AS bucket,
                 CAST(MAX(rho) AS INTEGER) AS register
          FROM r GROUP BY bucket ORDER BY bucket"""
+    },
+
+    // Merged-sketch checksums recomputed from scratch: the P=12 sketch's
+    // bucket is the hash's top 12 bits (bit 63 is always clear in the
+    // portable hash) and rank = leading zeros of (h << 12) + 1, i.e.
+    // 53 − bitlength(low 52 bits) — computed integrally via a bit-smear +
+    // BIT_COUNT. Per-group max then merge-max ≡ global max per register.
+    "profile_hll_merge_checksum" -> {
+      s"""WITH pp AS (
+           SELECT ${polySql("CAST(l_partkey AS VARCHAR)", 31)} AS p1,
+                  ${polySql("CAST(l_partkey AS VARCHAR)", 37)} AS p2
+           FROM lineitem),
+         hh AS (SELECT ${tokenHashSql("p1", "p2")} AS h FROM pp),
+         lz AS (SELECT h >> 52 AS bucket,
+                       h & 4503599627370495 AS low FROM hh),
+         s1 AS (SELECT bucket, low, low | (low >> 1) AS r FROM lz),
+         s2 AS (SELECT bucket, low, r | (r >> 2) AS r FROM s1),
+         s3 AS (SELECT bucket, low, r | (r >> 4) AS r FROM s2),
+         s4 AS (SELECT bucket, low, r | (r >> 8) AS r FROM s3),
+         s5 AS (SELECT bucket, low, r | (r >> 16) AS r FROM s4),
+         s6 AS (SELECT bucket, low, r | (r >> 32) AS r FROM s5),
+         regs AS (SELECT bucket,
+                    MAX(CASE WHEN low = 0 THEN 53
+                             ELSE 53 - BIT_COUNT(r) END) AS register
+                  FROM s6 GROUP BY bucket)
+         SELECT CAST(SUM(register) AS BIGINT) AS register_sum,
+                CAST(COUNT(*) AS BIGINT) AS nonzero_buckets,
+                CAST(SUM((bucket + 1) * register) AS BIGINT) AS weighted_sum
+         FROM regs"""
     },
 
     "q01_pricing_summary" ->

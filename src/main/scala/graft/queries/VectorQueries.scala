@@ -110,6 +110,23 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // Corpus×corpus KNN join at nprobe = nlist: every vector probes EVERY
+    // partition, so the candidate set per query is the whole corpus and
+    // knnJoin provably equals brute force (KnnSpec) — which makes the one
+    // nontrivial custom aggregate in the serving story (TopKAggregator's
+    // k-bounded partial/merge) DuckDB-expressible: the oracle is an exact
+    // self-join + ROW_NUMBER window. Scores rounded to 6 dp BEFORE ranking
+    // on both sides; desc-score/asc-id is the aggregator's contract.
+    "knn_join_exact" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      AnnIvf.knnJoin(index, "vec_id", "embedding", k = 3, nprobe = 16,
+          score = roundedDot)
+        .select(col("query_id"), col("vec_id"), col("score"),
+          col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+
     // IVF-PQ end-to-end (faithful residual formulation): 8-byte product
     // codes over v − centroid (32x smaller than fp32 at dim 64), ADC +
     // pscore candidate scoring, exact top-50 refine — recall of both
@@ -145,13 +162,16 @@ object VectorQueries {
     // The reference's verbose scatter-gather envelope: per (query, probed
     // partition) the local top-k, pre-merge — one row per shard response
     // (neighborhood_server.py:323-331). Rows-only (k-means routing).
+    // All columns are scalar (the neighbor list is joined to a string) so
+    // the driver's canonical row sort can hash the output.
     "ann_search_verbose" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
       AnnIvf.searchVerbose(index, emb.filter(col("vec_id") < 3),
           "vec_id", "embedding", k = 5, nprobe = 3)
         .withColumn("neighbor_ids",
-          transform(col("neighbors"), n => n("neighbor_id")))
+          concat_ws(",",
+            transform(col("neighbors"), n => n("neighbor_id").cast("string"))))
         .withColumn("top_score",
           round(element_at(col("neighbors"), 1)("score"), 6))
         .select("query_id", "partition_id", "neighbor_ids", "top_score")
@@ -228,6 +248,16 @@ object VectorQueries {
             FROM embeddings a, embeddings b
             WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
           WHERE rn <= 5 ORDER BY query_id, rnk""",
+
+    "knn_join_exact" ->
+      s"""SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rnk FROM (
+            SELECT a.vec_id AS query_id, b.vec_id,
+              ${sqlDot("b.embedding", "a.embedding")} AS score,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY ${sqlDot("b.embedding", "a.embedding")} DESC, b.vec_id) AS rn
+            FROM embeddings a, embeddings b
+            WHERE b.vec_id <> a.vec_id)
+          WHERE rn <= 3 ORDER BY query_id, rnk""",
 
     "knn_cosine_distance" ->
       """SELECT vec_id, label, cos_dist FROM (
