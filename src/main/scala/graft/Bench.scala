@@ -10,8 +10,35 @@ import org.apache.spark.sql.SparkSession
   * evenly; per-query time = median of trials; `value` = sum of medians.
   * `spread` is per-query (max-min)/median — the run-to-run noise floor —
   * and `spread_mean` its average, so a regression can be told from jitter.
+  *
+  * Cross-SESSION totals additionally drift ~1.5-2x with ambient sandbox
+  * load on byte-identical code (observed r3/r4): the JSON therefore
+  * carries two machine-noise anchors measured in the same warmed JVM —
+  * `anchor_cpu` (fixed single-thread integer loop: raw CPU speed ×
+  * contention) and `anchor_spark` (fixed 32-task range-sum: scheduler +
+  * task dispatch cost). Comparing runs from different sessions, divide
+  * totals by the anchor ratio first; only a shift beyond both the anchor
+  * ratio and per-query spread is a plan regression.
   */
 object Bench {
+
+  /** Fixed CPU work, no allocation — times raw single-core throughput. */
+  private def cpuAnchorOnce(): Double = {
+    val t0 = System.nanoTime()
+    var x = 1469598103934665603L
+    var i = 0
+    while (i < 200000000) { x = (x ^ i) * 1099511628211L; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42) print("") // defeat dead-code elimination
+    dt
+  }
+
+  /** Fixed 32-task Spark job — times scheduler/dispatch constant cost. */
+  private def sparkAnchorOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 50000000L, 1, 32).selectExpr("sum(id % 7)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -35,6 +62,11 @@ object Bench {
     }
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+
+    // anchors: one untimed warmup each, then median-of-trials like queries
+    cpuAnchorOnce(); sparkAnchorOnce(spark)
+    val anchorCpu = Vector.fill(trials)(cpuAnchorOnce())
+    val anchorSpark = Vector.fill(trials)(sparkAnchorOnce(spark))
 
     val names = SparkEntry.queries.keys.toVector.sorted
     // untimed warmup pass: codegen compile + parquet footer cache for every
@@ -63,7 +95,9 @@ object Bench {
     val sp = names.map(n => s"\"$n\":" + spread(n)).mkString("{", ",", "}")
     val total = r(med.values.sum)
     val spreadMean = r(if (names.nonEmpty) spread.values.sum / names.size else 0.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"spread_mean":$spreadMean,"spread":$sp}""")
+    val aCpu = r(median(anchorCpu))
+    val aSpark = r(median(anchorSpark))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"spread_mean":$spreadMean,"anchor_cpu":$aCpu,"anchor_spark":$aSpark,"anchor_note":"fixed-work machine-noise anchors; normalize cross-session totals by the anchor ratio (~1.5-2x ambient drift observed on identical code)","spread":$sp}""")
     spark.stop()
   }
 }

@@ -107,11 +107,25 @@ object AnnIvf {
       points: Array[Array[Float]], k: Int, seed: Long, maxIter: Int): Array[Array[Float]] = {
     require(points.nonEmpty, "k-means needs a non-empty training sample")
     val rnd = new java.util.Random(seed)
-    val dim = points(0).length
     val kEff = math.min(k, points.length)
     // init: k distinct random sample points
-    val centers = rnd.ints(0, points.length).distinct().limit(kEff)
+    val init = rnd.ints(0, points.length).distinct().limit(kEff)
       .toArray.map(i => points(i).clone())
+    lloyd(points, init, rnd, maxIter)
+  }
+
+  /** Lloyd's from explicit initial centers (OPQ warm-starts each
+    * alternation from the previous iteration's codebooks). */
+  private[operators] def localKMeansWarm(
+      points: Array[Array[Float]], init: Array[Array[Float]], seed: Long,
+      maxIter: Int): Array[Array[Float]] =
+    lloyd(points, init.map(_.clone()), new java.util.Random(seed), maxIter)
+
+  private def lloyd(
+      points: Array[Array[Float]], centers: Array[Array[Float]],
+      rnd: java.util.Random, maxIter: Int): Array[Array[Float]] = {
+    val dim = points(0).length
+    val kEff = centers.length
     var iter = 0
     while (iter < maxIter) {
       val sums = Array.fill(kEff)(new Array[Double](dim))

@@ -42,13 +42,20 @@ object AnnPq {
       ksub: Int = 256,
       seed: Long = 42L,
       sampleLimit: Int = 1 << 14): Codebooks = {
-    require(ksub >= 2 && ksub <= 256,
-      s"PQ codes are single bytes: need 2 <= ksub <= 256, got $ksub")
     val spark = vectors.sparkSession
     import spark.implicits._
     val sample = vectors.select(col(vecCol)).limit(sampleLimit)
       .as[Seq[Float]].collect().map(CentroidGemm.toFloatArray)
     require(sample.nonEmpty, "AnnPq.train: empty sample")
+    trainLocal(sample, m, ksub, seed)
+  }
+
+  /** Driver-local PQ training over an in-memory sample (the shared core
+    * of [[train]] / [[trainResidual]] / [[trainOpq]]). */
+  private def trainLocal(
+      sample: Array[Array[Float]], m: Int, ksub: Int, seed: Long): Codebooks = {
+    require(ksub >= 2 && ksub <= 256,
+      s"PQ codes are single bytes: need 2 <= ksub <= 256, got $ksub")
     val dim = sample(0).length
     require(dim % m == 0, s"AnnPq.train: dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -197,6 +204,215 @@ object AnnPq {
     m.map(_.map(_.toFloat))
   }
 
+  /** FULL (non-parametric) OPQ — Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 §4: alternate between (a) training PQ
+    * codebooks in the current rotated space and (b) solving the
+    * orthogonal Procrustes problem for the rotation that best aligns the
+    * data with its quantized reconstruction (R minimizing
+    * ‖XRᵀ − Y‖_F over orthogonal R, closed form via SVD of XᵀY).
+    * [[randomRotation]] is the cheap four-fifths (it balances subspace
+    * energy); the alternating solve additionally aligns the subspace
+    * axes with the data's principal directions, for corpora that defeat
+    * a random rotation alone.
+    *
+    * Driver-local on the same bounded-sample contract as [[train]]
+    * (d×d Procrustes at d = 64-512 is microseconds; the corpus-sized
+    * work — rotate + encode — stays distributed). Deterministic for a
+    * fixed (sample, seed). Returns (codebooks trained in the FINAL
+    * rotated space, rotation R): apply `rotateUdf(R)` at ingest like the
+    * rotation-only path, then encode/searchADC/refine are unchanged —
+    * orthogonality keeps every inner product invariant. */
+  def trainOpq(
+      vectors: DataFrame,
+      vecCol: String,
+      m: Int,
+      ksub: Int = 256,
+      seed: Long = 42L,
+      sampleLimit: Int = 1 << 14,
+      iters: Int = 10): (Codebooks, Array[Array[Float]]) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sample = vectors.select(col(vecCol)).limit(sampleLimit)
+      .as[Seq[Float]].collect().map(CentroidGemm.toFloatArray)
+    require(sample.nonEmpty, "AnnPq.trainOpq: empty sample")
+    val dim = sample(0).length
+    def rotate(r: Array[Array[Float]], x: Array[Float]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        val row = r(i)
+        var d = 0.0f
+        var k = 0
+        while (k < dim) { d += row(k) * x(k); k += 1 }
+        out(i) = d
+        i += 1
+      }
+      out
+    }
+    var r = randomRotation(dim, seed)
+    // warm-start each alternation's codebooks from the previous ones (the
+    // rotation moves little between iterations, so assignments churn less
+    // than a from-scratch retrain — Ge §4's alternation), and keep the
+    // best (R, codebooks) by sample quantization error: the k-means step
+    // is not exactly monotone, so returning the best measured iterate
+    // guarantees error ≤ the iteration-0 (= rotation-only, same seed)
+    // baseline.
+    var prev: Codebooks = null
+    var bestErr = Double.MaxValue
+    var bestCb: Codebooks = null
+    var bestR = r
+    var it = 0
+    while (it <= iters) {
+      val rotated = sample.map(rotate(r, _))
+      val cb =
+        if (prev == null) trainLocal(rotated, m, ksub, seed)
+        else trainLocalWarm(rotated, prev, seed)
+      prev = cb
+      val recon = rotated.map(x => decodeVec(cb, encodeVec(cb, x)))
+      var err = 0.0
+      var i = 0
+      while (i < rotated.length) {
+        val x = rotated(i); val y = recon(i)
+        var k = 0
+        while (k < dim) { val d = x(k) - y(k); err += d * d; k += 1 }
+        i += 1
+      }
+      if (sys.env.contains("GRAFT_OPQ_DEBUG")) println(f"[opq] iter $it err=$err%.6f")
+      if (err < bestErr) { bestErr = err; bestCb = cb; bestR = r }
+      if (it < iters) {
+        // Procrustes data matrix M = XᵀY over (original x, reconstruction y)
+        val mm = Array.ofDim[Double](dim, dim)
+        i = 0
+        while (i < sample.length) {
+          val x = sample(i)
+          val y = recon(i)
+          var a = 0
+          while (a < dim) {
+            val xa = x(a)
+            if (xa != 0.0f) {
+              val row = mm(a)
+              var b = 0
+              while (b < dim) { row(b) += xa * y(b); b += 1 }
+            }
+            a += 1
+          }
+          i += 1
+        }
+        // Rᵀ = UVᵀ minimizes ‖XRᵀ − Y‖ → R = VUᵀ
+        val (u, v) = svdUV(mm)
+        val next = Array.ofDim[Float](dim, dim)
+        var a = 0
+        while (a < dim) {
+          var b = 0
+          while (b < dim) {
+            var d = 0.0
+            var k = 0
+            while (k < dim) { d += v(a)(k) * u(b)(k); k += 1 }
+            next(a)(b) = d.toFloat
+            b += 1
+          }
+          a += 1
+        }
+        r = next
+      }
+      it += 1
+    }
+    (bestCb, bestR)
+  }
+
+  /** Warm-started sub-quantizer refit (OPQ alternation step). */
+  private def trainLocalWarm(
+      sample: Array[Array[Float]], prev: Codebooks, seed: Long): Codebooks = {
+    val dim = sample(0).length
+    val dsub = prev.dsub
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val centers = Await.result(
+      Future.sequence((0 until prev.m).toVector.map { s =>
+        Future {
+          val sub = sample.map(v =>
+            java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+          AnnIvf.localKMeansWarm(sub, prev.centers(s), seed + s, maxIter = 4)
+        }
+      }), Duration.Inf).toArray
+    Codebooks(dim, prev.m, prev.ksub, centers)
+  }
+
+  /** Reconstruction (decode): concatenate the coded sub-centroids. */
+  private def decodeVec(cb: Codebooks, code: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](cb.dim)
+    var s = 0
+    while (s < cb.m) {
+      val c = cb.centers(s)(code(s) & 0xff)
+      System.arraycopy(c, 0, out, s * cb.dsub, cb.dsub)
+      s += 1
+    }
+    out
+  }
+
+  /** SVD of a small square matrix by one-sided (Hestenes) Jacobi:
+    * right-rotate column pairs until mutually orthogonal, accumulating V;
+    * then AV = UΣ gives U as the normalized columns. Dependency-free and
+    * deterministic; a d×d solve at d ≤ 512 is sub-millisecond. Returns
+    * (U, V) with A = UΣVᵀ. */
+  private def svdUV(a0: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var rotatedAny = true
+    var sweep = 0
+    while (rotatedAny && sweep < 64) {
+      rotatedAny = false
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          var app = 0.0; var aqq = 0.0; var apq = 0.0
+          var k = 0
+          while (k < n) {
+            val ap = a(k)(p); val aq = a(k)(q)
+            app += ap * ap; aqq += aq * aq; apq += ap * aq
+            k += 1
+          }
+          if (math.abs(apq) > 1e-12 * math.sqrt(app * aqq) + Double.MinPositiveValue) {
+            rotatedAny = true
+            val tau = (aqq - app) / (2.0 * apq)
+            val t = math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = c * t
+            k = 0
+            while (k < n) {
+              val ap = a(k)(p); val aq = a(k)(q)
+              a(k)(p) = c * ap - s * aq
+              a(k)(q) = s * ap + c * aq
+              val vp = v(k)(p); val vq = v(k)(q)
+              v(k)(p) = c * vp - s * vq
+              v(k)(q) = s * vp + c * vq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val u = Array.ofDim[Double](n, n)
+    var j = 0
+    while (j < n) {
+      var norm = 0.0
+      var k = 0
+      while (k < n) { norm += a(k)(j) * a(k)(j); k += 1 }
+      norm = math.sqrt(norm)
+      if (norm > 1e-12) { k = 0; while (k < n) { u(k)(j) = a(k)(j) / norm; k += 1 } }
+      else u(j)(j) = 1.0 // rank-deficient direction: any unit vector is optimal
+      j += 1
+    }
+    (u, v)
+  }
+
   /** Apply a rotation matrix to a vector column (one gemv per row). */
   def rotateUdf(r: Array[Array[Float]]) = udf { (v: Array[Float]) =>
     val out = new Array[Float](r.length)
@@ -271,6 +487,9 @@ object AnnPq {
     * probed partitions → per-query top-k; with `refine > 0` the ADC
     * top-`refine` re-rank exactly against the fp32 vectors (a ≤
     * |queries|·refine row join — the standard two-stage serving plan).
+    * The output `score` column is the ADC approximation without refine
+    * and the exact fp32 inner product with it (same name either way, so
+    * downstream code is insensitive to the serving tier).
     *
     * LUT transport matters: the tables (m·ksub floats ≈ 8 KB each) ship
     * ONCE per query as one executor broadcast, and candidate rows carry
@@ -278,7 +497,15 @@ object AnnPq {
     * the LUT as a column repeated ~8 KB through every joined candidate
     * row and was 5× slower at sf0.1. The driver-side query collect is
     * the same serving-contract bound as [[AnnIvf.searchPruned]]'s probe
-    * round-trip (the query batch is small; the corpus is the big side). */
+    * round-trip (the query batch is small; the corpus is the big side).
+    *
+    * Broadcast lifecycle: the LUT broadcast lives exactly as long as the
+    * returned (lazy) plan — it cannot be destroyed here without breaking
+    * re-execution, and Spark's ContextCleaner reclaims it from driver and
+    * executors once the caller releases the DataFrame. A long-running
+    * serving loop therefore holds ≤ one LUT broadcast per LIVE result it
+    * retains (same contract as [[encode]]'s persist): drop result
+    * references between batches and the accumulation is bounded. */
   def searchADC(
       index: AnnIvf.Index,
       cb: Codebooks,
@@ -321,6 +548,7 @@ object AnnPq {
       Knn.topKPerGroup(scored, Seq(col("query_id")), k,
           desc("adc_score"), asc(idCol))
         .drop("pq_code")
+        .withColumnRenamed("adc_score", "score")
     else {
       val shortlist = Knn.topKPerGroup(scored, Seq(col("query_id")),
           math.max(refine, k), desc("adc_score"), asc(idCol))

@@ -55,41 +55,74 @@ object Ingest {
     * staging dir, then atomically swaps directories. The swap is the
     * local-FS twin of a metastore location flip; readers opened before
     * the swap keep their snapshot, new reads see only compacted files.
-    * Returns (filesBefore, filesAfter). */
+    *
+    * Concurrent-writer safe: the rewrite reads EXACTLY the files listed in
+    * an up-front snapshot (not "whatever is in the directory when the scan
+    * runs"), and after the swap any data file that a concurrent appender
+    * landed AFTER the snapshot is moved from the retired dir back into the
+    * published dir before the retired dir is deleted — a late micro-batch
+    * is never silently dropped; it just stays uncompacted until the next
+    * pass. Returns (filesBefore, filesAfter).
+    *
+    * `onStaged` is a test seam invoked between the staged rewrite and the
+    * directory swap — the window a concurrent append races into. */
   def compact(
       spark: SparkSession,
       path: String,
       partitionCol: String,
-      maxRecordsPerFile: Long = 4_000_000L): (Long, Long) = {
+      maxRecordsPerFile: Long = 4_000_000L,
+      onStaged: () => Unit = () => ()): (Long, Long) = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hconf)
-    def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) n += 1
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val it = fs.listFiles(p, true)
+        val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) b += f.getPath
+        }
+        b.result()
       }
-      n
     }
-    val before = dataFiles(target)
+    // listFiles returns scheme-qualified URIs; qualify the root the same
+    // way or relativize silently returns the absolute path
+    def rel(root: org.apache.hadoop.fs.Path, f: org.apache.hadoop.fs.Path): String =
+      fs.makeQualified(root).toUri.relativize(fs.makeQualified(f).toUri).getPath
+    val snapshot = dataFiles(target)
+    require(snapshot.nonEmpty, s"compact: no data files at $target")
     val staging = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}__compacting")
     fs.delete(staging, true)
-    spark.read.parquet(path)
+    // basePath keeps partition-dir discovery while pinning the input set
+    // to the snapshot listing (files appended mid-rewrite are excluded
+    // here and recovered from the retired dir below — never read twice).
+    spark.read.option("basePath", target.toString)
+      .parquet(snapshot.map(_.toString): _*)
       .repartition(col(partitionCol))
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
       .parquet(staging.toString)
+    onStaged()
     val retired = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}__retired")
     fs.delete(retired, true)
     require(fs.rename(target, retired), s"compact: cannot retire $target")
     require(fs.rename(staging, target), s"compact: cannot publish $staging")
+    val snapshotRel = snapshot.map(rel(target, _)).toSet
+    dataFiles(retired).foreach { f =>
+      val r = rel(retired, f)
+      if (!snapshotRel.contains(r)) {
+        val dest = new org.apache.hadoop.fs.Path(target, r)
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(f, dest), s"compact: cannot restore late append $f")
+      }
+    }
     fs.delete(retired, true)
-    (before, dataFiles(target))
+    (snapshot.size.toLong, dataFiles(target).size.toLong)
   }
 
   /** Dense per-partition ordinal (the reference's monotonically increasing

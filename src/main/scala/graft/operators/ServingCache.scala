@@ -22,8 +22,17 @@ import org.apache.spark.util.LongAccumulator
   * |queries|·nprobe driver round-trip in [[AnnIvf.searchPruned]] too —
   * the reference's "leader search first" sequencing), so methods are
   * synchronized for concurrent serving threads.
+  *
+  * `eagerLoad = true` (the default) materializes a partition with a
+  * `count()` at load time — one extra job per cold partition, mirroring
+  * the reference's blocking `read_index`, and it keeps `rowsLoaded`
+  * exact. `eagerLoad = false` skips that job: the first search touching
+  * the partition fills the persisted storage as a side effect of its own
+  * job (better cold-query latency; `rowsLoaded` then counts only eager
+  * loads, i.e. stays 0).
   */
-final class ServingCache(val index: AnnIvf.Index, val maxCachedPartitions: Int) {
+final class ServingCache(val index: AnnIvf.Index, val maxCachedPartitions: Int,
+    val eagerLoad: Boolean = true) {
   require(maxCachedPartitions > 0,
     s"ServingCache needs maxCachedPartitions > 0, got $maxCachedPartitions")
 
@@ -50,7 +59,9 @@ final class ServingCache(val index: AnnIvf.Index, val maxCachedPartitions: Int) 
       misses.add(1)
       val df = index.assigned.filter(col("partition_id") === pid)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      rowsLoaded.add(df.count()) // eager load, like the reference's read_index
+      // eager load, like the reference's blocking read_index; lazy mode
+      // lets the first search's own job fill the persisted storage
+      if (eagerLoad) rowsLoaded.add(df.count())
       lru.put(pid, df)
       while (lru.size > maxCachedPartitions) {
         val it = lru.entrySet().iterator()

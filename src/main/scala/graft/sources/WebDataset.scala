@@ -33,6 +33,9 @@ object WebDataset {
     val end = start + len
     // skip leading spaces/NULs, read octal digits, ignore trailing junk
     while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    // GNU base-256 encoding (high bit set): unsupported — signal the
+    // caller's tolerant stop rather than misparse as 0 and desync
+    if (i < end && (b(i) & 0x80) != 0) return -1L
     var v = 0L
     while (i < end && b(i) >= '0' && b(i) <= '7') { v = (v << 3) + (b(i) - '0'); i += 1 }
     v
@@ -63,13 +66,20 @@ object WebDataset {
         }
         val size = octal(bytes, off + 124, 12)
         val typeflag = bytes(off + 156)
-        val dataStart = off + BlockSize
+        // all offset math in Long: a corrupt (or GNU base-256, unsupported)
+        // size field must hit the tolerant stop below, not wrap through
+        // Int and turn into a negative advance / AIOOBE
+        val dataStart = off.toLong + BlockSize
         val dataEnd = dataStart + size
-        if ((typeflag == '0'.toByte || typeflag == 0.toByte) &&
-            dataEnd <= bytes.length && name.nonEmpty)
-          out += ((name,
-            java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd.toInt)))
-        off = dataStart + (((size + BlockSize - 1) / BlockSize) * BlockSize).toInt
+        val next = dataStart + ((size + BlockSize - 1) / BlockSize) * BlockSize
+        if (size < 0 || next <= off || next > Int.MaxValue) done = true
+        else {
+          if ((typeflag == '0'.toByte || typeflag == 0.toByte) &&
+              dataEnd <= bytes.length && name.nonEmpty)
+            out += ((name,
+              java.util.Arrays.copyOfRange(bytes, dataStart.toInt, dataEnd.toInt)))
+          off = next.toInt
+        }
       }
     }
     out.toSeq

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{AnnIvf, Dedup, Knn}
+import graft.operators.{AnnIvf, Dedup, Knn, ServingCache}
 import graft.queries.{dec, table}
 
 /** Scale-headroom smoke: replicate sf0.1 Nx with key-shifted copies (join
@@ -124,6 +124,37 @@ object ScaleSmoke {
       time("skewed cosinePairsViaIndex, salted") {
         AnnIvf.cosinePairsViaIndex(skewed, "vec_id", "embedding",
           threshold = 0.9, targetRowsPerTask = 1 << 12, maxSalt = 32).count()
+      }
+    }
+
+    // serving cache over a durable index at scale: an LRU resident set
+    // smaller than nlist, driven by repeated probe batches — later rounds
+    // must HIT (no re-scan of a resident partition), the resident set
+    // stays ≤ cap with evictions doing the bounding, and lazy mode skips
+    // the per-cold-partition count() job (first-query latency)
+    locally {
+      val cdir = java.nio.file.Files.createTempDirectory("servingcache").toString
+      val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      AnnIvf.write(index, cdir)
+      val durable = AnnIvf.read(spark, cdir)
+      Seq(true, false).foreach { eager =>
+        val cache = new ServingCache(durable, maxCachedPartitions = 4,
+          eagerLoad = eager)
+        time(s"serving cache: 6 probe rounds, cap 4/16, eager=$eager") {
+          var n = 0L
+          (0 until 6).foreach { i =>
+            val q = emb.filter(col("vec_id") === (i % 3).toLong)
+            n += cache.search(q, "vec_id", "embedding", k = 10, nprobe = 3).count()
+          }
+          require(cache.hits.value > 0,
+            s"repeated probes must hit the cache (hits=${cache.hits.value})")
+          require(cache.cachedPartitions.size <= 4,
+            s"resident set exceeded cap: ${cache.cachedPartitions}")
+          require(cache.misses.value > cache.evictions.value,
+            "evictions cannot exceed loads")
+          cache.invalidate()
+          n
+        }
       }
     }
 

@@ -154,15 +154,60 @@ class AnnPqSpec extends SparkSpec {
     assert(rotRecall > rawRecall)
   }
 
-  test("refine result carries exact scores, ADC-only carries adc_score") {
+  test("full alternating OPQ: orthogonal rotation, recall ≥ rotation-only") {
+    // the same adversarial energy-imbalanced corpus as the rotation test
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 400L).map { id =>
+      val v = Array.tabulate(16)(i =>
+        if (i < 4) rnd.nextGaussian().toFloat
+        else (0.05 * rnd.nextGaussian()).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (id, v.map(_ / n).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val bf = Knn.bruteForce(df, df.filter($"vec_id" < 20), "vec_id", "vec_id",
+        "embedding", k = 5, excludeSelf = false)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    def recallWith(data: org.apache.spark.sql.DataFrame,
+        cb: AnnPq.Codebooks): Double = {
+      val idx = AnnIvf.build(data, "vec_id", "embedding", nlist = 1, seed = 42L)
+      val enc = AnnPq.encode(idx, cb, "vec_id", "embedding")
+      val got = AnnPq.searchADC(idx, cb, enc, data.filter($"vec_id" < 20),
+          "vec_id", "embedding", k = 5, nprobe = 1)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+      enc.unpersist()
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    // rotation-only baseline at the SAME seed OPQ initializes from — the
+    // claim under test is that the alternating solve improves on its own
+    // starting rotation, not that it wins a seed lottery
+    val rr = AnnPq.randomRotation(16, seed = 42L)
+    val rotOnly = df.select($"vec_id", AnnPq.rotateUdf(rr)($"embedding").as("embedding"))
+    val rotRecall = recallWith(rotOnly,
+      AnnPq.train(rotOnly, "embedding", m = 8, ksub = 16, seed = 42L))
+    // full OPQ: alternating warm-started codebook / Procrustes solve
+    val (cb, r) = AnnPq.trainOpq(df, "embedding", m = 8, ksub = 16,
+      seed = 42L)
+    // R is orthogonal (rows orthonormal) → inner products invariant
+    for (i <- 0 until 16; j <- i until 16) {
+      val d = (0 until 16).map(k => r(i)(k).toDouble * r(j)(k)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-3, s"RRᵀ[$i][$j]=$d")
+    }
+    val opqDf = df.select($"vec_id", AnnPq.rotateUdf(r)($"embedding").as("embedding"))
+    val opqRecall = recallWith(opqDf, cb)
+    info(s"rotation-only recall = $rotRecall, full OPQ recall = $opqRecall")
+    assert(opqRecall >= rotRecall)
+  }
+
+  test("both serving tiers emit the same `score` column name") {
     val cb = AnnPq.train(emb, "embedding", m = 8, ksub = 16, seed = 7L)
     val encoded = AnnPq.encode(index, cb, "vec_id", "embedding")
     val q = emb.filter($"vec_id" === 0)
     val adcCols = AnnPq.searchADC(index, cb, encoded, q,
       "vec_id", "embedding", k = 5, nprobe = 4).columns
-    assert(adcCols.contains("adc_score") && !adcCols.contains("score"))
+    assert(adcCols.contains("score") && !adcCols.contains("adc_score"))
     val refCols = AnnPq.searchADC(index, cb, encoded, q,
       "vec_id", "embedding", k = 5, nprobe = 4, refine = 20).columns
-    assert(refCols.contains("score"))
+    assert(refCols.contains("score") && !refCols.contains("adc_score"))
   }
 }

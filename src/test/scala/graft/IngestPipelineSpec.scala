@@ -109,6 +109,30 @@ class IngestPipelineSpec extends SparkSpec {
     assert(got.columns.contains("partition_id"))
   }
 
+  test("compact never drops a concurrent append landing mid-swap") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = AnnIvf.build(emb.filter($"vec_id" < 200), "vec_id", "embedding",
+      nlist = 4, seed = 42L)
+    val centers = index.centroids.orderBy("partition_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    def slice(lo: Int, hi: Int) = AnnIvf.assignPartitions(
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi), "embedding", centers)
+    val dir = Files.createTempDirectory("compact-race").toString + "/vectors"
+    (0 until 3).foreach(i => Ingest.appendNew(
+      spark, slice(i * 100, (i + 1) * 100), dir, "vec_id", "partition_id"))
+    // a concurrent micro-batch races into the staged-rewrite → swap window
+    Ingest.compact(spark, dir, "partition_id",
+      onStaged = () =>
+        Ingest.appendNew(spark, slice(300, 400), dir, "vec_id", "partition_id"))
+    val got = spark.read.parquet(dir)
+    assert(got.count() === 400, "late append must survive the swap")
+    assert(got.select("vec_id").distinct().count() === 400)
+    // and a follow-up pass folds the recovered stragglers in normally
+    val (b2, a2) = Ingest.compact(spark, dir, "partition_id")
+    assert(b2 >= a2)
+    assert(spark.read.parquet(dir).count() === 400)
+  }
+
   test("streaming PQ ingest appends codes identical to the batch encoder") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val base = emb.filter($"vec_id" < 300)

@@ -54,6 +54,20 @@ class ServingCacheSpec extends SparkSpec {
     assert(cache.cachedPartitions.size <= 2)
   }
 
+  test("lazy mode: no eager count job, results still equal uncached path") {
+    val cache = new ServingCache(index, maxCachedPartitions = 8, eagerLoad = false)
+    val q = emb.filter(col("vec_id") < 5)
+    val cached = results(cache.search(q, "vec_id", "embedding", k = 10, nprobe = 3))
+    val uncached = results(
+      AnnIvf.searchPruned(index, q, "vec_id", "embedding", k = 10, nprobe = 3))
+    assert(cached === uncached)
+    assert(cache.misses.value > 0)
+    assert(cache.rowsLoaded.value === 0) // rowsLoaded counts only eager loads
+    // second search over the same partitions hits the resident set
+    cache.search(q, "vec_id", "embedding", k = 10, nprobe = 3).count()
+    assert(cache.hits.value > 0)
+  }
+
   test("stats row has /health shape, via Graft.annStats") {
     val cache = new ServingCache(index, maxCachedPartitions = 4)
     cache.search(emb.filter(col("vec_id") === 1), "vec_id", "embedding",

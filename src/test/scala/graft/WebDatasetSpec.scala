@@ -76,6 +76,22 @@ class WebDatasetSpec extends SparkSpec {
     assert(members.head._2.length === 600)
   }
 
+  test("corrupt or base-256 size field stops tolerantly, never throws") {
+    val tar = tarOf("0001.jpg" -> bytes("ok"), "0002.jpg" -> bytes("later"))
+    // overwrite the SECOND header's size field with a huge octal value
+    // whose padded advance wraps Int (would have been a negative .toInt)
+    val second = 512 + 512 // first header + one padded data block
+    System.arraycopy("77777777777".getBytes("US-ASCII"), 0, tar, second + 124, 11)
+    val members = WebDataset.tarMembers(tar)
+    assert(members.map(_._1) === Seq("0001.jpg")) // leading member survives
+    // GNU base-256 size marker (0x80 first byte): unsupported → stop, the
+    // zero-size misparse must not let the cursor land mid-payload
+    val tar2 = tarOf("0001.jpg" -> bytes("ok"), "0002.jpg" -> bytes("x" * 600))
+    tar2(second + 124) = 0x80.toByte
+    val members2 = WebDataset.tarMembers(tar2)
+    assert(members2.map(_._1) === Seq("0001.jpg"))
+  }
+
   test("keyExt follows the first-dot-of-basename convention") {
     assert(WebDataset.keyExt("dir/0001.seg.json") === ("dir/0001", "seg.json"))
     assert(WebDataset.keyExt("0001.jpg") === ("0001", "jpg"))
