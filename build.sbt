@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through raw: the driver parses
+// graft.Bench's one-line JSON from stdout, and sbt's default logger
+// prefixes every forked line with "[info] ", which breaks line-level
+// JSON parsing (BENCH_r01-r05 all show parsed:null for this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

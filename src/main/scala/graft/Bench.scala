@@ -86,18 +86,28 @@ object Bench {
     }
     def median(v: Vector[Double]): Double = { val s = v.sorted; s(s.size / 2) }
     def r(x: Double): Double = math.rint(x * 1e6) / 1e6
+    def r3(x: Double): Double = math.rint(x * 1e3) / 1e3
     val med = names.map(n => n -> median(samples(n))).toMap
     val spread = names.map { n =>
       val v = samples(n)
       n -> r(if (med(n) > 0) (v.max - v.min) / med(n) else 0.0)
     }.toMap
-    val qs = names.map(n => s"\"$n\":" + r(med(n))).mkString("{", ",", "}")
     val sp = names.map(n => s"\"$n\":" + spread(n)).mkString("{", ",", "}")
     val total = r(med.values.sum)
     val spreadMean = r(if (names.nonEmpty) spread.values.sum / names.size else 0.0)
     val aCpu = r(median(anchorCpu))
     val aSpark = r(median(anchorSpark))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"spread_mean":$spreadMean,"anchor_cpu":$aCpu,"anchor_spark":$aSpark,"anchor_note":"fixed-work machine-noise anchors; normalize cross-session totals by the anchor ratio (~1.5-2x ambient drift observed on identical code)","spread":$sp}""")
+    // Diagnostics line (spread per query, machine-noise anchors): its own
+    // JSON line so the PRIMARY line below stays compact.
+    println(s"""{"metric":"bench_diagnostics","trials":$trials,"spread_mean":$spreadMean,"anchor_cpu":$aCpu,"anchor_spark":$aSpark,"anchor_note":"fixed-work machine-noise anchors; normalize cross-session totals by the anchor ratio (~1.5-2x ambient drift observed on identical code)","spread":$sp}""")
     spark.stop()
+    // PRIMARY contract line, printed LAST and kept small: the driver
+    // captures a bounded tail of stdout (observed 2000 chars) and parses
+    // the JSON line from it, so the complete line must fit there even
+    // after sbt's trailing "[success] Total time ..." line. 3-decimal
+    // per-query values (1 ms granularity, well under the measured
+    // run-to-run spread) keep ~63 queries under that budget.
+    val qs = names.map(n => s"\"$n\":" + r3(med(n))).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials}""")
   }
 }
