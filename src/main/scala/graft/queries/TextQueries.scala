@@ -164,6 +164,45 @@ object TextQueries {
         .orderBy("left_id", "right_id")
     },
 
+    // Near-dup CLUSTERING: minhash pairs → connected components
+    // (large-star/small-star) → every doc labeled with its cluster's min
+    // id + cluster size; singletons label themselves. The "keep one doc
+    // per near-dup cluster" assignment of a training-data pipeline.
+    "dedup_components" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+      val cc = graft.operators.Components
+        .connectedComponents(pairs, "left_id", "right_id")
+      val assigned = docs.select(col("doc_id").cast("long").as("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component_id"))
+      val sizes = assigned.groupBy("component_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      assigned.join(sizes, Seq("component_id"))
+        .select(col("doc_id"), col("component_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    },
+
+    // Within-doc repetition (boilerplate detector): ratio of repeated
+    // word 3-grams — the C4/Gopher "repetition fraction" quality signal.
+    "text_repetition" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .withColumn("__g", when(size(col("__toks")) >= 3,
+            expr("transform(sequence(0, size(__toks) - 3), i -> " +
+              "concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))"))
+          .otherwise(array(array_join(col("__toks"), " "))))
+        .select(col("doc_id"),
+          size(col("__g")).as("n_grams"),
+          size(array_distinct(col("__g"))).as("n_distinct_grams"),
+          round(lit(1.0) -
+            size(array_distinct(col("__g"))).cast("double") / size(col("__g")),
+            6).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup over a corpus with injected near-duplicates
     // (copies missing their first token) — rows-only check.
     "dedup_simhash" -> { (s, dir) =>
@@ -223,6 +262,56 @@ object TextQueries {
   // mixSql / tokenHashSql (the DuckDB expansions of the portable hash
   // stack) live in the package object — shared with RelationalQueries'
   // HLL-register oracle.
+
+  /** DuckDB CTE chain replaying the full portable MinHash-LSH pipeline up
+    * through `ver(left_id, right_id, jaccard)` (candidates + exact
+    * verify, before the threshold filter). Composed with `WITH` by the
+    * `dedup_minhash_lsh` oracle and with `WITH RECURSIVE` by the
+    * `dedup_components` closure oracle. */
+  private val minhashVerCtes: String = {
+    val permHi = mixSql("((h >> 32) + 2654435761 * (p + 1)) & 4294967295")
+    val permLo = mixSql("((h & 4294967295) + 2246822507 * (p + 1)) & 4294967295")
+    val fold = mixSql("XOR(f, x) & 4294967295")
+    s"""toks AS (
+           SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+         shs AS (
+           SELECT doc_id, LIST_DISTINCT(CASE WHEN LEN(t) >= 3
+             THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t) - 1)]
+             ELSE [ARRAY_TO_STRING(t, ' ')] END) AS s
+           FROM toks),
+         shex AS (SELECT doc_id, UNNEST(s) AS sh FROM shs),
+         pp AS (
+           SELECT doc_id,
+             LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+                 [ORD(c) FOR c IN REGEXP_SPLIT_TO_ARRAY(sh, '') IF c <> '']),
+               (a, b) -> (a * 31 + b) & 4294967295) AS p1,
+             LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+                 [ORD(c) FOR c IN REGEXP_SPLIT_TO_ARRAY(sh, '') IF c <> '']),
+               (a, b) -> (a * 37 + b) & 4294967295) AS p2
+           FROM shex),
+         hh AS (SELECT DISTINCT doc_id, ${tokenHashSql("p1", "p2")} AS h FROM pp),
+         hset AS (SELECT doc_id, LIST(DISTINCT h) AS hs FROM hh GROUP BY doc_id),
+         mins AS (
+           SELECT doc_id, p, MIN(($permHi >> 1) * 4294967296 + ($permLo)) AS m
+           FROM hh CROSS JOIN (SELECT UNNEST(RANGE(0, 32)) AS p) ps
+           GROUP BY doc_id, p),
+         bk AS (
+           SELECT doc_id, (p // 4) * 4294967296 +
+             LIST_REDUCE(LIST_PREPEND(0::BIGINT,
+                 FLATTEN(LIST([m >> 32, m & 4294967295] ORDER BY p))),
+               (f, x) -> $fold) AS band
+           FROM mins GROUP BY doc_id, p // 4),
+         ok AS (SELECT band FROM bk GROUP BY band HAVING COUNT(*) > 1 AND COUNT(*) <= 1024),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+           FROM bk a JOIN bk b ON a.band = b.band JOIN ok ON ok.band = a.band
+           WHERE a.doc_id < b.doc_id),
+         ver AS (
+           SELECT left_id, right_id,
+             ROUND(CAST(LEN(LIST_INTERSECT(ha.hs, hb.hs)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(LIST_CONCAT(ha.hs, hb.hs))), 6) AS jaccard
+           FROM cand JOIN hset ha ON ha.doc_id = left_id JOIN hset hb ON hb.doc_id = right_id)"""
+  }
 
   val oracle: Map[String, String] = Map(
     "text_token_stats" ->
@@ -346,52 +435,46 @@ object TextQueries {
     // The full MinHash-LSH pipeline replayed in SQL: portable shingle
     // hashes (char polys + mix32), 32 per-perm minima, band-key folds,
     // the >1 / <=1024 bucket window, exact hashed-set Jaccard verify.
-    "dedup_minhash_lsh" -> {
-      val permHi = mixSql("((h >> 32) + 2654435761 * (p + 1)) & 4294967295")
-      val permLo = mixSql("((h & 4294967295) + 2246822507 * (p + 1)) & 4294967295")
-      val fold = mixSql("XOR(f, x) & 4294967295")
-      s"""WITH toks AS (
-           SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
-         shs AS (
-           SELECT doc_id, LIST_DISTINCT(CASE WHEN LEN(t) >= 3
-             THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t) - 1)]
-             ELSE [ARRAY_TO_STRING(t, ' ')] END) AS s
-           FROM toks),
-         shex AS (SELECT doc_id, UNNEST(s) AS sh FROM shs),
-         pp AS (
-           SELECT doc_id,
-             LIST_REDUCE(LIST_PREPEND(0::BIGINT,
-                 [ORD(c) FOR c IN REGEXP_SPLIT_TO_ARRAY(sh, '') IF c <> '']),
-               (a, b) -> (a * 31 + b) & 4294967295) AS p1,
-             LIST_REDUCE(LIST_PREPEND(0::BIGINT,
-                 [ORD(c) FOR c IN REGEXP_SPLIT_TO_ARRAY(sh, '') IF c <> '']),
-               (a, b) -> (a * 37 + b) & 4294967295) AS p2
-           FROM shex),
-         hh AS (SELECT DISTINCT doc_id, ${tokenHashSql("p1", "p2")} AS h FROM pp),
-         hset AS (SELECT doc_id, LIST(DISTINCT h) AS hs FROM hh GROUP BY doc_id),
-         mins AS (
-           SELECT doc_id, p, MIN(($permHi >> 1) * 4294967296 + ($permLo)) AS m
-           FROM hh CROSS JOIN (SELECT UNNEST(RANGE(0, 32)) AS p) ps
-           GROUP BY doc_id, p),
-         bk AS (
-           SELECT doc_id, (p // 4) * 4294967296 +
-             LIST_REDUCE(LIST_PREPEND(0::BIGINT,
-                 FLATTEN(LIST([m >> 32, m & 4294967295] ORDER BY p))),
-               (f, x) -> $fold) AS band
-           FROM mins GROUP BY doc_id, p // 4),
-         ok AS (SELECT band FROM bk GROUP BY band HAVING COUNT(*) > 1 AND COUNT(*) <= 1024),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-           FROM bk a JOIN bk b ON a.band = b.band JOIN ok ON ok.band = a.band
-           WHERE a.doc_id < b.doc_id),
-         ver AS (
-           SELECT left_id, right_id,
-             ROUND(CAST(LEN(LIST_INTERSECT(ha.hs, hb.hs)) AS DOUBLE)
-               / LEN(LIST_DISTINCT(LIST_CONCAT(ha.hs, hb.hs))), 6) AS jaccard
-           FROM cand JOIN hset ha ON ha.doc_id = left_id JOIN hset hb ON hb.doc_id = right_id)
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashVerCtes
          SELECT left_id, right_id, jaccard FROM ver WHERE jaccard >= 0.5
-         ORDER BY left_id, right_id"""
-    },
+         ORDER BY left_id, right_id""",
+
+    // Near-dup clustering: the minhash pipeline above feeds a transitive
+    // closure (recursive CTE = the SQL twin of the large-star/small-star
+    // rounds), labeling every doc with the min id reachable through
+    // verified near-dup pairs; singletons label themselves.
+    "dedup_components" ->
+      s"""WITH RECURSIVE $minhashVerCtes,
+         pairs AS (SELECT left_id, right_id FROM ver WHERE jaccard >= 0.5),
+         cedges AS (SELECT left_id AS ea, right_id AS eb FROM pairs
+                    UNION ALL SELECT right_id, left_id FROM pairs),
+         reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.ea, r.lbl FROM cedges e JOIN reach r ON r.id = e.eb),
+         comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+         csizes AS (SELECT component_id, COUNT(*) AS cluster_size
+                    FROM comp GROUP BY component_id)
+         SELECT CAST(comp.id AS BIGINT) AS doc_id,
+           CAST(comp.component_id AS BIGINT) AS component_id,
+           CAST(csizes.cluster_size AS BIGINT) AS cluster_size
+         FROM comp JOIN csizes USING (component_id)
+         ORDER BY doc_id""",
+
+    // Same 3-gram construction as the Jaccard oracles, WITHOUT the
+    // distinct — repetition is measured on the raw gram stream.
+    "text_repetition" ->
+      """WITH g AS (
+           SELECT doc_id, CASE WHEN LEN(toks) >= 3
+             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN RANGE(1, LEN(toks) - 1)]
+             ELSE [ARRAY_TO_STRING(toks, ' ')] END AS grams
+           FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents))
+         SELECT doc_id,
+           CAST(LEN(grams) AS INTEGER) AS n_grams,
+           CAST(LEN(LIST_DISTINCT(grams)) AS INTEGER) AS n_distinct_grams,
+           ROUND(1.0 - CAST(LEN(LIST_DISTINCT(grams)) AS DOUBLE) / LEN(grams), 6) AS rep_ratio
+         FROM g ORDER BY doc_id""",
 
     // Winnowing sketch recomputed from scratch in SQL: poly-31 gram hash
     // (ORD == UTF-16 unit on the ASCII corpus), window minima, distinct.

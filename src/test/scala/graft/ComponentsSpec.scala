@@ -1,0 +1,78 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Components
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local union-find oracle. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(
+        edges.toDF("left_id", "right_id"), "left_id", "right_id")
+      .as[(Long, Long)].collect().toMap
+
+  test("two triangles and a bridge collapse to one component") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (3L, 10L))
+    val got = run(e)
+    assert(got.values.toSet === Set(1L))
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+  }
+
+  test("disjoint pairs stay separate, label = min id") {
+    val got = run(Seq((5L, 9L), (2L, 7L), (100L, 3L)))
+    assert(got === Map(5L -> 5L, 9L -> 5L, 2L -> 2L, 7L -> 2L,
+      100L -> 3L, 3L -> 3L))
+  }
+
+  test("a long chain (worst case for naive propagation) converges") {
+    // 0-1-2-...-63: path graph; large-star/small-star needs O(log n)
+    // rounds, NOT O(n) — maxIter=50 would trip if rounds were linear.
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got.values.toSet === Set(0L))
+    assert(got.size === 64)
+  }
+
+  test("duplicate / reversed / self-loop edges are normalized away") {
+    val got = run(Seq((4L, 2L), (2L, 4L), (4L, 2L), (3L, 3L), (2L, 4L)))
+    // self-loop (3,3) contributes no node; (2,4) collapses to one edge
+    assert(got === Map(2L -> 2L, 4L -> 2L))
+  }
+
+  test("empty pair set yields empty assignment") {
+    assert(run(Seq.empty[(Long, Long)]).isEmpty)
+  }
+
+  test("random graphs match union-find") {
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 80)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield edges.filter(e => e._1 != e._2)
+    (0 until 8).foreach { i =>
+      val edges = gen(Gen.Parameters.default, Seed(42L + i)).get
+      if (edges.nonEmpty) assert(run(edges) === ufComponents(edges), s"seed ${42 + i}")
+    }
+  }
+}
