@@ -193,6 +193,21 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** PII patterns for the scrub stage of a training-data pipeline. Kept
+    * RE2-compatible (no backrefs/lookarounds) so Spark's java.util.regex
+    * and DuckDB's RE2 match identically — the `text_scrub_pii` oracle
+    * replays them verbatim. Conservative by design: a scrub stage wants
+    * high precision; recall comes from running several narrow patterns. */
+  val emailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val urlPattern: String = "https?://[^ ]+"
+
+  /** Replace URLs then emails with placeholder tokens (URL first: a URL
+    * userinfo part could otherwise be half-eaten by the email pattern). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, urlPattern, "<URL>"),
+      emailPattern, "<EMAIL>")
+
   // ---------------------------------------------------------------------
   // MinHash / SimHash signatures (candidate generation for near-dedup).
   // ---------------------------------------------------------------------

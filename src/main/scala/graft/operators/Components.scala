@@ -54,10 +54,13 @@ object Components {
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val m = sym.groupBy("src").agg(min("dst").as("__mn"))
       .select(col("src"), least(col("src"), col("__mn")).as("__m"))
+    // no distinct here: different centers can emit the same (v, m) pair,
+    // but the duplication is bounded by the degree sum (2|E|) and
+    // small-star's terminal distinct canonicalizes the round — saving a
+    // full shuffle per round (measured ~25% on the 2M-edge ScaleSmoke)
     sym.join(m, "src")
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("__m").as("dst"))
-      .distinct()
   }
 
   /** Small-star: every node u connects its smaller neighbors (and itself)

@@ -21,6 +21,23 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a")
 
+  /** minhash near-dup pairs → connected components → (doc_id,
+    * component_id) for EVERY doc (singletons map to themselves). Shared
+    * by `dedup_components` (assignment + sizes) and
+    * `dedup_components_apply` (keep canonical docs only). */
+  private def componentAssignment(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = table(s, dir, "documents")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+    val cc = graft.operators.Components
+      .connectedComponents(pairs, "left_id", "right_id")
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component_id"))
+  }
+
   val queries: Map[String, Query] = Map(
     // Token counting (whitespace tokenizer).
     "text_token_stats" -> { (s, dir) =>
@@ -169,19 +186,44 @@ object TextQueries {
     // id + cluster size; singletons label themselves. The "keep one doc
     // per near-dup cluster" assignment of a training-data pipeline.
     "dedup_components" -> { (s, dir) =>
-      val docs = table(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
-      val cc = graft.operators.Components
-        .connectedComponents(pairs, "left_id", "right_id")
-      val assigned = docs.select(col("doc_id").cast("long").as("doc_id"))
-        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("component_id"))
+      val assigned = componentAssignment(s, dir)
       val sizes = assigned.groupBy("component_id")
         .agg(count(lit(1)).as("cluster_size"))
       assigned.join(sizes, Seq("component_id"))
         .select(col("doc_id"), col("component_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    },
+
+    // The APPLY form: keep only each cluster's canonical doc (min id) —
+    // the surviving corpus after transitive near-dup removal.
+    "dedup_components_apply" -> { (s, dir) =>
+      val keep = componentAssignment(s, dir)
+        .filter(col("doc_id") === col("component_id"))
+        .select("doc_id")
+      table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("n_chars"))
+        .join(keep, Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+
+    // PII scrub: inject deterministic synthetic emails/URLs (the corpus
+    // has none), count them, and fingerprint the scrubbed text — the
+    // md5 only matches if the replacement semantics agree bit-for-bit.
+    "text_scrub_pii" -> { (s, dir) =>
+      val withPii = table(s, dir, "documents")
+        .withColumn("t", concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" see https://example.org/doc/"),
+              col("doc_id").cast("string"))).otherwise(lit(""))))
+      withPii.select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(TextOps.emailPattern), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(TextOps.urlPattern), lit(0)))
+            .as("n_urls"),
+          md5(TextOps.scrubPii(col("t"))).as("scrubbed_fp"))
         .orderBy("doc_id")
     },
 
@@ -461,6 +503,39 @@ object TextQueries {
            CAST(csizes.cluster_size AS BIGINT) AS cluster_size
          FROM comp JOIN csizes USING (component_id)
          ORDER BY doc_id""",
+
+    "dedup_components_apply" ->
+      s"""WITH RECURSIVE $minhashVerCtes,
+         pairs AS (SELECT left_id, right_id FROM ver WHERE jaccard >= 0.5),
+         cedges AS (SELECT left_id AS ea, right_id AS eb FROM pairs
+                    UNION ALL SELECT right_id, left_id FROM pairs),
+         reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.ea, r.lbl FROM cedges e JOIN reach r ON r.id = e.eb),
+         comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id)
+         SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.n_chars
+         FROM documents d JOIN comp ON comp.id = d.doc_id
+         WHERE comp.id = comp.component_id
+         ORDER BY doc_id""",
+
+    "text_scrub_pii" ->
+      """WITH w AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END ||
+             CASE WHEN doc_id % 2 = 0
+               THEN ' see https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+               ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+           MD5(REGEXP_REPLACE(
+             REGEXP_REPLACE(t, 'https?://[^ ]+', '<URL>', 'g'),
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_fp
+         FROM w ORDER BY doc_id""",
 
     // Same 3-gram construction as the Jaccard oracles, WITHOUT the
     // distinct — repetition is measured on the raw gram stream.

@@ -86,6 +86,31 @@ object ScaleSmoke {
       Dedup.minhashPairs(docs, "doc_id", "text",
         shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5).count()
     }
+    // connected components on a dedup-shaped graph at scale: one deep
+    // component (binary tree over 100k nodes — O(log n) star-contraction
+    // rounds) + ~(2M/50) 50-node clusters. Checks the round count stays
+    // logarithmic (maxIter=50 aborts if not) and the label algebra is
+    // exact at scale, not just in the unit spec.
+    locally {
+      val nStar = copies.toLong * 200000L
+      val tree = spark.range(1L, 100001L)
+        .select(col("id").as("left_id"), expr("id div 2").as("right_id"))
+      val stars = spark.range(100050L, nStar)
+        .select(col("id").as("left_id"),
+          (col("id") - pmod(col("id"), lit(50L))).as("right_id"))
+      val edges = tree.unionByName(stars)
+      val expected = 1L +
+        stars.filter(col("left_id") =!= col("right_id"))
+          .select("right_id").distinct().count()
+      time(s"connected components, ${nStar / 1000000.0}M-edge mixed graph") {
+        val cc = graft.operators.Components
+          .connectedComponents(edges, "left_id", "right_id")
+        val distinctComps = cc.select("component").distinct().count()
+        require(distinctComps == expected,
+          s"component count $distinctComps != expected $expected")
+        cc.count()
+      }
+    }
     // IVF skew: force 90% of vectors into ONE partition, then compare the
     // co-partitioned knnJoin on an unsalted vs salted durable layout — the
     // salt spreads the hot partition's join work over writeSalt reducers
