@@ -99,7 +99,7 @@ object Bench {
     val aSpark = r(median(anchorSpark))
     // Diagnostics line (spread per query, machine-noise anchors): its own
     // JSON line so the PRIMARY line below stays compact.
-    println(s"""{"metric":"bench_diagnostics","trials":$trials,"spread_mean":$spreadMean,"anchor_cpu":$aCpu,"anchor_spark":$aSpark,"anchor_note":"fixed-work machine-noise anchors; normalize cross-session totals by the anchor ratio (~1.5-2x ambient drift observed on identical code)","spread":$sp}""")
+    println(s"""{"metric":"bench_diagnostics","sf_dir":"$sfDir","trials":$trials,"spread_mean":$spreadMean,"anchor_cpu":$aCpu,"anchor_spark":$aSpark,"anchor_note":"fixed-work machine-noise anchors; normalize cross-session totals by the anchor ratio (~1.5-2x ambient drift observed on identical code)","spread":$sp}""")
     spark.stop()
     // PRIMARY contract line, printed LAST and kept small: the driver
     // captures a bounded tail of stdout (observed 2000 chars) and parses
@@ -108,6 +108,9 @@ object Bench {
     // per-query values (1 ms granularity, well under the measured
     // run-to-run spread) keep ~63 queries under that budget.
     val qs = names.map(n => s"\"$n\":" + r3(med(n))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials}""")
+    // sf as basename and trials only in the diagnostics line: every char
+    // here is budget for more per-query entries
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfName"}""")
   }
 }

@@ -186,11 +186,22 @@ object TextQueries {
     // id + cluster size; singletons label themselves. The "keep one doc
     // per near-dup cluster" assignment of a training-data pipeline.
     "dedup_components" -> { (s, dir) =>
-      val assigned = componentAssignment(s, dir)
-      val sizes = assigned.groupBy("component_id")
-        .agg(count(lit(1)).as("cluster_size"))
-      assigned.join(sizes, Seq("component_id"))
-        .select(col("doc_id"), col("component_id"), col("cluster_size"))
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+      val cc = graft.operators.Components
+        .connectedComponents(pairs, "left_id", "right_id")
+      // sizes come from the component table alone (every component there
+      // has >= 2 members; absent docs are singletons of size 1), so the
+      // big docs scan happens ONCE and both joins are against small,
+      // broadcastable tables — not a second full assignment subtree.
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      docs.select(col("doc_id").cast("long").as("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("component_id", coalesce(col("component"), col("doc_id")))
+        .join(sizes, Seq("component"), "left")
+        .select(col("doc_id"), col("component_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
         .orderBy("doc_id")
     },
 
@@ -242,6 +253,23 @@ object TextQueries {
           round(lit(1.0) -
             size(array_distinct(col("__g"))).cast("double") / size(col("__g")),
             6).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing: assign docs to fixed token-budget training
+    // shards via a running token sum. Packing is inherently sequential,
+    // so it runs PER LANGUAGE partition (the realistic per-source shard
+    // layout) — parallel across groups instead of one global sort task.
+    "text_pack_shards" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("shard_id",
+          expr("(cum_tokens - n_tokens) div 2000"))
+        .select("doc_id", "lang", "n_tokens", "shard_id")
         .orderBy("doc_id")
     },
 
@@ -536,6 +564,19 @@ object TextQueries {
              REGEXP_REPLACE(t, 'https?://[^ ]+', '<URL>', 'g'),
              '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_fp
          FROM w ORDER BY doc_id""",
+
+    "text_pack_shards" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+           FROM t)
+         SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id
+         FROM c ORDER BY doc_id""",
 
     // Same 3-gram construction as the Jaccard oracles, WITHOUT the
     // distinct — repetition is measured on the raw gram stream.
