@@ -61,6 +61,21 @@ class ComponentsSpec extends SparkSpec {
     assert(run(Seq.empty[(Long, Long)]).isEmpty)
   }
 
+  test("null ids are dropped, extreme long ids survive the label algebra") {
+    val big = Long.MaxValue - 1
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, null), (null, 2L), (big, 7L), (big - 1, big))
+      .toDF("left_id", "right_id")
+    val got = Components.connectedComponents(df, "left_id", "right_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(7L -> 7L, big -> 7L, (big - 1) -> 7L))
+  }
+
+  test("star graph is already a fixpoint (one round to detect)") {
+    val got = run((1L to 20L).map(i => (0L, i)))
+    assert(got.values.toSet === Set(0L) && got.size === 21)
+  }
+
   test("random graphs match union-find") {
     val gen = for {
       n <- Gen.choose(2, 40)

@@ -42,6 +42,21 @@ class TextOpsSpec extends SparkSpec {
     assert(r === 2.0 / 7.0)
   }
 
+  test("scrubPii: URL-first ordering, existing placeholders untouched") {
+    val got = Seq(
+        (1L, "mail me at a.b@x.io or see https://x.io/u@v now"),
+        (2L, "no pii here"),
+        (3L, "already <EMAIL> plus b@c.de"))
+      .toDF("id", "t")
+      .select($"id", TextOps.scrubPii($"t"))
+      .as[(Long, String)].collect().toMap
+    // the URL containing '@' is consumed whole by the URL pass — the
+    // email pass must not half-eat its userinfo
+    assert(got(1L) === "mail me at <EMAIL> or see <URL> now")
+    assert(got(2L) === "no pii here")
+    assert(got(3L) === "already <EMAIL> plus <EMAIL>")
+  }
+
   test("winnow fingerprints: deterministic, shared windows overlap") {
     val f = TextOps.winnowUdf(4, 3)
     val got = Seq(
