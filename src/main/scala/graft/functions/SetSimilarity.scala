@@ -73,6 +73,20 @@ object SortedLongJaccard {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Scala twin of [[jaccard]] for executor-side non-SQL callers (the
+    * streaming near-dup verify). Same contract: sorted ascending,
+    * duplicate-free. */
+  def jaccardArrays(a: Array[Long], b: Array[Long]): Double = {
+    if (a.length == 0 && b.length == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter).toDouble
+  }
+
   /** Column API: Jaccard of two sorted, distinct long arrays. */
   def sortedJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongJaccard(

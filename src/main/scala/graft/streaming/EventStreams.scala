@@ -129,6 +129,97 @@ object EventStreams {
       .select("error_id", "user_id", "error_ts", "signup_ts")
   }
 
+  /** A verified near-dup match emitted by [[nearDupMatches]]: `doc_id`
+    * arrived after `dup_of` and their exact shingle Jaccard ≥ threshold.
+    * The same pair can be emitted from several LSH bands — consumers
+    * dedup on (doc_id, dup_of). */
+  final case class DupMatch(doc_id: Long, dup_of: Long, jaccard: Double)
+
+  /** Per-band-bucket state for [[nearDupMatches]]: members seen so far in
+    * arrival order, with their sorted shingle-hash sets. */
+  final case class BandBucket(members: Seq[(Long, Seq[Long])])
+
+  /** Streaming incremental near-dup detection — the streaming twin of
+    * [[graft.operators.Dedup.minhashPairs]]: every arriving document is
+    * checked against PREVIOUSLY ARRIVED documents and emits a match event
+    * per verified near-dup, so a training-data ingest stream can drop
+    * near-duplicates online instead of re-running batch dedup.
+    *
+    * Same portable hash stack as batch (shingle → minhash → band keys),
+    * so on a corpus with no degenerate buckets the emitted undirected
+    * pair set equals the batch `minhashPairs` output bit-for-bit
+    * (StreamingSpec asserts this). State is keyed by band: each bucket
+    * keeps its first `maxBucketSize` members (the streaming analogue of
+    * the batch degenerate-bucket drop — boilerplate keys stop
+    * accumulating instead of going quadratic), and each arriving doc
+    * exact-verifies against at most that many members per band.
+    *
+    * At scale: state is hash-partitioned by band key across executors;
+    * per-bucket cost is bounded by the cap; `stateTtlMs > 0` switches to
+    * a processing-time TTL that evicts idle buckets (the unbounded-stream
+    * hygiene knob — dedup scope becomes "within the TTL horizon", the
+    * same contract as [[dedupWithinWatermark]]).
+    *
+    * In-batch arrival order is doc-id ascending (deterministic); a doc id
+    * already in a bucket is skipped (idempotent re-ingest, ST2). */
+  def nearDupMatches(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.6,
+      maxBucketSize: Int = 1024,
+      stateTtlMs: Long = 0L): org.apache.spark.sql.Dataset[DupMatch] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Spark's round() on doubles: BigDecimal HALF_UP — replicated here so
+    // streaming jaccard values hash-match the batch verify exactly.
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val numPerms = numBands * rowsPerBand
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.TextOps.portableHashedShinglesUdf(shingleSize)(
+          graft.functions.TextOps.tokens(col(textCol))).as("sh"))
+      .withColumn("band",
+        explode(graft.functions.TextOps.portableBandsUdf(numBands, rowsPerBand)(
+          graft.functions.TextOps.portableMinhashUdf(numPerms)(col("sh")))))
+      .select(col("band"), col("id"), col("sh"))
+      .as[(Long, Long, Seq[Long])]
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[BandBucket, DupMatch](OutputMode.Append(), timeout) {
+        (_: Long, rows: Iterator[(Long, Long, Seq[Long])],
+            state: GroupState[BandBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+            val out = scala.collection.mutable.ArrayBuffer.empty[DupMatch]
+            rows.toSeq.sortBy(_._2).foreach { case (_, id, shs) =>
+              if (!members.exists(_._1 == id)) {
+                val arr = shs.toArray
+                members.foreach { case (mid, msh) =>
+                  val j = round6(
+                    graft.functions.SortedLongJaccard.jaccardArrays(msh.toArray, arr))
+                  if (j >= threshold) out += DupMatch(id, mid, j)
+                }
+                if (members.size < maxBucketSize) members = members :+ ((id, shs))
+              }
+            }
+            state.update(BandBucket(members))
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Per-user running state for [[userRunningStats]]. */
   final case class UserState(nEvents: Long, total: Double)
 

@@ -87,6 +87,42 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.orderBy(desc("count")).head().getLong(0) === want)
   }
 
+  test("streaming near-dup matches equal batch minhashPairs across micro-batches") {
+    // corpus = documents + exact copies (guaranteed pairs) replayed as 3
+    // id-range files → 3 micro-batches, so matches must span band-bucket
+    // state persisted across batches
+    val base = table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpus = base.unionByName(
+      base.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val dir = Files.createTempDirectory("docs-stream").toString
+    (0 until 3).foreach { r =>
+      corpus.filter(pmod(col("doc_id"), lit(3)) === r)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    import spark.implicits._
+    val streamed = runToMemory(
+      EventStreams.nearDupMatches(stream, "doc_id", "text",
+        shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5).toDF(),
+      "neardup_out", "append")
+    // match events are per-band and oriented by arrival — compare the
+    // undirected distinct pair set (+ jaccard, HALF_UP-rounded on both
+    // sides) against the batch pipeline on the same corpus
+    val got = streamed.select(
+        least(col("doc_id"), col("dup_of")).as("a"),
+        greatest(col("doc_id"), col("dup_of")).as("b"),
+        col("jaccard"))
+      .distinct().as[(Long, Long, Double)].collect().toSet
+    val want = graft.operators.Dedup.minhashPairs(corpus, "doc_id", "text",
+        shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("stream-stream interval join equals the batch join on emitted rows") {
     val errors = streamEvents.filter(col("event_type") === "error")
     val signups = streamEvents.filter(col("event_type") === "signup")
