@@ -352,6 +352,92 @@ object AnnIvf {
     Index(assigned, spark.read.parquet(s"$path/centroids"), writeSalt)
   }
 
+  /** IVF index maintenance for the add-after-train regime: split every
+    * cell whose row count exceeds `maxCellRows` into two children via a
+    * seeded 2-means on a bounded per-cell sample. Streaming ingest
+    * ([[graft.streaming.EventStreams.annIngest]]) only ever APPENDS to
+    * cells — the reference never re-trains after build
+    * (storage_impl.py:125-144) — so a drifting stream grows hot cells
+    * without bound and per-probe serving cost degrades linearly;
+    * splitting restores balance without a full rebuild.
+    *
+    * One child keeps the parent's partition id, the sibling gets a fresh
+    * id above the current max — cold cells (and any durable
+    * `partition_id=` dirs) are untouched. Costs at scale: one count
+    * shuffle for sizes, a bounded driver collect (≤ sampleSize·|hot|
+    * sample rows), and ONE broadcast map pass over the corpus for
+    * reassignment (cold rows pass through; hot rows compare two dot
+    * products) — no shuffle of the data. Probing is centroid-argmax as
+    * before; at nprobe = nlist results are provably identical
+    * (AnnMaintainSpec), and a cell whose sample cannot produce two
+    * distinct centers is left whole. */
+  def splitHotCells(
+      index: Index,
+      idCol: String,
+      vecCol: String,
+      maxCellRows: Long,
+      seed: Long = 42L,
+      sampleSize: Int = 256): Index = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val hotIds = index.assigned.groupBy("partition_id")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxCellRows)
+      .select(col("partition_id").cast("int")).as[Int].collect().sorted
+    if (hotIds.isEmpty) return index
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("partition_id").orderBy(col(idCol))
+    val samples = index.assigned
+      .filter(col("partition_id").isin(hotIds.toSeq: _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= sampleSize)
+      .select(col("partition_id").cast("int"), col(vecCol))
+      .as[(Int, Seq[Float])].collect()
+      .groupBy(_._1).map { case (pid, rows) => pid -> rows.map(_._2.toArray) }
+    val maxId = index.centroids
+      .agg(max(col("partition_id"))).head().getInt(0)
+    val splits: Seq[(Int, Array[Float], Array[Float], Int)] =
+      hotIds.toSeq.zipWithIndex.flatMap { case (pid, idx) =>
+        val pts = samples.getOrElse(pid, Array.empty[Array[Float]])
+        if (pts.length < 2) None
+        else {
+          val cs = localKMeans(pts, 2, seed + pid, maxIter = 10)
+          if (cs.length < 2) None
+          else Some((pid, cs(0), cs(1), maxId + 1 + idx))
+        }
+      }
+    if (splits.isEmpty) return index
+    val bc = spark.sparkContext.broadcast(
+      splits.map(s => s._1 -> ((s._2, s._3, s._4))).toMap)
+    val reassign = udf { (pid: Int, v: Seq[Float]) =>
+      bc.value.get(pid) match {
+        case None => pid
+        case Some((ca, cb, sib)) =>
+          var da = 0.0; var db = 0.0; var i = 0
+          while (i < v.length) {
+            val x = v(i).toDouble
+            if (i < ca.length) da += x * ca(i)
+            if (i < cb.length) db += x * cb(i)
+            i += 1
+          }
+          // tie → parent (the lower id), matching assignPartitions'
+          // lowest-partition-wins tie-break
+          if (db > da) sib else pid
+      }
+    }
+    val newAssigned = index.assigned.withColumn("partition_id",
+      reassign(col("partition_id").cast("int"), col(vecCol)))
+    val splitIds = splits.map(_._1)
+    val newRows = splits.flatMap { case (pid, ca, cb, sib) =>
+      Seq((pid, ca.toSeq), (sib, cb.toSeq))
+    }
+    val newCentroids = index.centroids
+      .filter(!col("partition_id").isin(splitIds: _*))
+      .unionByName(newRows.toDF("partition_id", "centroid")
+        .withColumn("centroid", col("centroid").cast("array<float>")))
+    Index(newAssigned, newCentroids, index.writeSalt)
+  }
+
   /** ANN search: probe → pruned per-partition exact top-k → global merge.
     *
     * With `nprobe = nlist` this is exact (equals brute force) — the
