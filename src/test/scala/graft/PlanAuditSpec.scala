@@ -79,4 +79,22 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a BroadcastNestedLoopJoin")
     }
   }
+
+  test("text_pack_shards: running sum is partitioned by lang, no global sort") {
+    // packing must parallelize across language groups — a Window without
+    // partition keys would funnel the corpus through ONE task
+    val p = plan("text_pack_shards")
+    assert(p.contains("Window"), p.take(400))
+    assert(p.contains("hashpartitioning(lang"), p.take(2000))
+    assert(!p.contains("SinglePartition"), "global single-partition window")
+  }
+
+  test("dedup_components: assignment join has no cartesian; one parquet scan") {
+    val p = plan("dedup_components")
+    assert(!p.contains("CartesianProduct"), "components join went cartesian")
+    // one documents scan feeds the final assembly (the CC loop itself
+    // runs on checkpointed RDDs, not re-derived parquet subtrees);
+    // FormattedMode prints each node twice — tree line + detail header
+    assert("Scan parquet".r.findAllIn(p).size === 2, p.take(2000))
+  }
 }
