@@ -97,9 +97,11 @@ object Bench {
     val spreadMean = r(if (names.nonEmpty) spread.values.sum / names.size else 0.0)
     val aCpu = r(median(anchorCpu))
     val aSpark = r(median(anchorSpark))
-    // Diagnostics line (spread per query, machine-noise anchors): its own
-    // JSON line so the PRIMARY line below stays compact.
-    println(s"""{"metric":"bench_diagnostics","sf_dir":"$sfDir","trials":$trials,"spread_mean":$spreadMean,"anchor_cpu":$aCpu,"anchor_spark":$aSpark,"anchor_note":"fixed-work machine-noise anchors; normalize cross-session totals by the anchor ratio (~1.5-2x ambient drift observed on identical code)","spread":$sp}""")
+    // Diagnostics line (full-precision medians, spread per query,
+    // machine-noise anchors): its own JSON line so the PRIMARY line below
+    // stays compact.
+    val qsFull = names.map(n => s"\"$n\":" + r(med(n))).mkString("{", ",", "}")
+    println(s"""{"metric":"bench_diagnostics","sf_dir":"$sfDir","trials":$trials,"spread_mean":$spreadMean,"anchor_cpu":$aCpu,"anchor_spark":$aSpark,"anchor_note":"fixed-work machine-noise anchors; normalize cross-session totals by the anchor ratio (~1.5-2x ambient drift observed on identical code)","queries_full":$qsFull,"spread":$sp}""")
     spark.stop()
     // PRIMARY contract line, printed LAST and kept small: the driver
     // captures a bounded tail of stdout (observed 2000 chars) and parses

@@ -183,6 +183,46 @@ object ScaleSmoke {
       }
     }
 
+    // index maintenance: the 90%-hot add-after-train cell iterated back
+    // under a row cap with splitHotCells — probes then scan ≤cap rows
+    // instead of the whole hot cell, which is where serving time goes
+    locally {
+      val base = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      val skewed = AnnIvf.Index(
+        base.assigned.withColumn("partition_id",
+          when(pmod(col("vec_id"), lit(10)) < 9, lit(0)).otherwise(col("partition_id"))),
+        base.centroids)
+      def maxCell(ix: AnnIvf.Index): Long =
+        ix.assigned.groupBy("partition_id").count()
+          .agg(max("count")).head().getLong(0)
+      val cap = 2048L
+      val q = emb.filter(col("vec_id") < 64)
+      // the scale-true serving metric: rows the probed cells force
+      // through scoring (∝ IO + FLOPs per query batch at cluster scale;
+      // local timing at 20k rows is dominated by job overhead instead)
+      def probedRows(ix: AnnIvf.Index): Long =
+        AnnIvf.probePartitions(ix, q, "vec_id", "embedding", nprobe = 3)
+          .join(ix.assigned, Seq("partition_id")).count()
+      time(s"skewed search pre-split (max cell ${maxCell(skewed)}, " +
+          s"probed rows ${probedRows(skewed)})") {
+        AnnIvf.search(skewed, q, "vec_id", "embedding", k = 10, nprobe = 3).count()
+      }
+      var ix = skewed
+      time(s"iterated splitHotCells to cap $cap") {
+        var rounds = 0
+        while (maxCell(ix) > cap && rounds < 16) {
+          ix = AnnIvf.splitHotCells(ix, "vec_id", "embedding", cap)
+          rounds += 1
+        }
+        require(maxCell(ix) <= cap, s"split did not converge: max ${maxCell(ix)}")
+        ix.centroids.count()
+      }
+      time(s"skewed search post-split (max cell ${maxCell(ix)}, " +
+          s"probed rows ${probedRows(ix)})") {
+        AnnIvf.search(ix, q, "vec_id", "embedding", k = 10, nprobe = 3).count()
+      }
+    }
+
     // skew: 95% of rows in ONE group; countDistinct forces the full key
     // stream through the reducers (no partial collapse), so the hot group
     // pins one task unless salted

@@ -87,6 +87,25 @@ class AnnMaintainSpec extends SparkSpec {
       maxCellRows = 100000) eq idx)
   }
 
+  test("split of a durable fp16+salted index round-trips through write/read") {
+    val (idx, full) = drifted
+    val dir = java.nio.file.Files.createTempDirectory("splitdurable").toString
+    AnnIvf.write(idx, dir, writeSalt = 4, fp16 = true)
+    val durable = AnnIvf.read(spark, dir)
+    val split = AnnIvf.splitHotCells(durable, "vec_id", "embedding", maxCellRows = 200)
+    assert(split.writeSalt === 4)
+    // the stored __salt column and fp16 decode survive the reassignment
+    assert(split.assigned.columns.contains("__salt"))
+    val out = java.nio.file.Files.createTempDirectory("splitout").toString
+    AnnIvf.write(split, out, writeSalt = 4, fp16 = true)
+    val reread = AnnIvf.read(spark, out)
+    assert(reread.centroids.count() === 4)
+    assert(reread.assigned.count() === full.count())
+    // exhaustive search on the re-read split index equals the original
+    // durable index (both fp16-quantized, so scores are comparable)
+    assert(searchSet(reread, full, nprobe = 4) === searchSet(durable, full, nprobe = 3))
+  }
+
   test("splitting is deterministic for a fixed seed") {
     val (idx, _) = drifted
     def centroidsOf(ix: AnnIvf.Index): Seq[(Int, Seq[Float])] =
