@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,6 +28,24 @@ object Sampling {
       seed: Long): (DataFrame, DataFrame) = {
     val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(denom))
     (df.filter(bucket < trainNum), df.filter(bucket >= trainNum))
+  }
+
+  /** Portable split bucket: mix32((key + seed·φ₃₂) mod 2³²) mod denom —
+    * the same stability contract as [[hashSplit]] but on the portable hash
+    * stack, so split membership is reproducible OUTSIDE Spark (the
+    * `sample_splits` DuckDB oracle replays it via `mixSql`) and therefore
+    * auditable by any downstream consumer of the corpus. Every
+    * intermediate stays under 2⁵⁹, safe for overflow-checked BIGINT
+    * arithmetic on both engines. Keep |seed| small (< 2³¹) so seed·φ₃₂
+    * cannot overflow a long. */
+  def portableSplitBucket(key: Column, seed: Long, denom: Int): Column = {
+    require(math.abs(seed) < Int.MaxValue, s"seed $seed too large")
+    val mask = lit(4294967295L)
+    def step(h: Column): Column =
+      ((h.bitwiseXOR(shiftrightunsigned(h, 16))) * lit(73244475L)).bitwiseAND(mask)
+    val x0 = pmod(pmod(key, lit(4294967296L)) + lit(seed * 2654435761L), lit(4294967296L))
+    val s2 = step(step(x0))
+    pmod(s2.bitwiseXOR(shiftrightunsigned(s2, 16)), lit(denom.toLong))
   }
 
   /** Exact per-group cap: keep at most `n` rows per group (deterministic by

@@ -273,6 +273,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic 80/10/10 train/valid/test assignment via the portable
+    // split hash — stable across runs, repartitioning, and re-ingest, and
+    // auditable outside Spark (the oracle replays the bucket arithmetic).
+    "sample_splits" -> { (s, dir) =>
+      val bucket = graft.operators.Sampling.portableSplitBucket(
+        col("doc_id").cast("long"), seed = 1L, denom = 10)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          when(bucket < 8, "train").when(bucket === 8, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup over a corpus with injected near-duplicates
     // (copies missing their first token) — rows-only check.
     "dedup_simhash" -> { (s, dir) =>
@@ -564,6 +577,15 @@ object TextQueries {
              REGEXP_REPLACE(t, 'https?://[^ ]+', '<URL>', 'g'),
              '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_fp
          FROM w ORDER BY doc_id""",
+
+    "sample_splits" ->
+      s"""SELECT doc_id,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+           ${mixSql("(doc_id % 4294967296 + 2654435761) % 4294967296")} % 10 AS b
+           FROM documents)
+         ORDER BY doc_id""",
 
     "text_pack_shards" ->
       """WITH t AS (

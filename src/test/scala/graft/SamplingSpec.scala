@@ -32,6 +32,23 @@ class SamplingSpec extends SparkSpec {
       train.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("portable split bucket: matches the scala mix32, stable under layout") {
+    val docs = table(spark, sf0001, "documents")
+    def buckets(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("doc_id").cast("long"),
+          Sampling.portableSplitBucket(col("doc_id").cast("long"), 1L, 10))
+        .as[(Long, Long)].collect().toMap
+    val got = buckets(docs)
+    // scala reference: same mix32 the whole portable hash stack uses
+    got.foreach { case (id, b) =>
+      val x0 = ((id % 4294967296L) + 2654435761L) % 4294967296L
+      assert(b === graft.functions.TextOps.mix32(x0) % 10, s"id $id")
+    }
+    // all buckets populated, assignment layout-independent
+    assert(got.values.toSet.size === 10)
+    assert(buckets(docs.repartition(13)) === got)
+  }
+
   test("capPerGroup keeps at most n deterministic rows per group") {
     val docs = table(spark, sf0001, "documents")
     val capped = Sampling.capPerGroup(docs, "lang", "doc_id", 10)
