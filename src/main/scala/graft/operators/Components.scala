@@ -74,6 +74,12 @@ object Components {
     rewired.union(m.select(col("src"), col("__m").as("dst"))).distinct()
   }
 
+  /** [[connectedComponentsStats]] result: the assignment plus the
+    * observability numbers an operator wants in a pipeline log — rounds
+    * to fixpoint (should stay O(log n); a linear count means the graph
+    * shape defeated star contraction) and final edge count. */
+  final case class CcStats(assignment: DataFrame, rounds: Int, edges: Long)
+
   /** Component assignment for every node that appears in `pairs`:
     * returns (id BIGINT, component BIGINT) where component is the minimum
     * node id reachable from `id`. Nodes absent from `pairs` are absent
@@ -84,7 +90,17 @@ object Components {
       leftCol: String,
       rightCol: String,
       maxIter: Int = 50,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false): DataFrame =
+    connectedComponentsStats(pairs, leftCol, rightCol, maxIter, reliable)
+      .assignment
+
+  /** [[connectedComponents]] with convergence metadata. */
+  def connectedComponentsStats(
+      pairs: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxIter: Int = 50,
+      reliable: Boolean = false): CcStats = {
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     def signature(e: DataFrame): (Long, Long) = {
@@ -109,8 +125,10 @@ object Components {
     // At the fixpoint the edge set is a union of stars (a node with two
     // distinct dst values would be rewired by small-star), so src rows map
     // members to their root and roots map to themselves.
-    edges.select(col("src").as("id"), col("dst").as("component"))
+    val assignment = edges
+      .select(col("src").as("id"), col("dst").as("component"))
       .union(edges.select(col("dst").as("id"), col("dst").as("component")))
       .groupBy("id").agg(min("component").as("component"))
+    CcStats(assignment, iter, sig._1)
   }
 }

@@ -103,12 +103,14 @@ object ScaleSmoke {
         stars.filter(col("left_id") =!= col("right_id"))
           .select("right_id").distinct().count()
       time(s"connected components, ${nStar / 1000000.0}M-edge mixed graph") {
-        val cc = graft.operators.Components
-          .connectedComponents(edges, "left_id", "right_id")
-        val distinctComps = cc.select("component").distinct().count()
+        val st = graft.operators.Components
+          .connectedComponentsStats(edges, "left_id", "right_id")
+        val distinctComps = st.assignment.select("component").distinct().count()
         require(distinctComps == expected,
           s"component count $distinctComps != expected $expected")
-        cc.count()
+        println(s"[scale]   (components fixpoint in ${st.rounds} rounds, " +
+          s"${st.edges} star edges)")
+        st.assignment.count()
       }
     }
     // IVF skew: force 90% of vectors into ONE partition, then compare the

@@ -42,13 +42,24 @@ class ComponentsSpec extends SparkSpec {
       100L -> 3L, 3L -> 3L))
   }
 
-  test("a long chain (worst case for naive propagation) converges") {
+  test("a long chain (worst case for naive propagation) converges in O(log n) rounds") {
     // 0-1-2-...-63: path graph; large-star/small-star needs O(log n)
-    // rounds, NOT O(n) — maxIter=50 would trip if rounds were linear.
+    // rounds, NOT O(n) — a linear round count would also trip maxIter=50.
     val chain = (0L until 63L).map(i => (i, i + 1))
-    val got = run(chain)
+    val st = Components.connectedComponentsStats(
+      chain.toDF("left_id", "right_id"), "left_id", "right_id")
+    val got = st.assignment.as[(Long, Long)].collect().toMap
     assert(got.values.toSet === Set(0L))
     assert(got.size === 64)
+    assert(st.rounds <= 12, s"rounds ${st.rounds} not logarithmic for n=64")
+    assert(st.edges === 63L) // fixpoint star: every non-root points at 0
+  }
+
+  test("a star graph needs exactly one round to detect the fixpoint") {
+    val st = Components.connectedComponentsStats(
+      (1L to 20L).map(i => (0L, i)).toDF("left_id", "right_id"),
+      "left_id", "right_id")
+    assert(st.rounds === 1)
   }
 
   test("duplicate / reversed / self-loop edges are normalized away") {
