@@ -199,7 +199,11 @@ object TextOps {
     * replays them verbatim. Conservative by design: a scrub stage wants
     * high precision; recall comes from running several narrow patterns. */
   val emailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val urlPattern: String = "https?://[^ ]+"
+  // \s not a literal space: a URL followed by a tab/newline must not
+  // swallow the rest of the line (it would eat an adjacent email, which
+  // n_emails then counts but the scrub replaces as <URL>). \s is
+  // RE2-compatible and matches java.util.regex on ASCII whitespace.
+  val urlPattern: String = "https?://[^\\s]+"
 
   /** Replace URLs then emails with placeholder tokens (URL first: a URL
     * userinfo part could otherwise be half-eaten by the email pattern). */

@@ -572,9 +572,9 @@ object TextQueries {
            FROM documents)
          SELECT doc_id,
            CAST(LEN(REGEXP_EXTRACT_ALL(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
-           CAST(LEN(REGEXP_EXTRACT_ALL(t, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t, 'https?://[^\s]+')) AS INTEGER) AS n_urls,
            MD5(REGEXP_REPLACE(
-             REGEXP_REPLACE(t, 'https?://[^ ]+', '<URL>', 'g'),
+             REGEXP_REPLACE(t, 'https?://[^\s]+', '<URL>', 'g'),
              '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_fp
          FROM w ORDER BY doc_id""",
 
