@@ -136,8 +136,13 @@ object EventStreams {
   final case class DupMatch(doc_id: Long, dup_of: Long, jaccard: Double)
 
   /** Per-band-bucket state for [[nearDupMatches]]: members seen so far in
-    * arrival order, with their sorted shingle-hash sets. */
-  final case class BandBucket(members: Seq[(Long, Seq[Long])])
+    * arrival order, with their sorted shingle-hash sets. `degenerate` is
+    * set the moment a bucket would exceed the member cap: its members are
+    * dropped (state shrinks to a tombstone) and the band stops emitting —
+    * mirroring the batch degenerate-band drop. */
+  final case class BandBucket(
+      members: Seq[(Long, Seq[Long])],
+      degenerate: Boolean = false)
 
   /** Streaming incremental near-dup detection — the streaming twin of
     * [[graft.operators.Dedup.minhashPairs]]: every arriving document is
@@ -148,11 +153,16 @@ object EventStreams {
     * Same portable hash stack as batch (shingle → minhash → band keys),
     * so on a corpus with no degenerate buckets the emitted undirected
     * pair set equals the batch `minhashPairs` output bit-for-bit
-    * (StreamingSpec asserts this). State is keyed by band: each bucket
-    * keeps its first `maxBucketSize` members (the streaming analogue of
-    * the batch degenerate-bucket drop — boilerplate keys stop
-    * accumulating instead of going quadratic), and each arriving doc
-    * exact-verifies against at most that many members per band.
+    * (StreamingSpec asserts this). State is keyed by band: the moment a
+    * bucket would exceed `maxBucketSize` members it is marked degenerate —
+    * its member list is dropped from state and the band emits nothing
+    * from then on, mirroring batch's drop of over-cap buckets
+    * (boilerplate keys carry no near-dup signal worth O(bucket²)). The
+    * one unavoidable divergence from batch: matches a degenerate band
+    * emitted BEFORE its cap was hit cannot be retracted (Append-mode
+    * streams are monotone), where batch — seeing the whole corpus at
+    * once — emits none of them; pairs that also share a non-degenerate
+    * band are still emitted by both engines.
     *
     * At scale: state is hash-partitioned by band key across executors;
     * per-bucket cost is bounded by the cap; `stateTtlMs > 0` switches to
@@ -200,20 +210,29 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else {
-            var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+            val prev = state.getOption.getOrElse(BandBucket(Seq.empty))
+            var members = prev.members
+            var degenerate = prev.degenerate
             val out = scala.collection.mutable.ArrayBuffer.empty[DupMatch]
             rows.toSeq.sortBy(_._2).foreach { case (_, id, shs) =>
-              if (!members.exists(_._1 == id)) {
-                val arr = shs.toArray
-                members.foreach { case (mid, msh) =>
-                  val j = round6(
-                    graft.functions.SortedLongJaccard.jaccardArrays(msh.toArray, arr))
-                  if (j >= threshold) out += DupMatch(id, mid, j)
+              if (!degenerate && !members.exists(_._1 == id)) {
+                if (members.size >= maxBucketSize) {
+                  // cap exceeded → the batch engine would drop this whole
+                  // band; go silent and release the member state
+                  degenerate = true
+                  members = Seq.empty
+                } else {
+                  val arr = shs.toArray
+                  members.foreach { case (mid, msh) =>
+                    val j = round6(
+                      graft.functions.SortedLongJaccard.jaccardArrays(msh.toArray, arr))
+                    if (j >= threshold) out += DupMatch(id, mid, j)
+                  }
+                  members = members :+ ((id, shs))
                 }
-                if (members.size < maxBucketSize) members = members :+ ((id, shs))
               }
             }
-            state.update(BandBucket(members))
+            state.update(BandBucket(members, degenerate))
             if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             out.iterator
           }

@@ -123,6 +123,42 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("a degenerate band bucket goes silent at the cap, mirroring the batch drop") {
+    // 12 identical docs, cap 3: batch minhashPairs drops the over-cap
+    // bucket entirely (zero pairs). Streaming cannot retract pairs already
+    // emitted before the cap trips (Append mode is monotone), but from the
+    // cap onward the band must go silent AND release its member state —
+    // so emitted pairs are confined to the pre-cap prefix (first 3 ids).
+    import spark.implicits._
+    val docs = (0L until 12L).map(i =>
+      (i, "the same boilerplate text repeated here again and again for everyone"))
+    val dir = Files.createTempDirectory("degenerate-stream").toString
+    // two micro-batches so the degenerate flag must survive in state
+    docs.filter(_._1 < 6).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    docs.filter(_._1 >= 6).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(docs.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val streamed = runToMemory(
+      EventStreams.nearDupMatches(stream, "doc_id", "text",
+        shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5,
+        maxBucketSize = 3).toDF(),
+      "degenerate_out", "append")
+    val ids = streamed.select("doc_id").union(streamed.select("dup_of"))
+      .as[Long].collect().toSet
+    assert(ids.nonEmpty, "pre-cap prefix should emit pairs")
+    assert(ids.forall(_ < 3L),
+      s"band kept emitting after its cap: ids=$ids")
+    // batch on the same corpus emits nothing at this cap
+    assert(graft.operators.Dedup.minhashPairs(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5,
+      maxBucketSize = 3).count() === 0L)
+  }
+
   test("stream-stream interval join equals the batch join on emitted rows") {
     val errors = streamEvents.filter(col("event_type") === "error")
     val signups = streamEvents.filter(col("event_type") === "signup")
