@@ -502,10 +502,11 @@ object AnnPq {
     * Broadcast lifecycle: the LUT broadcast lives exactly as long as the
     * returned (lazy) plan — it cannot be destroyed here without breaking
     * re-execution, and Spark's ContextCleaner reclaims it from driver and
-    * executors once the caller releases the DataFrame. A long-running
-    * serving loop therefore holds ≤ one LUT broadcast per LIVE result it
-    * retains (same contract as [[encode]]'s persist): drop result
-    * references between batches and the accumulation is bounded. */
+    * executors once the caller releases the DataFrame — but the cleaner
+    * only runs on driver GC, so a long-running serving loop accumulates
+    * un-collected LUT broadcasts between GCs. A serving loop should
+    * therefore call [[searchADCCollect]] (destroys the broadcast the
+    * moment the action finishes) instead of holding lazy plans. */
   def searchADC(
       index: AnnIvf.Index,
       cb: Codebooks,
@@ -517,7 +518,49 @@ object AnnPq {
       nprobe: Int,
       idCol: String = "vec_id",
       refine: Int = 0,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false): DataFrame =
+    searchADCWithHandle(index, cb, encoded, queries, queryIdCol, vecCol,
+      k, nprobe, idCol, refine, residual)._1
+
+  /** Serving-loop form of [[searchADC]]: runs the search eagerly, returns
+    * the (small, top-k-per-query) result rows, and destroys the per-call
+    * LUT broadcast before returning — so N serving calls hold ZERO live
+    * broadcasts between batches instead of N-until-GC. The collect is the
+    * serving contract (the client gets the rows back anyway); the result
+    * is ≤ |queries|·k rows by construction. */
+  def searchADCCollect(
+      index: AnnIvf.Index,
+      cb: Codebooks,
+      encoded: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      refine: Int = 0,
+      residual: Boolean = false): Array[org.apache.spark.sql.Row] = {
+    val (df, bc) = searchADCWithHandle(index, cb, encoded, queries,
+      queryIdCol, vecCol, k, nprobe, idCol, refine, residual)
+    try df.collect()
+    finally bc.destroy()
+  }
+
+  /** [[searchADC]] body exposing the LUT broadcast — the test seam for
+    * the lifecycle spec and the building block for both public forms. */
+  private[graft] def searchADCWithHandle(
+      index: AnnIvf.Index,
+      cb: Codebooks,
+      encoded: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      refine: Int = 0,
+      residual: Boolean = false):
+      (DataFrame, org.apache.spark.broadcast.Broadcast[Map[Long, Array[Float]]]) = {
     val spark = queries.sparkSession
     import spark.implicits._
     val q = queries.select(
@@ -544,23 +587,25 @@ object AnnPq {
       .join(encoded, Seq("partition_id"))
       .withColumn("adc_score", if (residual) adc + col("pscore") else adc)
       .drop("pscore")
-    if (refine <= 0)
-      Knn.topKPerGroup(scored, Seq(col("query_id")), k,
-          desc("adc_score"), asc(idCol))
-        .drop("pq_code")
-        .withColumnRenamed("adc_score", "score")
-    else {
-      val shortlist = Knn.topKPerGroup(scored, Seq(col("query_id")),
-          math.max(refine, k), desc("adc_score"), asc(idCol))
-        .select(col("query_id"), col(idCol))
-      val exact = shortlist
-        .join(broadcast(q), Seq("query_id"))
-        .join(index.assigned.select(col(idCol), col(vecCol)), Seq(idCol))
-        .withColumn("score",
-          graft.functions.VectorOps.dot(col(vecCol), col("__query_vec")))
-      Knn.topKPerGroup(exact, Seq(col("query_id")), k,
-          desc("score"), asc(idCol))
-        .drop("__query_vec", vecCol)
-    }
+    val result =
+      if (refine <= 0)
+        Knn.topKPerGroup(scored, Seq(col("query_id")), k,
+            desc("adc_score"), asc(idCol))
+          .drop("pq_code")
+          .withColumnRenamed("adc_score", "score")
+      else {
+        val shortlist = Knn.topKPerGroup(scored, Seq(col("query_id")),
+            math.max(refine, k), desc("adc_score"), asc(idCol))
+          .select(col("query_id"), col(idCol))
+        val exact = shortlist
+          .join(broadcast(q), Seq("query_id"))
+          .join(index.assigned.select(col(idCol), col(vecCol)), Seq(idCol))
+          .withColumn("score",
+            graft.functions.VectorOps.dot(col(vecCol), col("__query_vec")))
+        Knn.topKPerGroup(exact, Seq(col("query_id")), k,
+            desc("score"), asc(idCol))
+          .drop("__query_vec", vecCol)
+      }
+    (result, bc)
   }
 }

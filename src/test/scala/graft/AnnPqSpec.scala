@@ -210,4 +210,31 @@ class AnnPqSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, nprobe = 4, refine = 20).columns
     assert(refCols.contains("score") && !refCols.contains("adc_score"))
   }
+
+  test("searchADCCollect destroys the per-call LUT broadcast; results unchanged") {
+    val cb = AnnPq.train(emb, "embedding", m = 8, ksub = 16, seed = 7L)
+    val encoded = AnnPq.encode(index, cb, "vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 5)
+    def key(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long, Int)] =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rank"))).toSet
+    val lazyRows = AnnPq.searchADC(index, cb, encoded, q,
+      "vec_id", "embedding", k = 5, nprobe = 4).collect()
+    // a serving loop: N calls, each destroying its LUT broadcast on exit —
+    // no live broadcast survives an iteration (vs N-until-driver-GC with
+    // the lazy form)
+    (1 to 3).foreach { _ =>
+      val served = AnnPq.searchADCCollect(index, cb, encoded, q,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      assert(key(served) === key(lazyRows))
+    }
+    // the handle seam proves destruction is real: after the action +
+    // destroy, the broadcast value is gone for good
+    val (df, bc) = AnnPq.searchADCWithHandle(index, cb, encoded, q,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+    val rows = df.collect()
+    assert(key(rows) === key(lazyRows))
+    bc.destroy()
+    assertThrows[org.apache.spark.SparkException](bc.value)
+  }
 }
