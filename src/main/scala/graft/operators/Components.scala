@@ -47,11 +47,20 @@ object Components {
       .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
       .distinct()
 
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+
   /** Large-star: every node u connects its strictly-larger neighbors to
     * m(u) = min(N(u) ∪ {u}). Operates on the symmetric view; output is
     * canonical again because dst > src ≥ m. */
-  private[graft] def largeStar(edges: DataFrame): DataFrame = {
-    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+  private[graft] def largeStar(edges: DataFrame): DataFrame =
+    largeStarOn(symmetrize(edges))
+
+  /** [[largeStar]] body over a pre-built (optionally persisted) symmetric
+    * view: `sym` is scanned twice — once for the per-node min, once for
+    * the rewiring join — so the round loop persists it across the two
+    * passes instead of recomputing the union + upstream edges. */
+  private def largeStarOn(sym: DataFrame): DataFrame = {
     val m = sym.groupBy("src").agg(min("dst").as("__mn"))
       .select(col("src"), least(col("src"), col("__mn")).as("__m"))
     // no distinct here: different centers can emit the same (v, m) pair,
@@ -114,9 +123,23 @@ object Components {
     var iter = 0
     var converged = sig._1 == 0L
     while (!converged && iter < maxIter) {
-      val next = truncate(smallStar(largeStar(edges)))
+      // sym is scanned twice inside the round (per-node min + rewiring
+      // join); persist it for the round so the union and the upstream
+      // checkpoint scan run once, not twice (the round's dominant cost
+      // on the 2M-edge ScaleSmoke graph)
+      val sym = symmetrize(edges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = truncate(smallStar(largeStarOn(sym)))
+      sym.unpersist(blocking = false)
       val nsig = signature(next)
-      converged = nsig == sig
+      // Signature equality ((count, bit_xor(xxhash64))) could in principle
+      // collide (~2⁻⁶⁴) and declare a false fixpoint — which would emit
+      // silently wrong labels, since the assignment derivation below is
+      // only valid at a true fixpoint. Confirm exactly, once, on the
+      // round where signatures first agree: counts already match, so an
+      // empty multiset difference proves set equality. Both sides are
+      // checkpointed, so this is one extra join-sized pass per call.
+      converged = nsig == sig && next.exceptAll(edges).isEmpty
       sig = nsig
       edges = next
       iter += 1
