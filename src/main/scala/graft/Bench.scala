@@ -86,7 +86,7 @@ object Bench {
     }
     def median(v: Vector[Double]): Double = { val s = v.sorted; s(s.size / 2) }
     def r(x: Double): Double = math.rint(x * 1e6) / 1e6
-    def r3(x: Double): Double = math.rint(x * 1e3) / 1e3
+    def r2(x: Double): Double = math.rint(x * 1e2) / 1e2
     val med = names.map(n => n -> median(samples(n))).toMap
     val spread = names.map { n =>
       val v = samples(n)
@@ -106,10 +106,12 @@ object Bench {
     // PRIMARY contract line, printed LAST and kept small: the driver
     // captures a bounded tail of stdout (observed 2000 chars) and parses
     // the JSON line from it, so the complete line must fit there even
-    // after sbt's trailing "[success] Total time ..." line. 3-decimal
-    // per-query values (1 ms granularity, well under the measured
-    // run-to-run spread) keep ~63 queries under that budget.
-    val qs = names.map(n => s"\"$n\":" + r3(med(n))).mkString("{", ",", "}")
+    // after sbt's trailing "[success] Total time ..." line. 2-decimal
+    // per-query values (10 ms granularity — still under the measured
+    // run-to-run spread at sf0.1; full-precision medians live in the
+    // diagnostics line's queries_full) keep ~70+ queries under that
+    // budget with ~100 chars of headroom.
+    val qs = names.map(n => s"\"$n\":" + r2(med(n))).mkString("{", ",", "}")
     // sf as basename and trials only in the diagnostics line: every char
     // here is budget for more per-query entries
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)

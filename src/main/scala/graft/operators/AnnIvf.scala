@@ -385,8 +385,15 @@ object AnnIvf {
       .filter(col("__n") > maxCellRows)
       .select(col("partition_id").cast("int")).as[Int].collect().sorted
     if (hotIds.isEmpty) return index
+    // seeded hash order, NOT id order: the add-after-train regime this
+    // operator targets is exactly the one where ids correlate with
+    // content (a drifting stream appends newest-last), so "first
+    // sampleSize ids" would be a biased sample of the cell and skew the
+    // 2-means split; xxhash64(id, seed) is a deterministic shuffle of the
+    // cell (id tie-break only for the ~2⁻⁶⁴ hash-collision case)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("partition_id").orderBy(col(idCol))
+      .partitionBy("partition_id")
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
     val samples = index.assigned
       .filter(col("partition_id").isin(hotIds.toSeq: _*))
       .withColumn("__rn", row_number().over(w))
@@ -396,13 +403,28 @@ object AnnIvf {
       .groupBy(_._1).map { case (pid, rows) => pid -> rows.map(_._2.toArray) }
     val maxId = index.centroids
       .agg(max(col("partition_id"))).head().getInt(0)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
     val splits: Seq[(Int, Array[Float], Array[Float], Int)] =
       hotIds.toSeq.zipWithIndex.flatMap { case (pid, idx) =>
         val pts = samples.getOrElse(pid, Array.empty[Array[Float]])
         if (pts.length < 2) None
         else {
           val cs = localKMeans(pts, 2, seed + pid, maxIter = 10)
-          if (cs.length < 2) None
+          // Degenerate cells stay whole — and `cs.length < 2` alone does
+          // not catch them: localKMeans seeds k distinct INDICES, so a
+          // cell of value-identical vectors still yields two equal
+          // centers, every row would tie back to the parent, and the
+          // sibling would be created empty (a duplicate centroid per
+          // maintenance pass, forever). Require distinct centers AND at
+          // least one sampled row that would actually move.
+          if (cs.length < 2 || java.util.Arrays.equals(cs(0), cs(1)) ||
+              !pts.exists(p => dot(p, cs(1)) > dot(p, cs(0))))
+            None
           else Some((pid, cs(0), cs(1), maxId + 1 + idx))
         }
       }
@@ -436,6 +458,110 @@ object AnnIvf {
       .unionByName(newRows.toDF("partition_id", "centroid")
         .withColumn("centroid", col("centroid").cast("array<float>")))
     Index(newAssigned, newCentroids, index.writeSalt)
+  }
+
+  /** [[rebalance]] report: cell counts before/after, how many cells were
+    * over `maxCellRows` before and after the pass, and how many files a
+    * concurrent appender landed mid-rebalance that were recovered into
+    * the published layout. */
+  final case class RebalanceStats(
+      cellsBefore: Long,
+      cellsAfter: Long,
+      hotBefore: Long,
+      hotAfter: Long,
+      lateFilesRecovered: Long)
+
+  /** One-call durable index maintenance: read the layout at `path`, split
+    * hot cells ([[splitHotCells]]), write the rebalanced layout back —
+    * with [[Ingest.compact]]'s concurrent-writer discipline, because the
+    * add-after-train regime this serves has a live appender (streaming
+    * `annIngest`) racing the rewrite:
+    *
+    *  - the rewrite reads EXACTLY the vector files listed in an up-front
+    *    snapshot, not "whatever the directory holds when the scan runs";
+    *  - the new layout (vectors + centroids + meta, same fp16/salt
+    *    conventions — [[write]]) is staged beside `path` and published by
+    *    directory swap;
+    *  - any vector file a concurrent appender landed AFTER the snapshot
+    *    is moved from the retired dir back into the published layout
+    *    before the retired dir is deleted — a late micro-batch is never
+    *    dropped; its rows keep their assigned partition_id (the parent of
+    *    any split cell still exists, so late rows stay routable; they are
+    *    candidates for the NEXT rebalance pass like any other row).
+    *
+    * A cell-less no-op (nothing hot, or every hot cell degenerate) leaves
+    * the layout untouched. `onStaged` is the test seam between staging
+    * and swap — the window a concurrent append races into. */
+  def rebalance(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      maxCellRows: Long,
+      seed: Long = 42L,
+      sampleSize: Int = 256,
+      onStaged: () => Unit = () => ()): RebalanceStats = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    val vectorsDir = new org.apache.hadoop.fs.Path(target, "vectors")
+    val snapshot = Ingest.listDataFiles(fs, vectorsDir)
+    require(snapshot.nonEmpty, s"rebalance: no vector files at $vectorsDir")
+    // snapshot-pinned read of the durable layout (same decode path as
+    // `read`, but against the listed files so a mid-pass append is
+    // excluded here and recovered below)
+    val raw = spark.read.option("basePath", vectorsDir.toString)
+      .parquet(snapshot.map(_.toString): _*)
+    val packedCol = raw.columns.find(_.endsWith(Fp16Suffix))
+    val assigned = packedCol match {
+      case Some(packed) =>
+        raw.withColumn(packed.dropRight(Fp16Suffix.length),
+          graft.functions.FP16.unpackCol(col(packed))).drop(packed)
+      case None => raw
+    }
+    val writeSalt =
+      try spark.read.parquet(s"$path/meta").select("write_salt").head().getInt(0)
+      catch { case _: org.apache.spark.sql.AnalysisException => 1 }
+    val index = Index(assigned,
+      spark.read.parquet(s"$path/centroids"), writeSalt)
+    def hotCount(ix: Index): Long =
+      ix.assigned.groupBy("partition_id").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxCellRows).count()
+    val cellsBefore = index.centroids.count()
+    val hotBefore = hotCount(index)
+    val rebalanced = splitHotCells(index, idCol, vecCol, maxCellRows,
+      seed, sampleSize)
+    if (rebalanced eq index)
+      return RebalanceStats(cellsBefore, cellsBefore, hotBefore, hotBefore, 0L)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}__rebalancing")
+    fs.delete(staging, true)
+    write(rebalanced, staging.toString, writeSalt,
+      fp16 = packedCol.isDefined, vecCol = vecCol)
+    onStaged()
+    val retired = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}__retired")
+    fs.delete(retired, true)
+    require(fs.rename(target, retired), s"rebalance: cannot retire $target")
+    require(fs.rename(staging, target), s"rebalance: cannot publish $staging")
+    // recover vector files a concurrent appender landed after the snapshot
+    val retiredVectors = new org.apache.hadoop.fs.Path(retired, "vectors")
+    val snapshotRel =
+      snapshot.map(Ingest.relPath(fs, vectorsDir, _)).toSet
+    var recovered = 0L
+    Ingest.listDataFiles(fs, retiredVectors).foreach { f =>
+      val r = Ingest.relPath(fs, retiredVectors, f)
+      if (!snapshotRel.contains(r)) {
+        val dest = new org.apache.hadoop.fs.Path(vectorsDir, r)
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(f, dest), s"rebalance: cannot restore late append $f")
+        recovered += 1L
+      }
+    }
+    fs.delete(retired, true)
+    val published = read(spark, path)
+    RebalanceStats(cellsBefore, published.centroids.count(),
+      hotBefore, hotCount(published), recovered)
   }
 
   /** ANN search: probe → pruned per-partition exact top-k → global merge.
@@ -506,6 +632,41 @@ object AnnIvf {
       else scored
     Knn.topKPerGroup(candidates,
       Seq(col("query_id")), k, desc("score"), asc(idCol))
+      .drop("__query_vec", "__salt")
+  }
+
+  /** Range search: ALL neighbors with score ≥ `minScore` within the
+    * probed partitions — the radius/threshold twin of top-k [[search]]
+    * (FAISS `range_search`; the reference's serving stack exposes only
+    * top-k, neighborhood_server.py:209-216, so a "give me everything at
+    * least this similar" caller must over-fetch k and re-filter). Output
+    * size is data-dependent, not k-bounded — the probe keeps it ∝
+    * nprobe/nlist of the corpus, and there is no window: a threshold scan
+    * needs no per-query ordering, so the plan is probe → pruned join →
+    * filter, one shuffle fewer than [[search]].
+    *
+    * At nprobe = nlist this is exact (equals a brute-force threshold
+    * join) — which is what makes `knn_range_search` oracle-checkable. */
+  def rangeSearch(
+      index: Index,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      minScore: Double,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      excludeSelf: Boolean = false,
+      score: (Column, Column) => Column = VectorOps.dot(_, _)): DataFrame = {
+    val q = queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
+    val probed = probeStep(index, q, nprobe).drop("pscore")
+    val cands = broadcast(probed).join(index.assigned, Seq("partition_id"))
+    val filtered =
+      if (excludeSelf) cands.filter(col(idCol) =!= col("query_id"))
+      else cands
+    filtered
+      .withColumn("score", score(col(vecCol), col("__query_vec")))
+      .filter(col("score") >= minScore)
       .drop("__query_vec", "__salt")
   }
 
@@ -582,7 +743,13 @@ object AnnIvf {
     * vector is bounded by the occupancy of its probed partitions — the
     * quadratic blowup of a crossJoin never materializes.
     *
-    * With nprobe = nlist this equals brute force per row (KnnSpec). */
+    * With nprobe = nlist this equals brute force per row (KnnSpec).
+    *
+    * `querySide` restricts WHICH vectors get neighbors (e.g. one ingest
+    * batch against the whole corpus — the incremental-backfill shape);
+    * the candidate corpus is always the full index. The filter is applied
+    * BEFORE the probe, so probe, shuffle, and candidate volume all scale
+    * with the filtered side, not the corpus. */
   def knnJoin(
       index: Index,
       idCol: String,
@@ -590,12 +757,13 @@ object AnnIvf {
       k: Int,
       nprobe: Int,
       excludeSelf: Boolean = true,
-      score: (Column, Column) => Column = VectorOps.dot(_, _)): DataFrame = {
+      score: (Column, Column) => Column = VectorOps.dot(_, _),
+      querySide: Column = lit(true)): DataFrame = {
     val centers = index.centroids.orderBy("partition_id")
       .collect().map(_.getSeq[Float](1).toArray)
     // corpus-sized probe side → blocked-gemm multi-probe, not a per-row UDF
     val queries = CentroidGemm.probe(
-        index.assigned.select(
+        index.assigned.filter(querySide).select(
           col(idCol).as("query_id"), col(vecCol).as("__query_vec")),
         "__query_vec", centers, nprobe)
       .select(col("query_id"), col("__query_vec"),

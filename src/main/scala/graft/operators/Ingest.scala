@@ -75,22 +75,9 @@ object Ingest {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hconf)
-    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-      if (!fs.exists(p)) Seq.empty
-      else {
-        val it = fs.listFiles(p, true)
-        val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) b += f.getPath
-        }
-        b.result()
-      }
-    }
-    // listFiles returns scheme-qualified URIs; qualify the root the same
-    // way or relativize silently returns the absolute path
-    def rel(root: org.apache.hadoop.fs.Path, f: org.apache.hadoop.fs.Path): String =
-      fs.makeQualified(root).toUri.relativize(fs.makeQualified(f).toUri).getPath
+    def dataFiles(p: org.apache.hadoop.fs.Path) = listDataFiles(fs, p)
+    def rel(root: org.apache.hadoop.fs.Path, f: org.apache.hadoop.fs.Path) =
+      relPath(fs, root, f)
     val snapshot = dataFiles(target)
     require(snapshot.nonEmpty, s"compact: no data files at $target")
     val staging = new org.apache.hadoop.fs.Path(
@@ -133,6 +120,34 @@ object Ingest {
       row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(partitionCol).orderBy(idCol)) - 1)
+
+  /** Recursive listing of the parquet data files under `p` — the snapshot
+    * primitive both [[compact]] and [[AnnIvf.rebalance]] pin their reads
+    * to (concurrent appenders land files AFTER the listing; those are
+    * recovered from the retired dir post-swap, never read twice). */
+  private[operators] def listDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath
+      }
+      b.result()
+    }
+  }
+
+  /** Path of `f` relative to `root`. listFiles returns scheme-qualified
+    * URIs; qualify the root the same way or relativize silently returns
+    * the absolute path. */
+  private[operators] def relPath(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      f: org.apache.hadoop.fs.Path): String =
+    fs.makeQualified(root).toUri.relativize(fs.makeQualified(f).toUri).getPath
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -117,14 +117,36 @@ object VectorQueries {
     // k-bounded partial/merge) DuckDB-expressible: the oracle is an exact
     // self-join + ROW_NUMBER window. Scores rounded to 6 dp BEFORE ranking
     // on both sides; desc-score/asc-id is the aggregator's contract.
+    // The query side is capped to 100 ids (querySide pushes the cap
+    // BELOW the probe): the aggregator's partial/merge is exercised
+    // identically, at ~1/5 the candidate volume — this is a verification
+    // query, not the production path (that is knn_join_all).
     "knn_join_exact" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
       AnnIvf.knnJoin(index, "vec_id", "embedding", k = 3, nprobe = 16,
-          score = roundedDot)
+          score = roundedDot, querySide = col("vec_id") < 100)
         .select(col("query_id"), col("vec_id"), col("score"),
           col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
+    },
+
+    // Range search (FAISS range_search twin): every neighbor at least
+    // minScore-similar to each query — threshold semantics, not top-k, so
+    // the result size is data-dependent and there is no rank window. Run
+    // at nprobe = nlist, where the probe admits every partition and the
+    // result provably equals a brute-force threshold join — hence the
+    // DuckDB oracle; the production path prunes with nprobe < nlist.
+    "knn_range_search" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      AnnIvf.rangeSearch(index,
+          queries = emb.filter(col("vec_id") < 5),
+          queryIdCol = "vec_id", vecCol = "embedding",
+          minScore = 0.25, nprobe = 16,
+          excludeSelf = true, score = roundedDot)
+        .select(col("query_id"), col("vec_id"), col("label"), col("score"))
+        .orderBy("query_id", "vec_id")
     },
 
     // IVF-PQ end-to-end (faithful residual formulation): 8-byte product
@@ -256,8 +278,16 @@ object VectorQueries {
               ROW_NUMBER() OVER (PARTITION BY a.vec_id
                 ORDER BY ${sqlDot("b.embedding", "a.embedding")} DESC, b.vec_id) AS rn
             FROM embeddings a, embeddings b
-            WHERE b.vec_id <> a.vec_id)
+            WHERE a.vec_id < 100 AND b.vec_id <> a.vec_id)
           WHERE rn <= 3 ORDER BY query_id, rnk""",
+
+    "knn_range_search" ->
+      s"""SELECT a.vec_id AS query_id, b.vec_id, b.label,
+            ${sqlDot("b.embedding", "a.embedding")} AS score
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+            AND ${sqlDot("b.embedding", "a.embedding")} >= 0.25
+          ORDER BY query_id, b.vec_id""",
 
     "knn_cosine_distance" ->
       """SELECT vec_id, label, cos_dist FROM (

@@ -258,6 +258,35 @@ class KnnSpec extends SparkSpec {
     assert(costs(1) === queries.count() * emb.count())
   }
 
+  test("range search: exact at nprobe = nlist, probe-pruned subset below") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val nlist = 8
+    val index = AnnIvf.build(emb, "vec_id", "embedding", nlist, seed = 42L)
+    val minScore = 0.2
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id".cast("long"), $"vec_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val exact = asSet(AnnIvf.rangeSearch(index, queries, "vec_id", "embedding",
+      minScore, nprobe = nlist, excludeSelf = true))
+    // ground truth: brute-force threshold join
+    val want = emb.crossJoin(broadcast(queries.select($"vec_id".as("qid"),
+        $"embedding".as("qv"))))
+      .filter($"vec_id" =!= $"qid")
+      .filter(graft.functions.VectorOps.dot($"embedding", $"qv") >= minScore)
+      .select($"qid".cast("long"), $"vec_id".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(exact === want)
+    // every returned score honors the threshold
+    assert(AnnIvf.rangeSearch(index, queries, "vec_id", "embedding",
+      minScore, nprobe = nlist).filter($"score" < minScore).count() === 0)
+    // pruned probing returns a subset (it can only miss, never invent)
+    val pruned = asSet(AnnIvf.rangeSearch(index, queries, "vec_id", "embedding",
+      minScore, nprobe = 2, excludeSelf = true))
+    assert(pruned.subsetOf(exact))
+  }
+
   test("index write/read roundtrip prunes partitions at search") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 4, seed = 42L)
