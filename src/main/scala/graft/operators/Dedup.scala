@@ -216,6 +216,36 @@ object Dedup {
       .select("left_id", "right_id", "jaccard")
   }
 
+  /** Decontamination: per-train-document count of distinct hashed word
+    * n-grams that also occur anywhere in the eval corpus — the train/test
+    * overlap detector every published-benchmark pipeline runs before
+    * training (GPT-3 appendix C uses 13-grams; `n` is a knob because
+    * realistic doc lengths vary). Returns `(id, n_shared)` for train docs
+    * with at least one shared n-gram; absent ids are clean.
+    *
+    * Scale shape: both sides explode to (doc, gram-hash) rows — linear in
+    * corpus token count — and meet in ONE equi-join on a 64-bit portable
+    * hash (the same stack the minhash oracle replays, so the whole check
+    * is DuckDB-reproducible). The eval side is collapsed to distinct
+    * hashes first; real eval suites are tiny next to the corpus, so AQE
+    * turns the join into a broadcast. A 64-bit collision can only flag a
+    * clean doc (false positive) — the safe direction for this operator. */
+  def contaminationCounts(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    def grams(df: DataFrame) = df
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(TextOps.portableHashedShinglesUdf(n)(col("__toks"))).as("g"))
+    grams(train)
+      .join(grams(eval).select("g").distinct(), Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Embedding-cosine near-dup pairs: EXACT threshold pairs between a
     * bounded left sample and the full corpus, executed as a broadcast
     * blocked-gemm scan — one pass over the corpus, |left|·|corpus|·dim

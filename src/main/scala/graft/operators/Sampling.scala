@@ -48,11 +48,36 @@ object Sampling {
     pmod(s2.bitwiseXOR(shiftrightunsigned(s2, 16)), lit(denom.toLong))
   }
 
+  /** Deterministic stratified keep on the portable hash: a row survives
+    * iff its split bucket (0..999) falls under its stratum's per-mille
+    * fraction. Same auditability contract as [[portableSplitBucket]] —
+    * membership is a pure function of (key, seed), stable across layout
+    * and re-ingest, and replayable outside Spark — which `sampleBy`
+    * (partition-order-dependent RNG) cannot give a 100 TB corpus. */
+  def stratifiedPortable(df: DataFrame, keyCol: Column, strataCol: Column,
+      perMille: Map[String, Int], defaultPerMille: Int, seed: Long): DataFrame = {
+    require((perMille.values ++ Seq(defaultPerMille)).forall(v => v >= 0 && v <= 1000),
+      "per-mille fractions must be in [0, 1000]")
+    val thresh = perMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (stratum, pm)) => when(strataCol === stratum, lit(pm)).otherwise(acc)
+    }
+    df.filter(portableSplitBucket(keyCol, seed, 1000) < thresh)
+  }
+
   /** Exact per-group cap: keep at most `n` rows per group (deterministic by
     * `orderCol`) — the "max documents per domain" dedup-adjacent primitive. */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String, n: Int): DataFrame =
-    df.withColumn("__rn", row_number().over(
-        Window.partitionBy(groupCol).orderBy(orderCol)))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+    capPerGroupRanked(df, groupCol, Seq(col(orderCol)), n).drop("rn")
+
+  /** [[capPerGroup]] with explicit ranking columns and the rank kept —
+    * order by the portable hash of the id to cap in a content-independent,
+    * reproducible shuffle order (the "max N docs per domain" shape of
+    * CommonCrawl-style pipelines). Executes as one per-group window;
+    * Spark's `WindowGroupLimit` pushes the `rn <= n` bound into the sort,
+    * so no group ever fully materializes its ranking. */
+  def capPerGroupRanked(df: DataFrame, groupCol: String, order: Seq[Column],
+      n: Int): DataFrame =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(order: _*)))
+      .filter(col("rn") <= n)
 }

@@ -286,6 +286,69 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Decontamination: flag train docs sharing any word 5-gram with the
+    // held-out eval slice (doc_id % 10 == 7) — the train/test-overlap
+    // audit a benchmark-publishing pipeline runs before training. One
+    // equi-join on the portable 64-bit gram hash; fully oracle-checked.
+    "text_decontam" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val isEval = col("doc_id") % 10 === 7
+      val counts = Dedup.contaminationCounts(
+        docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", n = 5)
+      docs.filter(!isEval).select(col("doc_id"))
+        .join(counts.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // Per-source document cap (CommonCrawl "max N docs per domain"):
+    // deterministic portable-hash order, rank kept, WindowGroupLimit
+    // bounds the per-group sort.
+    "sample_cap" -> { (s, dir) =>
+      val ord = graft.operators.Sampling.portableSplitBucket(
+        col("doc_id"), seed = 7L, denom = 1000003)
+      graft.operators.Sampling.capPerGroupRanked(
+          table(s, dir, "documents").withColumn("__k", ord),
+          "source", Seq(col("__k"), col("doc_id")), n = 10)
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style quality rules (Rae et al. 2021 §A1.1, adapted to this
+    // corpus's scale): word-count bounds, mean-word-length band, fraction
+    // of words with an alphabetic char, minimum stopword hits — emitted
+    // as signals plus the composite keep flag.
+    "text_gopher" -> { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "with")
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks).as("n_words"),
+          round(TextOps.avgTokenLength(col("text")), 6).as("mean_word_len"),
+          round(size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double")
+            / size(toks), 6).as("alpha_ratio"),
+          size(filter(toks, t => t.isInCollection(stop))).as("stop_hits"))
+        .withColumn("keep",
+          (col("n_words").between(20, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("alpha_ratio") > 0.8 &&
+            col("stop_hits") >= 2).cast("int"))
+        .orderBy("doc_id")
+    },
+
+    // Stratified downsampling with per-language rates (rebalancing a
+    // multilingual corpus), on the portable split hash so membership is
+    // stable across layout/re-ingest and auditable outside Spark.
+    "sample_strat" -> { (s, dir) =>
+      graft.operators.Sampling.stratifiedPortable(
+          table(s, dir, "documents"), col("doc_id"), col("lang"),
+          perMille = Map("en" -> 500), defaultPerMille = 200, seed = 3L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup over a corpus with injected near-duplicates
     // (copies missing their first token) — rows-only check.
     "dedup_simhash" -> { (s, dir) =>
@@ -635,6 +698,62 @@ object TextQueries {
                 CAST(COALESCE(SUM(sk.m), 0) AS BIGINT) AS sketch_sum
          FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id
          GROUP BY d.doc_id ORDER BY d.doc_id""",
+
+    // The decontamination check replayed end-to-end: 5-gram shingles →
+    // portable char-poly + mix32 hash (same stack as minhash) → distinct
+    // eval grams → per-train-doc overlap count.
+    "text_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+         shs AS (
+           SELECT doc_id, LIST_DISTINCT(CASE WHEN LEN(t) >= 5
+             THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                   FOR i IN RANGE(1, LEN(t) - 3)]
+             ELSE [ARRAY_TO_STRING(t, ' ')] END) AS s
+           FROM toks),
+         shex AS (SELECT doc_id, UNNEST(s) AS sh FROM shs),
+         pp AS (SELECT doc_id, ${polySql("sh", 31)} AS p1,
+                       ${polySql("sh", 37)} AS p2 FROM shex),
+         hh AS (SELECT DISTINCT doc_id, ${tokenHashSql("p1", "p2")} AS h FROM pp),
+         ev AS (SELECT DISTINCT h FROM hh WHERE doc_id % 10 = 7),
+         ov AS (SELECT hh.doc_id, COUNT(*) AS n_shared
+                FROM hh JOIN ev USING (h) WHERE hh.doc_id % 10 <> 7
+                GROUP BY hh.doc_id)
+         SELECT d.doc_id, COALESCE(ov.n_shared, 0) AS n_shared,
+           CAST(COALESCE(ov.n_shared, 0) > 0 AS INTEGER) AS contaminated
+         FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+         WHERE d.doc_id % 10 <> 7 ORDER BY d.doc_id""",
+
+    "sample_cap" ->
+      s"""SELECT doc_id, source, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY ${mixSql("(doc_id % 4294967296 + 7 * 2654435761) % 4294967296")} % 1000003,
+                        doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY doc_id""",
+
+    "text_gopher" ->
+      """WITH t AS (
+           SELECT doc_id, lang, text, STRING_SPLIT(text, ' ') AS toks FROM documents),
+         m AS (
+           SELECT doc_id, lang,
+             CAST(LEN(toks) AS INTEGER) AS n_words,
+             ROUND(CAST(LENGTH(text) - LEN(toks) + 1 AS DOUBLE) / LEN(toks), 6) AS mean_word_len,
+             ROUND(CAST(LEN(LIST_FILTER(toks, w -> REGEXP_MATCHES(w, '[a-zA-Z]'))) AS DOUBLE)
+               / LEN(toks), 6) AS alpha_ratio,
+             CAST(LEN(LIST_FILTER(toks,
+               w -> LIST_CONTAINS(['the','a','of','and','to','in','is','with'], w))) AS INTEGER) AS stop_hits
+           FROM t)
+         SELECT doc_id, lang, n_words, mean_word_len, alpha_ratio, stop_hits,
+           CAST(n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND alpha_ratio > 0.8 AND stop_hits >= 2 AS INTEGER) AS keep
+         FROM m ORDER BY doc_id""",
+
+    "sample_strat" ->
+      s"""SELECT doc_id, lang FROM documents
+         WHERE ${mixSql("(doc_id % 4294967296 + 3 * 2654435761) % 4294967296")} % 1000
+           < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+         ORDER BY doc_id""",
 
     // Full SimHash pipeline recomputed in SQL: portable token hash
     // (char polys + Wang-mix per 32-bit half), per-bit majority vote,

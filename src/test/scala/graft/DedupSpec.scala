@@ -237,4 +237,26 @@ class DedupSpec extends SparkSpec {
       assert(j === want, s"jaccard($a, $b)")
     }
   }
+
+  test("contaminationCounts flags planted 5-gram overlap, not clean docs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // shares a 5-gram run with eval 10
+      (2L, "one two three four five six seven"),             // clean
+      (3L, "tiny doc"))                                      // < n tokens, clean
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "prefix alpha beta gamma delta epsilon suffix"),
+      (11L, "unrelated benchmark prompt text entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationCounts(train, eval, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    // train 1 and eval 10 share exactly the gram "alpha beta gamma delta epsilon"
+    assert(got === Map(1L -> 1L))
+
+    // the whole-doc fallback for sub-n docs still matches exactly
+    val evalTiny = Seq((12L, "tiny doc")).toDF("doc_id", "text")
+    val got2 = Dedup.contaminationCounts(train, evalTiny, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === Map(3L -> 1L))
+  }
 }

@@ -97,4 +97,19 @@ class PlanAuditSpec extends SparkSpec {
     // FormattedMode prints each node twice — tree line + detail header
     assert("Scan parquet".r.findAllIn(p).size === 2, p.take(2000))
   }
+
+  test("sample_cap: per-source cap runs as a bounded window group limit") {
+    val p = plan("sample_cap")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("hashpartitioning(source"), p.take(2000))
+    assert(!p.contains("SinglePartition"), "cap collapsed to one task")
+  }
+
+  test("text_decontam: one hash join on the gram hash, no cartesian") {
+    val p = plan("text_decontam")
+    assert(!p.contains("CartesianProduct"), "gram join went cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    // the contamination left-join keys on doc_id; the gram join keys on g
+    assert(p.contains("Join"), p.take(400))
+  }
 }

@@ -59,6 +59,45 @@ class SamplingSpec extends SparkSpec {
       capped("doc_id") === minIds("m")).count() === minIds.count())
   }
 
+  test("stratifiedPortable: per-stratum rates, stable under layout") {
+    val docs = table(spark, sf0001, "documents")
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.stratifiedPortable(df, col("doc_id"), col("lang"),
+          Map("en" -> 500, "zh" -> 0), defaultPerMille = 200, seed = 3L)
+        .select(col("doc_id").cast("long")).as[Long].collect().toSet
+    val got = kept(docs)
+    // a zero-rate stratum is fully dropped; membership is a pure function
+    // of (key, seed) so repartitioning cannot move rows between strata
+    assert(docs.filter($"lang" === "zh").count() > 0)
+    val zhIds = docs.filter($"lang" === "zh")
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert(got.intersect(zhIds).isEmpty)
+    assert(kept(docs.repartition(13)) === got)
+    // rates land near the per-mille targets (binomial tolerance)
+    val en = docs.filter($"lang" === "en").count().toDouble
+    val enKept = docs.filter($"lang" === "en")
+      .filter($"doc_id".isInCollection(got)).count().toDouble
+    assert(math.abs(enKept / en - 0.5) < 0.15, s"en rate ${enKept / en}")
+  }
+
+  test("capPerGroupRanked: hash order is content-independent and exact") {
+    val docs = table(spark, sf0001, "documents")
+    val ord = Sampling.portableSplitBucket(col("doc_id"), 7L, 1000003)
+    val capped = Sampling.capPerGroupRanked(
+      docs.withColumn("__k", ord), "source", Seq(col("__k"), col("doc_id")), 5)
+    assert(capped.groupBy("source").count().filter($"count" > 5).count() === 0)
+    // ranks are 1..min(5, groupSize) with no gaps
+    assert(capped.groupBy("source").agg(min("rn").as("lo"), max("rn").as("hi"),
+        count(lit(1)).as("n"))
+      .filter($"lo" =!= 1 || $"hi" =!= $"n").count() === 0)
+    // same survivors regardless of input layout
+    val again = Sampling.capPerGroupRanked(
+        docs.repartition(17).withColumn("__k", ord),
+        "source", Seq(col("__k"), col("doc_id")), 5)
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert(again === capped.select($"doc_id".cast("long")).as[Long].collect().toSet)
+  }
+
   test("L1 and Linf distances: zero to self, triangle sanity") {
     val got = Seq((Seq(1f, 2f, -3f), Seq(0f, 2f, 1f)))
       .toDF("a", "b")
