@@ -115,6 +115,8 @@ object Bench {
     // sf as basename and trials only in the diagnostics line: every char
     // here is budget for more per-query entries
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    // total at 2 decimals too (full precision is the diagnostics line's
+    // medians' sum) — every fixed char here is per-query budget
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
   }
 }

@@ -65,6 +65,22 @@ object VectorQueries {
         .limit(10)
     },
 
+    // Distributed PCA: one-pass Gramian treeAggregate + driver-side d×d
+    // Jacobi eigensolve, projections applied as a scan-local map — the
+    // whitening / dimension-reduction stage of an embedding pipeline.
+    // Rows-only (an eigensolve is not SQL-expressible); the spectral
+    // contract (orthonormality, Cv=λv, variance capture) is PcaSpec's.
+    "emb_pca" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val model = graft.operators.EmbeddingPca.fit(emb, "embedding", k = 2)
+      emb.select(col("vec_id"),
+          graft.operators.EmbeddingPca.project(model, col("embedding")).as("p"))
+        .select(col("vec_id"),
+          round(col("p")(0), 6).as("pc1"),
+          round(col("p")(1), 6).as("pc2"))
+        .orderBy("vec_id")
+    },
+
     // F2/A3: per-vector norm + dimension check (all ≈ 1.0 / 64).
     "vector_norms" -> { (s, dir) =>
       table(s, dir, "embeddings")
