@@ -86,6 +86,21 @@ object ScaleSmoke {
       Dedup.minhashPairs(docs, "doc_id", "text",
         shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5).count()
     }
+    // decontamination at scale: grams explode linearly in corpus tokens
+    // and meet in one 64-bit-hash equi-join — no pair space, no
+    // broadcast of the train side
+    time("decontamination vs 10% eval slice") {
+      Dedup.contaminationCounts(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7),
+        "doc_id", "text", n = 5).count()
+    }
+    // PCA: one treeAggregate pass (d² accumulator per task) + driver
+    // eigensolve independent of n; projection is a scan-local map
+    time("PCA fit (one pass) + project") {
+      val m = graft.operators.EmbeddingPca.fit(emb, "embedding", k = 8)
+      emb.select(graft.operators.EmbeddingPca.project(m, col("embedding"))).count()
+    }
     // connected components on a dedup-shaped graph at scale: one deep
     // component (binary tree over 100k nodes — O(log n) star-contraction
     // rounds) + ~(2M/50) 50-node clusters. Checks the round count stays

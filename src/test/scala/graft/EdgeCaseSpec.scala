@@ -124,4 +124,32 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(Long, Option[Long], Option[Long])].collect().toSeq
     assert(got === Seq((100L, Some(2L), None)))
   }
+
+  test("contaminationCounts: empty eval set and empty train set are empty") {
+    val docs = Seq((1L, "some train document text here")).toDF("doc_id", "text")
+    val none = docs.filter($"doc_id" < 0)
+    assert(Dedup.contaminationCounts(docs, none, "doc_id", "text").count() === 0)
+    assert(Dedup.contaminationCounts(none, docs, "doc_id", "text").count() === 0)
+  }
+
+  test("stratifiedPortable: unseen stratum gets the default rate; bad rates rejected") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("id", "lang")
+    val kept = graft.operators.Sampling.stratifiedPortable(
+      df, col("id"), col("lang"), Map("en" -> 1000), defaultPerMille = 0, seed = 1L)
+    // en fully kept, the unmapped stratum fully dropped by the default
+    assert(kept.count() === 500 && kept.filter($"lang" === "xx").count() === 0)
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.stratifiedPortable(
+        df, col("id"), col("lang"), Map("en" -> 1001), 0, 1L)
+    }
+  }
+
+  test("capPerGroupRanked: n >= group size keeps everything, ranked") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    val got = graft.operators.Sampling.capPerGroupRanked(
+      df, "g", Seq(col("id")), 10)
+    assert(got.count() === 3)
+    assert(got.filter($"g" === "a").agg(max("rn")).head().getInt(0) === 2)
+  }
 }
