@@ -13,6 +13,7 @@ import graft.operators.AnnIvf
   * {{{
   * runMain graft.Pipeline build  <vectorsParquet> <idCol> <vecCol> <indexDir> [nlist]
   * runMain graft.Pipeline search <indexDir> <queriesParquet> <idCol> <vecCol> [k] [nprobe] [partitions]
+  * runMain graft.Pipeline corpus <docsParquet> <idCol> <textCol> <langCol> <outDir>
   * }}}
   *
   * `partitions` is the reference's shard-subset spec (`"1,2,5-10"`) —
@@ -61,8 +62,24 @@ object Pipeline {
           s"n_partitions=${row.getLong(1)} n_distinct_dims=${row.getLong(2)} " +
           s"status=${if (row.getLong(2) == 1L) "SERVING" else "DEGRADED"}")
 
+      // end-to-end training-corpus preparation: exact dedup → near-dup
+      // cluster removal → quality gate → split → shard packing, written
+      // as split-partitioned parquet
+      case "corpus" :: docsPath :: idCol :: textCol :: langCol :: outDir :: Nil =>
+        val docs = spark.read.parquet(docsPath)
+        val nIn = docs.count()
+        val prepared = graft.operators.CorpusPrep.prepare(docs, idCol, textCol, langCol)
+        prepared.write.mode("overwrite").partitionBy("split").parquet(outDir)
+        val out = spark.read.parquet(outDir)
+        val bySplit = out.groupBy("split")
+          .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+          .orderBy("split").collect()
+        println(s"[pipeline] corpus: $nIn docs in → ${out.count()} kept → $outDir")
+        bySplit.foreach(r => println(
+          s"[pipeline]   ${r.getString(0)}: ${r.getLong(1)} docs, ${r.getLong(2)} tokens"))
+
       case other =>
-        System.err.println(s"unknown args: $other (want build|search|health ...)")
+        System.err.println(s"unknown args: $other (want build|search|health|corpus ...)")
         sys.exit(2)
     } finally spark.stop()
   }

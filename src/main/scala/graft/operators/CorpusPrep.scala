@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** One-call corpus preparation: the end-to-end chain a training-data
+  * pipeline runs over a raw document table —
+  *
+  *   exact dedup → near-dup removal (MinHash-LSH pairs → connected
+  *   components, keep each cluster's min-id doc) → quality gate
+  *   (Gopher-style rules) → deterministic train/valid/test split →
+  *   per-(split, language) token-budget shard packing.
+  *
+  * Every stage is one of the individually-tested operators; this wires
+  * them in the canonical order (dedup before quality: a near-dup cluster
+  * should survive as ONE doc even if some members fail quality later;
+  * split before pack: shards never straddle splits). Scale shape is the
+  * sum of its parts — hash shuffles and banded LSH joins only, no pair
+  * space, no driver materialization beyond Components' bounded state.
+  */
+object CorpusPrep {
+
+  /** Tuning knobs, defaulted to the declared-query parameters. */
+  final case class Config(
+      shingleSize: Int = 3,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.5,
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minAlphaRatio: Double = 0.8,
+      minStopHits: Int = 2,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "with"),
+      trainNum: Int = 8,
+      validNum: Int = 1,
+      splitDenom: Int = 10,
+      splitSeed: Long = 1L,
+      tokensPerShard: Long = 2000L)
+
+  /** Run the chain. Returns `(idCol, langCol, textCol, n_tokens, split,
+    * shard_id)` — one row per surviving document, shard-packed within
+    * each (split, language) group. */
+  def prepare(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      cfg: Config = Config()): DataFrame = {
+    // 1. exact dedup (min id survives per identical text)
+    val exact = Dedup.dropExactDuplicates(docs, idCol, textCol)
+
+    // 2. near-dup removal: transitive clusters keep their min-id member
+    val pairs = Dedup.minhashPairs(exact, idCol, textCol,
+      cfg.shingleSize, cfg.numBands, cfg.rowsPerBand, cfg.jaccardThreshold)
+    val cc = Components.connectedComponents(pairs, "left_id", "right_id")
+    val dropIds = cc.filter(col("id") =!= col("component")).select(col("id").as(idCol))
+    val nearDeduped = exact.join(dropIds, Seq(idCol), "left_anti")
+
+    // 3. Gopher-style quality gate (same thresholds as the text_gopher query)
+    val toks = TextOps.tokens(col(textCol))
+    val gated = nearDeduped
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("__mean", TextOps.avgTokenLength(col(textCol)))
+      .withColumn("__alpha",
+        size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / size(toks))
+      .withColumn("__stop", size(filter(toks, t => t.isInCollection(cfg.stopwords))))
+      .filter(col("n_tokens").between(cfg.minWords, cfg.maxWords) &&
+        col("__mean").between(cfg.minMeanWordLen, cfg.maxMeanWordLen) &&
+        col("__alpha") > cfg.minAlphaRatio &&
+        col("__stop") >= cfg.minStopHits)
+
+    // 4. deterministic portable split — stable across layout and re-ingest
+    val bucket = Sampling.portableSplitBucket(
+      col(idCol).cast("long"), cfg.splitSeed, cfg.splitDenom)
+    val split = gated.withColumn("split",
+      when(bucket < cfg.trainNum, "train")
+        .when(bucket < cfg.trainNum + cfg.validNum, "valid")
+        .otherwise("test"))
+
+    // 5. pack into token-budget shards per (split, language) — parallel
+    // across groups, running sum never funnels through one task
+    val w = Window.partitionBy("split", langCol).orderBy(idCol)
+    split
+      .withColumn("shard_id",
+        ((sum("n_tokens").over(w) - col("n_tokens")) / cfg.tokensPerShard)
+          .cast("long"))
+      .select(col(idCol), col(langCol), col(textCol),
+        col("n_tokens"), col("split"), col("shard_id"))
+  }
+}

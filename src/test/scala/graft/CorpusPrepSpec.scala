@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, CorpusPrep, Dedup}
+
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val prepared =
+    CorpusPrep.prepare(docs, "doc_id", "text", "lang").cache()
+
+  test("output carries no exact or near duplicates") {
+    assert(prepared.groupBy(md5(col("text"))).count()
+      .filter($"count" > 1).count() === 0)
+    // the surviving set intersected with each near-dup cluster is exactly
+    // the cluster's canonical (min-id) member
+    val exact = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    val pairs = Dedup.minhashPairs(exact, "doc_id", "text", 3, 8, 4, 0.5)
+    val cc = Components.connectedComponents(pairs, "left_id", "right_id")
+    val survivors = prepared.select($"doc_id".cast("long")).as[Long].collect().toSet
+    val nonCanonical = cc.filter($"id" =!= $"component")
+      .select($"id".cast("long")).as[Long].collect().toSet
+    assert(survivors.intersect(nonCanonical).isEmpty)
+  }
+
+  test("every surviving doc passes the quality gate") {
+    val toks = graft.functions.TextOps.tokens(col("text"))
+    val bad = prepared.filter(
+      !size(toks).between(20, 100000) ||
+      !graft.functions.TextOps.avgTokenLength(col("text")).between(3.0, 10.0) ||
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / size(toks) <= 0.8 ||
+      size(filter(toks, t =>
+        t.isInCollection(Seq("the", "a", "of", "and", "to", "in", "is", "with")))) < 2)
+    assert(bad.count() === 0)
+    assert(prepared.count() > 0)
+    // and the gate actually bites on this corpus (docs were dropped)
+    assert(prepared.count() < docs.count())
+  }
+
+  test("splits are portable-hash buckets; shards respect the token budget") {
+    // split must agree with the portable bucket of the id (seed 1, /10)
+    val wrong = prepared.withColumn("b",
+        graft.operators.Sampling.portableSplitBucket($"doc_id".cast("long"), 1L, 10))
+      .filter(
+        ($"b" < 8 && $"split" =!= "train") ||
+        ($"b" === 8 && $"split" =!= "valid") ||
+        ($"b" === 9 && $"split" =!= "test"))
+    assert(wrong.count() === 0)
+    // within each (split, lang, shard): token sum stays under budget +
+    // one max-doc overhang (a doc is never split across shards)
+    val shard = prepared.groupBy("split", "lang", "shard_id")
+      .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+    assert(shard.filter($"t" - $"m" >= 2000).count() === 0)
+  }
+
+  test("prepare is deterministic across layouts") {
+    val again = CorpusPrep.prepare(docs.repartition(13), "doc_id", "text", "lang")
+      .select($"doc_id".cast("long"), $"split", $"shard_id")
+      .as[(Long, String, Long)].collect().toSet
+    val base = prepared.select($"doc_id".cast("long"), $"split", $"shard_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(again === base)
+  }
+}
