@@ -23,6 +23,44 @@ object Ingest {
   def newRecords(incoming: DataFrame, existing: DataFrame, idCol: String): DataFrame =
     incoming.join(existing.select(idCol), Seq(idCol), "left_anti")
 
+  /** [[newRecords]] with a Bloom pre-filter — the 100 TB form of
+    * skip-existing. The exact anti-join shuffles BOTH sides on the id;
+    * when `existing` is the full corpus and `incoming` a micro-batch,
+    * that reshuffles 100 TB to reject a few duplicate ids. Instead:
+    * build a Bloom filter over the existing ids (one aggregation, no
+    * shuffle of data rows; `expectedIds`/`fpp` size it — 10⁹ ids at 1%
+    * is ~1.2 GB, driver-held and broadcast once, amortizable across
+    * micro-batches), pre-drop every incoming row the filter rejects
+    * (definitely new — Bloom has no false negatives, so nothing true is
+    * lost), and anti-join ONLY the `fpp` fraction that might collide.
+    * The exact join survivors make the result exactly equal to
+    * [[newRecords]]; only its cost changes: the big side is reduced to
+    * a membership sketch, the join to `|incoming| · fpp` candidates. */
+  def newRecordsBloom(
+      incoming: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      expectedIds: Long,
+      fpp: Double = 0.01): DataFrame = {
+    requireIntegralId(incoming, idCol, "newRecordsBloom")
+    requireIntegralId(existing, idCol, "newRecordsBloom")
+    val bloom = existing.stat.bloomFilter(idCol, expectedIds, fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightUdf = udf((id: Long) => bc.value.mightContainLong(id))
+    // a primitive-arg udf yields null on null input; the exact anti-join
+    // keeps null-id rows (null joins nothing), so null maps to "new"
+    val might = coalesce(mightUdf(col(idCol).cast("long")), lit(false))
+    val candidates = incoming.filter(might)
+    // resolve the fpp fraction exactly WITHOUT ever shuffling `existing`:
+    // stream its pruned id column against the broadcast candidate ids
+    // (semi-join), then broadcast the confirmed hits back against the
+    // candidates — every join here is map-side
+    val hits = existing.select(idCol)
+      .join(broadcast(candidates.select(idCol).distinct()), Seq(idCol), "left_semi")
+    incoming.filter(!might).unionByName(
+      candidates.join(broadcast(hits), Seq(idCol), "left_anti"))
+  }
+
   /** Idempotent partitioned append: anti-join against what's already at
     * `path`, assign dense per-partition ordinals (the reference's faiss_id,
     * metadata_storage.py:49-51), append partitioned Parquet. */

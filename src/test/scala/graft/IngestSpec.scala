@@ -31,6 +31,34 @@ class IngestSpec extends SparkSpec {
       .contains("PartitionFilters: [isnotnull(pid"))
   }
 
+  test("newRecordsBloom equals the exact anti-join and never shuffles existing") {
+    val existing = spark.range(0L, 5000L).toDF("id")
+      .withColumn("payload", col("id") * 2)
+    val incoming = spark.range(4000L, 6000L).toDF("id")
+      .withColumn("payload", col("id") * 2)
+    val exact = Ingest.newRecords(incoming, existing, "id")
+      .select($"id").as[Long].collect().sorted
+    // a deliberately undersized / high-fpp filter floods the candidate
+    // path with false positives — the exact residual must absorb them all
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = Ingest.newRecordsBloom(incoming, existing, "id",
+          expectedIds = 100L, fpp = fpp)
+        .select($"id").as[Long].collect().sorted
+      assert(got === exact, s"fpp=$fpp")
+    }
+    // plan shape: the residual joins are broadcast (map-side); the big
+    // `existing` side is streamed, never sort-merge shuffled
+    val p = Ingest.newRecordsBloom(incoming, existing, "id", 5000L)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    // null ids pass through as new, matching anti-join semantics
+    val withNull = incoming.unionByName(
+      Seq((Option.empty[Long], 0L)).toDF("id", "payload"))
+    val gotNull = Ingest.newRecordsBloom(withNull, existing, "id", 5000L)
+    assert(gotNull.filter($"id".isNull).count() === 1)
+  }
+
   test("streaming foreachBatch drives the same idempotent partitioned append (ST1)") {
     val src = Files.createTempDirectory("stream-src").toString
     val dst = Files.createTempDirectory("stream-dst").toString + "/t"
