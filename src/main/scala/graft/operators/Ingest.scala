@@ -29,8 +29,9 @@ object Ingest {
     * that reshuffles 100 TB to reject a few duplicate ids. Instead:
     * build a Bloom filter over the existing ids (one aggregation, no
     * shuffle of data rows; `expectedIds`/`fpp` size it — 10⁹ ids at 1%
-    * is ~1.2 GB, driver-held and broadcast once, amortizable across
-    * micro-batches), pre-drop every incoming row the filter rejects
+    * is ~1.2 GB, driver-held and broadcast once; see [[buildIdBloom]]
+    * for the cross-batch amortization contract), pre-drop every
+    * incoming row the filter rejects
     * (definitely new — Bloom has no false negatives, so nothing true is
     * lost), and anti-join ONLY the `fpp` fraction that might collide.
     * The exact join survivors make the result exactly equal to
@@ -41,10 +42,34 @@ object Ingest {
       existing: DataFrame,
       idCol: String,
       expectedIds: Long,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01): DataFrame =
+    newRecordsBloomWith(incoming, existing, idCol,
+      buildIdBloom(existing, idCol, expectedIds, fpp))
+
+  /** Build the existing-id membership sketch once; a long-running ingest
+    * loop amortizes it across micro-batches via [[newRecordsBloomWith]].
+    * REUSE CONTRACT: after appending a batch, insert its ids into the
+    * (mutable) sketch — `bloom.putLong(id)` — before the next batch. A
+    * stale sketch fails in the UNSAFE direction here: an id appended
+    * after the build is unknown to the filter, so a replay of it would
+    * skip the exact residual and be classified definitely-new. */
+  def buildIdBloom(
+      existing: DataFrame,
+      idCol: String,
+      expectedIds: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    requireIntegralId(existing, idCol, "buildIdBloom")
+    existing.stat.bloomFilter(idCol, expectedIds, fpp)
+  }
+
+  /** [[newRecordsBloom]] with a caller-held (amortized) sketch. */
+  def newRecordsBloomWith(
+      incoming: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     requireIntegralId(incoming, idCol, "newRecordsBloom")
     requireIntegralId(existing, idCol, "newRecordsBloom")
-    val bloom = existing.stat.bloomFilter(idCol, expectedIds, fpp)
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val mightUdf = udf((id: Long) => bc.value.mightContainLong(id))
     // a primitive-arg udf yields null on null input; the exact anti-join
@@ -69,11 +94,19 @@ object Ingest {
       incoming: DataFrame,
       path: String,
       idCol: String,
-      partitionCol: String): Unit = {
+      partitionCol: String,
+      bloomExpectedIds: Option[Long] = None): Unit = {
     val fresh =
-      if (exists(spark, path))
-        newRecords(incoming, spark.read.parquet(path), idCol)
-      else incoming
+      if (exists(spark, path)) {
+        val existing = spark.read.parquet(path)
+        // at corpus scale pass the expected id count to route the
+        // skip-existing check through the Bloom pre-filter (existing is
+        // then never shuffled); default stays the plain anti-join
+        bloomExpectedIds match {
+          case Some(n) => newRecordsBloom(incoming, existing, idCol, n)
+          case None => newRecords(incoming, existing, idCol)
+        }
+      } else incoming
     fresh
       .dropDuplicates(idCol)
       .repartition(col(partitionCol))

@@ -101,6 +101,11 @@ object ScaleSmoke {
       val m = graft.operators.EmbeddingPca.fit(emb, "embedding", k = 8)
       emb.select(graft.operators.EmbeddingPca.project(m, col("embedding"))).count()
     }
+    // the one-call corpus chain: every stage is hash-shuffle / banded-LSH
+    // shaped, so the whole pipeline should track the minhash line above
+    time("corpus prep end-to-end (dedup→gate→split→pack)") {
+      graft.operators.CorpusPrep.prepare(docs, "doc_id", "text", "lang").count()
+    }
     // connected components on a dedup-shaped graph at scale: one deep
     // component (binary tree over 100k nodes — O(log n) star-contraction
     // rounds) + ~(2M/50) 50-node clusters. Checks the round count stays

@@ -26,6 +26,9 @@ class IngestSpec extends SparkSpec {
     val got = spark.read.parquet(dir)
     assert(got.count() === 3)
     assert(got.filter($"id" === 2L).select("v").as[String].head() === "b")
+    // the Bloom-routed form preserves idempotence bit-for-bit
+    Ingest.appendNew(spark, batch2, dir, "id", "pid", bloomExpectedIds = Some(10L))
+    assert(spark.read.parquet(dir).count() === 3)
     // layout is hive-partitioned by pid → partition pruning works
     assert(got.filter($"pid" === 0).queryExecution.executedPlan.toString
       .contains("PartitionFilters: [isnotnull(pid"))
@@ -57,6 +60,21 @@ class IngestSpec extends SparkSpec {
       Seq((Option.empty[Long], 0L)).toDF("id", "payload"))
     val gotNull = Ingest.newRecordsBloom(withNull, existing, "id", 5000L)
     assert(gotNull.filter($"id".isNull).count() === 1)
+  }
+
+  test("bloom reuse contract: id feedback keeps replays idempotent") {
+    val existing = spark.range(0L, 100L).toDF("id")
+    val bloom = Ingest.buildIdBloom(existing, "id", 1000L)
+    val batch = spark.range(100L, 110L).toDF("id")
+    val afterAppend = existing.union(batch)
+    // without feedback the stale sketch calls a replayed id definitely-new
+    // — the documented unsafe direction
+    assert(Ingest.newRecordsBloomWith(batch, afterAppend, "id", bloom)
+      .count() === 10)
+    // with the contract's putLong feedback the replay resolves exactly
+    (100L until 110L).foreach(bloom.putLong)
+    assert(Ingest.newRecordsBloomWith(batch, afterAppend, "id", bloom)
+      .count() === 0)
   }
 
   test("streaming foreachBatch drives the same idempotent partitioned append (ST1)") {
