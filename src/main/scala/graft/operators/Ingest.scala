@@ -62,6 +62,51 @@ object Ingest {
     existing.stat.bloomFilter(idCol, expectedIds, fpp)
   }
 
+  /** Amortized skip-existing for a micro-batch ingest loop: builds the
+    * existing-id sketch ONCE (from the durable layout on first use) and
+    * maintains it across [[append]] calls with the putLong feedback the
+    * [[buildIdBloom]] contract requires — so a long-running stream pays
+    * one full id scan total, then per batch only the batch itself plus
+    * the streamed residual check. The id feedback is a per-batch driver
+    * collect, bounded by micro-batch size (the same bound foreachBatch
+    * already imposes). NOT thread-safe: one session per writer, the same
+    * discipline the partitioned append itself needs. */
+  final class BloomIngestSession(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      partitionCol: String,
+      expectedIds: Long,
+      fpp: Double = 0.01) {
+    private var sketch: org.apache.spark.util.sketch.BloomFilter = _
+
+    /** Idempotently append one micro-batch; returns rows actually written. */
+    def append(batch: DataFrame): Long = {
+      requireIntegralId(batch, idCol, "BloomIngestSession.append")
+      val hasData = exists(spark, path)
+      if (sketch == null)
+        sketch =
+          if (hasData) buildIdBloom(spark.read.parquet(path), idCol, expectedIds, fpp)
+          else org.apache.spark.util.sketch.BloomFilter.create(expectedIds, fpp)
+      val fresh =
+        (if (hasData)
+           newRecordsBloomWith(batch, spark.read.parquet(path), idCol, sketch)
+         else batch)
+          .dropDuplicates(idCol)
+          .cache() // two passes below: write + id feedback
+      try {
+        fresh
+          .repartition(col(partitionCol))
+          .write.mode(SaveMode.Append)
+          .partitionBy(partitionCol)
+          .parquet(path)
+        val ids = fresh.select(col(idCol).cast("long")).collect()
+        ids.foreach(r => if (!r.isNullAt(0)) sketch.putLong(r.getLong(0)))
+        ids.length.toLong
+      } finally fresh.unpersist()
+    }
+  }
+
   /** [[newRecordsBloom]] with a caller-held (amortized) sketch. */
   def newRecordsBloomWith(
       incoming: DataFrame,

@@ -73,16 +73,27 @@ object EventStreams {
       stream: DataFrame,
       centers: Array[Array[Float]],
       indexVectorsPath: String,
-      idCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+      idCol: String,
+      bloomExpectedIds: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    // with an expected-id budget, skip-existing runs through ONE amortized
+    // membership sketch for the whole stream (the durable layout's id
+    // column is scanned once, not once per micro-batch)
+    val session = bloomExpectedIds.map(n =>
+      new graft.operators.Ingest.BloomIngestSession(
+        stream.sparkSession, indexVectorsPath, idCol, "partition_id", n))
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val assigned = graft.operators.AnnIvf
           .assignPartitions(batch, "embedding", centers)
-        graft.operators.Ingest.appendNew(
-          batch.sparkSession, assigned, indexVectorsPath, idCol, "partition_id")
+        session match {
+          case Some(s) => s.append(assigned); ()
+          case None => graft.operators.Ingest.appendNew(
+            batch.sparkSession, assigned, indexVectorsPath, idCol, "partition_id")
+        }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** Streaming IVF-PQ ingest: the compact-index twin of [[annIngest]] —
     * each micro-batch is assigned against the FROZEN broadcast centroids

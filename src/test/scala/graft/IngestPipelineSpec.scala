@@ -77,6 +77,16 @@ class IngestPipelineSpec extends SparkSpec {
       .filter($"partition_id" =!= $"want_pid")
     assert(mismatch.count() === 0)
 
+    // 6b. replaying the whole stream through the Bloom-amortized
+    // skip-existing path (one sketch for the stream, per-batch putLong
+    // feedback) appends nothing and leaves the layout unchanged
+    val q2 = graft.streaming.EventStreams.annIngest(
+      spark.readStream.schema(late.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      centers, s"$dir/vectors", "vec_id", bloomExpectedIds = Some(10000L))
+    q2.awaitTermination(120000)
+    assert(AnnIvf.read(spark, dir).assigned.count() === 600)
+
     // 7. stub transforms keep the plumbing shape
     val resized = media.withColumn("small", Multimodal.resizeUdf(64, 64)($"payload"))
     assert(resized.filter(length($"small") > length($"payload")).count() === 0)

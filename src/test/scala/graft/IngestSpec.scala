@@ -77,6 +77,22 @@ class IngestSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("BloomIngestSession: amortized loop is idempotent across batches") {
+    val dir = Files.createTempDirectory("bloomingest").toString + "/t"
+    val s = new Ingest.BloomIngestSession(spark, dir, "id", "pid", 1000L)
+    val b1 = Seq((1L, 0, "a"), (2L, 1, "b")).toDF("id", "pid", "v")
+    assert(s.append(b1) === 2)
+    // overlapping batch: only the new id lands (id 2 is rejected by the
+    // SESSION sketch — it was never in the initial, empty layout)
+    val b2 = Seq((2L, 1, "b2"), (3L, 0, "c")).toDF("id", "pid", "v")
+    assert(s.append(b2) === 1)
+    // full replay: nothing lands
+    assert(s.append(b1) === 0)
+    val got = spark.read.parquet(dir)
+    assert(got.count() === 3)
+    assert(got.filter($"id" === 2L).select("v").as[String].head() === "b")
+  }
+
   test("streaming foreachBatch drives the same idempotent partitioned append (ST1)") {
     val src = Files.createTempDirectory("stream-src").toString
     val dst = Files.createTempDirectory("stream-dst").toString + "/t"
