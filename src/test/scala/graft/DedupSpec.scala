@@ -259,4 +259,30 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got2 === Map(3L -> 1L))
   }
+
+  test("contaminationCounts equals a set-based reference on random corpora") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.chooseNum(1, 8).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    def corpus(seed: Long, n: Int, base: Long): Seq[(Long, String)] =
+      (0 until n).map(i => (base + i,
+        doc.apply(Gen.Parameters.default, Seed(seed + i)).get))
+    def grams(text: String, n: Int): Set[String] = {
+      val toks = text.split(" ").toSeq
+      if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    for (trial <- 0 until 3) {
+      val trainDocs = corpus(trial * 1000L, 30, 0L)
+      val evalDocs = corpus(trial * 1000L + 500L, 10, 100L)
+      val evalGrams = evalDocs.flatMap(d => grams(d._2, 3)).toSet
+      val want = trainDocs
+        .map { case (id, t) => id -> grams(t, 3).count(evalGrams.contains).toLong }
+        .filter(_._2 > 0).toMap
+      val got = Dedup.contaminationCounts(
+          trainDocs.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
 }
