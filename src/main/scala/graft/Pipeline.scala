@@ -13,7 +13,7 @@ import graft.operators.AnnIvf
   * {{{
   * runMain graft.Pipeline build  <vectorsParquet> <idCol> <vecCol> <indexDir> [nlist]
   * runMain graft.Pipeline search <indexDir> <queriesParquet> <idCol> <vecCol> [k] [nprobe] [partitions]
-  * runMain graft.Pipeline corpus <docsParquet> <idCol> <textCol> <langCol> <outDir>
+  * runMain graft.Pipeline corpus <docsParquet> <idCol> <textCol> <langCol> <outDir> [evalParquet]
   * }}}
   *
   * `partitions` is the reference's shard-subset spec (`"1,2,5-10"`) —
@@ -65,10 +65,14 @@ object Pipeline {
       // end-to-end training-corpus preparation: exact dedup → near-dup
       // cluster removal → quality gate → split → shard packing, written
       // as split-partitioned parquet
-      case "corpus" :: docsPath :: idCol :: textCol :: langCol :: outDir :: Nil =>
+      case "corpus" :: docsPath :: idCol :: textCol :: langCol :: outDir :: rest
+          if rest.size <= 1 =>
         val docs = spark.read.parquet(docsPath)
         val nIn = docs.count()
-        val prepared = graft.operators.CorpusPrep.prepare(docs, idCol, textCol, langCol)
+        // optional trailing arg: eval/benchmark parquet to decontaminate against
+        val evalDocs = rest.headOption.map(spark.read.parquet)
+        val prepared = graft.operators.CorpusPrep.prepare(
+          docs, idCol, textCol, langCol, evalDocs = evalDocs)
         prepared.write.mode("overwrite").partitionBy("split").parquet(outDir)
         val out = spark.read.parquet(outDir)
         val bySplit = out.groupBy("split")

@@ -10,7 +10,8 @@ import graft.functions.TextOps
   * pipeline runs over a raw document table —
   *
   *   exact dedup → near-dup removal (MinHash-LSH pairs → connected
-  *   components, keep each cluster's min-id doc) → quality gate
+  *   components, keep each cluster's min-id doc) → optional benchmark
+  *   decontamination (n-gram overlap vs an eval corpus) → quality gate
   *   (Gopher-style rules) → deterministic train/valid/test split →
   *   per-(split, language) token-budget shard packing.
   *
@@ -36,6 +37,7 @@ object CorpusPrep {
       minAlphaRatio: Double = 0.8,
       minStopHits: Int = 2,
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "with"),
+      decontamNgram: Int = 5,
       trainNum: Int = 8,
       validNum: Int = 1,
       splitDenom: Int = 10,
@@ -50,7 +52,8 @@ object CorpusPrep {
       idCol: String,
       textCol: String,
       langCol: String,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None): DataFrame = {
     // 1. exact dedup (min id survives per identical text)
     val exact = Dedup.dropExactDuplicates(docs, idCol, textCol)
 
@@ -61,9 +64,21 @@ object CorpusPrep {
     val dropIds = cc.filter(col("id") =!= col("component")).select(col("id").as(idCol))
     val nearDeduped = exact.join(dropIds, Seq(idCol), "left_anti")
 
+    // 2b. optional decontamination: drop any doc sharing an n-gram with
+    // the benchmark/eval corpus — a tainted doc is tainted in every
+    // split, so this runs before the split assignment
+    val decontaminated = evalDocs match {
+      case Some(ev) =>
+        val flagged = Dedup
+          .contaminationCounts(nearDeduped, ev, idCol, textCol, cfg.decontamNgram)
+          .select(col("id").as(idCol))
+        nearDeduped.join(flagged, Seq(idCol), "left_anti")
+      case None => nearDeduped
+    }
+
     // 3. Gopher-style quality gate (same thresholds as the text_gopher query)
     val toks = TextOps.tokens(col(textCol))
-    val gated = nearDeduped
+    val gated = decontaminated
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("__mean", TextOps.avgTokenLength(col(textCol)))
       .withColumn("__alpha",

@@ -55,6 +55,29 @@ class CorpusPrepSpec extends SparkSpec {
     assert(shard.filter($"t" - $"m" >= 2000).count() === 0)
   }
 
+  test("optional decontamination drops docs overlapping the eval corpus") {
+    // eval set = verbatim copies of two surviving docs → they (and any doc
+    // sharing a 5-gram with them) must vanish; everything else unchanged
+    val evalIds = prepared.orderBy("doc_id").limit(2)
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    val eval = docs.filter($"doc_id".isInCollection(evalIds))
+      .select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val decon = CorpusPrep.prepare(docs, "doc_id", "text", "lang",
+      evalDocs = Some(eval))
+    val deconIds = decon.select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert(evalIds.intersect(deconIds).isEmpty, "copied docs survived decontamination")
+    assert(deconIds.size < prepared.count())
+    // every dropped doc (beyond the copies) genuinely shares a 5-gram
+    val base = prepared.select($"doc_id".cast("long")).as[Long].collect().toSet
+    val dropped = base -- deconIds -- evalIds
+    if (dropped.nonEmpty) {
+      val flagged = Dedup.contaminationCounts(
+          docs.filter($"doc_id".isInCollection(dropped)), eval, "doc_id", "text", 5)
+        .select($"id").as[Long].collect().toSet
+      assert(flagged === dropped)
+    }
+  }
+
   test("prepare is deterministic across layouts") {
     val again = CorpusPrep.prepare(docs.repartition(13), "doc_id", "text", "lang")
       .select($"doc_id".cast("long"), $"split", $"shard_id")
