@@ -111,12 +111,20 @@ object Bench {
     // run-to-run spread at sf0.1; full-precision medians live in the
     // diagnostics line's queries_full) keep ~70+ queries under that
     // budget with ~100 chars of headroom.
-    val qs = names.map(n => s"\"$n\":" + r2(med(n))).mkString("{", ",", "}")
     // sf as basename and trials only in the diagnostics line: every char
-    // here is budget for more per-query entries
+    // here is budget for more per-query entries; total at 2 decimals too
+    // (full precision is the diagnostics line's medians' sum)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    // total at 2 decimals too (full precision is the diagnostics line's
-    // medians' sum) — every fixed char here is per-query budget
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    def line(prec: Double => Double): String = {
+      val qs = names.map(n => s"\"$n\":" + prec(med(n))).mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    // value lengths vary run to run (9.98 vs 10.02); if the 2-decimal
+    // line ever outgrows the captured-tail budget, fall back to 1 decimal
+    // for the per-query map (still every query, never a silent drop —
+    // full-precision medians stay in the diagnostics line)
+    val l2 = line(r2)
+    println(if (l2.length <= 1930) l2
+      else line(x => math.rint(x * 10) / 10))
   }
 }

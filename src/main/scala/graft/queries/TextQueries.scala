@@ -349,6 +349,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Percentile trimming: drop each language's longest 10% of docs (the
+    // outlier-trim stage of corpus prep) via an exact per-group
+    // percent_rank — parallel across languages; a single giant group
+    // would switch to approx_percentile thresholds instead.
+    "text_pctl" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .filter(col("pr") <= 0.9)
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup over a corpus with injected near-duplicates
     // (copies missing their first token) — rows-only check.
     "dedup_simhash" -> { (s, dir) =>
@@ -754,6 +769,19 @@ object TextQueries {
          WHERE ${mixSql("(doc_id % 4294967296 + 3 * 2654435761) % 4294967296")} % 1000
            < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
          ORDER BY doc_id""",
+
+    "text_pctl" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang, n_tokens,
+             ROUND(PERCENT_RANK() OVER (
+               PARTITION BY lang ORDER BY n_tokens, doc_id), 6) AS pr
+           FROM t)
+         SELECT doc_id, lang, n_tokens, pr FROM r
+         WHERE pr <= 0.9 ORDER BY doc_id""",
 
     // Full SimHash pipeline recomputed in SQL: portable token hash
     // (char polys + Wang-mix per 32-bit half), per-bit majority vote,
