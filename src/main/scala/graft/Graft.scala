@@ -84,6 +84,26 @@ object Graft {
   def webDataset(spark: SparkSession, path: String): DataFrame =
     graft.sources.WebDataset.samples(spark, path).toDF()
 
+  // ----- training-corpus preparation -------------------------------------
+  /** Full dedup→(decontaminate)→quality→split→pack chain; see
+    * [[graft.operators.CorpusPrep.prepare]]. */
+  def prepareCorpus(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, evalDocs: Option[DataFrame] = None): DataFrame =
+    graft.operators.CorpusPrep.prepare(docs, idCol, textCol, langCol,
+      evalDocs = evalDocs)
+
+  /** Drop train docs sharing an n-gram with an eval corpus. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame =
+    graft.operators.Dedup.decontaminate(train, eval, idCol, textCol, n)
+
+  /** One-pass distributed PCA fit over an embedding column. */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int): graft.operators.EmbeddingPca.PcaModel =
+    graft.operators.EmbeddingPca.fit(df, vecCol, k)
+
+  def pcaProject(model: graft.operators.EmbeddingPca.PcaModel, vec: Column): Column =
+    graft.operators.EmbeddingPca.project(model, vec)
+
   // ----- column functions ------------------------------------------------
   def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
   def cosine(a: Column, b: Column): Column = VectorOps.cosine(a, b)

@@ -69,10 +69,7 @@ object CorpusPrep {
     // split, so this runs before the split assignment
     val decontaminated = evalDocs match {
       case Some(ev) =>
-        val flagged = Dedup
-          .contaminationCounts(nearDeduped, ev, idCol, textCol, cfg.decontamNgram)
-          .select(col("id").as(idCol))
-        nearDeduped.join(flagged, Seq(idCol), "left_anti")
+        Dedup.decontaminate(nearDeduped, ev, idCol, textCol, cfg.decontamNgram)
       case None => nearDeduped
     }
 

@@ -246,6 +246,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** The apply form of [[contaminationCounts]]: the train corpus with
+    * every doc sharing at least one n-gram with the eval corpus removed. */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame =
+    train.join(
+      contaminationCounts(train, eval, idCol, textCol, n)
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Embedding-cosine near-dup pairs: EXACT threshold pairs between a
     * bounded left sample and the full corpus, executed as a broadcast
     * blocked-gemm scan — one pass over the corpus, |left|·|corpus|·dim

@@ -88,6 +88,20 @@ class GraftApiSpec extends SparkSpec {
     assert(got === viaJoin)
   }
 
+  test("facade: corpus prep, decontaminate, pca wire through") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val eval = docs.filter($"doc_id" % 97 === 0)
+      .select(($"doc_id" + 90000).as("doc_id"), $"text")
+    val prepared = Graft.prepareCorpus(docs, "doc_id", "text", "lang",
+      evalDocs = Some(eval))
+    assert(prepared.count() > 0)
+    assert(prepared.columns.contains("split") && prepared.columns.contains("shard_id"))
+    assert(Graft.decontaminate(docs, eval, "doc_id", "text").count() < docs.count())
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val m = Graft.pcaFit(emb, "embedding", k = 2)
+    assert(emb.select(Graft.pcaProject(m, $"embedding")).head().getSeq[Double](0).size === 2)
+  }
+
   test("facade: pqTrain/pqEncode/pqSearch and webDataset wire through") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val index = Graft.annBuild(emb, "vec_id", "embedding", nlist = 4)

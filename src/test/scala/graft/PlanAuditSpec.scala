@@ -105,6 +105,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "cap collapsed to one task")
   }
 
+  test("text_pctl: percent_rank window is partitioned by lang") {
+    val p = plan("text_pctl")
+    assert(p.contains("Window"), p.take(400))
+    assert(p.contains("hashpartitioning(lang"), p.take(2000))
+    assert(!p.contains("SinglePartition"), "trim collapsed to one task")
+  }
+
   test("text_decontam: one hash join on the gram hash, no cartesian") {
     val p = plan("text_decontam")
     assert(!p.contains("CartesianProduct"), "gram join went cartesian")
