@@ -106,6 +106,19 @@ object EmbeddingPca {
   def project(model: PcaModel, vecCol: Column): Column =
     projectUdf(model)(vecCol.cast("array<double>"))
 
+  /** Whitened projection: each component score scaled by 1/√eigenvalue,
+    * so the output has identity covariance — the standard preprocessing
+    * before product quantization or Euclidean clustering when component
+    * energies are imbalanced. Components with near-zero variance (below
+    * `eps`) are passed through unscaled rather than exploded. */
+  def whiten(model: PcaModel, vecCol: Column, eps: Double = 1e-12): Column = {
+    val scales = model.eigenvalues.map(l => if (l > eps) 1.0 / math.sqrt(l) else 1.0)
+    val w = udf { (p: Seq[Double]) =>
+      Array.tabulate(p.length)(i => p(i) * scales(i))
+    }
+    w(projectUdf(model)(vecCol.cast("array<double>")))
+  }
+
   /** Eigendecomposition of a symmetric matrix by cyclic two-sided Jacobi:
     * zero out the largest-magnitude off-diagonal pairs with Givens
     * rotations until off-diagonal mass is gone, accumulating the

@@ -66,6 +66,19 @@ class PcaSpec extends SparkSpec {
     assert(proj.length === refN)
   }
 
+  test("whitened projections have unit variance per component") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val m = EmbeddingPca.fit(emb, "embedding", k = 3)
+    val proj = emb
+      .select(EmbeddingPca.whiten(m, col("embedding")).as("p"))
+      .as[Seq[Double]].collect()
+    for (c <- 0 until 3) {
+      val xs = proj.map(_(c))
+      val varc = xs.map(x => x * x).sum / xs.length // scores are centered
+      assert(math.abs(varc - 1.0) < 1e-9, s"component $c variance $varc")
+    }
+  }
+
   test("fit is layout-insensitive up to fp rounding; guards fire") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val m1 = EmbeddingPca.fit(emb, "embedding", k = 2)
