@@ -259,6 +259,50 @@ object Dedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Exact-substring overlap candidates (the winnowed form of Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better" suffix-array
+    * substring dedup, re-expressed for Spark): pairs of documents whose
+    * winnowing sketches intersect, with the shared-fingerprint count.
+    *
+    * Winnowing's guarantee (Schleimer et al. 2003): any substring of length
+    * ≥ k + w − 1 shared by two documents contributes at least one common
+    * fingerprint — so with the defaults every ≥23-char verbatim overlap is
+    * caught while only ~1/w of the gram stream is kept. Shorter coincidental
+    * k-gram matches can also pair (this is a candidate generator with
+    * recall 1 on the target length, like the LSH stages — verify downstream
+    * if exact-overlap extents are needed).
+    *
+    * Scale shape: linear explode to (doc, fingerprint) rows, ONE equi-join
+    * on the fingerprint. Fingerprints appearing in more than `maxDocsPerFp`
+    * documents are boilerplate (licence headers, markup) and are dropped
+    * BEFORE the self-join — the same degenerate-bucket cap as
+    * [[minhashPairs]], bounding the pair space at cap²·|fingerprints| instead
+    * of n². k ≤ 9 keeps the unreduced poly-31 gram hash below 2⁶³, so the
+    * whole pipeline is replayable in overflow-checked SQL (the
+    * `dedup_substring` DuckDB oracle recomputes it). */
+  def winnowCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 16,
+      maxDocsPerFp: Int = 50): DataFrame = {
+    require(k <= 9, s"k=$k overflows the SQL-portable unreduced poly-31 hash")
+    requireIntegralId(docs, idCol, "winnowCandidates")
+    val sk = docs.select(col(idCol).cast("long").as("id"),
+      explode(TextOps.winnowUdf(k, w)(col(textCol))).as("fp"))
+    val ok = sk.groupBy("fp")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxDocsPerFp)
+      .select("fp")
+    val kept = sk.join(ok, Seq("fp"))
+    kept.select(col("fp"), col("id").as("left_id"))
+      .join(kept.select(col("fp"), col("id").as("right_id")), Seq("fp"))
+      .filter(col("left_id") < col("right_id"))
+      .groupBy("left_id", "right_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Embedding-cosine near-dup pairs: EXACT threshold pairs between a
     * bounded left sample and the full corpus, executed as a broadcast
     * blocked-gemm scan — one pass over the corpus, |left|·|corpus|·dim

@@ -64,6 +64,44 @@ object Sampling {
     df.filter(portableSplitBucket(keyCol, seed, 1000) < thresh)
   }
 
+  /** Temperature-based stratum rebalancing (the multilingual sampling rule
+    * of XLM/mBERT: sample strata with probability ∝ p^α instead of their
+    * raw share p, so head languages shrink and tail languages keep
+    * everything) realized as a deterministic per-row keep decision at
+    * α = 1/2: a stratum with n_s rows keeps each row with rate
+    * √(n_min/n_s) — the rarest stratum keeps all rows, a stratum 100× its
+    * size keeps 10%, flattening the mix toward p^½.
+    *
+    * α is fixed at ½ on purpose: the keep rate is then one IEEE division
+    * and one square root, both correctly-rounded operations, so the
+    * per-row threshold ⌊rate·denom⌋ is bit-identical in ANY IEEE-754
+    * engine and the decision stays portable/auditable like
+    * [[portableSplitBucket]] (a general p^(α−1) needs `pow`, which has no
+    * cross-engine rounding guarantee). The `sample_temperature` DuckDB
+    * oracle replays the whole decision.
+    *
+    * Scale shape: one tiny groupBy over the stratum column (#strata rows),
+    * broadcast back — the corpus itself is never shuffled; the keep filter
+    * runs scan-side. Output = input columns + `stratum_docs`, `keep_rate`
+    * (rounded, informational), `keep`. */
+  def temperatureKeep(df: DataFrame, strataCol: String, keyCol: Column,
+      seed: Long): DataFrame = {
+    val denom = 1000003
+    val counts = df.groupBy(strataCol)
+      .agg(count(lit(1)).as("stratum_docs"))
+    val nMin = counts.agg(min(col("stratum_docs")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("__rate",
+        sqrt(col("__nmin").cast("double") / col("stratum_docs").cast("double")))
+      .withColumn("__thresh", floor(col("__rate") * lit(denom.toLong)))
+      .withColumn("keep_rate", round(col("__rate"), 6))
+      .drop("__nmin", "__rate")
+    df.join(broadcast(rates), Seq(strataCol))
+      .withColumn("keep",
+        (portableSplitBucket(keyCol, seed, denom) < col("__thresh")).cast("int"))
+      .drop("__thresh")
+  }
+
   /** Exact per-group cap: keep at most `n` rows per group (deterministic by
     * `orderCol`) — the "max documents per domain" dedup-adjacent primitive. */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String, n: Int): DataFrame =

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextOps
+
+/** Corpus-statistics document scoring for training-data curation — the two
+  * model-based quality signals a CCNet/DSIR-style pipeline runs after the
+  * rule-based gates (Gopher rules, `text_gopher`) and before sampling:
+  *
+  *  - [[unigramCrossEntropy]]: perplexity-style fluency scoring against a
+  *    unigram LM estimated from the corpus itself (the Spark-native stand-in
+  *    for CCNet's KenLM stage — same selection semantics, model order 1, no
+  *    external model artifact);
+  *  - [[dsirLogWeights]]: hashed n-gram importance weights log
+  *    p_target(doc)/p_raw(doc) (Xie et al. 2023, "Data Selection for
+  *    Language Models via Importance Resampling"), for resampling a raw
+  *    corpus toward a target domain.
+  *
+  * Float determinism: every per-token/per-feature log term is rounded to
+  * 6 dp and accumulated in DECIMAL(18,6) — exact, order-independent — so
+  * results are bit-stable across shuffles and reproducible by the DuckDB
+  * oracles (`text_unigram_ppl`, `text_dsir`). `ln` itself carries no
+  * cross-engine correctly-rounded guarantee; rounding to 6 dp absorbs the
+  * ≤1-ulp divergence except on measure-zero boundary ties.
+  */
+object TextScoring {
+
+  private def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Per-document cross-entropy (nats/token) under the corpus MLE unigram
+    * LM: H(d) = −(1/|d|) Σ_t ln(count(t)/N). Lower = more stereotypical
+    * text; the top tail is gibberish/rare-vocab, the bottom tail is
+    * boilerplate — both standard cut points.
+    *
+    * No smoothing: the model is estimated on the same corpus it scores, so
+    * every scored token has count ≥ 1. (Scoring a FOREIGN corpus against
+    * these counts needs the +1 floor of [[dsirLogWeights]].)
+    *
+    * Scale shape: one explode (linear in corpus tokens), one groupBy on the
+    * token (vocab-sized, partial-aggregated map-side), one equi-join of
+    * tokens against that vocab table — AQE broadcasts it when the vocab is
+    * small — and one groupBy on the doc id. The corpus total N rides along
+    * as a 1-row broadcast crossJoin, not a driver collect. */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    val total = toks.agg(count(lit(1)).as("__N"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
+    toks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("__nll",
+        round(-log(col("__c").cast("double") / col("__N").cast("double")), 6))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), decSum(col("__nll")).as("__s"))
+      .select(col("id"), col("n_tokens"),
+        round(col("__s") / col("n_tokens"), 6).as("cross_entropy"))
+  }
+
+  /** DSIR importance log-weights: features are the document's DISTINCT word
+    * bigrams hashed into `numBuckets` buckets on the portable 64-bit stack
+    * (binarized hashed n-grams); each feature contributes
+    * ln(p̂_target(b)/p̂_raw(b)) with add-one smoothing over the bucket space,
+    * and the document's weight is the rounded-term sum. Resample the raw
+    * corpus with probability ∝ exp(log_weight) to shift it toward the
+    * target distribution.
+    *
+    * @param raw     corpus to score (idCol, textCol)
+    * @param target  exemplar slice of the wanted domain (textCol); usually
+    *                tiny next to `raw`, so its bucket histogram — at most
+    *                `numBuckets` rows regardless of size — broadcasts.
+    *
+    * Scale shape: both sides explode linearly to (doc, bucket); histograms
+    * are ≤ numBuckets rows each, so the per-feature log-ratio table is a
+    * broadcast join against the exploded raw side; one final groupBy on the
+    * doc id. Nothing n² anywhere. */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, n: Int = 2, numBuckets: Int = 1024): DataFrame = {
+    def feats(df: DataFrame, cols: Column*) = df
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(cols :+
+        explode(TextOps.portableHashedShinglesUdf(n)(col("__toks"))).as("__h"): _*)
+      .withColumn("b", pmod(col("__h"), lit(numBuckets.toLong)))
+      .drop("__h")
+    val rawF = feats(raw, col(idCol).as("id"))
+    val tgtF = feats(target)
+    val nRaw = rawF.agg(count(lit(1)).as("__nr"))
+    val nTgt = tgtF.agg(count(lit(1)).as("__nt"))
+    val cRaw = rawF.groupBy("b").agg(count(lit(1)).as("__cr"))
+    val cTgt = tgtF.groupBy("b").agg(count(lit(1)).as("__ct"))
+    val ratios = cRaw.join(cTgt, Seq("b"), "left")
+      .na.fill(0L, Seq("__ct"))
+      .crossJoin(broadcast(nTgt)).crossJoin(broadcast(nRaw))
+      .withColumn("__lr", round(log(
+        ((col("__ct") + 1).cast("double") / (col("__nt") + numBuckets).cast("double")) /
+        ((col("__cr") + 1).cast("double") / (col("__nr") + numBuckets).cast("double"))), 6))
+      .select("b", "__lr")
+    rawF.join(broadcast(ratios), Seq("b"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"), decSum(col("__lr")).as("__s"))
+      .select(col("id"), col("n_feats"),
+        round(col("__s"), 6).as("log_weight"))
+  }
+}

@@ -398,6 +398,51 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Temperature resampling (XLM-style p^α stratum rebalancing, α = ½):
+    // per-language keep rate √(n_min/n_lang) — rarest language keeps all —
+    // decided per row on the portable hash. Rates use only correctly-
+    // rounded IEEE ops (÷, √), so the whole decision is replayed by the
+    // oracle bit-for-bit.
+    "sample_temperature" -> { (s, dir) =>
+      graft.operators.Sampling.temperatureKeep(
+          table(s, dir, "documents"), "lang", col("doc_id"), seed = 11L)
+        .select("doc_id", "lang", "stratum_docs", "keep_rate", "keep")
+        .orderBy("doc_id")
+    },
+
+    // Unigram-LM cross-entropy (the CCNet perplexity-filter shape, model
+    // order 1, estimated on the corpus itself): nats/token under the MLE
+    // unigram model; tails of the distribution are the cut candidates.
+    "text_unigram_ppl" -> { (s, dir) =>
+      graft.operators.TextScoring.unigramCrossEntropy(
+          table(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // DSIR importance weights (Xie et al. 2023): hashed distinct word
+    // bigrams, target = the English slice, weight = Σ ln(p̂_t(b)/p̂_r(b))
+    // with add-one smoothing. Resampling ∝ exp(weight) shifts the corpus
+    // toward the target domain.
+    "text_dsir" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      graft.operators.TextScoring.dsirLogWeights(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+          n = 2, numBuckets = 1024)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Exact-substring overlap candidates (winnowed Lee-et-al substring
+    // dedup): doc pairs whose winnow(k=8,w=16) sketches intersect — every
+    // shared ≥23-char run is guaranteed caught — with boilerplate
+    // fingerprints (>50 docs) dropped before the self-join.
+    "dedup_substring" -> { (s, dir) =>
+      Dedup.winnowCandidates(table(s, dir, "documents"), "doc_id", "text",
+          k = 8, w = 16, maxDocsPerFp = 50)
+        .orderBy("left_id", "right_id")
+    },
+
     // Taxonomy-tag parser (F1): build tags from nation/region names, parse
     // with the single-pass parser, emit the extracted ranks. The oracle
     // reconstructs the expected values directly.
@@ -837,6 +882,87 @@ object TextQueries {
          CAST(16 + doc_id % 32 AS INTEGER) AS width,
          CAST(16 + (doc_id // 32) % 32 AS INTEGER) AS height
          FROM documents ORDER BY media_id""",
+
+    // Temperature resampling replayed exactly: per-language counts, keep
+    // rate √(n_min/n) (÷ and √ are correctly-rounded IEEE ops on both
+    // engines), integer threshold, portable per-row bucket.
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS stratum_docs FROM documents GROUP BY lang),
+         m AS (SELECT MIN(stratum_docs) AS nmin FROM c),
+         r AS (SELECT lang, stratum_docs,
+                 SQRT(CAST(nmin AS DOUBLE) / CAST(stratum_docs AS DOUBLE)) AS rate
+               FROM c CROSS JOIN m)
+         SELECT d.doc_id, d.lang, r.stratum_docs,
+           ROUND(r.rate, 6) AS keep_rate,
+           CAST(${mixSql("(doc_id % 4294967296 + 11 * 2654435761) % 4294967296")} % 1000003
+                < CAST(FLOOR(r.rate * 1000003) AS BIGINT) AS INTEGER) AS keep
+         FROM documents d JOIN r USING (lang)
+         ORDER BY doc_id""",
+
+    // Unigram cross-entropy: corpus token counts → per-token −ln p rounded
+    // to 6 dp → exact DECIMAL sum per doc → nats/token.
+    "text_unigram_ppl" ->
+      """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM t),
+         c AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cc FROM t GROUP BY tok)
+         SELECT t.doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(-LN(c.cc / n.nn), 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS cross_entropy
+         FROM t JOIN c USING (tok) CROSS JOIN n
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+    // DSIR: distinct word-bigram hashes (decontam's gram stack, n = 2) →
+    // 1024 feature buckets → smoothed target/raw log-ratio per bucket →
+    // exact DECIMAL sum of rounded terms per doc.
+    "text_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS t FROM documents),
+         shs AS (
+           SELECT doc_id, lang, CASE WHEN LEN(t) >= 2
+             THEN [t[i] || ' ' || t[i+1] FOR i IN RANGE(1, LEN(t))]
+             ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+           FROM toks),
+         ex AS (SELECT doc_id, lang, UNNEST(s) AS sh FROM shs),
+         pp AS (SELECT doc_id, lang, ${polySql("sh", 31)} AS p1,
+                       ${polySql("sh", 37)} AS p2 FROM ex),
+         hh AS (SELECT DISTINCT doc_id, lang, ${tokenHashSql("p1", "p2")} AS h FROM pp),
+         f AS (SELECT doc_id, lang, h % 1024 AS b FROM hh),
+         nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+         nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f WHERE lang = 'en'),
+         cr AS (SELECT b, COUNT(*) AS c FROM f GROUP BY b),
+         ct AS (SELECT b, COUNT(*) AS c FROM f WHERE lang = 'en' GROUP BY b),
+         lr AS (SELECT cr.b,
+                  ROUND(LN((CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE) / (nt.n + 1024)) /
+                           (CAST(cr.c + 1 AS DOUBLE) / (nr.n + 1024))), 6) AS lrv
+                FROM cr LEFT JOIN ct USING (b) CROSS JOIN nt CROSS JOIN nr)
+         SELECT f.doc_id, COUNT(*) AS n_feats,
+           ROUND(CAST(SUM(CAST(lr.lrv AS DECIMAL(18,6))) AS DOUBLE), 6) AS log_weight
+         FROM f JOIN lr USING (b)
+         GROUP BY f.doc_id ORDER BY f.doc_id""",
+
+    // Substring-overlap candidates recomputed from scratch: unreduced
+    // poly-31 8-gram hashes, window-16 minima (winnowing), distinct
+    // fingerprints, boilerplate cap, fingerprint self-join.
+    "dedup_substring" ->
+      """WITH grams AS (
+           SELECT doc_id, i,
+               ORD(SUBSTR(text, i, 1))::BIGINT * 27512614111 + ORD(SUBSTR(text, i+1, 1))::BIGINT * 887503681
+             + ORD(SUBSTR(text, i+2, 1))::BIGINT * 28629151 + ORD(SUBSTR(text, i+3, 1))::BIGINT * 923521
+             + ORD(SUBSTR(text, i+4, 1))::BIGINT * 29791 + ORD(SUBSTR(text, i+5, 1))::BIGINT * 961
+             + ORD(SUBSTR(text, i+6, 1))::BIGINT * 31 + ORD(SUBSTR(text, i+7, 1))::BIGINT AS g,
+             LEN(text) - 7 AS ng
+           FROM (SELECT doc_id, text,
+                   UNNEST(RANGE(1, GREATEST(LEN(text) - 6, 1))) AS i FROM documents)),
+         wins AS (
+           SELECT doc_id, i, ng,
+             MIN(g) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+           FROM grams),
+         sk AS (SELECT DISTINCT doc_id, m AS fp FROM wins WHERE i <= ng - 15),
+         ok AS (SELECT fp FROM sk GROUP BY fp HAVING COUNT(*) <= 50),
+         k AS (SELECT sk.doc_id, sk.fp FROM sk JOIN ok USING (fp))
+         SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS n_shared
+         FROM k a JOIN k b USING (fp) WHERE a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id ORDER BY left_id, right_id""",
 
     "taxonomy_parse" ->
       """SELECT n_nationkey, r_name AS kingdom, n_name AS genus,

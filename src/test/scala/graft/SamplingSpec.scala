@@ -98,6 +98,35 @@ class SamplingSpec extends SparkSpec {
     assert(again === capped.select($"doc_id".cast("long")).as[Long].collect().toSet)
   }
 
+  test("temperature keep: rarest stratum keeps all, rates flatten the mix") {
+    val docs = table(spark, sf0001, "documents")
+    val got = Sampling.temperatureKeep(docs, "lang", col("doc_id"), seed = 11L)
+    val byLang = got.groupBy("lang")
+      .agg(first("stratum_docs").as("n"), first("keep_rate").as("rate"),
+        sum("keep").as("kept"))
+      .as[(String, Long, Double, Long)].collect().sortBy(_._2)
+    // rarest language: rate exactly 1, every row kept
+    assert(byLang.head._3 === 1.0)
+    assert(byLang.head._4 === byLang.head._2)
+    // rates are monotone non-increasing in stratum size and equal
+    // sqrt(n_min/n) to rounding
+    val nMin = byLang.head._2
+    byLang.foreach { case (lang, n, rate, _) =>
+      assert(math.abs(rate - math.sqrt(nMin.toDouble / n)) < 1e-6, lang)
+    }
+    // the kept mix is flatter than the raw mix: largest/smallest stratum
+    // ratio shrinks toward its square root
+    val rawRatio = byLang.last._2.toDouble / nMin
+    val keptRatio = byLang.last._4.toDouble / byLang.head._4
+    assert(keptRatio < rawRatio)
+    // deterministic: keep decisions survive repartitioning
+    val again = Sampling.temperatureKeep(docs.repartition(13), "lang",
+        col("doc_id"), seed = 11L)
+      .filter($"keep" === 1).select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert(again === got.filter($"keep" === 1)
+      .select($"doc_id".cast("long")).as[Long].collect().toSet)
+  }
+
   test("L1 and Linf distances: zero to self, triangle sanity") {
     val got = Seq((Seq(1f, 2f, -3f), Seq(0f, 2f, 1f)))
       .toDF("a", "b")

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextScoring}
+import graft.queries.table
+
+class TextScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigram cross-entropy: common-token docs score below rare-token docs") {
+    val docs = Seq(
+      (1L, "the the the the the"), // all high-frequency tokens
+      (2L, "the the the the zzzq"), // one rare token
+      (3L, "zzzq qqxz jjvw kkpy wwzz") // all singletons
+    ).toDF("doc_id", "text")
+    val got = TextScoring.unigramCrossEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq(5L, 5L, 5L))
+    assert(got(0)._3 < got(1)._3)
+    assert(got(1)._3 < got(2)._3)
+    // doc 1: every token is 'the' with count 9 of 15 → H = -ln(9/15)
+    assert(math.abs(got(0)._3 - (-math.log(9.0 / 15.0))) < 1e-5)
+    // order-independence: same result from a different layout
+    val again = TextScoring.unigramCrossEntropy(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("dsir: target-like docs get higher log-weights than off-target docs") {
+    val docs = table(spark, sf0001, "documents")
+    val target = docs.filter($"lang" === "en")
+    val got = TextScoring.dsirLogWeights(docs, target, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+    val byLang = got.groupBy("lang")
+      .agg(avg($"log_weight").as("w"))
+      .as[(String, Double)].collect().toMap
+    // English (the target domain) must dominate every other language
+    assert(byLang.keySet.contains("en"))
+    (byLang - "en").foreach { case (lang, w) =>
+      assert(byLang("en") > w, s"en ${byLang("en")} !> $lang $w")
+    }
+    // weights are layout-stable (exact decimal accumulation)
+    val a = TextScoring.dsirLogWeights(docs, target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = TextScoring.dsirLogWeights(docs.repartition(13), target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a === b)
+  }
+
+  test("winnow candidates: shared long runs pair, disjoint texts do not") {
+    val shared = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"unrelated prefix text $shared and a different suffix"),
+      (3L, "completely different content with no overlap at all here"),
+      (4L, "another disjoint document about something else entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidates(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    // the 49-char shared run is far over the k+w-1 = 23 guarantee
+    assert(pairs.exists(p => p._1 === 1L && p._2 === 2L))
+    // docs 3 and 4 share no common substring anywhere near gram length
+    assert(!pairs.exists(p => (p._1, p._2) === (3L, 4L)))
+  }
+
+  test("winnow candidates: boilerplate fingerprint cap drops degenerate fps") {
+    // 60 docs all sharing one long boilerplate run: every fingerprint of
+    // that run appears in 60 > maxDocsPerFp docs and must be dropped,
+    // leaving no pairs at all
+    val boiler = "this exact licence header appears verbatim in every file"
+    val docs = (1L to 60L).map(i => (i, s"doc number $i $boiler")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidates(docs, "doc_id", "text",
+      k = 8, w = 16, maxDocsPerFp = 50)
+    // pair space is bounded: nothing survives the cap except fingerprints
+    // from the short distinct prefixes, which share no 8-gram
+    assert(pairs.count() === 0)
+    // raising the cap restores the pairs
+    val uncapped = Dedup.winnowCandidates(docs, "doc_id", "text",
+      k = 8, w = 16, maxDocsPerFp = 100)
+    assert(uncapped.count() > 0)
+  }
+}
