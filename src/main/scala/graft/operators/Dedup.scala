@@ -377,6 +377,34 @@ object Dedup {
       .select("left_id", "right_id", "score")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space with k-means, then inside each cluster drop all but one of any
+    * cosine-≥-threshold group. Semantic near-dups (paraphrases, re-crops,
+    * re-encodes) land in the same cluster with near-identical embeddings;
+    * the cluster scoping is what makes the pair space tractable — pairs
+    * are only scored within a cell, never across the corpus.
+    *
+    * Composition: [[AnnIvf.cosinePairsViaIndex]] (within-cell threshold
+    * pairs, salt-spread, cap-guarded) → [[Components.connectedComponents]]
+    * (groups may chain through multiple pairs) → keep the component root
+    * (min id). Returns EVERY vector with its `component_id` and a `keep`
+    * flag — singletons keep themselves.
+    *
+    * Scale shape: inherits cosinePairsViaIndex's bounds (per-cell n²/2
+    * capped + salted, linear otherwise); components iterate on the pair
+    * set, which near-dup sparsity keeps ≪ corpus-sized. */
+  def semanticAssignment(index: AnnIvf.Index, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = AnnIvf.cosinePairsViaIndex(index, idCol, vecCol, threshold)
+    val cc = Components.connectedComponents(pairs, "left_id", "right_id")
+    index.assigned.select(col(idCol).cast("long").as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component_id"),
+        (coalesce(col("component"), col("id")) === col("id")).cast("int").as("keep"))
+  }
+
   /** Reference cartesian form of [[embeddingPairs]] — equivalence-spec
     * oracle only. */
   private[graft] def embeddingPairsNaive(

@@ -101,6 +101,18 @@ object VectorQueries {
         .orderBy("left_id", "right_id")
     },
 
+    // SemDeDup (Abbas et al. 2023): k-means cluster the embedding space,
+    // drop all but one of any within-cluster cosine-≥-τ group. Rows-only
+    // (k-means); the composition pieces are each spec/oracle-covered
+    // (cosinePairsViaIndex ≡ naive pairs, components = min-reachable-id).
+    "dedup_semantic" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      Dedup.semanticAssignment(index, "vec_id", "embedding", threshold = 0.4)
+        .select(col("id").as("vec_id"), col("component_id"), col("keep"))
+        .orderBy("vec_id")
+    },
+
     // ANN end-to-end: k-means partitioning + nprobe search (not
     // SQL-expressible — driver records the rows-only check).
     "ann_ivf_search" -> { (s, dir) =>

@@ -285,4 +285,43 @@ class DedupSpec extends SparkSpec {
       assert(got === want, s"trial $trial")
     }
   }
+
+  test("semantic dedup: near-identical embedding groups keep one, distinct survive") {
+    // two tight semantic groups (unit vectors a hair apart) + isolated
+    // vectors: SemDeDup must keep exactly one per group and everything else
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def jitter(v: Array[Float]): Array[Float] = {
+      val w = v.map(x => x + (rnd.nextGaussian() * 1e-3).toFloat)
+      val n = math.sqrt(w.map(x => x.toDouble * x).sum).toFloat
+      w.map(_ / n)
+    }
+    val g1 = unit(16); val g2 = unit(16)
+    val rows =
+      Seq(10L -> g1, 11L -> jitter(g1), 12L -> jitter(g1),
+          20L -> g2, 21L -> jitter(g2)) ++
+        (30L to 39L).map(i => i -> unit(16))
+    val emb = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val index = graft.operators.AnnIvf.build(emb, "vec_id", "embedding",
+      nlist = 4, seed = 42L)
+    val got = Dedup.semanticAssignment(index, "vec_id", "embedding",
+        threshold = 0.99)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    val byId = got.map(r => r._1 -> r).toMap
+    // group members collapse to the min-id component and only it keeps
+    assert(byId(10L)._2 === 10L && byId(10L)._3 === 1)
+    assert(byId(11L)._2 === 10L && byId(11L)._3 === 0)
+    assert(byId(12L)._2 === 10L && byId(12L)._3 === 0)
+    assert(byId(20L)._2 === 20L && byId(20L)._3 === 1)
+    assert(byId(21L)._2 === 20L && byId(21L)._3 === 0)
+    // isolated vectors are their own kept singletons
+    (30L to 39L).foreach { i =>
+      assert(byId(i)._2 === i && byId(i)._3 === 1, s"id $i")
+    }
+    assert(got.length === rows.length)
+  }
 }
