@@ -97,6 +97,35 @@ object Graft {
       textCol: String, n: Int = 5): DataFrame =
     graft.operators.Dedup.decontaminate(train, eval, idCol, textCol, n)
 
+  /** Temperature-based stratum rebalancing (α = ½), portable per-row keep
+    * decision; see [[graft.operators.Sampling.temperatureKeep]]. */
+  def temperatureKeep(df: DataFrame, strataCol: String, keyCol: Column,
+      seed: Long): DataFrame =
+    graft.operators.Sampling.temperatureKeep(df, strataCol, keyCol, seed)
+
+  /** Per-doc cross-entropy under the corpus MLE unigram LM (CCNet-shaped
+    * perplexity filter). */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.operators.TextScoring.unigramCrossEntropy(docs, idCol, textCol)
+
+  /** DSIR importance log-weights toward a target exemplar corpus. */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, n: Int = 2, numBuckets: Int = 1024): DataFrame =
+    graft.operators.TextScoring.dsirLogWeights(raw, target, idCol, textCol,
+      n, numBuckets)
+
+  /** Winnowed exact-substring overlap candidates (Lee-et-al substring
+    * dedup); see [[graft.operators.Dedup.winnowCandidates]]. */
+  def substringCandidates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16, maxDocsPerFp: Int = 50): DataFrame =
+    graft.operators.Dedup.winnowCandidates(docs, idCol, textCol, k, w, maxDocsPerFp)
+
+  /** SemDeDup semantic dedup over an IVF-clustered embedding space. */
+  def semanticDedup(index: AnnIvf.Index, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    graft.operators.Dedup.semanticAssignment(index, idCol, vecCol, threshold)
+
   /** One-pass distributed PCA fit over an embedding column. */
   def pcaFit(df: DataFrame, vecCol: String, k: Int): graft.operators.EmbeddingPca.PcaModel =
     graft.operators.EmbeddingPca.fit(df, vecCol, k)

@@ -106,6 +106,25 @@ object ScaleSmoke {
     time("corpus prep end-to-end (dedup→gate→split→pack)") {
       graft.operators.CorpusPrep.prepare(docs, "doc_id", "text", "lang").count()
     }
+    // round-7 curation stages: each is explode-linear + one equi-join /
+    // tiny-broadcast shaped, so all four should track the corpus size,
+    // not any pair space
+    time("unigram-LM cross-entropy scoring") {
+      graft.operators.TextScoring
+        .unigramCrossEntropy(docs, "doc_id", "text").count()
+    }
+    time("DSIR log-weights vs English slice") {
+      graft.operators.TextScoring.dsirLogWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text").count()
+    }
+    time("winnowed substring-dedup candidates") {
+      Dedup.winnowCandidates(docs, "doc_id", "text").count()
+    }
+    time("temperature keep (alpha=1/2) per language") {
+      graft.operators.Sampling
+        .temperatureKeep(docs, "lang", col("doc_id"), seed = 11L)
+        .filter(col("keep") === 1).count()
+    }
     // connected components on a dedup-shaped graph at scale: one deep
     // component (binary tree over 100k nodes — O(log n) star-contraction
     // rounds) + ~(2M/50) 50-node clusters. Checks the round count stays

@@ -114,4 +114,21 @@ class GraftApiSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("wds-api").toString
     assert(Graft.webDataset(spark, dir).count() === 0)
   }
+
+  test("facade: curation stages (temperature, ppl, dsir, substring, semdedup) wire through") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val kept = Graft.temperatureKeep(docs, "lang", col("doc_id"), seed = 1L)
+    assert(kept.columns.contains("keep") && kept.count() === docs.count())
+    assert(Graft.unigramCrossEntropy(docs, "doc_id", "text").count() === docs.count())
+    assert(Graft.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+      "doc_id", "text").count() === docs.count())
+    // winnow candidates: at minimum the natural near-dup docs pair up
+    assert(Graft.substringCandidates(docs, "doc_id", "text").count() > 0)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = Graft.annBuild(emb, "vec_id", "embedding", nlist = 4)
+    val sem = Graft.semanticDedup(index, "vec_id", "embedding", threshold = 0.4)
+    assert(sem.count() === emb.count())
+    assert(sem.filter(col("keep") === 1).count() > 0)
+  }
 }
