@@ -61,6 +61,50 @@ object TextScoring {
         round(col("__s") / col("n_tokens"), 6).as("cross_entropy"))
   }
 
+  /** Per-document cross-entropy (nats/bigram) under an interpolated bigram
+    * LM estimated from the corpus: each adjacent pair (w₁,w₂) contributes
+    * −ln(λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N) — Jelinek-Mercer smoothing, so
+    * the score is defined even for bigrams never seen with that history
+    * (the unigram floor carries them). Order-2 context separates fluent
+    * text from shuffled-token gibberish that a unigram model scores
+    * identically.
+    *
+    * Docs with fewer than 2 tokens have no bigrams and are omitted —
+    * length gates (`text_gopher`) own that regime.
+    *
+    * Scale shape: bigrams are built SCAN-LOCALLY from the token array
+    * (transform over the array — no positional self-join); three
+    * vocab-sized count tables meet the stream in equi-joins (AQE
+    * broadcasts the small ones), one final groupBy per doc. Same
+    * rounded-term DECIMAL accumulation as [[unigramCrossEntropy]]. */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    val total = toks.agg(count(lit(1)).as("__N"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("__cu"))
+    val bi = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol).as("id"), explode(expr(
+        """transform(sequence(0, size(__toks) - 2),
+           i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))""")).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cw1 = bi.groupBy("w1").agg(count(lit(1)).as("__cw1"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    bi.join(cb, Seq("w1", "w2"))
+      .join(cw1, Seq("w1"))
+      .join(uni.withColumnRenamed("tok", "w2"), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("__nll", round(-log(
+        lit(lambda) * (col("__cb").cast("double") / col("__cw1").cast("double")) +
+        lit(1.0 - lambda) * (col("__cu").cast("double") / col("__N").cast("double"))), 6))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), decSum(col("__nll")).as("__s"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("__s") / col("n_bigrams"), 6).as("cross_entropy"))
+  }
+
   /** DSIR importance log-weights: features are the document's DISTINCT word
     * bigrams hashed into `numBuckets` buckets on the portable 64-bit stack
     * (binarized hashed n-grams); each feature contributes

@@ -420,6 +420,17 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Bigram-LM cross-entropy with Jelinek-Mercer backoff (λ = 0.75):
+    // order-2 fluency signal — shuffled-token gibberish that the unigram
+    // model can't see scores high here. Docs with <2 tokens are omitted
+    // (length gates own that regime).
+    "text_bigram_ppl" -> { (s, dir) =>
+      graft.operators.TextScoring.bigramCrossEntropy(
+          table(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // DSIR importance weights (Xie et al. 2023): hashed distinct word
     // bigrams, target = the English slice, weight = Σ ln(p̂_t(b)/p̂_r(b))
     // with add-one smoothing. Resampling ∝ exp(weight) shifts the corpus
@@ -910,6 +921,27 @@ object TextQueries {
              / COUNT(*), 6) AS cross_entropy
          FROM t JOIN c USING (tok) CROSS JOIN n
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+    // Interpolated bigram LM replayed exactly: scan-local bigrams from the
+    // token array, history/bigram/unigram count tables, identical float
+    // expression tree (every individual op is correctly-rounded IEEE).
+    "text_bigram_ppl" ->
+      """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM t),
+         u AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cu FROM t GROUP BY tok),
+         tt AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents),
+         b AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+               FROM (SELECT doc_id, a, UNNEST(RANGE(1, LEN(a))) AS i FROM tt)),
+         cw1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM b GROUP BY w1),
+         cb AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cbn FROM b GROUP BY w1, w2)
+         SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(ROUND(-LN(
+               CAST(0.75 AS DOUBLE) * (cb.cbn / cw1.c1)
+             + CAST(0.25 AS DOUBLE) * (u.cu / n.nn)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS cross_entropy
+         FROM b JOIN cb USING (w1, w2) JOIN cw1 USING (w1)
+           JOIN u ON u.tok = b.w2 CROSS JOIN n
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
 
     // DSIR: distinct word-bigram hashes (decontam's gram stack, n = 2) →
     // 1024 feature buckets → smoothed target/raw log-ratio per bucket →

@@ -27,6 +27,27 @@ class TextScoringSpec extends SparkSpec {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("bigram cross-entropy: fluent order scores below shuffled tokens") {
+    // same token multiset, different order: the unigram model cannot tell
+    // them apart, the bigram model must. A corpus of many fluent copies
+    // establishes the bigram statistics; one shuffled doc is the outlier.
+    val fluent = "the cat sat on the mat"
+    val docs = ((1L to 9L).map(i => (i, fluent)) :+
+      (10L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val got = TextScoring.bigramCrossEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length === 10)
+    assert(got.map(_._2).forall(_ === 5L)) // 6 tokens → 5 bigrams each
+    val fluentH = got.filter(_._1 <= 9L).map(_._3)
+    val shuffledH = got.last._3
+    assert(fluentH.forall(_ < shuffledH),
+      s"fluent ${fluentH.head} !< shuffled $shuffledH")
+    // short docs (<2 tokens) are omitted, not errored
+    val withShort = docs.union(Seq((11L, "one")).toDF("doc_id", "text"))
+    assert(TextScoring.bigramCrossEntropy(withShort, "doc_id", "text")
+      .count() === 10)
+  }
+
   test("dsir: target-like docs get higher log-weights than off-target docs") {
     val docs = table(spark, sf0001, "documents")
     val target = docs.filter($"lang" === "en")
