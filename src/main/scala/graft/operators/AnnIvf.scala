@@ -307,22 +307,34 @@ object AnnIvf {
   /** fp16 storage convention: the packed column keeps the vector column's
     * name plus this suffix, so `read` can transparently restore it. */
   private val Fp16Suffix = "__fp16"
+  private val Sq8Suffix = "__sq8"
 
   def write(index: Index, path: String, writeSalt: Int = 4,
-      fp16: Boolean = false, vecCol: String = "embedding"): Unit = {
+      fp16: Boolean = false, vecCol: String = "embedding",
+      sq8: Boolean = false): Unit = {
+    require(!(fp16 && sq8), "pick ONE storage codec: fp16 or sq8")
     // k-means partitions are skewed by construction (SURVEY.md §7.4); the
     // salt is a STORED column: it spreads each hot partition over
     // `writeSalt` write tasks AND files, and survives as a join sub-key so
     // the search-side co-partitioned join ([[knnJoin]]) can spread a hot
     // partition over `writeSalt` reducers. The on-disk layout
     // (partition_id=... dirs, hence pruning) is unchanged.
+    val sq8Bounds =
+      if (sq8) Some(graft.functions.SQ8.train(index.assigned, vecCol)) else None
     val stored =
       if (fp16)
         // the reference's SQfp16 index compression (storage_impl.py:87):
         // 2 bytes/element at rest, decoded on scan by `read`
         index.assigned.withColumn(s"$vecCol$Fp16Suffix",
           graft.functions.FP16.packCol(col(vecCol))).drop(vecCol)
-      else index.assigned
+      else sq8Bounds match {
+        // SQ8: 1 byte/element (FAISS QT_8bit); trained per-dim bounds go
+        // into the meta sidecar so `read` can restore transparently
+        case Some(b) =>
+          index.assigned.withColumn(s"$vecCol$Sq8Suffix",
+            graft.functions.SQ8.packCol(b, col(vecCol))).drop(vecCol)
+        case None => index.assigned
+      }
     val salted = stored.withColumn("__salt",
       pmod(xxhash64(stored.columns.map(col): _*), lit(writeSalt)).cast("int"))
     salted
@@ -334,21 +346,38 @@ object AnnIvf {
       .write.mode("overwrite").parquet(s"$path/centroids")
     val spark = index.centroids.sparkSession
     import spark.implicits._
-    Seq(writeSalt).toDF("write_salt").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
+    sq8Bounds match {
+      case Some(b) =>
+        Seq((writeSalt, b.vmin.toSeq, b.vmax.toSeq))
+          .toDF("write_salt", "sq8_vmin", "sq8_vmax").coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/meta")
+      case None =>
+        Seq(writeSalt).toDF("write_salt").coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/meta")
+    }
   }
 
   def read(spark: SparkSession, path: String): Index = {
     val raw = spark.read.parquet(s"$path/vectors")
+    val meta =
+      try Some(spark.read.parquet(s"$path/meta"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None } // pre-salt layout
     val assigned = raw.columns.find(_.endsWith(Fp16Suffix)) match {
       case Some(packed) =>
         raw.withColumn(packed.dropRight(Fp16Suffix.length),
           graft.functions.FP16.unpackCol(col(packed))).drop(packed)
-      case None => raw
+      case None =>
+        raw.columns.find(_.endsWith(Sq8Suffix)) match {
+          case Some(packed) =>
+            val m = meta.get.select("sq8_vmin", "sq8_vmax").head()
+            val b = graft.functions.SQ8.Bounds(
+              m.getSeq[Float](0).toArray, m.getSeq[Float](1).toArray)
+            raw.withColumn(packed.dropRight(Sq8Suffix.length),
+              graft.functions.SQ8.unpackCol(b, col(packed))).drop(packed)
+          case None => raw
+        }
     }
-    val writeSalt =
-      try spark.read.parquet(s"$path/meta").select("write_salt").head().getInt(0)
-      catch { case _: org.apache.spark.sql.AnalysisException => 1 } // pre-salt layout
+    val writeSalt = meta.map(_.select("write_salt").head().getInt(0)).getOrElse(1)
     Index(assigned, spark.read.parquet(s"$path/centroids"), writeSalt)
   }
 

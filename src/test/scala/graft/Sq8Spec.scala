@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SQ8, VectorOps}
+import graft.operators.AnnIvf
+
+class Sq8Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("sq8: 1 byte per element, error within step/2, clamps out-of-range") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val b = SQ8.train(emb, "embedding")
+    assert(b.dim === 64)
+    // trained bounds actually bracket the corpus
+    val rows = emb.select($"embedding").as[Seq[Float]].collect()
+    for (d <- 0 until b.dim) {
+      assert(rows.map(_(d)).min === b.vmin(d))
+      assert(rows.map(_(d)).max === b.vmax(d))
+    }
+    val got = emb.select(
+      size($"embedding").as("dim"),
+      length(SQ8.packCol(b, $"embedding")).as("packed_bytes"),
+      SQ8.unpackCol(b, SQ8.packCol(b, $"embedding")).as("rt"),
+      $"embedding")
+    assert(got.filter($"packed_bytes" =!= $"dim").count() === 0)
+    // per-dimension midpoint reconstruction: |err| <= step/2 everywhere
+    got.select($"rt", $"embedding").as[(Seq[Float], Seq[Float])]
+      .collect().foreach { case (rt, orig) =>
+        for (d <- 0 until b.dim) {
+          val step = (b.vmax(d) - b.vmin(d)) / 256.0f
+          assert(math.abs(rt(d) - orig(d)) <= step / 2 + 1e-6, s"dim $d")
+        }
+      }
+    // out-of-range values clamp to the extreme codes (the FAISS contract)
+    val wild = Seq(Seq.fill(64)(1e9f), Seq.fill(64)(-1e9f)).toDF("embedding")
+    val codes = wild.select(SQ8.packCol(b, $"embedding")).as[Array[Byte]].collect()
+    assert(codes(0).forall(c => (c & 0xff) === 255))
+    assert(codes(1).forall(_ === 0))
+  }
+
+  test("sq8 durable index: write/read roundtrip, search ranks like fp32") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 4, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("sq8-idx").toString
+    AnnIvf.write(index, dir, writeSalt = 2, sq8 = true, vecCol = "embedding")
+    val back = AnnIvf.read(spark, dir)
+    assert(back.writeSalt === 2)
+    assert(back.assigned.columns.contains("embedding"))
+    assert(back.assigned.count() === emb.count())
+    // decoded vectors are close (unit vectors, 64 dims: sq8 L2 error small)
+    val err = back.assigned.select($"vec_id", $"embedding".as("rt"))
+      .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+      .select(round(VectorOps.l2Distance($"rt", $"embedding"), 6).as("e"))
+      .agg(max($"e")).as[Double].head()
+    assert(err < 0.02, s"l2 err $err")
+    // exhaustive search on the sq8 index returns the fp32 top-1
+    def top1(ix: AnnIvf.Index) =
+      AnnIvf.search(ix, emb.filter($"vec_id" === 0L), "vec_id", "embedding",
+        k = 2, nprobe = 4)
+        .filter($"vec_id" =!= 0L)
+        .orderBy($"rank").select($"vec_id").as[Long].head()
+    assert(top1(back) === top1(index))
+    // fp16 and sq8 are mutually exclusive codecs
+    intercept[IllegalArgumentException] {
+      AnnIvf.write(index, dir, fp16 = true, sq8 = true)
+    }
+  }
+}
