@@ -24,19 +24,31 @@ object TextQueries {
   /** minhash near-dup pairs → connected components → (doc_id,
     * component_id) for EVERY doc (singletons map to themselves). Shared
     * by `dedup_components` (assignment + sizes) and
-    * `dedup_components_apply` (keep canonical docs only). */
+    * `dedup_components_apply` (keep canonical docs only) — and computed
+    * ONCE per (session, sfDir): a pipeline materializes the component map
+    * and derives both views from it, so re-running the minhash + iterative
+    * contraction per consumer would double-charge the expensive stage
+    * (same build-once rationale as the ANN index registry). The
+    * assignment is persisted MEMORY_AND_DISK; it is deterministic, so
+    * correctness is unaffected whichever query materializes it first. */
+  private val componentRegistry =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
+
   private def componentAssignment(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val docs = table(s, dir, "documents")
-    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-      shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
-    val cc = graft.operators.Components
-      .connectedComponents(pairs, "left_id", "right_id")
-    docs.select(col("doc_id").cast("long").as("doc_id"))
-      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("component_id"))
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    componentRegistry.getOrElseUpdate(
+      (System.identityHashCode(s).toString, dir), {
+        val docs = table(s, dir, "documents")
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+        val cc = graft.operators.Components
+          .connectedComponents(pairs, "left_id", "right_id")
+        docs.select(col("doc_id").cast("long").as("doc_id"))
+          .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
 
   val queries: Map[String, Query] = Map(
     // Token counting (whitespace tokenizer).

@@ -250,6 +250,60 @@ object EventStreams {
       }
   }
 
+  /** Verdict row from [[exactDedupStream]]: `kept_id` is the canonical
+    * (first-arrived) doc for this content; `is_dup` marks later copies. */
+  final case class ExactDupVerdict(doc_id: Long, kept_id: Long, is_dup: Boolean)
+
+  /** Streaming content-level exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.dropExactDuplicates]]: state is keyed by the
+    * content hash, the FIRST arrival under each hash is canonical, and
+    * every arrival emits a verdict (later copies with `is_dup = true`, for
+    * dropping or routing to a dup log). Within a micro-batch rows fold in
+    * ascending id order, so when arrival order is id order the kept set
+    * equals the batch min-id form exactly (StreamingSpec asserts this).
+    *
+    * At scale: state per key is one long — bounded by distinct-content
+    * cardinality, hash-partitioned across executors. `stateTtlMs > 0`
+    * switches to a processing-time TTL for unbounded streams; an evicted
+    * hash re-admits its next copy, so exactness in that regime belongs to
+    * the batch anti-join against the durable corpus (ST2/J6), with this
+    * stage as the in-flight filter. */
+  def exactDedupStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateTtlMs: Long = 0L): org.apache.spark.sql.Dataset[ExactDupVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .select(md5(col(textCol)).as("h"), col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, ExactDupVerdict](OutputMode.Append(), timeout) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var keeper = state.getOption.getOrElse(Long.MinValue)
+            val out = scala.collection.mutable.ArrayBuffer.empty[ExactDupVerdict]
+            rows.map(_._2).toSeq.sorted.foreach { id =>
+              if (keeper == Long.MinValue) {
+                keeper = id
+                out += ExactDupVerdict(id, id, is_dup = false)
+              } else out += ExactDupVerdict(id, keeper, is_dup = true)
+            }
+            state.update(keeper)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Per-user running state for [[userRunningStats]]. */
   final case class UserState(nEvents: Long, total: Double)
 

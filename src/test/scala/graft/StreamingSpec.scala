@@ -123,6 +123,41 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming exact dedup: kept set equals batch dropExactDuplicates") {
+    // documents + exact copies, replayed in id order across 3 micro-batches
+    // (copies arrive in a LATER batch than originals, so the keeper must
+    // come from persisted state, not the same batch)
+    import spark.implicits._
+    val base = table(spark, sf0001, "documents").select("doc_id", "text")
+      .filter(col("doc_id") < 150)
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val dir = Files.createTempDirectory("exactdedup-stream").toString
+    Seq(0L -> 50L, 50L -> 150L, 100000L -> 200000L).foreach { case (lo, hi) =>
+      corpus.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val got = runToMemory(
+      EventStreams.exactDedupStream(stream, "doc_id", "text").toDF(),
+      "exactdedup_out", "append")
+    // every doc gets exactly one verdict
+    assert(got.count() === corpus.count())
+    // kept set == batch min-id exact dedup (arrival order here IS id order)
+    val kept = got.filter(!col("is_dup")).select("doc_id")
+      .as[Long].collect().toSet
+    val want = graft.operators.Dedup.dropExactDuplicates(corpus, "doc_id", "text")
+      .select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(kept === want)
+    // dup verdicts point at the canonical first arrival
+    assert(got.filter(col("is_dup")).filter(col("kept_id") =!= col("doc_id") - 100000)
+      .count() === 0)
+  }
+
   test("a degenerate band bucket goes silent at the cap, mirroring the batch drop") {
     // 12 identical docs, cap 3: batch minhashPairs drops the over-cap
     // bucket entirely (zero pairs). Streaming cannot retract pairs already
