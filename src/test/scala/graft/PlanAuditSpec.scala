@@ -119,4 +119,30 @@ class PlanAuditSpec extends SparkSpec {
     // the contamination left-join keys on doc_id; the gram join keys on g
     assert(p.contains("Join"), p.take(400))
   }
+
+  test("sample_temperature: rate table broadcasts back; corpus is not shuffled") {
+    val p = plan("sample_temperature")
+    // the per-stratum rates join the corpus as a broadcast hash join —
+    // the scan side must not exchange before the join
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for a tiny rate table")
+  }
+
+  test("text_unigram_ppl / text_bigram_ppl: no cartesian, corpus N rides as broadcast") {
+    for (q <- Seq("text_unigram_ppl", "text_bigram_ppl")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian")
+      // the 1-row total joins via BroadcastNestedLoopJoin (cross, 1 row) —
+      // cheap by construction; the count joins must be hash joins
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(600))
+    }
+  }
+
+  test("dedup_substring: fingerprint self-join is an equi-join with the cap applied first") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct"), "fp join went cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    // cap aggregate (count per fp) appears below the pair join
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
 }
