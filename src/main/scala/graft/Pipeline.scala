@@ -82,8 +82,27 @@ object Pipeline {
         bySplit.foreach(r => println(
           s"[pipeline]   ${r.getString(0)}: ${r.getLong(1)} docs, ${r.getLong(2)} tokens"))
 
+      // per-document quality signals: Gopher-rule composite + unigram and
+      // interpolated bigram LM cross-entropy — the score table a curation
+      // run joins against when choosing cut thresholds
+      case "score" :: docsPath :: idCol :: textCol :: outDir :: Nil =>
+        val docs = spark.read.parquet(docsPath)
+        val uni = graft.operators.TextScoring
+          .unigramCrossEntropy(docs, idCol, textCol)
+          .select(col("id").as(idCol), col("n_tokens"),
+            col("cross_entropy").as("unigram_ce"))
+        val bi = graft.operators.TextScoring
+          .bigramCrossEntropy(docs, idCol, textCol)
+          .select(col("id").as(idCol), col("cross_entropy").as("bigram_ce"))
+        val scored = uni.join(bi, Seq(idCol), "left")
+        scored.write.mode("overwrite").parquet(outDir)
+        val s = spark.read.parquet(outDir)
+          .agg(count(lit(1)), avg("unigram_ce"), avg("bigram_ce")).head()
+        println(f"[pipeline] score: ${s.getLong(0)} docs → $outDir " +
+          f"(mean unigram_ce=${s.getDouble(1)}%.3f, bigram_ce=${s.getDouble(2)}%.3f)")
+
       case other =>
-        System.err.println(s"unknown args: $other (want build|search|health|corpus ...)")
+        System.err.println(s"unknown args: $other (want build|search|health|corpus|score ...)")
         sys.exit(2)
     } finally spark.stop()
   }
