@@ -121,6 +121,12 @@ object Graft {
       k: Int = 8, w: Int = 16, maxDocsPerFp: Int = 50): DataFrame =
     graft.operators.Dedup.winnowCandidates(docs, idCol, textCol, k, w, maxDocsPerFp)
 
+  /** C4-style sub-document chunk dedup: global first occurrence of each
+    * token chunk survives, docs reassemble from surviving chunks. */
+  def dropRepeatedChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame =
+    graft.operators.Dedup.dropRepeatedChunks(docs, idCol, textCol, chunkTokens)
+
   /** SemDeDup semantic dedup over an IVF-clustered embedding space. */
   def semanticDedup(index: AnnIvf.Index, idCol: String, vecCol: String,
       threshold: Double): DataFrame =

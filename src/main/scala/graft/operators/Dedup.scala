@@ -402,6 +402,51 @@ object Dedup {
       .select("left_id", "right_id", "score")
   }
 
+  /** Sub-document exact dedup at token-chunk granularity — the C4 move
+    * ("deduplicate spans, not just documents") for corpora whose docs are
+    * flat token streams: partition every document into consecutive
+    * `chunkTokens`-token chunks, keep only the globally FIRST occurrence
+    * of each distinct chunk (ordered by (doc id, position)), and
+    * reassemble each document from its surviving chunks in order. Catches
+    * boilerplate shared across otherwise-distinct documents — which
+    * document-level dedup can never remove — and intra-doc repetition.
+    *
+    * Returns every input doc: (id, n_chunks, n_kept, text_deduped);
+    * `n_kept = 0` (empty text) means the doc was pure boilerplate —
+    * filter downstream, as with the quality gates.
+    *
+    * Scale shape: explode is linear in corpus tokens ÷ chunkTokens; the
+    * first-occurrence rule is one rank window partitioned by chunk
+    * content (uniform hash keys — no skew beyond true boilerplate, whose
+    * groups are exactly the rows being removed); reassembly is one
+    * groupBy with an in-group sort bounded by doc length. */
+  def dropRepeatedChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    requireIntegralId(docs, idCol, "dropRepeatedChunks")
+    val k = chunkTokens
+    val chunks = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).cast("long").as("id"), col("__toks"),
+        explode(sequence(lit(0),
+          ceil(size(col("__toks")) / lit(k.toDouble)).cast("int") - 1)).as("pos"))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", slice(col("__toks"), col("pos") * k + 1, lit(k))).as("chunk"))
+    val w = Window.partitionBy("chunk").orderBy(col("id"), col("pos"))
+    val kept = chunks.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val perDoc = chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))
+    val keptAgg = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("chunk")))),
+        x => x("chunk")), " ").as("text_deduped"))
+    perDoc.join(keptAgg, Seq("id"), "left")
+      .select(col("id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster the embedding
     * space with k-means, then inside each cluster drop all but one of any

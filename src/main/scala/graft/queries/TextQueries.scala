@@ -456,6 +456,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Sub-document chunk dedup (C4-style span removal): first global
+    // occurrence of each 10-token chunk survives, docs reassemble from
+    // surviving chunks. The duplicated corpus construction (id-shifted
+    // copies, as in dedup_exact) guarantees every copy's chunks drop.
+    "dedup_chunks" -> { (s, dir) =>
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.dropRepeatedChunks(corpus, "doc_id", "text", chunkTokens = 10)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("text_deduped")).as("dedup_md5"))
+        .orderBy("doc_id")
+    },
+
     // Exact-substring overlap candidates (winnowed Lee-et-al substring
     // dedup): doc pairs whose winnow(k=8,w=16) sketches intersect — every
     // shared ≥23-char run is guaranteed caught — with boilerplate
@@ -982,6 +997,34 @@ object TextQueries {
            ROUND(CAST(SUM(CAST(lr.lrv AS DECIMAL(18,6))) AS DOUBLE), 6) AS log_weight
          FROM f JOIN lr USING (b)
          GROUP BY f.doc_id ORDER BY f.doc_id""",
+
+    // Chunk dedup replayed: consecutive 10-token slices, global
+    // first-occurrence rank on (doc_id, pos), ordered reassembly.
+    "dedup_chunks" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text FROM documents
+           WHERE doc_id % 5 = 0),
+         t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM corpus),
+         c AS (SELECT doc_id, i AS pos,
+                 ARRAY_TO_STRING(a[(i*10 + 1):(i*10 + 10)], ' ') AS chunk
+               FROM (SELECT doc_id, a,
+                       UNNEST(RANGE(0, CAST(CEIL(LEN(a) / 10.0) AS BIGINT))) AS i
+                     FROM t)),
+         r AS (SELECT doc_id, pos, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+               FROM c),
+         k AS (SELECT doc_id, pos, chunk FROM r WHERE rn = 1),
+         nk AS (SELECT doc_id, COUNT(*) AS n_kept,
+                  STRING_AGG(chunk, ' ' ORDER BY pos) AS text_deduped
+                FROM k GROUP BY doc_id),
+         nc AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id)
+         SELECT nc.doc_id, nc.n_chunks,
+           COALESCE(nk.n_kept, 0) AS n_kept,
+           MD5(COALESCE(nk.text_deduped, '')) AS dedup_md5
+         FROM nc LEFT JOIN nk ON nc.doc_id = nk.doc_id
+         ORDER BY nc.doc_id""",
 
     // Substring-overlap candidates recomputed from scratch: unreduced
     // poly-31 8-gram hashes, window-16 minima (winnowing), distinct

@@ -69,6 +69,33 @@ class TextScoringSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("chunk dedup: shared boilerplate drops once, first occurrence survives") {
+    val boiler = "one two three four five six seven eight nine ten" // exactly 10 tokens
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, s"$boiler lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (3L, "entirely distinct words without any shared chunk content at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedChunks(docs, "doc_id", "text", chunkTokens = 10)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // doc 1 keeps both chunks (it owns the first boilerplate occurrence)
+    assert(got(0) === ((1L, 2L, 2L,
+      s"$boiler alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+    // doc 2 loses the boilerplate chunk, keeps its unique tail
+    assert(got(1) === ((2L, 2L, 1L,
+      "lambda mu nu xi omicron pi rho sigma tau upsilon")))
+    // doc 3 untouched
+    assert(got(2)._3 === 1L && got(2)._4 === docs.filter($"doc_id" === 3)
+      .select("text").as[String].head())
+    // a full duplicate of doc 3 empties out
+    val withDup = docs.union(Seq((4L,
+      "entirely distinct words without any shared chunk content at all"))
+      .toDF("doc_id", "text"))
+    val d4 = Dedup.dropRepeatedChunks(withDup, "doc_id", "text", chunkTokens = 10)
+      .filter($"id" === 4L).as[(Long, Long, Long, String)].head()
+    assert(d4._3 === 0L && d4._4 === "")
+  }
+
   test("winnow candidates: shared long runs pair, disjoint texts do not") {
     val shared = "the quick brown fox jumps over the lazy dog today"
     val docs = Seq(
