@@ -250,6 +250,38 @@ object EventStreams {
       }
   }
 
+  /** Streaming decontamination — the streaming twin of
+    * [[graft.operators.Dedup.contaminationCounts]]: each arriving train
+    * document is checked against the FROZEN eval-benchmark gram set and
+    * emits (id, n_shared). Documents arrive whole (one row each) and the
+    * eval set is fixed at stream start, so this is STATELESS — the eval
+    * grams collapse to a distinct 64-bit-hash set, broadcast once, and
+    * membership is a scan-local set probe; no state store, no shuffle of
+    * the stream. Bit-equal to the batch operator per doc
+    * (StreamingSpec). Eval suites are tiny next to a training corpus
+    * (the broadcast contract); re-broadcast by restarting the stream if
+    * the benchmark set changes. */
+  def decontamCountsStream(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val evalGrams: Set[Long] = evalDocs
+      .withColumn("__toks", graft.functions.TextOps.tokens(col(textCol)))
+      .select(explode(graft.functions.TextOps.portableHashedShinglesUdf(n)(
+        col("__toks"))).as("g"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val bc = spark.sparkContext.broadcast(evalGrams)
+    val nShared = udf { (grams: Seq[Long]) => grams.count(bc.value.contains) }
+    docs
+      .withColumn("__toks", graft.functions.TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        nShared(graft.functions.TextOps.portableHashedShinglesUdf(n)(
+          col("__toks"))).as("n_shared"))
+  }
+
   /** Verdict row from [[exactDedupStream]]: `kept_id` is the canonical
     * (first-arrived) doc for this content; `is_dup` marks later copies. */
   final case class ExactDupVerdict(doc_id: Long, kept_id: Long, is_dup: Boolean)

@@ -120,6 +120,9 @@ object ScaleSmoke {
     time("winnowed substring-dedup candidates") {
       Dedup.winnowCandidates(docs, "doc_id", "text").count()
     }
+    time("chunk dedup (C4 span removal) + reassembly") {
+      Dedup.dropRepeatedChunks(docs, "doc_id", "text").count()
+    }
     time("temperature keep (alpha=1/2) per language") {
       graft.operators.Sampling
         .temperatureKeep(docs, "lang", col("doc_id"), seed = 11L)

@@ -42,6 +42,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.exactGroups(empty, "doc_id", "text").count() === 0)
     assert(Dedup.minhashPairs(empty, "doc_id", "text").count() === 0)
     assert(Dedup.simhashPairs(empty, "doc_id", "text").count() === 0)
+    assert(Dedup.winnowCandidates(empty, "doc_id", "text").count() === 0)
+    assert(Dedup.dropRepeatedChunks(empty, "doc_id", "text").count() === 0)
+    assert(graft.operators.TextScoring
+      .unigramCrossEntropy(empty, "doc_id", "text").count() === 0)
+    assert(graft.operators.TextScoring
+      .bigramCrossEntropy(empty, "doc_id", "text").count() === 0)
+  }
+
+  test("round-7 curation ops: degenerate inputs stay sane") {
+    // single-stratum temperature keep: rate exactly 1, everything kept
+    val one = Seq((1L, "en", "a"), (2L, "en", "b")).toDF("doc_id", "lang", "text")
+    val kept = graft.operators.Sampling
+      .temperatureKeep(one, "lang", $"doc_id", seed = 1L)
+    assert(kept.filter($"keep" === 1).count() === 2)
+    assert(kept.select("keep_rate").as[Double].collect().forall(_ === 1.0))
+    // docs shorter than the winnow gram length produce no fingerprints
+    val short = Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text")
+    assert(Dedup.winnowCandidates(short, "doc_id", "text").count() === 0)
+    // chunk dedup on a doc shorter than one chunk: kept whole
+    val sub = Seq((1L, "just three words")).toDF("doc_id", "text")
+    val r = Dedup.dropRepeatedChunks(sub, "doc_id", "text", chunkTokens = 10)
+      .as[(Long, Long, Long, String)].head()
+    assert(r === ((1L, 1L, 1L, "just three words")))
+    // dsir with an EMPTY target: every feature gets the same uniform
+    // target probability — no crash, finite weights
+    val raw = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val w = graft.operators.TextScoring.dsirLogWeights(
+      raw, raw.filter($"doc_id" < 0), "doc_id", "text")
+    assert(w.count() === 2)
+    assert(w.select("log_weight").as[Double].collect().forall(x => !x.isNaN))
   }
 
   test("AnnPq.train rejects bad shapes with clear errors") {

@@ -158,6 +158,31 @@ class StreamingSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("streaming decontamination counts equal the batch operator per doc") {
+    import spark.implicits._
+    val docs = table(spark, sf0001, "documents").select("doc_id", "text")
+    val isEval = col("doc_id") % 10 === 7
+    val eval = docs.filter(isEval)
+    val train = docs.filter(!isEval)
+    val dir = Files.createTempDirectory("decontam-stream").toString
+    (0 until 2).foreach { r =>
+      train.filter(pmod(col("doc_id"), lit(2)) === r)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runToMemory(
+      EventStreams.decontamCountsStream(stream, eval, "doc_id", "text"),
+      "decontam_out", "append")
+      .filter(col("n_shared") > 0)
+      .as[(Long, Long)].collect().toMap
+    val want = graft.operators.Dedup
+      .contaminationCounts(train, eval, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("a degenerate band bucket goes silent at the cap, mirroring the batch drop") {
     // 12 identical docs, cap 3: batch minhashPairs drops the over-cap
     // bucket entirely (zero pairs). Streaming cannot retract pairs already
