@@ -38,6 +38,7 @@ object CorpusPrep {
       minStopHits: Int = 2,
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "with"),
       decontamNgram: Int = 5,
+      chunkDedupTokens: Int = 0, // >0 enables C4-style span removal
       trainNum: Int = 8,
       validNum: Int = 1,
       splitDenom: Int = 10,
@@ -73,9 +74,25 @@ object CorpusPrep {
       case None => nearDeduped
     }
 
+    // 2c. optional sub-document chunk dedup (the C4 span-removal stage):
+    // rewrite every doc from its globally-first-occurrence chunks; docs
+    // emptied out (pure boilerplate) drop here, BEFORE the quality gate
+    // re-measures the rewritten text
+    val spanDeduped =
+      if (cfg.chunkDedupTokens <= 0) decontaminated
+      else {
+        val r = Dedup.dropRepeatedChunks(
+          decontaminated, idCol, textCol, cfg.chunkDedupTokens)
+        decontaminated.withColumn("__cid", col(idCol).cast("long"))
+          .join(r.filter(col("n_kept") > 0)
+            .select(col("id").as("__cid"), col("text_deduped")), Seq("__cid"))
+          .drop(textCol, "__cid")
+          .withColumnRenamed("text_deduped", textCol)
+      }
+
     // 3. Gopher-style quality gate (same thresholds as the text_gopher query)
     val toks = TextOps.tokens(col(textCol))
-    val gated = decontaminated
+    val gated = spanDeduped
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("__mean", TextOps.avgTokenLength(col(textCol)))
       .withColumn("__alpha",

@@ -86,4 +86,24 @@ class CorpusPrepSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(again === base)
   }
+
+  test("optional chunk dedup stage strips cross-doc boilerplate spans") {
+    val withSpans = CorpusPrep.prepare(docs, "doc_id", "text", "lang",
+      cfg = CorpusPrep.Config(chunkDedupTokens = 10))
+    assert(withSpans.count() > 0)
+    // no 10-token chunk appears twice anywhere in the surviving corpus
+    val chunkDups = withSpans
+      .withColumn("__toks", org.apache.spark.sql.functions.split($"text", " "))
+      .select($"doc_id",
+        explode(sequence(lit(0),
+          ceil(size($"__toks") / lit(10.0)).cast("int") - 1)).as("pos"),
+        $"__toks")
+      .select(concat_ws(" ",
+        org.apache.spark.sql.functions.slice($"__toks", $"pos" * 10 + 1, lit(10))).as("chunk"))
+      .groupBy("chunk").count().filter($"count" > 1)
+    assert(chunkDups.count() === 0)
+    // rewritten texts re-pass the gate: n_tokens matches the kept text
+    val bad = withSpans.filter(size(split($"text", " ")) =!= $"n_tokens")
+    assert(bad.count() === 0)
+  }
 }
