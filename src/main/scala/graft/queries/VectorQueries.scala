@@ -123,6 +123,46 @@ object VectorQueries {
         .orderBy("left_id", "right_id")
     },
 
+    // Hybrid retrieval — the candidate-generation → dense-rerank pattern
+    // of production search: TF-IDF over the query doc's terms selects 20
+    // lexical candidates (sparse stage, inverted-index shaped: one
+    // equi-join on term), then the exact embedding dot product reranks
+    // them (dense stage over 20 rows, not the corpus). Fully
+    // oracle-checked: per-term scores round to 6 dp then DECIMAL-sum, so
+    // candidate selection and ranking replay bit-for-bit.
+    "hybrid_search" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val toks = graft.functions.TextOps.tokens(col("text"))
+      val qTerms = docs.filter(col("doc_id") === 0)
+        .select(explode(array_distinct(toks)).as("term")).distinct()
+      val tf = docs.filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfc = docs
+        .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+      val cand = tf.join(broadcast(qTerms), Seq("term"))
+        .join(dfc, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("__ts", round(col("tf") * log(col("__n") / col("df")), 6))
+        .groupBy("doc_id")
+        .agg(sum(col("__ts").cast(DecimalType(18, 6))).cast("double").as("lex_score"))
+        .orderBy(desc("lex_score"), asc("doc_id")).limit(20)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      val w = Window.orderBy(desc("sim"), asc("doc_id"))
+      cand.join(emb.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+        .crossJoin(broadcast(qv))
+        .withColumn("sim", round(VectorOps.dot(col("embedding"), col("__qv")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("doc_id"), col("lex_score"), col("sim"), col("rnk"))
+        .orderBy("rnk")
+    },
+
     // SemDeDup (Abbas et al. 2023): k-means cluster the embedding space,
     // drop all but one of any within-cluster cosine-≥-τ group. Rows-only
     // (k-means); the composition pieces are each spec/oracle-covered
@@ -380,6 +420,36 @@ object VectorQueries {
           FROM embeddings a, embeddings b
           WHERE a.vec_id % 10 = 0 AND a.vec_id < b.vec_id
             AND ${sqlDot("a.embedding", "b.embedding")} >= 0.4
-          ORDER BY left_id, right_id"""
+          ORDER BY left_id, right_id""",
+
+    // Hybrid retrieval replayed: TF-IDF candidate stage with per-term
+    // rounded scores DECIMAL-summed, then the exact dense rerank.
+    "hybrid_search" ->
+      s"""WITH q AS (SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS term
+                     FROM documents WHERE doc_id = 0),
+         t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+               FROM documents WHERE doc_id <> 0),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+         dfc AS (SELECT term, COUNT(*) AS df FROM (
+                   SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+                   FROM documents) GROUP BY term),
+         lex AS (SELECT tf.doc_id,
+                   CAST(SUM(CAST(ROUND(tf.tf * LN(n.nn / dfc.df), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS lex_score
+                 FROM tf JOIN q USING (term) JOIN dfc USING (term) CROSS JOIN n
+                 GROUP BY tf.doc_id),
+         cand AS (SELECT doc_id, lex_score FROM lex
+                  ORDER BY lex_score DESC, doc_id LIMIT 20),
+         qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         r AS (SELECT c.doc_id, c.lex_score,
+                 ${sqlDot("e.embedding", "qv.embedding")} AS sim
+               FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+               CROSS JOIN qv)
+         SELECT doc_id, lex_score, sim, rnk FROM (
+           SELECT doc_id, lex_score, sim,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS INTEGER) AS rnk
+           FROM r)
+         WHERE rnk <= 10 ORDER BY rnk"""
   )
 }
