@@ -316,14 +316,22 @@ object Dedup {
     requireIntegralId(docs, idCol, "winnowCandidates")
     val sk = docs.select(col(idCol).cast("long").as("id"),
       explode(TextOps.winnowUdf(k, w)(col(textCol))).as("fp"))
-    val ok = sk.groupBy("fp")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxDocsPerFp)
-      .select("fp")
-    val kept = sk.join(ok, Seq("fp"))
-    kept.select(col("fp"), col("id").as("left_id"))
-      .join(kept.select(col("fp"), col("id").as("right_id")), Seq("fp"))
-      .filter(col("left_id") < col("right_id"))
+    // pairs from fingerprint member lists in ONE grouped pass (the
+    // minhash/simhash bucket pattern): the winnow lineage is evaluated
+    // once, the cap and the pair expansion happen in the same aggregate.
+    // In-memory expansion is bounded by maxDocsPerFp²/2 tuples per
+    // fingerprint (50 → ≤ 1225).
+    val pairsUdf = udf { (ids: Seq[Long]) =>
+      val sorted = ids.sorted
+      for {
+        i <- sorted.indices
+        j <- (i + 1) until sorted.length
+      } yield (sorted(i), sorted(j))
+    }
+    sk.groupBy("fp").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDocsPerFp)
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("left_id"), col("p._2").as("right_id"))
       .groupBy("left_id", "right_id")
       .agg(count(lit(1)).as("n_shared"))
   }
