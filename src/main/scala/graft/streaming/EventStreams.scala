@@ -257,8 +257,11 @@ object EventStreams {
     * eval set is fixed at stream start, so this is STATELESS — the eval
     * grams collapse to a distinct 64-bit-hash set, broadcast once, and
     * membership is a scan-local set probe; no state store, no shuffle of
-    * the stream. Bit-equal to the batch operator per doc
-    * (StreamingSpec). Eval suites are tiny next to a training corpus
+    * the stream. Counts are bit-equal to the batch operator per doc with
+    * one shape difference: batch emits only docs with n_shared > 0 (it
+    * inner-joins), this emits EVERY doc — filter `n_shared > 0` for the
+    * batch row set (StreamingSpec compares exactly that way). Eval
+    * suites are tiny next to a training corpus
     * (the broadcast contract); re-broadcast by restarting the stream if
     * the benchmark set changes. */
   def decontamCountsStream(
