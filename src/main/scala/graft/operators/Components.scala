@@ -89,6 +89,61 @@ object Components {
     * shape defeated star contraction) and final edge count. */
   final case class CcStats(assignment: DataFrame, rounds: Int, edges: Long)
 
+  /** Adaptive entry point: dedup pair graphs are usually TINY next to the
+    * corpus (near-dup sparsity is the whole premise), and the distributed
+    * star-contraction loop pays ~2 Spark jobs per round in fixed
+    * overheads — so when the canonical edge set fits a bounded driver
+    * budget, solve it there with union-find (path-halving + a min-label
+    * pass) and skip the loop entirely. Identical output by construction:
+    * both paths label every node with its component's minimum id.
+    *
+    * The budget is EDGES, checked after canonicalization with one cheap
+    * count (the loop would pay that job anyway in its first signature):
+    * `localMaxEdges` defaults to 2²⁰ ≈ 16 MB of longs collected — far
+    * under driver headroom, far over any healthy dedup graph at sf0.1.
+    * Above the budget, falls through to [[connectedComponents]] — the
+    * 100 TB path is unchanged and never collects. */
+  def connectedComponentsAuto(
+      pairs: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      localMaxEdges: Long = 1L << 20,
+      maxIter: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    val edges = canonical(pairs, leftCol, rightCol)
+      .localCheckpoint(eager = true)
+    if (edges.count() > localMaxEdges)
+      connectedComponents(edges, "src", "dst", maxIter, reliable)
+    else {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) {
+          val p = parent(r)
+          parent(r) = parent.getOrElse(p, p) // path halving
+          r = parent.getOrElse(r, r)
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+      // second pass: label = min id in the component (roots are already
+      // minima under the min-union rule above, but make it explicit)
+      val label = scala.collection.mutable.HashMap.empty[Long, Long]
+      nodes.foreach { n =>
+        val r = find(n)
+        label(r) = math.min(label.getOrElse(r, n), n)
+      }
+      nodes.toSeq.sorted.map(n => (n, label(find(n)))).toDF("id", "component")
+    }
+  }
+
   /** Component assignment for every node that appears in `pairs`:
     * returns (id BIGINT, component BIGINT) where component is the minimum
     * node id reachable from `id`. Nodes absent from `pairs` are absent

@@ -61,7 +61,7 @@ object CorpusPrep {
     // 2. near-dup removal: transitive clusters keep their min-id member
     val pairs = Dedup.minhashPairs(exact, idCol, textCol,
       cfg.shingleSize, cfg.numBands, cfg.rowsPerBand, cfg.jaccardThreshold)
-    val cc = Components.connectedComponents(pairs, "left_id", "right_id")
+    val cc = Components.connectedComponentsAuto(pairs, "left_id", "right_id")
     val dropIds = cc.filter(col("id") =!= col("component")).select(col("id").as(idCol))
     val nearDeduped = exact.join(dropIds, Seq(idCol), "left_anti")
 

@@ -475,7 +475,7 @@ object Dedup {
   def semanticAssignment(index: AnnIvf.Index, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val pairs = AnnIvf.cosinePairsViaIndex(index, idCol, vecCol, threshold)
-    val cc = Components.connectedComponents(pairs, "left_id", "right_id")
+    val cc = Components.connectedComponentsAuto(pairs, "left_id", "right_id")
     index.assigned.select(col(idCol).cast("long").as("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id"),

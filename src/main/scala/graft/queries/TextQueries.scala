@@ -42,7 +42,7 @@ object TextQueries {
         val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
           shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
         val cc = graft.operators.Components
-          .connectedComponents(pairs, "left_id", "right_id")
+          .connectedComponentsAuto(pairs, "left_id", "right_id")
         docs.select(col("doc_id").cast("long").as("doc_id"))
           .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id"),

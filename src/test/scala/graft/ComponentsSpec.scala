@@ -72,6 +72,27 @@ class ComponentsSpec extends SparkSpec {
     assert(run(Seq.empty[(Long, Long)]).isEmpty)
   }
 
+  test("adaptive local path equals the distributed loop on random graphs") {
+    val rnd = new scala.util.Random(19)
+    for (trial <- 0 until 3) {
+      val n = 200
+      val edges = (0 until 300).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val df = edges.toDF("left_id", "right_id")
+      val local = Components.connectedComponentsAuto(df, "left_id", "right_id")
+        .as[(Long, Long)].collect().toMap
+      val dist = Components.connectedComponents(df, "left_id", "right_id")
+        .as[(Long, Long)].collect().toMap
+      assert(local === dist, s"trial $trial")
+      // over-budget graphs fall through to the distributed loop and agree
+      val forced = Components.connectedComponentsAuto(df, "left_id", "right_id",
+          localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(forced === dist, s"trial $trial forced")
+    }
+  }
+
   test("null ids are dropped, extreme long ids survive the label algebra") {
     val big = Long.MaxValue - 1
     val df = Seq[(java.lang.Long, java.lang.Long)](
