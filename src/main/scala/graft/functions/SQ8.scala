@@ -111,4 +111,36 @@ object SQ8 {
     * the FAISS contract for vectors outside the trained bounds). */
   def packCol(b: Bounds, v: Column): Column = packUdf(b)(v)
   def unpackCol(b: Bounds, v: Column): Column = unpackUdf(b)(v)
+
+  /** Inner product DIRECTLY on the byte codes — the ADC move for a linear
+    * quantizer: q·decode(c) = Σ qᵢ(vminᵢ + (cᵢ+0.5)/256·spanᵢ) folds into
+    * `base(q) + Σ wᵢ(q)·cᵢ` with `base` and the per-dimension weight LUT
+    * `w` computed ONCE per query on the driver. Scanning a packed index
+    * then needs one multiply-add per byte and never materializes a float
+    * array per row (the [[unpackCol]]→dot path allocates dim floats
+    * per row). Numerically ≈ the decode path (double accumulation here vs
+    * float reconstruction there — Sq8Spec bounds the difference and pins
+    * equal ranking); constant-dim (span 0) contributes exactly qᵢ·vminᵢ,
+    * matching decode. */
+  def dotCodesUdf(b: Bounds, query: Array[Float]) = {
+    require(query.length == b.dim, s"query dim ${query.length} != ${b.dim}")
+    var base = 0.0
+    val w = new Array[Double](b.dim)
+    var i = 0
+    while (i < b.dim) {
+      val span = (b.vmax(i) - b.vmin(i)).toDouble
+      base += query(i).toDouble * (b.vmin(i) + span * (0.5 / 256.0))
+      w(i) = query(i).toDouble * span / 256.0
+      i += 1
+    }
+    udf { (codes: Array[Byte]) =>
+      if (codes == null) null.asInstanceOf[java.lang.Double]
+      else {
+        var s = base
+        var j = 0
+        while (j < w.length) { s += w(j) * (codes(j) & 0xff); j += 1 }
+        java.lang.Double.valueOf(s)
+      }
+    }
+  }
 }

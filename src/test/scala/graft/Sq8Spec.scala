@@ -39,6 +39,28 @@ class Sq8Spec extends SparkSpec {
     assert(codes(1).forall(_ === 0))
   }
 
+  test("sq8 ADC: direct-on-codes dot tracks decode-then-dot, same ranking") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val b = SQ8.train(emb, "embedding")
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Seq[Float]].head().toArray
+    val packed = emb.select($"vec_id", SQ8.packCol(b, $"embedding").as("codes"))
+    val both = packed.select($"vec_id",
+      SQ8.dotCodesUdf(b, q)($"codes").as("adc"),
+      VectorOps.dot(SQ8.unpackCol(b, $"codes"),
+        lit(q.map(_.toDouble)).cast("array<float>")).as("dec"))
+      .as[(Long, Double, Double)].collect()
+    both.foreach { case (id, adc, dec) =>
+      assert(math.abs(adc - dec) < 1e-4, s"vec $id: $adc vs $dec")
+    }
+    // top-1 by either scoring is the same vector
+    val top = (s: ((Long, Double, Double)) => Double) =>
+      both.filter(_._1 != 0L).maxBy(s)._1
+    assert(top(_._2) === top(_._3))
+    // dimension mismatch fails fast
+    intercept[IllegalArgumentException] { SQ8.dotCodesUdf(b, q.take(3)) }
+  }
+
   test("sq8 durable index: write/read roundtrip, search ranks like fp32") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 4, seed = 42L)
