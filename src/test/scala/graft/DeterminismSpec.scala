@@ -15,4 +15,17 @@ class DeterminismSpec extends SparkSpec {
       assert(a === b, s"$name differs between runs")
     }
   }
+
+  // rows-only queries get no driver hash, so a nondeterminism regression
+  // there would be invisible to the correctness gate — pin them here
+  // (seeded k-means, Jacobi eigensolve, and BPE training are all
+  // deterministic by construction)
+  for (name <- (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted) {
+    test(s"$name (rows-only) is run-to-run deterministic incl. row order") {
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, sf0001).collect().toSeq
+      val b = fn(spark, sf0001).collect().toSeq
+      assert(a === b, s"$name differs between runs")
+    }
+  }
 }
