@@ -31,13 +31,9 @@ object TextQueries {
     * (same build-once rationale as the ANN index registry). The
     * assignment is persisted MEMORY_AND_DISK; it is deterministic, so
     * correctness is unaffected whichever query materializes it first. */
-  private val componentRegistry =
-    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.DataFrame]
-
   private def componentAssignment(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    componentRegistry.getOrElseUpdate(
-      (System.identityHashCode(s).toString, dir), {
+    sessionCached(s, ("component-map", dir)) {
         val docs = table(s, dir, "documents")
         val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
           shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
@@ -48,7 +44,7 @@ object TextQueries {
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("component_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+      }
 
   val queries: Map[String, Query] = Map(
     // Token counting (whitespace tokenizer).

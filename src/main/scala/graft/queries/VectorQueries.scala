@@ -29,18 +29,14 @@ object VectorQueries {
     * shard (the durable cross-session path is `AnnIvf.write`/`read`).
     * Correctness is unaffected — the build is seeded and the first caller
     * materializes it. */
-  private val indexRegistry =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Long), AnnIvf.Index]
-
   private def sharedIndex(s: org.apache.spark.sql.SparkSession, dir: String,
       nlist: Int = 16, seed: Long = 42L): AnnIvf.Index =
-    indexRegistry.getOrElseUpdate(
-      (System.identityHashCode(s).toString, dir, nlist, seed), {
+    sessionCached(s, ("ivf-index", dir, nlist, seed)) {
       val idx = AnnIvf.build(table(s, dir, "embeddings"), "vec_id", "embedding",
         nlist, seed)
       idx.copy(assigned = idx.assigned.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
+    }
 
   val queries: Map[String, Query] = Map(
     // Flagship: brute-force KNN for one query vector with label enrichment.

@@ -19,6 +19,27 @@ package object queries {
 
   type Query = (SparkSession, String) => DataFrame
 
+  /** Session-scoped build-once caches (ANN index registry, component map):
+    * a WeakHashMap keyed by the LIVE session object, so entries die with
+    * their session (no identity-hash collisions against a GC'd session's
+    * stale DataFrames) and a long-lived JVM hosting many sessions never
+    * accumulates dead plans. */
+  private val sessionCaches =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[Any, Any]]()
+
+  def sessionCached[T](s: SparkSession, key: Any)(build: => T): T = {
+    val cache = sessionCaches.synchronized {
+      var c = sessionCaches.get(s)
+      if (c == null) {
+        c = scala.collection.concurrent.TrieMap.empty[Any, Any]
+        sessionCaches.put(s, c)
+      }
+      c
+    }
+    cache.getOrElseUpdate(key, build).asInstanceOf[T]
+  }
+
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.parquet declares TIMESTAMP(NANOS), which the vectorized
