@@ -120,11 +120,52 @@ object Bench {
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     // value lengths vary run to run (9.98 vs 10.02); if the 2-decimal
-    // line ever outgrows the captured-tail budget, fall back to 1 decimal
-    // for the per-query map (still every query, never a silent drop —
-    // full-precision medians stay in the diagnostics line)
-    val l2 = line(r2)
-    println(if (l2.length <= 1930) l2
-      else line(x => math.rint(x * 10) / 10))
+    // line ever outgrows the captured-tail budget, fall back to 1 decimal,
+    // and past ~80 queries the NAMES alone outgrow it — then cap the map
+    // to the most expensive queries with an explicit, non-silent remainder
+    // ("n_omitted" cheapest queries summarized as "omitted_sum", so
+    // value == sum(queries) + omitted_sum still audits). The full map is
+    // never lost: diagnostics line above + bench_full.json next to it.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (line(r) + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // emission must never kill the bench
+    println(primaryLine(names, med, total, sfName))
+  }
+
+  /** The bounded primary contract line (pure, spec-tested). Tries the full
+    * per-query map at 2 then 1 decimals; if still over `budget`, keeps the
+    * most expensive queries (ties by name, deterministic) and summarizes
+    * the rest as `"n_omitted"`/`"omitted_sum"`. */
+  def primaryLine(names: Vector[String], med: Map[String, Double],
+      total: Double, sfName: String, budget: Int = 1900): String = {
+    def r2(x: Double): Double = math.rint(x * 1e2) / 1e2
+    def r1(x: Double): Double = math.rint(x * 10) / 10
+    def mk(qs: String, extra: String = ""): String =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfName"}"""
+    def full(prec: Double => Double): String =
+      mk(names.map(n => s"\"$n\":" + prec(med(n))).mkString("{", ",", "}"))
+    val l2 = full(r2)
+    if (l2.length <= budget) return l2
+    val l1 = full(r1)
+    if (l1.length <= budget) return l1
+    // cap: most-expensive-first keeps the queries a perf regression would
+    // show up in; the omitted cheap tail is summarized, never dropped
+    val byCost = names.sortBy(n => (-med(n), n))
+    val entries = byCost.map(n => n -> (s"\"$n\":" + r2(med(n))))
+    // fixed parts: mk("{}") plus the two remainder fields at max width
+    val maxExtra = s""","n_omitted":${names.size},"omitted_sum":99999.99""".length
+    val fixed = mk("{}").length + maxExtra
+    var used = 0
+    var kept = Vector.empty[(String, String)]
+    for ((n, e) <- entries) {
+      val add = e.length + (if (kept.isEmpty) 0 else 1)
+      if (fixed + used + add <= budget) { kept :+= ((n, e)); used += add }
+    }
+    val keptNames = kept.map(_._1).toSet
+    val omitted = names.filterNot(keptNames)
+    val omittedSum = r2(omitted.map(med).sum)
+    mk(kept.map(_._2).mkString("{", ",", "}"),
+      s""","n_omitted":${omitted.size},"omitted_sum":$omittedSum""")
   }
 }

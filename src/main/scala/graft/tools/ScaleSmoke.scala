@@ -14,8 +14,20 @@ import graft.queries.{dec, table}
   * spaces would all show here).
   *
   * Usage: SPARK_GRAFT_SCALE=10 runMain graft.tools.ScaleSmoke
+  * Optional: SPARK_GRAFT_SECTIONS=stream,serving runs only the named
+  * sections (comma-separated substrings) — the others are skipped
+  * including their setup work, for iterating on one section.
   */
 object ScaleSmoke {
+  private val sections: Option[Seq[String]] =
+    sys.env.get("SPARK_GRAFT_SECTIONS")
+      .map(_.split(',').toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
+
+  /** Runs `body` unless SPARK_GRAFT_SECTIONS is set and no entry is a
+    * substring of `name`. */
+  def section(name: String)(body: => Unit): Unit =
+    if (sections.forall(_.exists(s => name.toLowerCase.contains(s)))) body
+
   def time(label: String)(f: => Long): Unit = {
     val t0 = System.nanoTime()
     val n = f
@@ -37,6 +49,11 @@ object ScaleSmoke {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
+      // local smoke only: the per-delta-file checksum side-writes serialize
+      // state-store commits on this sandbox's tmpfs (tasks park in
+      // ChecksumCancellableFSDataOutputStream.close for seconds); durability
+      // checksums are a cluster concern, not a local-smoke one
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -50,6 +67,7 @@ object ScaleSmoke {
     println(s"[scale] ${copies}x sf0.1: lineitem=${li.count()} orders=${orders.count()} " +
       s"embeddings=${emb.count()} documents=${docs.count()}")
 
+    section("relational") {
     time("q1-shape full-scan aggregate") {
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(sum(dec(col("l_quantity"))), count(lit(1))).count()
@@ -67,6 +85,8 @@ object ScaleSmoke {
           Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))))
         .filter(col("rn") <= 3).count()
     }
+    }
+    section("knn") {
     time(s"brute-force KNN 100 queries (crossJoin plan)") {
       Knn.bruteForce(emb, emb.filter(col("vec_id") < 100),
         "vec_id", "vec_id", "embedding", k = 10,
@@ -82,6 +102,8 @@ object ScaleSmoke {
       AnnIvf.search(index, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 10, nprobe = 4).count()
     }
+    }
+    section("dedup") {
     time("minhash LSH near-dup pairs") {
       Dedup.minhashPairs(docs, "doc_id", "text",
         shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5).count()
@@ -95,6 +117,8 @@ object ScaleSmoke {
         docs.filter(pmod(col("doc_id"), lit(10)) === 7),
         "doc_id", "text", n = 5).count()
     }
+    }
+    section("curation") {
     // PCA: one treeAggregate pass (d² accumulator per task) + driver
     // eigensolve independent of n; projection is a scan-local map
     time("PCA fit (one pass) + project") {
@@ -128,12 +152,13 @@ object ScaleSmoke {
         .temperatureKeep(docs, "lang", col("doc_id"), seed = 11L)
         .filter(col("keep") === 1).count()
     }
+    }
     // connected components on a dedup-shaped graph at scale: one deep
     // component (binary tree over 100k nodes — O(log n) star-contraction
     // rounds) + ~(2M/50) 50-node clusters. Checks the round count stays
     // logarithmic (maxIter=50 aborts if not) and the label algebra is
     // exact at scale, not just in the unit spec.
-    locally {
+    section("components") {
       val nStar = copies.toLong * 200000L
       val tree = spark.range(1L, 100001L)
         .select(col("id").as("left_id"), expr("id div 2").as("right_id"))
@@ -161,7 +186,7 @@ object ScaleSmoke {
     // NB: AQE's skew-join split is BYTE-sized (256 MB default); a hot ANN
     // partition is FLOP-skewed at tiny byte size, so only the stored salt
     // spreads it
-    locally {
+    section("skew-ivf-join") {
       val base = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
       val skewed = AnnIvf.Index(
         base.assigned.withColumn("partition_id",
@@ -180,7 +205,7 @@ object ScaleSmoke {
     // the hot partition's n²/2 cosine pairs run in ONE task; the adaptive
     // sub-bucket salt spreads them over maxSalt reducer keys with
     // identical results (DedupSpec equality)
-    locally {
+    section("skew-ivf-pairs") {
       val base = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
       val skewed = AnnIvf.Index(
         base.assigned.withColumn("partition_id",
@@ -201,7 +226,7 @@ object ScaleSmoke {
     // must HIT (no re-scan of a resident partition), the resident set
     // stays ≤ cap with evictions doing the bounding, and lazy mode skips
     // the per-cold-partition count() job (first-query latency)
-    locally {
+    section("serving") {
       val cdir = java.nio.file.Files.createTempDirectory("servingcache").toString
       val index = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
       AnnIvf.write(index, cdir)
@@ -230,7 +255,7 @@ object ScaleSmoke {
     // index maintenance: the 90%-hot add-after-train cell iterated back
     // under a row cap with splitHotCells — probes then scan ≤cap rows
     // instead of the whole hot cell, which is where serving time goes
-    locally {
+    section("maintain") {
       val base = AnnIvf.build(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
       val skewed = AnnIvf.Index(
         base.assigned.withColumn("partition_id",
@@ -267,9 +292,121 @@ object ScaleSmoke {
       }
     }
 
+    // streaming near-dup under sustained load (ST4 at scale): micro-batches
+    // of fresh docs stream through the TTL'd band-bucket state store. The
+    // scale contract this checks: per-batch latency tracks the BATCH size,
+    // not the stream age, and the state store stays BOUNDED — the
+    // processing-time TTL evicts idle buckets instead of accumulating one
+    // bucket per band key for the life of the stream.
+    section("stream") {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      import scala.jdk.CollectionConverters._
+      val batches = 6
+      val perBatch = 1500
+      val ttlMs = 1500L
+      val src = java.nio.file.Files.createTempDirectory("neardup-sustained").toString
+      val corpus = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      def slice(i: Int): DataFrame =
+        corpus.filter(pmod(col("doc_id"), lit(batches.toLong)) === i.toLong)
+          .limit(perBatch)
+      slice(0).coalesce(1).write.mode("append").parquet(src)
+      val stream = spark.readStream
+        .schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      // NB: with ProcessingTimeTimeout registered, the engine schedules a
+      // batch EVERY trigger forever (FlatMapGroupsWithStateExec
+      // .shouldRunAnotherBatch is unconditionally true for processing-time
+      // timers, so timed-out groups get evicted without new data) — which
+      // also means processAllAvailable() never observes a no-new-data
+      // trigger and would block forever. The feed below is paced by a
+      // listener counting DATA batches instead, and the explicit 500 ms
+      // trigger keeps the timer-only batches from busy-looping.
+      val progress =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          progress.add((p.numInputRows,
+            p.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L),
+            p.batchDuration))
+        }
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      // state partition count is pinned at query start from the session
+      // conf; 8 keeps the per-batch checkpoint-file count (and the chmod
+      // fork per file on a no-native-Hadoop local fs) proportionate to
+      // this single-node smoke
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.streaming.EventStreams
+        .nearDupMatches(stream, "doc_id", "text",
+          shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5,
+          stateTtlMs = ttlMs)
+        .toDF().writeStream
+        .format("memory").queryName("neardup_sustained")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+        .outputMode("append").start()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      def dataBatches: Vector[(Long, Long, Long)] =
+        progress.asScala.toVector.filter(_._1 > 0)
+      def awaitDataBatches(n: Int): Unit = {
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (dataBatches.length < n && System.nanoTime() < deadline) {
+          q.exception.foreach(throw _)
+          Thread.sleep(100)
+        }
+        require(dataBatches.length >= n,
+          s"stream stalled waiting for data batch $n (have ${dataBatches.length})")
+      }
+      time(s"streaming near-dup: $batches batches of $perBatch, TTL ${ttlMs}ms") {
+        awaitDataBatches(1)
+        (1 until batches).foreach { i =>
+          slice(i).coalesce(1).write.mode("append").parquet(src)
+          awaitDataBatches(i + 1)
+          // mid-stream idle gap longer than the TTL: buckets last touched
+          // before it become evictable at the next timer batch
+          if (i == batches / 2) Thread.sleep(ttlMs + 500)
+        }
+        Thread.sleep(ttlMs + 500)
+        // one trailing 1-doc batch records post-eviction state size in a
+        // progress row (timer-only batches already evicted during the gap)
+        corpus.limit(1).coalesce(1).write.mode("append").parquet(src)
+        awaitDataBatches(batches + 1)
+        val data = dataBatches
+        val stateRows = data.map(_._2)
+        val durMs = data.map(_._3)
+        println(s"[scale]   (state rows per data batch: ${stateRows.mkString(",")}; " +
+          s"batch ms: ${durMs.mkString(",")})")
+        require(stateRows.last * 4 < stateRows.max,
+          s"TTL did not bound the state store: ${stateRows.mkString(",")}")
+        // latency stability: steady-state batches (drop the first, which
+        // pays state-store init, and the trailing 1-doc batch) stay within
+        // a loose factor of each other — no growth with stream age
+        val steady = durMs.drop(1).dropRight(1)
+        if (steady.length >= 2)
+          require(steady.max <= steady.min * 8 + 2000,
+            s"per-batch latency drifted: ${durMs.mkString(",")}")
+        val n = spark.table("neardup_sustained").count()
+        // stop() interrupts the in-flight timer batch; its aborted state
+        // commit logs ERROR-level noise that means nothing here
+        spark.sparkContext.setLogLevel("OFF")
+        q.stop()
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.streams.removeListener(listener)
+        n
+      }
+    }
+
     // skew: 95% of rows in ONE group; countDistinct forces the full key
     // stream through the reducers (no partial collapse), so the hot group
     // pins one task unless salted
+    section("skew-agg") {
     val skewed = li.withColumn("k",
       when(pmod(col("l_orderkey"), lit(20)) =!= 0, lit("hot")).otherwise(col("l_returnflag")))
     time("skewed distinct-agg, direct") {
@@ -278,6 +415,7 @@ object ScaleSmoke {
     time("skewed sum-agg, salted 2-phase") {
       graft.operators.Salting.saltedSumCount(
         skewed, Seq("k"), 32, Map(col("l_quantity") -> "sq"), Some("n")).count()
+    }
     }
     spark.stop()
   }
