@@ -626,6 +626,14 @@ object AnnIvf {
       nprobe)
       .select("query_id", "partition_id")
 
+  /** `candidateFilter` is PRE-FILTERED vector search: the predicate (over
+    * the candidate row — metadata columns, id, and `query_id` are all in
+    * scope) is applied inside the probed partitions BEFORE scoring and
+    * top-k, so the k results all satisfy it (post-filtering top-k instead
+    * returns < k rows whenever the filter bites). Selective filters thin
+    * the per-cell candidate pool — serve them with a higher nprobe (at
+    * nprobe = nlist the result is exactly brute-force-over-the-filtered-
+    * corpus, which is what makes `ann_filtered_search` oracle-checkable). */
   def search(
       index: Index,
       queries: DataFrame,
@@ -634,7 +642,9 @@ object AnnIvf {
       k: Int,
       nprobe: Int,
       idCol: String = "vec_id",
-      perPartitionK: Int = 0): DataFrame = {
+      perPartitionK: Int = 0,
+      candidateFilter: Column = lit(true),
+      score: (Column, Column) => Column = VectorOps.dot(_, _)): DataFrame = {
     val q = queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
 
@@ -642,9 +652,11 @@ object AnnIvf {
     val probed = probeStep(index, q, nprobe).drop("pscore")
 
     // 2. pruned candidate join (J3/P4): equi-join on partition_id; on the
-    // durable layout this hits Parquet PartitionFilters.
+    // durable layout this hits Parquet PartitionFilters. The membership
+    // filter runs here — before any dot product is computed.
     val cands = broadcast(probed)
       .join(index.assigned, Seq("partition_id"))
+      .filter(candidateFilter)
 
     // 3. per-query exact top-k + hierarchical merge (W1/W2/T2) in one
     // group-limit window. With perPartitionK > 0 the REFERENCE contract is
@@ -653,7 +665,7 @@ object AnnIvf {
     // global cap (client truncation, nearest_neighbor_client.py:70-72) —
     // so a query can see at most nprobe·perPartitionK candidates.
     val scored = cands.withColumn("score",
-      VectorOps.dot(col(vecCol), col("__query_vec")))
+      score(col(vecCol), col("__query_vec")))
     val candidates =
       if (perPartitionK > 0)
         Knn.topKPerGroup(scored, Seq(col("query_id"), col("partition_id")),
@@ -744,7 +756,8 @@ object AnnIvf {
       vecCol: String,
       k: Int,
       nprobe: Int,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      candidateFilter: Column = lit(true)): DataFrame = {
     val q = queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("__query_vec"))
     val probed = probeStep(index, q, nprobe).drop("pscore")
@@ -753,6 +766,7 @@ object AnnIvf {
     val prunedVectors = index.assigned
       .filter(col("partition_id").isin(probedIds.toSeq: _*))
     val cands = broadcast(probed).join(prunedVectors, Seq("partition_id"))
+      .filter(candidateFilter)
     Knn.topKPerGroup(
       cands.withColumn("score",
         VectorOps.dot(col(vecCol), col("__query_vec"))),

@@ -127,6 +127,45 @@ object TextQueries {
         .orderBy("doc_id", "rnk")
     },
 
+    // Okapi BM25 retrieval: doc 0's terms against the rest of the corpus,
+    // top-10 by the length-normalized saturating-tf score — the lexical
+    // ranking production search runs (TF-IDF above is the classroom
+    // variant; `hybrid_search` composes the dense rerank). Per-term scores
+    // round to 6 dp then DECIMAL-sum, so ranking replays in DuckDB.
+    "text_bm25" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val qTerms = docs.filter(col("doc_id") === 0)
+        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .distinct()
+      val scored = graft.operators.Retrieval.bm25(
+        docs.filter(col("doc_id") =!= 0), "doc_id", "text", qTerms)
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("bm25"), asc("doc_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("doc_id"), col("bm25"), col("rnk"))
+        .orderBy("rnk")
+    },
+
+    // Token-level Shannon entropy — the repetitive/templated-document
+    // signal (low entropy = boilerplate) complementing `text_repetition`'s
+    // n-gram ratios. H = −Σ (c/n)·log2(c/n) with per-term contributions
+    // rounded then DECIMAL-summed (order-independent, oracle-replayable).
+    "text_entropy" -> { (s, dir) =>
+      val t = table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val c = t.groupBy("doc_id", "term").agg(count(lit(1)).as("__c"))
+      val n = t.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+      c.join(n, Seq("doc_id"))
+        .withColumn("__h",
+          round(-(col("__c").cast("double") / col("__n")) *
+            log2(col("__c").cast("double") / col("__n")), 6))
+        .groupBy("doc_id")
+        .agg(dsum(col("__h")).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // Canonical fingerprint (md5 of normalized text) + byte length.
     "text_fingerprint" -> { (s, dir) =>
       table(s, dir, "documents")
@@ -598,6 +637,42 @@ object TextQueries {
            AND ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
              / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) >= 0.5
          ORDER BY left_id, right_id""",
+
+    "text_bm25" ->
+      s"""WITH q AS (SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS term
+                     FROM documents WHERE doc_id = 0),
+          t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+                FROM documents WHERE doc_id <> 0),
+          dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+          dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+          s AS (SELECT tf.doc_id,
+                  ROUND(LN((stats.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+                    * (tf.tf * (1.2 + 1.0))
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+                    6) AS ts
+                FROM tf JOIN q USING (term) JOIN dfc USING (term)
+                  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+          agg AS (SELECT doc_id, ${sqlDsum("ts")} AS bm25
+                  FROM s GROUP BY doc_id)
+          SELECT doc_id, bm25, CAST(rn AS INTEGER) AS rnk FROM (
+            SELECT doc_id, bm25,
+              ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn FROM agg)
+          WHERE rn <= 10 ORDER BY rnk""",
+
+    "text_entropy" ->
+      s"""WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+                     FROM documents),
+          c AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY doc_id, term),
+          n AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+          s AS (SELECT c.doc_id,
+                  ROUND(-(CAST(c.c AS DOUBLE) / n.n)
+                    * LOG2(CAST(c.c AS DOUBLE) / n.n), 6) AS h
+                FROM c JOIN n ON c.doc_id = n.doc_id)
+          SELECT doc_id, ${sqlDsum("h")} AS entropy
+          FROM s GROUP BY doc_id ORDER BY doc_id""",
 
     "text_tfidf_top_terms" ->
       """WITH terms AS (

@@ -159,6 +159,44 @@ object VectorQueries {
         .orderBy("rnk")
     },
 
+    // Diversity-aware serving (MMR, Carbonell & Goldstein SIGIR'98):
+    // exact top-20 candidates per query, then greedy λ=½ maximal marginal
+    // relevance down to 10. Fully oracle-checked — at λ=½ every MMR score
+    // is 0.5·(rel − maxSim) over 6-dp-rounded inputs (exact IEEE
+    // arithmetic), so the greedy replays bit-for-bit as a recursive CTE
+    // with a LATERAL argmax in DuckDB.
+    "knn_mmr" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val cands = Knn.bruteForce(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "vec_id", "embedding", k = 20, excludeSelf = true,
+        score = roundedDot)
+      graft.operators.Mmr.rerank(cands, "query_id", "vec_id", "embedding",
+          "score", k = 10)
+        .select(col("query_id"), col("vec_id"), col("rel"), col("mmr"),
+          col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // Filtered vector search — the metadata-predicate + ANN combination
+    // every production vector store serves: the predicate is applied
+    // INSIDE the probed cells before scoring, so all k results satisfy it
+    // (post-filtering would silently return fewer). Run at nprobe = nlist,
+    // where it provably equals brute force over the filtered corpus →
+    // DuckDB oracle; the pruned nprobe < nlist production path and the
+    // subset/equivalence contracts are FilteredSearchSpec's.
+    "ann_filtered_search" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val index = sharedIndex(s, dir)
+      AnnIvf.search(index, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 5, nprobe = 16,
+          candidateFilter =
+            col("label") === 2 && col("vec_id") =!= col("query_id"),
+          score = roundedDot)
+        .select(col("query_id"), col("vec_id"), col("label"), col("score"),
+          col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+
     // SemDeDup (Abbas et al. 2023): k-means cluster the embedding space,
     // drop all but one of any within-cluster cosine-≥-τ group. Rows-only
     // (k-means); the composition pieces are each spec/oracle-covered
@@ -396,6 +434,57 @@ object VectorQueries {
           WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
             AND ${sqlDot("b.embedding", "a.embedding")} >= 0.25
           ORDER BY query_id, b.vec_id""",
+
+    // The MMR greedy replayed exactly: candidate top-20 → pairwise sims →
+    // a recursive CTE whose working row carries the selected-id list, with
+    // a correlated LATERAL argmax picking 0.5·(rel − maxSim) each step.
+    "knn_mmr" ->
+      s"""WITH RECURSIVE
+          cand AS (
+            SELECT query_id, id, rel FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS id,
+                ${sqlDot("b.embedding", "a.embedding")} AS rel,
+                ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${sqlDot("b.embedding", "a.embedding")} DESC, b.vec_id) AS rn
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < 3 AND b.vec_id <> a.vec_id)
+            WHERE rn <= 20),
+          sim AS (
+            SELECT c1.query_id, c1.id AS id1, c2.id AS id2,
+              ${sqlDot("e1.embedding", "e2.embedding")} AS s
+            FROM cand c1 JOIN cand c2
+              ON c1.query_id = c2.query_id AND c1.id <> c2.id
+            JOIN embeddings e1 ON c1.id = e1.vec_id
+            JOIN embeddings e2 ON c2.id = e2.vec_id),
+          pick(step, query_id, sel, picked_id, picked_rel, picked_mmr) AS (
+            SELECT 0, query_id, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT),
+              CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM (SELECT DISTINCT query_id FROM cand)
+            UNION ALL
+            SELECT p.step + 1, p.query_id, LIST_APPEND(p.sel, l.id),
+              l.id, l.rel, l.mmr
+            FROM pick p, LATERAL (
+              SELECT c.id, c.rel,
+                0.5 * (c.rel - COALESCE((SELECT MAX(s.s) FROM sim s
+                  WHERE s.query_id = c.query_id AND s.id1 = c.id
+                    AND LIST_CONTAINS(p.sel, s.id2)), 0.0)) AS mmr
+              FROM cand c
+              WHERE c.query_id = p.query_id AND NOT LIST_CONTAINS(p.sel, c.id)
+              ORDER BY mmr DESC, c.id LIMIT 1) l
+            WHERE p.step < 10)
+          SELECT query_id, picked_id AS vec_id, picked_rel AS rel,
+            ROUND(picked_mmr, 6) AS mmr, CAST(step AS INTEGER) AS rnk
+          FROM pick WHERE step > 0 ORDER BY query_id, rnk""",
+
+    "ann_filtered_search" ->
+      s"""SELECT query_id, vec_id, label, score, CAST(rn AS INTEGER) AS rnk FROM (
+            SELECT a.vec_id AS query_id, b.vec_id, b.label,
+              ${sqlDot("b.embedding", "a.embedding")} AS score,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY ${sqlDot("b.embedding", "a.embedding")} DESC, b.vec_id) AS rn
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 5 AND b.label = 2 AND b.vec_id <> a.vec_id)
+          WHERE rn <= 5 ORDER BY query_id, rnk""",
 
     "knn_cosine_distance" ->
       """SELECT vec_id, label, cos_dist FROM (
