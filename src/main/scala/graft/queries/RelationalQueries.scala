@@ -353,6 +353,33 @@ object RelationalQueries {
           col("ck._3").as("weighted_sum"))
     },
 
+    // Mergeable Count-Min frequency sketch (A8's frequency twin): token
+    // counts profiled into a fixed 16 KB sketch — per-group sketches
+    // merged by counter addition, point estimates for doc 0's terms
+    // compared against true counts. ENTIRELY integer on the portable
+    // hash stack, so registers AND estimates replay bit-for-bit in
+    // DuckDB — the full TypedImperativeAggregate partial/merge/estimate
+    // path sits under the driver's hash gate (unlike HLL, whose float
+    // estimate stays rows-only).
+    "profile_cms_estimates" -> { (s, dir) =>
+      import graft.functions.{Cms, TextOps}
+      val hUdf = udf((t: String) => TextOps.portableTokenHash64(t))
+      val t = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+      val sk = t.withColumn("h", hUdf(col("term")))
+        .groupBy(col("doc_id") % 7) // real partial sketches → real merge
+        .agg(Cms.sketchAgg(col("h")).as("sk"))
+        .agg(Cms.mergeAgg(col("sk")).as("sk"))
+      val cand = t.filter(col("doc_id") === 0).select("term").distinct()
+      val truth = t.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      cand.join(truth, Seq("term"))
+        .crossJoin(broadcast(sk))
+        .withColumn("cms_est", Cms.estimateCol(col("sk"), hUdf(col("term"))))
+        .select(col("term"), col("true_cnt"), col("cms_est"))
+        .orderBy("term")
+    },
+
     // Approximate profiling (A8): HLL distinct + approximate quantiles —
     // sketch outputs are implementation-defined, so rows-only check.
     "q27_profile_approx" -> { (s, dir) =>
@@ -423,6 +450,36 @@ object RelationalQueries {
                 CAST(COUNT(*) AS BIGINT) AS nonzero_buckets,
                 CAST(SUM((bucket + 1) * register) AS BIGINT) AS weighted_sum
          FROM regs"""
+    },
+
+    // CMS registers + estimates recomputed from scratch: per-term
+    // portable hash, 4 row-rekeys (mix32 with the portable-MinHash
+    // additive constants) mod 512, counters = sum of true counts of the
+    // terms landing there, estimate = min over the 4 counters.
+    "profile_cms_estimates" -> {
+      val rekey = mixSql(
+        "((XOR(h, h >> 32) + 2654435761 * (rr + 1)) & 4294967295)")
+      s"""WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+                     FROM documents),
+         dt AS (SELECT term, COUNT(*) AS true_cnt FROM t GROUP BY term),
+         pp AS (SELECT term, true_cnt,
+                  ${polySql("term", 31)} AS p1,
+                  ${polySql("term", 37)} AS p2
+                FROM dt),
+         hh AS (SELECT term, true_cnt, ${tokenHashSql("p1", "p2")} AS h
+                FROM pp),
+         pos AS (SELECT term, true_cnt, rr, ($rekey) % 512 AS idx
+                 FROM hh CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS rr)),
+         counters AS (SELECT rr, idx, SUM(true_cnt) AS c
+                      FROM pos GROUP BY rr, idx),
+         cand AS (SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS term
+                  FROM documents WHERE doc_id = 0)
+         SELECT p.term, p.true_cnt, CAST(MIN(c.c) AS BIGINT) AS cms_est
+         FROM pos p
+         JOIN counters c ON p.rr = c.rr AND p.idx = c.idx
+         JOIN cand ON p.term = cand.term
+         GROUP BY p.term, p.true_cnt
+         ORDER BY p.term"""
     },
 
     "q01_pricing_summary" ->

@@ -145,4 +145,37 @@ class PlanAuditSpec extends SparkSpec {
     // cap aggregate (count per fp) appears below the pair join
     assert(p.contains("HashAggregate"), p.take(600))
   }
+
+  test("text_bm25: query-term postings join broadcasts; no cartesian") {
+    val p = plan("text_bm25")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ann_filtered_search: metadata predicate is a Filter condition, not post-processing") {
+    val p = plan("ann_filtered_search")
+    // the label predicate must appear in a Filter condition (pre-scoring
+    // candidate filter — FilteredSearchSpec proves the semantics; this
+    // pins that it stayed a plan-level filter rather than a UDF or a
+    // post-top-k trim), alongside the usual group-limit serving shape
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    assert("Condition.*label.* = 2".r.findFirstIn(p).isDefined ||
+      p.contains("(label"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("knn_mmr: rerank is one MapGroups over query_id, corpus not re-shuffled") {
+    val p = plan("knn_mmr")
+    assert(p.contains("MapGroups"), p.take(600))
+    // exactly one exchange feeds the groupByKey (plus the final presentation
+    // sort) — the rerank must not add corpus-sized shuffles
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("profile_cms_estimates: typed sketch aggregate is an ObjectHashAggregate; 1-row sketch broadcasts") {
+    val p = plan("profile_cms_estimates")
+    assert(p.contains("ObjectHashAggregate"), p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
