@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -35,6 +35,21 @@ object Retrieval {
     *                   query terms); must be broadcast-small
     * @return (idCol, bm25) for every doc sharing ≥1 term with the query
     */
+  /** Per-(doc, term) BM25 contribution over columns `tf`, `df`, `__dl`,
+    * `__n`, `__avgdl` — shared by the inline corpus path and the durable
+    * index path so both score bit-identically. */
+  private def bm25TermScore(k1: Double, b: Double): Column =
+    round(
+      log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))),
+      6)
+
+  private def sumTerms(idCol: String)(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(idCol)
+      .agg(sum(col("__ts").cast(DecimalType(18, 6))).cast("double").as("bm25"))
+
   def bm25(
       docs: DataFrame,
       idCol: String,
@@ -50,17 +65,75 @@ object Retrieval {
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
     val tf = t.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val dfc = t.groupBy("term").agg(countDistinct(col(idCol)).as("df"))
-    tf.join(broadcast(queryTerms.select(col("term")).distinct()), Seq("term"))
-      .join(dfc, Seq("term"))
-      .join(dl, Seq(idCol))
-      .crossJoin(broadcast(stats))
-      .withColumn("__ts",
-        round(
-          log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-            (col("tf") * lit(k1 + 1.0)) /
-            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))),
-          6))
-      .groupBy(idCol)
-      .agg(sum(col("__ts").cast(DecimalType(18, 6))).cast("double").as("bm25"))
+    sumTerms(idCol)(
+      tf.join(broadcast(queryTerms.select(col("term")).distinct()), Seq("term"))
+        .join(dfc, Seq("term"))
+        .join(dl, Seq(idCol))
+        .crossJoin(broadcast(stats))
+        .withColumn("__ts", bm25TermScore(k1, b)))
+  }
+
+  /** Durable inverted index — the lexical twin of `AnnIvf.write`'s vector
+    * layout (S4 index-finalize generalized): corpus statistics are paid
+    * ONCE at build, and every subsequent query's IO is proportional to its
+    * terms' postings, not the corpus.
+    *
+    * Layout at `path`:
+    *  - `postings/` (term, id, tf) — range-partitioned AND sorted by
+    *    `term`, so a serving query's `term IN (...)` predicate reaches the
+    *    parquet scan (`PushedFilters: In(term,...)`) and row-group
+    *    min/max stats skip every postings block of non-query terms — the
+    *    file-format analogue of probing an inverted index;
+    *  - `df/` (term, df) — same sorted-by-term layout;
+    *  - `doclen/` (id, __dl); `stats/` one row (__n, __avgdl).
+    */
+  def writeIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val toks = TextOps.tokens(col(textCol))
+    val t = docs.select(col(idCol), explode(toks).as("term"))
+    val dl = t.groupBy(idCol).agg(count(lit(1)).as("__dl"))
+    t.groupBy("term", idCol).agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", idCol)
+      .write.mode("overwrite").parquet(s"$path/postings")
+    t.groupBy("term").agg(countDistinct(col(idCol)).as("df"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/df")
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    dl.agg(
+        count(lit(1)).cast("double").as("__n"),
+        (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Serve a BM25 query from a [[writeIndex]] layout. `queryTerms` are
+    * literal strings (the serving-call shape), so the postings and df
+    * scans carry a static `In(term, ...)` pushdown — no corpus-wide read,
+    * no corpus-side shuffle (the filtered postings are broadcast-joined
+    * to the doc-length table). Scores are bit-identical to [[bm25]] on
+    * the same corpus (shared term-score expression; spec + oracle). */
+  def searchIndex(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.distinct
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(terms: _*))
+    val dfc = spark.read.parquet(s"$path/df")
+      .filter(col("term").isin(terms: _*))
+    val dl = spark.read.parquet(s"$path/doclen")
+    val stats = spark.read.parquet(s"$path/stats")
+    sumTerms(idCol)(
+      broadcast(postings.join(dfc, Seq("term")))
+        .join(dl, Seq(idCol))
+        .crossJoin(broadcast(stats))
+        .withColumn("__ts", bm25TermScore(k1, b)))
   }
 }

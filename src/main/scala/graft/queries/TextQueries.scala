@@ -21,6 +21,40 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a")
 
+  /** The BM25-per-doc CTE chain (doc 0's terms vs the rest of the
+    * corpus), ending in `agg(doc_id, bm25)` — shared by the `text_bm25`
+    * oracles here and `hybrid_rrf`'s lexical leg in VectorQueries. */
+  private[queries] lazy val bm25AggCte: String =
+    s"""q AS (SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS term
+              FROM documents WHERE doc_id = 0),
+        t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+              FROM documents WHERE doc_id <> 0),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+        dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        s AS (SELECT tf.doc_id,
+                ROUND(LN((stats.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+                  * (tf.tf * (1.2 + 1.0))
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+                  6) AS ts
+              FROM tf JOIN q USING (term) JOIN dfc USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        agg AS (SELECT doc_id, ${sqlDsum("ts")} AS bm25
+                FROM s GROUP BY doc_id)"""
+
+  /** Okapi BM25 of doc 0's terms vs the rest of the corpus, replayed from
+    * scratch — shared by `text_bm25` (inline corpus path) and
+    * `text_bm25_indexed` (durable postings path), which rank
+    * bit-identically by construction. */
+  private lazy val bm25OracleSql: String =
+    s"""WITH $bm25AggCte
+        SELECT doc_id, bm25, CAST(rn AS INTEGER) AS rnk FROM (
+          SELECT doc_id, bm25,
+            ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn FROM agg)
+        WHERE rn <= 10 ORDER BY rnk"""
+
   /** minhash near-dup pairs → connected components → (doc_id,
     * component_id) for EVERY doc (singletons map to themselves). Shared
     * by `dedup_components` (assignment + sizes) and
@@ -141,6 +175,35 @@ object TextQueries {
       val scored = graft.operators.Retrieval.bm25(
         docs.filter(col("doc_id") =!= 0), "doc_id", "text", qTerms)
       scored
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("bm25"), asc("doc_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("doc_id"), col("bm25"), col("rnk"))
+        .orderBy("rnk")
+    },
+
+    // The DURABLE serving path of the same ranking: build the inverted
+    // index once per (session, sfDir) — postings/df/doclen/stats parquet,
+    // postings range-sorted by term — then serve doc 0's terms as literal
+    // strings so the postings scan carries a static In(term,...) pushdown.
+    // Same top-10 and the SAME oracle as `text_bm25` (shared term-score
+    // expression ⇒ bit-identical scores) — the index round-trip itself
+    // sits under the driver's hash gate, like `AnnIvf.write/read` for
+    // vectors.
+    "text_bm25_indexed" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val path = sessionCached(s, ("bm25-index", dir)) {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-bm25-idx").toString
+        graft.operators.Retrieval.writeIndex(
+          table(s, dir, "documents").filter(col("doc_id") =!= 0),
+          "doc_id", "text", p)
+        p
+      }
+      val qTerms = table(s, dir, "documents").filter(col("doc_id") === 0)
+        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      graft.operators.Retrieval.searchIndex(s, path, "doc_id", qTerms)
         .withColumn("rnk", row_number().over(
           Window.orderBy(desc("bm25"), asc("doc_id"))))
         .filter(col("rnk") <= 10)
@@ -638,29 +701,11 @@ object TextQueries {
              / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) >= 0.5
          ORDER BY left_id, right_id""",
 
-    "text_bm25" ->
-      s"""WITH q AS (SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS term
-                     FROM documents WHERE doc_id = 0),
-          t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
-                FROM documents WHERE doc_id <> 0),
-          dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
-          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
-          dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
-          s AS (SELECT tf.doc_id,
-                  ROUND(LN((stats.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
-                    * (tf.tf * (1.2 + 1.0))
-                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
-                    6) AS ts
-                FROM tf JOIN q USING (term) JOIN dfc USING (term)
-                  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
-          agg AS (SELECT doc_id, ${sqlDsum("ts")} AS bm25
-                  FROM s GROUP BY doc_id)
-          SELECT doc_id, bm25, CAST(rn AS INTEGER) AS rnk FROM (
-            SELECT doc_id, bm25,
-              ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn FROM agg)
-          WHERE rn <= 10 ORDER BY rnk""",
+    "text_bm25" -> bm25OracleSql,
+
+    // the durable-index path returns bit-identical rankings, so it shares
+    // the inline oracle verbatim
+    "text_bm25_indexed" -> bm25OracleSql,
 
     "text_entropy" ->
       s"""WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term

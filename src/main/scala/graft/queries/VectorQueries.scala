@@ -159,6 +159,44 @@ object VectorQueries {
         .orderBy("rnk")
     },
 
+    // Reciprocal-rank fusion (Cormack et al. SIGIR'09): the score-free
+    // merge of a lexical and a dense ranking — production hybrid search's
+    // default when score scales are incomparable (hybrid_search above is
+    // the candidates→rerank shape; this is the parallel-rankings shape).
+    // Fully oracle-checked: both input rankings are deterministic
+    // (rounded scores, id tiebreaks), and the fused Σ 1/(60+rank) is
+    // exact rationals over integer ranks, rounded per-system then
+    // DECIMAL-summed; absent-from-one-list contributes 0 (full outer).
+    "hybrid_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val qTerms = docs.filter(col("doc_id") === 0)
+        .select(explode(array_distinct(
+          graft.functions.TextOps.tokens(col("text")))).as("term"))
+        .distinct()
+      val lex = graft.operators.Retrieval.bm25(
+          docs.filter(col("doc_id") =!= 0), "doc_id", "text", qTerms)
+        .withColumn("rl", row_number().over(
+          Window.orderBy(desc("bm25"), asc("doc_id"))))
+        .filter(col("rl") <= 20).select("doc_id", "rl")
+      val dense = Knn.bruteForce(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "vec_id", "embedding", k = 20, excludeSelf = true,
+          score = roundedDot)
+        .select(col("vec_id").as("doc_id"), col("rank").as("rd"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("c_lex", when(col("rl").isNotNull,
+          round(lit(1.0) / (lit(60) + col("rl")), 6)).otherwise(lit(0.0)))
+        .withColumn("c_dense", when(col("rd").isNotNull,
+          round(lit(1.0) / (lit(60) + col("rd")), 6)).otherwise(lit(0.0)))
+        .withColumn("rrf", (dec(col("c_lex")) + dec(col("c_dense"))).cast("double"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("rrf"), asc("doc_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("doc_id"), col("rrf"), col("rnk"))
+        .orderBy("rnk")
+    },
+
     // Diversity-aware serving (MMR, Carbonell & Goldstein SIGIR'98):
     // exact top-20 candidates per query, then greedy λ=½ maximal marginal
     // relevance down to 10. Fully oracle-checked — at λ=½ every MMR score
@@ -435,8 +473,38 @@ object VectorQueries {
             AND ${sqlDot("b.embedding", "a.embedding")} >= 0.25
           ORDER BY query_id, b.vec_id""",
 
+    // RRF replayed: the shared BM25 CTE chain gives the lexical top-20,
+    // an exact dot-product window the dense top-20; full outer join,
+    // per-system 1/(60+rank) rounded, DECIMAL-added, re-ranked.
+    "hybrid_rrf" ->
+      s"""WITH ${TextQueries.bm25AggCte},
+          lex AS (SELECT doc_id, rl FROM (
+              SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rl FROM agg)
+            WHERE rl <= 20),
+          dense AS (SELECT doc_id, rd FROM (
+              SELECT b.vec_id AS doc_id, CAST(ROW_NUMBER() OVER (
+                ORDER BY ${sqlDot("b.embedding", "a.embedding")} DESC,
+                  b.vec_id) AS INTEGER) AS rd
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id = 0 AND b.vec_id <> 0)
+            WHERE rd <= 20),
+          f AS (SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+                  CASE WHEN rl IS NOT NULL
+                       THEN ROUND(1.0 / (60 + rl), 6) ELSE 0.0 END AS cl,
+                  CASE WHEN rd IS NOT NULL
+                       THEN ROUND(1.0 / (60 + rd), 6) ELSE 0.0 END AS cd
+                FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id),
+          g AS (SELECT doc_id,
+                  CAST(CAST(cl AS DECIMAL(18,6)) + CAST(cd AS DECIMAL(18,6))
+                    AS DOUBLE) AS rrf
+                FROM f)
+          SELECT doc_id, rrf, CAST(rn AS INTEGER) AS rnk FROM (
+            SELECT doc_id, rrf,
+              ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM g)
+          WHERE rn <= 10 ORDER BY rnk""",
+
     // The MMR greedy replayed exactly: candidate top-20 → pairwise sims →
-    // a recursive CTE whose working row carries the selected-id list, with
     // a correlated LATERAL argmax picking 0.5·(rel − maxSim) each step.
     "knn_mmr" ->
       s"""WITH RECURSIVE

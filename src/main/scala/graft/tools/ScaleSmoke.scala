@@ -153,6 +153,36 @@ object ScaleSmoke {
         .filter(col("keep") === 1).count()
     }
     }
+    // lexical retrieval at scale: the index build is the pay-once corpus
+    // pass (explode + two term-shuffles); SERVING then reads only the
+    // query terms' postings (static In(term) pushdown on the range-sorted
+    // layout), so the serve line should be near-constant in corpus size
+    // while inline BM25 re-pays the corpus pass per query
+    section("retrieval") {
+      import spark.implicits._
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("scale-bm25-idx").toString
+      val queryTerms = Seq("the", "spark", "window", "merge", "batch")
+      time("inverted-index build (postings+df+doclen+stats)") {
+        graft.operators.Retrieval.writeIndex(docs, "doc_id", "text", idxPath)
+        spark.read.parquet(s"$idxPath/postings").count()
+      }
+      time("BM25 serve from index (5 query terms)") {
+        graft.operators.Retrieval
+          .searchIndex(spark, idxPath, "doc_id", queryTerms).count()
+      }
+      time("BM25 inline (re-pays the corpus pass)") {
+        graft.operators.Retrieval.bm25(docs, "doc_id", "text",
+          queryTerms.toDF("term")).count()
+      }
+      time("MMR rerank tail over 100-query candidate sets") {
+        val cands = Knn.bruteForceBlocked(emb, emb.filter(col("vec_id") < 100),
+            "vec_id", "vec_id", "embedding", k = 20)
+          .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        graft.operators.Mmr.rerank(cands, "query_id", "vec_id",
+          "embedding", "score", k = 10).count()
+      }
+    }
     // connected components on a dedup-shaped graph at scale: one deep
     // component (binary tree over 100k nodes — O(log n) star-contraction
     // rounds) + ~(2M/50) 50-node clusters. Checks the round count stays

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** BM25 contract + the durable inverted-index round-trip: the index path
+  * scores bit-identically to the inline corpus path, and its serving scan
+  * carries the static term pushdown that makes query IO ∝ postings of the
+  * query's terms, not the corpus. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet(s"$sf0001/documents.parquet")
+    .filter($"doc_id" =!= 0)
+
+  private lazy val qTerms = spark.read
+    .parquet(s"$sf0001/documents.parquet")
+    .filter($"doc_id" === 0)
+    .select(explode(array_distinct(split($"text", " "))).as("term"))
+    .distinct()
+
+  private lazy val indexPath = {
+    val p = java.nio.file.Files.createTempDirectory("retr-idx").toString
+    Retrieval.writeIndex(docs, "doc_id", "text", p)
+    p
+  }
+
+  test("bm25 ranks a doc sharing rare terms above one sharing common terms") {
+    val tiny = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha common common common common"),
+      (3L, "common common common common common"),
+      (4L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val q = Seq("beta", "gamma").toDF("term")
+    val got = Retrieval.bm25(tiny, "doc_id", "text", q)
+      .orderBy(desc("bm25")).select("doc_id").as[Long].collect()
+    // docs 1 and 4 contain both query terms; 2 and 3 contain neither
+    assert(got.toSet === Set(1L, 4L))
+  }
+
+  test("durable index path scores bit-identically to the inline path") {
+    val inline = Retrieval.bm25(docs, "doc_id", "text", qTerms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    val terms = qTerms.as[String].collect().toSeq
+    val served = Retrieval.searchIndex(spark, indexPath, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    assert(served.toSeq === inline.toSeq)
+  }
+
+  test("serving scan pushes the term set into the postings parquet scan") {
+    val p = Retrieval.searchIndex(spark, indexPath, "doc_id",
+        Seq("the", "a", "spark"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters: [In(term"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("unknown query terms return an empty result, not an error") {
+    val got = Retrieval.searchIndex(spark, indexPath, "doc_id",
+      Seq("zzzznotaterm"))
+    assert(got.count() === 0)
+  }
+}
