@@ -136,4 +136,133 @@ object Retrieval {
         .crossJoin(broadcast(stats))
         .withColumn("__ts", bm25TermScore(k1, b)))
   }
+
+  /** Incremental index maintenance — the lexical ST3 (add-after-build):
+    * fold a batch of NEW documents into a [[writeIndex]] layout without
+    * re-paying the corpus pass.
+    *
+    *  - postings/doclen: the new docs' rows are APPENDED as their own
+    *    range-sorted files — existing files are never rewritten, and
+    *    per-file row-group stats keep the `In(term,...)` pushdown
+    *    effective on old and new files alike;
+    *  - df/stats: merged (old ∪ delta, summed) and atomically swapped —
+    *    these are the only corpus-global tables, and they are term- and
+    *    1-row-sized respectively, so the refresh cost is ∝ vocabulary,
+    *    not corpus.
+    *
+    * Single-maintainer discipline (like `AnnIvf.rebalance`): one appender
+    * at a time; feed only genuinely-new ids (route through
+    * `Ingest.newRecords`/`newRecordsBloom` upstream for idempotence).
+    * After the call, [[searchIndex]]/[[loadProfile]] results are
+    * BIT-IDENTICAL to an index built from scratch on the full corpus
+    * (RetrievalSpec). */
+  def appendToIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val toks = TextOps.tokens(col(textCol))
+    val t = newDocs.select(col(idCol), explode(toks).as("term"))
+    t.groupBy("term", idCol).agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", idCol)
+      .write.mode("append").parquet(s"$path/postings")
+    // doclen rows only for docs with ≥1 token — the same convention as
+    // writeIndex/bm25 (and the oracle), so half-build + append equals a
+    // full build exactly
+    t.groupBy(idCol).agg(count(lit(1)).as("__dl"))
+      .write.mode("append").parquet(s"$path/doclen")
+    // corpus-global tables: merge + atomic dir swap
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def swapIn(dirName: String)(df: DataFrame): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+      val live = new org.apache.hadoop.fs.Path(s"$path/$dirName")
+      val staged = new org.apache.hadoop.fs.Path(s"$path/.$dirName.staged")
+      val retired = new org.apache.hadoop.fs.Path(s"$path/.$dirName.retired")
+      df.write.mode("overwrite").parquet(staged.toString)
+      fs.delete(retired, true)
+      fs.rename(live, retired)
+      fs.rename(staged, live)
+      fs.delete(retired, true)
+    }
+    val mergedDf = spark.read.parquet(s"$path/df")
+      .unionByName(t.groupBy("term").agg(countDistinct(col(idCol)).as("df")))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term")
+    swapIn("df")(mergedDf)
+    // stats re-derive from the (appended) doclen table — one tiny scan
+    val dl = spark.read.parquet(s"$path/doclen")
+    swapIn("stats")(dl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl")))
+  }
+
+  /** A STANDING query frozen for scan-local scoring: the query terms with
+    * their corpus document frequencies plus the corpus stats — everything
+    * BM25 needs, in O(|terms|) driver memory. */
+  final case class QueryProfile(
+      df: Map[String, Long],
+      n: Double,
+      avgdl: Double,
+      k1: Double,
+      b: Double)
+
+  /** Freeze a standing query from a [[writeIndex]] layout: reads only the
+    * query terms' df rows (static pushdown) + the 1-row stats table. */
+  def loadProfile(
+      spark: SparkSession,
+      path: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): QueryProfile = {
+    val terms = queryTerms.distinct
+    val dfc = spark.read.parquet(s"$path/df")
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = spark.read.parquet(s"$path/stats").head()
+    QueryProfile(dfc, st.getDouble(0), st.getDouble(1), k1, b)
+  }
+
+  /** Score documents against a frozen [[QueryProfile]] — one stateless
+    * scan-local pass (tokens → tf of the profile's terms → the same
+    * rounded-then-exact-summed BM25 as [[bm25]]/[[searchIndex]], so all
+    * three paths are bit-identical on the same corpus — spec + oracle).
+    *
+    * Because it is a pure projection it applies unchanged to a STREAMING
+    * DataFrame: the standing-query triage of an ingest firehose (route
+    * arriving docs by relevance to a fixed query) with no state store, no
+    * watermark, no shuffle — the lexical analogue of
+    * `EventStreams.decontamCountsStream`'s frozen-gram probe. Docs
+    * sharing no term with the profile score 0 and are kept (filter
+    * downstream). */
+  def scoreWithProfile(
+      profile: QueryProfile,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(profile)
+    val scoreUdf = udf { (text: String) =>
+      val p = bc.value
+      val toks = text.split(" ", -1)
+      val dl = toks.length.toDouble
+      val tf = scala.collection.mutable.HashMap.empty[String, Long]
+      toks.foreach { t =>
+        if (p.df.contains(t)) tf.update(t, tf.getOrElse(t, 0L) + 1L)
+      }
+      var sum = java.math.BigDecimal.ZERO
+      tf.toSeq.sortBy(_._1).foreach { case (t, f) =>
+        val df = p.df(t).toDouble
+        val idf = math.log((p.n - df + 0.5) / (df + 0.5) + 1.0)
+        val ts = idf * (f * (p.k1 + 1.0)) /
+          (f + p.k1 * ((1.0 - p.b) + p.b * dl / p.avgdl))
+        sum = sum.add(BigDecimal(ts)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal)
+      }
+      sum.doubleValue
+    }
+    docs.select(col(idCol), scoreUdf(col(textCol)).as("bm25"))
+  }
 }

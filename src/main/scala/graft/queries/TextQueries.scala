@@ -211,6 +211,37 @@ object TextQueries {
         .orderBy("rnk")
     },
 
+    // The STANDING-QUERY path of the same ranking: freeze doc 0's terms +
+    // corpus stats into an O(|terms|) profile (loadProfile reads only the
+    // query terms' df rows), then score every doc in ONE stateless
+    // scan-local pass — the shape that applies unchanged to a streaming
+    // ingest (no state, no shuffle). Third consumer of the text_bm25
+    // oracle: UDF arithmetic ≡ join-path arithmetic ≡ DuckDB.
+    "text_bm25_profile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val path = sessionCached(s, ("bm25-index", dir)) {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-bm25-idx").toString
+        graft.operators.Retrieval.writeIndex(
+          table(s, dir, "documents").filter(col("doc_id") =!= 0),
+          "doc_id", "text", p)
+        p
+      }
+      val qTerms = table(s, dir, "documents").filter(col("doc_id") === 0)
+        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val prof = graft.operators.Retrieval.loadProfile(s, path, qTerms)
+      graft.operators.Retrieval.scoreWithProfile(prof,
+          table(s, dir, "documents").filter(col("doc_id") =!= 0),
+          "doc_id", "text")
+        .filter(col("bm25") > 0)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("bm25"), asc("doc_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("doc_id"), col("bm25"), col("rnk"))
+        .orderBy("rnk")
+    },
+
     // Token-level Shannon entropy — the repetitive/templated-document
     // signal (low entropy = boilerplate) complementing `text_repetition`'s
     // n-gram ratios. H = −Σ (c/n)·log2(c/n) with per-term contributions
@@ -703,9 +734,10 @@ object TextQueries {
 
     "text_bm25" -> bm25OracleSql,
 
-    // the durable-index path returns bit-identical rankings, so it shares
-    // the inline oracle verbatim
+    // the durable-index path and the frozen-profile scan-local path both
+    // return bit-identical rankings, so they share the inline oracle
     "text_bm25_indexed" -> bm25OracleSql,
+    "text_bm25_profile" -> bm25OracleSql,
 
     "text_entropy" ->
       s"""WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term

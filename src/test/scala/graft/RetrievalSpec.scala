@@ -64,4 +64,41 @@ class RetrievalSpec extends SparkSpec {
       Seq("zzzznotaterm"))
     assert(got.count() === 0)
   }
+
+  test("frozen-profile scan-local scoring is bit-equal to the index join path") {
+    val terms = qTerms.as[String].collect().toSeq
+    val prof = Retrieval.loadProfile(spark, indexPath, terms)
+    val udfPath = Retrieval.scoreWithProfile(prof, docs, "doc_id", "text")
+      .filter($"bm25" > 0)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    val joinPath = Retrieval.searchIndex(spark, indexPath, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    assert(udfPath.toSeq === joinPath.toSeq)
+  }
+
+  test("profile stays O(|terms|): df map holds only the query terms") {
+    val prof = Retrieval.loadProfile(spark, indexPath,
+      Seq("the", "spark", "zzzznotaterm"))
+    assert(prof.df.keySet.subsetOf(Set("the", "spark")))
+    assert(prof.n > 0 && prof.avgdl > 0)
+  }
+
+  test("half build + incremental append serves bit-identically to a full build") {
+    val terms = qTerms.as[String].collect().toSeq
+    val half1 = docs.filter($"doc_id" % 2 === 1)
+    val half2 = docs.filter($"doc_id" % 2 === 0)
+    val p = java.nio.file.Files.createTempDirectory("retr-idx-incr").toString
+    Retrieval.writeIndex(half1, "doc_id", "text", p)
+    Retrieval.appendToIndex(half2, "doc_id", "text", p)
+    val incr = Retrieval.searchIndex(spark, p, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    val full = Retrieval.searchIndex(spark, indexPath, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    assert(incr.toSeq === full.toSeq)
+    // pushdown survives appended files
+    val plan = Retrieval.searchIndex(spark, p, "doc_id", terms.take(3))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [In(term"), plan.take(1500))
+  }
 }

@@ -183,6 +183,35 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("standing-query BM25 triage on a stream equals the batch scorer per doc") {
+    import spark.implicits._
+    val docs = table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") =!= 0)
+    val idxDir = Files.createTempDirectory("bm25-stream-idx").toString
+    graft.operators.Retrieval.writeIndex(corpus, "doc_id", "text", idxDir)
+    val terms = docs.filter(col("doc_id") === 0)
+      .select(explode(array_distinct(split(col("text"), " "))))
+      .distinct().as[String].collect().toSeq
+    val prof = graft.operators.Retrieval.loadProfile(spark, idxDir, terms)
+    val feed = Files.createTempDirectory("bm25-stream-in").toString
+    (0 until 2).foreach { r =>
+      corpus.filter(pmod(col("doc_id"), lit(2)) === r)
+        .coalesce(1).write.mode("append").parquet(feed)
+    }
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+    val got = runToMemory(
+      graft.operators.Retrieval.scoreWithProfile(prof, stream,
+        "doc_id", "text"),
+      "bm25_stream_out", "append")
+      .as[(Long, Double)].collect().toMap
+    val want = graft.operators.Retrieval
+      .scoreWithProfile(prof, corpus, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("a degenerate band bucket goes silent at the cap, mirroring the batch drop") {
     // 12 identical docs, cap 3: batch minhashPairs drops the over-cap
     // bucket entirely (zero pairs). Streaming cannot retract pairs already
