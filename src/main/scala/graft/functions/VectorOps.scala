@@ -80,4 +80,27 @@ object VectorOps {
       (x.cast(DoubleType) / when(n === 0.0, 1.0).otherwise(n))
         .cast(FloatType))
   }
+
+  /** Late-interaction MaxSim (ColBERT, Khattab & Zaharia SIGIR'20): treat
+    * each embedding as `slices` packed token-vectors of `dim` floats and
+    * score `Σᵢ maxⱼ ⟨aᵢ, bⱼ⟩` — each query token matches its best document
+    * token, sums over query tokens. Composed entirely from codegen'd
+    * [[dot]] over `slice()`s + `greatest` + an exact DECIMAL sum of the
+    * 6-dp-rounded per-token maxima, so the whole score replays in SQL
+    * (`knn_maxsim` oracle) and stays inside whole-stage codegen — no UDF.
+    *
+    * The multi-vector-in-one-array layout (token vectors concatenated
+    * into a single `array<float>` column) is the storage shape a
+    * late-interaction corpus would use on the durable index: one row per
+    * document, slicing at scoring time. */
+  def maxSim(a: Column, b: Column, slices: Int, dim: Int): Column = {
+    val terms = (0 until slices).map { i =>
+      val ai = slice(a, i * dim + 1, dim)
+      val maxJ = greatest((0 until slices).map { j =>
+        dot(ai, slice(b, j * dim + 1, dim))
+      }: _*)
+      round(maxJ, 6).cast(DecimalType(18, 6))
+    }
+    terms.reduce(_ + _).cast(DoubleType)
+  }
 }

@@ -118,4 +118,34 @@ object Sampling {
     df.withColumn("rn", row_number().over(
         Window.partitionBy(groupCol).orderBy(order: _*)))
       .filter(col("rn") <= n)
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis, IPL
+    * 2006): per stratum, keep the `k` rows with the smallest
+    * `−ln(u)/w` — the exponential-key form of "pick k items with
+    * probability ∝ weight", the primitive behind size- or
+    * quality-weighted corpus subsetting ("sample 10k docs per language,
+    * long docs more likely").
+    *
+    * `u` comes from [[portableSplitBucket]]: `(bucket+1)/denom` is an
+    * exact dyadic-free rational both engines compute identically, so the
+    * decision is a pure function of (key, seed) — layout/re-ingest
+    * stable and auditable outside Spark, like every sampler here. The key
+    * is rounded to 6 dp BEFORE ranking with the id as tie-break, which
+    * absorbs the ln() cross-engine ulp and makes the whole selection
+    * SQL-replayable (`sample_weighted` oracle).
+    *
+    * Scale shape: scan-local key computation + ONE per-stratum window
+    * (`WindowGroupLimit` keeps ≤k rows per stratum before the exchange) —
+    * no corpus shuffle beyond the group-limit merge. Output = input +
+    * `wkey`, `rn`. */
+  def weightedTopK(df: DataFrame, strataCol: String, keyCol: Column,
+      weightCol: Column, k: Int, seed: Long): DataFrame = {
+    val denom = 1000003
+    val u = (portableSplitBucket(keyCol, seed, denom) + lit(1L))
+      .cast("double") / lit(denom.toDouble)
+    capPerGroupRanked(
+      df.withColumn("wkey",
+        round(-log(u) / weightCol.cast("double"), 6)),
+      strataCol, Seq(col("wkey"), keyCol), k)
+  }
 }

@@ -457,6 +457,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis): per
+    // language, the 20 docs with smallest −ln(u)/n_chars — longer docs
+    // proportionally likelier, u from the portable hash so the draw is
+    // layout-stable and replayed exactly in DuckDB (6-dp key rounding
+    // absorbs the ln ulp; id tie-break).
+    "sample_weighted" -> { (s, dir) =>
+      graft.operators.Sampling.weightedTopK(
+          table(s, dir, "documents"), "lang", col("doc_id"), col("n_chars"),
+          k = 20, seed = 11L)
+        .select(col("doc_id"), col("lang"), col("wkey"), col("rn"))
+        .orderBy("doc_id")
+    },
+
     // Gopher-style quality rules (Rae et al. 2021 §A1.1, adapted to this
     // corpus's scale): word-count bounds, mean-word-length band, fraction
     // of words with an alphabetic char, minimum stopword hits — emitted
@@ -968,6 +981,18 @@ object TextQueries {
            CAST(COALESCE(ov.n_shared, 0) > 0 AS INTEGER) AS contaminated
          FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
          WHERE d.doc_id % 10 <> 7 ORDER BY d.doc_id""",
+
+    "sample_weighted" ->
+      s"""WITH w AS (
+           SELECT doc_id, lang,
+             ROUND(-LN((${mixSql("(doc_id % 4294967296 + 11 * 2654435761) % 4294967296")} % 1000003 + 1) / 1000003.0)
+               / n_chars, 6) AS wkey
+           FROM documents)
+         SELECT doc_id, lang, wkey, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT doc_id, lang, wkey,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY wkey, doc_id) AS rn
+           FROM w)
+         WHERE rn <= 20 ORDER BY doc_id""",
 
     "sample_cap" ->
       s"""SELECT doc_id, source, CAST(rn AS INTEGER) AS rn FROM (

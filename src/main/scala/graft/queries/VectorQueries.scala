@@ -159,6 +159,28 @@ object VectorQueries {
         .orderBy("rnk")
     },
 
+    // Late-interaction retrieval (ColBERT MaxSim): embeddings as 4 packed
+    // 16-d token-vectors, score = Σ over query tokens of the best doc
+    // token match — composed entirely from codegen'd dot + greatest +
+    // exact DECIMAL sum of rounded maxima (no UDF), and fully
+    // oracle-checked via list slicing in DuckDB.
+    "knn_maxsim" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__q"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("maxsim",
+          graft.functions.VectorOps.maxSim(col("__q"), col("embedding"),
+            slices = 4, dim = 16))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("maxsim"), asc("vec_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("vec_id"), col("label"), col("maxsim"), col("rnk"))
+        .orderBy("rnk")
+    },
+
     // Reciprocal-rank fusion (Cormack et al. SIGIR'09): the score-free
     // merge of a lexical and a dense ranking — production hybrid search's
     // default when score scales are incomparable (hybrid_search above is
@@ -472,6 +494,26 @@ object VectorQueries {
           WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
             AND ${sqlDot("b.embedding", "a.embedding")} >= 0.25
           ORDER BY query_id, b.vec_id""",
+
+    // MaxSim replayed with DuckDB list slicing: per query-token slice,
+    // GREATEST over the 4 doc-token dots, rounded, DECIMAL-summed.
+    "knn_maxsim" -> {
+      def sl(t: String, i: Int) =
+        s"CAST($t[${i * 16 + 1}:${(i + 1) * 16}] AS DOUBLE[])"
+      val terms = (0 until 4).map { i =>
+        val maxj = (0 until 4)
+          .map(j => s"LIST_DOT_PRODUCT(${sl("a.embedding", i)}, ${sl("b.embedding", j)})")
+          .mkString("GREATEST(", ", ", ")")
+        s"CAST(ROUND($maxj, 6) AS DECIMAL(18,6))"
+      }.mkString(" + ")
+      s"""SELECT vec_id, label, maxsim, CAST(rn AS INTEGER) AS rnk FROM (
+            SELECT b.vec_id, b.label, CAST($terms AS DOUBLE) AS maxsim,
+              ROW_NUMBER() OVER (ORDER BY CAST($terms AS DOUBLE) DESC,
+                b.vec_id) AS rn
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id = 0 AND b.vec_id <> 0)
+          WHERE rn <= 10 ORDER BY rnk"""
+    },
 
     // RRF replayed: the shared BM25 CTE chain gives the lexical top-20,
     // an exact dot-product window the dense top-20; full outer join,

@@ -127,6 +127,34 @@ class SamplingSpec extends SparkSpec {
       .select($"doc_id".cast("long")).as[Long].collect().toSet)
   }
 
+  test("weightedTopK: k rows per stratum, stable under repartitioning") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def pick(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.weightedTopK(df, "lang", $"doc_id",
+          $"n_chars", k = 5, seed = 11L)
+        .select($"doc_id".cast("long"), $"lang", $"rn")
+        .as[(Long, String, Int)].collect().sortBy(r => (r._2, r._3))
+    val a = pick(docs)
+    val b = pick(docs.repartition(13))
+    assert(a.toSeq === b.toSeq)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to math.min(5, rows.length)))
+    }
+  }
+
+  test("weightedTopK: raising a row's weight never worsens its selection key") {
+    val base = Seq((1L, "x", 10L), (2L, "x", 10L), (3L, "x", 10L))
+      .toDF("doc_id", "lang", "w")
+    def keyOf(weight: Long): Double =
+      graft.operators.Sampling.weightedTopK(
+          base.withColumn("w", when($"doc_id" === 2L, lit(weight)).otherwise($"w")),
+          "lang", $"doc_id", $"w", k = 3, seed = 11L)
+        .filter($"doc_id" === 2L).select($"wkey").as[Double].head()
+    // wkey = −ln(u)/w is strictly decreasing in w (u fixed by id + seed)
+    assert(keyOf(1000L) <= keyOf(10L))
+    assert(keyOf(1000000L) <= keyOf(1000L))
+  }
+
   test("L1 and Linf distances: zero to self, triangle sanity") {
     val got = Seq((Seq(1f, 2f, -3f), Seq(0f, 2f, 1f)))
       .toDF("a", "b")

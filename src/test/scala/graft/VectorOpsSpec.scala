@@ -63,4 +63,15 @@ class VectorOpsSpec extends SparkSpec {
       .select(VectorOps.cosine($"a", $"b")).as[Double].collect()
     got.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
   }
+
+  test("maxSim sums each query slice's best doc-slice match") {
+    // 2 token-vectors of dim 2 packed per side:
+    // q = [(1,0), (0.5,0)], d = [(0.8,0), (0,1)]
+    // slice 0: max(0.8, 0) = 0.8; slice 1: max(0.4, 0) = 0.4
+    val got = Seq((Seq(1f, 0f, 0.5f, 0f), Seq(0.8f, 0f, 0f, 1f)))
+      .toDF("q", "d")
+      .select(VectorOps.maxSim($"q", $"d", slices = 2, dim = 2))
+      .as[Double].head()
+    assert(math.abs(got - 1.2) < 1e-9)
+  }
 }
