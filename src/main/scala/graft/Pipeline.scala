@@ -14,6 +14,8 @@ import graft.operators.AnnIvf
   * runMain graft.Pipeline build  <vectorsParquet> <idCol> <vecCol> <indexDir> [nlist]
   * runMain graft.Pipeline search <indexDir> <queriesParquet> <idCol> <vecCol> [k] [nprobe] [partitions]
   * runMain graft.Pipeline corpus <docsParquet> <idCol> <textCol> <langCol> <outDir> [evalParquet]
+  * runMain graft.Pipeline textindex  <docsParquet> <idCol> <textCol> <indexDir>
+  * runMain graft.Pipeline textsearch <indexDir> <idCol> <term> [term ...]
   * }}}
   *
   * `partitions` is the reference's shard-subset spec (`"1,2,5-10"`) —
@@ -101,8 +103,23 @@ object Pipeline {
         println(f"[pipeline] score: ${s.getLong(0)} docs → $outDir " +
           f"(mean unigram_ce=${s.getDouble(1)}%.3f, bigram_ce=${s.getDouble(2)}%.3f)")
 
+      // lexical twin of build/search: durable inverted index + BM25 serve
+      case "textindex" :: docsPath :: idCol :: textCol :: indexDir :: Nil =>
+        val docs = spark.read.parquet(docsPath)
+        graft.operators.Retrieval.writeIndex(docs, idCol, textCol, indexDir)
+        val n = spark.read.parquet(s"$indexDir/postings").count()
+        println(s"[pipeline] built text index: $n postings → $indexDir")
+
+      case "textsearch" :: indexDir :: idCol :: rest if rest.nonEmpty =>
+        val hits = graft.operators.Retrieval
+          .searchIndex(spark, indexDir, idCol, rest)
+          .orderBy(desc("bm25"), col(idCol)).limit(20)
+        hits.show(20, truncate = false)
+        println(s"[pipeline] ${hits.count()} results for terms $rest")
+
       case other =>
-        System.err.println(s"unknown args: $other (want build|search|health|corpus|score ...)")
+        System.err.println(s"unknown args: $other " +
+          "(want build|search|health|corpus|score|textindex|textsearch ...)")
         sys.exit(2)
     } finally spark.stop()
   }

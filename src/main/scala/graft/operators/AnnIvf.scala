@@ -792,7 +792,12 @@ object AnnIvf {
     * batch against the whole corpus — the incremental-backfill shape);
     * the candidate corpus is always the full index. The filter is applied
     * BEFORE the probe, so probe, shuffle, and candidate volume all scale
-    * with the filtered side, not the corpus. */
+    * with the filtered side, not the corpus.
+    *
+    * `candidateFilter` restricts the corpus being searched — the batch
+    * form of [[search]]'s pre-filtered serving: it runs on the candidate
+    * rows before any pairing/scoring, so all k neighbors satisfy it and
+    * the shuffle carries only qualifying rows (FilteredSearchSpec). */
   def knnJoin(
       index: Index,
       idCol: String,
@@ -801,7 +806,9 @@ object AnnIvf {
       nprobe: Int,
       excludeSelf: Boolean = true,
       score: (Column, Column) => Column = VectorOps.dot(_, _),
-      querySide: Column = lit(true)): DataFrame = {
+      querySide: Column = lit(true),
+      candidateFilter: Column = lit(true)): DataFrame = {
+    val candidateBase = index.assigned.filter(candidateFilter)
     val centers = index.centroids.orderBy("partition_id")
       .collect().map(_.getSeq[Float](1).toArray)
     // corpus-sized probe side → blocked-gemm multi-probe, not a per-row UDF
@@ -821,7 +828,7 @@ object AnnIvf {
       if (salted) {
         // rows appended after the salted write (streaming annIngest) carry
         // a null salt — re-derive one in-domain so they are never dropped
-        val cands = index.assigned
+        val cands = candidateBase
           .select(col("partition_id"),
             coalesce(col("__salt"),
               pmod(xxhash64(col(idCol)), lit(index.writeSalt)).cast("int"))
@@ -839,7 +846,7 @@ object AnnIvf {
           .join(cands, Seq("partition_id", "__salt"))
           .drop("__salt")
       } else {
-        val cands = index.assigned
+        val cands = candidateBase
           .select(col("partition_id"), col(idCol), col(vecCol))
         queries.join(cands, Seq("partition_id"))
       }

@@ -59,6 +59,21 @@ class FilteredSearchSpec extends SparkSpec {
     assert(mem.toSeq === pruned.toSeq)
   }
 
+  test("filtered knnJoin at nprobe = nlist equals filtered brute force") {
+    val got = AnnIvf.knnJoin(index, "vec_id", "embedding", k = 3,
+        nprobe = nlist, score = rounded,
+        querySide = $"vec_id" < 4, candidateFilter = $"label" === 1)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val want = Knn.bruteForce(emb.filter($"label" === 1),
+        emb.filter($"vec_id" < 4), "vec_id", "vec_id", "embedding",
+        k = 3, excludeSelf = true, score = rounded)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(got.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("a filter selective enough to empty probed cells returns fewer rows, never wrong ones") {
     val got = AnnIvf.search(index, emb.filter($"vec_id" === 0), "vec_id",
         "embedding", k = 5, nprobe = 1,
