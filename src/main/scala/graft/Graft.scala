@@ -161,6 +161,12 @@ object Graft {
       (es: Seq[Expression]) => HllMergeAgg(es.head).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_hll_estimate",
       (es: Seq[Expression]) => HllEstimate(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_cms_sketch",
+      (es: Seq[Expression]) => CmsSketchAgg(es.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_cms_merge",
+      (es: Seq[Expression]) => CmsMergeAgg(es.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_cms_estimate",
+      (es: Seq[Expression]) => CmsEstimate(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_zorder64",
       (es: Seq[Expression]) => ZOrder64(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hilbert64",

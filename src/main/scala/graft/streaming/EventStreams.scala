@@ -95,6 +95,33 @@ object EventStreams {
       .start()
   }
 
+  /** Micro-batch ANN SERVING: a stream of query vectors answered against
+    * a frozen index — the reference's scatter-gather request loop
+    * (nearest_neighbor_client.py:34-72) as a stream instead of an HTTP
+    * client. Each arriving batch runs the exact batch serving plan
+    * (centroid probe → pruned candidate join → per-query group-limit
+    * top-k) via `foreachBatch`, because a per-query rank is not
+    * expressible in append-mode streaming — and per batch it SHOULD be
+    * the batch plan: the index stays frozen, only the query set moves.
+    * `sink` receives each batch's results with the batch id;
+    * StreamingSpec pins them equal to [[AnnIvf.search]] on the same
+    * queries. */
+  def annServe(
+      queryStream: DataFrame,
+      index: graft.operators.AnnIvf.Index,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.operators.AnnIvf.search(
+          index, batch, queryIdCol, vecCol, k, nprobe), id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming IVF-PQ ingest: the compact-index twin of [[annIngest]] —
     * each micro-batch is assigned against the FROZEN broadcast centroids
     * AND product-quantized with the FROZEN broadcast codebooks (both

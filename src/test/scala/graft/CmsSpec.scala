@@ -65,6 +65,21 @@ class CmsSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: graft_cms_sketch/merge/estimate work from spark.sql") {
+    Graft.register(spark)
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .createOrReplaceTempView("cms_terms")
+    val got = spark.sql(
+      """SELECT graft_cms_estimate(sk, h) FROM
+           (SELECT graft_cms_merge(sk) AS sk FROM
+             (SELECT graft_cms_sketch(xxhash64(term)) AS sk
+              FROM cms_terms GROUP BY doc_id % 3)),
+           (SELECT xxhash64('the') AS h)""").head().getLong(0)
+    val want = spark.table("cms_terms").filter($"term" === "the").count()
+    assert(got >= want) // CMS overestimate-only, same hash domain
+  }
+
   test("malformed sketch input fails loudly on merge") {
     val bad = Seq(Array[Byte](1, 2, 3)).toDF("sk")
     val e = intercept[Exception] {

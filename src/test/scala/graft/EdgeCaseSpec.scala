@@ -176,6 +176,29 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("round-7 retrieval/rerank ops: degenerate inputs stay sane") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty corpus → empty index → empty serve, no error
+    val p = java.nio.file.Files.createTempDirectory("edge-idx").toString
+    graft.operators.Retrieval.writeIndex(empty, "doc_id", "text", p)
+    assert(graft.operators.Retrieval
+      .searchIndex(spark, p, "doc_id", Seq("the")).count() === 0)
+    // bm25 with an empty query-term set → empty scores
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    assert(graft.operators.Retrieval.bm25(docs, "doc_id", "text",
+      Seq.empty[String].toDF("term")).count() === 0)
+    // MMR with k larger than the candidate set returns all, ranked
+    val cands = Seq((0L, 1L, Seq(1f, 0f), 0.9), (0L, 2L, Seq(0f, 1f), 0.5))
+      .toDF("query_id", "vec_id", "embedding", "score")
+    val mmr = graft.operators.Mmr.rerank(cands, "query_id", "vec_id",
+        "embedding", "score", k = 10)
+      .select("rank").as[Int].collect().sorted
+    assert(mmr.toSeq === Seq(1, 2))
+    // CMS: estimate of an unseen key over an empty sketch is 0
+    val sk = graft.functions.Cms.emptySketch()
+    assert(graft.functions.Cms.estimate(sk, 12345L) === 0L)
+  }
+
   test("capPerGroupRanked: n >= group size keeps everything, ranked") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
     val got = graft.operators.Sampling.capPerGroupRanked(

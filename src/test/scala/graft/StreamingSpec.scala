@@ -183,6 +183,34 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("micro-batch ANN serving equals batch search over the streamed queries") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = graft.operators.AnnIvf.build(emb, "vec_id", "embedding",
+      nlist = 8, seed = 42L)
+    val queries = emb.filter($"vec_id" < 6).select("vec_id", "embedding")
+    val feed = Files.createTempDirectory("ann-serve-in").toString
+    (0 until 2).foreach { r =>
+      queries.filter(pmod($"vec_id", lit(2)) === r)
+        .coalesce(1).write.mode("append").parquet(feed)
+    }
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+    val served = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = graft.streaming.EventStreams.annServe(stream, index,
+        "vec_id", "embedding", k = 5, nprobe = 3) { (res, _) =>
+      served ++= res.select($"query_id", $"vec_id", $"rank")
+        .as[(Long, Long, Int)].collect()
+    }
+    q.awaitTermination(120000)
+    val want = graft.operators.AnnIvf.search(index, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    assert(served.sortBy(r => (r._1, r._3)).toSeq ===
+      want.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("standing-query BM25 triage on a stream equals the batch scorer per doc") {
     import spark.implicits._
     val docs = table(spark, sf0001, "documents").select("doc_id", "text")
