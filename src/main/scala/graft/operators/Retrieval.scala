@@ -130,8 +130,13 @@ object Retrieval {
       .filter(col("term").isin(terms: _*))
     val dl = spark.read.parquet(s"$path/doclen")
     val stats = spark.read.parquet(s"$path/stats")
+    // only df (≤|terms| rows) and stats (1 row) get broadcast hints; the
+    // postings⋈doclen join is left to the planner — a stopword query term
+    // makes the filtered postings corpus-sized, so forcing a broadcast
+    // there would be the classic 100×-scale failure (AQE broadcasts it
+    // anyway whenever the term set is genuinely selective)
     sumTerms(idCol)(
-      broadcast(postings.join(dfc, Seq("term")))
+      postings.join(broadcast(dfc), Seq("term"))
         .join(dl, Seq(idCol))
         .crossJoin(broadcast(stats))
         .withColumn("__ts", bm25TermScore(k1, b)))

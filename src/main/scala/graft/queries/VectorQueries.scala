@@ -193,12 +193,22 @@ object VectorQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
       val emb = table(s, dir, "embeddings")
+      // lexical leg from the build-once durable index (same registry
+      // rationale as sharedIndex: the corpus pass is paid once per
+      // session; searchIndex scores are bit-identical to inline bm25 —
+      // RetrievalSpec — so the fusion and its oracle are unchanged)
+      val idxPath = sessionCached(s, ("bm25-index", dir)) {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-bm25-idx").toString
+        graft.operators.Retrieval.writeIndex(
+          docs.filter(col("doc_id") =!= 0), "doc_id", "text", p)
+        p
+      }
       val qTerms = docs.filter(col("doc_id") === 0)
         .select(explode(array_distinct(
           graft.functions.TextOps.tokens(col("text")))).as("term"))
-        .distinct()
-      val lex = graft.operators.Retrieval.bm25(
-          docs.filter(col("doc_id") =!= 0), "doc_id", "text", qTerms)
+        .distinct().collect().map(_.getString(0)).toSeq
+      val lex = graft.operators.Retrieval.searchIndex(s, idxPath, "doc_id", qTerms)
         .withColumn("rl", row_number().over(
           Window.orderBy(desc("bm25"), asc("doc_id"))))
         .filter(col("rl") <= 20).select("doc_id", "rl")
