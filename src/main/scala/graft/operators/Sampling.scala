@@ -102,6 +102,62 @@ object Sampling {
       .drop("__thresh")
   }
 
+  /** Mixture planning — the static data-mixing stage (the fixed-weight
+    * shape of DoReMi / Pile-style domain balancing): given target shares
+    * per stratum, the largest achievable corpus is
+    * N = min over targeted strata of ⌊n_s / t_s⌋ (the binding stratum
+    * runs out first), and each stratum contributes ⌊t_s · N⌋ docs.
+    * Returns one row per TARGETED stratum: (stratum, n_docs,
+    * target_share, take_docs, rate). Strata missing from `targets` are
+    * excluded (share 0); a targeted stratum absent from the data binds
+    * the plan to N = 0, which is the honest answer.
+    *
+    * Every arithmetic step is a single correctly-rounded IEEE op on
+    * exact inputs (integer counts ≤ 2⁵³, literal shares), so the plan
+    * replays bit-identically in any engine — the audit property the
+    * split/stratified samplers also guarantee.
+    *
+    * Scale shape: one groupBy over the corpus (map-side combined), then
+    * literal-sized joins; the apply step is [[applyMixture]], which
+    * ranks within strata on the portable hash — no global shuffle of
+    * the kept data beyond the per-stratum window. */
+  def mixturePlan(df: DataFrame, strataCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0),
+      "targets must be positive shares")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = targets.toSeq.sortBy(_._1)
+      .toDF(strataCol, "target_share")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n_docs"))
+    val planned = t.join(counts, Seq(strataCol), "left")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("__cap", floor(col("n_docs") / col("target_share")))
+    val n = planned.agg(min(col("__cap")).as("__n"))
+    planned.crossJoin(broadcast(n))
+      .withColumn("take_docs", floor(col("target_share") * col("__n")))
+      .withColumn("rate", round(
+        when(col("n_docs") === 0L, lit(0.0))
+          .otherwise(col("take_docs") / col("n_docs")), 6))
+      .select(col(strataCol), col("n_docs"), col("target_share"),
+        col("take_docs"), col("rate"))
+  }
+
+  /** Apply a [[mixturePlan]]: within each targeted stratum keep the
+    * `take_docs` rows that rank first in portable-hash order (hash, then
+    * key as tiebreak) — deterministic, layout-independent, replayable. */
+  def applyMixture(df: DataFrame, strataCol: String, keyCol: Column,
+      targets: Map[String, Double], seed: Long): DataFrame = {
+    val plan = mixturePlan(df, strataCol, targets)
+      .select(col(strataCol), col("take_docs"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(portableSplitBucket(keyCol, seed, 1000003), keyCol)
+    df.join(broadcast(plan), Seq(strataCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("take_docs"))
+      .drop("__rn", "take_docs")
+  }
+
   /** Exact per-group cap: keep at most `n` rows per group (deterministic by
     * `orderCol`) — the "max documents per domain" dedup-adjacent primitive. */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String, n: Int): DataFrame =

@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** Moment formulas shared TEXTUALLY between the Spark plan and the
+    * DuckDB oracle of `profile_moments`: identical parse → identical
+    * left-associated IEEE op sequence → bit-identical doubles. */
+  private val momM = "s1 / n"
+  private val momQ2 = "s2 / n"
+  private val momQ3 = "s3 / n"
+  private val momQ4 = "s4 / n"
+  private val momM2 = "q2 - m * m"
+  private val momSd = "sqrt(m2)"
+  private val momM3 = "q3 - 3 * m * q2 + 2 * m * m * m"
+  private val momM4 = "q4 - 4 * m * q3 + 6 * m * m * q2 - 3 * m * m * m * m"
+  private val momSkew = "m3c / (sd * sd * sd)"
+  private val momKurt = "m4c / (m2 * m2) - 3"
+
   val queries: Map[String, Query] = Map(
     // Full-scan partial+final hash aggregate, TPC-H Q1 shape.
     "q01_pricing_summary" -> { (s, dir) =>
@@ -380,6 +394,43 @@ object RelationalQueries {
         .orderBy("term")
     },
 
+    // Per-group distribution moments (mean/std/skew/kurtosis of document
+    // length): the drift-monitoring profile a curation pipeline tracks
+    // per shard/language. Power sums accumulate EXACTLY (long per row —
+    // n_chars⁴ stays exact for docs under ~55k chars, comfortably true
+    // here; per-row DECIMAL powers would lift the bound — then
+    // DECIMAL(38,0) across rows, order-independent), so the derived
+    // float moments are a fixed sequence of correctly-rounded IEEE ops
+    // shared textually with the oracle: bit-identical replay. One
+    // map-side-combined groupBy; no shuffle of the data itself.
+    "profile_moments" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      def dec38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val x = col("n_chars").cast("long")
+      table(s, dir, "documents")
+        .select(col("lang"), x.as("x"), (x * x).as("x2"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(dec38(col("x"))).cast(DoubleType).as("s1"),
+          sum(dec38(col("x2"))).cast(DoubleType).as("s2"),
+          sum(dec38(col("x") * col("x2"))).cast(DoubleType).as("s3"),
+          sum(dec38(col("x2") * col("x2"))).cast(DoubleType).as("s4"))
+        .withColumn("m", expr(momM))
+        .withColumn("q2", expr(momQ2))
+        .withColumn("q3", expr(momQ3))
+        .withColumn("q4", expr(momQ4))
+        .withColumn("m2", expr(momM2))
+        .withColumn("sd", expr(momSd))
+        .withColumn("m3c", expr(momM3))
+        .withColumn("m4c", expr(momM4))
+        .select(col("lang"), col("n").as("n_docs"),
+          round(col("m"), 6).as("mean_chars"),
+          round(col("sd"), 6).as("std_chars"),
+          round(expr(momSkew), 6).as("skew_chars"),
+          round(expr(momKurt), 6).as("kurt_chars"))
+        .orderBy("lang")
+    },
+
     // Approximate profiling (A8): HLL distinct + approximate quantiles —
     // sketch outputs are implementation-defined, so rows-only check.
     "q27_profile_approx" -> { (s, dir) =>
@@ -456,6 +507,24 @@ object RelationalQueries {
     // portable hash, 4 row-rekeys (mix32 with the portable-MinHash
     // additive constants) mod 512, counters = sum of true counts of the
     // terms landing there, estimate = min over the 4 counters.
+    "profile_moments" ->
+      s"""WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+         g AS (SELECT lang, COUNT(*) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS s1,
+                 CAST(SUM(x * x) AS DOUBLE) AS s2,
+                 CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+                 CAST(SUM(x * x * x * x) AS DOUBLE) AS s4
+               FROM b GROUP BY lang),
+         c AS (SELECT lang, n, $momM AS m, $momQ2 AS q2, $momQ3 AS q3,
+                 $momQ4 AS q4 FROM g),
+         e AS (SELECT lang, n, m, q2, q3, q4, $momM2 AS m2 FROM c),
+         f AS (SELECT lang, n, m, q2, q3, q4, m2, $momSd AS sd,
+                 $momM3 AS m3c, $momM4 AS m4c FROM e)
+         SELECT lang, n AS n_docs, ROUND(m, 6) AS mean_chars,
+           ROUND(sd, 6) AS std_chars, ROUND($momSkew, 6) AS skew_chars,
+           ROUND($momKurt, 6) AS kurt_chars
+         FROM f ORDER BY lang""",
+
     "profile_cms_estimates" -> {
       val rekey = mixSql(
         "((XOR(h, h >> 32) + 2654435761 * (rr + 1)) & 4294967295)")

@@ -21,6 +21,28 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a")
 
+  /** Target language shares for the mixture queries — 'de' (70 docs at
+    * sf0.01) is the binding stratum, exercising the ⌊n/t⌋ min path. */
+  private val mixtureTargets = Map(
+    "en" -> 0.4, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.1)
+
+  /** Shared DuckDB CTE chain replaying [[Sampling.mixturePlan]] over the
+    * documents table: targeted strata (literal shares), per-stratum
+    * counts, cap = ⌊n/t⌋, N = min cap, take = ⌊t·N⌋. */
+  private lazy val mixturePlanCte: String = {
+    val vals = mixtureTargets.toSeq.sortBy(_._1)
+      .map { case (l, t) => s"('$l', CAST($t AS DOUBLE))" }.mkString(", ")
+    s"""t(lang, target_share) AS (VALUES $vals),
+       c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       p AS (SELECT t.lang, COALESCE(c.n_docs, 0) AS n_docs, target_share,
+               FLOOR(COALESCE(c.n_docs, 0) / target_share) AS cap
+             FROM t LEFT JOIN c USING (lang)),
+       n AS (SELECT MIN(cap) AS nn FROM p),
+       plan AS (SELECT lang, n_docs, target_share,
+                  CAST(FLOOR(target_share * nn) AS BIGINT) AS take_docs
+                FROM p CROSS JOIN n)"""
+  }
+
   /** The BM25-per-doc CTE chain (doc 0's terms vs the rest of the
     * corpus), ending in `agg(doc_id, bm25)` — shared by the `text_bm25`
     * oracles here and `hybrid_rrf`'s lexical leg in VectorQueries. */
@@ -327,22 +349,16 @@ object TextQueries {
     // id + cluster size; singletons label themselves. The "keep one doc
     // per near-dup cluster" assignment of a training-data pipeline.
     "dedup_components" -> { (s, dir) =>
-      val docs = table(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
-      val cc = graft.operators.Components
-        .connectedComponents(pairs, "left_id", "right_id")
-      // sizes come from the component table alone (every component there
-      // has >= 2 members; absent docs are singletons of size 1), so the
-      // big docs scan happens ONCE and both joins are against small,
-      // broadcastable tables — not a second full assignment subtree.
-      val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
-      docs.select(col("doc_id").cast("long").as("doc_id"))
-        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .withColumn("component_id", coalesce(col("component"), col("doc_id")))
-        .join(sizes, Seq("component"), "left")
-        .select(col("doc_id"), col("component_id"),
-          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      // derives entirely from the session-cached full-corpus component
+      // map (every doc present; singletons self-labeled), so the
+      // minhash + contraction stage is paid once per session whichever
+      // of the two components queries runs first — sizes are a groupBy
+      // on the small persisted map, not a second pairs+CC subtree
+      val asg = componentAssignment(s, dir)
+      val sizes = asg.groupBy("component_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      asg.join(sizes, Seq("component_id"))
+        .select(col("doc_id"), col("component_id"), col("cluster_size"))
         .orderBy("doc_id")
     },
 
@@ -499,6 +515,44 @@ object TextQueries {
       graft.operators.Sampling.stratifiedPortable(
           table(s, dir, "documents"), col("doc_id"), col("lang"),
           perMille = Map("en" -> 500), defaultPerMille = 200, seed = 3L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Sequence-length histogram: fixed-width (16-token) buckets with doc
+    // counts, token mass, and the cumulative doc share — the packing-
+    // efficiency / truncation-loss profile read before choosing a
+    // training context length. Integer end-to-end except the final
+    // share division; one map-side-combined groupBy over a 2-column
+    // projection.
+    "text_len_hist" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(TextOps.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(expr("n_tokens div 16").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
+        .withColumn("cum_share", round(
+          expr("sum(n_docs) over (order by bucket)").cast("double")
+            / expr("sum(n_docs) over ()"), 6))
+        .orderBy("bucket")
+    },
+
+    // Mixture planning (static domain balancing): the largest corpus
+    // honoring the target language shares is bound by the scarcest
+    // stratum (here 'de': ⌊70/0.2⌋ = 350), every stratum takes
+    // ⌊share·N⌋. One groupBy + literal joins; fully oracle-checked (all
+    // steps are single correctly-rounded IEEE ops on exact inputs).
+    "sample_mixture" -> { (s, dir) =>
+      graft.operators.Sampling.mixturePlan(
+          table(s, dir, "documents"), "lang", mixtureTargets)
+        .orderBy("lang")
+    },
+
+    // The APPLY form: per-stratum top-take_docs in portable-hash order —
+    // the surviving mixed corpus, deterministic and layout-independent.
+    "sample_mixture_apply" -> { (s, dir) =>
+      graft.operators.Sampling.applyMixture(
+          table(s, dir, "documents"), "lang", col("doc_id"),
+          mixtureTargets, seed = 5L)
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
@@ -1024,6 +1078,35 @@ object TextQueries {
       s"""SELECT doc_id, lang FROM documents
          WHERE ${mixSql("(doc_id % 4294967296 + 3 * 2654435761) % 4294967296")} % 1000
            < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+         ORDER BY doc_id""",
+
+    "text_len_hist" ->
+      """WITH t AS (SELECT CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER)
+                      AS n_tokens FROM documents),
+         g AS (SELECT CAST(n_tokens // 16 AS BIGINT) AS bucket,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+               FROM t GROUP BY 1)
+         SELECT bucket, n_docs, tok_sum,
+           ROUND(CAST(SUM(n_docs) OVER (ORDER BY bucket) AS DOUBLE)
+             / SUM(n_docs) OVER (), 6) AS cum_share
+         FROM g ORDER BY bucket""",
+
+    "sample_mixture" ->
+      s"""WITH $mixturePlanCte
+         SELECT lang, n_docs, target_share, take_docs,
+           ROUND(CASE WHEN n_docs = 0 THEN 0 ELSE take_docs / n_docs END, 6)
+             AS rate
+         FROM plan ORDER BY lang""",
+
+    "sample_mixture_apply" ->
+      s"""WITH $mixturePlanCte,
+         r AS (SELECT d.doc_id, d.lang, take_docs,
+                 ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY
+                   ${mixSql("(doc_id % 4294967296 + 5 * 2654435761) % 4294967296")}
+                     % 1000003, d.doc_id) AS rn
+               FROM documents d JOIN plan USING (lang))
+         SELECT doc_id, lang FROM r WHERE rn <= take_docs
          ORDER BY doc_id""",
 
     "text_pctl" ->

@@ -99,6 +99,18 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // JL random projection (Achlioptas ±1 signs off the portable mixer):
+    // the data-INdependent dim-reduction next to emb_pca — no fit pass,
+    // seed-reproducible across disjoint corpora, scan-local fold with no
+    // shuffle. Fully oracle-checked: DuckDB regenerates the identical
+    // sign matrix and replays the same ascending-dim IEEE fold.
+    "emb_rp" -> { (s, dir) =>
+      graft.operators.RandomProjection.projectLong(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, d = 64, seed = 7L)
+        .orderBy("vec_id", "r")
+    },
+
     // F2/A3: per-vector norm + dimension check (all ≈ 1.0 / 64).
     "vector_norms" -> { (s, dir) =>
       table(s, dir, "embeddings")
@@ -613,6 +625,9 @@ object VectorQueries {
            FROM embeddings a, embeddings b
            WHERE a.vec_id = 0 AND b.vec_id <> 0)
          ORDER BY cos_dist ASC, vec_id LIMIT 10""",
+
+    "emb_rp" -> graft.operators.RandomProjection.oracleSql(
+      "embeddings", "vec_id", "embedding", k = 8, d = 64, seed = 7L),
 
     "vector_norms" ->
       """SELECT vec_id, CAST(LEN(embedding) AS INTEGER) AS dim,

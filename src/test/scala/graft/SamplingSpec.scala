@@ -155,6 +155,50 @@ class SamplingSpec extends SparkSpec {
     assert(keyOf(1000000L) <= keyOf(1000L))
   }
 
+  test("mixturePlan: binding stratum exhausted, shares honored, N maximal") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.15,
+      "es" -> 0.15, "zh" -> 0.1)
+    val plan = Sampling.mixturePlan(docs, "lang", targets)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(plan.keySet === targets.keySet)
+    // every take within supply, and the binding stratum nearly exhausted
+    plan.foreach { case (l, (n, _, take)) =>
+      assert(take <= n, s"$l over-subscribed: $take > $n") }
+    val bigN = plan.map { case (_, (n, t, _)) => math.floor(n / t).toLong }.min
+    plan.foreach { case (l, (_, t, take)) =>
+      assert(take === math.floor(t * bigN).toLong, s"$l take wrong") }
+    // maximality: at N+1 some stratum's REAL demand t·(N+1) exceeds its
+    // supply (floor(n/t) = N ⇔ n < t·(N+1)) — the binding stratum
+    val overs = plan.count { case (_, (n, t, _)) => t * (bigN + 1) > n }
+    assert(overs >= 1, "plan not maximal")
+  }
+
+  test("applyMixture: per-stratum counts equal the plan, layout-stable") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val targets = Map("en" -> 0.5, "de" -> 0.5)
+    val plan = Sampling.mixturePlan(docs, "lang", targets)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val kept = Sampling.applyMixture(docs, "lang", $"doc_id", targets, 5L)
+    val counts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === plan.filter(_._2 > 0))
+    val keptIds = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val kept2 = Sampling.applyMixture(docs.repartition(13), "lang",
+      $"doc_id", targets, 5L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptIds === kept2)
+  }
+
+  test("mixturePlan: stratum absent from the data binds N to zero") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = Sampling.mixturePlan(docs, "lang",
+        Map("en" -> 0.5, "xx" -> 0.5))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(plan("xx") === ((0L, 0L)))
+    assert(plan("en")._2 === 0L)
+  }
+
   test("L1 and Linf distances: zero to self, triangle sanity") {
     val got = Seq((Seq(1f, 2f, -3f), Seq(0f, 2f, 1f)))
       .toDF("a", "b")
