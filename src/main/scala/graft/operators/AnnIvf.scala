@@ -381,6 +381,52 @@ object AnnIvf {
     Index(assigned, spark.read.parquet(s"$path/centroids"), writeSalt)
   }
 
+  /** Merge two IVF indexes into one serveable index — the shard-combine
+    * step of a federated build (two clusters embed disjoint corpora, each
+    * trains locally, the results unify for serving; the reference's
+    * single-node FAISS has `merge_from` for the same regime). Centroid-
+    * UNION semantics: `b`'s partitions are renumbered above `a`'s max and
+    * both centroid sets are kept, so no vector is re-assigned and no
+    * recall is lost — probing argmaxes over the union, which can only
+    * find a nearer centroid than either half saw alone. The alternative
+    * (re-assigning `b` into `a`'s centroids) loses `b`'s cell structure
+    * and is strictly worse at equal nprobe.
+    *
+    * Scale shape: one `max` over `a.centroids` (≤ nlist rows), a constant
+    * column-add map over `b` — NO shuffle, NO data movement of `a`, and
+    * the result streams straight into [[write]] whose partitionBy lays
+    * both halves out together. Serving cost: nprobe is over
+    * nlistA + nlistB centroids — callers wanting the original cell count
+    * can [[rebalance]] afterwards.
+    *
+    * Both indexes must share the vector column name and dimension; id
+    * spaces must be disjoint (caller's contract, same as [[Ingest]]'s
+    * dup-PK discipline — [[mergeStrict]] verifies when paying one
+    * semi-join is acceptable). */
+  def merge(a: Index, b: Index): Index = {
+    val offset = a.centroids.agg(max("partition_id")).head().getInt(0) + 1
+    val bAssigned = b.assigned.withColumn("partition_id",
+      (col("partition_id") + lit(offset)).cast("int"))
+    val bCentroids = b.centroids.withColumn("partition_id",
+      (col("partition_id") + lit(offset)).cast("int"))
+    Index(
+      a.assigned.unionByName(bAssigned),
+      a.centroids.unionByName(bCentroids),
+      math.max(a.writeSalt, b.writeSalt))
+  }
+
+  /** [[merge]] + an id-disjointness check (one anti-join-shaped count;
+    * skips it at 100 TB only if the caller already guarantees key
+    * hygiene). Throws on overlap instead of silently serving duplicate
+    * ids from both halves. */
+  def mergeStrict(a: Index, b: Index, idCol: String = "vec_id"): Index = {
+    val overlap = a.assigned.select(idCol)
+      .join(b.assigned.select(idCol), Seq(idCol)).limit(1).count()
+    require(overlap == 0L,
+      s"mergeStrict: id space overlap on '$idCol' between the two indexes")
+    merge(a, b)
+  }
+
   /** IVF index maintenance for the add-after-train regime: split every
     * cell whose row count exceeds `maxCellRows` into two children via a
     * seeded 2-means on a bounded per-cell sample. Streaming ingest

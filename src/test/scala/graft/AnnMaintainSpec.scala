@@ -229,4 +229,71 @@ class AnnMaintainSpec extends SparkSpec {
     assert(stats.lateFilesRecovered === 0L)
     assert(new java.io.File(s"$dir/vectors").lastModified() === before)
   }
+
+  /** Federated-build combine: each half trains its own IVF on a disjoint
+    * corpus slice; merge must serve the union with no recall loss. */
+  private lazy val halves: (AnnIvf.Index, AnnIvf.Index, DataFrame) = {
+    val a = toVecDf(mk(Array(1, 0, 0, 0), 60, 0L, 21) ++
+      mk(Array(0, 1, 0, 0), 60, 1000L, 22))
+    val b = toVecDf(mk(Array(0, 0, 1, 0), 60, 5000L, 23) ++
+      mk(Array(0, 0, 0, 1), 60, 6000L, 24))
+    (AnnIvf.build(a, "vec_id", "embedding", nlist = 2, seed = 31L, trainSize = 120),
+      AnnIvf.build(b, "vec_id", "embedding", nlist = 2, seed = 32L, trainSize = 120),
+      a.unionByName(b))
+  }
+
+  test("merge: disjoint partition ids, union centroids, no rows lost") {
+    val (ia, ib, full) = halves
+    val m = AnnIvf.merge(ia, ib)
+    assert(m.centroids.count() === 4)
+    assert(m.centroids.select("partition_id").distinct().count() === 4)
+    assert(m.assigned.count() === full.count())
+    // every b partition renumbered above a's max; a's untouched
+    val aIds = ia.centroids.select("partition_id").as[Int].collect().toSet
+    val mIds = m.centroids.select("partition_id").as[Int].collect().toSet
+    assert(aIds.subsetOf(mIds))
+    assert((mIds -- aIds).forall(_ > aIds.max))
+  }
+
+  test("merge: exhaustive search over the merged index equals brute force") {
+    val (ia, ib, full) = halves
+    val m = AnnIvf.merge(ia, ib)
+    val got = searchSet(m, full, nprobe = 4)
+    // brute force over the union: exact top-5 by dot product
+    val q = full.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = q.crossJoin(full)
+      .withColumn("score", graft.functions.VectorOps.dot(col("qv"), col("embedding")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(desc("score"), asc("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid").cast("long"), col("vec_id").cast("long"), col("score"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === brute)
+  }
+
+  test("merge: partial probe finds cross-half neighbors; durable round-trip") {
+    val (ia, ib, full) = halves
+    val m = AnnIvf.merge(ia, ib)
+    // queries from b's clusters, nprobe=1: the probed cell must be one of
+    // b's renumbered cells (the union argmax finds the right half)
+    val q = full.filter(col("vec_id") >= 5000L && col("vec_id") % 41 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val hits = AnnIvf.search(m, q, "qid", "embedding", k = 3, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(hits.nonEmpty && hits.forall(_ >= 5000L),
+      "nprobe=1 over the merged index should stay inside b's clusters")
+    val dir = java.nio.file.Files.createTempDirectory("mergedidx").toString
+    AnnIvf.write(m, dir, writeSalt = 2)
+    val reread = AnnIvf.read(spark, dir)
+    assert(searchSet(reread, full, nprobe = 4) === searchSet(m, nprobe = 4, full = full))
+  }
+
+  test("mergeStrict rejects overlapping id spaces") {
+    val (ia, _, _) = halves
+    intercept[IllegalArgumentException] {
+      AnnIvf.mergeStrict(ia, ia)
+    }
+  }
 }

@@ -92,10 +92,12 @@ class PlanAuditSpec extends SparkSpec {
   test("dedup_components: assignment join has no cartesian; one parquet scan") {
     val p = plan("dedup_components")
     assert(!p.contains("CartesianProduct"), "components join went cartesian")
-    // one documents scan feeds the final assembly (the CC loop itself
-    // runs on checkpointed RDDs, not re-derived parquet subtrees);
-    // FormattedMode prints each node twice — tree line + detail header
-    assert("Scan parquet".r.findAllIn(p).size === 2, p.take(2000))
+    // the query derives entirely from the session-cached component map:
+    // both the rows and the sizes aggregate read the persisted assignment
+    // (InMemoryTableScan), the sizes table broadcasts back, and no second
+    // minhash+contraction subtree appears
+    assert(p.contains("InMemoryTableScan"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
   test("sample_cap: per-source cap runs as a bounded window group limit") {
@@ -176,6 +178,44 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("profile_cms_estimates")
     assert(p.contains("ObjectHashAggregate"), p.take(600))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("emb_rp: projection is scan-local — no shuffle before the generate") {
+    val p = plan("emb_rp")
+    // the only exchange is the final presentation sort; the fold + explode
+    // run inside the scan stage (a shuffle here would mean the projection
+    // stopped being a map)
+    assert(p.contains("Generate"), p.take(600))
+    // tree shape: Scan → Generate → Project → Exchange(sort) — exactly one
+    // exchange in the tree, and the Generate's child is the parquet scan
+    assert("\\+- Exchange".r.findAllIn(p).size === 1,
+      "projection shuffled beyond the presentation sort\n" + p.take(1200))
+    assert("Generate[\\s\\S]{0,200}Scan parquet".r.findFirstIn(p).isDefined,
+      "generate is not scan-local\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("profile_moments: one partial+final aggregate pair, 2-column scan") {
+    val p = plan("profile_moments")
+    assert(p.contains("HashAggregate"), p.take(400))
+    // power sums combine map-side: one exchange for the groupBy plus the
+    // presentation sort, nothing else (tree lines only — FormattedMode
+    // repeats each node in the detail section)
+    assert("\\+- Exchange".r.findAllIn(p).size === 2, p.take(1200))
+    assert(p.contains("ReadSchema: struct<lang:string,n_chars:"), p.take(1600))
+  }
+
+  test("sample_mixture_apply: plan tables broadcast back; corpus shuffles only for the stratum window") {
+    val p = plan("sample_mixture_apply")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_len_hist: histogram aggregates map-side before one exchange") {
+    val p = plan("text_len_hist")
+    assert(p.contains("HashAggregate"), p.take(400))
     assert(!p.contains("CartesianProduct"))
   }
 }
