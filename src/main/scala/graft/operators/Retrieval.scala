@@ -73,6 +73,41 @@ object Retrieval {
         .withColumn("__ts", bm25TermScore(k1, b)))
   }
 
+  /** RM3-lite pseudo-relevance feedback: score once, mine the top
+    * `fbDocs` results for the `fbTerms` heaviest NEW terms (by summed
+    * term frequency — the tf component of RM3 with uniform doc weights,
+    * kept integer so the expansion choice is engine-exact), rescore with
+    * the expanded query. Recall surgery for short queries: documents
+    * using a synonym the query never typed now match through the
+    * feedback terms.
+    *
+    * Every stage is deterministic: top docs by (bm25 desc, id), expansion
+    * by (Σtf desc, term asc), both `TakeOrderedAndProject`-shaped — no
+    * corpus-sized sort, no RNG. Cost is two scoring passes; a serving
+    * deployment runs the same two passes against [[searchIndex]] so each
+    * pass's IO is postings-proportional, not corpus-proportional. */
+  def bm25Prf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: DataFrame,
+      fbDocs: Int = 10,
+      fbTerms: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val q0 = queryTerms.select(col("term")).distinct()
+    val top = bm25(docs, idCol, textCol, q0, k1, b)
+      .orderBy(desc("bm25"), col(idCol)).limit(fbDocs)
+      .select(col(idCol))
+    val expansion = docs.join(broadcast(top), Seq(idCol))
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__tf"))
+      .join(broadcast(q0), Seq("term"), "left_anti")
+      .orderBy(desc("__tf"), asc("term")).limit(fbTerms)
+      .select("term")
+    bm25(docs, idCol, textCol, q0.unionByName(expansion), k1, b)
+  }
+
   /** Durable inverted index — the lexical twin of `AnnIvf.write`'s vector
     * layout (S4 index-finalize generalized): corpus statistics are paid
     * ONCE at build, and every subsequent query's IO is proportional to its

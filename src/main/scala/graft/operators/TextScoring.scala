@@ -105,6 +105,46 @@ object TextScoring {
         round(col("__s") / col("n_bigrams"), 6).as("cross_entropy"))
   }
 
+  /** PMI formula text shared with the `text_pmi` oracle — `cab`/`ca`/`cb`
+    * are BIGINT counts, `t1`/`t2` DOUBLE totals, so every division is the
+    * same BIGINT⊘DOUBLE op in both engines and the parse is identical. */
+  val PmiExprSql: String = "round(ln(((cab / t2) * (t1 / ca)) * (t1 / cb)), 6)"
+
+  /** Collocation mining: pointwise mutual information over ADJACENT word
+    * pairs, PMI = ln(p(a,b) / (p(a)p(b))) with unigram probabilities from
+    * the token stream and bigram probabilities from the adjacent-pair
+    * stream. High-PMI pairs are multiword expressions ("new york") —
+    * phrase-vocabulary induction for tokenizers, stop-phrase lists, and
+    * the feature stage in front of [[dsirLogWeights]]-style hashing.
+    * `minCount` gates the long noise tail (a pair seen twice has huge
+    * PMI variance).
+    *
+    * Scale shape: bigrams are built scan-locally from the token array
+    * (no self-join on position); two map-side-combined groupBys + two
+    * 1-row broadcast totals; the count filter runs before the join
+    * fan-in. Output is (w1, w2, cab, pmi), unranked — callers top-k it. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+    val t1 = toks.agg(count(lit(1)).cast("double").as("t1"))
+    val cu = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val bi = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(__toks) - 2),
+           i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))""")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val t2 = bi.agg(count(lit(1)).cast("double").as("t2"))
+    bi.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+      .join(cu.select(col("tok").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(cu.select(col("tok").as("w2"), col("c").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .withColumn("pmi", expr(PmiExprSql))
+      .select("w1", "w2", "cab", "pmi")
+  }
+
   /** DSIR importance log-weights: features are the document's DISTINCT word
     * bigrams hashed into `numBuckets` buckets on the portable 64-bit stack
     * (binarized hashed n-grams); each feature contributes

@@ -43,28 +43,56 @@ object TextQueries {
                 FROM p CROSS JOIN n)"""
   }
 
+  /** Corpus-statistics CTEs shared by every BM25 oracle (doc 0 is the
+    * query, the rest the corpus). */
+  private val bm25CorpusCtes: String =
+    """t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+              FROM documents WHERE doc_id <> 0),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+        dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term)"""
+
+  /** One BM25 scoring pass against the term CTE `qName` — identical
+    * formula text everywhere it is replayed. */
+  private def bm25ScoreCtes(qName: String, sName: String, aggName: String): String =
+    s"""$sName AS (SELECT tf.doc_id,
+                ROUND(LN((stats.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+                  * (tf.tf * (1.2 + 1.0))
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+                  6) AS ts
+              FROM tf JOIN $qName USING (term) JOIN dfc USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        $aggName AS (SELECT doc_id, ${sqlDsum("ts")} AS bm25
+                FROM $sName GROUP BY doc_id)"""
+
   /** The BM25-per-doc CTE chain (doc 0's terms vs the rest of the
     * corpus), ending in `agg(doc_id, bm25)` — shared by the `text_bm25`
     * oracles here and `hybrid_rrf`'s lexical leg in VectorQueries. */
   private[queries] lazy val bm25AggCte: String =
     s"""q AS (SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS term
               FROM documents WHERE doc_id = 0),
-        t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
-              FROM documents WHERE doc_id <> 0),
-        dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
-        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-                    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
-        dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
-        s AS (SELECT tf.doc_id,
-                ROUND(LN((stats.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
-                  * (tf.tf * (1.2 + 1.0))
-                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
-                  6) AS ts
-              FROM tf JOIN q USING (term) JOIN dfc USING (term)
-                JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
-        agg AS (SELECT doc_id, ${sqlDsum("ts")} AS bm25
-                FROM s GROUP BY doc_id)"""
+        $bm25CorpusCtes,
+        ${bm25ScoreCtes("q", "s", "agg")}"""
+
+  /** PRF replay: first pass → top-10 docs → top-5 new terms by Σtf →
+    * expanded second pass. */
+  private lazy val bm25PrfOracleSql: String =
+    s"""WITH $bm25AggCte,
+        top10 AS (SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+              AS rn FROM agg) WHERE rn <= 10),
+        fb AS (SELECT tf.term FROM tf JOIN top10 USING (doc_id)
+               WHERE tf.term NOT IN (SELECT term FROM q)
+               GROUP BY tf.term
+               ORDER BY SUM(tf.tf) DESC, tf.term LIMIT 5),
+        q1 AS (SELECT term FROM q UNION SELECT term FROM fb),
+        ${bm25ScoreCtes("q1", "s1", "agg1")}
+        SELECT doc_id, bm25, CAST(rn AS INTEGER) AS rnk FROM (
+          SELECT doc_id, bm25,
+            ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn FROM agg1)
+        WHERE rn <= 10 ORDER BY rnk"""
 
   /** Okapi BM25 of doc 0's terms vs the rest of the corpus, replayed from
     * scratch — shared by `text_bm25` (inline corpus path) and
@@ -197,6 +225,26 @@ object TextQueries {
       val scored = graft.operators.Retrieval.bm25(
         docs.filter(col("doc_id") =!= 0), "doc_id", "text", qTerms)
       scored
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("bm25"), asc("doc_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("doc_id"), col("bm25"), col("rnk"))
+        .orderBy("rnk")
+    },
+
+    // RM3-lite pseudo-relevance feedback: BM25 pass → top-10 docs →
+    // 5 heaviest new terms (Σtf, integer-exact choice) → expanded
+    // rescore. Both passes and the expansion replay bit-for-bit in the
+    // oracle; the serving deployment runs the same two passes against
+    // the durable inverted index.
+    "text_bm25_prf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val qTerms = docs.filter(col("doc_id") === 0)
+        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .distinct()
+      graft.operators.Retrieval.bm25Prf(
+          docs.filter(col("doc_id") =!= 0), "doc_id", "text", qTerms)
         .withColumn("rnk", row_number().over(
           Window.orderBy(desc("bm25"), asc("doc_id"))))
         .filter(col("rnk") <= 10)
@@ -519,6 +567,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Collocation mining: top-20 adjacent pairs by pointwise mutual
+    // information (count ≥ 5) — phrase-vocabulary induction. The rank is
+    // over the ROUNDED pmi with (w1, w2) tiebreaks, so selection and
+    // order replay exactly.
+    "text_pmi" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.operators.TextScoring.pmiPairs(
+          table(s, dir, "documents"), "doc_id", "text", minCount = 5L)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("pmi"), asc("w1"), asc("w2"))))
+        .filter(col("rnk") <= 20)
+        .select(col("w1"), col("w2"), col("cab"), col("pmi"), col("rnk"))
+        .orderBy("rnk")
+    },
+
     // Sequence-length histogram: fixed-width (16-token) buckets with doc
     // counts, token mass, and the cumulative doc share — the packing-
     // efficiency / truncation-loss profile read before choosing a
@@ -800,6 +863,7 @@ object TextQueries {
          ORDER BY left_id, right_id""",
 
     "text_bm25" -> bm25OracleSql,
+    "text_bm25_prf" -> bm25PrfOracleSql,
 
     // the durable-index path and the frozen-profile scan-local path both
     // return bit-identical rankings, so they share the inline oracle
@@ -1079,6 +1143,29 @@ object TextQueries {
          WHERE ${mixSql("(doc_id % 4294967296 + 3 * 2654435761) % 4294967296")} % 1000
            < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
          ORDER BY doc_id""",
+
+    "text_pmi" ->
+      s"""WITH tk AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+                      FROM documents),
+         uni AS (SELECT UNNEST(toks) AS tok FROM tk),
+         cu AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+         t1s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t1 FROM uni),
+         bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+                FROM tk CROSS JOIN
+                  UNNEST(generate_series(1, LEN(toks) - 1)) AS g(i)),
+         t2s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t2 FROM bg),
+         cbg AS (SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY w1, w2),
+         j AS (SELECT w1, w2, cab, cu1.c AS ca, cu2.c AS cb, t1, t2
+               FROM cbg JOIN cu cu1 ON cbg.w1 = cu1.tok
+                 JOIN cu cu2 ON cbg.w2 = cu2.tok
+                 CROSS JOIN t1s CROSS JOIN t2s
+               WHERE cab >= 5),
+         p AS (SELECT w1, w2, cab,
+                 ${graft.operators.TextScoring.PmiExprSql} AS pmi FROM j)
+         SELECT w1, w2, cab, pmi, CAST(rn AS INTEGER) AS rnk FROM (
+           SELECT w1, w2, cab, pmi,
+             ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rn FROM p)
+         WHERE rn <= 20 ORDER BY rnk""",
 
     "text_len_hist" ->
       """WITH t AS (SELECT CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER)

@@ -101,4 +101,42 @@ class RetrievalSpec extends SparkSpec {
         org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("PushedFilters: [In(term"), plan.take(1500))
   }
+
+  test("PRF: a synonym-only doc is reachable through feedback expansion") {
+    // d1/d2 share 'alpha' with the query AND carry 'beta'; d3 uses ONLY
+    // the synonym 'beta' — invisible to the base query, reachable after
+    // feedback mines 'beta' from the top docs. 'noise' pads df.
+    val corpus = Seq(
+      (1L, "alpha beta beta noise"),
+      (2L, "alpha beta noise noise"),
+      (3L, "beta beta noise noise"),
+      (4L, "noise noise noise noise"),
+      (5L, "gamma noise noise noise")).toDF("doc_id", "text")
+    val q = Seq("alpha").toDF("term")
+    val base = Retrieval.bm25(corpus, "doc_id", "text", q)
+      .select("doc_id").as[Long].collect().toSet
+    assert(base === Set(1L, 2L), s"base retrieval wrong: $base")
+    val prf = Retrieval.bm25Prf(corpus, "doc_id", "text", q,
+        fbDocs = 2, fbTerms = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(prf.contains(3L), s"feedback term did not recall d3: $prf")
+    assert(!prf.contains(5L), "unrelated doc leaked in")
+  }
+
+  test("PRF: expansion terms exclude the original query's terms") {
+    // rescoring with (q ∪ expansion) must score the original terms once —
+    // docs matching only original terms keep their base score exactly
+    val corpus = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha gamma"),
+      (3L, "delta beta")).toDF("doc_id", "text")
+    val q = Seq("alpha").toDF("term")
+    val baseScore = Retrieval.bm25(corpus, "doc_id", "text", q)
+      .filter($"doc_id" === 2L).select("bm25").as[Double].head()
+    // fbTerms=0: no expansion — PRF must degrade to plain BM25
+    val same = Retrieval.bm25Prf(corpus, "doc_id", "text", q,
+        fbDocs = 2, fbTerms = 0)
+      .filter($"doc_id" === 2L).select("bm25").as[Double].head()
+    assert(same === baseScore)
+  }
 }

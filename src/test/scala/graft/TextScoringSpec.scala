@@ -128,4 +128,38 @@ class TextScoringSpec extends SparkSpec {
       k = 8, w = 16, maxDocsPerFp = 100)
     assert(uncapped.count() > 0)
   }
+
+  test("PMI: a planted collocation outranks independent co-occurrences") {
+    // 'new york' always adjacent; 'red'/'blue' frequent but independently
+    // placed — the collocation's PMI must dominate
+    val rnd = new scala.util.Random(5)
+    val fill = Array("red", "blue", "green", "cat", "dog", "sun", "sky", "run")
+    val docs = (1L to 80L).map { i =>
+      val words = Array.fill(10)(fill(rnd.nextInt(fill.length))).toBuffer
+      words.insertAll(rnd.nextInt(8), Seq("new", "york"))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val top = TextScoring.pmiPairs(docs, "doc_id", "text", minCount = 5L)
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .select("w1", "w2").as[(String, String)].head()
+    assert(top === (("new", "york")), s"collocation not top: $top")
+  }
+
+  test("PMI: pairs under minCount are gated out; PMI sign is sane") {
+    val docs = Seq(
+      (1L, "rare pair common common common common"),
+      (2L, "common common common common common common"),
+      (3L, "common common rare pair common common"))
+      .toDF("doc_id", "text")
+    val all = TextScoring.pmiPairs(docs, "doc_id", "text", minCount = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // 'rare pair' occurs twice, always adjacent → strongly positive PMI;
+    // 'common common' is the independence baseline → near zero or below
+    assert(all(("rare", "pair"))._2 > 1.0)
+    assert(all(("rare", "pair"))._2 > all(("common", "common"))._2)
+    val gated = TextScoring.pmiPairs(docs, "doc_id", "text", minCount = 3L)
+      .select("w1", "w2").as[(String, String)].collect().toSet
+    assert(!gated.contains(("rare", "pair")), "minCount gate failed")
+  }
 }
