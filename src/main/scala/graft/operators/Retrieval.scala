@@ -108,6 +108,45 @@ object Retrieval {
     bm25(docs, idCol, textCol, q0.unionByName(expansion), k1, b)
   }
 
+  /** [[bm25Prf]] served from a [[writeIndex]] layout — the deployment
+    * shape the inline docstring promises. Pass 1 and the rescore go
+    * through [[searchIndex]] (postings-proportional IO, static
+    * `In(term,...)` pushdown); expansion mining tokenizes ONLY the
+    * `fbDocs` feedback documents, fetched from the doc store by id
+    * (a point-lookup pushdown, `In(idCol, top ids)`), so no stage ever
+    * re-reads the corpus. The two driver round-trips (top-doc ids,
+    * expansion terms) are ≤ fbDocs and ≤ fbTerms rows — the same
+    * serving-loop shape as `text_bm25_indexed`'s literal query terms.
+    *
+    * Bit-identical to [[bm25Prf]] on the same corpus: searchIndex scores
+    * ≡ bm25 scores (shared term-score expression), and the expansion
+    * choice (Σtf desc, term asc, integer tf) is replayed on the exact
+    * token surface. RetrievalSpec pins the equality. */
+  def bm25PrfIndexed(
+      spark: SparkSession,
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      fbDocs: Int = 10,
+      fbTerms: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val q0 = queryTerms.distinct
+    val topIds = searchIndex(spark, path, idCol, q0, k1, b)
+      .orderBy(desc("bm25"), col(idCol)).limit(fbDocs)
+      .select(col(idCol)).collect().map(_.get(0))
+    val expansion = docs
+      .filter(col(idCol).isin(topIds: _*))
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(!col("term").isin(q0: _*))
+      .groupBy("term").agg(count(lit(1)).as("__tf"))
+      .orderBy(desc("__tf"), asc("term")).limit(fbTerms)
+      .select("term").collect().map(_.getString(0)).toSeq
+    searchIndex(spark, path, idCol, q0 ++ expansion, k1, b)
+  }
+
   /** Durable inverted index — the lexical twin of `AnnIvf.write`'s vector
     * layout (S4 index-finalize generalized): corpus statistics are paid
     * ONCE at build, and every subsequent query's IO is proportional to its

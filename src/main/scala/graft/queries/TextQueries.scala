@@ -234,17 +234,27 @@ object TextQueries {
 
     // RM3-lite pseudo-relevance feedback: BM25 pass → top-10 docs →
     // 5 heaviest new terms (Σtf, integer-exact choice) → expanded
-    // rescore. Both passes and the expansion replay bit-for-bit in the
-    // oracle; the serving deployment runs the same two passes against
-    // the durable inverted index.
+    // rescore. Served from the session-cached durable inverted index
+    // (shared with text_bm25_indexed/profile): both scoring passes are
+    // postings-proportional, expansion mining tokenizes only the 10
+    // feedback docs (point-lookup pushdown). Bit-identical to the
+    // inline Retrieval.bm25Prf (RetrievalSpec), so the same oracle
+    // replays both passes and the expansion choice.
     "text_bm25_prf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
+      val path = sessionCached(s, ("bm25-index", dir)) {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-bm25-idx").toString
+        graft.operators.Retrieval.writeIndex(
+          docs.filter(col("doc_id") =!= 0), "doc_id", "text", p)
+        p
+      }
       val qTerms = docs.filter(col("doc_id") === 0)
         .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
-        .distinct()
-      graft.operators.Retrieval.bm25Prf(
-          docs.filter(col("doc_id") =!= 0), "doc_id", "text", qTerms)
+        .distinct().collect().map(_.getString(0)).toSeq
+      graft.operators.Retrieval.bm25PrfIndexed(
+          s, path, docs.filter(col("doc_id") =!= 0), "doc_id", "text", qTerms)
         .withColumn("rnk", row_number().over(
           Window.orderBy(desc("bm25"), asc("doc_id"))))
         .filter(col("rnk") <= 10)

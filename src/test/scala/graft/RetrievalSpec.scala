@@ -123,6 +123,17 @@ class RetrievalSpec extends SparkSpec {
     assert(!prf.contains(5L), "unrelated doc leaked in")
   }
 
+  test("indexed PRF serving is bit-identical to the inline two-pass PRF") {
+    val inline = Retrieval.bm25Prf(docs, "doc_id", "text", qTerms,
+        fbDocs = 10, fbTerms = 5)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    val terms = qTerms.as[String].collect().toSeq
+    val served = Retrieval.bm25PrfIndexed(spark, indexPath, docs,
+        "doc_id", "text", terms, fbDocs = 10, fbTerms = 5)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    assert(served.toSeq === inline.toSeq)
+  }
+
   test("PRF: expansion terms exclude the original query's terms") {
     // rescoring with (q ∪ expansion) must score the original terms once —
     // docs matching only original terms keep their base score exactly
