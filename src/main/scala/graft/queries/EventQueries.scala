@@ -55,9 +55,97 @@ object EventQueries {
         .select("user_id", "left_id", "right_id")
         .orderBy("user_id", "left_id", "right_id")
     },
+
+    // Ordered funnel conversion view→click→purchase: a stage counts only
+    // when a strictly-earlier event passed the previous stage. Two
+    // stacked running-min windows over ONE (user_id, ts) sort — no
+    // self-joins, no per-stage corpus passes; at scale this is a single
+    // shuffle on user_id however long the funnel gets (each extra stage
+    // adds a window expression, not a join).
+    "q33_funnel" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = table(s, dir, "events")
+        .withColumn("first_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+      val qualClick = col("event_type") === "click" &&
+        col("first_view") < col("ts")
+      val ev2 = ev.withColumn("first_qclick",
+          min(when(qualClick, col("ts"))).over(w))
+      val qualPurchase = col("event_type") === "purchase" &&
+        col("first_qclick") < col("ts")
+      ev2.agg(
+        count_distinct(when(col("event_type") === "view", col("user_id")))
+          .as("u_view"),
+        count_distinct(when(qualClick, col("user_id"))).as("u_click"),
+        count_distinct(when(qualPurchase, col("user_id"))).as("u_purchase"))
+    },
+
+    // Bounded EWMA (α = 1/2 over the last 8 events per user) — the
+    // classic time-series ML feature. Weights 128..1 are powers of two,
+    // so value·w is an EXACT binary scaling of the stored double; each
+    // term is then viewed as an exact DECIMAL(18,6) and summed order-
+    // independently, making the feature bit-replayable in the oracle.
+    // One window sort per user — same single-shuffle shape as q33.
+    "q34_ewma" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val lags = (0 to 7).map { k =>
+        val wt = 128 >> k
+        val v = if (k == 0) col("value") else lag(col("value"), k).over(w)
+        (coalesce(dec(v * lit(wt)), lit(0).cast(DecimalType(18, 6))),
+          when(v.isNotNull, lit(wt)).otherwise(lit(0)))
+      }
+      val num = lags.map(_._1).reduce(_ + _)
+      val den = lags.map(_._2).reduce(_ + _)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(num.cast("double") / den, 6).as("ewma"))
+        .orderBy("event_id")
+    },
   )
 
+  /** Shared window clause of the q33/q34 oracles. */
+  private val userWin =
+    "PARTITION BY user_id ORDER BY ts, event_id"
+
   val oracle: Map[String, String] = Map(
+    "q33_funnel" ->
+      s"""WITH e AS (
+           SELECT user_id, ts, event_id, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER
+               ($userWin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_view
+           FROM events),
+         e2 AS (
+           SELECT *,
+             MIN(CASE WHEN event_type = 'click' AND first_view < ts THEN ts END)
+               OVER ($userWin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_qclick
+           FROM e)
+         SELECT
+           COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS u_view,
+           COUNT(DISTINCT CASE WHEN event_type = 'click' AND first_view < ts
+                 THEN user_id END) AS u_click,
+           COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND first_qclick < ts
+                 THEN user_id END) AS u_purchase
+         FROM e2""",
+
+    "q34_ewma" -> {
+      def v(k: Int) = if (k == 0) "value" else s"LAG(value, $k) OVER ($userWin)"
+      val num = (0 to 7).map { k =>
+        s"COALESCE(CAST(${v(k)} * ${128 >> k} AS DECIMAL(18,6)), 0)"
+      }.mkString(" + ")
+      val den = (0 to 7).map { k =>
+        s"CASE WHEN ${v(k)} IS NOT NULL THEN ${128 >> k} ELSE 0 END"
+      }.mkString(" + ")
+      s"""SELECT event_id, user_id,
+          ROUND(CAST(($num) AS DOUBLE) / ($den), 6) AS ewma
+          FROM events ORDER BY event_id"""
+    },
+
     "q23_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts, s.ts AS signup_ts
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e

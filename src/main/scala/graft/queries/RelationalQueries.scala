@@ -452,6 +452,19 @@ object RelationalQueries {
           col("window.start").as("window_start"),
           col("event_type"), col("n"), col("total_value"))
         .orderBy("window_start", "event_type")
+    },
+
+    // PIVOT: long→wide reshape, one hash agg (the explicit value list
+    // keeps it single-pass — Spark needs no distinct-values pre-scan —
+    // and the fixed column set is what makes the oracle replayable).
+    "q32_pivot" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .withColumnsRenamed(Map(
+          "F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -724,6 +737,16 @@ object RelationalQueries {
       s"""SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS window_start, event_type,
           COUNT(*) AS n, ${sqlDsum("value")} AS total_value
           FROM events GROUP BY window_start, event_type
-          ORDER BY window_start, event_type"""
+          ORDER BY window_start, event_type""",
+
+    "q32_pivot" -> {
+      def cell(status: String) =
+        s"CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = '$status') AS DOUBLE)"
+      s"""SELECT o_orderpriority,
+          ${cell("F")} AS total_f,
+          ${cell("O")} AS total_o,
+          ${cell("P")} AS total_p
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    }
   )
 }
