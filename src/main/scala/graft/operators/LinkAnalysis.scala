@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Link analysis — fixed-point PageRank (Page et al. 1999) over an edge
+  * list, the link-based quality prior web-corpus curation pipelines rank
+  * domains with (Common-Crawl-style harvesting keeps pages whose hosts
+  * score well) — the iterative-scoring sibling of [[Components]]'
+  * label propagation. The reference has no graph surface; this
+  * generalizes its corpus-curation role the same way the dedup stack
+  * does.
+  *
+  * ALL arithmetic is integer fixed-point: ranks live in units of
+  * 1e-12 (`Scale`), and each iteration is
+  *   contrib(e)  = pr(src) div outdeg(src)          -- exact floor div
+  *   pr'(node)   = ((100-d100)·Scale) div (100·N) + (d100·Σ contrib) div 100
+  * with damping expressed in PERCENT (`d100`, default 85), so every
+  * step is a BIGINT op that replays bit-for-bit in any engine —
+  * no float rounding, no .xxx5 boundary risk (house pattern: the
+  * HLL/CMS/minhash integer stacks). Floor rounding leaks ≤1 unit of
+  * mass per node per step (≈1e-9 relative) — deterministic, and
+  * irrelevant for RANKING, which is what the signal is used for.
+  * Overflow-safe: Σ contrib ≤ Scale = 1e12, ×85 ≪ 2^63.
+  *
+  * Dangling nodes (no out-edges) keep receiving the teleport share but
+  * contribute nothing — the "leaked mass" PageRank variant; callers
+  * wanting stochastic completeness add reverse edges or self-loops
+  * upstream (the bipartite query does the former).
+  *
+  * The iteration core deliberately runs on partition-preserving RDDs —
+  * the sanctioned "genuine per-partition imperative logic" case, and
+  * the same substrate GraphX/Pregel uses. A DataFrame loop re-plans
+  * joins and re-launches AQE stages every round (~1.3 s/round of pure
+  * driver overhead at sf0.1, and a fresh edge sort-or-broadcast per
+  * round at scale). Here the graph is collapsed ONCE into a hash-
+  * partitioned per-source adjacency list (the Spark-examples PageRank
+  * layout), so each round's rank join is NODE-sized — the edge set is
+  * only ever traversed by the flatMap that emits contributions, and the
+  * round's single shuffle is the node-sized map-side-combined
+  * `reduceByKey`, the information-theoretic minimum for PageRank.
+  * Results are integers, so the output is bit-identical regardless of
+  * partitioning. Caveat at web scale: a hub's out-list is one record —
+  * fine to ~10⁶ out-degree; beyond that use an edge-partitioned layout
+  * (GraphX-style) instead.
+  */
+object LinkAnalysis {
+
+  val Scale: Long = 1000000000000L // 1e12: ranks in units of 1e-12
+
+  /** Fixed-point PageRank.
+    *
+    * @param edges   directed edge list; duplicates are collapsed; src
+    *                and dst must share one data type
+    * @param srcCol  source-node column
+    * @param dstCol  destination-node column
+    * @param iterations fixed iteration count (deterministic output)
+    * @param d100    damping factor in percent (85 ⇒ d = 0.85)
+    * @param assumeDistinct caller guarantees the edge list is already
+    *                duplicate-free (e.g. built from a `distinct()` pair
+    *                set fanned out over disjoint prefixes) — skips the
+    *                internal edge-set shuffle
+    * @return (node, pr) — pr is the fixed-point rank in units of
+    *         1e-12; divide by `Scale.toDouble` for the float view
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5,
+      d100: Int = 85,
+      assumeDistinct: Boolean = false): DataFrame = {
+    require(iterations >= 0 && d100 >= 0 && d100 <= 100)
+    val spark = edges.sparkSession
+    val nodeType = edges.schema(srcCol).dataType
+    require(edges.schema(dstCol).dataType == nodeType,
+      s"src/dst type mismatch: $nodeType vs ${edges.schema(dstCol).dataType}")
+
+    val eDist = edges.select(col(srcCol), col(dstCol))
+    val e: RDD[(Any, Any)] = (if (assumeDistinct) eDist else eDist.distinct())
+      .rdd.map(r => (r.get(0), r.get(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // size the round partitioner to the GRAPH, not the cluster default:
+    // a round is a handful of narrow stages, and over-partitioning tiny
+    // graphs turns each into pure task-launch latency, while huge graphs
+    // get one partition per ~250k edges up to the cluster's parallelism —
+    // the same fit-the-partition-to-the-data rule the sinks use
+    val m = e.count()
+    val part = new HashPartitioner(
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (m / 1000000L).toInt + 1)))
+
+    // collapse to per-source adjacency ONCE (out-degree = list length):
+    // every later round joins rank against NODE-sized tables only; the
+    // edge set is traversed solely by the contribution flatMap
+    val adj = e.aggregateByKey(
+        scala.collection.mutable.ArrayBuffer.empty[Any], part)(
+        (b, d) => b += d, (a, b) => a ++= b)
+      .mapValues(_.toArray)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
+      .reduceByKey(part, (a, _) => a) // distinct, landing directly on `part`
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    adj.count()
+    e.unpersist(blocking = false)
+    val teleport = (100L - d100) * Scale / (100L * n)
+
+    // rank is a pure function of the in-sum (pr = teleport + d·s div 100,
+    // s = 0 when absent), so the loop carries the NODE-sized in-sum and
+    // folds the rank update into the next round's adjacency join — ONE
+    // narrow cogroup + one node-sized shuffle per round. Round 1 needs
+    // no join at all: every rank is the uniform init.
+    val init = Scale / n
+    def rankOf(s: Option[Long]): Long =
+      teleport + d100 * s.getOrElse(0L) / 100
+    var insum: RDD[(Any, Long)] =
+      if (iterations == 0) null
+      else adj.flatMap { case (_, dsts) =>
+        val c = init / dsts.length
+        dsts.iterator.map(d => (d, c))
+      }.reduceByKey(part, _ + _)
+    for (_ <- 2 to iterations) {
+      // adj⋈insum is narrow AND node-sized (both carry `part`); the
+      // reduceByKey is the round's ONLY shuffle and is node-sized after
+      // map-side combine — contribution order never matters (integer adds)
+      insum = adj.leftOuterJoin(insum, part)
+        .flatMap { case (_, (dsts, s)) =>
+          val c = rankOf(s) / dsts.length
+          dsts.iterator.map(d => (d, c))
+        }
+        .reduceByKey(part, _ + _)
+    }
+    val pr: RDD[(Any, Long)] =
+      if (insum == null) nodes.mapValues(_ => init)
+      else nodes.leftOuterJoin(insum, part).mapValues { case (_, s) => rankOf(s) }
+
+    val rows = pr.map { case (node, p) => Row(node, p) }
+    val out = spark.createDataFrame(rows,
+        StructType(Seq(StructField("node", nodeType, nullable = false),
+          StructField("pr", LongType, nullable = false))))
+      .localCheckpoint(eager = true)
+    adj.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** HITS fixed-point scale: 1e6 keeps every intermediate in BIGINT —
+    * a raw score is ≤ maxInDegree·Scale, and the normalization multiply
+    * raises it by another Scale factor, so exactness holds while
+    * maxDegree < 2⁶³/ScaleHits² ≈ 9.2e6. Ranking resolution 1e-6 is the
+    * house 6-dp standard. */
+  val ScaleHits: Long = 1000000L
+
+  /** HITS hubs/authorities (Kleinberg 1999, JACM 46(5)) — the other
+    * classic link-quality prior: a good HUB points at good authorities,
+    * a good AUTHORITY is pointed at by good hubs. Same integer
+    * fixed-point discipline as [[pageRank]], with one twist: HITS needs
+    * a per-round normalization, and to keep every step an exact BIGINT
+    * op this uses the max-norm variant (divide by the round's maximum
+    * score) — any norm yields the same RANKING, which is what the
+    * signal is used for, and max-norm replays bit-for-bit in SQL where
+    * an L2 norm would not.
+    *
+    * Per round (hub⁰ = Scale uniformly):
+    *   araw(v) = Σ_{u→v} hub(u);  auth(v) = araw(v)·Scale div max araw
+    *   hraw(u) = Σ_{u→v} auth(v); hub(u)  = hraw(u)·Scale div max hraw
+    * Nodes with no in-edges have auth 0; no out-edges ⇒ hub 0.
+    *
+    * Spark shape: forward AND reverse adjacency built once on one
+    * partitioner; each half-round is a node-sized narrow join + the
+    * node-sized map-side-combined `reduceByKey` — identical plan
+    * economics to [[pageRank]], plus one scalar `max` action per
+    * half-round on a persisted node-sized RDD (the per-round driver
+    * roundtrip every normalized iterative method pays).
+    *
+    * @return (node, auth, hub) — fixed-point scores in units of
+    *         1/[[ScaleHits]]
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3,
+      assumeDistinct: Boolean = false): DataFrame = {
+    require(iterations >= 1)
+    val spark = edges.sparkSession
+    val nodeType = edges.schema(srcCol).dataType
+    require(edges.schema(dstCol).dataType == nodeType,
+      s"src/dst type mismatch: $nodeType vs ${edges.schema(dstCol).dataType}")
+
+    val eDist = edges.select(col(srcCol), col(dstCol))
+    val e: RDD[(Any, Any)] = (if (assumeDistinct) eDist else eDist.distinct())
+      .rdd.map(r => (r.get(0), r.get(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e.count()
+    require(m > 0, "HITS needs at least one edge")
+    val part = new HashPartitioner(
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (m / 1000000L).toInt + 1)))
+
+    def adjacency(pairs: RDD[(Any, Any)]) = pairs
+      .aggregateByKey(
+        scala.collection.mutable.ArrayBuffer.empty[Any], part)(
+        (b, d) => b += d, (a, b) => a ++= b)
+      .mapValues(_.toArray)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fwd = adjacency(e)                                  // u -> out(u)
+    val rev = adjacency(e.map { case (s, d) => (d, s) })    // v -> in(v)
+    val nodes = e.flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
+      .reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count(); fwd.count(); rev.count()
+    e.unpersist(blocking = false)
+
+    val live = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+    // one half-round: raw = Σ over `a` of the partner score (uniform
+    // `init` on round 1, else the node-keyed partner RDD), then max-norm
+    def halfRound(a: RDD[(Any, Array[Any])], partner: RDD[(Any, Long)],
+        init: Long): RDD[(Any, Long)] = {
+      val raw = (if (partner == null)
+          a.flatMap { case (_, ds) => ds.iterator.map(d => (d, init)) }
+        else a.join(partner, part).flatMap { case (_, (ds, s)) =>
+          ds.iterator.map(d => (d, s))
+        })
+        .reduceByKey(part, _ + _)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      live += raw
+      val mx = raw.values.max()
+      raw.mapValues(s => s * ScaleHits / mx)
+    }
+
+    var auth: RDD[(Any, Long)] = null
+    var hub: RDD[(Any, Long)] = null
+    for (i <- 1 to iterations) {
+      auth = halfRound(fwd, hub, ScaleHits) // hub⁰ is uniform
+      hub = halfRound(rev, auth, 0L)
+    }
+
+    val scored = nodes
+      .leftOuterJoin(auth, part)
+      .leftOuterJoin(hub, part)
+      .map { case (node, ((_, a), h)) =>
+        Row(node, a.getOrElse(0L), h.getOrElse(0L))
+      }
+    val out = spark.createDataFrame(scored,
+        StructType(Seq(StructField("node", nodeType, nullable = false),
+          StructField("auth", LongType, nullable = false),
+          StructField("hub", LongType, nullable = false))))
+      .localCheckpoint(eager = true)
+    (live ++ Seq(fwd, rev, nodes)).foreach(_.unpersist(blocking = false))
+    out
+  }
+}
