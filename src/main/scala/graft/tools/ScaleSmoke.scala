@@ -210,6 +210,39 @@ object ScaleSmoke {
         st.assignment.count()
       }
     }
+    // link analysis at scale: a power-law-ish multigraph (dst drawn by a
+    // mixing hash mod a SKEWED bucket count so a few nodes take ~1000x
+    // the median in-degree — the web-graph regime). Checks the adjacency
+    // substrate holds when edges >> nodes and in-degree is skewed: rounds
+    // stay node-sized shuffles, ranks exact, hot nodes dominate.
+    section("pagerank") {
+      val mEdges = copies.toLong * 1000000L
+      val nNodes = 1000000L
+      // src uniform; dst: 1-in-20 edges land on a 1k-node hot set
+      val edges = spark.range(0L, mEdges).select(
+        pmod(expr("xxhash64(id, 1)"), lit(nNodes)).as("src"),
+        when(pmod(col("id"), lit(20)) === 0,
+            pmod(expr("xxhash64(id, 2)"), lit(1000L)))
+          .otherwise(pmod(expr("xxhash64(id, 3)"), lit(nNodes))).as("dst"))
+      time(s"pagerank 5 iters, ${mEdges / 1000000.0}M-edge skewed graph") {
+        val pr = graft.operators.LinkAnalysis
+          .pageRank(edges, "src", "dst", iterations = 5)
+        val top = pr.orderBy(desc("pr")).limit(1000)
+          .filter(col("node") < 1000L).count()
+        require(top > 900L,
+          s"hot set should dominate the top ranks, got $top/1000")
+        pr.count()
+      }
+      time(s"hits 3 iters, ${mEdges / 1000000.0}M-edge skewed graph") {
+        val hs = graft.operators.LinkAnalysis
+          .hits(edges, "src", "dst", iterations = 3)
+        val topAuth = hs.orderBy(desc("auth")).limit(1000)
+          .filter(col("node") < 1000L).count()
+        require(topAuth > 900L,
+          s"hot set should dominate authority, got $topAuth/1000")
+        hs.count()
+      }
+    }
     // IVF skew: force 90% of vectors into ONE partition, then compare the
     // co-partitioned knnJoin on an unsalted vs salted durable layout — the
     // salt spreads the hot partition's join work over writeSalt reducers
