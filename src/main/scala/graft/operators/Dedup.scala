@@ -241,6 +241,62 @@ object Dedup {
       .select("left_id", "right_id", "jaccard")
   }
 
+  /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo,
+    * SIGMOD '95 — the classic merge/purge blocking method): documents are
+    * grouped by a cheap BLOCKING key (their first `blockTokens` tokens),
+    * sorted within each block, and only rows within `window` positions of
+    * each other become candidates, each exact-verified with shingle
+    * Jaccard. The cheapest member of the dedup family — one window
+    * shuffle + one (block, rank) equi-join, no band replication, no
+    * prefix index — with the classic recall caveat: a near-dup pair whose
+    * first tokens differ lands in different blocks and is missed (that's
+    * what [[minhashPairs]]/[[jaccardPairs]] are for; SNM is the
+    * high-precision cheap pass a pipeline runs first).
+    *
+    * Scale shape: the rank window partitions by block key (parallel
+    * across blocks, linear within); candidates are `window-1` exploded
+    * probes meeting in ONE equi-join on (block, rank) — linear in corpus
+    * size × window, never quadratic, even for a degenerate block
+    * (candidates within a block are rank-banded, not all-pairs). Every
+    * step — tokenize, block, rank, probe, verify — replays in SQL.
+    *
+    * @return (left_id, right_id, jaccard), left_id < right_id; each
+    *         unordered pair appears at most once (one rank ordering)
+    */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 3,
+      window: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(blockTokens >= 1 && window >= 2)
+    val toks = TextOps.tokens(col(textCol))
+    val base = docs.select(
+      col(idCol).as("id"),
+      col(textCol).as("__text"),
+      concat_ws(" ", slice(toks, 1, blockTokens)).as("__blk"),
+      SortedLongJaccard.sortedHashedShingles(toks, shingleSize).as("sh"))
+    val w = Window.partitionBy("__blk").orderBy(col("__text"), col("id"))
+    val rk = base
+      .withColumn("__rn", row_number().over(w))
+      .select("id", "__blk", "__rn", "sh")
+    val probes = rk
+      .withColumn("__k", explode(sequence(lit(1), lit(window - 1))))
+      .select(col("id").as("left_id"), col("sh").as("left_sh"),
+        col("__blk"), (col("__rn") + col("__k")).as("__rn"))
+    probes
+      .join(rk.select(col("id").as("right_id"), col("sh").as("right_sh"),
+        col("__blk"), col("__rn")), Seq("__blk", "__rn"))
+      .withColumn("jaccard",
+        round(SortedLongJaccard.sortedJaccard(col("left_sh"), col("right_sh")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("left_id"), col("right_id")).as("left_id"),
+        greatest(col("left_id"), col("right_id")).as("right_id"),
+        col("jaccard"))
+  }
+
   /** Decontamination: per-train-document count of distinct hashed word
     * n-grams that also occur anywhere in the eval corpus — the train/test
     * overlap detector every published-benchmark pipeline runs before

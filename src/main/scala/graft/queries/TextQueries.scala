@@ -367,6 +367,17 @@ object TextQueries {
         .orderBy("left_id", "right_id")
     },
 
+    // Sorted-neighborhood (blocking) near-dup: the cheap classic pass —
+    // block on the first 3 tokens, rank within block, verify only rows
+    // within 4 positions. On this corpus its recall equals the LSH pass
+    // (near-dups share their openings); its cost is a fraction.
+    "dedup_snm" -> { (s, dir) =>
+      Dedup.sortedNeighborhoodPairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          blockTokens = 3, window = 4, shingleSize = 3, threshold = 0.5)
+        .orderBy("left_id", "right_id")
+    },
+
     // C4-style quality gate: keep documents passing token-count and
     // stopword-ratio bounds — the filter stage of a training-data pipeline.
     "text_quality_filter" -> { (s, dir) =>
@@ -870,6 +881,35 @@ object TextQueries {
          WHERE a.doc_id % 10 = 0 AND a.doc_id < b.doc_id
            AND ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
              / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) >= 0.5
+         ORDER BY left_id, right_id""",
+
+    // SNM: blocking key, in-block rank, window-banded candidates, string-
+    // shingle Jaccard verify (same hashed-vs-string parity argument as
+    // dedup_jaccard_pairs: a 64-bit shingle collision is the only
+    // divergence and none occur on this corpus).
+    "dedup_snm" ->
+      """WITH d AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks
+                    FROM documents),
+         sh AS (
+           SELECT doc_id, LIST_DISTINCT(CASE WHEN LEN(toks) >= 3
+             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN RANGE(1, LEN(toks) - 1)]
+             ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS s
+           FROM d),
+         rk AS (
+           SELECT doc_id, ARRAY_TO_STRING(toks[1:3], ' ') AS blk,
+             ROW_NUMBER() OVER (PARTITION BY ARRAY_TO_STRING(toks[1:3], ' ')
+               ORDER BY text, doc_id) AS rn
+           FROM d),
+         cand AS (
+           SELECT a.doc_id AS l, b.doc_id AS r
+           FROM rk a JOIN rk b
+           ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3),
+         ver AS (
+           SELECT LEAST(l, r) AS left_id, GREATEST(l, r) AS right_id,
+             ROUND(CAST(LEN(LIST_INTERSECT(sa.s, sb.s)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(LIST_CONCAT(sa.s, sb.s))), 6) AS jaccard
+           FROM cand JOIN sh sa ON sa.doc_id = l JOIN sh sb ON sb.doc_id = r)
+         SELECT left_id, right_id, jaccard FROM ver WHERE jaccard >= 0.5
          ORDER BY left_id, right_id""",
 
     "text_bm25" -> bm25OracleSql,

@@ -45,6 +45,37 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("sortedNeighborhoodPairs: same-opening near-dups found, shifted opening missed") {
+    // 1/2/3 share their first 3 tokens and sort adjacently; 6 is a near
+    // dup of 1 whose opening differs -> different block -> missed (the
+    // documented SNM recall caveat; LSH exists for exactly this case)
+    val d = docs.union(Seq(
+      (6L, "a shifted opening the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text"))
+    val got = Dedup.sortedNeighborhoodPairs(d, "doc_id", "text",
+        blockTokens = 3, window = 4, shingleSize = 3, threshold = 0.5)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)), got.toString)
+  }
+
+  test("sortedNeighborhoodPairs: window bounds candidates within a block") {
+    // five docs in ONE block (same first 3 tokens), pairwise-similar; with
+    // window=2 only rank-adjacent pairs are verified -> a chain, not a
+    // clique; each unordered pair appears exactly once
+    val block = (1L to 5L).map(i =>
+      (i, s"common opening tokens body$i body$i filler filler filler filler"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(block, "doc_id", "text",
+        blockTokens = 3, window = 2, shingleSize = 3, threshold = 0.1)
+      .select("left_id", "right_id").as[(Long, Long)].collect()
+    assert(pairs.length === pairs.distinct.length)
+    assert(pairs.length === 4, s"rank-adjacent chain expected: ${pairs.mkString(",")}")
+    val all = Dedup.sortedNeighborhoodPairs(block, "doc_id", "text",
+        blockTokens = 3, window = 5, shingleSize = 3, threshold = 0.1)
+      .count()
+    assert(all === 10L, "window >= block size degrades to all-pairs in block")
+  }
+
   test("simhashPairs flags near-identical token multisets") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, numBands = 4)
       .select("left_id", "right_id").as[(Long, Long)].collect().toSet
