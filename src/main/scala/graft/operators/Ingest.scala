@@ -160,6 +160,36 @@ object Ingest {
       .parquet(path)
   }
 
+  /** Merge-into upsert (SCD type-1): one surviving row per key across
+    * base ∪ updates — the row with the highest (`versionCol`,
+    * `tieBreak...`) wins. The batch "MERGE WHEN MATCHED UPDATE" the
+    * reference approximates with its per-id REPLACE-on-ingest
+    * (vector_db.py:127-132 skips known ids; this is the other half:
+    * prefer the NEWEST record instead of the first).
+    *
+    * Scale shape: ONE hash shuffle on the key columns; the row_number
+    * window compiles to `WindowGroupLimit`, so each map task keeps only
+    * its local per-key best row BEFORE the shuffle (partial top-1, the
+    * same mechanics as the knn group-limit) — the shuffle carries ~1 row
+    * per (key, input partition), not the full history. Deterministic for
+    * oracle use when (versionCol, tieBreak) is a total order per key;
+    * callers pass e.g. the event id as tiebreak for same-timestamp
+    * updates. */
+  def upsertLatest(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((versionCol +: tieBreak).map(c => col(c).desc): _*)
+    base.unionByName(updates)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Compact a partitioned layout in place: every micro-batch append
     * ([[appendNew]], streaming `annIngest`/`annIngestPq`) closes at least
     * one file per touched partition, so a long-running stream degrades

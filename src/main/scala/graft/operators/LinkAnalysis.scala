@@ -255,4 +255,72 @@ object LinkAnalysis {
     (live ++ Seq(fwd, rev, nodes)).foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Per-node triangle count, degree, and local clustering coefficient
+    * over an undirected graph given as a pair list — the community-
+    * density signal of the link-quality stack (a crawl host whose
+    * neighborhood closes lots of triangles is an organic community; link
+    * farms are star-shaped), complementing [[pageRank]]'s centrality and
+    * [[Components]]' reachability.
+    *
+    * Pure DataFrame joins (no iteration), with the classic DEGREE-ORDERED
+    * orientation (Suri & Vassilvitskii, WWW'11 "Counting triangles and
+    * the curse of the last reducer"): every canonical edge is directed
+    * from its lower-(degree, id) endpoint to the higher, which bounds any
+    * node's out-degree by O(√m) — so the wedge self-join (the only
+    * superlinear step) does Σ outdeg² ≤ m^1.5 work spread evenly across
+    * keys instead of deg² on hub nodes. The triangle SET is orientation-
+    * independent (each triangle is generated exactly once, at its
+    * lowest-rank corner), which is what makes the query oracle-checkable
+    * against a plain id-ordered SQL enumeration.
+    *
+    * lcc = 2·triangles / (degree·(degree−1)) — one IEEE division of two
+    * exact integers, rounded to 6 dp, so Spark and DuckDB agree bitwise;
+    * degree-1 nodes get lcc 0.
+    *
+    * @return (node BIGINT, degree BIGINT, triangles BIGINT, lcc DOUBLE),
+    *         one row per node that appears in `pairs`. */
+  def triangles(pairs: DataFrame, leftCol: String, rightCol: String): DataFrame = {
+    val e = pairs
+      .select(col(leftCol).cast("long").as("a"), col(rightCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = true) // scanned 4× below (deg ×2, orient, closure)
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient by (degree, id) rank; carry the head's rank key so the wedge
+    // step can order its two spokes without re-joining degrees
+    val du = deg.select(col("node").as("u"), col("degree").as("du"))
+    val dv = deg.select(col("node").as("v"), col("degree").as("dv"))
+    val ranked = e.join(du, "u").join(dv, "v")
+    val lowFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = ranked.select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("lo"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("hi"),
+        when(lowFirst, col("dv")).otherwise(col("du")).as("dhi"))
+      .localCheckpoint(eager = true) // feeds wedges twice + closure probe
+    // wedges at the lowest-rank corner: two out-edges of `lo`, spokes
+    // ordered by rank so the closing edge (b→c) is probed in ITS
+    // orientation; the closure join is equi on both endpoints
+    val o1 = oriented.select(col("lo"), col("hi").as("b"), col("dhi").as("db"))
+    val o2 = oriented.select(col("lo"), col("hi").as("c"), col("dhi").as("dc"))
+    val wedges = o1.join(o2, "lo")
+      .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+    val closing = oriented.select(col("lo").as("b"), col("hi").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"))
+      .select(col("lo").as("x"), col("b").as("y"), col("c").as("z"))
+    val perNode = tris.select(col("x").as("node"))
+      .unionAll(tris.select(col("y").as("node")))
+      .unionAll(tris.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(
+          when(col("degree") < 2, lit(0.0))
+            .otherwise(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+              (col("degree") * (col("degree") - 1))), 6).as("lcc"))
+  }
 }

@@ -511,6 +511,40 @@ object RelationalQueries {
         .withColumnsRenamed(Map(
           "F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
         .orderBy("o_orderpriority")
+    },
+
+    // Per-node triangle count / clustering coefficient over the supplier
+    // co-supply projection graph (two suppliers share an edge when they
+    // supply the same part — the lineitem pk→sk bipartite graph projected
+    // onto suppliers). Spark runs the degree-ordered orientation
+    // (skew-bounded wedge join); the oracle enumerates id-ordered in SQL —
+    // same triangle set by construction.
+    "graph_triangles" -> { (s, dir) =>
+      val ps = table(s, dir, "lineitem")
+        .where(col("l_partkey") % 3 === 0)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val coSupply = ps.as("x").join(ps.as("y"), Seq("pk"))
+        .filter(col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("s1"), col("y.sk").as("s2"))
+      graft.operators.LinkAnalysis.triangles(coSupply, "s1", "s2")
+        .orderBy("node")
+    },
+
+    // Merge-into upsert (SCD1): latest event per user across a base half
+    // and an updates half (union = whole table, which is what makes the
+    // oracle a plain window over `events`). WindowGroupLimit keeps the
+    // per-key best row map-side before the single key shuffle.
+    "q35_upsert_latest" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      graft.operators.Ingest.upsertLatest(
+          base = ev.filter(col("event_id") % 2 === 0),
+          updates = ev.filter(col("event_id") % 2 === 1),
+          keyCols = Seq("user_id"), versionCol = "ts",
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id")
     }
   )
 
@@ -863,6 +897,37 @@ object RelationalQueries {
           ${cell("O")} AS total_o,
           ${cell("P")} AS total_p
           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
-    }
+    },
+
+    "graph_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey pk, l_suppkey sk
+                     FROM lineitem WHERE l_partkey % 3 = 0),
+          e AS (SELECT DISTINCT x.sk u, y.sk v
+                FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk < y.sk),
+          tri AS (SELECT e1.u x, e1.v y, e2.v z
+                  FROM e e1
+                  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+          pn AS (SELECT node, COUNT(*) triangles FROM (
+                   SELECT x node FROM tri UNION ALL
+                   SELECT y FROM tri UNION ALL
+                   SELECT z FROM tri) GROUP BY node),
+          deg AS (SELECT node, COUNT(*) degree FROM (
+                    SELECT u node FROM e UNION ALL
+                    SELECT v FROM e) GROUP BY node)
+          SELECT deg.node, deg.degree,
+            COALESCE(pn.triangles, 0) AS triangles,
+            ROUND(CASE WHEN deg.degree < 2 THEN 0.0
+              ELSE 2.0 * COALESCE(pn.triangles, 0) /
+                   (deg.degree * (deg.degree - 1)) END, 6) AS lcc
+          FROM deg LEFT JOIN pn ON pn.node = deg.node
+          ORDER BY deg.node""",
+
+    "q35_upsert_latest" ->
+      """SELECT user_id, event_id AS last_event_id,
+            event_type AS last_type, value AS last_value
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+          WHERE rn = 1 ORDER BY user_id"""
   )
 }

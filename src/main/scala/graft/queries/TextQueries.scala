@@ -378,6 +378,24 @@ object TextQueries {
         .orderBy("left_id", "right_id")
     },
 
+    // Edit-distance fuzzy join (Ed-Join q-gram prefix filter + exact
+    // levenshtein verify) over part names with one deterministic
+    // character-deletion typo injected per name — blocking is Spark-only
+    // machinery; the oracle replays the typo injection and the PAIR SET
+    // quadratically (both engines' levenshtein is the textbook DP).
+    "dedup_fuzzy" -> { (s, dir) =>
+      val base = table(s, dir, "part")
+        .filter(col("p_partkey") < 300)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val variants = base
+        .withColumn("pos", col("id") % greatest(length(col("name")) - 1, lit(1)) + 1)
+        .select((col("id") + 100000).as("id"),
+          expr("concat(substr(name, 1, CAST(pos AS INT) - 1), substr(name, CAST(pos AS INT) + 1))").as("name"))
+      graft.operators.FuzzyJoin
+        .selfPairs(base.unionByName(variants), "id", "name", maxDist = 1)
+        .orderBy("left_id", "right_id")
+    },
+
     // C4-style quality gate: keep documents passing token-count and
     // stopword-ratio bounds — the filter stage of a training-data pipeline.
     "text_quality_filter" -> { (s, dir) =>
@@ -887,6 +905,23 @@ object TextQueries {
     // shingle Jaccard verify (same hashed-vs-string parity argument as
     // dedup_jaccard_pairs: a 64-bit shingle collision is the only
     // divergence and none occur on this corpus).
+    "dedup_fuzzy" ->
+      """WITH base AS (SELECT p_partkey AS id, p_name AS name
+                       FROM part WHERE p_partkey < 300),
+          var AS (SELECT id + 100000 AS id,
+              concat(substr(name, 1, CAST(pos AS INT) - 1),
+                     substr(name, CAST(pos AS INT) + 1)) AS name
+            FROM (SELECT id, name,
+                    id % GREATEST(length(name) - 1, 1) + 1 AS pos FROM base)),
+          c AS (SELECT * FROM base UNION ALL SELECT * FROM var)
+          SELECT a.id AS left_id, b.id AS right_id,
+            CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+          FROM c a, c b
+          WHERE a.id < b.id
+            AND abs(length(a.name) - length(b.name)) <= 1
+            AND levenshtein(a.name, b.name) <= 1
+          ORDER BY left_id, right_id""",
+
     "dedup_snm" ->
       """WITH d AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks
                     FROM documents),

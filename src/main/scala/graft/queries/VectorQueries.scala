@@ -66,6 +66,29 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // Binary-quantized coarse search: sign-bit packing (64 coords/BIGINT,
+    // BitQuant) + XOR/POPCNT Hamming as the candidate filter, exact-dot
+    // rescore of the survivors. Hamming over packed words provably equals
+    // the positional sign-disagreement count (pad bits are zero), which
+    // is what the oracle computes in DuckDB with no bit packing at all.
+    "ann_bq_hamming" -> { (s, dir) =>
+      import graft.functions.BitQuant
+      val emb = table(s, dir, "embeddings")
+        .withColumn("bits", BitQuant.packCol(col("embedding")))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("bits").as("qbits"),
+          col("embedding").as("qemb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("hamming"), col("vec_id"))
+      emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("hamming", BitQuant.hammingCol(col("bits"), col("qbits")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("vec_id"), col("hamming"),
+          roundedDot(col("embedding"), col("qemb")).as("rescore"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+
     // The §2.6 semantics flag, tied off: ranking by ASCENDING cosine
     // distance (1 − ip) returns the same neighbors as descending
     // similarity — the corrected contract the engine uses everywhere
@@ -488,6 +511,20 @@ object VectorQueries {
             FROM embeddings a, embeddings b
             WHERE a.vec_id = 0 AND b.vec_id <> 0)
           WHERE rn <= 10 ORDER BY rnk""",
+
+    "ann_bq_hamming" ->
+      s"""SELECT query_id, vec_id, CAST(hamming AS INTEGER) AS hamming,
+            rescore, CAST(rn AS INTEGER) AS rnk FROM (
+            SELECT query_id, vec_id, hamming, rescore,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY hamming, vec_id) AS rn
+            FROM (SELECT a.vec_id AS query_id, b.vec_id,
+              LEN(LIST_FILTER(LIST_ZIP(b.embedding, a.embedding),
+                p -> (p[1] > 0) <> (p[2] > 0))) AS hamming,
+              ${sqlDot("b.embedding", "a.embedding")} AS rescore
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id))
+          WHERE rn <= 10 ORDER BY query_id, rnk""",
 
     "knn_topk_per_query" ->
       s"""SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rnk FROM (

@@ -158,4 +158,38 @@ class IngestSpec extends SparkSpec {
       .select("from_json(body).data.merged_neighbors")
     assert(parsed.head().getSeq(0).size === 3)
   }
+
+  // ---- upsertLatest (merge-into / SCD1) ----
+
+  test("upsertLatest: newest version wins, inserts pass through, base-only keys survive") {
+    val base = Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c"))
+      .toDF("k", "v", "payload")
+    val updates = Seq((1L, 20L, "a2"), (4L, 5L, "d"))
+      .toDF("k", "v", "payload")
+    val got = Ingest.upsertLatest(base, updates, Seq("k"), "v")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 20L, "a2"), (2L, 10L, "b"),
+      (3L, 10L, "c"), (4L, 5L, "d")))
+  }
+
+  test("upsertLatest: equal versions resolved by the declared tiebreak, deterministically") {
+    val base = Seq((1L, 10L, 100L, "old")).toDF("k", "v", "seq", "payload")
+    val updates = Seq((1L, 10L, 200L, "new")).toDF("k", "v", "seq", "payload")
+    val got = Ingest.upsertLatest(base, updates, Seq("k"), "v", Seq("seq"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.toSeq === Seq((1L, 10L, 200L, "new")))
+    // stale update (lower version) must NOT clobber the base row
+    val stale = Seq((1L, 5L, 999L, "stale")).toDF("k", "v", "seq", "payload")
+    val kept = Ingest.upsertLatest(base, stale, Seq("k"), "v", Seq("seq"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(kept.toSeq === Seq((1L, 10L, 100L, "old")))
+  }
+
+  test("upsertLatest: composite keys partition independently") {
+    val base = Seq((1L, "x", 1L, "b1"), (1L, "y", 1L, "b2")).toDF("k1", "k2", "v", "p")
+    val updates = Seq((1L, "x", 2L, "u1")).toDF("k1", "k2", "v", "p")
+    val got = Ingest.upsertLatest(base, updates, Seq("k1", "k2"), "v")
+      .as[(Long, String, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq((1L, "x", 2L, "u1"), (1L, "y", 1L, "b2")))
+  }
 }

@@ -104,4 +104,50 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(math.abs(cyc2 - 2L * LinkAnalysis.Scale / 5) < LinkAnalysis.Scale / 100)
     assert(math.abs(got("a") - got("b")) <= 1000, "cycle symmetry")
   }
+
+  // ---- triangles / clustering coefficient ----
+
+  private def triOf(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+    LinkAnalysis.triangles(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (n, d, t, c) => n -> ((d, t, c)) }.toMap
+
+  test("K4: every node degree 3, 3 triangles, lcc 1.0") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val got = triOf(k4)
+    assert(got.size === 4)
+    got.values.foreach { case (d, t, c) => assert((d, t, c) === ((3L, 3L, 1.0))) }
+  }
+
+  test("path graph closes no triangles; degree-1 endpoints get lcc 0") {
+    val got = triOf(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got.values.forall { case (_, t, c) => t === 0L && c === 0.0 })
+    assert(got(1L)._1 === 1L && got(2L)._1 === 2L)
+  }
+
+  test("duplicate / reversed / self-loop edges collapse before counting") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val noisy = tri ++ tri.map(_.swap) ++ Seq((1L, 1L), (2L, 2L))
+    assert(triOf(noisy) === triOf(tri))
+  }
+
+  test("matches a brute-force count on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = (for (i <- 0 until n; j <- (i + 1) until n
+      if rnd.nextDouble() < 0.15) yield (i.toLong, j.toLong)).toSeq
+    val adj = edges.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val brute = adj.map { case (v, ns) =>
+      val t = (for (a <- ns.toSeq; b <- ns.toSeq
+        if a < b && adj(a).contains(b)) yield 1).size.toLong
+      v -> t
+    }
+    val got = triOf(edges)
+    assert(got.keySet === adj.keySet)
+    adj.keys.foreach { v =>
+      assert(got(v)._2 === brute(v), s"node $v")
+      assert(got(v)._1 === adj(v).size.toLong, s"degree $v")
+    }
+  }
 }
