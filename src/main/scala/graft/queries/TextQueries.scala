@@ -699,6 +699,26 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // WebDataset shard layout as pure 512-block arithmetic: where each
+    // document's tar member would land (entry offset, data offset) if
+    // the corpus were packed 50 samples/shard in doc_id order — the
+    // closed form `WebDataset.writeShards` materializes byte-for-byte
+    // (WebDatasetSpec pins written bytes to this exact formula); fully
+    // window-sum replayable in SQL.
+    "multimodal_tar_layout" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      table(s, dir, "documents")
+        .select(col("doc_id"), expr("doc_id div 50").as("shard"),
+          octet_length(col("text")).cast("long").as("size"))
+        .withColumn("entry_offset",
+          coalesce(sum(lit(512L) + expr("((size + 511) div 512) * 512")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("entry_offset"),
+          (col("entry_offset") + 512L).as("data_offset"), col("size"))
+        .orderBy("doc_id")
+    },
+
     // Language id (stopword-profile argmax) — oracle-checked: the
     // profiles and tie-break are replayed in SQL.
     "text_langid" -> { (s, dir) =>
@@ -1348,6 +1368,17 @@ object TextQueries {
          CAST(16 + doc_id % 32 AS INTEGER) AS width,
          CAST(16 + (doc_id // 32) % 32 AS INTEGER) AS height
          FROM documents ORDER BY media_id""",
+
+    "multimodal_tar_layout" ->
+      """SELECT doc_id, shard, entry_offset,
+            entry_offset + 512 AS data_offset, size
+          FROM (SELECT doc_id, shard, size,
+            CAST(COALESCE(SUM(512 + ((size + 511) // 512) * 512) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS entry_offset
+            FROM (SELECT doc_id, doc_id // 50 AS shard,
+                    CAST(strlen(text) AS BIGINT) AS size FROM documents))
+          ORDER BY doc_id""",
 
     // Temperature resampling replayed exactly: per-language counts, keep
     // rate √(n_min/n) (÷ and √ are correctly-rounded IEEE ops on both

@@ -131,4 +131,125 @@ object WebDataset {
       .flatMap(s => s.files.iterator.map { case (ext, p) => (s.shard, s.key, ext, p) })
       .toDF("shard", "key", "ext", "payload")
   }
+
+  // ---- sink: the writer dual of the source ----
+
+  /** One written shard: path, samples packed, bytes on disk. */
+  final case class ShardInfo(shard: String, samples: Long, bytes: Long)
+
+  private def octalField(v: Long, len: Int): Array[Byte] = {
+    val digits = len - 1
+    val s = java.lang.Long.toOctalString(v)
+    require(v >= 0 && s.length <= digits, s"value $v overflows $digits octal digits")
+    val out = new Array[Byte](len)
+    var i = 0
+    while (i < digits - s.length) { out(i) = '0'; i += 1 }
+    s.foreach { c => out(i) = c.toByte; i += 1 }
+    out(len - 1) = 0
+    out
+  }
+
+  /** Deterministic POSIX ustar header for a regular file: mode 0644,
+    * uid/gid 0, mtime 0 — byte-identical across runs, so a re-written
+    * shard of identical samples is bit-identical (the reproducibility
+    * contract the parquet side gets from deterministic plans). */
+  private[graft] def tarHeader(name: String, size: Long): Array[Byte] = {
+    val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(nb.length > 0 && nb.length <= 100,
+      s"tar member name must be 1-100 bytes, got ${nb.length}: $name")
+    val h = new Array[Byte](BlockSize)
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    System.arraycopy(octalField(0x1a4 /* 0644 */, 8), 0, h, 100, 8)
+    System.arraycopy(octalField(0, 8), 0, h, 108, 8)
+    System.arraycopy(octalField(0, 8), 0, h, 116, 8)
+    System.arraycopy(octalField(size, 12), 0, h, 124, 12)
+    System.arraycopy(octalField(0, 12), 0, h, 136, 12)
+    h(156) = '0'
+    // magic "ustar\0" + version "00"
+    val magic = Array[Byte]('u', 's', 't', 'a', 'r', 0, '0', '0')
+    System.arraycopy(magic, 0, h, 257, 8)
+    // checksum over the header with the checksum field itself as spaces,
+    // stored as 6 octal digits + NUL + space (the historical format)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    var i = 0
+    while (i < BlockSize) { sum += h(i) & 0xff; i += 1 }
+    val cs = java.lang.Long.toOctalString(sum)
+    i = 0
+    while (i < 6 - cs.length) { h(148 + i) = '0'; i += 1 }
+    cs.foreach { c => h(148 + i) = c.toByte; i += 1 }
+    h(154) = 0
+    h(155) = ' '
+    h
+  }
+
+  /** Pack (key, files) rows into WebDataset tar shards under `dir` —
+    * the export half of the multimodal story (the source reads training
+    * shards; this writes them, e.g. after dedup/curation, for a
+    * WebDataset-consuming dataloader). One task per input partition,
+    * `samplesPerShard` samples per tar (the WebDataset sizing knob:
+    * shard size = download/parallelism granularity at training time);
+    * members are `key.ext` with extensions emitted in sorted order, and
+    * headers are deterministic ([[tarHeader]]), so layout is a pure
+    * function of (partitioning, row order, payloads) — callers fix the
+    * first two with `repartitionByRange(...).sortWithinPartitions(...)`
+    * upstream and offsets become closed-form 512-block arithmetic (the
+    * `multimodal_tar_layout` query's oracle).
+    *
+    * Scale shape: streaming write per task through the Hadoop
+    * FileSystem API (local/HDFS/object store), no shard ever buffered
+    * whole; driver work is only the returned one-row-per-shard
+    * manifest. Executor-side `Configuration()` inherits the cluster's
+    * site configs from the classpath, as on any real deployment. */
+  def writeShards(
+      samples: DataFrame,
+      keyCol: String,
+      filesCol: String,
+      dir: String,
+      samplesPerShard: Int = 1000): Seq[ShardInfo] = {
+    require(samplesPerShard > 0, "samplesPerShard must be positive")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val rows = samples.select(
+      col(keyCol).cast("string").as("key"),
+      col(filesCol).as("files"))
+    val out = rows.as[(String, Map[String, Array[Byte]])]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(conf)
+        fs.mkdirs(root)
+        val shards = scala.collection.mutable.ArrayBuffer.empty[ShardInfo]
+        var seq = 0
+        while (it.hasNext) {
+          val name = f"shard-$pid%05d-$seq%04d.tar"
+          val path = new org.apache.hadoop.fs.Path(root, name)
+          val os = fs.create(path, false)
+          var n = 0L
+          var bytes = 0L
+          try {
+            while (it.hasNext && n < samplesPerShard) {
+              val (key, files) = it.next()
+              files.toSeq.sortBy(_._1).foreach { case (ext, payload) =>
+                val member = if (ext.isEmpty) key else s"$key.$ext"
+                os.write(tarHeader(member, payload.length.toLong))
+                os.write(payload)
+                val pad = (BlockSize - payload.length % BlockSize) % BlockSize
+                if (pad > 0) os.write(new Array[Byte](pad))
+                bytes += BlockSize + payload.length + pad
+              }
+              n += 1
+            }
+            // end-of-archive: two zero blocks
+            os.write(new Array[Byte](2 * BlockSize))
+            bytes += 2 * BlockSize
+          } finally os.close()
+          shards += ShardInfo(path.toString, n, bytes)
+          seq += 1
+        }
+        shards.iterator
+      }
+    out.collect().toSeq.sortBy(_.shard)
+  }
 }

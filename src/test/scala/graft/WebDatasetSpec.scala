@@ -106,4 +106,99 @@ class WebDatasetSpec extends SparkSpec {
     val members = WebDataset.tarMembers(tar)
     assert(members.map(_._1) === Seq("deep/prefix/0001.jpg"))
   }
+
+  // ---- writeShards: the sink dual ----
+
+  import spark.implicits._
+
+  private def sampleDf(rows: Seq[(String, Map[String, Array[Byte]])], parts: Int = 1) =
+    spark.createDataset(rows).toDF("key", "files").repartition(parts)
+      .sortWithinPartitions("key")
+
+  test("writeShards → samples roundtrips payloads bit-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("wds-sink").toString
+    val rows = Seq(
+      "0001" -> Map("jpg" -> bytes("J" * 700), "json" -> bytes("""{"y":1}""")),
+      "0002" -> Map("jpg" -> Array.empty[Byte], "json" -> bytes("""{"y":2}""")),
+      "0003" -> Map("txt" -> bytes("hello")))
+    val info = WebDataset.writeShards(sampleDf(rows), "key", "files", dir)
+    assert(info.map(_.samples).sum === 3)
+    val got = WebDataset.samples(spark, dir).collect()
+      .map(s => s.key -> s.files).toMap
+    assert(got.keySet === rows.map(_._1).toSet)
+    rows.foreach { case (k, files) =>
+      assert(got(k).keySet === files.keySet, k)
+      files.foreach { case (ext, p) =>
+        assert(java.util.Arrays.equals(got(k)(ext), p), s"$k.$ext")
+      }
+    }
+  }
+
+  test("samplesPerShard splits a partition into multiple tars; order preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("wds-split").toString
+    val rows = (1 to 7).map(i => f"k$i%04d" -> Map("txt" -> bytes(s"payload-$i")))
+    val info = WebDataset.writeShards(sampleDf(rows), "key", "files", dir,
+      samplesPerShard = 3)
+    assert(info.length === 3 && info.map(_.samples) === Seq(3L, 3L, 1L))
+    // global read-back order across shard filenames == input order
+    val keys = info.sortBy(_.shard).flatMap { si =>
+      val tarBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(new java.net.URI(si.shard).getPath match {
+          case "" | null => si.shard
+          case p => p
+        }))
+      WebDataset.tarMembers(tarBytes).map(m => WebDataset.keyExt(m._1)._1)
+    }
+    assert(keys === rows.map(_._1))
+  }
+
+  test("written member offsets equal the closed-form 512-block layout") {
+    val dir = java.nio.file.Files.createTempDirectory("wds-layout").toString
+    val payloads = Seq(0, 1, 511, 512, 513, 1300).zipWithIndex.map {
+      case (n, i) => f"k$i%04d" -> Map("bin" -> Array.fill[Byte](n)('x'))
+    }
+    val info = WebDataset.writeShards(sampleDf(payloads), "key", "files", dir)
+    assert(info.length === 1)
+    val tar = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(info.head.shard).getPath))
+    // the multimodal_tar_layout formula: entry_i = Σ_{j<i} 512 + ⌈size/512⌉·512
+    var expected = 0L
+    payloads.foreach { case (k, files) =>
+      val size = files("bin").length
+      // header at expected: name matches and parsed size matches
+      val name = new String(tar.slice(expected.toInt, expected.toInt + 20), "UTF-8")
+        .takeWhile(_ != '\u0000')
+      assert(name === s"$k.bin", s"at offset $expected")
+      expected += 512 + ((size + 511L) / 512) * 512
+    }
+    // end-of-archive blocks land right after the last member
+    assert(info.head.bytes === expected + 1024)
+    assert(tar.length === expected + 1024)
+    assert(tar(expected.toInt) === 0)
+  }
+
+  test("writeShards is deterministic: identical input → bit-identical shards") {
+    val d1 = java.nio.file.Files.createTempDirectory("wds-d1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("wds-d2").toString
+    val rows = (1 to 5).map(i => f"k$i%04d" ->
+      Map("a" -> bytes(s"A$i"), "b" -> bytes("B" * i)))
+    val i1 = WebDataset.writeShards(sampleDf(rows), "key", "files", d1)
+    val i2 = WebDataset.writeShards(sampleDf(rows), "key", "files", d2)
+    val b1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(i1.head.shard).getPath))
+    val b2 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(i2.head.shard).getPath))
+    assert(java.util.Arrays.equals(b1, b2))
+  }
+
+  test("member names over 100 bytes fail loudly at write time") {
+    val dir = java.nio.file.Files.createTempDirectory("wds-long").toString
+    val rows = Seq(("k" * 120) -> Map("txt" -> bytes("x")))
+    val e = intercept[Exception] {
+      WebDataset.writeShards(sampleDf(rows), "key", "files", dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("1-100 bytes")))
+  }
 }
