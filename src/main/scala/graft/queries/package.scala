@@ -42,13 +42,25 @@ package object queries {
 
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet declares TIMESTAMP(NANOS), which the vectorized
-      // parquet reader rejects; read nanos as long and convert to a µs
-      // timestamp (lossless here: the generator emits whole microseconds,
-      // which is also what DuckDB sees after its NANOS→TIMESTAMP coercion).
+      // Some testdata generations declare events.ts as TIMESTAMP(NANOS),
+      // which the vectorized parquet reader rejects; read nanos as long
+      // and convert to a µs timestamp (lossless here: the generator emits
+      // whole microseconds, which is also what DuckDB sees after its
+      // NANOS→TIMESTAMP coercion). Other generations write µs TIMESTAMP
+      // directly — the shim must then be a no-op, so gate it on the
+      // actually-read type.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          // µs TIMESTAMP without zone: reinterpret at the (UTC) session
+          // zone — watermarks/windows require TIMESTAMP_LTZ, and this
+          // matches what the nanos shim produced on older generations.
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Exact decimal view of a double expression. Scale 6 because every
