@@ -115,6 +115,83 @@ object Knn {
     topKPerGroup(partial, Seq(col("query_id")), k, desc("score"), asc(idCol))
   }
 
+  /** Radius (range) search: every candidate whose similarity to the query
+    * meets `minScore` — the "all neighbors within ε" dual of top-k, the
+    * query shape behind near-dup audits and density estimates. Same
+    * broadcast-queries/scan-corpus plan as [[bruteForce]]; the threshold
+    * filter sits directly on the scored scan (no window, no global sort),
+    * so at scale each task emits only its in-radius rows and the result
+    * needs no shuffle beyond the caller's ordering.
+    *
+    * The score column is produced by `score` (callers that need oracle
+    * parity pass a rounded scorer and threshold on the rounded value, so
+    * boundary membership agrees bit-for-bit with the replay). */
+  def rangeSearch(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      queryIdCol: String,
+      vecCol: String,
+      minScore: Double,
+      excludeSelf: Boolean = true,
+      score: (Column, Column) => Column = VectorOps.dot): DataFrame = {
+    val q = broadcast(
+      queries.select(
+        col(queryIdCol).as("query_id"),
+        col(vecCol).as("__query_vec")))
+    val joined = vectors.crossJoin(q)
+    val filtered =
+      if (excludeSelf) joined.filter(col(idCol) =!= col("query_id"))
+      else joined
+    filtered
+      .withColumn("score", score(col(vecCol), col("__query_vec")))
+      .filter(col("score") >= minScore)
+      .drop("__query_vec")
+  }
+
+  /** Matryoshka (MRL) two-stage search: shortlist by an inner product over
+    * the first `prefixDim` dims, then rerank the shortlist with the full
+    * vector (Kusupati et al., "Matryoshka Representation Learning",
+    * NeurIPS'22 — prefix dims of an MRL-trained embedding are themselves a
+    * valid low-dim embedding).
+    *
+    * Scale shape: stage 1 reads a d'/d fraction of the vector bytes (with
+    * a column layout that stores the prefix separately it prunes the scan
+    * itself) and is the only pass over the corpus; stage 2 rescores just
+    * `shortlist` rows per query via an id semi-join back to the full
+    * vectors. Both stages rank on rounded scores with ascending-id
+    * tiebreaks, so the candidate set — and therefore the final top-k — is
+    * deterministic and replayable.
+    *
+    * Output: (query_id, id, score, rank) with the full-dim score. */
+  def matryoshka(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      queryIdCol: String,
+      vecCol: String,
+      prefixDim: Int,
+      shortlist: Int,
+      k: Int,
+      excludeSelf: Boolean = true,
+      score: (Column, Column) => Column = VectorOps.dot): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val prefixScore = (a: Column, b: Column) =>
+      score(slice(a, 1, prefixDim), slice(b, 1, prefixDim))
+    val cand = bruteForce(vectors, queries, idCol, queryIdCol, vecCol,
+        k = shortlist, excludeSelf = excludeSelf, score = prefixScore)
+      .select(col("query_id"), col(idCol))
+    val q = broadcast(
+      queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("__query_vec")))
+    val rescored = cand
+      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(q, Seq("query_id"))
+      .withColumn("score", score(col(vecCol), col("__query_vec")))
+      .drop("__query_vec", vecCol)
+    topKPerGroup(rescored, Seq(col("query_id")), k, desc("score"), asc(idCol))
+  }
+
   /** Generic per-group top-k via rank window (planner turns the rank filter
     * into a group-limit: only k rows per group survive each partial sort). */
   def topKPerGroup(

@@ -500,6 +500,73 @@ object VectorQueries {
           round(avg(col("recall_at_10")), 4).as("mean_recall"),
           count(lit(1)).as("n_queries"))
     },
+
+    // Radius (range) search: all neighbors with rounded similarity >= ε
+    // for a query set — the ε-ball dual of top-k. Threshold sits on the
+    // rounded score so membership replays exactly.
+    "knn_range_search" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Knn.rangeSearch(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding", minScore = 0.3,
+          excludeSelf = true, score = roundedDot)
+        .select(col("query_id"), col("vec_id"), col("score"))
+        .orderBy("query_id", "vec_id")
+    },
+
+    // Matryoshka two-stage search: shortlist of 50 by the first-16-dim
+    // inner product, exact full-dim rerank to top-10. Both stages rank on
+    // rounded scores with id tiebreaks, so shortlist membership — and the
+    // final ranking — is deterministic and fully replayable.
+    "knn_matryoshka" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Knn.matryoshka(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding",
+          prefixDim = 16, shortlist = 50, k = 10,
+          excludeSelf = true, score = roundedDot)
+        .select(col("query_id"), col("vec_id"), col("score"),
+          col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // Retrieval-quality eval: NDCG@10 + MRR@10 of brute-force dense
+    // retrieval against label-match relevance. Discount terms are rounded
+    // to 6dp and summed in DECIMAL (exact, order-independent) so the float
+    // metric replays bit-for-bit; ideal DCG uses the true per-label
+    // relevant count capped at k.
+    "eval_retrieval_metrics" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val ranked = Knn.bruteForce(emb, qs, "vec_id", "vec_id", "embedding",
+        k = 10, excludeSelf = true, score = roundedDot)
+      val qlab = broadcast(
+        qs.select(col("vec_id").as("query_id"), col("label").as("__qlabel")))
+      val labelN = emb.groupBy("label").agg(count(lit(1)).as("__ln"))
+      val dec = "decimal(18,6)"
+      val term = (r: org.apache.spark.sql.Column) =>
+        round(lit(1.0) / (log(r.cast("double") + 1.0) / log(lit(2.0))), 6)
+          .cast(dec)
+      val rel = ranked.join(qlab, Seq("query_id"))
+        .withColumn("rel", (col("label") === col("__qlabel")).cast("int"))
+      val perQ = rel.groupBy("query_id", "__qlabel").agg(
+        sum(when(col("rel") === 1, term(col("rank")))
+          .otherwise(lit(0).cast(dec))).as("__dcg"),
+        min(when(col("rel") === 1, col("rank"))).as("__first"))
+      perQ
+        .join(broadcast(labelN), perQ("__qlabel") === labelN("label"))
+        .withColumn("__ik", least(col("__ln") - lit(1L), lit(10L)))
+        .withColumn("__idcg",
+          aggregate(sequence(lit(1L), col("__ik")),
+            lit(0).cast(dec), (acc, i) => (acc + term(i)).cast(dec)))
+        .select(col("query_id"),
+          when(col("__idcg") > 0,
+              round(col("__dcg").cast("double") / col("__idcg").cast("double"), 4))
+            .otherwise(lit(0.0)).as("ndcg_at_10"),
+          when(col("__first").isNotNull,
+              round(lit(1.0) / col("__first"), 6)).otherwise(lit(0.0))
+            .as("mrr_at_10"),
+          (col("__ln") - 1).cast("long").as("n_relevant"))
+        .orderBy("query_id")
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -707,6 +774,74 @@ object VectorQueries {
            SELECT doc_id, lex_score, sim,
              CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS INTEGER) AS rnk
            FROM r)
-         WHERE rnk <= 10 ORDER BY rnk"""
+         WHERE rnk <= 10 ORDER BY rnk""",
+
+    "knn_range_search" ->
+      s"""SELECT a.vec_id AS query_id, b.vec_id,
+            ${sqlDot("b.embedding", "a.embedding")} AS score
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+            AND ${sqlDot("b.embedding", "a.embedding")} >= 0.3
+          ORDER BY query_id, b.vec_id""",
+
+    "knn_matryoshka" ->
+      s"""WITH cand AS (
+            SELECT query_id, vec_id FROM (
+              SELECT a.vec_id AS query_id, b.vec_id,
+                ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${sqlDot("b.embedding[1:16]", "a.embedding[1:16]")} DESC,
+                           b.vec_id) AS rn
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
+            WHERE rn <= 50)
+          SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rnk FROM (
+            SELECT c.query_id, c.vec_id,
+              ${sqlDot("b.embedding", "a.embedding")} AS score,
+              ROW_NUMBER() OVER (PARTITION BY c.query_id
+                ORDER BY ${sqlDot("b.embedding", "a.embedding")} DESC,
+                         c.vec_id) AS rn
+            FROM cand c
+            JOIN embeddings b ON b.vec_id = c.vec_id
+            JOIN embeddings a ON a.vec_id = c.query_id)
+          WHERE rn <= 10 ORDER BY query_id, rnk""",
+
+    "eval_retrieval_metrics" ->
+      s"""WITH ranked AS (
+            SELECT query_id, vec_id, label, rn FROM (
+              SELECT a.vec_id AS query_id, a.label AS qlabel, b.vec_id, b.label,
+                ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                  ORDER BY ${sqlDot("b.embedding", "a.embedding")} DESC,
+                           b.vec_id) AS rn
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+            WHERE rn <= 10),
+          q AS (SELECT vec_id AS query_id, label AS qlabel FROM embeddings
+                WHERE vec_id < 10),
+          ln_ AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+          perq AS (
+            SELECT r.query_id,
+              SUM(CASE WHEN r.label = q.qlabel
+                THEN CAST(ROUND(1.0 / (LN(r.rn + 1.0) / LN(2)), 6)
+                  AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS dcg,
+              MIN(CASE WHEN r.label = q.qlabel THEN r.rn END) AS first_rel
+            FROM ranked r JOIN q USING (query_id) GROUP BY r.query_id),
+          ideal AS (
+            SELECT q.query_id, LEAST(ln_.n - 1, 10) AS ik, ln_.n - 1 AS n_rel
+            FROM q JOIN ln_ ON ln_.label = q.qlabel),
+          idcg AS (
+            SELECT il.query_id,
+              SUM(CAST(ROUND(1.0 / (LN(t.i + 1.0) / LN(2)), 6)
+                AS DECIMAL(18,6))) AS idcg
+            FROM ideal il JOIN generate_series(1, 10) t(i) ON t.i <= il.ik
+            GROUP BY il.query_id)
+          SELECT p.query_id,
+            CASE WHEN g.idcg > 0
+              THEN ROUND(CAST(p.dcg AS DOUBLE) / CAST(g.idcg AS DOUBLE), 4)
+              ELSE 0.0 END AS ndcg_at_10,
+            CASE WHEN p.first_rel IS NOT NULL
+              THEN ROUND(1.0 / p.first_rel, 6) ELSE 0.0 END AS mrr_at_10,
+            CAST(i.n_rel AS BIGINT) AS n_relevant
+          FROM perq p JOIN idcg g USING (query_id) JOIN ideal i USING (query_id)
+          ORDER BY p.query_id"""
   )
 }
