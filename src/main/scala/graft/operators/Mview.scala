@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Incremental materialized-aggregate maintenance: keep a per-group state
+  * table of ALGEBRAIC partials (count / decimal sum / min / max) and fold
+  * append-only deltas into it without touching the already-aggregated
+  * history — the pattern that turns a daily 100 TB full re-aggregation
+  * into a shuffle over just the day's arrivals.
+  *
+  * Why these four: they are the self-mergeable partials Spark itself uses
+  * for partial aggregation (count/sum add; min/max lattice-join), so
+  * `merge(init(a), init(b)) == init(a ∪ b)` holds exactly — sums
+  * accumulate in DECIMAL(18,6) (order-independent, see queries/package
+  * `dec()`), making the equality bit-true, not approximate. Derived
+  * measures (avg = sum/count) are computed at [[result]] time from the
+  * partials, never stored. Deletes/updates are out of contract (append
+  * log only) — an upsert source should compact through
+  * [[Ingest.upsertLatest]] first.
+  *
+  * The reference's closest analogue is the collection count it refreshes
+  * per ingest batch (vector_db.py chroma count bookkeeping); this is the
+  * general form a warehouse needs.
+  */
+object Mview {
+
+  /** Per-group partial state for one measure column `valueCol`:
+    * (groupCols*, n, sum_dec, mn, mx). */
+  def init(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast(DecimalType(18, 6))).as("sum_dec"),
+      min(col(valueCol)).as("mn"),
+      max(col(valueCol)).as("mx"))
+
+  /** Fold a delta's partial state into an existing state: one shuffle on
+    * the group key over `state ∪ initDelta` — the delta side is typically
+    * tiny, and with both sides bucketed by the group key this is
+    * shuffle-free. Union-then-reaggregate keeps the merge associative and
+    * idempotent-per-batch rather than hand-writing a full-outer-join
+    * coalesce dance. */
+  def merge(state: DataFrame, deltaState: DataFrame, groupCols: Seq[String]): DataFrame =
+    state.unionByName(deltaState)
+      .groupBy(groupCols.map(col): _*).agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_dec")).as("sum_dec"),
+        min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+
+  /** Final measures from the partials (sum/avg as exact-decimal-backed
+    * doubles, rounded for replay parity). */
+  def result(state: DataFrame, groupCols: Seq[String]): DataFrame =
+    state.select(
+      groupCols.map(col) ++ Seq[Column](
+        col("n"),
+        col("sum_dec").cast(DoubleType).as("sum_value"),
+        round(col("sum_dec").cast(DoubleType) / col("n"), 4).as("avg_value"),
+        col("mn").as("min_value"),
+        col("mx").as("max_value")): _*)
+}

@@ -545,6 +545,64 @@ object RelationalQueries {
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_type"), col("value").as("last_value"))
         .orderBy("user_id")
+    },
+
+    // Unpivot (wide→long reshape): stack() is a codegen'd Generate — one
+    // scan, no shuffle, 4× the rows out; the dual of q32_pivot.
+    "q36_unpivot" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .selectExpr("l_orderkey", "l_linenumber",
+          """stack(4,
+               'discount', l_discount,
+               'extendedprice', l_extendedprice,
+               'quantity', l_quantity,
+               'tax', l_tax) AS (measure, value)""")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
+    // Robust per-group outlier profile: exact interpolated median + MAD
+    // (two grouped percentile passes against a broadcast of the first),
+    // then a |x−med| > 3·MAD count. Both engines interpolate the same
+    // order statistics on identical doubles, so the comparison — and the
+    // counts — replay exactly.
+    "q37_mad_outliers" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val med = li.groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("__med"))
+      val withMed = li.join(broadcast(med), Seq("l_returnflag"))
+      val mad = withMed.groupBy("l_returnflag")
+        .agg(percentile(abs(col("l_extendedprice") - col("__med")), lit(0.5))
+          .as("__mad"))
+      withMed.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(
+          round(first(col("__med")), 4).as("med"),
+          round(first(col("__mad")), 4).as("mad"),
+          sum((abs(col("l_extendedprice") - col("__med")) >
+            col("__mad") * 3).cast("long")).as("n_outliers"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // Incremental materialized aggregate: base partial-state + two delta
+    // folds must equal the from-scratch full-table aggregate — the merge
+    // path itself sits under the driver hash because the oracle aggregates
+    // the whole table in one pass.
+    "mview_incremental" -> { (s, dir) =>
+      import graft.operators.Mview
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val li = table(s, dir, "lineitem")
+        .select((keys.map(col) ++ Seq(col("l_orderkey"), col("l_extendedprice"))): _*)
+      val base = li.filter(col("l_orderkey") % 7 < 5)
+      val d1 = li.filter(col("l_orderkey") % 7 === 5)
+      val d2 = li.filter(col("l_orderkey") % 7 === 6)
+      val st = Mview.merge(
+        Mview.merge(Mview.init(base, keys, "l_extendedprice"),
+          Mview.init(d1, keys, "l_extendedprice"), keys),
+        Mview.init(d2, keys, "l_extendedprice"), keys)
+      Mview.result(st, keys).orderBy(keys.map(col): _*)
     }
   )
 
@@ -928,6 +986,49 @@ object RelationalQueries {
             event_type AS last_type, value AS last_value
           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                   ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-          WHERE rn = 1 ORDER BY user_id"""
+          WHERE rn = 1 ORDER BY user_id""",
+
+    "q36_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+           SELECT l_orderkey, l_linenumber, 'discount' AS measure,
+             l_discount AS value FROM lineitem WHERE l_orderkey < 200
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'extendedprice',
+             l_extendedprice FROM lineitem WHERE l_orderkey < 200
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'quantity',
+             l_quantity FROM lineitem WHERE l_orderkey < 200
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'tax',
+             l_tax FROM lineitem WHERE l_orderkey < 200)
+         ORDER BY l_orderkey, l_linenumber, measure""",
+
+    "q37_mad_outliers" ->
+      """WITH med AS (
+           SELECT l_returnflag, MEDIAN(l_extendedprice) AS med
+           FROM lineitem GROUP BY l_returnflag),
+         mad AS (
+           SELECT l.l_returnflag,
+             MEDIAN(ABS(l.l_extendedprice - m.med)) AS mad
+           FROM lineitem l JOIN med m USING (l_returnflag)
+           GROUP BY l.l_returnflag)
+         SELECT l.l_returnflag, ROUND(m.med, 4) AS med,
+           ROUND(d.mad, 4) AS mad,
+           COUNT(CASE WHEN ABS(l.l_extendedprice - m.med) > d.mad * 3
+             THEN 1 END) AS n_outliers,
+           COUNT(*) AS n_rows
+         FROM lineitem l
+         JOIN med m USING (l_returnflag) JOIN mad d USING (l_returnflag)
+         GROUP BY l.l_returnflag, m.med, d.mad
+         ORDER BY l.l_returnflag""",
+
+    "mview_incremental" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+            ${sqlDsum("l_extendedprice")} AS sum_value,
+            ${sqlDavg("l_extendedprice")} AS avg_value,
+            MIN(l_extendedprice) AS min_value,
+            MAX(l_extendedprice) AS max_value
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus"""
   )
 }

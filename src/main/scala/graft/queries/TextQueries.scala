@@ -461,6 +461,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Keep-BEST representative per near-dup cluster: curation keeps the
+    // highest-quality member (here: max n_chars, min-id tiebreak), not
+    // the min id — one group-limit window over the memoized component
+    // map joined to the docs.
+    "dedup_keep_best" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component_id").orderBy(desc("n_chars"), asc("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("n_chars"))
+        .join(componentAssignment(s, dir), Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("component_id"), col("doc_id").as("kept_doc_id"),
+          col("lang"), col("n_chars"))
+        .orderBy("component_id")
+    },
+
     // PII scrub: inject deterministic synthetic emails/URLs (the corpus
     // has none), count them, and fingerprint the scrubbed text — the
     // md5 only matches if the replacement semantics agree bit-for-bit.
@@ -1104,6 +1122,24 @@ object TextQueries {
          FROM documents d JOIN comp ON comp.id = d.doc_id
          WHERE comp.id = comp.component_id
          ORDER BY doc_id""",
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashVerCtes,
+         pairs AS (SELECT left_id, right_id FROM ver WHERE jaccard >= 0.5),
+         cedges AS (SELECT left_id AS ea, right_id AS eb FROM pairs
+                    UNION ALL SELECT right_id, left_id FROM pairs),
+         reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.ea, r.lbl FROM cedges e JOIN reach r ON r.id = e.eb),
+         comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id)
+         SELECT component_id, kept_doc_id, lang, n_chars FROM (
+           SELECT CAST(comp.component_id AS BIGINT) AS component_id,
+             CAST(d.doc_id AS BIGINT) AS kept_doc_id, d.lang, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY comp.component_id
+               ORDER BY d.n_chars DESC, d.doc_id) AS rn
+           FROM documents d JOIN comp ON comp.id = d.doc_id)
+         WHERE rn = 1 ORDER BY component_id""",
 
     "text_scrub_pii" ->
       """WITH w AS (
