@@ -113,14 +113,38 @@ object Dedup {
       maxHamming: Int = 3,
       numBands: Int = 4,
       maxBucketSize: Int = 1024): DataFrame = {
+    requireIntegralId(docs, idCol, "simhashPairs")
+    hamming64Pairs(
+      docs.select(col(idCol).cast("long").as("id"),
+        TextOps.simhashFromTokensUdf(TextOps.tokens(col(textCol))).as("sim")),
+      "id", "sim", maxHamming, numBands, maxBucketSize)
+  }
+
+  /** Banded Hamming near-dup pairs over ANY 64-bit signature column
+    * (simhash, image dHash, audio chromaprint word, …): split the word
+    * into `numBands` chunks, bucket on (band, chunk) — by pigeonhole two
+    * signatures within `maxHamming < numBands` share at least one chunk —
+    * then XOR/POPCNT-verify the candidates exactly. One shuffle: the
+    * signature rides along with the id through the bucket pass, so the
+    * verify needs no join back. Over-cap (degenerate) buckets emit
+    * nothing, bounding worst-case candidate blowup; emitted pairs are
+    * exact (zero false positives), the cap is the only recall trade. */
+  def hamming64Pairs(
+      sig0: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      numBands: Int = 4,
+      maxBucketSize: Int = 1024): DataFrame = {
     val bits = 64 / numBands
+    require(64 % numBands == 0, s"numBands must divide 64 ($numBands)")
     require(maxHamming < numBands,
       s"pigeonhole needs maxHamming < numBands ($maxHamming >= $numBands)")
-    requireIntegralId(docs, idCol, "simhashPairs")
-    val spark = docs.sparkSession
+    requireIntegralId(sig0, idCol, "hamming64Pairs")
+    val spark = sig0.sparkSession
     import spark.implicits._
-    val sig = docs.select(col(idCol).cast("long").as("id"),
-      TextOps.simhashFromTokensUdf(TextOps.tokens(col(textCol))).as("sim"))
+    val sig = sig0.select(col(idCol).cast("long").as("id"),
+      col(hashCol).cast("long").as("sim"))
     val banded = sig.select(col("id"), col("sim"),
       explode(array((0 until numBands).map { i =>
         struct(lit(i).as("band"),

@@ -63,27 +63,112 @@ object Multimodal {
     * decodable by any conformant reader — so decode results are
     * oracle-checkable from the id alone. */
   def withPngPayload(df: DataFrame, idCol: String): DataFrame = {
-    val pngUdf = udf { (id: Long) =>
-      val w = 16 + (id % 32).toInt
-      val h = 16 + ((id / 32) % 32).toInt
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          img.setRGB(x, y, (id * 2654435761L + x * 40503 + y * 65537).toInt & 0xffffff)
-          x += 1
-        }
-        y += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
+    val pngUdf = udf { (id: Long) => encodePng(id, perturb = false) }
     df.select(col(idCol).cast("long").as("media_id"),
       pngUdf(col(idCol).cast("long")).as("payload"))
   }
+
+  /** Near-duplicate PNG fixtures: [[withPngPayload]]'s image for the id
+    * with a 2×2 top-left pixel patch overwritten — a genuinely different
+    * byte stream whose perceptual content is ~identical, re-keyed to
+    * `id + idOffset`. The dHash of such a copy differs from the original
+    * in at most the couple of grid cells the patch lands in. */
+  def withPngPayloadPerturbed(df: DataFrame, idCol: String,
+      idOffset: Long): DataFrame = {
+    val pngUdf = udf { (id: Long) =>
+      encodePng(id, perturb = true)
+    }
+    df.select((col(idCol).cast("long") + idOffset).as("media_id"),
+      pngUdf(col(idCol).cast("long")).as("payload"))
+  }
+
+  private[graft] def encodePng(id: Long, perturb: Boolean): Array[Byte] = {
+    val w = 16 + (id % 32).toInt
+    val h = 16 + ((id / 32) % 32).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (id * 2654435761L + x * 40503 + y * 65537).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    if (perturb) {
+      var py = 0
+      while (py < 2) {
+        var px = 0
+        while (px < 2) { img.setRGB(px, py, 0x808080); px += 1 }
+        py += 1
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash) of an image payload — the classic
+    * perceptual fingerprint for image near-dup detection: decode, reduce
+    * to a 9×8 luma grid with an INTEGER box filter (pure pixel-sum math
+    * over `getRGB`, deliberately not Graphics2D resampling, so the hash
+    * is a platform-independent pure function of the pixels), then bit
+    * (x,y) = 1 iff cell(x,y) is brighter than cell(x+1,y). Survives
+    * re-encode/resize/small edits; pairs join via [[Dedup.hamming64Pairs]].
+    * Null for undecodable payloads. */
+  def dHash64(payload: Array[Byte]): java.lang.Long = {
+    if (payload == null || payload.isEmpty) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return null
+    val (gw, gh) = (9, 8)
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < gw || h < gh) return null
+    val lum = Array.ofDim[Long](gw, gh)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * h / gh; val y1 = (cy + 1) * h / gh
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw; val x1 = (cx + 1) * w / gw
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            // integer BT.601-ish luma: (77 R + 151 G + 28 B) >> 8
+            sum += (77 * ((rgb >> 16) & 0xff) + 151 * ((rgb >> 8) & 0xff) +
+              28 * (rgb & 0xff)) >> 8
+            x += 1
+          }
+          y += 1
+        }
+        lum(cx)(cy) = sum / ((y1 - y0).toLong * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    var i = 0
+    cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < gw - 1) {
+        if (lum(cx)(cy) > lum(cx + 1)(cy)) bits |= (1L << i)
+        i += 1
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** Column form of [[dHash64]]. */
+  def dHashUdf = udf { (payload: Array[Byte]) => Option(dHash64(payload)).map(_.longValue) }
 
   /** Batched decode pass: one partition = one batch, iterator-in /
     * iterator-out like `mapInPandas`, producing the compact metadata

@@ -717,6 +717,26 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    // Image near-dup via 64-bit perceptual dHash + banded Hamming join:
+    // real PNG decode → integer 9×8 luma grid → gradient-sign bits →
+    // pigeonhole-banded pair join, exact XOR/POPCNT verify. Because the
+    // fixture pixels are pure integer functions of the id and PNG is
+    // lossless, the ENTIRE path — decode, box filter, bit packing, pair
+    // join — replays in DuckDB from the ids alone, making this a fully
+    // hash-checked multimodal query, not a rows-only one.
+    "multimodal_phash" -> { (s, dir) =>
+      import graft.operators.{Dedup, Multimodal}
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      val media = Multimodal.withPngPayload(docs, "doc_id")
+        .unionByName(Multimodal.withPngPayloadPerturbed(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", idOffset = 10000L))
+      val sig = media.select(col("media_id"),
+        Multimodal.dHashUdf(col("payload")).as("phash"))
+      Dedup.hamming64Pairs(sig, "media_id", "phash",
+          maxHamming = 6, numBands = 8)
+        .orderBy("left_id", "right_id")
+    },
+
     // WebDataset shard layout as pure 512-block arithmetic: where each
     // document's tar member would land (entry offset, data offset) if
     // the corpus were packed 50 samples/shard in doc_id order — the
@@ -1404,6 +1424,61 @@ object TextQueries {
          CAST(16 + doc_id % 32 AS INTEGER) AS width,
          CAST(16 + (doc_id // 32) % 32 AS INTEGER) AS height
          FROM documents ORDER BY media_id""",
+
+    // dHash replayed from scratch: the fixture pixel at (x,y) of image id
+    // is (id*2654435761 + x*40503 + y*65537) & 0xffffff (PNG is lossless,
+    // so decode returns exactly this), perturbed copies overwrite the 2×2
+    // top-left patch with grey 128. Luma/box-filter/packing use the same
+    // integer ops as the Scala side; bit 63's term is the ready-made
+    // two's-complement constant because DuckDB's 1<<63 overflows; the
+    // HUGEINT sum of distinct power terms casts back to BIGINT exactly.
+    // The banded join is replayed as the brute-force pair scan it provably
+    // equals (maxHamming 6 < numBands 8, no bucket near the cap).
+    "multimodal_phash" ->
+      """WITH m AS (
+           SELECT CAST(doc_id AS BIGINT) AS media_id,
+                  CAST(doc_id AS BIGINT) AS src_id, FALSE AS pert
+           FROM documents WHERE doc_id < 200
+           UNION ALL
+           SELECT CAST(doc_id + 10000 AS BIGINT), CAST(doc_id AS BIGINT), TRUE
+           FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0),
+         d AS (SELECT media_id, src_id, pert,
+                 16 + (src_id % 32) AS w, 16 + ((src_id // 32) % 32) AS h
+               FROM m),
+         px AS (
+           SELECT d.media_id, d.w, d.h, xs.x, ys.y,
+             CASE WHEN d.pert AND xs.x < 2 AND ys.y < 2 THEN 128
+               ELSE (77 * (((d.src_id * 2654435761 + xs.x * 40503 + ys.y * 65537) >> 16) & 255)
+                   + 151 * (((d.src_id * 2654435761 + xs.x * 40503 + ys.y * 65537) >> 8) & 255)
+                   + 28 * ((d.src_id * 2654435761 + xs.x * 40503 + ys.y * 65537) & 255)) >> 8
+             END AS lum
+           FROM d
+           JOIN generate_series(0, 46) xs(x) ON xs.x < d.w
+           JOIN generate_series(0, 46) ys(y) ON ys.y < d.h),
+         cell AS (
+           SELECT p.media_id, cxs.cx, cys.cy, SUM(p.lum) // COUNT(*) AS lum
+           FROM px p
+           JOIN generate_series(0, 8) cxs(cx)
+             ON p.x >= cxs.cx * p.w // 9 AND p.x < (cxs.cx + 1) * p.w // 9
+           JOIN generate_series(0, 7) cys(cy)
+             ON p.y >= cys.cy * p.h // 8 AND p.y < (cys.cy + 1) * p.h // 8
+           GROUP BY p.media_id, cxs.cx, cys.cy),
+         bits AS (
+           SELECT a.media_id,
+             CAST(SUM(CASE WHEN a.lum > b.lum THEN
+               CASE WHEN a.cy * 8 + a.cx = 63
+                 THEN (-9223372036854775808)::HUGEINT
+                 ELSE (1::BIGINT << (a.cy * 8 + a.cx))::HUGEINT END
+               ELSE 0::HUGEINT END) AS BIGINT) AS h
+           FROM cell a JOIN cell b
+             ON b.media_id = a.media_id AND b.cy = a.cy AND b.cx = a.cx + 1
+           GROUP BY a.media_id)
+         SELECT left_id, right_id, hamming FROM (
+           SELECT a.media_id AS left_id, b.media_id AS right_id,
+             CAST(BIT_COUNT(XOR(a.h, b.h)) AS INTEGER) AS hamming
+           FROM bits a JOIN bits b ON a.media_id < b.media_id)
+         WHERE hamming <= 6
+         ORDER BY left_id, right_id""",
 
     "multimodal_tar_layout" ->
       """SELECT doc_id, shard, entry_offset,

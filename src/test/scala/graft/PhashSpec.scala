@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal}
+
+/** Perceptual-hash image dedup: dHash64 determinism and robustness, and
+  * hamming64Pairs' pigeonhole recall against the brute-force pair scan.
+  * (End-to-end decode→hash→join parity vs DuckDB is the multimodal_phash
+  * oracle's job; this pins the operator-level contracts.) */
+class PhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dHash64 is a deterministic pure function of the payload") {
+    val p = Multimodal.encodePng(7L, perturb = false)
+    assert(Multimodal.dHash64(p) === Multimodal.dHash64(p.clone()))
+    // re-encoding the same pixels yields the same hash (PNG lossless)
+    assert(Multimodal.dHash64(Multimodal.encodePng(7L, perturb = false)) ===
+      Multimodal.dHash64(p))
+  }
+
+  test("identical images hash equal; a 2x2 patch moves few bits") {
+    (0L until 40L).foreach { id =>
+      val a = Multimodal.dHash64(Multimodal.encodePng(id, perturb = false))
+      val b = Multimodal.dHash64(Multimodal.encodePng(id, perturb = true))
+      val d = java.lang.Long.bitCount(a ^ b)
+      assert(d <= 8, s"id=$id perturbed dHash moved $d bits")
+    }
+  }
+
+  test("dHash64 rejects null/empty/undecodable payloads") {
+    assert(Multimodal.dHash64(null) === null)
+    assert(Multimodal.dHash64(Array.emptyByteArray) === null)
+    assert(Multimodal.dHash64("not a png".getBytes) === null)
+  }
+
+  test("hamming64Pairs equals brute force within the pigeonhole bound") {
+    val sig = (0L until 120L)
+      .map(id => (id, Multimodal.dHash64(Multimodal.encodePng(id, perturb = false)).longValue()))
+      .toDF("id", "h")
+    val banded = Dedup.hamming64Pairs(sig, "id", "h",
+        maxHamming = 6, numBands = 8)
+      .select("left_id", "right_id", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val rows = sig.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, d)).toSet
+    assert(banded === brute)
+  }
+}
