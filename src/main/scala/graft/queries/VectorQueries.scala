@@ -501,10 +501,37 @@ object VectorQueries {
           count(lit(1)).as("n_queries"))
     },
 
-    // Radius (range) search: all neighbors with rounded similarity >= ε
-    // for a query set — the ε-ball dual of top-k. Threshold sits on the
-    // rounded score so membership replays exactly.
-    "knn_range_search" -> { (s, dir) =>
+    // Contrastive mining, hard regime: the 5 most-similar WRONG-label
+    // candidates per anchor — informative near-misses for embedding
+    // finetunes. Label anti-filter under the broadcast-scan group-limit.
+    "knn_hard_negatives" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Contrastive.hardNegatives(
+          emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding", "label", k = 5,
+          score = roundedDot)
+        .select(col("query_id"), col("vec_id"), col("label"), col("score"),
+          col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // Contrastive mining, uniform regime: 5 seeded random wrong-label
+    // negatives per anchor on the portable mix32 lottery — the draw is a
+    // pure function of (ids, seed), so DuckDB replays the exact sample.
+    "sample_negatives" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      graft.operators.Contrastive.randomNegatives(
+          emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "vec_id", "label", k = 5, seed = 42L)
+        .select(col("query_id"), col("vec_id"), col("label"), col("lot"),
+          col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // Radius (range) search, brute-force baseline of the IVF-backed
+    // knn_range_search above: the ε-ball dual of top-k with the threshold
+    // on the rounded score so membership replays exactly.
+    "knn_range_bruteforce" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       Knn.rangeSearch(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "vec_id", "embedding", minScore = 0.3,
@@ -776,7 +803,33 @@ object VectorQueries {
            FROM r)
          WHERE rnk <= 10 ORDER BY rnk""",
 
-    "knn_range_search" ->
+    "knn_hard_negatives" ->
+      s"""SELECT query_id, vec_id, label, score, CAST(rn AS INTEGER) AS rnk
+          FROM (
+            SELECT a.vec_id AS query_id, b.vec_id, b.label,
+              ${sqlDot("b.embedding", "a.embedding")} AS score,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY ${sqlDot("b.embedding", "a.embedding")} DESC,
+                         b.vec_id) AS rn
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 5 AND b.label <> a.label)
+          WHERE rn <= 5 ORDER BY query_id, rnk""",
+
+    "sample_negatives" ->
+      s"""SELECT query_id, vec_id, label, lot, CAST(rn AS INTEGER) AS rnk
+          FROM (
+            SELECT query_id, vec_id, label, lot,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY lot, vec_id) AS rn
+            FROM (
+              SELECT a.vec_id AS query_id, b.vec_id, b.label,
+                ${mixSql("((a.vec_id * 1000003 + b.vec_id) % 4294967296" +
+                  " + 42 * 2654435761) % 4294967296")} % 1073741824 AS lot
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < 5 AND b.label <> a.label))
+          WHERE rn <= 5 ORDER BY query_id, rnk""",
+
+    "knn_range_bruteforce" ->
       s"""SELECT a.vec_id AS query_id, b.vec_id,
             ${sqlDot("b.embedding", "a.embedding")} AS score
           FROM embeddings a, embeddings b
