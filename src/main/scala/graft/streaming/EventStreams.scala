@@ -95,6 +95,73 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming maintenance of a materialized aggregate: each micro-batch
+    * becomes a [[graft.operators.Mview]] partial state folded into a
+    * durable parquet state under `statePath` — the streaming twin of the
+    * batch `mview_incremental` path, and the shape that keeps a 100 TB
+    * rollup current by shuffling only each batch's arrivals.
+    *
+    * Exactly-once without sink transactions: state versions are written
+    * to `statePath/v<batchId>` and committed by a tiny `_LATEST` pointer
+    * recording the batch id; a replayed batch (foreachBatch reruns after
+    * a crash between sink commit and checkpoint commit) sees
+    * `id <= lastApplied` and skips, so the non-idempotent merge is never
+    * double-applied. Old versions are retained (time-travel / debugging);
+    * a janitor can prune below the pointer. */
+  def mviewMaintain(
+      stream: DataFrame,
+      statePath: String,
+      groupCols: Seq[String],
+      valueCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val last = mviewPointer(spark, statePath)
+        if (last.forall(_ < id)) {
+          val delta = graft.operators.Mview.init(batch, groupCols, valueCol)
+          val merged = last match {
+            case Some(v) => graft.operators.Mview.merge(
+              spark.read.parquet(s"$statePath/v$v"), delta, groupCols)
+            case None => delta
+          }
+          merged.write.mode("overwrite").parquet(s"$statePath/v$id")
+          writeMviewPointer(spark, statePath, id)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Current state of a [[mviewMaintain]] directory, if any batch has
+    * committed. */
+  def mviewState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[DataFrame] =
+    mviewPointer(spark, statePath).map(v => spark.read.parquet(s"$statePath/v$v"))
+
+  private def mviewPointer(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath),
+      spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(statePath, "_LATEST")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeMviewPointer(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, id: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath),
+      spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(statePath, "_LATEST")
+    val out = fs.create(p, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Micro-batch ANN SERVING: a stream of query vectors answered against
     * a frozen index — the reference's scatter-gather request loop
     * (nearest_neighbor_client.py:34-72) as a stream instead of an HTTP

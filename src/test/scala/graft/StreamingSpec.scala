@@ -337,4 +337,30 @@ class StreamingSpec extends SparkSpec {
     assert(enriched.count() === batchEvents.count())
     assert(enriched.filter(col("type_tag").isNull).count() === 0)
   }
+
+  test("streaming mview maintenance equals the from-scratch batch aggregate") {
+    import graft.operators.Mview
+    val statePath = Files.createTempDirectory("mview-state").toString
+    val keys = Seq("event_type")
+    val q = EventStreams.mviewMaintain(streamEvents, statePath, keys, "value")
+    q.awaitTermination(120000)
+    val got = Mview.result(
+        EventStreams.mviewState(spark, statePath).get, keys)
+      .orderBy("event_type").collect().toSeq
+    val want = Mview.result(Mview.init(batchEvents, keys, "value"), keys)
+      .orderBy("event_type").collect().toSeq
+    assert(got === want)
+    // replayed batch id (crash between sink commit and checkpoint
+    // commit) must be a no-op: the pointer already covers it
+    def pointer: Long = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(statePath, "_LATEST")), "UTF-8").trim.toLong
+    val before = spark.read.parquet(s"$statePath/v$pointer").collect().toSet
+    // a second AvailableNow run over the SAME source files (fresh
+    // checkpoint) restarts batch ids at 0, so every id is <= lastApplied
+    // and the state must not move
+    val q2 = EventStreams.mviewMaintain(streamEvents, statePath, keys, "value")
+    q2.awaitTermination(120000)
+    val after = spark.read.parquet(s"$statePath/v$pointer").collect().toSet
+    assert(after === before)
+  }
 }
