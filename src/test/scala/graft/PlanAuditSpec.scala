@@ -218,4 +218,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(400))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("knn_matryoshka: both stages group-limit; shortlist joins broadcast") {
+    val p = plan("knn_matryoshka")
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // stage-2 rescore joins the 50-row shortlist back to the corpus —
+    // never a second cartesian over the full corpus
+    assert("CartesianProduct".r.findAllIn(p).isEmpty, p.take(800))
+  }
+
+  test("mview_incremental: state merge is partial+final hash agg, no sort agg") {
+    val p = plan("mview_incremental")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
+    assert(!p.contains("SortAggregate"), p.take(600))
+  }
+
+  test("knn_hard_negatives: label anti-filter sits under the group-limit") {
+    val p = plan("knn_hard_negatives")
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("multimodal_phash: banded pair generation has no cartesian join") {
+    val p = plan("multimodal_phash")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q37_mad_outliers: percentile tables broadcast back to the scan") {
+    val p = plan("q37_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
