@@ -603,6 +603,26 @@ object RelationalQueries {
           Mview.init(d1, keys, "l_extendedprice"), keys),
         Mview.init(d2, keys, "l_extendedprice"), keys)
       Mview.result(st, keys).orderBy(keys.map(col): _*)
+    },
+
+    // Retention cohort triangle: users bucketed by first-activity week,
+    // distinct-active counts per (cohort, weeks-since) — the classic
+    // product-analytics rollup. Two grouped passes; the per-user cohort
+    // table is the only join side and it broadcasts at any realistic
+    // user-count : event-count ratio.
+    "q38_retention" -> { (s, dir) =>
+      val ev = table(s, dir, "events").select(col("user_id"), col("ts"))
+      val cohort = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("__c"))
+      ev.join(cohort, Seq("user_id"))
+        .withColumn("__w", date_trunc("week", col("ts")))
+        .groupBy("__c", "__w")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .select(to_date(col("__c")).as("cohort_week"),
+          (datediff(to_date(col("__w")), to_date(col("__c"))) / 7)
+            .cast("int").as("week_no"),
+          col("active_users"))
+        .orderBy("cohort_week", "week_no")
     }
   )
 
@@ -1029,6 +1049,17 @@ object RelationalQueries {
             MIN(l_extendedprice) AS min_value,
             MAX(l_extendedprice) AS max_value
           FROM lineitem GROUP BY l_returnflag, l_linestatus
-          ORDER BY l_returnflag, l_linestatus"""
+          ORDER BY l_returnflag, l_linestatus""",
+
+    "q38_retention" ->
+      """WITH c AS (
+           SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cw
+           FROM events GROUP BY user_id)
+         SELECT CAST(c.cw AS DATE) AS cohort_week,
+           CAST(DATE_DIFF('day', CAST(c.cw AS DATE),
+             CAST(DATE_TRUNC('week', e.ts) AS DATE)) // 7 AS INTEGER) AS week_no,
+           COUNT(DISTINCT e.user_id) AS active_users
+         FROM events e JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -150,6 +150,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Model-based quality gate (the fasttext/DCLM-classifier stage with
+    // the learned weights replaced by fixed ones — the ENGINE-side
+    // contract is identical): a logistic score over the rounded quality
+    // features, thresholded at 0.5. Feature rounding happens before the
+    // logit on both sides, so the transcendental tail (exp/ln, rounded to
+    // 6 dp) replays exactly.
+    "text_quality_model" -> { (s, dir) =>
+      val f = table(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        round(TextOps.stopwordRatio(col("text"), stopwords), 6).as("stop_ratio"),
+        round(TextOps.avgTokenLength(col("text")), 6).as("avg_token_len"))
+      val logit = lit(-2.0) + lit(6.0) * col("stop_ratio") -
+        lit(0.3) * col("avg_token_len") +
+        lit(0.5) * log(lit(1.0) + col("n_tokens"))
+      f.withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-logit)), 6))
+        .withColumn("keep", (col("score") >= 0.5).cast("int"))
+        .select("doc_id", "score", "keep")
+        .orderBy("doc_id")
+    },
+
     // BPE-ish subword counting: greedy fixed-width chunking via regex —
     // the token-budget estimator of a training-data pipeline.
     "text_bpe_tokens" -> { (s, dir) =>
@@ -932,6 +952,24 @@ object TextQueries {
          CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}')) AS INTEGER) AS n_subwords,
          CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_words
          FROM documents ORDER BY doc_id""",
+
+    "text_quality_model" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+             ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE)
+               / LEN(STRING_SPLIT(text, ' ')), 6) AS stop_ratio,
+             ROUND(CAST(LENGTH(text) - LEN(STRING_SPLIT(text, ' ')) + 1 AS DOUBLE)
+               / LEN(STRING_SPLIT(text, ' ')), 6) AS avg_token_len
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             ROUND(1.0 / (1.0 + EXP(-(-2.0 + 6.0 * stop_ratio
+               - 0.3 * avg_token_len + 0.5 * LN(1.0 + n_tokens)))), 6) AS score
+           FROM f)
+         SELECT doc_id, score,
+           CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         FROM s ORDER BY doc_id""",
 
     "text_fingerprint" ->
       """SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fp,
