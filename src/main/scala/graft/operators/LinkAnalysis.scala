@@ -280,6 +280,60 @@ object LinkAnalysis {
     *
     * @return (node BIGINT, degree BIGINT, triangles BIGINT, lcc DOUBLE),
     *         one row per node that appears in `pairs`. */
+  /** k-core: the maximal subgraph in which every node has degree ≥ k
+    * (Seidman 1983), by Matula–Beck peeling — iteratively drop nodes with
+    * degree < k and their edges until nothing changes. In curation this
+    * isolates the densely-interlinked hub/boilerplate clusters that raw
+    * degree or PageRank over-ranks; genuinely iterative (monotone edge
+    * DELETION), so unlike the fixed-point rank queries it has no
+    * recursive-SQL replay — correctness is KCoreSpec's (brute-force
+    * peeling equivalence + the degree/maximality invariants).
+    *
+    * Scale shape, per round: one node-sized degree aggregate + two
+    * left-semi joins of the edge list against the (shrinking) keep set,
+    * lineage truncated by localCheckpoint exactly like [[Components]].
+    * The edge count strictly decreases, so convergence is an exact count
+    * compare — no hash signature needed — and the round count is bounded
+    * by the peeling depth (≤ graph diameter in practice, not |V|).
+    *
+    * Output: (node, core_degree) for k-core members — core_degree is the
+    * degree WITHIN the core (≥ k by the fixpoint). */
+  def kCore(
+      pairs: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      k: Int,
+      maxIter: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_degree"))
+    var edges = pairs
+      .select(col(leftCol).as("a"), col(rightCol).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var n = edges.count()
+    var iter = 0
+    var converged = n == 0L
+    while (!converged && iter < maxIter) {
+      val keep = degrees(edges).filter(col("core_degree") >= k).select("node")
+      val pruned = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(eager = true)
+      val m = pruned.count()
+      converged = m == n
+      edges = pruned
+      n = m
+      iter += 1
+    }
+    require(converged || n == 0L, s"kCore: no fixpoint after $maxIter rounds")
+    degrees(edges)
+  }
+
   def triangles(pairs: DataFrame, leftCol: String, rightCol: String): DataFrame = {
     val e = pairs
       .select(col(leftCol).cast("long").as("a"), col(rightCol).cast("long").as("b"))

@@ -531,6 +531,24 @@ object RelationalQueries {
         .orderBy("node")
     },
 
+    // k-core of the co-supply graph: iterative Matula–Beck peeling to the
+    // maximal ≥k-degree subgraph. Genuinely iterative monotone DELETION —
+    // no recursive-SQL replay exists, so this is rows-only; KCoreSpec
+    // pins brute-force-peeling equivalence and the degree/maximality
+    // invariants, and the output (core membership + within-core degree)
+    // is deterministic integers.
+    "graph_kcore" -> { (s, dir) =>
+      val ps = table(s, dir, "lineitem")
+        .where(col("l_partkey") % 3 === 0)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val coSupply = ps.as("x").join(ps.as("y"), Seq("pk"))
+        .filter(col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("s1"), col("y.sk").as("s2"))
+      graft.operators.LinkAnalysis.kCore(coSupply, "s1", "s2", k = 8)
+        .orderBy("node")
+    },
+
     // Merge-into upsert (SCD1): latest event per user across a base half
     // and an updates half (union = whole table, which is what makes the
     // oracle a plain window over `events`). WindowGroupLimit keeps the

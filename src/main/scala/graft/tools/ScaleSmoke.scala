@@ -467,6 +467,43 @@ object ScaleSmoke {
     }
 
     // skew: 95% of rows in ONE group; countDistinct forces the full key
+    // incremental MV maintenance: the delta fold must cost delta-sized
+    // work, not base-sized — the merge shuffles |groups| + |delta groups|
+    // rows regardless of how many rows built the base state
+    section("mview") {
+    val keys = Seq("l_returnflag", "l_linestatus")
+    var st: DataFrame = null
+    time("mview init over the full fact table") {
+      st = graft.operators.Mview.init(li, keys, "l_extendedprice")
+        .localCheckpoint(true)
+      st.count()
+    }
+    val delta = table(spark, dir, "lineitem").limit(50000)
+    time("fold a 50k-row delta into the state") {
+      st = graft.operators.Mview
+        .merge(st, graft.operators.Mview.init(delta, keys, "l_extendedprice"), keys)
+        .localCheckpoint(true)
+      st.count()
+    }
+    time("full from-scratch reaggregate (the cost avoided)") {
+      graft.operators.Mview.init(li.unionByName(delta), keys, "l_extendedprice").count()
+    }
+    }
+    // perceptual-hash image dedup: decode+hash is scan-local (the only
+    // corpus pass); the banded pair join touches 8 chunk buckets per
+    // image — linear fan-out, no pair space
+    section("phash") {
+    val media = graft.operators.Multimodal.withPngPayload(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id")
+    val sig = media.select(col("media_id"),
+        graft.operators.Multimodal.dHashUdf(col("payload")).as("ph"))
+      .localCheckpoint(true)
+    time("decode + dHash (scan-local)") { sig.count() }
+    time("banded Hamming pair join") {
+      graft.operators.Dedup.hamming64Pairs(sig, "media_id", "ph",
+        maxHamming = 6, numBands = 8).count()
+    }
+    }
     // stream through the reducers (no partial collapse), so the hot group
     // pins one task unless salted
     section("skew-agg") {

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LinkAnalysis
+
+/** k-core correctness: hand graphs with known cores, equivalence against
+  * local brute-force peeling, and the two defining invariants (every
+  * member has ≥ k within-core neighbors; the result is the MAXIMAL such
+  * subgraph, so one more peeling pass changes nothing). */
+class KCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def localKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var es = edges.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => (n, xs.size) }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != es.size
+      es = next
+    }
+    es.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => (n, xs.size) }
+  }
+
+  private def run(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    LinkAnalysis.kCore(edges.toDF("a", "b"), "a", "b", k)
+      .as[(Long, Long)].collect().toMap
+
+  test("4-core of a 5-clique with pendant chain is exactly the clique") {
+    val clique = for { i <- 0L until 5L; j <- (i + 1) until 5L } yield (i, j)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val got = run(clique ++ chain, k = 4)
+    assert(got.keySet === (0L until 5L).toSet)
+    assert(got.values.forall(_ === 4L))
+  }
+
+  test("2-core of a tree is empty") {
+    val tree = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L), (2L, 5L))
+    assert(run(tree, k = 2).isEmpty)
+  }
+
+  test("matches local brute-force peeling on a pseudo-random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(600)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    for (k <- Seq(2, 4, 6)) {
+      val got = run(edges, k)
+      val want = localKCore(edges, k).map { case (n, d) => (n, d.toLong) }
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("invariants: min within-core degree >= k; result is maximal") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val k = 5
+    val core = run(edges, k)
+    if (core.nonEmpty) {
+      assert(core.values.min >= k)
+      // maximality: peeling the already-peeled core subgraph is a no-op
+      val coreEdges = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct.filter(e => core.contains(e._1) && core.contains(e._2))
+      assert(run(coreEdges, k) === core)
+    }
+  }
+}
