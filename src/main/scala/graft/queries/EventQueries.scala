@@ -10,6 +10,30 @@ import org.apache.spark.sql.functions._
 object EventQueries {
 
   val queries: Map[String, Query] = Map(
+    // Time-series gap fill / resample: a dense hourly grid over the fixed
+    // reporting window × every event type, zero-filled where no events
+    // landed — the dashboard-resample shape. The grid is a generated
+    // literal sequence crossed with the tiny type dimension (both bounded
+    // by calendar × cardinality, never by event volume); actual counts
+    // left-join in from one grouped pass over the facts.
+    "q39_gapfill" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      val hours = s.range(1).select(explode(sequence(
+        to_timestamp(lit("2024-01-01 00:00:00")),
+        to_timestamp(lit("2024-01-30 23:00:00")),
+        expr("interval 1 hour"))).as("hour"))
+      val types = ev.select("event_type").distinct()
+      hours.crossJoin(types)
+        .join(hourly, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total_value"), lit(0.0)).as("total_value"))
+        .orderBy("hour", "event_type")
+    },
+
     // Sliding window: 2-hour windows every hour — each event lands in 2.
     "q21_sliding_windows" -> { (s, dir) =>
       table(s, dir, "events")
@@ -145,6 +169,21 @@ object EventQueries {
           ROUND(CAST(($num) AS DOUBLE) / ($den), 6) AS ewma
           FROM events ORDER BY event_id"""
     },
+
+    "q39_gapfill" ->
+      s"""WITH h AS (
+            SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+              COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+            FROM events GROUP BY 1, 2),
+          g AS (SELECT t.ts AS hour FROM generate_series(
+              TIMESTAMP '2024-01-01 00:00:00',
+              TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR) t(ts)),
+          ty AS (SELECT DISTINCT event_type FROM events)
+          SELECT g.hour, ty.event_type,
+            COALESCE(h.n, 0) AS n, COALESCE(h.total_value, 0.0) AS total_value
+          FROM g CROSS JOIN ty
+          LEFT JOIN h ON h.hour = g.hour AND h.event_type = ty.event_type
+          ORDER BY 1, 2""",
 
     "q23_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts, s.ts AS signup_ts
