@@ -95,6 +95,90 @@ object EventStreams {
       .start()
   }
 
+  /** Per-(band, chunk) state for [[phashMatches]]: members seen so far
+    * (id, 64-bit signature), with the same degenerate-tombstone contract
+    * as [[BandBucket]]. */
+  final case class SigBucket(
+      members: Seq[(Long, Long)],
+      degenerate: Boolean = false)
+
+  /** Match event from [[phashMatches]]. */
+  final case class SigMatch(media_id: Long, dup_of: Long, hamming: Int)
+
+  /** Streaming near-dup over ANY 64-bit signature (image dHash, simhash,
+    * …) — the streaming twin of [[graft.operators.Dedup.hamming64Pairs]]
+    * and the multimodal sibling of [[nearDupMatches]]: each arriving
+    * signature is checked against previously-arrived ones sharing any of
+    * its `numBands` chunks (pigeonhole guarantees recall for
+    * maxHamming < numBands) and emits one match event per verified
+    * neighbor, so an image-ingest stream drops perceptual duplicates
+    * online. Same state/cap/TTL contract as [[nearDupMatches]]: state is
+    * hash-partitioned by (band, chunk); a bucket passing `maxBucketSize`
+    * tombstones itself and goes silent (the batch drop); `stateTtlMs`
+    * bounds state on unbounded streams. In-batch arrival order is
+    * id-ascending; re-ingested ids are skipped (idempotent, ST2). */
+  def phashMatches(
+      media: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 6,
+      numBands: Int = 8,
+      maxBucketSize: Int = 1024,
+      stateTtlMs: Long = 0L): org.apache.spark.sql.Dataset[SigMatch] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val bits = 64 / numBands
+    require(64 % numBands == 0, s"numBands must divide 64 ($numBands)")
+    require(maxHamming < numBands,
+      s"pigeonhole needs maxHamming < numBands ($maxHamming >= $numBands)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val banded = media
+      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"),
+        explode(array((0 until numBands).map { i =>
+          struct(lit(i).as("band"),
+            shiftrightunsigned(col("h"), i * bits)
+              .bitwiseAND(lit((1L << bits) - 1)).as("chunk"))
+        }: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.chunk").as("chunk"),
+        col("id"), col("h"))
+      .as[(Int, Long, Long, Long)]
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[SigBucket, SigMatch](OutputMode.Append(), timeout) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
+            state: GroupState[SigBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(SigBucket(Seq.empty))
+            var members = prev.members
+            var degenerate = prev.degenerate
+            val out = scala.collection.mutable.ArrayBuffer.empty[SigMatch]
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, id, h) =>
+              if (!degenerate && !members.exists(_._1 == id)) {
+                if (members.size >= maxBucketSize) {
+                  degenerate = true
+                  members = Seq.empty
+                } else {
+                  members.foreach { case (mid, mh) =>
+                    val d = java.lang.Long.bitCount(mh ^ h)
+                    if (d <= maxHamming) out += SigMatch(id, mid, d)
+                  }
+                  members = members :+ ((id, h))
+                }
+              }
+            }
+            state.update(SigBucket(members, degenerate))
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming maintenance of a materialized aggregate: each micro-batch
     * becomes a [[graft.operators.Mview]] partial state folded into a
     * durable parquet state under `statePath` — the streaming twin of the

@@ -338,6 +338,41 @@ class StreamingSpec extends SparkSpec {
     assert(enriched.filter(col("type_tag").isNull).count() === 0)
   }
 
+  test("streaming phash matches equal batch hamming64Pairs across micro-batches") {
+    import spark.implicits._
+    // dHash signatures of the PNG fixtures + perturbed copies, streamed
+    // as 3 id-range files so matches must come from persisted band state
+    val docs = table(spark, sf0001, "documents").select("doc_id")
+      .filter(col("doc_id") < 150)
+    val media = graft.operators.Multimodal.withPngPayload(docs, "doc_id")
+      .unionByName(graft.operators.Multimodal.withPngPayloadPerturbed(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", idOffset = 100000L))
+    val sig = media.select(col("media_id"),
+        graft.operators.Multimodal.dHashUdf(col("payload")).as("ph"))
+      .localCheckpoint(true)
+    val dir = Files.createTempDirectory("phash-stream").toString
+    Seq(0L -> 50L, 50L -> 150L, 100000L -> 200000L).foreach { case (lo, hi) =>
+      sig.filter(col("media_id") >= lo && col("media_id") < hi)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream.schema(sig.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val streamed = runToMemory(
+      EventStreams.phashMatches(stream, "media_id", "ph",
+        maxHamming = 6, numBands = 8).toDF(),
+      "phash_out", "append")
+    val got = streamed.select(
+        least(col("media_id"), col("dup_of")).as("a"),
+        greatest(col("media_id"), col("dup_of")).as("b"),
+        col("hamming"))
+      .distinct().as[(Long, Long, Int)].collect().toSet
+    val want = graft.operators.Dedup.hamming64Pairs(sig, "media_id", "ph",
+        maxHamming = 6, numBands = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("streaming mview maintenance equals the from-scratch batch aggregate") {
     import graft.operators.Mview
     val statePath = Files.createTempDirectory("mview-state").toString
