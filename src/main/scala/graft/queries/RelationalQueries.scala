@@ -549,6 +549,42 @@ object RelationalQueries {
         .orderBy("node")
     },
 
+    // Entity-resolution capstone — the classic ER pipeline composed from
+    // operators that each already pass the gate alone: Ed-Join fuzzy
+    // pairs (typo'd duplicate injection, zero-false-negative blocking) →
+    // connected components (transitive identity) → survivorship (most
+    // complete record: longest name, min-id tiebreak). Fully
+    // oracle-checked: DuckDB replays injection, quadratic levenshtein
+    // pairs, recursive closure, and the survivorship window.
+    "er_resolve" -> { (s, dir) =>
+      val base = table(s, dir, "part")
+        .filter(col("p_partkey") < 300)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val variants = base
+        .withColumn("pos", col("id") % greatest(length(col("name")) - 1, lit(1)) + 1)
+        .select((col("id") + 100000).as("id"),
+          expr("concat(substr(name, 1, CAST(pos AS INT) - 1), substr(name, CAST(pos AS INT) + 1))").as("name"))
+      val all = base.unionByName(variants)
+      val pairs = graft.operators.FuzzyJoin
+        .selfPairs(all, "id", "name", maxDist = 1)
+      val cc = graft.operators.Components
+        .connectedComponentsAuto(pairs, "left_id", "right_id")
+      val asg = all
+        .join(cc.withColumnRenamed("component", "__cc"), Seq("id"), "left")
+        .select(col("id"), col("name"),
+          coalesce(col("__cc"), col("id")).as("entity_id"))
+      val ww = Window.partitionBy("entity_id")
+        .orderBy(length(col("name")).desc, col("id").asc)
+      asg
+        .withColumn("rn", row_number().over(ww))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("entity_id")))
+        .filter(col("rn") === 1)
+        .select(col("entity_id"), col("id").as("survivor_id"),
+          col("name").as("survivor_name"), col("cluster_size"))
+        .orderBy("entity_id")
+    },
+
     // Merge-into upsert (SCD1): latest event per user across a base half
     // and an updates half (union = whole table, which is what makes the
     // oracle a plain window over `events`). WindowGroupLimit keeps the
@@ -1068,6 +1104,40 @@ object RelationalQueries {
             MAX(l_extendedprice) AS max_value
           FROM lineitem GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus""",
+
+    "er_resolve" ->
+      """WITH RECURSIVE
+         base AS (SELECT p_partkey AS id, p_name AS name
+                  FROM part WHERE p_partkey < 300),
+         var AS (SELECT id + 100000 AS id,
+             concat(substr(name, 1, CAST(pos AS INT) - 1),
+                    substr(name, CAST(pos AS INT) + 1)) AS name
+           FROM (SELECT id, name,
+                   id % GREATEST(length(name) - 1, 1) + 1 AS pos FROM base)),
+         c AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+         pairs AS (SELECT a.id AS left_id, b.id AS right_id
+           FROM c a, c b
+           WHERE a.id < b.id
+             AND abs(length(a.name) - length(b.name)) <= 1
+             AND levenshtein(a.name, b.name) <= 1),
+         cedges AS (SELECT left_id AS ea, right_id AS eb FROM pairs
+                    UNION ALL SELECT right_id, left_id FROM pairs),
+         reach(id, lbl) AS (
+           SELECT id, id FROM c
+           UNION
+           SELECT e.ea, r.lbl FROM cedges e JOIN reach r ON r.id = e.eb),
+         comp AS (SELECT id, MIN(lbl) AS entity_id FROM reach GROUP BY id),
+         j AS (SELECT comp.entity_id, c.id, c.name FROM c JOIN comp USING (id))
+         SELECT CAST(entity_id AS BIGINT) AS entity_id,
+           CAST(survivor_id AS BIGINT) AS survivor_id,
+           survivor_name, cluster_size
+         FROM (
+           SELECT entity_id, id AS survivor_id, name AS survivor_name,
+             ROW_NUMBER() OVER (PARTITION BY entity_id
+               ORDER BY length(name) DESC, id) AS rn,
+             COUNT(*) OVER (PARTITION BY entity_id) AS cluster_size
+           FROM j)
+         WHERE rn = 1 ORDER BY entity_id""",
 
     "q38_retention" ->
       """WITH c AS (
