@@ -34,6 +34,31 @@ object EventQueries {
         .orderBy("hour", "event_type")
     },
 
+    // Cumulative distinct users by day via the FIRST-SEEN trick: tag each
+    // user's first-activity day (one grouped pass), count new users per
+    // day, running-sum the tiny daily series. The scalable form of
+    // "COUNT(DISTINCT) OVER (ORDER BY day)" — the naive window would
+    // re-deduplicate the full event history per day; this shuffles events
+    // once by user and the unpartitioned window runs on the ~30-row daily
+    // aggregate, not the events.
+    "q40_cumulative_users" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+      val firstSeen = ev.groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("day"))
+      val newPerDay = firstSeen.groupBy("day")
+        .agg(count(lit(1)).as("new_users"))
+      val activePerDay = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      activePerDay.join(newPerDay, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cumulative_users",
+          sum(col("new_users")).over(
+            Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("day")
+    },
+
     // Sliding window: 2-hour windows every hour — each event lands in 2.
     "q21_sliding_windows" -> { (s, dir) =>
       table(s, dir, "events")
@@ -169,6 +194,20 @@ object EventQueries {
           ROUND(CAST(($num) AS DOUBLE) / ($den), 6) AS ewma
           FROM events ORDER BY event_id"""
     },
+
+    "q40_cumulative_users" ->
+      """WITH fs AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS day
+                     FROM events GROUP BY user_id),
+          nu AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day),
+          au AS (SELECT CAST(ts AS DATE) AS day,
+                   COUNT(DISTINCT user_id) AS active_users
+                 FROM events GROUP BY 1)
+          SELECT au.day, au.active_users,
+            COALESCE(nu.new_users, 0) AS new_users,
+            CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY au.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cumulative_users
+          FROM au LEFT JOIN nu USING (day) ORDER BY day""",
 
     "q39_gapfill" ->
       s"""WITH h AS (

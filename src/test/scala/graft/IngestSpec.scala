@@ -128,6 +128,18 @@ class IngestSpec extends SparkSpec {
       .count() === 200)
   }
 
+  test("ORC source/sink round-trips the events subset incl. timestamps (S1 generality)") {
+    // ORC is the other columnar format a lakehouse migration brings in;
+    // unlike the CSV/JSON leg this keeps native TIMESTAMP columns
+    val events = table(spark, sf0001, "events").limit(200)
+    val base = java.nio.file.Files.createTempDirectory("orcfmt").toString
+    events.write.mode("overwrite").orc(s"$base/orc")
+    val fromOrc = spark.read.orc(s"$base/orc")
+    assert(fromOrc.schema === events.schema)
+    assert(fromOrc.count() === 200)
+    assert(fromOrc.join(events, events.columns.toSeq).count() === 200)
+  }
+
   test("binaryFile source reads opaque payloads with metadata (S2)") {
     val dir = Files.createTempDirectory("bin").toString
     Files.write(java.nio.file.Paths.get(dir, "a.jpg"), "payload-a".getBytes)
