@@ -50,7 +50,12 @@ object Contrastive {
   /** k uniform wrong-label negatives per anchor, drawn by ranking the
     * portable 30-bit lottery value `mix32(anchor·1000003 + candidate,
     * seed)` (ascending, id tiebreak). Output: (query_id, idCol, labelCol,
-    * lot, rank). */
+    * lot, rank).
+    *
+    * Contract: `anchor·1000003 + candidate` must stay within Long —
+    * i.e. ids below ~2⁴³ — or ANSI mode raises on the multiply; replays
+    * outside Spark compute the same un-wrapped product, so the bound is
+    * a portability contract, not just an overflow guard. */
   def randomNegatives(
       candidates: DataFrame,
       queries: DataFrame,

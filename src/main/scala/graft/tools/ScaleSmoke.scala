@@ -467,6 +467,54 @@ object ScaleSmoke {
     }
 
     // skew: 95% of rows in ONE group; countDistinct forces the full key
+    // entity resolution at scale: Ed-Join prefix filtering must keep the
+    // candidate space near-linear (no cartesian) even with every name
+    // duplicated once with a typo; components + survivorship ride on the
+    // pair graph, which is tiny next to the corpus
+    section("entity") {
+    // the replicated corpus duplicates every name `copies`× verbatim —
+    // exactly the regime FuzzyJoin.selfPairs' contract routes through an
+    // exact-dedup first (N identical strings legitimately produce N²/2
+    // pairs); so the pipeline is: cheap hash-dedup to distinct names →
+    // fuzzy pairs on the distinct set → resolve → fan results back over
+    // the full record set by name. That's the real ER shape at scale:
+    // fuzzy work is priced in DISTINCT values, not records. (The
+    // synthetic part vocabulary collapses 200k records to ~576 distinct
+    // names — same corpus artifact as the winnow/phash density notes;
+    // the SHAPE of the pipeline is the evidence here, real name pools
+    // are far wider and stay linear under the prefix filter.)
+    val records = replicate(table(spark, dir, "part"), Seq("p_partkey"), copies)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val variants = records
+      .withColumn("pos", pmod(col("id"), greatest(length(col("name")) - 1, lit(1))) + 1)
+      .select((col("id") + 10000000000L).as("id"),
+        expr("concat(substr(name, 1, CAST(pos AS INT) - 1), substr(name, CAST(pos AS INT) + 1))").as("name"))
+    val entities = records.unionByName(variants).localCheckpoint(true)
+    val distinctNames = entities
+      .groupBy("name").agg(min(col("id")).as("id"))
+      .localCheckpoint(true)
+    var pairs: DataFrame = null
+    time("exact name dedup (records -> distinct)") { distinctNames.count() }
+    time("fuzzy selfPairs on distinct names (Ed-Join, d<=1)") {
+      pairs = graft.operators.FuzzyJoin
+        .selfPairs(distinctNames, "id", "name", maxDist = 1)
+        .localCheckpoint(true)
+      pairs.count()
+    }
+    time("components + survivorship fan-back over all records") {
+      val cc = graft.operators.Components
+        .connectedComponentsAuto(pairs, "left_id", "right_id")
+      val canon = distinctNames
+        .join(cc.withColumnRenamed("component", "__cc"), Seq("id"), "left")
+        .select(col("name"), coalesce(col("__cc"), col("id")).as("entity_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("entity_id")
+        .orderBy(length(col("name")).desc, col("id").asc)
+      entities.join(canon, Seq("name"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).count()
+    }
+    }
     // incremental MV maintenance: the delta fold must cost delta-sized
     // work, not base-sized — the merge shuffles |groups| + |delta groups|
     // rows regardless of how many rows built the base state
