@@ -39,6 +39,32 @@ object Bench {
     spark.range(0, 50000000L, 1, 32).selectExpr("sum(id % 7)").collect()
     (System.nanoTime() - t0) / 1e9
   }
+  /** Stage-level shuffle-write tally: sums `shuffleWriteMetrics
+    * .bytesWritten` over completed stages. Near-deterministic for a
+    * deterministic plan, so unlike wall time it separates plan
+    * regressions from machine noise: a query whose seconds doubled but
+    * whose shuffle bytes are unchanged hit ambient load; one whose bytes
+    * jumped lost a broadcast or a partial-agg. (The executed plan's own
+    * SQLMetrics are NOT merged back into the driver-side plan nodes under
+    * AQE — stages execute cloned fragments — hence the listener.) */
+  private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    @volatile var bytes = 0L
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes += Option(e.stageInfo.taskMetrics)
+        .map(_.shuffleWriteMetrics.bytesWritten).getOrElse(0L)
+  }
+
+  /** Drain the async listener bus so the tally covers every stage of the
+    * just-finished job. `listenerBus`/`waitUntilEmpty` are private[spark],
+    * which compiles to public bytecode — plain reflection reaches them. */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val lb = sc.getClass.getMethod("listenerBus").invoke(sc)
+      lb.getClass.getMethod("waitUntilEmpty").invoke(lb)
+    } catch { case _: Throwable => Thread.sleep(50) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -77,12 +103,22 @@ object Bench {
       catch { case _: Throwable => -1L }
     }
     val samples = collection.mutable.Map.empty[String, Vector[Double]]
-    for (_ <- 1 to trials; name <- names) {
+    val shuffleMb = collection.mutable.Map.empty[String, Double]
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    for (trial <- 1 to trials; name <- names) {
       val fn = SparkEntry.queries(name)
+      val before = if (trial == 1) {
+        drainListenerBus(spark); tally.bytes
+      } else 0L
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+      if (trial == 1) {
+        drainListenerBus(spark)
+        shuffleMb(name) = math.rint((tally.bytes - before) / 1e6 * 100) / 100
+      }
     }
     def median(v: Vector[Double]): Double = { val s = v.sorted; s(s.size / 2) }
     def r(x: Double): Double = math.rint(x * 1e6) / 1e6
@@ -101,7 +137,9 @@ object Bench {
     // machine-noise anchors): its own JSON line so the PRIMARY line below
     // stays compact.
     val qsFull = names.map(n => s"\"$n\":" + r(med(n))).mkString("{", ",", "}")
-    println(s"""{"metric":"bench_diagnostics","sf_dir":"$sfDir","trials":$trials,"spread_mean":$spreadMean,"anchor_cpu":$aCpu,"anchor_spark":$aSpark,"anchor_note":"fixed-work machine-noise anchors; normalize cross-session totals by the anchor ratio (~1.5-2x ambient drift observed on identical code)","queries_full":$qsFull,"spread":$sp}""")
+    val shuf = names.map(n => s"\"$n\":" + shuffleMb.getOrElse(n, 0.0))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"bench_diagnostics","sf_dir":"$sfDir","trials":$trials,"spread_mean":$spreadMean,"anchor_cpu":$aCpu,"anchor_spark":$aSpark,"anchor_note":"fixed-work machine-noise anchors; normalize cross-session totals by the anchor ratio (~1.5-2x ambient drift observed on identical code)","queries_full":$qsFull,"spread":$sp,"shuffle_mb":$shuf,"shuffle_note":"deterministic shuffle-write bytes from the executed plan's SQLMetrics — a perf regression with unchanged shuffle_mb is machine noise; a shuffle_mb jump is a lost broadcast/partial-agg"}""")
     spark.stop()
     // PRIMARY contract line, printed LAST and kept small: the driver
     // captures a bounded tail of stdout (observed 2000 chars) and parses
@@ -128,7 +166,8 @@ object Bench {
     // never lost: diagnostics line above + bench_full.json next to it.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
-      (line(r) + "\n").getBytes("UTF-8"))
+      (line(r).dropRight(1) + s""","shuffle_mb":$shuf}""" + "\n")
+        .getBytes("UTF-8"))
     catch { case _: Throwable => () } // emission must never kill the bench
     println(primaryLine(names, med, total, sfName))
   }
