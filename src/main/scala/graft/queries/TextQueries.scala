@@ -150,6 +150,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // RAG-style document chunking: fixed 64-token windows at stride 48
+    // (16-token overlap) — the retrieval-chunk prep between corpus and
+    // embedding. Scan-local: chunk starts are a generated sequence over
+    // the token array, each chunk reassembles its slice; no shuffle at
+    // all until the caller's ordering. Chunk text is md5-fingerprinted so
+    // the oracle pins exact reassembly, not just counts.
+    "text_chunk_stride" -> { (s, dir) =>
+      val win = 64
+      val stride = 48
+      val toks = TextOps.tokens(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), toks.as("__t"))
+        .select(col("doc_id"), size(col("__t")).as("n_tokens"),
+          posexplode(transform(
+            sequence(lit(0),
+              greatest(ceil((size(col("__t")) - win).cast("double") / stride)
+                .cast("int"), lit(0))),
+            i => concat_ws(" ", slice(col("__t"), i * stride + 1, lit(win))))))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
+          col("n_tokens"),
+          size(split(col("col"), " ")).as("chunk_tokens"),
+          md5(col("col")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_no")
+    },
+
     // Model-based quality gate (the fasttext/DCLM-classifier stage with
     // the learned weights replaced by fixed ones — the ENGINE-side
     // contract is identical): a logistic score over the rounded quality
@@ -952,6 +977,24 @@ object TextQueries {
          CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}')) AS INTEGER) AS n_subwords,
          CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_words
          FROM documents ORDER BY doc_id""",
+
+    "text_chunk_stride" ->
+      """WITH t AS (
+           SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+             LEN(STRING_SPLIT(text, ' ')) AS n
+           FROM documents),
+         k AS (SELECT doc_id, toks, n,
+             GREATEST(CAST(CEIL(CAST(n - 64 AS DOUBLE) / 48) AS INT), 0) AS kmax
+           FROM t),
+         c AS (
+           SELECT k.doc_id, g.i AS chunk_no, k.n AS n_tokens,
+             ARRAY_TO_STRING(k.toks[g.i * 48 + 1 : g.i * 48 + 64], ' ') AS chunk
+           FROM k JOIN generate_series(0, 63) g(i) ON g.i <= k.kmax)
+         SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(LEN(STRING_SPLIT(chunk, ' ')) AS INTEGER) AS chunk_tokens,
+           MD5(chunk) AS chunk_fp
+         FROM c ORDER BY doc_id, chunk_no""",
 
     "text_quality_model" ->
       """WITH f AS (
