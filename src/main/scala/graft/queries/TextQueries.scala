@@ -150,6 +150,40 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source attribution/governance profile: the report a dataset
+    // card needs — doc counts, token mass, corpus share, language spread
+    // per provenance source. One grouped pass + a 1-row broadcast total.
+    "profile_sources" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .select(col("source"), col("lang"), TextOps.tokenCount(col("text")).as("__tk"))
+      val tot = d.agg(sum(col("__tk")).as("__tot"))
+      d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__tk")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("token_share",
+          round(col("total_tokens").cast("double") / col("__tot"), 6))
+        .drop("__tot")
+        .orderBy("source")
+    },
+
+    // Decontamination APPLY form: the surviving training corpus after
+    // dropping every doc sharing >= 2 distinct 5-grams with the eval
+    // slice — the removal dual of text_decontam's audit counts.
+    "text_decontam_apply" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val isEval = col("doc_id") % 10 === 7
+      val counts = Dedup.contaminationCounts(
+        docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", n = 5)
+      docs.filter(!isEval)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+        .join(counts.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .filter(coalesce(col("n_shared"), lit(0L)) < 2)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // RAG-style document chunking: fixed 64-token windows at stride 48
     // (16-token overlap) — the retrieval-chunk prep between corpus and
     // embedding. Scan-local: chunk starts are a generated sequence over
@@ -1341,6 +1375,40 @@ object TextQueries {
            CAST(COALESCE(ov.n_shared, 0) > 0 AS INTEGER) AS contaminated
          FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
          WHERE d.doc_id % 10 <> 7 ORDER BY d.doc_id""",
+
+    "text_decontam_apply" ->
+      s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+         shs AS (
+           SELECT doc_id, LIST_DISTINCT(CASE WHEN LEN(t) >= 5
+             THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                   FOR i IN RANGE(1, LEN(t) - 3)]
+             ELSE [ARRAY_TO_STRING(t, ' ')] END) AS s
+           FROM toks),
+         shex AS (SELECT doc_id, UNNEST(s) AS sh FROM shs),
+         pp AS (SELECT doc_id, ${polySql("sh", 31)} AS p1,
+                       ${polySql("sh", 37)} AS p2 FROM shex),
+         hh AS (SELECT DISTINCT doc_id, ${tokenHashSql("p1", "p2")} AS h FROM pp),
+         ev AS (SELECT DISTINCT h FROM hh WHERE doc_id % 10 = 7),
+         ov AS (SELECT hh.doc_id, COUNT(*) AS n_shared
+                FROM hh JOIN ev USING (h) WHERE hh.doc_id % 10 <> 7
+                GROUP BY hh.doc_id)
+         SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+         FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+         WHERE d.doc_id % 10 <> 7 AND COALESCE(ov.n_shared, 0) < 2
+         ORDER BY d.doc_id""",
+
+    "profile_sources" ->
+      """WITH d AS (SELECT source, lang,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS tk
+           FROM documents),
+         tot AS (SELECT SUM(tk) AS t FROM d)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(tk) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           ROUND(CAST(SUM(tk) AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+             AS token_share
+         FROM d CROSS JOIN tot
+         GROUP BY source, tot.t ORDER BY source""",
 
     "sample_weighted" ->
       s"""WITH w AS (

@@ -251,4 +251,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(600))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("er_resolve: fuzzy blocking and resolution run with no cartesian join") {
+    val p = plan("er_resolve")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p.take(600))
+  }
+
+  test("text_chunk_stride: chunk generation is scan-local (no exchange before the sort)") {
+    val p = plan("text_chunk_stride")
+    // one Exchange for the presentation orderBy, nothing else (tree lines
+    // only — FormattedMode repeats nodes in the detail section)
+    assert("\\+- Exchange".r.findAllIn(p).size <= 1, p.take(1200))
+    assert(p.contains("Generate"), p.take(800))
+  }
 }
