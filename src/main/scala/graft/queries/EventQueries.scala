@@ -59,6 +59,35 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // OHLC-style resample: per (hour, type) the chronologically FIRST and
+    // LAST values (deterministic (ts, event_id) tiebreak) plus min/max/n —
+    // the financial-bar / sensor-rollup shape. One rank window for the
+    // open/close endpoints, one grouped pass for the extremes, joined on
+    // the tiny bucket key.
+    "q41_ohlc" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"), col("ts"), col("event_id"), col("value"))
+      val w = Window.partitionBy("hour", "event_type")
+        .orderBy(asc("ts"), asc("event_id"))
+      val wd = Window.partitionBy("hour", "event_type")
+        .orderBy(desc("ts"), desc("event_id"))
+      val endpoints = ev
+        .withColumn("__ra", row_number().over(w))
+        .withColumn("__rd", row_number().over(wd))
+        .filter(col("__ra") === 1 || col("__rd") === 1)
+        .groupBy("hour", "event_type")
+        .agg(max(when(col("__ra") === 1, col("value"))).as("open_value"),
+          max(when(col("__rd") === 1, col("value"))).as("close_value"))
+      val extremes = ev.groupBy("hour", "event_type")
+        .agg(min(col("value")).as("low_value"),
+          max(col("value")).as("high_value"),
+          count(lit(1)).as("n"))
+      endpoints.join(extremes, Seq("hour", "event_type"))
+        .orderBy("hour", "event_type")
+    },
+
     // Sliding window: 2-hour windows every hour — each event lands in 2.
     "q21_sliding_windows" -> { (s, dir) =>
       table(s, dir, "events")
@@ -194,6 +223,27 @@ object EventQueries {
           ROUND(CAST(($num) AS DOUBLE) / ($den), 6) AS ewma
           FROM events ORDER BY event_id"""
     },
+
+    "q41_ohlc" ->
+      """WITH e AS (SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+             ts, event_id, value FROM events),
+         rk AS (SELECT hour, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY hour, event_type
+               ORDER BY ts, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY hour, event_type
+               ORDER BY ts DESC, event_id DESC) AS rd
+           FROM e),
+         ep AS (SELECT hour, event_type,
+             MAX(CASE WHEN ra = 1 THEN value END) AS open_value,
+             MAX(CASE WHEN rd = 1 THEN value END) AS close_value
+           FROM rk WHERE ra = 1 OR rd = 1 GROUP BY hour, event_type),
+         ex AS (SELECT hour, event_type, MIN(value) AS low_value,
+             MAX(value) AS high_value, COUNT(*) AS n
+           FROM e GROUP BY hour, event_type)
+         SELECT ep.hour, ep.event_type, ep.open_value, ep.close_value,
+           ex.low_value, ex.high_value, ex.n
+         FROM ep JOIN ex USING (hour, event_type)
+         ORDER BY hour, event_type""",
 
     "q40_cumulative_users" ->
       """WITH fs AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS day
