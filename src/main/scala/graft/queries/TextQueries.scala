@@ -150,6 +150,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Dedup-quality eval: recall of the banded MinHash-LSH pipeline
+    // against exact Jaccard ground truth (PPJoin prefix filtering — zero
+    // false negatives — so "truth" needs no cartesian on the Spark side;
+    // the oracle replays it quadratically). The measurement a pipeline
+    // owner runs before trusting approximate dedup at corpus scale.
+    "eval_dedup_recall" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      val emitted = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
+      val matched = emitted.select("left_id", "right_id")
+        .join(truth.select("left_id", "right_id"),
+          Seq("left_id", "right_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(emitted.agg(count(lit(1)).as("n_emitted")))
+        .crossJoin(matched.agg(count(lit(1)).as("n_matched")))
+        .withColumn("recall",
+          round(col("n_matched").cast("double") / col("n_truth"), 4))
+    },
+
     // Per-source attribution/governance profile: the report a dataset
     // card needs — doc counts, token mass, corpus share, language spread
     // per provenance source. One grouped pass + a 1-row broadcast total.
@@ -1396,6 +1417,23 @@ object TextQueries {
          FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
          WHERE d.doc_id % 10 <> 7 AND COALESCE(ov.n_shared, 0) < 2
          ORDER BY d.doc_id""",
+
+    "eval_dedup_recall" ->
+      s"""WITH $minhashVerCtes,
+         truth AS (
+           SELECT ha.doc_id AS left_id, hb.doc_id AS right_id
+           FROM hset ha, hset hb
+           WHERE ha.doc_id < hb.doc_id
+             AND ROUND(CAST(LEN(LIST_INTERSECT(ha.hs, hb.hs)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(LIST_CONCAT(ha.hs, hb.hs))), 6) >= 0.5),
+         emitted AS (SELECT left_id, right_id FROM ver WHERE jaccard >= 0.5),
+         matched AS (SELECT * FROM emitted INTERSECT SELECT * FROM truth)
+         SELECT n_truth, n_emitted, n_matched,
+           ROUND(CAST(n_matched AS DOUBLE) / n_truth, 4) AS recall
+         FROM (SELECT
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM emitted) AS n_emitted,
+           (SELECT COUNT(*) FROM matched) AS n_matched)""",
 
     "profile_sources" ->
       """WITH d AS (SELECT source, lang,
