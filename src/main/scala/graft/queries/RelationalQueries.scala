@@ -549,6 +549,37 @@ object RelationalQueries {
         .orderBy("node")
     },
 
+    // Data-quality audit (the dbt-style constraint checks a warehouse
+    // gates loads on): PK uniqueness, FK orphans (one anti-join each),
+    // domain bounds, null checks — each check one row of violation
+    // counts, unioned. Everything is a broadcast/anti-join or a scan
+    // aggregate; nothing shuffles more than the check's key.
+    "profile_dq" -> { (s, dir) =>
+      val orders = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem")
+      val cust = table(s, dir, "customer")
+      val ev = table(s, dir, "events")
+      def check(name: String, violations: org.apache.spark.sql.DataFrame,
+          total: org.apache.spark.sql.DataFrame) =
+        violations.agg(count(lit(1)).as("n_violations"))
+          .crossJoin(total.agg(count(lit(1)).as("n_rows")))
+          .select(lit(name).as("check_name"), col("n_violations"), col("n_rows"))
+      val pkDup = orders.groupBy("o_orderkey")
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      check("orders_pk_unique", pkDup, orders)
+        .unionByName(check("orders_custkey_fk",
+          orders.join(cust, orders("o_custkey") === cust("c_custkey"),
+            "left_anti"), orders))
+        .unionByName(check("lineitem_orderkey_fk",
+          li.join(orders, li("l_orderkey") === orders("o_orderkey"),
+            "left_anti"), li))
+        .unionByName(check("lineitem_qty_bounds",
+          li.filter(col("l_quantity") <= 0 || col("l_quantity") > 50), li))
+        .unionByName(check("events_ts_not_null",
+          ev.filter(col("ts").isNull), ev))
+        .orderBy("check_name")
+    },
+
     // Entity-resolution capstone — the classic ER pipeline composed from
     // operators that each already pass the gate alone: Ed-Join fuzzy
     // pairs (typo'd duplicate injection, zero-false-negative blocking) →
@@ -1104,6 +1135,33 @@ object RelationalQueries {
             MAX(l_extendedprice) AS max_value
           FROM lineitem GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus""",
+
+    "profile_dq" ->
+      """SELECT check_name, n_violations, n_rows FROM (
+           SELECT 'orders_pk_unique' AS check_name,
+             (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+               GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS n_violations,
+             (SELECT COUNT(*) FROM orders) AS n_rows
+           UNION ALL
+           SELECT 'orders_custkey_fk',
+             (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+             (SELECT COUNT(*) FROM orders)
+           UNION ALL
+           SELECT 'lineitem_orderkey_fk',
+             (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+             (SELECT COUNT(*) FROM lineitem)
+           UNION ALL
+           SELECT 'lineitem_qty_bounds',
+             (SELECT COUNT(*) FROM lineitem
+               WHERE l_quantity <= 0 OR l_quantity > 50),
+             (SELECT COUNT(*) FROM lineitem)
+           UNION ALL
+           SELECT 'events_ts_not_null',
+             (SELECT COUNT(*) FROM events WHERE ts IS NULL),
+             (SELECT COUNT(*) FROM events))
+         ORDER BY check_name""",
 
     "er_resolve" ->
       """WITH RECURSIVE

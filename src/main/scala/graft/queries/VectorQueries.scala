@@ -501,6 +501,37 @@ object VectorQueries {
           count(lit(1)).as("n_queries"))
     },
 
+    // Per-dimension embedding profile (the calibration scan behind SQ8's
+    // min/max training and PCA whitening): mean/std/min/max per
+    // coordinate. One posexplode + one grouped pass; values round to 6 dp
+    // before the DECIMAL sums so mean and variance are order-independent,
+    // and outputs FLOOR-quantize to 6 dp rather than round — floor of an
+    // identical double is engine-identical, while round's tie handling
+    // diverges at .xxxxx5 boundaries (Spark shortest-repr HALF_UP vs
+    // DuckDB value-based; hit in practice on this very query).
+    "emb_dim_stats" -> { (s, dir) =>
+      val dec12 = "decimal(38,12)"
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * 1e6) / 1e6
+      val v = round(col("v"), 6)
+      table(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(v.cast(dec12)).as("__s"),
+          sum((v * v).cast(dec12)).as("__s2"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+        .select(col("dim"), col("n"),
+          q6(col("__s").cast("double") / col("n")).as("mean_v"),
+          q6(sqrt(col("__s2").cast("double") / col("n") -
+            (col("__s").cast("double") / col("n")) *
+            (col("__s").cast("double") / col("n")))).as("std_v"),
+          q6(col("min_v").cast("double")).as("min_v"),
+          q6(col("max_v").cast("double")).as("max_v"))
+        .orderBy("dim")
+    },
+
     // Contrastive mining, hard regime: the 5 most-similar WRONG-label
     // candidates per anchor — informative near-misses for embedding
     // finetunes. Label anti-filter under the broadcast-scan group-limit.
@@ -802,6 +833,25 @@ object VectorQueries {
              CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS INTEGER) AS rnk
            FROM r)
          WHERE rnk <= 10 ORDER BY rnk""",
+
+    "emb_dim_stats" ->
+      """WITH e AS (
+           SELECT CAST(g.i - 1 AS INTEGER) AS dim,
+             ROUND(CAST(embedding[g.i] AS DOUBLE), 6) AS rv,
+             CAST(embedding[g.i] AS DOUBLE) AS v
+           FROM embeddings JOIN generate_series(1, 64) g(i)
+             ON g.i <= LEN(embedding))
+         SELECT dim, COUNT(*) AS n,
+           FLOOR(CAST(SUM(CAST(rv AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*) * 1e6) / 1e6 AS mean_v,
+           FLOOR(SQRT(CAST(SUM(CAST(rv * rv AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*)
+             - (CAST(SUM(CAST(rv AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(rv AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)))
+             * 1e6) / 1e6 AS std_v,
+           FLOOR(MIN(v) * 1e6) / 1e6 AS min_v,
+           FLOOR(MAX(v) * 1e6) / 1e6 AS max_v
+         FROM e GROUP BY dim ORDER BY dim""",
 
     "knn_hard_negatives" ->
       s"""SELECT query_id, vec_id, label, score, CAST(rn AS INTEGER) AS rnk
