@@ -150,6 +150,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Distribution-drift monitor (population stability index): the
+    // ML-ops check between a reference snapshot and the current slice —
+    // here the even/odd doc_id halves over 16 fixed 40-char length bins.
+    // Laplace-smoothed shares keep empty bins finite; per-bin PSI terms
+    // floor-quantize (engine-identical on identical doubles) and the
+    // running total rides a window over the tiny bin table.
+    "profile_psi" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nBins = 16
+      val d = table(s, dir, "documents").select(
+        least(col("n_chars"), lit(639L)).divide(lit(40)).cast("int").as("bin"),
+        (col("doc_id") % 2 === 0).as("isRef"))
+      val counts = d.groupBy("bin").agg(
+        sum(when(col("isRef"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("isRef"), 1L).otherwise(0L)).as("n_cur"))
+      val grid = s.range(nBins).select(col("id").cast("int").as("bin"))
+      val tot = d.agg(
+        sum(when(col("isRef"), 1L).otherwise(0L)).as("__tr"),
+        sum(when(!col("isRef"), 1L).otherwise(0L)).as("__tc"))
+      val q6 = (c: org.apache.spark.sql.Column) => floor(c * 1e6) / 1e6
+      val pRef = (col("n_ref") + lit(1)).cast("double") /
+        (col("__tr") + lit(nBins)).cast("double")
+      val pCur = (col("n_cur") + lit(1)).cast("double") /
+        (col("__tc") + lit(nBins)).cast("double")
+      grid.join(counts, Seq("bin"), "left")
+        .na.fill(0L, Seq("n_ref", "n_cur"))
+        .crossJoin(broadcast(tot))
+        .withColumn("psi_term", q6((pCur - pRef) * log(pCur / pRef)))
+        .withColumn("psi_total",
+          q6(sum(col("psi_term")).over(
+            Window.orderBy("bin")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        .select("bin", "n_ref", "n_cur", "psi_term", "psi_total")
+        .orderBy("bin")
+    },
+
     // Dedup-quality eval: recall of the banded MinHash-LSH pipeline
     // against exact Jaccard ground truth (PPJoin prefix filtering — zero
     // false negatives — so "truth" needs no cartesian on the Spark side;
@@ -1417,6 +1453,28 @@ object TextQueries {
          FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
          WHERE d.doc_id % 10 <> 7 AND COALESCE(ov.n_shared, 0) < 2
          ORDER BY d.doc_id""",
+
+    "profile_psi" ->
+      """WITH d AS (SELECT LEAST(n_chars, 639) // 40 AS bin,
+             doc_id % 2 = 0 AS is_ref FROM documents),
+         c AS (SELECT bin, COUNT(*) FILTER (is_ref) AS n_ref,
+             COUNT(*) FILTER (NOT is_ref) AS n_cur FROM d GROUP BY bin),
+         t AS (SELECT COUNT(*) FILTER (is_ref) AS tr,
+             COUNT(*) FILTER (NOT is_ref) AS tc FROM d),
+         g AS (SELECT i AS bin FROM generate_series(0, 15) s(i)),
+         j AS (SELECT g.bin, COALESCE(c.n_ref, 0) AS n_ref,
+             COALESCE(c.n_cur, 0) AS n_cur, t.tr, t.tc
+           FROM g LEFT JOIN c USING (bin) CROSS JOIN t),
+         p AS (SELECT bin, n_ref, n_cur,
+             FLOOR(((n_cur + 1.0) / (tc + 16) - (n_ref + 1.0) / (tr + 16))
+               * LN(((n_cur + 1.0) / (tc + 16))
+                 / ((n_ref + 1.0) / (tr + 16))) * 1e6) / 1e6 AS psi_term
+           FROM j)
+         SELECT CAST(bin AS INTEGER) AS bin, n_ref, n_cur, psi_term,
+           FLOOR(SUM(psi_term) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e6) / 1e6
+             AS psi_total
+         FROM p ORDER BY bin""",
 
     "eval_dedup_recall" ->
       s"""WITH $minhashVerCtes,
