@@ -242,6 +242,11 @@ object ScaleSmoke {
           s"hot set should dominate authority, got $topAuth/1000")
         hs.count()
       }
+      // peeling depth, not |V|, bounds the rounds: the hot set's k-core
+      // survives while the uniform fringe peels away in a few rounds
+      time(s"k-core (k=8), ${mEdges / 1000000.0}M-edge skewed graph") {
+        graft.operators.LinkAnalysis.kCore(edges, "src", "dst", k = 8).count()
+      }
     }
     // IVF skew: force 90% of vectors into ONE partition, then compare the
     // co-partitioned knnJoin on an unsalted vs salted durable layout — the
