@@ -48,6 +48,24 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("total_value"))
 
+  /** OHLC bars per (event-time window, type): open/close are `min_by`/
+    * `max_by` on the total (ts, event_id) order — declarative aggregates,
+    * so the SAME expression runs batch and streaming (complete mode), no
+    * rank window needed. The streaming twin of the batch `q41_ohlc`
+    * endpoint semantics. */
+  def ohlcBars(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_value"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_value"),
+        min(col("value")).as("low_value"),
+        max(col("value")).as("high_value"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("bar_start"), col("event_type"),
+        col("open_value"), col("close_value"),
+        col("low_value"), col("high_value"), col("n"))
+
   /** Watermarked form: apply to a `readStream` DataFrame before one of the
     * aggregates above so state is evicted once the watermark passes. */
   def withWatermark(stream: DataFrame, delay: String): DataFrame =

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mview
+import graft.queries.table
+
+/** Mview's defining algebra: partial states are self-mergeable, so any
+  * split of the input into deltas — in any grouping — must produce the
+  * same final state as aggregating from scratch, bit-for-bit (DECIMAL
+  * sums make the equality exact, not approximate). */
+class MviewSpec extends SparkSpec {
+
+  private val keys = Seq("l_returnflag", "l_linestatus")
+  private lazy val li = table(spark, sf0001, "lineitem")
+    .select((keys.map(col) ++ Seq(col("l_orderkey"), col("l_extendedprice"))): _*)
+
+  private def collectState(st: DataFrame): Set[Seq[Any]] =
+    Mview.result(st, keys).collect().map(_.toSeq).toSet
+
+  test("merge(init(a), init(b)) == init(a ++ b) exactly") {
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 === 1)
+    val merged = Mview.merge(
+      Mview.init(a, keys, "l_extendedprice"),
+      Mview.init(b, keys, "l_extendedprice"), keys)
+    assert(collectState(merged) ===
+      collectState(Mview.init(li, keys, "l_extendedprice")))
+  }
+
+  test("merge is associative: ((a+b)+c) == (a+(b+c))") {
+    def part(r: Int) = Mview.init(
+      li.filter(col("l_orderkey") % 3 === r), keys, "l_extendedprice")
+    val left = Mview.merge(Mview.merge(part(0), part(1), keys), part(2), keys)
+    val right = Mview.merge(part(0), Mview.merge(part(1), part(2), keys), keys)
+    assert(collectState(left) === collectState(right))
+  }
+
+  test("empty delta is an identity for merge") {
+    val st = Mview.init(li, keys, "l_extendedprice")
+    val empty = Mview.init(li.filter(lit(false)), keys, "l_extendedprice")
+    assert(collectState(Mview.merge(st, empty, keys)) === collectState(st))
+  }
+
+  test("groups absent from the base appear via the delta") {
+    val base = li.filter(col("l_returnflag") =!= "R")
+    val delta = li.filter(col("l_returnflag") === "R")
+    val merged = Mview.merge(
+      Mview.init(base, keys, "l_extendedprice"),
+      Mview.init(delta, keys, "l_extendedprice"), keys)
+    assert(collectState(merged) ===
+      collectState(Mview.init(li, keys, "l_extendedprice")))
+  }
+}

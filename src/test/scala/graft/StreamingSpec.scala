@@ -62,6 +62,16 @@ class StreamingSpec extends SparkSpec {
       Seq("session_start", "user_id", "n_events", "total_value")).count() === batch.count())
   }
 
+  test("OHLC bars (complete mode) equal the batch twin incl. endpoints") {
+    val streamed = runToMemory(
+      EventStreams.ohlcBars(streamEvents, "1 hour"),
+      "ohlc_out", "complete")
+    val batch = EventStreams.ohlcBars(batchEvents, "1 hour")
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch, Seq("bar_start", "event_type", "open_value",
+      "close_value", "low_value", "high_value", "n")).count() === batch.count())
+  }
+
   test("watermarked append output is a value-correct subset of batch") {
     val streamed = runToMemory(
       EventStreams.tumblingCounts(
