@@ -49,6 +49,31 @@ object Mview {
         min(col("mn")).as("mn"),
         max(col("mx")).as("mx"))
 
+  /** Per-group change set between two states (old → new): groups whose
+    * count or exact-decimal sum moved, with deltas — the validation /
+    * change-data-capture view over two rollup snapshots. Full-outer on
+    * the keys so appearing and disappearing groups both surface; the
+    * comparison is on exact partials, so "changed" is never a float
+    * artifact. */
+  def diff(oldState: DataFrame, newState: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val o = oldState.select(
+      groupCols.map(col) ++ Seq(col("n").as("__on"), col("sum_dec").as("__os")): _*)
+    val n = newState.select(
+      groupCols.map(col) ++ Seq(col("n").as("__nn"), col("sum_dec").as("__ns")): _*)
+    o.join(n, groupCols, "full_outer")
+      .select(
+        groupCols.map(col) ++ Seq[Column](
+          coalesce(col("__on"), lit(0L)).as("old_n"),
+          coalesce(col("__nn"), lit(0L)).as("new_n"),
+          (coalesce(col("__nn"), lit(0L)) - coalesce(col("__on"), lit(0L)))
+            .as("n_delta"),
+          (coalesce(col("__ns"), lit(0).cast(DecimalType(18, 6))) -
+            coalesce(col("__os"), lit(0).cast(DecimalType(18, 6))))
+            .cast(DoubleType).as("sum_delta")): _*)
+      .filter(col("n_delta") =!= 0 || col("sum_delta") =!= 0.0)
+  }
+
   /** Final measures from the partials (sum/avg as exact-decimal-backed
     * doubles, rounded for replay parity). */
   def result(state: DataFrame, groupCols: Seq[String]): DataFrame =

@@ -690,6 +690,22 @@ object RelationalQueries {
       Mview.result(st, keys).orderBy(keys.map(col): _*)
     },
 
+    // Snapshot diff over the materialized rollup: which groups changed
+    // between the 6/7ths snapshot and the full table, with exact count
+    // and decimal-sum deltas — the CDC/validation view of mview state.
+    "mview_diff" -> { (s, dir) =>
+      import graft.operators.Mview
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val li = table(s, dir, "lineitem")
+        .select((keys.map(col) ++ Seq(col("l_orderkey"), col("l_extendedprice"))): _*)
+      val oldSt = Mview.init(li.filter(col("l_orderkey") % 7 < 6),
+        keys, "l_extendedprice")
+      val newSt = Mview.init(li, keys, "l_extendedprice")
+      Mview.diff(oldSt, newSt, keys)
+        .withColumn("sum_delta", round(col("sum_delta"), 4))
+        .orderBy(keys.map(col): _*)
+    },
+
     // Retention cohort triangle: users bucketed by first-activity week,
     // distinct-active counts per (cohort, weeks-since) — the classic
     // product-analytics rollup. Two grouped passes; the per-user cohort
@@ -1196,6 +1212,29 @@ object RelationalQueries {
              COUNT(*) OVER (PARTITION BY entity_id) AS cluster_size
            FROM j)
          WHERE rn = 1 ORDER BY entity_id""",
+
+    "mview_diff" ->
+      """WITH o AS (
+           SELECT l_returnflag, l_linestatus, COUNT(*) AS onn,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS os
+           FROM lineitem WHERE l_orderkey % 7 < 6
+           GROUP BY l_returnflag, l_linestatus),
+         n AS (
+           SELECT l_returnflag, l_linestatus, COUNT(*) AS nn,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS ns
+           FROM lineitem GROUP BY l_returnflag, l_linestatus)
+         SELECT COALESCE(o.l_returnflag, n.l_returnflag) AS l_returnflag,
+           COALESCE(o.l_linestatus, n.l_linestatus) AS l_linestatus,
+           COALESCE(o.onn, 0) AS old_n, COALESCE(n.nn, 0) AS new_n,
+           COALESCE(n.nn, 0) - COALESCE(o.onn, 0) AS n_delta,
+           ROUND(CAST(COALESCE(n.ns, 0) - COALESCE(o.os, 0) AS DOUBLE), 4)
+             AS sum_delta
+         FROM o FULL OUTER JOIN n
+           ON o.l_returnflag = n.l_returnflag
+           AND o.l_linestatus = n.l_linestatus
+         WHERE COALESCE(n.nn, 0) - COALESCE(o.onn, 0) <> 0
+           OR CAST(COALESCE(n.ns, 0) - COALESCE(o.os, 0) AS DOUBLE) <> 0.0
+         ORDER BY l_returnflag, l_linestatus""",
 
     "q38_retention" ->
       """WITH c AS (
