@@ -295,6 +295,26 @@ object TextOps {
     * identical value is computable in plain SQL and the
     * `text_winnow_sketch` DuckDB oracle recomputes it (ord == UTF-16
     * unit on ASCII; the testdata corpus is ASCII-only). */
+  /** RAG-style strided chunking: fixed `win`-token windows every `stride`
+    * tokens (overlap = win − stride) over the whitespace token array —
+    * the retrieval-chunk prep between corpus and embedding. Scan-local
+    * (a generated per-row sequence, no shuffle); short docs yield one
+    * chunk. Output: (idCol, chunk_no, n_tokens, chunk_text). */
+  def chunkStride(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, win: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(win >= 1 && stride >= 1 && stride <= win,
+      s"need 1 <= stride <= win (got win=$win stride=$stride)")
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).as("n_tokens"),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest(ceil((size(col("__t")) - win).cast("double") / stride)
+              .cast("int"), lit(0))),
+          i => concat_ws(" ", slice(col("__t"), i * stride + 1, lit(win))))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_no"),
+        col("n_tokens"), col("col").as("chunk_text"))
+  }
+
   def winnowUdf(k: Int, w: Int) = udf { (text: String) =>
     if (text == null || text.length < k) Seq.empty[Long]
     else {

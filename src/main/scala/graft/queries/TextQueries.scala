@@ -248,21 +248,11 @@ object TextQueries {
     // all until the caller's ordering. Chunk text is md5-fingerprinted so
     // the oracle pins exact reassembly, not just counts.
     "text_chunk_stride" -> { (s, dir) =>
-      val win = 64
-      val stride = 48
-      val toks = TextOps.tokens(col("text"))
-      table(s, dir, "documents")
-        .select(col("doc_id"), toks.as("__t"))
-        .select(col("doc_id"), size(col("__t")).as("n_tokens"),
-          posexplode(transform(
-            sequence(lit(0),
-              greatest(ceil((size(col("__t")) - win).cast("double") / stride)
-                .cast("int"), lit(0))),
-            i => concat_ws(" ", slice(col("__t"), i * stride + 1, lit(win))))))
-        .select(col("doc_id"), col("pos").cast("int").as("chunk_no"),
-          col("n_tokens"),
-          size(split(col("col"), " ")).as("chunk_tokens"),
-          md5(col("col")).as("chunk_fp"))
+      TextOps.chunkStride(table(s, dir, "documents"), "doc_id", "text",
+          win = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_no"), col("n_tokens"),
+          size(split(col("chunk_text"), " ")).as("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_fp"))
         .orderBy("doc_id", "chunk_no")
     },
 

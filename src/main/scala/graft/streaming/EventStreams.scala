@@ -66,6 +66,24 @@ object EventStreams {
         col("open_value"), col("close_value"),
         col("low_value"), col("high_value"), col("n"))
 
+  /** Approximate distinct users per event-time window via the mergeable
+    * HLL sketch aggregate — O(256 bytes) of state per open window however
+    * many users arrive, where exact streaming countDistinct would hold
+    * every id. Same typed aggregate as the batch profile queries, so the
+    * streaming estimate is bit-equal to batch on the same rows
+    * (StreamingSpec). Hash = the portable token hash of the id, matching
+    * the batch HLL stack. */
+  def distinctUsersSketch(events: DataFrame, width: String): DataFrame =
+    events
+      .select(window(col("ts"), width).as("w"),
+        graft.functions.TextOps
+          .portableTokenHash64(col("user_id").cast("string")).as("__h"))
+      .groupBy("w")
+      .agg(graft.functions.Hll.sketchAgg(col("__h")).as("__sk"))
+      .select(col("w.start").as("window_start"),
+        graft.functions.Hll.estimateCol(col("__sk"))
+          .as("approx_users"))
+
   /** Watermarked form: apply to a `readStream` DataFrame before one of the
     * aggregates above so state is evicted once the watermark passes. */
   def withWatermark(stream: DataFrame, delay: String): DataFrame =

@@ -72,6 +72,23 @@ class StreamingSpec extends SparkSpec {
       "close_value", "low_value", "high_value", "n")).count() === batch.count())
   }
 
+  test("HLL distinct-users sketch (complete mode) is bit-equal to batch") {
+    val streamed = runToMemory(
+      EventStreams.distinctUsersSketch(streamEvents, "6 hours"),
+      "hll_out", "complete")
+    val batch = EventStreams.distinctUsersSketch(batchEvents, "6 hours")
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch, Seq("window_start", "approx_users"))
+      .count() === batch.count())
+    // estimates track the exact distinct counts on this data
+    val exact = batchEvents.groupBy(window(col("ts"), "6 hours"))
+      .agg(countDistinct("user_id").as("exact"))
+      .select(col("window.start").as("window_start"), col("exact"))
+    val joined = batch.join(exact, Seq("window_start"))
+    assert(joined.filter(
+      abs(col("approx_users") - col("exact")) > col("exact") * 0.2).count() === 0)
+  }
+
   test("watermarked append output is a value-correct subset of batch") {
     val streamed = runToMemory(
       EventStreams.tumblingCounts(
