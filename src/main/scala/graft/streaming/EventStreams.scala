@@ -232,7 +232,10 @@ object EventStreams {
       stream: DataFrame,
       statePath: String,
       groupCols: Seq[String],
-      valueCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+      valueCol: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
@@ -248,7 +251,7 @@ object EventStreams {
           writeMviewPointer(spark, statePath, id)
         }
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** Current state of a [[mviewMaintain]] directory, if any batch has
