@@ -241,6 +241,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Multimodal dedup APPLY: perceptual-hash pairs → connected
+    // components → keep each cluster's min-id image — the surviving
+    // image corpus, closing the multimodal dedup story the way
+    // dedup_components_apply closes text. Every stage replays in DuckDB:
+    // the dHash from the ids (PNG lossless, integer pixels), the banded
+    // join as the brute-force scan it provably equals, the closure as a
+    // recursive CTE.
+    "dedup_phash_apply" -> { (s, dir) =>
+      import graft.operators.{Components, Dedup, Multimodal}
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      val media = Multimodal.withPngPayload(docs, "doc_id")
+        .unionByName(Multimodal.withPngPayloadPerturbed(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", idOffset = 10000L))
+      val sig = media.select(col("media_id"),
+        Multimodal.dHashUdf(col("payload")).as("phash"))
+      val pairs = Dedup.hamming64Pairs(sig, "media_id", "phash",
+        maxHamming = 6, numBands = 8)
+      val cc = Components.connectedComponentsAuto(pairs, "left_id", "right_id")
+      sig.select(col("media_id"))
+        .join(cc.withColumnRenamed("id", "media_id"), Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("component"), col("media_id")).as("cluster_id"))
+        .filter(col("media_id") === col("cluster_id"))
+        .select("media_id")
+        .orderBy("media_id")
+    },
+
     // RAG-style document chunking: fixed 64-token windows at stride 48
     // (16-token overlap) — the retrieval-chunk prep between corpus and
     // embedding. Scan-local: chunk starts are a generated sequence over
@@ -1039,6 +1066,49 @@ object TextQueries {
            FROM cand JOIN hset ha ON ha.doc_id = left_id JOIN hset hb ON hb.doc_id = right_id)"""
   }
 
+  /** Shared dHash replay CTEs (multimodal_phash + dedup_phash_apply):
+    * fixture pixels, integer luma box filter, bit packing — see the
+    * multimodal_phash scaladoc for why this is exact. */
+  private val phashBitsCtes: String =
+    """m AS (
+           SELECT CAST(doc_id AS BIGINT) AS media_id,
+                  CAST(doc_id AS BIGINT) AS src_id, FALSE AS pert
+           FROM documents WHERE doc_id < 200
+           UNION ALL
+           SELECT CAST(doc_id + 10000 AS BIGINT), CAST(doc_id AS BIGINT), TRUE
+           FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0),
+         d AS (SELECT media_id, src_id, pert,
+                 16 + (src_id % 32) AS w, 16 + ((src_id // 32) % 32) AS h
+               FROM m),
+         px AS (
+           SELECT d.media_id, d.w, d.h, xs.x, ys.y,
+             CASE WHEN d.pert AND xs.x < 2 AND ys.y < 2 THEN 128
+               ELSE (77 * (((d.src_id * 2654435761 + xs.x * 40503 + ys.y * 65537) >> 16) & 255)
+                   + 151 * (((d.src_id * 2654435761 + xs.x * 40503 + ys.y * 65537) >> 8) & 255)
+                   + 28 * ((d.src_id * 2654435761 + xs.x * 40503 + ys.y * 65537) & 255)) >> 8
+             END AS lum
+           FROM d
+           JOIN generate_series(0, 46) xs(x) ON xs.x < d.w
+           JOIN generate_series(0, 46) ys(y) ON ys.y < d.h),
+         cell AS (
+           SELECT p.media_id, cxs.cx, cys.cy, SUM(p.lum) // COUNT(*) AS lum
+           FROM px p
+           JOIN generate_series(0, 8) cxs(cx)
+             ON p.x >= cxs.cx * p.w // 9 AND p.x < (cxs.cx + 1) * p.w // 9
+           JOIN generate_series(0, 7) cys(cy)
+             ON p.y >= cys.cy * p.h // 8 AND p.y < (cys.cy + 1) * p.h // 8
+           GROUP BY p.media_id, cxs.cx, cys.cy),
+         bits AS (
+           SELECT a.media_id,
+             CAST(SUM(CASE WHEN a.lum > b.lum THEN
+               CASE WHEN a.cy * 8 + a.cx = 63
+                 THEN (-9223372036854775808)::HUGEINT
+                 ELSE (1::BIGINT << (a.cy * 8 + a.cx))::HUGEINT END
+               ELSE 0::HUGEINT END) AS BIGINT) AS h
+           FROM cell a JOIN cell b
+             ON b.media_id = a.media_id AND b.cy = a.cy AND b.cx = a.cx + 1
+           GROUP BY a.media_id)"""
+
   val oracle: Map[String, String] = Map(
     "text_token_stats" ->
       """SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens, n_chars
@@ -1670,50 +1740,29 @@ object TextQueries {
     // The banded join is replayed as the brute-force pair scan it provably
     // equals (maxHamming 6 < numBands 8, no bucket near the cap).
     "multimodal_phash" ->
-      """WITH m AS (
-           SELECT CAST(doc_id AS BIGINT) AS media_id,
-                  CAST(doc_id AS BIGINT) AS src_id, FALSE AS pert
-           FROM documents WHERE doc_id < 200
-           UNION ALL
-           SELECT CAST(doc_id + 10000 AS BIGINT), CAST(doc_id AS BIGINT), TRUE
-           FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0),
-         d AS (SELECT media_id, src_id, pert,
-                 16 + (src_id % 32) AS w, 16 + ((src_id // 32) % 32) AS h
-               FROM m),
-         px AS (
-           SELECT d.media_id, d.w, d.h, xs.x, ys.y,
-             CASE WHEN d.pert AND xs.x < 2 AND ys.y < 2 THEN 128
-               ELSE (77 * (((d.src_id * 2654435761 + xs.x * 40503 + ys.y * 65537) >> 16) & 255)
-                   + 151 * (((d.src_id * 2654435761 + xs.x * 40503 + ys.y * 65537) >> 8) & 255)
-                   + 28 * ((d.src_id * 2654435761 + xs.x * 40503 + ys.y * 65537) & 255)) >> 8
-             END AS lum
-           FROM d
-           JOIN generate_series(0, 46) xs(x) ON xs.x < d.w
-           JOIN generate_series(0, 46) ys(y) ON ys.y < d.h),
-         cell AS (
-           SELECT p.media_id, cxs.cx, cys.cy, SUM(p.lum) // COUNT(*) AS lum
-           FROM px p
-           JOIN generate_series(0, 8) cxs(cx)
-             ON p.x >= cxs.cx * p.w // 9 AND p.x < (cxs.cx + 1) * p.w // 9
-           JOIN generate_series(0, 7) cys(cy)
-             ON p.y >= cys.cy * p.h // 8 AND p.y < (cys.cy + 1) * p.h // 8
-           GROUP BY p.media_id, cxs.cx, cys.cy),
-         bits AS (
-           SELECT a.media_id,
-             CAST(SUM(CASE WHEN a.lum > b.lum THEN
-               CASE WHEN a.cy * 8 + a.cx = 63
-                 THEN (-9223372036854775808)::HUGEINT
-                 ELSE (1::BIGINT << (a.cy * 8 + a.cx))::HUGEINT END
-               ELSE 0::HUGEINT END) AS BIGINT) AS h
-           FROM cell a JOIN cell b
-             ON b.media_id = a.media_id AND b.cy = a.cy AND b.cx = a.cx + 1
-           GROUP BY a.media_id)
+      s"""WITH $phashBitsCtes
          SELECT left_id, right_id, hamming FROM (
            SELECT a.media_id AS left_id, b.media_id AS right_id,
              CAST(BIT_COUNT(XOR(a.h, b.h)) AS INTEGER) AS hamming
            FROM bits a JOIN bits b ON a.media_id < b.media_id)
          WHERE hamming <= 6
          ORDER BY left_id, right_id""",
+
+    "dedup_phash_apply" ->
+      s"""WITH RECURSIVE $phashBitsCtes,
+         pairs AS (
+           SELECT a.media_id AS left_id, b.media_id AS right_id
+           FROM bits a JOIN bits b ON a.media_id < b.media_id
+           WHERE BIT_COUNT(XOR(a.h, b.h)) <= 6),
+         cedges AS (SELECT left_id AS ea, right_id AS eb FROM pairs
+                    UNION ALL SELECT right_id, left_id FROM pairs),
+         reach(id, lbl) AS (
+           SELECT media_id, media_id FROM m
+           UNION
+           SELECT e.ea, r.lbl FROM cedges e JOIN reach r ON r.id = e.eb),
+         comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+         SELECT CAST(id AS BIGINT) AS media_id FROM comp
+         WHERE id = cluster_id ORDER BY media_id""",
 
     "multimodal_tar_layout" ->
       """SELECT doc_id, shard, entry_offset,

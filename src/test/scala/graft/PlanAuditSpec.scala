@@ -258,6 +258,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") || p.contains("Window"), p.take(600))
   }
 
+  test("mview_diff: full-outer snapshot compare has no cartesian; aggregates are hash") {
+    val p = plan("mview_diff")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("SortAggregate"), p.take(600))
+  }
+
+  test("q41_ohlc: endpoint window group-limits; extremes aggregate map-side") {
+    val p = plan("q41_ohlc")
+    assert(p.contains("Window"), p.take(600))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("text_chunk_stride: chunk generation is scan-local (no exchange before the sort)") {
     val p = plan("text_chunk_stride")
     // one Exchange for the presentation orderBy, nothing else (tree lines
