@@ -549,6 +549,29 @@ object RelationalQueries {
         .orderBy("node")
     },
 
+    // Ratio-to-report: each nation's share of total revenue — a window
+    // over the AGGREGATED series (25 rows), so the share computation
+    // never touches the fact table again.
+    "q42_revenue_share" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byNation = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("__rev"))
+      byNation
+        .withColumn("revenue", col("__rev").cast("double"))
+        .withColumn("share",
+          round(col("__rev").cast("double") /
+            sum(col("__rev")).over(Window.partitionBy()).cast("double"), 6))
+        .select("n_name", "revenue", "share")
+        .orderBy("n_name")
+    },
+
     // Data-quality audit (the dbt-style constraint checks a warehouse
     // gates loads on): PK uniqueness, FK orphans (one anti-join each),
     // domain bounds, null checks — each check one row of violation
@@ -1151,6 +1174,21 @@ object RelationalQueries {
             MAX(l_extendedprice) AS max_value
           FROM lineitem GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus""",
+
+    "q42_revenue_share" ->
+      s"""WITH r AS (
+            SELECT n_name,
+              SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                AS DECIMAL(18,6))) AS rev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name)
+          SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+            ROUND(CAST(rev AS DOUBLE)
+              / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS share
+          FROM r ORDER BY n_name""",
 
     "profile_dq" ->
       """SELECT check_name, n_violations, n_rows FROM (

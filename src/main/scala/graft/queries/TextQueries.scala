@@ -283,6 +283,20 @@ object TextQueries {
         .orderBy("doc_id", "chunk_no")
     },
 
+    // Lexical diversity (type-token ratio): distinct/total whitespace
+    // tokens per doc — the low-TTR tail is boilerplate/repetition, the
+    // complement signal to text_repetition's raw-gram view.
+    "text_ttr" -> { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(toks)).as("n_types"),
+          size(toks).as("n_tokens"),
+          round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+            .as("ttr"))
+        .orderBy("doc_id")
+    },
+
     // Model-based quality gate (the fasttext/DCLM-classifier stage with
     // the learned weights replaced by fixed ones — the ENGINE-side
     // contract is identical): a logistic score over the rounded quality
@@ -1146,6 +1160,15 @@ object TextQueries {
            CAST(LEN(STRING_SPLIT(chunk, ' ')) AS INTEGER) AS chunk_tokens,
            MD5(chunk) AS chunk_fp
          FROM c ORDER BY doc_id, chunk_no""",
+
+    "text_ttr" ->
+      """SELECT doc_id,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INTEGER)
+             AS n_types,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+           ROUND(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')), 6) AS ttr
+         FROM documents ORDER BY doc_id""",
 
     "text_quality_model" ->
       """WITH f AS (
