@@ -1151,10 +1151,14 @@ object TextQueries {
          k AS (SELECT doc_id, toks, n,
              GREATEST(CAST(CEIL(CAST(n - 64 AS DOUBLE) / 48) AS INT), 0) AS kmax
            FROM t),
+         e AS (
+           SELECT doc_id, toks, n,
+             UNNEST(RANGE(0, CAST(kmax AS BIGINT) + 1)) AS chunk_no
+           FROM k),
          c AS (
-           SELECT k.doc_id, g.i AS chunk_no, k.n AS n_tokens,
-             ARRAY_TO_STRING(k.toks[g.i * 48 + 1 : g.i * 48 + 64], ' ') AS chunk
-           FROM k JOIN generate_series(0, 63) g(i) ON g.i <= k.kmax)
+           SELECT doc_id, chunk_no, n AS n_tokens,
+             ARRAY_TO_STRING(toks[chunk_no * 48 + 1 : chunk_no * 48 + 64], ' ') AS chunk
+           FROM e)
          SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
            CAST(n_tokens AS INTEGER) AS n_tokens,
            CAST(LEN(STRING_SPLIT(chunk, ' ')) AS INTEGER) AS chunk_tokens,

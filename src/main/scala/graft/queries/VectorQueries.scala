@@ -612,9 +612,14 @@ object VectorQueries {
       perQ
         .join(broadcast(labelN), perQ("__qlabel") === labelN("label"))
         .withColumn("__ik", least(col("__ln") - lit(1L), lit(10L)))
+        // __ik = 0 (label unique in the corpus) would make sequence(1, 0)
+        // yield [1, 0] (implicit step -1) and term(0) divide by log(1) —
+        // guard so the ideal DCG is an exact 0 instead of Inf→null
         .withColumn("__idcg",
-          aggregate(sequence(lit(1L), col("__ik")),
-            lit(0).cast(dec), (acc, i) => (acc + term(i)).cast(dec)))
+          when(col("__ik") >= 1,
+            aggregate(sequence(lit(1L), col("__ik")),
+              lit(0).cast(dec), (acc, i) => (acc + term(i)).cast(dec)))
+            .otherwise(lit(0).cast(dec)))
         .select(col("query_id"),
           when(col("__idcg") > 0,
               round(col("__dcg").cast("double") / col("__idcg").cast("double"), 4))
@@ -938,13 +943,14 @@ object VectorQueries {
             FROM ideal il JOIN generate_series(1, 10) t(i) ON t.i <= il.ik
             GROUP BY il.query_id)
           SELECT p.query_id,
-            CASE WHEN g.idcg > 0
+            CASE WHEN COALESCE(g.idcg, 0) > 0
               THEN ROUND(CAST(p.dcg AS DOUBLE) / CAST(g.idcg AS DOUBLE), 4)
               ELSE 0.0 END AS ndcg_at_10,
             CASE WHEN p.first_rel IS NOT NULL
               THEN ROUND(1.0 / p.first_rel, 6) ELSE 0.0 END AS mrr_at_10,
             CAST(i.n_rel AS BIGINT) AS n_relevant
-          FROM perq p JOIN idcg g USING (query_id) JOIN ideal i USING (query_id)
+          FROM perq p LEFT JOIN idcg g USING (query_id)
+          JOIN ideal i USING (query_id)
           ORDER BY p.query_id"""
   )
 }

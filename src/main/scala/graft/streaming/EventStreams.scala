@@ -146,9 +146,16 @@ object EventStreams {
     * and the multimodal sibling of [[nearDupMatches]]: each arriving
     * signature is checked against previously-arrived ones sharing any of
     * its `numBands` chunks (pigeonhole guarantees recall for
-    * maxHamming < numBands) and emits one match event per verified
-    * neighbor, so an image-ingest stream drops perceptual duplicates
-    * online. Same state/cap/TTL contract as [[nearDupMatches]]: state is
+    * maxHamming < numBands) and emits EXACTLY one match event per
+    * verified neighbor: a pair sharing several chunks is seen by several
+    * (band, chunk) buckets, but only the LOWEST shared band index emits
+    * (computable locally — each bucket holds both full signatures), so an
+    * image-ingest stream drops perceptual duplicates online without a
+    * consumer-side dedup. Same state/cap/TTL contract as
+    * [[nearDupMatches]] with one caveat exactly-once inherits: if the
+    * lowest shared band's bucket went degenerate (over cap), the pair is
+    * not emitted even when a higher band still could — the batch engine
+    * drops over-cap buckets the same way. State is
     * hash-partitioned by (band, chunk); a bucket passing `maxBucketSize`
     * tombstones itself and goes silent (the batch drop); `stateTtlMs`
     * bounds state on unbounded streams. In-batch arrival order is
@@ -182,9 +189,22 @@ object EventStreams {
     val timeout =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
+    val mask = (1L << bits) - 1
+    // lowest band index whose chunks agree — the ONE bucket allowed to
+    // emit this pair (every shared-band bucket holds both full
+    // signatures, so the decision is local and needs no cross-bucket
+    // coordination)
+    def firstSharedBand(a: Long, b: Long): Int = {
+      var i = 0
+      while (i < numBands) {
+        if (((a >>> (i * bits)) & mask) == ((b >>> (i * bits)) & mask)) return i
+        i += 1
+      }
+      -1
+    }
     banded.groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[SigBucket, SigMatch](OutputMode.Append(), timeout) {
-        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
+        (key: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
             state: GroupState[SigBucket]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -202,7 +222,8 @@ object EventStreams {
                 } else {
                   members.foreach { case (mid, mh) =>
                     val d = java.lang.Long.bitCount(mh ^ h)
-                    if (d <= maxHamming) out += SigMatch(id, mid, d)
+                    if (d <= maxHamming && firstSharedBand(mh, h) == key._1)
+                      out += SigMatch(id, mid, d)
                   }
                   members = members :+ ((id, h))
                 }
@@ -222,46 +243,80 @@ object EventStreams {
     * rollup current by shuffling only each batch's arrivals.
     *
     * Exactly-once without sink transactions: state versions are written
-    * to `statePath/v<batchId>` and committed by a tiny `_LATEST` pointer
-    * recording the batch id; a replayed batch (foreachBatch reruns after
-    * a crash between sink commit and checkpoint commit) sees
-    * `id <= lastApplied` and skips, so the non-idempotent merge is never
-    * double-applied. Old versions are retained (time-travel / debugging);
-    * a janitor can prune below the pointer. */
+    * to `statePath/v<seq>` (a sequence number that only ever grows, so a
+    * later run whose batch ids restart at 0 can never overwrite an older
+    * version) and committed by a tiny `_LATEST` pointer recording
+    * (seq, batchId, runKey). A batch is skipped ONLY when it is a true
+    * intra-run replay — same runKey AND `id <= lastApplied` (foreachBatch
+    * reruns the last batch after a crash between sink commit and
+    * checkpoint commit) — so the non-idempotent merge is never
+    * double-applied, and a NEW run's batches are never mistaken for
+    * replays just because its ids restarted at 0. Skipped batches are
+    * logged.
+    *
+    * Pass `checkpointLocation` to make the stream incremental ACROSS
+    * sessions: the checkpoint path is the run key, Spark resumes batch
+    * ids monotonically from it, and already-committed source files are
+    * not re-read. Without a checkpoint each `start()` is a fresh stream
+    * that re-reads the whole source and folds it in AGAIN — fine for a
+    * one-shot build, wrong for maintenance; maintenance callers should
+    * always pass one. Old versions are retained (time-travel /
+    * debugging); a janitor can prune below the pointer. */
   def mviewMaintain(
       stream: DataFrame,
       statePath: String,
       groupCols: Seq[String],
       valueCol: String,
+      checkpointLocation: Option[String] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // run key = checkpoint path (stable across restarts, so post-crash
+    // replays of the same lineage are recognized) or a fresh ephemeral
+    // key per start() (batch ids restart at 0 each run → only same-run
+    // replays may be skipped)
+    val runKey = checkpointLocation.getOrElse(
+      "ephemeral-" + java.util.UUID.randomUUID().toString)
+    val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         val last = mviewPointer(spark, statePath)
-        if (last.forall(_ < id)) {
+        val isReplay = last.exists { case (_, lastId, key) =>
+          key == runKey && id <= lastId }
+        if (isReplay) {
+          org.slf4j.LoggerFactory.getLogger(EventStreams.getClass).info(
+            s"mviewMaintain: skipping replayed batch $id of run $runKey " +
+              s"(pointer already at batch ${last.get._2})")
+        } else {
           val delta = graft.operators.Mview.init(batch, groupCols, valueCol)
           val merged = last match {
-            case Some(v) => graft.operators.Mview.merge(
-              spark.read.parquet(s"$statePath/v$v"), delta, groupCols)
+            case Some((seq, _, _)) => graft.operators.Mview.merge(
+              spark.read.parquet(s"$statePath/v$seq"), delta, groupCols)
             case None => delta
           }
-          merged.write.mode("overwrite").parquet(s"$statePath/v$id")
-          writeMviewPointer(spark, statePath, id)
+          val newSeq = last.map(_._1 + 1).getOrElse(0L)
+          merged.write.mode("overwrite").parquet(s"$statePath/v$newSeq")
+          writeMviewPointer(spark, statePath, newSeq, id, runKey)
         }
       }
       .trigger(trigger)
-      .start()
+    checkpointLocation.foreach(cp => writer.option("checkpointLocation", cp))
+    writer.start()
+  }
 
   /** Current state of a [[mviewMaintain]] directory, if any batch has
     * committed. */
   def mviewState(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Option[DataFrame] =
-    mviewPointer(spark, statePath).map(v => spark.read.parquet(s"$statePath/v$v"))
+    mviewPointer(spark, statePath)
+      .map { case (seq, _, _) => spark.read.parquet(s"$statePath/v$seq") }
 
+  /** `_LATEST` pointer: 3 lines — version seq, last applied batch id,
+    * run key. A legacy 1-line pointer (batch id only, pre-runKey format)
+    * reads as seq = batchId with an unknown run key, so nothing after an
+    * upgrade is mistaken for a replay. */
   private def mviewPointer(spark: org.apache.spark.sql.SparkSession,
-      statePath: String): Option[Long] = {
+      statePath: String): Option[(Long, Long, String)] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(statePath),
       spark.sessionState.newHadoopConf())
@@ -269,20 +324,26 @@ object EventStreams {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
-      finally in.close()
+      val raw =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      raw.split("\n").map(_.trim) match {
+        case Array(seq, id, key) => Some((seq.toLong, id.toLong, key))
+        case Array(legacy) => Some((legacy.toLong, legacy.toLong, ""))
+        case other => Some((other(0).toLong, other(1).toLong, ""))
+      }
     }
   }
 
   private def writeMviewPointer(spark: org.apache.spark.sql.SparkSession,
-      statePath: String, id: Long): Unit = {
+      statePath: String, seq: Long, id: Long, runKey: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(statePath),
       spark.sessionState.newHadoopConf())
     val p = new org.apache.hadoop.fs.Path(statePath, "_LATEST")
     val out = fs.create(p, true)
-    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$seq\n$id\n$runKey".getBytes("UTF-8")) finally out.close()
   }
 
   /** Micro-batch ANN SERVING: a stream of query vectors answered against

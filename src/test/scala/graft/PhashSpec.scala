@@ -19,12 +19,18 @@ class PhashSpec extends SparkSpec {
       Multimodal.dHash64(p))
   }
 
-  test("identical images hash equal; a 2x2 patch moves few bits") {
-    (0L until 40L).foreach { id =>
+  test("a 2x2 patch stays within the pipelines' join threshold (maxHamming=6)") {
+    // multimodal_phash / dedup_phash_apply / StreamingSpec all join with
+    // maxHamming = 6. A perturbed copy drifting past that would not break
+    // engine/oracle parity (both sides agree) — it would silently drop the
+    // fixture's intended near-dup positives. Pin the bound over BOTH the
+    // query fixtures' perturbed ids (doc_id % 5 == 0, doc_id < 200) and
+    // the local 0..40 range, at the exact pipeline threshold.
+    ((0L until 200L by 5) ++ (0L until 40L)).foreach { id =>
       val a = Multimodal.dHash64(Multimodal.encodePng(id, perturb = false))
       val b = Multimodal.dHash64(Multimodal.encodePng(id, perturb = true))
       val d = java.lang.Long.bitCount(a ^ b)
-      assert(d <= 8, s"id=$id perturbed dHash moved $d bits")
+      assert(d <= 6, s"id=$id perturbed dHash moved $d bits (> maxHamming 6)")
     }
   }
 

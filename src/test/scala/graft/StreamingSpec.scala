@@ -388,41 +388,54 @@ class StreamingSpec extends SparkSpec {
       EventStreams.phashMatches(stream, "media_id", "ph",
         maxHamming = 6, numBands = 8).toDF(),
       "phash_out", "append")
-    val got = streamed.select(
+    val pairs = streamed.select(
         least(col("media_id"), col("dup_of")).as("a"),
         greatest(col("media_id"), col("dup_of")).as("b"),
         col("hamming"))
-      .distinct().as[(Long, Long, Int)].collect().toSet
+      .as[(Long, Long, Int)].collect()
+    // exactly-once: only the lowest shared band emits, so no pair may
+    // appear twice even though it lives in >= 2 band buckets
+    assert(pairs.length === pairs.toSet.size,
+      s"duplicate match emissions: ${pairs.length} rows, ${pairs.toSet.size} distinct")
     val want = graft.operators.Dedup.hamming64Pairs(sig, "media_id", "ph",
         maxHamming = 6, numBands = 8)
       .as[(Long, Long, Int)].collect().toSet
     assert(want.nonEmpty)
-    assert(got === want)
+    assert(pairs.toSet === want)
   }
 
-  test("streaming mview maintenance equals the from-scratch batch aggregate") {
+  test("checkpointed mview maintenance is incremental ACROSS sessions") {
     import graft.operators.Mview
     val statePath = Files.createTempDirectory("mview-state").toString
+    val cp = Files.createTempDirectory("mview-cp").toString
+    val srcDir = Files.createTempDirectory("mview-src").toString
     val keys = Seq("event_type")
-    val q = EventStreams.mviewMaintain(streamEvents, statePath, keys, "value")
-    q.awaitTermination(120000)
-    val got = Mview.result(
+    val firstHalf = batchEvents.filter(col("event_id") % 2 === 0)
+    val secondHalf = batchEvents.filter(col("event_id") % 2 === 1)
+    def src = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    // session 1: fold in the initial files
+    firstHalf.coalesce(2).write.mode("append").parquet(srcDir)
+    EventStreams.mviewMaintain(src, statePath, keys, "value", Some(cp))
+      .awaitTermination(120000)
+    def state: Seq[org.apache.spark.sql.Row] = Mview.result(
         EventStreams.mviewState(spark, statePath).get, keys)
       .orderBy("event_type").collect().toSeq
-    val want = Mview.result(Mview.init(batchEvents, keys, "value"), keys)
-      .orderBy("event_type").collect().toSeq
-    assert(got === want)
-    // replayed batch id (crash between sink commit and checkpoint
-    // commit) must be a no-op: the pointer already covers it
-    def pointer: Long = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(statePath, "_LATEST")), "UTF-8").trim.toLong
-    val before = spark.read.parquet(s"$statePath/v$pointer").collect().toSet
-    // a second AvailableNow run over the SAME source files (fresh
-    // checkpoint) restarts batch ids at 0, so every id is <= lastApplied
-    // and the state must not move
-    val q2 = EventStreams.mviewMaintain(streamEvents, statePath, keys, "value")
-    q2.awaitTermination(120000)
-    val after = spark.read.parquet(s"$statePath/v$pointer").collect().toSet
-    assert(after === before)
+    assert(state === Mview.result(Mview.init(firstHalf, keys, "value"), keys)
+      .orderBy("event_type").collect().toSeq)
+    // session 2, SAME checkpoint, no new files: batch ids resume from the
+    // checkpoint (not 0) and processed files are not re-read — state must
+    // not move (the pre-checkpoint bug double-counted or silently froze)
+    EventStreams.mviewMaintain(src, statePath, keys, "value", Some(cp))
+      .awaitTermination(120000)
+    assert(state === Mview.result(Mview.init(firstHalf, keys, "value"), keys)
+      .orderBy("event_type").collect().toSeq)
+    // session 3, SAME checkpoint, new files arrived: only the delta is
+    // folded in, and the state now equals the from-scratch aggregate
+    secondHalf.coalesce(2).write.mode("append").parquet(srcDir)
+    EventStreams.mviewMaintain(src, statePath, keys, "value", Some(cp))
+      .awaitTermination(120000)
+    assert(state === Mview.result(Mview.init(batchEvents, keys, "value"), keys)
+      .orderBy("event_type").collect().toSeq)
   }
 }
