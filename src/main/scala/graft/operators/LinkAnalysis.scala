@@ -296,6 +296,12 @@ object LinkAnalysis {
     * compare — no hash signature needed — and the round count is bounded
     * by the peeling depth (≤ graph diameter in practice, not |V|).
     *
+    * A graph whose peeling depth exceeds `maxIter` (pathological chains)
+    * does NOT fail the query: peeling is monotone deletion, so the
+    * partially-peeled result is a valid SUPERSET of the k-core — it is
+    * returned as-is with a logged warning, and equals the k-core exactly
+    * whenever `maxIter` ≥ peeling depth.
+    *
     * Output: (node, core_degree) for k-core members — core_degree is the
     * degree WITHIN the core (≥ k by the fixpoint). */
   def kCore(
@@ -330,7 +336,10 @@ object LinkAnalysis {
       n = m
       iter += 1
     }
-    require(converged || n == 0L, s"kCore: no fixpoint after $maxIter rounds")
+    if (!converged && n > 0L)
+      org.slf4j.LoggerFactory.getLogger(LinkAnalysis.getClass).warn(
+        s"kCore: no fixpoint after $maxIter rounds ($n edges live); " +
+          "returning the current still-shrinking superset of the k-core")
     degrees(edges)
   }
 

@@ -55,6 +55,23 @@ class KCoreSpec extends SparkSpec {
     }
   }
 
+  test("maxIter short of the peeling depth returns a superset, not a throw") {
+    // a long pendant chain into a 3-clique peels one chain link per
+    // round under k=2 — depth ~ chain length, far beyond maxIter=1
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val clique = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val edges = chain ++ clique
+    val partial = LinkAnalysis.kCore(edges.toDF("a", "b"), "a", "b",
+      k = 2, maxIter = 1).as[(Long, Long)].collect().toMap
+    val full = run(edges, k = 2)
+    // one round peels exactly node 0; everything else still stands
+    assert(partial.keySet === (1L to 22L).toSet)
+    // monotone deletion: the partial result contains the true core
+    assert(full.keySet.subsetOf(partial.keySet))
+    // and with the default budget the same graph reaches the fixpoint
+    assert(full.keySet === Set(20L, 21L, 22L))
+  }
+
   test("invariants: min within-core degree >= k; result is maximal") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
