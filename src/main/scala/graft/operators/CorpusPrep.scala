@@ -39,6 +39,10 @@ object CorpusPrep {
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "with"),
       decontamNgram: Int = 5,
       chunkDedupTokens: Int = 0, // >0 enables C4-style span removal
+      phashMaxHamming: Int = 6,  // used when a media payload col is given
+      phashNumBands: Int = 8,
+      ragChunkWin: Int = 0,      // >0 enables strided RAG chunk output
+      ragChunkStride: Int = 0,   // required 1..ragChunkWin when enabled
       trainNum: Int = 8,
       validNum: Int = 1,
       splitDenom: Int = 10,
@@ -47,14 +51,29 @@ object CorpusPrep {
 
   /** Run the chain. Returns `(idCol, langCol, textCol, n_tokens, split,
     * shard_id)` — one row per surviving document, shard-packed within
-    * each (split, language) group. */
+    * each (split, language) group.
+    *
+    * Optional stages:
+    *  - `mediaPayloadCol`: docs carrying a binary media payload
+    *    additionally dedup PERCEPTUALLY — dHash64 the payload, band-join
+    *    near-identical signatures ([[Dedup.hamming64Pairs]]), keep each
+    *    transitive cluster's min-id doc, exactly the text near-dup
+    *    contract. Undecodable payloads never pair (null hash) and pass
+    *    through.
+    *  - `cfg.ragChunkWin > 0`: the output grain becomes RETRIEVAL CHUNKS —
+    *    each surviving doc explodes into `ragChunkWin`-token windows every
+    *    `ragChunkStride` tokens ([[graft.functions.TextOps.chunkStride]])
+    *    BEFORE shard packing, so shard token budgets measure the tokens
+    *    actually emitted; output gains a `chunk_no` column, `textCol`
+    *    holds the chunk text and `n_tokens` the chunk's token count. */
   def prepare(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       langCol: String,
       cfg: Config = Config(),
-      evalDocs: Option[DataFrame] = None): DataFrame = {
+      evalDocs: Option[DataFrame] = None,
+      mediaPayloadCol: Option[String] = None): DataFrame = {
     // 1. exact dedup (min id survives per identical text)
     val exact = Dedup.dropExactDuplicates(docs, idCol, textCol)
 
@@ -63,7 +82,24 @@ object CorpusPrep {
       cfg.shingleSize, cfg.numBands, cfg.rowsPerBand, cfg.jaccardThreshold)
     val cc = Components.connectedComponentsAuto(pairs, "left_id", "right_id")
     val dropIds = cc.filter(col("id") =!= col("component")).select(col("id").as(idCol))
-    val nearDeduped = exact.join(dropIds, Seq(idCol), "left_anti")
+    val textDeduped = exact.join(dropIds, Seq(idCol), "left_anti")
+
+    // 2p. optional perceptual near-dup removal: same cluster-keep-min
+    // contract as the text stage, over dHash64 of the media payload —
+    // banded 64-bit signature join, never a pair scan
+    val nearDeduped = mediaPayloadCol match {
+      case Some(pc) =>
+        val sig = textDeduped
+          .select(col(idCol), Multimodal.dHashUdf(col(pc)).as("__ph"))
+          .filter(col("__ph").isNotNull)
+        val ppairs = Dedup.hamming64Pairs(sig, idCol, "__ph",
+          cfg.phashMaxHamming, cfg.phashNumBands)
+        val pcc = Components.connectedComponentsAuto(ppairs, "left_id", "right_id")
+        val pdrop = pcc.filter(col("id") =!= col("component"))
+          .select(col("id").as(idCol))
+        textDeduped.join(pdrop, Seq(idCol), "left_anti")
+      case None => textDeduped
+    }
 
     // 2b. optional decontamination: drop any doc sharing an n-gram with
     // the benchmark/eval corpus — a tainted doc is tainted in every
@@ -111,14 +147,35 @@ object CorpusPrep {
         .when(bucket < cfg.trainNum + cfg.validNum, "valid")
         .otherwise("test"))
 
+    // 4b. optional RAG chunking: explode surviving docs into strided
+    // windows BEFORE packing, so shard budgets count the tokens that
+    // will actually ship; chunk grain carries (doc id, chunk_no)
+    val unit =
+      if (cfg.ragChunkWin <= 0) split
+      else {
+        val ch = TextOps.chunkStride(
+            split.select(col(idCol), col(textCol)),
+            idCol, textCol, cfg.ragChunkWin, cfg.ragChunkStride)
+          .select(col(idCol), col("chunk_no"),
+            col("chunk_text").as("__chunk"))
+        split.drop(textCol).drop("n_tokens")
+          .join(ch, Seq(idCol))
+          .withColumn(textCol, col("__chunk")).drop("__chunk")
+          .withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast("long"))
+      }
+
     // 5. pack into token-budget shards per (split, language) — parallel
     // across groups, running sum never funnels through one task
-    val w = Window.partitionBy("split", langCol).orderBy(idCol)
-    split
+    val orderCols =
+      if (cfg.ragChunkWin <= 0) Seq(col(idCol)) else Seq(col(idCol), col("chunk_no"))
+    val w = Window.partitionBy("split", langCol).orderBy(orderCols: _*)
+    val packed = unit
       .withColumn("shard_id",
         ((sum("n_tokens").over(w) - col("n_tokens")) / cfg.tokensPerShard)
           .cast("long"))
-      .select(col(idCol), col(langCol), col(textCol),
-        col("n_tokens"), col("split"), col("shard_id"))
+    val outCols = Seq(col(idCol), col(langCol), col(textCol),
+      col("n_tokens"), col("split"), col("shard_id")) ++
+      (if (cfg.ragChunkWin <= 0) Nil else Seq(col("chunk_no")))
+    packed.select(outCols: _*)
   }
 }

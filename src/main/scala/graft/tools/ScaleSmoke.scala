@@ -130,6 +130,19 @@ object ScaleSmoke {
     time("corpus prep end-to-end (dedup→gate→split→pack)") {
       graft.operators.CorpusPrep.prepare(docs, "doc_id", "text", "lang").count()
     }
+    // full-option chain: + perceptual payload dedup (banded 64-bit join)
+    // and RAG chunk-grain output (scan-local explode) — both stages are
+    // linear in corpus size, so this should track the base line above
+    // plus the per-doc PNG encode/decode cost
+    time("corpus prep + phash dedup + RAG chunking") {
+      val pngUdf = udf { (id: Long) =>
+        graft.operators.Multimodal.encodePng(id % 1000, perturb = false) }
+      graft.operators.CorpusPrep.prepare(
+        docs.withColumn("payload", pngUdf(col("doc_id").cast("long"))),
+        "doc_id", "text", "lang",
+        cfg = graft.operators.CorpusPrep.Config(ragChunkWin = 64, ragChunkStride = 48),
+        mediaPayloadCol = Some("payload")).count()
+    }
     // round-7 curation stages: each is explode-linear + one equi-join /
     // tiny-broadcast shaped, so all four should track the corpus size,
     // not any pair space

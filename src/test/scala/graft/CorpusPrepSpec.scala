@@ -87,6 +87,55 @@ class CorpusPrepSpec extends SparkSpec {
     assert(again === base)
   }
 
+  test("full pipeline with phash AND RAG-chunking stages on") {
+    import graft.operators.Multimodal
+    // payload column: docs sharing doc_id % 50 carry the SAME image, so
+    // each class is a perceptual-dup cluster whose min id must survive
+    val pngUdf = udf { (id: Long) => Multimodal.encodePng(id % 50, perturb = false) }
+    val withMedia = docs.withColumn("payload", pngUdf($"doc_id".cast("long")))
+    val cfg = CorpusPrep.Config(ragChunkWin = 64, ragChunkStride = 48)
+    val out = CorpusPrep.prepare(withMedia, "doc_id", "text", "lang",
+      cfg = cfg, mediaPayloadCol = Some("payload")).cache()
+    assert(out.count() > 0)
+
+    // (a) the phash stage applied the cluster-keep-min contract: compute
+    // the expected drop set with the independently-tested operators over
+    // the text-deduped set the stage actually saw
+    val exact = Dedup.dropExactDuplicates(withMedia, "doc_id", "text")
+    val tpairs = Dedup.minhashPairs(exact, "doc_id", "text", 3, 8, 4, 0.5)
+    val tcc = Components.connectedComponents(tpairs, "left_id", "right_id")
+    val textDeduped = exact.join(
+      tcc.filter($"id" =!= $"component").select($"id".as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val sig = textDeduped.select($"doc_id",
+      Multimodal.dHashUdf($"payload").as("ph")).filter($"ph".isNotNull)
+    val ppairs = Dedup.hamming64Pairs(sig, "doc_id", "ph", 6, 8)
+    val expectedDrop = Components.connectedComponents(ppairs, "left_id", "right_id")
+      .filter($"id" =!= $"component").select($"id".cast("long")).as[Long]
+      .collect().toSet
+    assert(expectedDrop.nonEmpty, "fixture produced no perceptual dups")
+    val survivors = out.select($"doc_id".cast("long")).distinct().as[Long].collect().toSet
+    assert(survivors.intersect(expectedDrop).isEmpty,
+      "non-canonical perceptual dups survived")
+
+    // (b) chunk grain: chunk text equals TextOps.chunkStride of the doc,
+    // n_tokens is the chunk's own token count, bounded by the window
+    assert(out.filter($"n_tokens" > 64).count() === 0)
+    assert(out.filter(size(split($"text", " ")) =!= $"n_tokens").count() === 0)
+    // chunk_no is dense from 0 per doc
+    val holes = out.groupBy("doc_id")
+      .agg(min("chunk_no").as("lo"), max("chunk_no").as("hi"),
+        count(lit(1)).as("n"))
+      .filter($"lo" =!= 0 || $"n" =!= $"hi" + 1)
+    assert(holes.count() === 0)
+
+    // (c) shard budgets hold at CHUNK grain: sum under budget + one
+    // max-chunk overhang per shard
+    val shard = out.groupBy("split", "lang", "shard_id")
+      .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+    assert(shard.filter($"t" - $"m" >= 2000).count() === 0)
+  }
+
   test("optional chunk dedup stage strips cross-doc boilerplate spans") {
     val withSpans = CorpusPrep.prepare(docs, "doc_id", "text", "lang",
       cfg = CorpusPrep.Config(chunkDedupTokens = 10))
