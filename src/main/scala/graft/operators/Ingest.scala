@@ -64,13 +64,16 @@ object Ingest {
 
   /** Amortized skip-existing for a micro-batch ingest loop: builds the
     * existing-id sketch ONCE (from the durable layout on first use) and
-    * maintains it across [[append]] calls with the putLong feedback the
+    * maintains it across [[append]] calls with the id feedback the
     * [[buildIdBloom]] contract requires — so a long-running stream pays
     * one full id scan total, then per batch only the batch itself plus
-    * the streamed residual check. The id feedback is a per-batch driver
-    * collect, bounded by micro-batch size (the same bound foreachBatch
-    * already imposes). NOT thread-safe: one session per writer, the same
-    * discipline the partitioned append itself needs. */
+    * the streamed residual check. The id feedback is DISTRIBUTED: the
+    * batch's ids fold into a same-shape Bloom aggregate on the executors
+    * and `mergeInPlace` into the session sketch (an OR of bit arrays) —
+    * a bulk backfill routed through the session never materializes ids
+    * on the driver; per batch the driver receives one sketch-sized blob,
+    * independent of batch row count. NOT thread-safe: one session per
+    * writer, the same discipline the partitioned append itself needs. */
   final class BloomIngestSession(
       spark: SparkSession,
       path: String,
@@ -93,16 +96,32 @@ object Ingest {
            newRecordsBloomWith(batch, spark.read.parquet(path), idCol, sketch)
          else batch)
           .dropDuplicates(idCol)
-          .cache() // two passes below: write + id feedback
+          .cache() // two passes below: count + write
       try {
+        // count BEFORE the append: fresh's plan reads the durable layout,
+        // so any post-append re-evaluation (cache miss) would see its own
+        // output and undercount
+        val written = fresh.count()
         fresh
           .repartition(col(partitionCol))
           .write.mode(SaveMode.Append)
           .partitionBy(partitionCol)
           .parquet(path)
-        val ids = fresh.select(col(idCol).cast("long")).collect()
-        ids.foreach(r => if (!r.isNullAt(0)) sketch.putLong(r.getLong(0)))
-        ids.length.toLong
+        // distributed feedback: aggregate ids into a filter built with
+        // the SAME (expectedIds, fpp) — identical bit layout, so
+        // mergeInPlace is a bitwise OR — and fold it into the session
+        // sketch; no ids ever land on the driver. Aggregated over the
+        // RAW batch, not `fresh`: batch ⊇ fresh and the already-known
+        // remainder is in the sketch by the session invariant, so the
+        // merge is equivalent — but the batch side is layout-independent,
+        // immune to the same re-evaluation hazard (a LOST id would fail
+        // unsafe: its replay would look definitely-new).
+        if (written > 0L)
+          sketch.mergeInPlace(
+            batch.select(col(idCol).cast("long").as(idCol))
+              .filter(col(idCol).isNotNull)
+              .stat.bloomFilter(idCol, expectedIds, fpp))
+        written
       } finally fresh.unpersist()
     }
   }

@@ -93,6 +93,25 @@ class IngestSpec extends SparkSpec {
     assert(got.filter($"id" === 2L).select("v").as[String].head() === "b")
   }
 
+  test("BloomIngestSession: bulk backfill replay is exact via distributed feedback") {
+    // the feedback path folds batch ids into the session sketch via a
+    // distributed same-shape Bloom merge — a LOST id would fail in the
+    // unsafe direction (replayed row classified definitely-new and
+    // re-appended), so the replay-counts-zero assertions below verify
+    // the merge really carried every id
+    val dir = Files.createTempDirectory("bloombulk").toString + "/t"
+    val s = new Ingest.BloomIngestSession(spark, dir, "id", "pid", 10000L)
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      $"id", pmod($"id", lit(8)).cast("int").as("pid"),
+      concat(lit("v"), $"id").as("v"))
+    assert(s.append(rows(0, 5000)) === 5000)
+    assert(s.append(rows(0, 5000)) === 0)
+    // half-overlapping follow-up: exactly the new half lands
+    assert(s.append(rows(2500, 7500)) === 2500)
+    assert(spark.read.parquet(dir).count() === 7500)
+    assert(spark.read.parquet(dir).select("id").distinct().count() === 7500)
+  }
+
   test("streaming foreachBatch drives the same idempotent partitioned append (ST1)") {
     val src = Files.createTempDirectory("stream-src").toString
     val dst = Files.createTempDirectory("stream-dst").toString + "/t"
