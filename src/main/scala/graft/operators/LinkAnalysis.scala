@@ -44,9 +44,14 @@ import org.apache.spark.storage.StorageLevel
   * round's single shuffle is the node-sized map-side-combined
   * `reduceByKey`, the information-theoretic minimum for PageRank.
   * Results are integers, so the output is bit-identical regardless of
-  * partitioning. Caveat at web scale: a hub's out-list is one record —
-  * fine to ~10⁶ out-degree; beyond that use an edge-partitioned layout
-  * (GraphX-style) instead.
+  * partitioning. Web-scale hubs are handled by EDGE-PARTITIONING the
+  * adjacency above a threshold: a source whose out-list exceeds
+  * `hubSplit` is stored as several (src, (totalOutDeg, slice)) records,
+  * so no single record/task ever materializes a mega-hub's full
+  * out-list; every slice computes the identical per-edge contribution
+  * `rank div totalOutDeg` (the total is carried in the record), so the
+  * split is invisible in the output — bit-identical ranks at any
+  * threshold, which LinkAnalysisSpec pins.
   */
 object LinkAnalysis {
 
@@ -64,6 +69,10 @@ object LinkAnalysis {
     *                duplicate-free (e.g. built from a `distinct()` pair
     *                set fanned out over disjoint prefixes) — skips the
     *                internal edge-set shuffle
+    * @param hubSplit out-degree above which a source's adjacency is
+    *                edge-partitioned into slices of this size (the
+    *                mega-hub layout); output is bit-identical at any
+    *                value ≥ 1
     * @return (node, pr) — pr is the fixed-point rank in units of
     *         1e-12; divide by `Scale.toDouble` for the float view
     */
@@ -73,8 +82,9 @@ object LinkAnalysis {
       dstCol: String,
       iterations: Int = 5,
       d100: Int = 85,
-      assumeDistinct: Boolean = false): DataFrame = {
-    require(iterations >= 0 && d100 >= 0 && d100 <= 100)
+      assumeDistinct: Boolean = false,
+      hubSplit: Int = 100000): DataFrame = {
+    require(iterations >= 0 && d100 >= 0 && d100 <= 100 && hubSplit >= 1)
     val spark = edges.sparkSession
     val nodeType = edges.schema(srcCol).dataType
     require(edges.schema(dstCol).dataType == nodeType,
@@ -94,13 +104,21 @@ object LinkAnalysis {
       math.max(1, math.min(spark.sparkContext.defaultParallelism,
         (m / 1000000L).toInt + 1)))
 
-    // collapse to per-source adjacency ONCE (out-degree = list length):
-    // every later round joins rank against NODE-sized tables only; the
-    // edge set is traversed solely by the contribution flatMap
-    val adj = e.aggregateByKey(
+    // collapse to per-source adjacency ONCE; every later round joins
+    // rank against NODE-sized tables only, and the edge set is traversed
+    // solely by the contribution flatMap. Sources above `hubSplit`
+    // out-degree are edge-partitioned into slices that each carry the
+    // TOTAL out-degree, so the per-edge contribution is computed
+    // identically from any slice (keys are unchanged, so the hash
+    // partitioning is preserved through the slicing)
+    val adj: RDD[(Any, (Int, Array[Any]))] = e.aggregateByKey(
         scala.collection.mutable.ArrayBuffer.empty[Any], part)(
         (b, d) => b += d, (a, b) => a ++= b)
-      .mapValues(_.toArray)
+      .mapPartitions(_.flatMap { case (s, buf) =>
+        val n = buf.length
+        if (n <= hubSplit) Iterator.single((s, (n, buf.toArray)))
+        else buf.grouped(hubSplit).map(g => (s, (n, g.toArray)))
+      }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
       .reduceByKey(part, (a, _) => a) // distinct, landing directly on `part`
@@ -120,17 +138,19 @@ object LinkAnalysis {
       teleport + d100 * s.getOrElse(0L) / 100
     var insum: RDD[(Any, Long)] =
       if (iterations == 0) null
-      else adj.flatMap { case (_, dsts) =>
-        val c = init / dsts.length
+      else adj.flatMap { case (_, (deg, dsts)) =>
+        val c = init / deg
         dsts.iterator.map(d => (d, c))
       }.reduceByKey(part, _ + _)
     for (_ <- 2 to iterations) {
       // adj⋈insum is narrow AND node-sized (both carry `part`); the
       // reduceByKey is the round's ONLY shuffle and is node-sized after
-      // map-side combine — contribution order never matters (integer adds)
+      // map-side combine — contribution order never matters (integer
+      // adds); a hub's slices each join the same rank record and emit
+      // the same `rank div totalDeg` per edge
       insum = adj.leftOuterJoin(insum, part)
-        .flatMap { case (_, (dsts, s)) =>
-          val c = rankOf(s) / dsts.length
+        .flatMap { case (_, ((deg, dsts), s)) =>
+          val c = rankOf(s) / deg
           dsts.iterator.map(d => (d, c))
         }
         .reduceByKey(part, _ + _)

@@ -56,6 +56,26 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("mega-hub edge-partitioning is invisible: bit-identical at any hubSplit") {
+    // hub 0 fans out to 400 targets; background edges + back-edges keep
+    // the graph connected. Forcing tiny hubSplit slices the hub's
+    // adjacency into up to 400 records — ranks must not move by one unit.
+    val rnd = new scala.util.Random(13)
+    val hub = (1L to 400L).map(d => (0L, d))
+    val back = Seq((1L, 0L), (200L, 0L))
+    val bg = Seq.fill(300)(
+        (rnd.nextInt(400).toLong + 1L, rnd.nextInt(400).toLong + 1L))
+      .filter(e => e._1 != e._2)
+    val df = (hub ++ back ++ bg).toDF("src", "dst")
+    val whole = LinkAnalysis.pageRank(df, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    for (s <- Seq(1, 7, 64)) {
+      val sliced = LinkAnalysis.pageRank(df, "src", "dst", hubSplit = s)
+        .as[(Long, Long)].collect().toMap
+      assert(sliced === whole, s"hubSplit=$s diverged")
+    }
+  }
+
   private def hitsOf(edges: Seq[(String, String)], iters: Int = 3)
       : Map[String, (Long, Long)] =
     LinkAnalysis.hits(edges.toDF("src", "dst"), "src", "dst",
