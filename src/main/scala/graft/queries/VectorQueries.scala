@@ -122,6 +122,23 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // Trace-invariant partial oracle for the eigensolve: Σ of ALL d
+    // eigenvalues equals trace(cov) = Σ_i (E[x_i²] − mean_i²), the total
+    // centered variance — which IS SQL-expressible. The engine sums the
+    // full Jacobi spectrum (k = d); DuckDB recomputes the trace from the
+    // raw vectors. Jacobi rotations preserve the trace to ~1e-14 relative
+    // and the fp-sum-order difference is of the same size, both far below
+    // the 6-dp rounding — so the float eigensolve gets a hash-checked
+    // scalar without being replayed.
+    "emb_pca_trace" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val d = emb.select(size(col("embedding"))).head().getInt(0)
+      val model = graft.operators.EmbeddingPca.fit(emb, "embedding", k = d)
+      s.range(1).select(
+        round(lit(model.eigenvalues.sum), 6).as("trace_total_variance"),
+        lit(d).cast("int").as("dim"))
+    },
+
     // JL random projection (Achlioptas ±1 signs off the portable mixer):
     // the data-INdependent dim-reduction next to emb_pca — no fit pass,
     // seed-reproducible across disjoint corpora, scan-local fold with no
@@ -184,6 +201,10 @@ object VectorQueries {
         .agg(sum(col("__ts").cast(DecimalType(18, 6))).cast("double").as("lex_score"))
         .orderBy(desc("lex_score"), asc("doc_id")).limit(20)
       val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      // INVARIANT (PlanAuditSpec): this unpartitioned window is safe only
+      // because its input is the `limit(20)` candidate set joined to its
+      // embeddings — never the corpus. Widening the candidate stage past
+      // a bounded limit would funnel the corpus through one window task.
       val w = Window.orderBy(desc("sim"), asc("doc_id"))
       cand.join(emb.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
         .crossJoin(broadcast(qv))
@@ -633,6 +654,18 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "emb_pca_trace" ->
+      """WITH x AS (
+           SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+                  UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+           FROM embeddings),
+         perdim AS (
+           SELECT i, SUM(v * v) / COUNT(*) AS ev2, SUM(v) / COUNT(*) AS mu
+           FROM x GROUP BY i)
+         SELECT ROUND(SUM(ev2 - mu * mu), 6) AS trace_total_variance,
+           CAST((SELECT COUNT(*) FROM perdim) AS INTEGER) AS dim
+         FROM perdim""",
+
     "knn_bruteforce" ->
       s"""SELECT vec_id, label, score, CAST(rn AS INTEGER) AS rnk FROM (
             SELECT b.vec_id, b.label,

@@ -84,6 +84,57 @@ object EventStreams {
         graft.functions.Hll.estimateCol(col("__sk"))
           .as("approx_users"))
 
+  /** Hourly (event-time-truncated) counts per type — the aggregation half
+    * of the gap-fill twin; runs identically on a batch or streaming
+    * DataFrame (plain groupBy on a truncation expression). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+
+  /** Dense-calendar zero-fill over an hourly aggregate: every (hour in
+    * [from, to], observed event_type) cell exists, absent cells at
+    * (0, 0.0) — the batch `q39_gapfill` shape, applied to ANY hourly
+    * state (a batch aggregate, or each complete-mode snapshot in
+    * [[gapFillStream]]). The calendar is a generated sequence and the
+    * type dimension comes from the aggregate itself (tiny), so the fill
+    * never rescans events. */
+  def gapFillHourly(hourly: DataFrame, from: String, to: String): DataFrame = {
+    val spark = hourly.sparkSession
+    val hours = spark.range(1).select(explode(sequence(
+      to_timestamp(lit(from)), to_timestamp(lit(to)),
+      expr("interval 1 hour"))).as("hour"))
+    val types = hourly.select("event_type").distinct()
+    hours.crossJoin(types)
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+  }
+
+  /** Streaming gap-fill twin of `q39_gapfill`: the hourly aggregate runs
+    * as a complete-mode streaming aggregation (each trigger's batch is
+    * the FULL updated hourly state), and the dense-calendar zero-fill —
+    * a join after a streaming aggregation, which append/update modes
+    * cannot express — runs as plain batch ops on that snapshot inside
+    * `foreachBatch`. `sink` receives the gap-filled snapshot per
+    * trigger; the final snapshot equals the batch query on the same rows
+    * (StreamingSpec). State is the hourly aggregate itself — (hours ×
+    * types)-sized, independent of event volume. */
+  def gapFillStream(
+      stream: DataFrame,
+      from: String,
+      to: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    hourlyCounts(stream).writeStream
+      .outputMode("complete")
+      .foreachBatch { (hourly: DataFrame, id: Long) =>
+        sink(gapFillHourly(hourly, from, to), id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Watermarked form: apply to a `readStream` DataFrame before one of the
     * aggregates above so state is evicted once the watermark passes. */
   def withWatermark(stream: DataFrame, delay: String): DataFrame =

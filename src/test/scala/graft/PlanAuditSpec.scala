@@ -271,6 +271,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("hybrid_search: the unpartitioned rerank window only sees the limit(20) candidates") {
+    val p = plan("hybrid_search")
+    // the lexical candidate stage must be a bounded top-k (limit 20 on
+    // lex_score) — THAT is what makes the partition-less rerank window
+    // safe; if this trips, the rerank is funneling the corpus into one
+    // window task
+    assert(p.contains("Arguments: 20, [lex_score"), p.take(1200))
+    // and the rnk <= 10 filter itself rewrites to a global top-10
+    // TakeOrderedAndProject BELOW the Window, so the single-task window
+    // ranks exactly 10 rows
+    assert(p.contains("Arguments: 10, [sim"), p.take(1200))
+    assert(p.contains("Window"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("text_chunk_stride: chunk generation is scan-local (no exchange before the sort)") {
     val p = plan("text_chunk_stride")
     // one Exchange for the presentation orderBy, nothing else (tree lines

@@ -404,6 +404,25 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.toSet === want)
   }
 
+  test("streaming gap-fill (complete mode) equals the batch dense calendar") {
+    val from = "2024-01-01 00:00:00"
+    val to = "2024-01-30 23:00:00"
+    @volatile var last: Option[Seq[org.apache.spark.sql.Row]] = None
+    val q = EventStreams.gapFillStream(streamEvents, from, to) { (snap, _) =>
+      last = Some(snap.orderBy("hour", "event_type").collect().toSeq)
+    }
+    q.awaitTermination(120000)
+    val want = EventStreams.gapFillHourly(
+        EventStreams.hourlyCounts(batchEvents), from, to)
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(last.isDefined, "no snapshot reached the sink")
+    assert(last.get.size === want.size)
+    assert(last.get === want)
+    // the fill is genuinely dense: every (hour, type) cell exists
+    val nTypes = batchEvents.select("event_type").distinct().count()
+    assert(want.size === 30 * 24 * nTypes)
+  }
+
   test("checkpointed mview maintenance is incremental ACROSS sessions") {
     import graft.operators.Mview
     val statePath = Files.createTempDirectory("mview-state").toString
