@@ -406,4 +406,126 @@ object LinkAnalysis {
             .otherwise(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
               (col("degree") * (col("degree") - 1))), 6).as("lcc"))
   }
+
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007, Phys. Rev. E 76): every node starts labeled
+    * with its own id; each round, every node adopts the label held by the
+    * PLURALITY of its neighbors (tiebreak: smallest label) — densely
+    * interlinked groups converge onto one label within a few rounds. In
+    * curation this is the modularity-flavored sibling of [[Components]]:
+    * components find REACHABLE groups (any bridge merges two clusters),
+    * LPA finds DENSE groups (a single bridge edge is outvoted), which is
+    * what separates two boilerplate families that share one stray link.
+    *
+    * Determinism: the classic async/randomized LPA is not reproducible,
+    * so this is the SYNCHRONOUS fixed-round variant with a total-order
+    * tiebreak — all counts are integers and the argmax is
+    * (count DESC, label ASC), so a fixed `iterations` replays bit-for-bit
+    * as unrolled GROUP-BY + window CTEs in any engine (house pattern:
+    * the [[pageRank]]/[[hits]] integer fixed points). Synchronous LPA on
+    * a bipartite-ish region can oscillate rather than converge — also
+    * deterministic, and why `iterations` is a fixed parameter rather
+    * than a convergence test.
+    *
+    * Spark shape, per round: adjacency (built ONCE, hash-partitioned,
+    * hub-sliced like [[pageRank]]) joins the node-sized label map
+    * narrowly and emits one (neighbor, label) message per edge; the
+    * round's ONLY shuffle is a node-sized `aggregateByKey` of partial
+    * per-node label-count maps (map-side combined, so what crosses the
+    * wire is one map per (node, sender-partition), not one record per
+    * edge), and the plurality argmax folds into the same pass. Round 1
+    * skips the join: the initial label of a source IS its id, already
+    * in the adjacency key. A node's count map is bounded by its
+    * neighbors' DISTINCT labels — worst case its degree, the same skew
+    * profile as receiving the messages at all; a mega-hub's inbound
+    * maps merge across its senders' combiners.
+    *
+    * @param pairs undirected edges as a pair list (self-loops/nulls
+    *              dropped, duplicates collapsed); node ids cast to LONG —
+    *              labels are node ids, and the tiebreak needs a total
+    *              order that replays in SQL
+    * @return (node BIGINT, label BIGINT) — `label` is the community id
+    *         (some member's node id) after exactly `iterations` rounds
+    */
+  def labelPropagation(
+      pairs: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      iterations: Int = 4,
+      hubSplit: Int = 100000): DataFrame = {
+    require(iterations >= 0 && hubSplit >= 1)
+    val spark = pairs.sparkSession
+    val und = pairs
+      .select(col(leftCol).cast("long").as("a"), col(rightCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val e: RDD[(Long, Long)] = und.rdd
+      .flatMap { r =>
+        val u = r.getLong(0); val v = r.getLong(1)
+        Iterator((u, v), (v, u))
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e.count()
+    val part = new HashPartitioner(
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (m / 1000000L).toInt + 1)))
+    val adj: RDD[(Long, Array[Long])] = e.aggregateByKey(
+        scala.collection.mutable.ArrayBuffer.empty[Long], part)(
+        (b, d) => b += d, (a, b) => a ++= b)
+      .mapPartitions(_.flatMap { case (s, buf) =>
+        if (buf.length <= hubSplit) Iterator.single((s, buf.toArray))
+        else buf.grouped(hubSplit).map(g => (s, g.toArray))
+      }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    e.unpersist(blocking = false)
+    // one plurality vote: node-sized aggregateByKey of per-node label
+    // counts (map-side combined), argmax (count DESC, label ASC) inline
+    def vote(msgs: RDD[(Long, Long)]): RDD[(Long, Long)] = msgs
+      .aggregateByKey(
+        scala.collection.mutable.LongMap.empty[Long], part)(
+        (m, lab) => { m(lab) = m.getOrElse(lab, 0L) + 1L; m },
+        (a, b) => { b.foreach { case (lab, c) =>
+          a(lab) = a.getOrElse(lab, 0L) + c }; a })
+      .mapValues { m =>
+        var bestLab = Long.MaxValue; var bestC = -1L
+        m.foreach { case (lab, c) =>
+          if (c > bestC || (c == bestC && lab < bestLab)) {
+            bestLab = lab; bestC = c
+          }
+        }
+        bestLab
+      }
+    // the graph is symmetrized, so every node appears as a source; the
+    // round-1 message's label is the sender's id — no join needed
+    var labels: RDD[(Long, Long)] =
+      if (iterations == 0)
+        adj.mapValues(_ => ())
+          .reduceByKey(part, (a, _) => a)
+          .mapPartitions(_.map { case (n, _) => (n, n) },
+            preservesPartitioning = true)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      else vote(adj.flatMap { case (s, nbrs) => nbrs.iterator.map(d => (d, s)) })
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    for (_ <- 2 to iterations) {
+      val prev = labels
+      labels = vote(adj.join(prev, part)
+          .flatMap { case (_, (nbrs, lab)) =>
+            nbrs.iterator.map(d => (d, lab))
+          })
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels.count() // materialize before dropping the previous round
+      prev.unpersist(blocking = false)
+    }
+    val rows = labels.map { case (node, lab) => Row(node, lab) }
+    val out = spark.createDataFrame(rows,
+        StructType(Seq(StructField("node", LongType, nullable = false),
+          StructField("label", LongType, nullable = false))))
+      .localCheckpoint(eager = true)
+    adj.unpersist(blocking = false)
+    labels.unpersist(blocking = false)
+    out
+  }
 }

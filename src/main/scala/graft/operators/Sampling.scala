@@ -204,4 +204,75 @@ object Sampling {
         round(-log(u) / weightCol.cast("double"), 6)),
       strataCol, Seq(col("wkey"), keyCol), k)
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985, the farthest-first
+    * traversal): pick the min-id point as the seed, then k−1 times pick
+    * the point FARTHEST from everything picked so far — here "farthest" =
+    * lowest maximum dot-similarity to any selected center (tiebreak min
+    * id). The classic diversity sampler for training-data curation: a
+    * k-point coreset whose covering radius is within 2× of the optimal
+    * k-center cover, so a tiny picked set spans the embedding space —
+    * seed sets for k-means, diverse eval suites, dedup-aware subset
+    * selection (the complement of SemDeDup: keep the SPREAD, not one per
+    * cluster).
+    *
+    * Every per-point similarity is rounded to 6 dp BEFORE the running
+    * max / argmin (house `roundedDot` discipline), so the greedy replays
+    * bit-for-bit as a recursive CTE + LATERAL argmin in DuckDB — same
+    * replay pattern as the MMR oracle.
+    *
+    * Scale shape: the corpus never shuffles. The selection state is one
+    * narrow (id, vec, ms) projection; each round is one scan-local
+    * `greatest(ms, dot(vec, <broadcast center literal>))` update plus a
+    * `TakeOrderedAndProject(1)` argmin, and `localCheckpoint` truncates
+    * the k-deep lineage. Driver holds only the k picked vectors
+    * (k·dim doubles). k corpus passes are inherent to Gonzalez; for
+    * k in the thousands, batch several centers per pass (the
+    * furthest-point batch variant) — out of contract here.
+    *
+    * @return (step INT ascending 1..k, id, nearest_sim DOUBLE) —
+    *         `nearest_sim` is the picked point's max similarity to the
+    *         previously selected centers (NULL for the seed): a
+    *         decreasing novelty trace, useful as the coreset's coverage
+    *         profile. */
+  def kCenterCoreset(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val pts = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    def simTo(center: Seq[Float]) =
+      round(graft.functions.VectorOps.dot(col("vec"), typedlit(center)), 6)
+
+    val seed = pts.orderBy(asc("id")).limit(1).collect()(0)
+    var picks = List[(Int, Long, java.lang.Double)](
+      (1, seed.getLong(0), null))
+    var centerVec = seed.getSeq[Float](1)
+    // state: every unpicked point with its running max-similarity to the
+    // selected set; one scan-local update per round
+    var state = pts.filter(col("id") =!= seed.getLong(0))
+      .withColumn("ms", simTo(centerVec))
+      .localCheckpoint(eager = true)
+    for (step <- 2 to k) {
+      val p = state.orderBy(asc("ms"), asc("id")).limit(1).collect()(0)
+      picks = (step, p.getLong(0), Double.box(p.getDouble(2))) :: picks
+      centerVec = p.getSeq[Float](1)
+      if (step < k)
+        state = state.filter(col("id") =!= p.getLong(0))
+          .withColumn("ms", greatest(col("ms"), simTo(centerVec)))
+          .localCheckpoint(eager = true)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        picks.reverse.map(t => Row(t._1, t._2, t._3)).asJava),
+      StructType(Seq(
+        StructField("step", IntegerType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("nearest_sim", DoubleType, nullable = true))))
+  }
 }

@@ -160,6 +160,30 @@ object EventQueries {
         count_distinct(when(qualPurchase, col("user_id"))).as("u_purchase"))
     },
 
+    // Markov event-type transition matrix: per user, each event's type
+    // paired with the NEXT event's type (lead over one (user_id, ts)
+    // sort), then global bigram counts and row-normalized transition
+    // probabilities — the sequence-model prior (next-event prediction,
+    // anomalous-path scoring) every clickstream pipeline derives. One
+    // shuffle on user_id; the probability window runs on the
+    // |types|²-row count matrix, never on the events.
+    "q43_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val bigrams = table(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("cur_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy("cur_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+      bigrams
+        .withColumn("p", round(
+          col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy("cur_type")).cast("double"),
+          6))
+        .orderBy("cur_type", "next_type")
+    },
+
     // Bounded EWMA (α = 1/2 over the last 8 events per user) — the
     // classic time-series ML feature. Weights 128..1 are powers of two,
     // so value·w is an EXACT binary scaling of the stored double; each
@@ -223,6 +247,20 @@ object EventQueries {
           ROUND(CAST(($num) AS DOUBLE) / ($den), 6) AS ewma
           FROM events ORDER BY event_id"""
     },
+
+    "q43_transitions" ->
+      """WITH seq AS (
+           SELECT event_type AS cur_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events),
+         c AS (SELECT cur_type, next_type, COUNT(*) AS n
+               FROM seq WHERE next_type IS NOT NULL
+               GROUP BY cur_type, next_type)
+         SELECT cur_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE) /
+             CAST(SUM(n) OVER (PARTITION BY cur_type) AS DOUBLE), 6) AS p
+         FROM c ORDER BY cur_type, next_type""",
 
     "q41_ohlc" ->
       """WITH e AS (SELECT DATE_TRUNC('hour', ts) AS hour, event_type,

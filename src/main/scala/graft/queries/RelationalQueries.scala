@@ -550,6 +550,25 @@ object RelationalQueries {
         .orderBy("node")
     },
 
+    // Community detection over the supplier co-supply graph: synchronous
+    // label propagation, 4 fixed rounds — the DENSITY-based grouping
+    // signal (a lone bridge edge is outvoted, unlike components where it
+    // merges the clusters). Pure integer plurality votes with a
+    // (count DESC, label ASC) argmax, so all 4 rounds replay bit-for-bit
+    // as unrolled GROUP-BY + window CTEs in the oracle.
+    "graph_labelprop" -> { (s, dir) =>
+      val ps = table(s, dir, "lineitem")
+        .where(col("l_partkey") % 3 === 0)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val coSupply = ps.as("x").join(ps.as("y"), Seq("pk"))
+        .filter(col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("s1"), col("y.sk").as("s2"))
+      graft.operators.LinkAnalysis
+        .labelPropagation(coSupply, "s1", "s2", iterations = 4)
+        .orderBy("node")
+    },
+
     // Ratio-to-report: each nation's share of total revenue — a window
     // over the AGGREGATED series (25 rows), so the share computation
     // never touches the fact table again.
@@ -1123,6 +1142,38 @@ object RelationalQueries {
             SELECT u AS node FROM e$rounds
             UNION ALL SELECT v FROM e$rounds)
           GROUP BY node ORDER BY node"""
+    },
+
+    "graph_labelprop" -> {
+      // Unrolled 4-round replay of LinkAnalysis.labelPropagation's
+      // synchronous plurality vote: each round is one GROUP BY
+      // (node, label) count plus a (count DESC, label ASC) window argmax
+      // — all integer, so the replay is exact. The graph is symmetrized
+      // by the UNION ALL fan-out of the canonical u<v pair set, matching
+      // the operator's least/greatest + distinct canonicalization.
+      def round(k: Int, prev: String) =
+        s"""it$k AS MATERIALIZED (
+            SELECT node, label FROM (
+              SELECT e.src AS node, p.label AS label,
+                ROW_NUMBER() OVER (PARTITION BY e.src
+                  ORDER BY COUNT(*) DESC, p.label) AS rn
+              FROM e JOIN $prev p ON e.dst = p.node
+              GROUP BY e.src, p.label)
+            WHERE rn = 1)"""
+      s"""WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT CAST(x.sk AS BIGINT) AS u, CAST(y.sk AS BIGINT) AS v
+            FROM (SELECT DISTINCT l_partkey pk, l_suppkey sk
+                  FROM lineitem WHERE l_partkey % 3 = 0) x
+            JOIN (SELECT DISTINCT l_partkey pk, l_suppkey sk
+                  FROM lineitem WHERE l_partkey % 3 = 0) y
+              ON x.pk = y.pk AND x.sk < y.sk),
+          e AS MATERIALIZED (
+            SELECT u AS src, v AS dst FROM e0
+            UNION ALL SELECT v, u FROM e0),
+          it0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+          ${round(1, "it0")}, ${round(2, "it1")},
+          ${round(3, "it2")}, ${round(4, "it3")}
+          SELECT node, label FROM it4 ORDER BY node"""
     },
 
     "q32_pivot" -> {

@@ -378,6 +378,43 @@ object TextQueries {
         .orderBy("doc_id", "rnk")
     },
 
+    // TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): corpus
+    // keywords by PageRank over the word co-occurrence graph — adjacent
+    // token pairs become undirected edges, and the integer fixed-point
+    // PageRank (LinkAnalysis, 5 rounds) ranks the vocabulary. The
+    // unsupervised keyword stage of a curation pipeline (topic tags,
+    // index terms) built by COMPOSITION: the tokenizer feeds the graph
+    // operator, and the same unrolled-CTE replay that checks
+    // graph_pagerank checks this end to end — graph construction
+    // included.
+    "text_textrank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = table(s, dir, "documents")
+        .select(TextOps.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+      // canonical u<v co-occurrence pairs, then both directions — the
+      // fan-out is duplicate-free by construction (pageRank skips its
+      // edge-distinct shuffle)
+      val pairs = tok
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), " +
+            "i -> struct(ts[i] AS a, ts[i + 1] AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      graft.operators.LinkAnalysis
+        .pageRank(edges, "src", "dst", iterations = 5, assumeDistinct = true)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(desc("pr"), asc("node"))))
+        .filter(col("rnk") <= 20)
+        .select(col("node").as("word"), col("pr"), col("rnk"))
+        .orderBy("rnk")
+    },
+
     // Okapi BM25 retrieval: doc 0's terms against the rest of the corpus,
     // top-10 by the length-normalized saturating-tf score — the lexical
     // ranking production search runs (TF-IDF above is the classroom
@@ -1300,6 +1337,48 @@ object TextQueries {
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
            FROM scored)
          WHERE rn <= 3 ORDER BY doc_id, rnk""",
+
+    "text_textrank" -> {
+      // Word co-occurrence graph in SQL (list comprehension over
+      // adjacent token pairs, canonicalized u<v then fanned both ways),
+      // then the same unrolled 5-iteration integer PageRank replay as
+      // the graph_pagerank oracle, and the top-20 rank window.
+      val scale = graft.operators.LinkAnalysis.Scale
+      def iterCte(k: Int, prev: String) =
+        s"""it$k AS MATERIALIZED (
+            SELECT nodes.node,
+              (${15L * scale} // (100 * (SELECT n FROM nn))) +
+              ((85 * COALESCE(agg.s, 0)) // 100) AS pr
+            FROM nodes LEFT JOIN (
+              SELECT e.dst, CAST(SUM(p.pr // o.deg) AS BIGINT) AS s
+              FROM e
+              JOIN $prev p ON e.src = p.node
+              JOIN outdeg o ON e.src = o.src
+              GROUP BY e.dst) agg ON nodes.node = agg.dst)"""
+      s"""WITH tok AS (
+            SELECT STRING_SPLIT(text, ' ') AS ts FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+          pr0 AS (
+            SELECT DISTINCT LEAST(p[1], p[2]) AS u, GREATEST(p[1], p[2]) AS v
+            FROM (SELECT UNNEST([[ts[i], ts[i + 1]]
+                    FOR i IN RANGE(1, LEN(ts))]) AS p
+                  FROM tok)
+            WHERE p[1] <> p[2]),
+          e AS MATERIALIZED (
+            SELECT u AS src, v AS dst FROM pr0
+            UNION ALL SELECT v, u FROM pr0),
+          nodes AS (SELECT DISTINCT src AS node FROM e),
+          nn AS (SELECT COUNT(*) AS n FROM nodes),
+          outdeg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+          it0 AS (SELECT node, $scale // (SELECT n FROM nn) AS pr FROM nodes),
+          ${iterCte(1, "it0")}, ${iterCte(2, "it1")}, ${iterCte(3, "it2")},
+          ${iterCte(4, "it3")}, ${iterCte(5, "it4")}
+          SELECT word, pr, CAST(rn AS INTEGER) AS rnk FROM (
+            SELECT node AS word, pr,
+              ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rn
+            FROM it5)
+          WHERE rn <= 20 ORDER BY rnk"""
+    },
 
     "text_quality_filter" ->
       """SELECT doc_id, lang, CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens

@@ -303,6 +303,19 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // Greedy k-center coreset (Gonzalez farthest-first): 8 points that
+    // span the embedding space — the diversity sampler dual of SemDeDup
+    // (keep the SPREAD, not one-per-cluster). Every similarity is
+    // rounded before the running max / argmin, so the whole greedy
+    // replays as a recursive CTE + LATERAL argmin in DuckDB (the MMR
+    // replay pattern, global instead of per-query).
+    "sample_kcenter" -> { (s, dir) =>
+      graft.operators.Sampling.kCenterCoreset(
+          table(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("step")
+    },
+
     // Filtered vector search — the metadata-predicate + ANN combination
     // every production vector store serves: the predicate is applied
     // INSIDE the probed cells before scoring, so all k results satisfy it
@@ -807,6 +820,31 @@ object VectorQueries {
           SELECT query_id, picked_id AS vec_id, picked_rel AS rel,
             ROUND(picked_mmr, 6) AS mmr, CAST(step AS INTEGER) AS rnk
           FROM pick WHERE step > 0 ORDER BY query_id, rnk""",
+
+    // The Gonzalez greedy replayed exactly: seed = min id, then each
+    // step a LATERAL argmin of the max similarity to the selected set.
+    // The engine keeps a RUNNING max per point; the oracle recomputes
+    // MAX over the selected set — identical values (max is associative
+    // over the same 6-dp-rounded sims).
+    "sample_kcenter" ->
+      s"""WITH RECURSIVE
+          pick(step, sel, picked_id, nearest_sim) AS (
+            SELECT 1, [e.vec_id], e.vec_id, CAST(NULL AS DOUBLE)
+            FROM embeddings e
+            WHERE e.vec_id = (SELECT MIN(vec_id) FROM embeddings)
+            UNION ALL
+            SELECT p.step + 1, LIST_APPEND(p.sel, l.id), l.id, l.ms
+            FROM pick p, LATERAL (
+              SELECT c.vec_id AS id,
+                (SELECT MAX(${sqlDot("c.embedding", "s.embedding")})
+                 FROM embeddings s WHERE LIST_CONTAINS(p.sel, s.vec_id)) AS ms
+              FROM embeddings c
+              WHERE NOT LIST_CONTAINS(p.sel, c.vec_id)
+              ORDER BY ms ASC, c.vec_id LIMIT 1) l
+            WHERE p.step < 8)
+          SELECT CAST(step AS INTEGER) AS step, picked_id AS vec_id,
+            nearest_sim
+          FROM pick ORDER BY step""",
 
     "ann_filtered_search" ->
       s"""SELECT query_id, vec_id, label, score, CAST(rn AS INTEGER) AS rnk FROM (

@@ -151,6 +151,56 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(triOf(noisy) === triOf(tri))
   }
 
+  // ---- label propagation ----
+
+  private def lp(edges: Seq[(Long, Long)], iters: Int = 4,
+      hubSplit: Int = 100000): Map[Long, Long] =
+    LinkAnalysis.labelPropagation(edges.toDF("u", "v"), "u", "v",
+        iterations = iters, hubSplit = hubSplit)
+      .as[(Long, Long)].collect().toMap
+
+  private def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+    for (i <- ids; j <- ids if i < j) yield (i, j)
+
+  test("LPA: two cliques joined by one bridge stay separate communities") {
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(5L, 6L, 7L, 8L)) :+ (4L -> 5L)
+    val got = lp(edges)
+    assert(got.size === 8)
+    // the bridge is outvoted: each clique converges onto its min id
+    assert(Seq(1L, 2L, 3L, 4L).map(got) === Seq(1L, 1L, 1L, 1L), got.toString)
+    assert(Seq(5L, 6L, 7L, 8L).map(got) === Seq(5L, 5L, 5L, 5L), got.toString)
+    // contrast: components WOULD merge them through the bridge
+    val comp = graft.operators.Components
+      .connectedComponents(edges.toDF("u", "v"), "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet.size === 1)
+  }
+
+  test("LPA: iterations=0 returns the self-label initialization") {
+    val got = lp(clique(Seq(1L, 2L, 3L)), iters = 0)
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("LPA: duplicate / reversed / self-loop edges collapse") {
+    val base = clique(Seq(1L, 2L, 3L, 4L))
+    val noisy = base ++ base.map(_.swap) ++ Seq(1L -> 1L, 3L -> 3L)
+    assert(lp(noisy) === lp(base))
+  }
+
+  test("LPA: bit-stable under repartitioning and hub slicing") {
+    val rnd = new scala.util.Random(11)
+    val edges = (for (i <- 0L until 30L; j <- (i + 1) until 30L
+      if rnd.nextDouble() < 0.2) yield (i, j)).toSeq
+    val base = lp(edges)
+    val repart = LinkAnalysis.labelPropagation(
+        edges.toDF("u", "v").repartition(17), "u", "v", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(repart === base)
+    assert(lp(edges, hubSplit = 2) === base,
+      "edge-partitioned hub slices must not change the vote")
+  }
+
   test("matches a brute-force count on a seeded random graph") {
     val rnd = new scala.util.Random(7)
     val n = 40

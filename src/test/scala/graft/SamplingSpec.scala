@@ -213,4 +213,50 @@ class SamplingSpec extends SparkSpec {
     assert(got._3 === 0.0)
     assert(got._4 === 0.0)
   }
+
+  // ---- k-center coreset (Gonzalez farthest-first) ----
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("k-center coreset matches an independent driver-side greedy") {
+    val emb = table(spark, sf0001, "embeddings")
+    val got = Sampling.kCenterCoreset(emb, "vec_id", "embedding", k = 6)
+      .select($"step", $"id", $"nearest_sim")
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1).toSeq
+
+    // reference greedy: same rounded sequential-fold dot, min-id seed,
+    // argmin of (max sim to selected, id)
+    val pts = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      r6(s)
+    }
+    val byId = pts.toMap
+    var sel = List(pts.head._1)
+    var expected = List[(Int, Long, Option[Double])]((1, pts.head._1, None))
+    for (step <- 2 to 6) {
+      val best = pts.filter(p => !sel.contains(p._1))
+        .map { case (id, v) => (id, sel.map(c => dot(v, byId(c))).max) }
+        .minBy { case (id, ms) => (ms, id) }
+      expected = ((step, best._1, Some(best._2))) :: expected
+      sel = best._1 :: sel
+    }
+    assert(got === expected.reverse)
+
+    val again = Sampling.kCenterCoreset(
+        emb.repartition(13), "vec_id", "embedding", k = 6)
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(again === got, "layout must not change the greedy")
+  }
+
+  test("k-center coreset: k=1 returns only the min-id seed") {
+    val emb = table(spark, sf0001, "embeddings")
+    val got = Sampling.kCenterCoreset(emb, "vec_id", "embedding", k = 1)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    val minId = emb.agg(min($"vec_id")).as[Long].head()
+    assert(got === Seq((1, minId, None)))
+  }
 }
