@@ -447,6 +447,64 @@ object LinkAnalysis {
     * @return (node BIGINT, label BIGINT) — `label` is the community id
     *         (some member's node id) after exactly `iterations` rounds
     */
+  /** Single-source BFS hop distances over an undirected graph, bounded
+    * at `maxHops` — unweighted shortest paths, the reachability-radius
+    * signal (how many link hops from a trusted seed is this host?) that
+    * complements [[pageRank]]'s centrality and [[Components]]' global
+    * reachability. Fixed-depth min-plus relaxation is pure integer, so a
+    * D-round unroll replays exactly in SQL (the kcore/pagerank pattern);
+    * and because hop distances are monotone, rounds past the true
+    * eccentricity are no-ops — the early-exit on an empty frontier is
+    * purely an optimization, never a semantic change.
+    *
+    * Spark shape: classic frontier BFS — each round joins the edge list
+    * against the CURRENT frontier only (not the full distance map) and
+    * anti-joins the known set, so every edge is relaxed at most once per
+    * endpoint discovery and total work is O(E) across ALL rounds, not
+    * O(E·D). Frontier/known sets are localCheckpoint-ed per round
+    * (lineage truncation, exactly like [[kCore]]).
+    *
+    * @return (node BIGINT, dist INT) for every node within `maxHops` of
+    *         `source`; the source itself has dist 0. Empty if `source`
+    *         has no edges (an isolated id is not "in" the pair graph). */
+  def bfsHops(
+      pairs: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      source: Long,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val und = pairs
+      .select(col(leftCol).cast("long").as("a"), col(rightCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val edges = und.select(col("u"), col("v"))
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = true) // scanned once per round
+    // seed only if the source actually appears in the graph
+    var dist = edges.filter(col("u") === source)
+      .select(col("u").as("node")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(eager = true)
+    var frontier = dist.select("node")
+    var k = 1
+    var frontierSize = frontier.count()
+    while (k <= maxHops && frontierSize > 0L) {
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .select(col("v").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(k))
+        .localCheckpoint(eager = true)
+      frontierSize = next.count()
+      dist = dist.unionByName(next).localCheckpoint(eager = true)
+      frontier = next.select("node")
+      k += 1
+    }
+    dist
+  }
+
   def labelPropagation(
       pairs: DataFrame,
       leftCol: String,

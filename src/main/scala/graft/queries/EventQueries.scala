@@ -184,6 +184,36 @@ object EventQueries {
         .orderBy("cur_type", "next_type")
     },
 
+    // Rolling z-score anomaly detection: each event scored against the
+    // TRAILING 24 same-type events (current row excluded — the forecast
+    // regime: "is this value surprising given recent history?"), flag
+    // |z| > 3. The profile_moments integer-units discipline makes it
+    // hash-checkable: value is exact at 2 dp, so v100 = round(value·100)
+    // is a BIGINT, the windowed power sums are EXACT integers (< 2⁵³,
+    // so every later double op is correctly rounded from identical
+    // inputs in both engines), and z's op sequence is shared textually
+    // with the oracle. One window sort per event type — single shuffle,
+    // however long the history gets.
+    "q44_anomaly" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      val wt = w.rowsBetween(-24, -1)
+      table(s, dir, "events")
+        .withColumn("v100", round(col("value") * lit(100), 0).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("s1", sum(col("v100")).over(wt))
+        .withColumn("s2", sum(col("v100") * col("v100")).over(wt))
+        .filter(col("rn") > 24) // full 24-event history only
+        .withColumn("sd100",
+          sqrt((lit(24.0) * col("s2") - col("s1") * col("s1")) / lit(576.0)))
+        .withColumn("z", when(col("sd100") === 0.0, lit(0.0))
+          .otherwise((col("v100") - col("s1") / lit(24.0)) / col("sd100")))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 6).as("z"))
+        .orderBy("event_id")
+    },
+
     // Bounded EWMA (α = 1/2 over the last 8 events per user) — the
     // classic time-series ML feature. Weights 128..1 are powers of two,
     // so value·w is an EXACT binary scaling of the stored double; each
@@ -247,6 +277,30 @@ object EventQueries {
           ROUND(CAST(($num) AS DOUBLE) / ($den), 6) AS ewma
           FROM events ORDER BY event_id"""
     },
+
+    "q44_anomaly" ->
+      """WITH v AS (
+           SELECT event_id, event_type, value, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v100
+           FROM events),
+         s AS (
+           SELECT event_id, event_type, value, v100,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) AS rn,
+             SUM(v100) OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s1,
+             SUM(v100 * v100) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s2
+           FROM v),
+         z AS (
+           SELECT event_id, event_type, value,
+             CASE WHEN SQRT((24.0 * s2 - s1 * s1) / 576.0) = 0.0 THEN 0.0
+               ELSE (v100 - s1 / 24.0) / SQRT((24.0 * s2 - s1 * s1) / 576.0)
+             END AS z
+           FROM s WHERE rn > 24)
+         SELECT event_id, event_type, value, ROUND(z, 6) AS z
+         FROM z WHERE ABS(z) > 3.0 ORDER BY event_id""",
 
     "q43_transitions" ->
       """WITH seq AS (

@@ -550,6 +550,21 @@ object RelationalQueries {
         .orderBy("node")
     },
 
+    // Single-source BFS over the order–part incidence graph: hop
+    // distances from the minimum order node, bounded at 6 — unweighted
+    // shortest paths / reachability radius. Min-plus relaxation is pure
+    // integer and monotone, so a 6-round unrolled min-over-union replay
+    // in the oracle is exact (extra relaxations are no-ops).
+    "graph_bfs" -> { (s, dir) =>
+      val inc = table(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("o"),
+          (col("l_partkey") + lit(100000000L)).cast("long").as("p"))
+        .distinct()
+      val src = inc.agg(min(col("o"))).head.getLong(0)
+      graft.operators.LinkAnalysis.bfsHops(inc, "o", "p", src, maxHops = 6)
+        .orderBy("node")
+    },
+
     // Community detection over the supplier co-supply graph: synchronous
     // label propagation, 4 fixed rounds — the DENSITY-based grouping
     // signal (a lone bridge edge is outvoted, unlike components where it
@@ -567,6 +582,41 @@ object RelationalQueries {
       graft.operators.LinkAnalysis
         .labelPropagation(coSupply, "s1", "s2", iterations = 4)
         .orderBy("node")
+    },
+
+    // Item-item co-occurrence similarity (collaborative-filtering prep):
+    // parts bought together in one order → pair counts → Jaccard over
+    // order sets → top-5 partners per part. The pair fan-out is bounded
+    // by order SIZE (≤~7 items ⇒ ≤21 pairs/order), never by catalog or
+    // part popularity — the same contract that keeps market-basket
+    // mining linear at scale. Presentation capped to part % 100 = 0
+    // (the pagerank/knn_join_exact pattern: cap the verification query,
+    // not the operator — pair counts stay global).
+    "q45_copurchase" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val cnt = li.groupBy("pk").agg(count(lit(1)).as("n"))
+      val pairs = li.as("a").join(li.as("b"), Seq("ok"))
+        .filter(col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("co"))
+      val sym = pairs
+        .select(col("p1").as("part"), col("p2").as("partner"), col("co"))
+        .unionByName(pairs
+          .select(col("p2").as("part"), col("p1").as("partner"), col("co")))
+        .filter(col("part") % 100 === 0)
+      val scored = sym
+        .join(cnt.select(col("pk").as("part"), col("n").as("na")), "part")
+        .join(cnt.select(col("pk").as("partner"), col("n").as("nb")), "partner")
+        .withColumn("jaccard", round(
+          col("co").cast("double") /
+            (col("na") + col("nb") - col("co")).cast("double"), 6))
+      graft.operators.Knn.topKPerGroup(
+          scored, Seq(col("part")), 5, desc("jaccard"), asc("partner"))
+        .select(col("part"), col("partner"), col("co"), col("jaccard"),
+          col("rank").as("rnk"))
+        .orderBy("part", "rnk")
     },
 
     // Ratio-to-report: each nation's share of total revenue — a window
@@ -1142,6 +1192,55 @@ object RelationalQueries {
             SELECT u AS node FROM e$rounds
             UNION ALL SELECT v FROM e$rounds)
           GROUP BY node ORDER BY node"""
+    },
+
+    "q45_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+         cnt AS (SELECT pk, COUNT(*) n FROM li GROUP BY pk),
+         pairs AS (SELECT a.pk p1, b.pk p2, COUNT(*) co
+                   FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY a.pk, b.pk),
+         sym AS (SELECT p1 part, p2 partner, co FROM pairs
+                 UNION ALL SELECT p2, p1, co FROM pairs),
+         j AS (SELECT s.part, s.partner, s.co,
+                 ROUND(CAST(s.co AS DOUBLE) /
+                   CAST(ca.n + cb.n - s.co AS DOUBLE), 6) AS jaccard
+               FROM sym s
+               JOIN cnt ca ON s.part = ca.pk
+               JOIN cnt cb ON s.partner = cb.pk
+               WHERE s.part % 100 = 0)
+         SELECT part, partner, co, jaccard, CAST(rn AS INTEGER) AS rnk FROM (
+           SELECT part, partner, co, jaccard,
+             ROW_NUMBER() OVER (PARTITION BY part
+               ORDER BY jaccard DESC, partner) AS rn
+           FROM j)
+         WHERE rn <= 5 ORDER BY part, rnk""",
+
+    "graph_bfs" -> {
+      // Unrolled 6-round min-plus BFS replay: each round the known set
+      // unions its neighbors at +1 and keeps MIN(dist) per node —
+      // monotone, so rounds past the true distance are no-ops and the
+      // fixed-depth unroll equals the bounded BFS exactly.
+      def round(k: Int, prev: String) =
+        s"""r$k AS MATERIALIZED (
+            SELECT node, MIN(dist) AS dist FROM (
+              SELECT node, dist FROM $prev
+              UNION ALL
+              SELECT e.v AS node, p.dist + 1 AS dist
+              FROM e JOIN $prev p ON e.u = p.node)
+            GROUP BY node)"""
+      s"""WITH inc AS MATERIALIZED (
+            SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS u,
+              CAST(l_partkey + 100000000 AS BIGINT) AS v
+            FROM lineitem),
+          e AS MATERIALIZED (
+            SELECT u, v FROM inc UNION ALL SELECT v, u FROM inc),
+          r0 AS (SELECT CAST(MIN(l_orderkey) AS BIGINT) AS node, 0 AS dist
+                 FROM lineitem),
+          ${round(1, "r0")}, ${round(2, "r1")}, ${round(3, "r2")},
+          ${round(4, "r3")}, ${round(5, "r4")}, ${round(6, "r5")}
+          SELECT node, CAST(dist AS INTEGER) AS dist
+          FROM r6 ORDER BY node"""
     },
 
     "graph_labelprop" -> {

@@ -201,6 +201,39 @@ class LinkAnalysisSpec extends SparkSpec {
       "edge-partitioned hub slices must not change the vote")
   }
 
+  // ---- BFS hop distances ----
+
+  private def bfs(edges: Seq[(Long, Long)], src: Long,
+      hops: Int): Map[Long, Int] =
+    LinkAnalysis.bfsHops(edges.toDF("u", "v"), "u", "v", src, hops)
+      .as[(Long, Int)].collect().toMap
+
+  test("BFS: path graph distances, maxHops bound, unreachable excluded") {
+    val path = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 7L -> 8L)
+    assert(bfs(path, 1L, 2) === Map(1L -> 0, 2L -> 1, 3L -> 2))
+    assert(bfs(path, 1L, 10) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4),
+      "other component never reached; early exit on empty frontier")
+    assert(bfs(path, 1L, 0) === Map(1L -> 0))
+  }
+
+  test("BFS: shortest path wins over longer alternatives; noise collapses") {
+    // 1-2-3-4 chain plus a 1-4 shortcut: dist(4) = 1, dist(3) = 2
+    val g = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L)
+    val noisy = g ++ g.map(_.swap) ++ Seq(2L -> 2L)
+    assert(bfs(g, 1L, 5) === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+    assert(bfs(noisy, 1L, 5) === bfs(g, 1L, 5))
+  }
+
+  test("BFS: isolated source yields empty; repartition-stable") {
+    val g = Seq(1L -> 2L, 2L -> 3L)
+    assert(bfs(g, 9L, 3) === Map.empty)
+    val repart = LinkAnalysis.bfsHops(
+        g.toDF("u", "v").repartition(7), "u", "v", 1L, 3)
+      .as[(Long, Int)].collect().toMap
+    assert(repart === bfs(g, 1L, 3))
+  }
+
   test("matches a brute-force count on a seeded random graph") {
     val rnd = new scala.util.Random(7)
     val n = 40
