@@ -117,9 +117,39 @@ object Pipeline {
         hits.show(20, truncate = false)
         println(s"[pipeline] ${hits.count()} results for terms $rest")
 
+      // dbt-style data-quality audit on any parquet table: PK
+      // uniqueness/nullability plus per-column null counts — one
+      // violation-count row per check, nonzero exit when any fail (the
+      // CI-gate contract)
+      case "dq" :: path :: idCol :: cols =>
+        val df = spark.read.parquet(path)
+        val dupPk = df.groupBy(col(idCol)).count()
+          .filter(col("count") > 1).count()
+        val nullPk = df.filter(col(idCol).isNull).count()
+        val checks = Seq(s"duplicate $idCol" -> dupPk, s"null $idCol" -> nullPk) ++
+          cols.map(c => s"null $c" -> df.filter(col(c).isNull).count())
+        checks.foreach { case (name, v) =>
+          println(f"[pipeline] dq: $name%-28s $v violations")
+        }
+        if (checks.exists(_._2 > 0L)) sys.exit(1)
+
+      // RAG chunking: fixed win/stride token windows per document
+      case "chunk" :: docsPath :: idCol :: textCol :: outDir :: rest
+          if rest.length <= 2 =>
+        val win = rest.headOption.map(_.toInt).getOrElse(64)
+        val stride = rest.lift(1).map(_.toInt).getOrElse(48)
+        val docs = spark.read.parquet(docsPath)
+        graft.functions.TextOps.chunkStride(docs, idCol, textCol, win, stride)
+          .write.mode("overwrite").parquet(outDir)
+        val c = spark.read.parquet(outDir)
+          .agg(count(lit(1)), countDistinct(col(idCol))).head()
+        println(s"[pipeline] chunk: ${c.getLong(0)} chunks from " +
+          s"${c.getLong(1)} docs (win=$win stride=$stride) → $outDir")
+
       case other =>
         System.err.println(s"unknown args: $other " +
-          "(want build|search|health|corpus|score|textindex|textsearch ...)")
+          "(want build|search|health|corpus|score|textindex|textsearch|" +
+          "dq|chunk ...)")
         sys.exit(2)
     } finally spark.stop()
   }

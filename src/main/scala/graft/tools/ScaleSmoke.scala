@@ -276,6 +276,31 @@ object ScaleSmoke {
       time(s"k-core (k=8), ${mEdges / 1000000.0}M-edge skewed graph") {
         graft.operators.LinkAnalysis.kCore(edges, "src", "dst", k = 8).count()
       }
+      // LPA rounds are node-sized aggregateByKey shuffles; the hot set's
+      // density pulls labels together, so communities << nodes
+      time(s"label propagation 4 rounds, ${mEdges / 1000000.0}M-edge skewed graph") {
+        val lp = graft.operators.LinkAnalysis
+          .labelPropagation(edges, "src", "dst", iterations = 4)
+        val (nodes, labels) = (lp.count(),
+          lp.select("label").distinct().count())
+        require(labels < nodes / 2,
+          s"plurality voting should coalesce labels, got $labels/$nodes")
+        nodes
+      }
+      // frontier BFS: O(E) total across rounds. Mean degree is
+      // 2·m/n ≈ 4 at the 2x dev scale, so the 3-hop ball from a hot
+      // node (~in-degree m/20k) is ball ≈ deg·(branching)² — orders of
+      // magnitude beyond the direct neighborhood but far from covering
+      // a 1M-node graph (that takes ~log_b n ≈ 13 hops); assert the
+      // expansion, not coverage
+      time(s"BFS 3 hops from a hot node, ${mEdges / 1000000.0}M-edge skewed graph") {
+        val d = graft.operators.LinkAnalysis
+          .bfsHops(edges, "src", "dst", source = 0L, maxHops = 3)
+        val reached = d.count()
+        require(reached > 1000L,
+          s"3-hop ball should far exceed the hot node's degree, got $reached")
+        reached
+      }
     }
     // IVF skew: force 90% of vectors into ONE partition, then compare the
     // co-partitioned knnJoin on an unsalted vs salted durable layout — the
