@@ -73,6 +73,16 @@ object LinkAnalysis {
     *                edge-partitioned into slices of this size (the
     *                mega-hub layout); output is bit-identical at any
     *                value ≥ 1
+    * @param teleportSeeds when non-empty, PERSONALIZED PageRank (random
+    *                walk with restart): the teleport mass and the
+    *                initial distribution concentrate uniformly on these
+    *                seed nodes instead of the whole graph — rank becomes
+    *                proximity-to-the-seed-set, the classic
+    *                recommendation / related-items primitive
+    *                (Jeh & Widom 2003 "Scaling personalized web search").
+    *                Seeds must be nodes of the graph (an absent seed
+    *                strands its share of the restart mass). Passing
+    *                EVERY node is bit-identical to the empty default.
     * @return (node, pr) — pr is the fixed-point rank in units of
     *         1e-12; divide by `Scale.toDouble` for the float view
     */
@@ -83,7 +93,8 @@ object LinkAnalysis {
       iterations: Int = 5,
       d100: Int = 85,
       assumeDistinct: Boolean = false,
-      hubSplit: Int = 100000): DataFrame = {
+      hubSplit: Int = 100000,
+      teleportSeeds: Seq[Any] = Nil): DataFrame = {
     require(iterations >= 0 && d100 >= 0 && d100 <= 100 && hubSplit >= 1)
     val spark = edges.sparkSession
     val nodeType = edges.schema(srcCol).dataType
@@ -126,21 +137,29 @@ object LinkAnalysis {
     val n = nodes.count()
     adj.count()
     e.unpersist(blocking = false)
-    val teleport = (100L - d100) * Scale / (100L * n)
+    // personalized: restart mass and init concentrate on the seed set;
+    // the uniform default is the seeds-= everything special case
+    val personalized = teleportSeeds.nonEmpty
+    val nRestart = if (personalized) teleportSeeds.size.toLong else n
+    val bcSeeds = spark.sparkContext.broadcast(teleportSeeds.toSet)
+    val teleport = (100L - d100) * Scale / (100L * nRestart)
 
     // rank is a pure function of the in-sum (pr = teleport + d·s div 100,
     // s = 0 when absent), so the loop carries the NODE-sized in-sum and
     // folds the rank update into the next round's adjacency join — ONE
     // narrow cogroup + one node-sized shuffle per round. Round 1 needs
     // no join at all: every rank is the uniform init.
-    val init = Scale / n
-    def rankOf(s: Option[Long]): Long =
-      teleport + d100 * s.getOrElse(0L) / 100
+    val init = Scale / nRestart
+    def isSeed(node: Any): Boolean = !personalized || bcSeeds.value.contains(node)
+    def rankOf(node: Any, s: Option[Long]): Long =
+      (if (isSeed(node)) teleport else 0L) + d100 * s.getOrElse(0L) / 100
     var insum: RDD[(Any, Long)] =
       if (iterations == 0) null
-      else adj.flatMap { case (_, (deg, dsts)) =>
-        val c = init / deg
-        dsts.iterator.map(d => (d, c))
+      else adj.flatMap { case (src, (deg, dsts)) =>
+        if (isSeed(src)) {
+          val c = init / deg
+          dsts.iterator.map(d => (d, c))
+        } else Iterator.empty // init 0 off-seed: nothing to contribute
       }.reduceByKey(part, _ + _)
     for (_ <- 2 to iterations) {
       // adj⋈insum is narrow AND node-sized (both carry `part`); the
@@ -149,15 +168,17 @@ object LinkAnalysis {
       // adds); a hub's slices each join the same rank record and emit
       // the same `rank div totalDeg` per edge
       insum = adj.leftOuterJoin(insum, part)
-        .flatMap { case (_, ((deg, dsts), s)) =>
-          val c = rankOf(s) / deg
+        .flatMap { case (src, ((deg, dsts), s)) =>
+          val c = rankOf(src, s) / deg
           dsts.iterator.map(d => (d, c))
         }
         .reduceByKey(part, _ + _)
     }
     val pr: RDD[(Any, Long)] =
-      if (insum == null) nodes.mapValues(_ => init)
-      else nodes.leftOuterJoin(insum, part).mapValues { case (_, s) => rankOf(s) }
+      if (insum == null)
+        nodes.map { case (node, _) => (node, if (isSeed(node)) init else 0L) }
+      else nodes.leftOuterJoin(insum, part)
+        .map { case (node, (_, s)) => (node, rankOf(node, s)) }
 
     val rows = pr.map { case (node, p) => Row(node, p) }
     val out = spark.createDataFrame(rows,

@@ -484,6 +484,31 @@ object RelationalQueries {
         .orderBy("node")
     },
 
+    // Personalized PageRank (random walk with restart) from a 3-part
+    // seed set over the same sourcing graph — "what's related to THESE
+    // items": the restart mass pins the walk near the seeds, so rank
+    // decays with graph distance instead of measuring global
+    // centrality. Same integer recurrence (teleport gated on seed
+    // membership), so the 5 rounds replay exactly; nodes the walk never
+    // reaches hold rank 0 and are dropped — the output IS the seeds'
+    // neighborhood, ranked.
+    "graph_ppr" -> { (s, dir) =>
+      val base = table(s, dir, "lineitem")
+        .where(col("l_partkey") % 3 === 0)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val fwd = base.select(concat(lit("p:"), col("pk")).as("src"),
+        concat(lit("s:"), col("sk")).as("dst"))
+      val rev = base.select(concat(lit("s:"), col("sk")).as("src"),
+        concat(lit("p:"), col("pk")).as("dst"))
+      graft.operators.LinkAnalysis
+        .pageRank(fwd.unionByName(rev), "src", "dst", iterations = 5,
+          assumeDistinct = true,
+          teleportSeeds = Seq("p:3", "p:6", "p:9"))
+        .filter(col("pr") > 0L)
+        .orderBy("node")
+    },
+
     // HITS hubs/authorities over the DIRECTED part→supplier sourcing
     // graph (parts are pure hubs, suppliers pure authorities — the
     // bipartite co-citation regime HITS reduces to). Max-norm integer
@@ -1121,6 +1146,41 @@ object RelationalQueries {
          ${iterCte(1, "it0")}, ${iterCte(2, "it1")}, ${iterCte(3, "it2")},
          ${iterCte(4, "it3")}, ${iterCte(5, "it4")}
          SELECT node, pr FROM it5 ORDER BY node"""
+    },
+
+    "graph_ppr" -> {
+      // graph_pagerank's unrolled replay with the teleport and the
+      // initial distribution gated on seed membership — the only
+      // changes personalization makes to the recurrence.
+      val scale = graft.operators.LinkAnalysis.Scale
+      val seeds = "('p:3', 'p:6', 'p:9')"
+      val tele = (100L - 85L) * scale / (100L * 3L)
+      def iterCte(k: Int, prev: String) =
+        s"""it$k AS (
+            SELECT nodes.node,
+              (CASE WHEN nodes.node IN $seeds THEN $tele ELSE 0 END) +
+              ((85 * COALESCE(agg.s, 0)) // 100) AS pr
+            FROM nodes LEFT JOIN (
+              SELECT e.dst, CAST(SUM(p.pr // o.deg) AS BIGINT) AS s
+              FROM edges e
+              JOIN $prev p ON e.src = p.node
+              JOIN outdeg o ON e.src = o.src
+              GROUP BY e.dst) agg ON nodes.node = agg.dst)"""
+      s"""WITH edges AS (
+           SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+           FROM lineitem WHERE l_partkey % 3 = 0
+           UNION
+           SELECT DISTINCT 's:' || l_suppkey AS src, 'p:' || l_partkey AS dst
+           FROM lineitem WHERE l_partkey % 3 = 0),
+         nodes AS (SELECT DISTINCT src AS node FROM edges
+                   UNION SELECT DISTINCT dst FROM edges),
+         outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         it0 AS (SELECT node,
+             CASE WHEN node IN $seeds THEN ${scale / 3L} ELSE 0 END AS pr
+           FROM nodes),
+         ${iterCte(1, "it0")}, ${iterCte(2, "it1")}, ${iterCte(3, "it2")},
+         ${iterCte(4, "it3")}, ${iterCte(5, "it4")}
+         SELECT node, pr FROM it5 WHERE pr > 0 ORDER BY node"""
     },
 
     "graph_hits" -> {

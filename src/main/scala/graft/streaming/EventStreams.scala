@@ -668,6 +668,69 @@ object EventStreams {
       }
   }
 
+  /** Trailing ring of the last `window` v100 values for [[anomalyStream]]. */
+  final case class ZRing(ring: Seq[Long])
+
+  /** One scored event: z vs the trailing window, flagged at the threshold. */
+  final case class ZScore(event_id: Long, event_type: String, value: Double,
+      z: Double, is_anomaly: Boolean)
+
+  /** Streaming twin of `q44_anomaly`: every event scored against the
+    * TRAILING `window` same-type events (current row excluded), state =
+    * one integer ring per event type — `window` longs however long the
+    * stream runs. Emits a [[ZScore]] for each event with a FULL trailing
+    * window (the batch twin's `rn > window` warmup, replayed as "ring
+    * full"); z's op sequence and the integer v100 power sums are
+    * byte-for-byte the batch query's, so on an in-order feed the z
+    * series is IDENTICAL (StreamingSpec pins it).
+    *
+    * Ordering contract: rows are sorted (ts, event_id) WITHIN each
+    * micro-batch, and batches must arrive in per-type event-time order
+    * (the replay / ordered-ingest regime, same as the mview stream) —
+    * cross-batch stragglers would see a different trailing window than
+    * the batch twin, exactly as a late row does in any trailing-window
+    * semantics. */
+  def anomalyStream(
+      events: DataFrame,
+      window: Int = 24,
+      zThreshold: Double = 3.0): org.apache.spark.sql.Dataset[ZScore] = {
+    require(window >= 2 && zThreshold > 0.0)
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = window.toDouble
+    val keyed = events.select(
+        col("event_type"), col("event_id").cast("long"),
+        unix_micros(col("ts")), col("value").cast("double"))
+      .as[(String, Long, Long, Double)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[ZRing, ZScore](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[(String, Long, Long, Double)],
+            state: GroupState[ZRing]) =>
+          var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[ZScore]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, id, _, value) =>
+            val v100 = math.round(value * 100)
+            if (ring.length == window) {
+              var s1 = 0L; var s2 = 0L
+              ring.foreach { v => s1 += v; s2 += v * v }
+              // identical op sequence to the batch twin: every input is
+              // an exact integer < 2^53, so each double op is correctly
+              // rounded from identical operands
+              val sd100 = math.sqrt((w * s2 - s1 * s1) / (w * w))
+              val z = if (sd100 == 0.0) 0.0 else (v100 - s1 / w) / sd100
+              out += ZScore(id, typ, value,
+                BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+                math.abs(z) > zThreshold)
+            }
+            ring = (ring :+ v100).takeRight(window)
+          }
+          state.update(ZRing(ring))
+          out.iterator
+      }
+  }
+
   /** Per-user running state for [[userRunningStats]]. */
   final case class UserState(nEvents: Long, total: Double)
 

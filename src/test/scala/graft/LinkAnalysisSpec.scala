@@ -151,6 +151,39 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(triOf(noisy) === triOf(tri))
   }
 
+  // ---- personalized PageRank ----
+
+  private def ppr(edges: Seq[(String, String)], seeds: Seq[String],
+      iters: Int = 5, d100: Int = 85): Map[String, Long] =
+    LinkAnalysis.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = iters, d100 = d100, teleportSeeds = seeds)
+      .as[(String, Long)].collect().toMap
+
+  test("PPR: seeding every node is bit-identical to the uniform default") {
+    val nodes = star.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(ppr(star, nodes) === pr(star))
+  }
+
+  test("PPR: rank decays with distance from the seed on a path") {
+    // undirected 6-node path, seeded at one end
+    val path = (1 to 5).flatMap(i =>
+      Seq(s"n$i" -> s"n${i + 1}", s"n${i + 1}" -> s"n$i"))
+    val got = ppr(path, Seq("n1"))
+    val ranks = (1 to 6).map(i => got(s"n$i"))
+    // a finite walk from an endpoint has step-parity oscillation between
+    // adjacent nodes, so assert decay over distance PAIRS, not per node
+    val pairs = ranks.grouped(2).map(_.sum).toSeq
+    assert(pairs === pairs.sortBy(-_), s"pairwise decay expected: $ranks")
+    assert(pairs.last < pairs.head / 10, "far end nearly unreached")
+  }
+
+  test("PPR: d100=0 is the pure restart distribution") {
+    val got = ppr(star, Seq("l1", "l2"), d100 = 0)
+    assert(got("l1") === LinkAnalysis.Scale / 2)
+    assert(got("l2") === LinkAnalysis.Scale / 2)
+    assert(got("hub") === 0L && got("l3") === 0L)
+  }
+
   // ---- label propagation ----
 
   private def lp(edges: Seq[(Long, Long)], iters: Int = 4,

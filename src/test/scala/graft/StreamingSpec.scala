@@ -423,6 +423,49 @@ class StreamingSpec extends SparkSpec {
     assert(want.size === 30 * 24 * nTypes)
   }
 
+  test("streaming rolling z-scores equal the batch trailing-window twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(spark, sf0001, "events")
+      .select("event_id", "event_type", "ts", "value")
+    val n = ev.count()
+    // replay in global (ts, event_id) order across 3 micro-batches —
+    // the operator's ordered-ingest contract
+    val ordered = ev.withColumn("rn",
+      row_number().over(Window.orderBy("ts", "event_id")))
+    val dir = Files.createTempDirectory("anomaly-stream").toString
+    Seq(0L, n / 3, 2 * n / 3, n).sliding(2).foreach { case Seq(lo, hi) =>
+      ordered.filter(col("rn") > lo && col("rn") <= hi).drop("rn")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runToMemory(
+        EventStreams.anomalyStream(stream).toDF(), "anomaly_out", "append")
+      .select("event_id", "z", "is_anomaly")
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val wt = w.rowsBetween(-24, -1)
+    val want = ev
+      .withColumn("v100", round(col("value") * lit(100), 0).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s1", sum(col("v100")).over(wt))
+      .withColumn("s2", sum(col("v100") * col("v100")).over(wt))
+      .filter(col("rn") > 24)
+      .withColumn("sd100",
+        sqrt((lit(24.0) * col("s2") - col("s1") * col("s1")) / lit(576.0)))
+      .withColumn("z", when(col("sd100") === 0.0, lit(0.0))
+        .otherwise((col("v100") - col("s1") / lit(24.0)) / col("sd100")))
+      .select(col("event_id").cast("long"), round(col("z"), 6).as("z"),
+        (abs(col("z")) > 3.0).as("is_anomaly"))
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(want.size > 500, s"warmup should leave plenty of scored rows, got ${want.size}")
+    assert(got === want, "per-event z series must be bit-identical")
+  }
+
   test("checkpointed mview maintenance is incremental ACROSS sessions") {
     import graft.operators.Mview
     val statePath = Files.createTempDirectory("mview-state").toString
