@@ -225,6 +225,36 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Chi-square independence audit of the lang × source contingency —
+    // "is language mix independent of source?", the drift/bias check a
+    // dataset card reports next to profile_sources' marginals. All
+    // inputs are exact integer counts (products ≤ n² < 2⁵³), the
+    // expected-count and term formulas are shared textually with the
+    // oracle, and the statistic DECIMAL-sums the rounded terms — fully
+    // hash-checked including the χ² total. Two tiny grouped passes +
+    // broadcast marginals; the fact table is scanned once.
+    "profile_chi2" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents")
+      val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("lang").agg(sum(col("o")).as("rl"))
+      val colT = cells.groupBy("source").agg(sum(col("o")).as("rs"))
+      val n = d.agg(count(lit(1)).as("__n"))
+      cells
+        .join(broadcast(rowT), "lang")
+        .join(broadcast(colT), "source")
+        .crossJoin(broadcast(n))
+        .withColumn("e",
+          round((col("rl") * col("rs")).cast("double") / col("__n"), 6))
+        .withColumn("term",
+          round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 6))
+        .withColumn("chi2",
+          sum(dec(col("term"))).over(Window.partitionBy()).cast("double"))
+        .select(col("lang"), col("source"), col("o"), col("e"),
+          col("term"), col("chi2"))
+        .orderBy("lang", "source")
+    },
+
     // Decontamination APPLY form: the surviving training corpus after
     // dropping every doc sharing >= 2 distinct 5-grams with the eval
     // slice — the removal dual of text_decontam's audit counts.
@@ -1337,6 +1367,24 @@ object TextQueries {
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
            FROM scored)
          WHERE rn <= 3 ORDER BY doc_id, rnk""",
+
+    "profile_chi2" ->
+      """WITH cells AS (SELECT lang, source, COUNT(*) AS o
+                        FROM documents GROUP BY lang, source),
+         rt AS (SELECT lang, SUM(o) AS rl FROM cells GROUP BY lang),
+         ct AS (SELECT source, SUM(o) AS rs FROM cells GROUP BY source),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         t AS (SELECT c.lang, c.source, c.o,
+                 ROUND(CAST(rt.rl * ct.rs AS DOUBLE) / n.n, 6) AS e
+               FROM cells c
+               JOIN rt ON c.lang = rt.lang
+               JOIN ct ON c.source = ct.source
+               CROSS JOIN n),
+         t2 AS (SELECT lang, source, o, e,
+                  ROUND((o - e) * (o - e) / e, 6) AS term FROM t)
+         SELECT lang, source, o, e, term,
+           CAST(SUM(CAST(term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS chi2
+         FROM t2 ORDER BY lang, source""",
 
     "text_textrank" -> {
       // Word co-occurrence graph in SQL (list comprehension over

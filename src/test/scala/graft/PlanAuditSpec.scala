@@ -293,4 +293,30 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\+- Exchange".r.findAllIn(p).size <= 1, p.take(1200))
     assert(p.contains("Generate"), p.take(800))
   }
+
+  test("q44_anomaly: both window sums share ONE (event_type) sort, no cartesian") {
+    val p = plan("q44_anomaly")
+    // the row_number and the two trailing sums must ride a single
+    // partitionBy(event_type) sort — a second Sort would mean the window
+    // specs diverged and the events shuffle twice
+    assert("\\+- Sort ".r.findAllIn(p).size <= 2, p.take(1200)) // window + presentation
+    assert(p.contains("Window"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q45_copurchase: pair join is a shuffled equi-join on the order key") {
+    val p = plan("q45_copurchase")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // per-part top-5 applies as a group limit, not a global sort
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("q43_transitions: probability window runs on the aggregated matrix") {
+    val p = plan("q43_transitions")
+    // lead() rides the per-user sort; the p window comes AFTER the
+    // count aggregate, so its input is |types|^2 rows
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
