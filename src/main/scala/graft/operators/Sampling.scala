@@ -249,23 +249,35 @@ object Sampling {
     def simTo(center: Seq[Float]) =
       round(graft.functions.VectorOps.dot(col("vec"), typedlit(center)), 6)
 
-    val seed = pts.orderBy(asc("id")).limit(1).collect()(0)
-    var picks = List[(Int, Long, java.lang.Double)](
-      (1, seed.getLong(0), null))
-    var centerVec = seed.getSeq[Float](1)
-    // state: every unpicked point with its running max-similarity to the
-    // selected set; one scan-local update per round
-    var state = pts.filter(col("id") =!= seed.getLong(0))
-      .withColumn("ms", simTo(centerVec))
-      .localCheckpoint(eager = true)
-    for (step <- 2 to k) {
-      val p = state.orderBy(asc("ms"), asc("id")).limit(1).collect()(0)
-      picks = (step, p.getLong(0), Double.box(p.getDouble(2))) :: picks
-      centerVec = p.getSeq[Float](1)
-      if (step < k)
-        state = state.filter(col("id") =!= p.getLong(0))
-          .withColumn("ms", greatest(col("ms"), simTo(centerVec)))
-          .localCheckpoint(eager = true)
+    val seedRows = pts.orderBy(asc("id")).limit(1).collect()
+    var picks = List.empty[(Int, Long, java.lang.Double)]
+    // k beyond the corpus (or an empty corpus) degrades to "select
+    // everything in greedy order" — never an error
+    if (seedRows.nonEmpty) {
+      val seed = seedRows(0)
+      picks = (1, seed.getLong(0), null: java.lang.Double) :: picks
+      var centerVec = seed.getSeq[Float](1)
+      // state: every unpicked point with its running max-similarity to
+      // the selected set; one scan-local update per round
+      var state = pts.filter(col("id") =!= seed.getLong(0))
+        .withColumn("ms", simTo(centerVec))
+        .localCheckpoint(eager = true)
+      var step = 2
+      var exhausted = false
+      while (step <= k && !exhausted) {
+        val rows = state.orderBy(asc("ms"), asc("id")).limit(1).collect()
+        if (rows.isEmpty) exhausted = true
+        else {
+          val p = rows(0)
+          picks = (step, p.getLong(0), Double.box(p.getDouble(2))) :: picks
+          centerVec = p.getSeq[Float](1)
+          if (step < k)
+            state = state.filter(col("id") =!= p.getLong(0))
+              .withColumn("ms", greatest(col("ms"), simTo(centerVec)))
+              .localCheckpoint(eager = true)
+          step += 1
+        }
+      }
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](

@@ -240,9 +240,12 @@ object TextQueries {
       val rowT = cells.groupBy("lang").agg(sum(col("o")).as("rl"))
       val colT = cells.groupBy("source").agg(sum(col("o")).as("rs"))
       val n = d.agg(count(lit(1)).as("__n"))
-      cells
-        .join(broadcast(rowT), "lang")
-        .join(broadcast(colT), "source")
+      // DENSE grid: a (lang, source) combination with zero docs still
+      // contributes (0−e)²/e = e — χ² over observed cells only would
+      // silently understate dependence exactly where it's strongest
+      rowT.crossJoin(colT)
+        .join(cells, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
         .crossJoin(broadcast(n))
         .withColumn("e",
           round((col("rl") * col("rs")).cast("double") / col("__n"), 6))
@@ -1374,12 +1377,14 @@ object TextQueries {
          rt AS (SELECT lang, SUM(o) AS rl FROM cells GROUP BY lang),
          ct AS (SELECT source, SUM(o) AS rs FROM cells GROUP BY source),
          n AS (SELECT COUNT(*) AS n FROM documents),
-         t AS (SELECT c.lang, c.source, c.o,
-                 ROUND(CAST(rt.rl * ct.rs AS DOUBLE) / n.n, 6) AS e
-               FROM cells c
-               JOIN rt ON c.lang = rt.lang
-               JOIN ct ON c.source = ct.source
-               CROSS JOIN n),
+         grid AS (SELECT rt.lang, ct.source, rt.rl, ct.rs,
+                    COALESCE(c.o, 0) AS o
+                  FROM rt CROSS JOIN ct
+                  LEFT JOIN cells c
+                    ON c.lang = rt.lang AND c.source = ct.source),
+         t AS (SELECT g.lang, g.source, g.o,
+                 ROUND(CAST(g.rl * g.rs AS DOUBLE) / n.n, 6) AS e
+               FROM grid g CROSS JOIN n),
          t2 AS (SELECT lang, source, o, e,
                   ROUND((o - e) * (o - e) / e, 6) AS term FROM t)
          SELECT lang, source, o, e, term,
