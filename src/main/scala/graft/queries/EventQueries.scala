@@ -184,6 +184,28 @@ object EventQueries {
         .orderBy("cur_type", "next_type")
     },
 
+    // Top event-type paths (sequential pattern mining, order-3): each
+    // user's consecutive type trigrams via two stacked LEADs on ONE
+    // (user_id, ts) sort, then global counts and the top-20 paths with
+    // a full lexicographic tiebreak. The "what do users actually do"
+    // view a funnel is then designed from; one shuffle on user_id, the
+    // rank window runs on ≤|types|³ rows.
+    "q46_event_paths" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tri = table(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+      tri
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("n"), asc("e1"), asc("e2"), asc("e3"))))
+        .filter(col("rnk") <= 20)
+        .orderBy("rnk")
+    },
+
     // Rolling z-score anomaly detection: each event scored against the
     // TRAILING 24 same-type events (current row excluded — the forecast
     // regime: "is this value surprising given recent history?"), flag
@@ -277,6 +299,22 @@ object EventQueries {
           ROUND(CAST(($num) AS DOUBLE) / ($den), 6) AS ewma
           FROM events ORDER BY event_id"""
     },
+
+    "q46_event_paths" ->
+      """WITH seq AS (
+           SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e3
+           FROM events),
+         c AS (SELECT e1, e2, e3, COUNT(*) AS n FROM seq
+               WHERE e3 IS NOT NULL GROUP BY e1, e2, e3)
+         SELECT e1, e2, e3, n, CAST(rn AS INTEGER) AS rnk FROM (
+           SELECT e1, e2, e3, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS rn
+           FROM c)
+         WHERE rn <= 20 ORDER BY rnk""",
 
     "q44_anomaly" ->
       """WITH v AS (

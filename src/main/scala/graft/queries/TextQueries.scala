@@ -785,6 +785,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Curriculum / interleaved training order: every stratum (language)
+    // shuffled by the portable hash, then round-robin interleaved — any
+    // prefix of the resulting order carries the full stratum mix, the
+    // anti-catastrophic-drift guarantee a source-ordered corpus lacks.
+    // Pure window arithmetic over (rank-in-stratum, stratum), so the
+    // whole ordering replays in SQL; stable across layout and re-ingest
+    // like every portable-hash op.
+    "sample_curriculum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = graft.operators.Sampling.portableSplitBucket(
+        col("doc_id"), seed = 13L, denom = 1000003)
+      table(s, dir, "documents")
+        .withColumn("__k", k)
+        .withColumn("r", row_number().over(
+          Window.partitionBy("lang").orderBy(col("__k"), col("doc_id"))))
+        .withColumn("order_idx", row_number().over(
+          Window.orderBy(col("r"), col("lang"))))
+        .select(col("doc_id"), col("lang"), col("r"), col("order_idx"))
+        .orderBy("order_idx")
+    },
+
     // Decontamination: flag train docs sharing any word 5-gram with the
     // held-out eval slice (doc_id % 10 == 7) — the train/test-overlap
     // audit a benchmark-publishing pipeline runs before training. One
@@ -1569,6 +1590,19 @@ object TextQueries {
              REGEXP_REPLACE(t, 'https?://[^\s]+', '<URL>', 'g'),
              '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_fp
          FROM w ORDER BY doc_id""",
+
+    "sample_curriculum" ->
+      s"""WITH t AS (
+           SELECT doc_id, lang,
+             ${mixSql(s"(doc_id % 4294967296 + ${13L * 2654435761L}) % 4294967296")}
+               % 1000003 AS k
+           FROM documents),
+         r AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k, doc_id) AS r
+           FROM t)
+         SELECT doc_id, lang, CAST(r AS INTEGER) AS r,
+           CAST(ROW_NUMBER() OVER (ORDER BY r, lang) AS INTEGER) AS order_idx
+         FROM r ORDER BY order_idx""",
 
     "sample_splits" ->
       s"""SELECT doc_id,

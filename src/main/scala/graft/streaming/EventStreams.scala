@@ -668,6 +668,44 @@ object EventStreams {
       }
   }
 
+  /** One emitted event-type bigram for [[transitionsStream]]. */
+  final case class Transition(user_id: Long, cur_type: String, next_type: String)
+
+  /** Streaming twin of `q43_transitions`' bigram extraction: per-user
+    * LAST event type as state (one string per user however long the
+    * stream runs), each arriving event emits the (prev → cur) bigram.
+    * Downstream the bigrams aggregate into the transition matrix with a
+    * plain streaming count (or land in a sink and reuse the batch
+    * query) — the stateful part is exactly the LEAD window, replayed
+    * incrementally. Same ordering contract as [[anomalyStream]]:
+    * (ts, event_id)-sorted within the batch, in-order feed across
+    * batches. StreamingSpec pins bigram-count equality with the batch
+    * LEAD derivation. */
+  def transitionsStream(
+      events: DataFrame): org.apache.spark.sql.Dataset[Transition] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events.select(
+        col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[String]) =>
+          var prev = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, _, t) =>
+            if (prev != null) out += Transition(user, prev, t)
+            prev = t
+          }
+          if (prev != null) state.update(prev)
+          out.iterator
+      }
+  }
+
   /** Trailing ring of the last `window` v100 values for [[anomalyStream]]. */
   final case class ZRing(ring: Seq[Long])
 

@@ -466,6 +466,40 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "per-event z series must be bit-identical")
   }
 
+  test("streaming transition bigrams equal the batch LEAD derivation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(spark, sf0001, "events")
+      .select("event_id", "event_type", "user_id", "ts")
+    val n = ev.count()
+    val ordered = ev.withColumn("rn",
+      row_number().over(Window.orderBy("ts", "event_id")))
+    val dir = Files.createTempDirectory("transitions-stream").toString
+    Seq(0L, n / 3, 2 * n / 3, n).sliding(2).foreach { case Seq(lo, hi) =>
+      ordered.filter(col("rn") > lo && col("rn") <= hi).drop("rn")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runToMemory(
+        EventStreams.transitionsStream(stream).toDF(),
+        "transitions_out", "append")
+      .groupBy("cur_type", "next_type").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val want = ev
+      .select(col("event_type").as("cur_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy("cur_type", "next_type").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(want.nonEmpty)
+    assert(got === want, "bigram counts must match the batch window")
+  }
+
   test("checkpointed mview maintenance is incremental ACROSS sessions") {
     import graft.operators.Mview
     val statePath = Files.createTempDirectory("mview-state").toString
