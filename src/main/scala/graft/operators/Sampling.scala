@@ -287,4 +287,47 @@ object Sampling {
         StructField("id", LongType, nullable = false),
         StructField("nearest_sim", DoubleType, nullable = true))))
   }
+
+  /** Cumulative Poisson(1) CDF in 1e-6 units — integer thresholds for the
+    * inverse-CDF draw below, so the decision is pure BIGINT compare on
+    * both engines (floor(1e6·Σₖ e⁻¹/k!)). Mass beyond k = 7 is < 1e-7 of
+    * a bucket and maps to k = 7. */
+  private[graft] val poissonCdf1e6 =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L)
+
+  /** Poisson bootstrap replicates (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams"): each row independently draws
+    * a Poisson(1) multiplicity per replicate — the distributed form of
+    * bootstrap resampling, since true with-replacement sampling of n rows
+    * needs global coordination but n·Poisson(1) ≈ multinomial(n) at
+    * corpus scale. The draw inverts the Poisson CDF on the portable split
+    * bucket of (key·replicates + r), so every multiplicity is a pure
+    * integer function of (key, replicate, seed): layout-stable,
+    * re-ingest-stable, and replayable in SQL — `sampleBy`-style RNG draws
+    * would tie the resample to partition order.
+    *
+    * Scale shape: scan-local explode (×`replicates` rows, no shuffle
+    * here); downstream per-replicate aggregation is the only shuffle, and
+    * replicate counts are small (20–100). Rows with k = 0 are emitted
+    * with k = 0 so consumers can also count distinct coverage; filter
+    * k ≥ 1 for the pure resample.
+    *
+    * @return input columns + (replicate INT, k INT) — k = multiplicity of
+    *         this row in that replicate. */
+  def poissonReplicates(
+      df: DataFrame,
+      keyCol: Column,
+      replicates: Int,
+      seed: Long): DataFrame = {
+    require(replicates >= 1 && replicates <= 10000,
+      s"replicates must be in [1, 10000] (got $replicates)")
+    val withR = df.withColumn("replicate",
+      explode(array((0 until replicates).map(lit): _*)))
+    val bucket = portableSplitBucket(
+      keyCol * replicates + col("replicate"), seed, denom = 1000000)
+    val k = poissonCdf1e6.zipWithIndex.foldRight(lit(poissonCdf1e6.length)) {
+      case ((thr, i), rest) => when(bucket < thr, lit(i)).otherwise(rest)
+    }
+    withR.withColumn("k", k)
+  }
 }

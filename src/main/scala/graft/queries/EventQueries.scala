@@ -259,6 +259,43 @@ object EventQueries {
           round(num.cast("double") / den, 6).as("ewma"))
         .orderBy("event_id")
     },
+
+    // Autocorrelation of the hourly event-count series at lags 1–6 — the
+    // seasonality probe (a daily cycle shows as a lag-24 ridge, bursts as
+    // fast decay) that sizes forecasting windows. All Pearson inputs are
+    // EXACT integer sums over the 720-row hourly series (counts < 2⁷,
+    // sums ≪ 2⁵³), and the r formula's double op sequence is shared
+    // textually with the oracle — the q44 discipline at series level.
+    // Scale shape: one grouped pass over the facts; everything after runs
+    // on the hours-sized series (self-join on t+lag), never the events.
+    "q47_autocorr" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = table(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val ser = hourly
+        .withColumn("t", row_number().over(Window.orderBy("hr")))
+        .select("t", "c")
+      val lagged = ser.select(col("t"), col("c").as("x"),
+          explode(array((1 to 6).map(lit): _*)).as("lag"))
+        .join(ser.select(col("t").as("t2"), col("c").as("y")),
+          col("t2") === col("t") + col("lag"))
+      lagged.groupBy("lag").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+        .withColumn("__num", (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double"))
+        .withColumn("__den", sqrt(
+          (col("n") * col("sx2") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("sy2") - col("sy") * col("sy")).cast("double")))
+        .select(col("lag"), col("n"),
+          when(col("__den") === 0.0, lit(0.0))
+            .otherwise(round(col("__num") / col("__den"), 6)).as("acf"))
+        .orderBy("lag")
+    },
   )
 
   /** Shared window clause of the q33/q34 oracles. */
@@ -339,6 +376,25 @@ object EventQueries {
            FROM s WHERE rn > 24)
          SELECT event_id, event_type, value, ROUND(z, 6) AS z
          FROM z WHERE ABS(z) > 3.0 ORDER BY event_id""",
+
+    "q47_autocorr" ->
+      """WITH h AS (SELECT DATE_TRUNC('hour', ts) AS hr, COUNT(*) AS c
+                    FROM events GROUP BY 1),
+         s AS (SELECT ROW_NUMBER() OVER (ORDER BY hr) AS t, c FROM h),
+         j AS (SELECT g.lag, a.c AS x, b.c AS y
+               FROM s a JOIN generate_series(1, 6) g(lag) ON TRUE
+               JOIN s b ON b.t = a.t + g.lag),
+         agg AS (SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+                 FROM j GROUP BY lag)
+         SELECT CAST(lag AS INTEGER) AS lag, n,
+           CASE WHEN SQRT(CAST(n * sx2 - sx * sx AS DOUBLE) *
+                          CAST(n * sy2 - sy * sy AS DOUBLE)) = 0.0 THEN 0.0
+             ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+               SQRT(CAST(n * sx2 - sx * sx AS DOUBLE) *
+                    CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
+           END AS acf
+         FROM agg ORDER BY lag""",
 
     "q43_transitions" ->
       """WITH seq AS (

@@ -824,6 +824,43 @@ object RelationalQueries {
         .orderBy(keys.map(col): _*)
     },
 
+    // Link prediction over the part co-purchase graph (parts co-bought in
+    // ≥2 orders): Adamic–Adar + common-neighbor scores for the top-20
+    // non-adjacent distance-2 pairs — "which parts should be bundled
+    // next". The AA terms are FLOOR-quantized integers, so the whole
+    // ranking replays exactly in SQL; degrees on this graph are ≤13, far
+    // under the hub cap that bounds the wedge fan-out at scale.
+    "graph_linkpred" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("p1"), col("y.pk").as("p2"))
+        .agg(count(lit(1)).as("co")).filter(col("co") >= 2)
+      graft.operators.LinkAnalysis.adamicAdar(edges, "p1", "p2")
+        .orderBy(desc("aa_score_scaled"), asc("a"), asc("b"))
+        .limit(20)
+    },
+
+    // Join-key skew audit: per-key row counts for the heaviest customer
+    // keys, with corpus share and the skew factor vs the mean key — the
+    // "will this key OOM a reducer?" pre-flight every big join needs.
+    // One grouped pass + a broadcast 1-row stats join; the top-10 window
+    // runs on the key-count table, never the facts.
+    "profile_skew" -> { (s, dir) =>
+      val cnt = table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = cnt.agg(count(lit(1)).as("__keys"),
+        sum(col("cnt")).as("__total"))
+      cnt.crossJoin(broadcast(stats))
+        .withColumn("share", round(col("cnt") / col("__total"), 6))
+        .withColumn("skew", round(col("cnt") * col("__keys") / col("__total"), 6))
+        .select("key", "cnt", "share", "skew")
+        .orderBy(desc("cnt"), asc("key")).limit(10)
+    },
+
     // Retention cohort triangle: users bucketed by first-activity week,
     // distinct-active counts per (cohort, weeks-since) — the classic
     // product-analytics rollup. Two grouped passes; the per-user cohort
@@ -1517,6 +1554,37 @@ object RelationalQueries {
          WHERE COALESCE(n.nn, 0) - COALESCE(o.onn, 0) <> 0
            OR CAST(COALESCE(n.ns, 0) - COALESCE(o.os, 0) AS DOUBLE) <> 0.0
          ORDER BY l_returnflag, l_linestatus""",
+
+    // The wedge enumeration + integer AA scoring replayed in SQL: shared
+    // neighbors z with degree ≥ 2, FLOOR-quantized 1e6/ln(deg) terms
+    // summed as BIGINT — identical ranking arithmetic to the engine.
+    "graph_linkpred" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+         e AS (SELECT a.pk p1, b.pk p2 FROM li a JOIN li b USING (ok)
+               WHERE a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         sym AS (SELECT p1 a, p2 b FROM e UNION ALL SELECT p2, p1 FROM e),
+         deg AS (SELECT a AS z, COUNT(*) d FROM sym GROUP BY a),
+         wedge AS (SELECT x.b AS z, x.a AS a, y.b AS b
+                   FROM sym x JOIN sym y ON x.b = y.a
+                   WHERE x.a < y.b),
+         nonadj AS (SELECT w.z, w.a, w.b FROM wedge w
+                    ANTI JOIN e ON e.p1 = w.a AND e.p2 = w.b)
+         SELECT n.a, n.b, COUNT(*) AS common_neighbors,
+           CAST(SUM(CAST(FLOOR(1000000.0 / LN(deg.d)) AS BIGINT)) AS BIGINT)
+             AS aa_score_scaled
+         FROM nonadj n JOIN deg ON deg.z = n.z AND deg.d >= 2
+         GROUP BY n.a, n.b
+         ORDER BY aa_score_scaled DESC, a, b LIMIT 20""",
+
+    "profile_skew" ->
+      """WITH c AS (SELECT o_custkey AS key, COUNT(*) AS cnt
+                    FROM orders GROUP BY o_custkey),
+         s AS (SELECT COUNT(*) AS keys, SUM(cnt) AS total FROM c)
+         SELECT key, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share,
+           ROUND(CAST(cnt * keys AS DOUBLE) / total, 6) AS skew
+         FROM c CROSS JOIN s
+         ORDER BY cnt DESC, key LIMIT 10""",
 
     "q38_retention" ->
       """WITH c AS (

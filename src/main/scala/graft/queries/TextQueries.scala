@@ -785,6 +785,93 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Poisson bootstrap over the corpus: 20 deterministic resampling
+    // replicates (multiplicity ~ Poisson(1) per doc per replicate, drawn
+    // by inverting the CDF on the portable hash), each reporting its
+    // effective size and mean doc length — the distributed way to put a
+    // confidence interval on any corpus statistic without coordinated
+    // with-replacement sampling. Pure integer draw ⇒ the whole resample
+    // replays in SQL.
+    "sample_bootstrap" -> { (s, dir) =>
+      graft.operators.Sampling.poissonReplicates(
+          table(s, dir, "documents"), col("doc_id"), replicates = 20,
+          seed = 17L)
+        .groupBy("replicate").agg(
+          sum(col("k")).as("n_eff"),
+          count(when(col("k") >= 1, 1)).as("n_docs"),
+          sum(col("k") * col("n_chars")).as("chars_mass"))
+        .withColumn("mean_chars", round(col("chars_mass") / col("n_eff"), 6))
+        .orderBy("replicate")
+    },
+
+    // Classifier evaluation: confusion-derived per-class precision /
+    // recall / F1 of the stopword-profile language id against the labeled
+    // lang column — the eval loop every heuristic gate (langid, quality
+    // model) needs before it filters a corpus. All metrics are single
+    // divisions of exact integer counts, rounded — fully replayable. (On
+    // this fixture the text is English-ish regardless of label, so the
+    // numbers expose the classifier's degeneracy — exactly what the
+    // metric is for.) Two grouped passes over the doc-count table; the
+    // class axis is tiny.
+    "eval_classifier" -> { (s, dir) =>
+      val base = table(s, dir, "documents")
+        .select(col("lang").as("actual"),
+          LangId.detectLang(col("text")).as("pred"))
+      val byActual = base.groupBy(col("actual").as("class"))
+        .agg(count(lit(1)).as("__np"),
+          sum(when(col("pred") === col("actual"), 1L).otherwise(0L)).as("__tpa"))
+      val byPred = base.groupBy(col("pred").as("class"))
+        .agg(count(lit(1)).as("__npred"),
+          sum(when(col("pred") === col("actual"), 1L).otherwise(0L)).as("__tpp"))
+      byActual.join(byPred, Seq("class"), "full_outer")
+        .select(col("class"),
+          coalesce(col("__tpa"), col("__tpp"), lit(0L)).as("tp"),
+          (coalesce(col("__npred"), lit(0L)) -
+            coalesce(col("__tpp"), lit(0L))).as("fp"),
+          (coalesce(col("__np"), lit(0L)) -
+            coalesce(col("__tpa"), lit(0L))).as("fn"))
+        .withColumn("precision", when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(round(col("tp") / (col("tp") + col("fp")), 6)))
+        .withColumn("recall", when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(round(col("tp") / (col("tp") + col("fn")), 6)))
+        .withColumn("f1",
+          when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(0.0))
+            .otherwise(round(lit(2) * col("tp") /
+              (lit(2) * col("tp") + col("fp") + col("fn")), 6)))
+        .orderBy("class")
+    },
+
+    // Feature-discrimination AUC: tie-corrected Mann–Whitney AUC of the
+    // en-stopword-ratio feature as a predictor of lang = 'en' — the
+    // threshold-free "is this signal worth gating on?" check that
+    // precedes any quality-filter deployment. Tied scores get the
+    // MIDRANK, carried as 2·midrank = min_rank + max_rank so every sum
+    // stays in exact BIGINT (a Σ of float midranks would be
+    // shuffle-order-dependent); the one double division at the end is
+    // shared textually with the oracle. One window sort over the
+    // doc-count table.
+    "eval_auc" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val en = Seq("the", "a", "of", "and", "to", "in", "is", "with")
+      val toks = array_distinct(split(lower(col("text")), "\\s+"))
+      val scored = table(s, dir, "documents")
+        .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          round(size(array_intersect(toks, typedlit(en)))
+            .cast("double") / size(toks), 6).as("s"))
+      val ties = Window.partitionBy("s")
+      val ranked = scored
+        .withColumn("rn", row_number().over(Window.orderBy("s")).cast("long"))
+        .withColumn("ar2", min(col("rn")).over(ties) + max(col("rn")).over(ties))
+      ranked.agg(
+          sum(col("y")).as("n_pos"),
+          (count(lit(1)) - sum(col("y"))).as("n_neg"),
+          sum(when(col("y") === 1, col("ar2")).otherwise(lit(0L))).as("__rp2"))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("__rp2") - col("n_pos") * (col("n_pos") + 1))
+              .cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+    },
+
     // Curriculum / interleaved training order: every stratum (language)
     // shuffled by the portable hash, then round-robin interleaved — any
     // prefix of the resulting order carries the full stratum mix, the
@@ -1214,6 +1301,40 @@ object TextQueries {
              ON b.media_id = a.media_id AND b.cy = a.cy AND b.cx = a.cx + 1
            GROUP BY a.media_id)"""
 
+  /** The langid stopword-profile argmax as reusable CTEs ending in
+    * `pred(doc_id, lang, predicted_lang)` — shared by the `text_langid`
+    * and `eval_classifier` oracles so classifier and eval replay the
+    * identical decision. */
+  private val langIdPredCtes: String = {
+    val profiles = Seq(
+      "de" -> Seq("der", "die", "das", "und", "in", "von", "zu", "mit"),
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "with"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "con"),
+      "fr" -> Seq("le", "la", "de", "et", "un", "en", "du", "avec"),
+      "zh" -> Seq("的", "了", "在", "是", "我", "有", "和", "人"))
+    val scoreCols = profiles.map { case (l, ws) =>
+      s"LEN(LIST_INTERSECT(toks, [${ws.map(w => s"'$w'").mkString(", ")}])) AS $l"
+    }.mkString(",\n           ")
+    val g = profiles.map(_._1).mkString(", ")
+    val cases = profiles.map { case (l, _) =>
+      s"WHEN $l = GREATEST($g) THEN '$l'"
+    }.mkString("\n                ")
+    s"""t AS (
+           SELECT doc_id, lang,
+             LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+')) AS toks
+           FROM documents),
+         sc AS (
+           SELECT doc_id, lang,
+           $scoreCols
+           FROM t),
+         pred AS (
+           SELECT doc_id, lang,
+             CASE WHEN GREATEST($g) = 0 THEN 'und'
+                  $cases
+             END AS predicted_lang
+           FROM sc)"""
+  }
+
   val oracle: Map[String, String] = Map(
     "text_token_stats" ->
       """SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens, n_chars
@@ -1481,34 +1602,10 @@ object TextQueries {
     // The stopword-profile argmax recomputed in SQL: distinct lowercase
     // tokens, per-language intersection counts, alphabetical tie-break,
     // 'und' on zero hits — exactly LangId.detect.
-    "text_langid" -> {
-      val profiles = Seq(
-        "de" -> Seq("der", "die", "das", "und", "in", "von", "zu", "mit"),
-        "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "with"),
-        "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "con"),
-        "fr" -> Seq("le", "la", "de", "et", "un", "en", "du", "avec"),
-        "zh" -> Seq("的", "了", "在", "是", "我", "有", "和", "人"))
-      val scoreCols = profiles.map { case (l, ws) =>
-        s"LEN(LIST_INTERSECT(toks, [${ws.map(w => s"'$w'").mkString(", ")}])) AS $l"
-      }.mkString(",\n           ")
-      val g = profiles.map(_._1).mkString(", ")
-      val cases = profiles.map { case (l, _) =>
-        s"WHEN $l = GREATEST($g) THEN '$l'"
-      }.mkString("\n                ")
-      s"""WITH t AS (
-           SELECT doc_id, lang,
-             LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+')) AS toks
-           FROM documents),
-         sc AS (
-           SELECT doc_id, lang,
-           $scoreCols
-           FROM t)
-         SELECT doc_id, lang,
-           CASE WHEN GREATEST($g) = 0 THEN 'und'
-                $cases
-           END AS predicted_lang
-         FROM sc ORDER BY doc_id"""
-    },
+    "text_langid" ->
+      s"""WITH $langIdPredCtes
+         SELECT doc_id, lang, predicted_lang
+         FROM pred ORDER BY doc_id""",
 
     // The full MinHash-LSH pipeline replayed in SQL: portable shingle
     // hashes (char polys + mix32), 32 per-perm minima, band-key folds,
@@ -1612,6 +1709,75 @@ object TextQueries {
            ${mixSql("(doc_id % 4294967296 + 2654435761) % 4294967296")} % 10 AS b
            FROM documents)
          ORDER BY doc_id""",
+
+    // The Poisson(1) inverse-CDF draw replayed: portable bucket of
+    // (doc_id·20 + replicate) at seed 17 (17·φ₃₂ = 45125407937), integer
+    // CDF thresholds in 1e-6 units.
+    "sample_bootstrap" ->
+      s"""WITH r AS (
+           SELECT d.doc_id, d.n_chars, g.r AS replicate,
+             ${mixSql("((d.doc_id * 20 + g.r) % 4294967296 + 45125407937) % 4294967296")} % 1000000 AS b
+           FROM documents d JOIN generate_series(0, 19) g(r) ON TRUE),
+         k AS (SELECT replicate, n_chars,
+             CASE WHEN b < 367879 THEN 0 WHEN b < 735758 THEN 1
+                  WHEN b < 919698 THEN 2 WHEN b < 981011 THEN 3
+                  WHEN b < 996340 THEN 4 WHEN b < 999405 THEN 5
+                  WHEN b < 999916 THEN 6 ELSE 7 END AS k
+           FROM r)
+         SELECT CAST(replicate AS INTEGER) AS replicate,
+           CAST(SUM(k) AS BIGINT) AS n_eff,
+           COUNT(*) FILTER (WHERE k >= 1) AS n_docs,
+           CAST(SUM(k * n_chars) AS BIGINT) AS chars_mass,
+           ROUND(CAST(SUM(k * n_chars) AS DOUBLE) / SUM(k), 6) AS mean_chars
+         FROM k GROUP BY replicate ORDER BY replicate""",
+
+    // Confusion-derived per-class metrics over the shared langid replay:
+    // tp/fp/fn as exact counts, one rounded division each.
+    "eval_classifier" ->
+      s"""WITH $langIdPredCtes,
+         cls AS (SELECT lang AS class FROM pred
+                 UNION SELECT predicted_lang FROM pred),
+         m AS (SELECT cls.class,
+             (SELECT COUNT(*) FROM pred
+              WHERE predicted_lang = cls.class AND lang = cls.class) AS tp,
+             (SELECT COUNT(*) FROM pred
+              WHERE predicted_lang = cls.class AND lang <> cls.class) AS fp,
+             (SELECT COUNT(*) FROM pred
+              WHERE lang = cls.class AND predicted_lang <> cls.class) AS fn
+           FROM cls)
+         SELECT class, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN 0.0
+             ELSE ROUND(tp / (tp + fp), 6) END AS precision,
+           CASE WHEN tp + fn = 0 THEN 0.0
+             ELSE ROUND(tp / (tp + fn), 6) END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+             ELSE ROUND(2 * tp / (2 * tp + fp + fn), 6) END AS f1
+         FROM m ORDER BY class""",
+
+    // Tie-corrected Mann–Whitney AUC with integer 2·midrank arithmetic —
+    // the single double division shared textually with the engine.
+    "eval_auc" ->
+      """WITH t AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\s+')) AS toks
+           FROM documents),
+         sc AS (SELECT y,
+             ROUND(CAST(LEN(LIST_INTERSECT(toks,
+               ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'with'])) AS DOUBLE)
+               / LEN(toks), 6) AS s
+           FROM t),
+         rk AS (SELECT y,
+             MIN(rn) OVER (PARTITION BY s) + MAX(rn) OVER (PARTITION BY s)
+               AS ar2
+           FROM (SELECT y, s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM sc)),
+         agg AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+             CAST(SUM(CASE WHEN y = 1 THEN ar2 ELSE 0 END) AS BIGINT) AS rp2
+           FROM rk)
+         SELECT n_pos, n_neg,
+           ROUND(CAST(rp2 - n_pos * (n_pos + 1) AS DOUBLE) /
+             (2.0 * n_pos * n_neg), 6) AS auc
+         FROM agg""",
 
     "text_pack_shards" ->
       """WITH t AS (

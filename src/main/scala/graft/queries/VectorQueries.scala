@@ -664,9 +664,55 @@ object VectorQueries {
           (col("__ln") - 1).cast("long").as("n_relevant"))
         .orderBy("query_id")
     },
+
+    // Density clustering over the embedding corpus: exact ε-pairs
+    // (broadcast blocked-gemm — the bounded-corpus path; the IVF-bucketed
+    // generator is the scale twin) feed the deterministic DBSCAN labeling
+    // in Clustering. τ = 0.32 cosine / minPts = 4 yields 7 clusters +
+    // border + noise on this corpus — real multi-cluster structure, not a
+    // single connected blob. The full pipeline (pairs → degrees → core
+    // closure → border attach) replays in recursive SQL.
+    "cluster_dbscan" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val pairs = graft.operators.Dedup.embeddingPairs(
+        emb, "vec_id", "embedding", threshold = 0.32)
+      graft.operators.Clustering
+        .dbscanFromPairs(emb, "vec_id", pairs, "left_id", "right_id", minPts = 4)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    },
   )
 
   val oracle: Map[String, String] = Map(
+    // DBSCAN replayed: quadratic ε-pairs, degree gate (+1 self), the
+    // core–core recursive closure labeling with min reachable core id,
+    // border attach to the min-labeled core neighbor, noise = -1.
+    "cluster_dbscan" ->
+      s"""WITH RECURSIVE
+         p AS (SELECT a.vec_id i, b.vec_id j FROM embeddings a, embeddings b
+               WHERE a.vec_id <> b.vec_id
+                 AND ${sqlDot("a.embedding", "b.embedding")} >= 0.32),
+         core AS (SELECT i FROM (SELECT i, COUNT(*) + 1 AS n FROM p GROUP BY i)
+                  WHERE n >= 4),
+         ce AS (SELECT p.i, p.j FROM p
+                JOIN core x ON x.i = p.i JOIN core y ON y.i = p.j),
+         reach(id, lbl) AS (
+           SELECT i, i FROM core
+           UNION
+           SELECT ce.i, r.lbl FROM ce JOIN reach r ON r.id = ce.j),
+         comp AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+         border AS (
+           SELECT p.i AS id, MIN(comp.cluster) AS cluster
+           FROM p JOIN comp ON comp.id = p.j
+           WHERE p.i NOT IN (SELECT i FROM core)
+           GROUP BY p.i),
+         lab AS (SELECT id, cluster, 'core' AS role FROM comp
+                 UNION ALL SELECT id, cluster, 'border' FROM border)
+         SELECT e.vec_id, COALESCE(lab.cluster, -1) AS cluster,
+           COALESCE(lab.role, 'noise') AS role
+         FROM embeddings e LEFT JOIN lab ON lab.id = e.vec_id
+         ORDER BY vec_id""",
+
     "emb_pca_trace" ->
       """WITH x AS (
            SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS v,

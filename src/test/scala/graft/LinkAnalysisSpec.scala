@@ -286,4 +286,41 @@ class LinkAnalysisSpec extends SparkSpec {
       assert(got(v)._1 === adj(v).size.toLong, s"degree $v")
     }
   }
+
+  private def aa(edges: Seq[(Long, Long)], maxDegree: Int = 10000) =
+    LinkAnalysis.adamicAdar(edges.toDF("a", "b"), "a", "b", maxDegree)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+
+  test("adamic-adar: path and square score their distance-2 pairs") {
+    val ln2Term = math.floor(1e6 / math.log(2)).toLong // deg-2 neighbor
+    assert(aa(Seq((1L, 2L), (2L, 3L))) ===
+      Map((1L, 3L) -> (1L, ln2Term)))
+    // square 1-2-3-4-1: both diagonals, two deg-2 shared neighbors each
+    val sq = aa(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(sq === Map((1L, 3L) -> (2L, 2 * ln2Term),
+      (2L, 4L) -> (2L, 2 * ln2Term)))
+  }
+
+  test("adamic-adar: adjacent pairs are excluded (triangle emits nothing)") {
+    assert(aa(Seq((1L, 2L), (2L, 3L), (1L, 3L))).isEmpty)
+  }
+
+  test("adamic-adar: the hub cap suppresses super-node wedges") {
+    val starEdges = (1L to 6L).map(l => (0L, l))
+    val uncapped = aa(starEdges)
+    assert(uncapped.size === 15 && // C(6,2) leaf pairs through the hub
+      uncapped.values.forall(_ == (1L, math.floor(1e6 / math.log(6)).toLong)))
+    assert(aa(starEdges, maxDegree = 5).isEmpty)
+  }
+
+  test("adamic-adar: orientation/duplicate-proof and layout-stable") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    val a = aa(e)
+    val b = LinkAnalysis.adamicAdar(
+        (e ++ e.map(_.swap)).toDF("a", "b").repartition(7), "a", "b", 10000)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(a === b)
+  }
 }

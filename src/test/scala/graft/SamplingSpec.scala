@@ -259,4 +259,41 @@ class SamplingSpec extends SparkSpec {
     val minId = emb.agg(min($"vec_id")).as[Long].head()
     assert(got === Seq((1, minId, None)))
   }
+
+  test("poisson bootstrap: deterministic, layout-stable, k matches the " +
+      "scala inverse-CDF replay") {
+    val docs = table(spark, sf0001, "documents")
+    def draws(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Int] =
+      Sampling.poissonReplicates(df, col("doc_id").cast("long"),
+          replicates = 5, seed = 17L)
+        .select(col("doc_id").cast("long"), col("replicate"), col("k"))
+        .as[(Long, Int, Int)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    val got = draws(docs)
+    val n = docs.count()
+    assert(got.size === n * 5, "one draw per (row, replicate)")
+    assert(got.values.forall(k => k >= 0 && k <= 7))
+    // Poisson(1): mean 1, so total multiplicity tracks n per replicate
+    val mean = got.values.map(_.toLong).sum.toDouble / got.size
+    assert(mean > 0.85 && mean < 1.15, s"mean multiplicity $mean")
+    assert(got.values.count(_ == 0).toDouble / got.size > 0.25,
+      "~e^-1 of draws must be zero")
+    assert(draws(docs.repartition(13)) === got, "layout-stable")
+    // independent scala replay of bucket -> k for every draw
+    def mix32(x: Long): Long = {
+      var h = x
+      h = ((h ^ (h >>> 16)) * 73244475L) & 0xffffffffL
+      h = ((h ^ (h >>> 16)) * 73244475L) & 0xffffffffL
+      h ^ (h >>> 16)
+    }
+    got.foreach { case ((id, r), k) =>
+      val b = mix32(((id * 5 + r) % 4294967296L + 17L * 2654435761L)
+        % 4294967296L) % 1000000L
+      val expect = Sampling.poissonCdf1e6.indexWhere(b < _) match {
+        case -1 => 7
+        case i => i
+      }
+      assert(k === expect, s"doc $id replicate $r bucket $b")
+    }
+  }
 }
