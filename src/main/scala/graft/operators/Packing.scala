@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assigning variable-length documents to fixed-token-
+  * budget training sequences — the step between "deduped, filtered docs"
+  * and "what the trainer actually loads" (GPT-3 §2.3 packs documents into
+  * 2048-token contexts; T5 calls it "packing").
+  *
+  * [[nextFit]] is the streaming-friendly NEXT-FIT discipline: walk each
+  * group's documents in a deterministic order, append to the open
+  * sequence while it fits, else seal it and start the next. Within-2×
+  * of optimal bin count, one pass, O(1) state — and, crucially for this
+  * engine, a pure function of the (group, order) so the layout is
+  * re-ingest-stable and replays in recursive SQL. (Best-fit-decreasing
+  * packs ~10% tighter but needs a mutable bin index — order-dependent
+  * and unreplayable; next-fit is what a 100 TB pipeline actually runs,
+  * per shard, in parallel.)
+  *
+  * Scale shape: one shuffle by `groupCol` (the shard axis — language,
+  * source, hash bucket), then a sorted linear scan per group via
+  * `flatMapSortedGroups`; no window over the corpus, no driver state.
+  * Groups are independent, so parallelism = number of shards; size the
+  * shard key so groups are executor-sized (the same contract as
+  * `text_pack_shards`).
+  */
+object Packing {
+
+  /** Next-fit packing of rows into capacity-bounded sequences per group.
+    *
+    * A row larger than `capacity` gets a sequence of its own (it opens a
+    * new sequence that nothing else joins) — oversized docs are the
+    * chunking operator's job, not the packer's.
+    *
+    * @return (group STRING, id BIGINT, size BIGINT, seq_id BIGINT) —
+    *         seq_id is 0-based per group, in ascending-id order. */
+  def nextFit(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      sizeCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1 (got $capacity)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("id"), col(sizeCol).cast("long").as("size"))
+      .as[(String, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapSortedGroups($"id") { (g: String, it: Iterator[(String, Long, Long)]) =>
+        var bin = 0L
+        var fill = 0L
+        it.map { case (_, id, sz) =>
+          if (fill + sz > capacity && fill > 0) { bin += 1; fill = 0 }
+          fill += sz
+          (g, id, sz, bin)
+        }
+      }
+      .toDF("group", "id", "size", "seq_id")
+  }
+}

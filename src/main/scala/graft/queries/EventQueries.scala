@@ -296,6 +296,71 @@ object EventQueries {
             .otherwise(round(col("__num") / col("__den"), 6)).as("acf"))
         .orderBy("lag")
     },
+
+    // Holt double exponential smoothing (Holt 1957) of the hourly count
+    // series, α = β = ½: level + trend state per hour plus the one-step
+    // forecast — the classic capacity-planning smoother. The recurrence
+    // is inherently sequential, but on the AGGREGATED series: the facts
+    // collapse to calendar-hours rows first (720 here, 8 760/year — the
+    // kCenterCoreset pattern: driver state bounded by a constant axis,
+    // never the corpus). Halving is exact in binary and both engines run
+    // the textually-identical double op sequence from identical integer
+    // inputs, so all 720 steps replay bit-for-bit in the recursive CTE.
+    "q48_holt" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ser = table(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("t", row_number().over(Window.orderBy("hr")))
+        .select(col("t"), col("c")).orderBy("t")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      var l = 0.0; var b = 0.0
+      val rows = ser.map { case (t, c) =>
+        if (t == 1) { l = c.toDouble; b = 0.0 }
+        else {
+          val lNew = 0.5 * c + 0.5 * (l + b)
+          b = 0.5 * (lNew - l) + 0.5 * b
+          l = lNew
+        }
+        (t, c, l, b, l + b)
+      }
+      val spark = s
+      import spark.implicits._
+      rows.toSeq.toDF("t", "c", "__l", "__b", "__f")
+        .select(col("t"), col("c"),
+          round(col("__l"), 6).as("level"), round(col("__b"), 6).as("trend"),
+          round(col("__f"), 6).as("forecast"))
+        .orderBy("t")
+    },
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent PRECEDING click (carry-forward window with IGNORE NULLS —
+    // the single-pass form of the as-of join q23 does pairwise), bucketed
+    // by recency. One window sort per user over the event stream, then a
+    // 3-row aggregate — the conversion-attribution rollup marketing
+    // pipelines run at billions of events.
+    "q49_attribution" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // exact integer µs delta — the fixture has sub-second timestamps,
+      // where a seconds cast would floor differently than DATE_DIFF
+      val delta = unix_micros(col("ts")) - unix_micros(col("__click_ts"))
+      table(s, dir, "events")
+        .withColumn("__click_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("bucket",
+          when(col("__click_ts").isNull, "organic")
+            .when(delta <= 3600L * 1000000, "click_1h")
+            .when(delta <= 86400L * 1000000, "click_24h")
+            .otherwise("organic"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("bucket")
+    },
   )
 
   /** Shared window clause of the q33/q34 oracles. */
@@ -395,6 +460,46 @@ object EventQueries {
                     CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
            END AS acf
          FROM agg ORDER BY lag""",
+
+    // Holt recurrence unrolled by the recursive CTE — the level update
+    // expression is repeated textually inside the trend update so both
+    // engines execute the identical double op sequence.
+    "q48_holt" ->
+      """WITH RECURSIVE
+         h AS (SELECT DATE_TRUNC('hour', ts) AS hr, COUNT(*) AS c
+               FROM events GROUP BY 1),
+         s AS (SELECT ROW_NUMBER() OVER (ORDER BY hr) AS t, c FROM h),
+         rec(t, c, l, b) AS (
+           SELECT t, c, CAST(c AS DOUBLE), CAST(0 AS DOUBLE)
+           FROM s WHERE t = 1
+           UNION ALL
+           SELECT s.t, s.c,
+             0.5 * s.c + 0.5 * (rec.l + rec.b),
+             0.5 * ((0.5 * s.c + 0.5 * (rec.l + rec.b)) - rec.l)
+               + 0.5 * rec.b
+           FROM rec JOIN s ON s.t = rec.t + 1)
+         SELECT CAST(t AS INTEGER) AS t, c, ROUND(l, 6) AS level,
+           ROUND(b, 6) AS trend, ROUND(l + b, 6) AS forecast
+         FROM rec ORDER BY t""",
+
+    "q49_attribution" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+               IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+           FROM events),
+         p AS (SELECT user_id,
+             CASE WHEN click_ts IS NULL THEN 'organic'
+               WHEN epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+                 THEN 'click_1h'
+               WHEN epoch_us(ts) - epoch_us(click_ts) <= 86400000000
+                 THEN 'click_24h'
+               ELSE 'organic' END AS bucket
+           FROM e WHERE event_type = 'purchase')
+         SELECT bucket, COUNT(*) AS n_purchases,
+           COUNT(DISTINCT user_id) AS n_users
+         FROM p GROUP BY bucket ORDER BY bucket""",
 
     "q43_transitions" ->
       """WITH seq AS (

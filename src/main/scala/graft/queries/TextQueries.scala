@@ -207,6 +207,31 @@ object TextQueries {
           round(col("n_matched").cast("double") / col("n_truth"), 4))
     },
 
+    // Blocking-quality eval: reduction ratio + pair completeness of the
+    // SNM blocking scheme against exact Jaccard ground truth — the two
+    // numbers (Christen 2012) that justify any blocking choice: how much
+    // of the n² pair space it prunes, and how many true matches survive
+    // the pruning. Candidates = the UNVERIFIED window-banded pair set
+    // (threshold 0 keeps every probe); truth = the PPJoin exact pass.
+    "eval_blocking" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5).select("left_id", "right_id")
+      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        blockTokens = 3, window = 4, shingleSize = 3, threshold = 0.0)
+        .select("left_id", "right_id")
+      val captured = truth.join(cand, Seq("left_id", "right_id"), "left_semi")
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(captured.agg(count(lit(1)).as("n_captured")))
+        .withColumn("reduction_ratio",
+          round(lit(1.0) - lit(2.0) * col("n_candidates") /
+            (col("n_docs") * (col("n_docs") - 1)), 6))
+        .withColumn("pair_completeness",
+          round(col("n_captured").cast("double") / col("n_truth"), 4))
+    },
+
     // Per-source attribution/governance profile: the report a dataset
     // card needs — doc counts, token mass, corpus share, language spread
     // per provenance source. One grouped pass + a 1-row broadcast total.
@@ -769,6 +794,24 @@ object TextQueries {
         .withColumn("shard_id",
           expr("(cum_tokens - n_tokens) div 2000"))
         .select("doc_id", "lang", "n_tokens", "shard_id")
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing: next-fit assignment of docs to 256-token training
+    // sequences per language shard — the "what the trainer loads" layout
+    // step after dedup/filter. Unlike text_pack_shards' offset-derived
+    // shards (bins may straddle the budget), next-fit seals a sequence
+    // the moment a doc doesn't fit, so every multi-doc sequence is within
+    // budget. One shuffle by shard + a sorted linear scan per group; the
+    // whole walk replays as a recursive CTE.
+    "text_pack_seq" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing
+        .nextFit(d, "lang", "doc_id", "n_tokens", capacity = 256L)
+        .select(col("id").as("doc_id"), col("group").as("lang"),
+          col("size").as("n_tokens"), col("seq_id"))
         .orderBy("doc_id")
     },
 
@@ -1475,6 +1518,68 @@ object TextQueries {
            FROM cand JOIN sh sa ON sa.doc_id = l JOIN sh sb ON sb.doc_id = r)
          SELECT left_id, right_id, jaccard FROM ver WHERE jaccard >= 0.5
          ORDER BY left_id, right_id""",
+
+    // Blocking eval: the dedup_snm candidate machinery WITHOUT the verify
+    // gate, measured against the full quadratic truth (same hashed-vs-
+    // string shingle parity argument as dedup_snm).
+    "eval_blocking" ->
+      """WITH d AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks
+                    FROM documents),
+         sh AS (
+           SELECT doc_id, LIST_DISTINCT(CASE WHEN LEN(toks) >= 3
+             THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN RANGE(1, LEN(toks) - 1)]
+             ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS s
+           FROM d),
+         rk AS (
+           SELECT doc_id, ARRAY_TO_STRING(toks[1:3], ' ') AS blk,
+             ROW_NUMBER() OVER (PARTITION BY ARRAY_TO_STRING(toks[1:3], ' ')
+               ORDER BY text, doc_id) AS rn
+           FROM d),
+         cand AS (
+           SELECT LEAST(a.doc_id, b.doc_id) AS left_id,
+             GREATEST(a.doc_id, b.doc_id) AS right_id
+           FROM rk a JOIN rk b
+           ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3),
+         truth AS (
+           SELECT a.doc_id AS left_id, b.doc_id AS right_id
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) >= 0.5),
+         captured AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+         SELECT n_docs, n_candidates, n_truth, n_captured,
+           ROUND(1.0 - 2.0 * n_candidates / (n_docs * (n_docs - 1)), 6)
+             AS reduction_ratio,
+           ROUND(CAST(n_captured AS DOUBLE) / n_truth, 4) AS pair_completeness
+         FROM (SELECT
+           (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM captured) AS n_captured)""",
+
+    // Next-fit packing replayed: the per-group walk is a linear
+    // recurrence (fill resets when the doc doesn't fit), unrolled by the
+    // recursive CTE one row per step per group.
+    "text_pack_seq" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, lang,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (SELECT doc_id, lang, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           FROM t),
+         rec(lang, rn, doc_id, n_tokens, bin, fill) AS (
+           SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.lang, r.rn, r.doc_id, r.n_tokens,
+             CASE WHEN rec.fill + r.n_tokens <= 256 THEN rec.bin
+               ELSE rec.bin + 1 END,
+             CASE WHEN rec.fill + r.n_tokens <= 256
+               THEN rec.fill + r.n_tokens ELSE r.n_tokens END
+           FROM rec JOIN r ON r.lang = rec.lang AND r.rn = rec.rn + 1)
+         SELECT doc_id, lang, n_tokens, CAST(bin AS BIGINT) AS seq_id
+         FROM rec ORDER BY doc_id""",
 
     "text_bm25" -> bm25OracleSql,
     "text_bm25_prf" -> bm25PrfOracleSql,
