@@ -74,6 +74,29 @@ object Mview {
       .filter(col("n_delta") =!= 0 || col("sum_delta") =!= 0.0)
   }
 
+  /** Delta rows of an inner JOIN under append-only inserts — the classic
+    * incremental-view-maintenance rule (Blakeley et al. SIGMOD'86):
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * so a join-backed rollup is maintained by [[init]]-ing ONLY these
+    * delta rows and [[merge]]-ing them into the standing state — the
+    * 100 TB fact⋈fact re-join never happens again after the base build.
+    *
+    * Scale shape: two delta-sized joins against the old sides (the delta
+    * side broadcasts in the common case) plus one delta×delta join;
+    * nothing is proportional to |A_old ⋈ B_old|. Deletes/updates remain
+    * out of contract, exactly as for the plain state ([[init]] doc).
+    * Columns must be disjoint apart from `joinKeys` (standard join
+    * hygiene; Spark errors otherwise). */
+  def joinDelta(
+      aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame,
+      joinKeys: Seq[String]): DataFrame =
+    aDelta.join(bOld, joinKeys)
+      .unionByName(aOld.join(bDelta, joinKeys))
+      .unionByName(aDelta.join(bDelta, joinKeys))
+
   /** Final measures from the partials (sum/avg as exact-decimal-backed
     * doubles, rounded for replay parity). */
   def result(state: DataFrame, groupCols: Seq[String]): DataFrame =

@@ -808,6 +808,31 @@ object RelationalQueries {
       Mview.result(st, keys).orderBy(keys.map(col): _*)
     },
 
+    // Incremental maintenance of a JOIN-backed rollup: both fact sides
+    // take append-only deltas, and the state is folded forward with the
+    // Blakeley delta rule (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — the base A⋈B join
+    // never re-executes. Must equal the from-scratch join aggregate,
+    // which is exactly what the oracle computes.
+    "mview_join_incremental" -> { (s, dir) =>
+      import graft.operators.Mview
+      val keys = Seq("o_orderpriority")
+      val ord = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+      val (aOld, aDelta) = (ord.filter(col("o_orderkey") % 5 =!= 4),
+        ord.filter(col("o_orderkey") % 5 === 4))
+      val (bOld, bDelta) = (li.filter(col("o_orderkey") % 7 =!= 6),
+        li.filter(col("o_orderkey") % 7 === 6))
+      val base = Mview.init(aOld.join(bOld, Seq("o_orderkey")),
+        keys, "l_extendedprice")
+      val delta = Mview.joinDelta(aOld, aDelta, bOld, bDelta,
+        Seq("o_orderkey"))
+      val st = Mview.merge(base, Mview.init(delta, keys, "l_extendedprice"),
+        keys)
+      Mview.result(st, keys).orderBy(keys.map(col): _*)
+    },
+
     // Snapshot diff over the materialized rollup: which groups changed
     // between the 6/7ths snapshot and the full table, with exact count
     // and decimal-sum deltas — the CDC/validation view of mview state.
@@ -1455,6 +1480,15 @@ object RelationalQueries {
             MAX(l_extendedprice) AS max_value
           FROM lineitem GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus""",
+
+    "mview_join_incremental" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+            ${sqlDsum("l_extendedprice")} AS sum_value,
+            ${sqlDavg("l_extendedprice")} AS avg_value,
+            MIN(l_extendedprice) AS min_value,
+            MAX(l_extendedprice) AS max_value
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q42_revenue_share" ->
       s"""WITH r AS (

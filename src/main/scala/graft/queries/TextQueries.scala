@@ -915,6 +915,33 @@ object TextQueries {
             (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
     },
 
+    // Reliability diagram (calibration curve): equal-count deciles of the
+    // en-stopword-ratio signal vs the realized P(lang = 'en') per decile —
+    // "does a higher score actually mean more English?", the companion
+    // check to eval_auc's ranking view. Scores are 6dp-rounded and
+    // DECIMAL-summed (exact); rates are integer ratios; the gap is a
+    // subtraction of the two already-rounded outputs. NTILE ordered by
+    // (score, doc_id) so tied scores split deterministically.
+    "eval_calibration" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val en = Seq("the", "a", "of", "and", "to", "in", "is", "with")
+      val toks = array_distinct(split(lower(col("text")), "\\s+"))
+      val scored = table(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          round(size(array_intersect(toks, typedlit(en)))
+            .cast("double") / size(toks), 6).as("s"))
+      scored
+        .withColumn("bin", ntile(10).over(Window.orderBy("s", "doc_id")))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          round(sum(dec(col("s"))).cast("double") / count(lit(1)), 6)
+            .as("mean_score"),
+          round(sum(col("y")) / count(lit(1)), 6).as("pos_rate"))
+        .withColumn("gap", round(col("mean_score") - col("pos_rate"), 6))
+        .orderBy("bin")
+    },
+
     // Curriculum / interleaved training order: every stratum (language)
     // shuffled by the portable hash, then round-robin interleaved — any
     // prefix of the resulting order carries the full stratum mix, the
@@ -1858,6 +1885,27 @@ object TextQueries {
            CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
              ELSE ROUND(2 * tp / (2 * tp + fp + fn), 6) END AS f1
          FROM m ORDER BY class""",
+
+    "eval_calibration" ->
+      """WITH t AS (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\s+')) AS toks
+           FROM documents),
+         sc AS (SELECT doc_id, y,
+             ROUND(CAST(LEN(LIST_INTERSECT(toks,
+               ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'with'])) AS DOUBLE)
+               / LEN(toks), 6) AS s
+           FROM t),
+         b AS (SELECT y, s, NTILE(10) OVER (ORDER BY s, doc_id) AS bin
+               FROM sc),
+         g AS (SELECT CAST(bin AS INTEGER) AS bin, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_score,
+             ROUND(CAST(SUM(y) AS BIGINT) / COUNT(*), 6) AS pos_rate
+           FROM b GROUP BY bin)
+         SELECT bin, n, mean_score, pos_rate,
+           ROUND(mean_score - pos_rate, 6) AS gap
+         FROM g ORDER BY bin""",
 
     // Tie-corrected Mann–Whitney AUC with integer 2·midrank arithmetic —
     // the single double division shared textually with the engine.

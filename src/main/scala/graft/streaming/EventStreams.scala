@@ -706,6 +706,55 @@ object EventStreams {
       }
   }
 
+  /** One attributed conversion from [[attributionStream]]. */
+  final case class Attribution(event_id: Long, user_id: Long, bucket: String)
+
+  /** Streaming twin of `q49_attribution`: last-touch credit assignment
+    * with ONE long of state per user — the µs timestamp of their most
+    * recent click. A click updates the state; a purchase emits its
+    * recency bucket against it (exact integer µs thresholds, the same
+    * CASE ladder as the batch window query). The batch IGNORE-NULLS
+    * carry-forward window replayed incrementally — state is O(users),
+    * independent of stream length, where the batch form re-sorts the
+    * full history per run.
+    *
+    * Ordering contract (same as [[transitionsStream]]/[[anomalyStream]]):
+    * rows sorted (ts, event_id) within each micro-batch, batches in
+    * per-user event-time order; a straggler click would back-date
+    * attributions exactly as it would in any carry-forward window. */
+  def attributionStream(
+      events: DataFrame): org.apache.spark.sql.Dataset[Attribution] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events.select(
+        col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[Long]) =>
+          var lastClick = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+            case (_, eid, ts, typ) =>
+              if (typ == "click") lastClick = ts
+              else if (typ == "purchase") {
+                val bucket =
+                  if (lastClick == Long.MinValue) "organic"
+                  else if (ts - lastClick <= 3600L * 1000000) "click_1h"
+                  else if (ts - lastClick <= 86400L * 1000000) "click_24h"
+                  else "organic"
+                out += Attribution(eid, user, bucket)
+              }
+          }
+          if (lastClick != Long.MinValue) state.update(lastClick)
+          out.iterator
+      }
+  }
+
   /** Trailing ring of the last `window` v100 values for [[anomalyStream]]. */
   final case class ZRing(ring: Seq[Long])
 

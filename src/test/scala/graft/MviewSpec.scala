@@ -52,4 +52,30 @@ class MviewSpec extends SparkSpec {
     assert(collectState(merged) ===
       collectState(Mview.init(li, keys, "l_extendedprice")))
   }
+
+  test("join delta rule: base state + joinDelta == init(full join), any split") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ord = table(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val liJ = li.select(col("l_orderkey").as("o_orderkey"),
+      col("l_extendedprice"))
+    val jkeys = Seq("o_orderkey")
+    val gkeys = Seq("o_orderpriority")
+    for (splitMod <- Seq(2, 5)) {
+      val (aOld, aDelta) = (ord.filter(col("o_orderkey") % splitMod =!= 0),
+        ord.filter(col("o_orderkey") % splitMod === 0))
+      val (bOld, bDelta) = (liJ.filter(col("o_orderkey") % 3 =!= 1),
+        liJ.filter(col("o_orderkey") % 3 === 1))
+      val incr = Mview.merge(
+        Mview.init(aOld.join(bOld, jkeys), gkeys, "l_extendedprice"),
+        Mview.init(Mview.joinDelta(aOld, aDelta, bOld, bDelta, jkeys),
+          gkeys, "l_extendedprice"), gkeys)
+      val full = Mview.init(ord.join(liJ, jkeys), gkeys, "l_extendedprice")
+      assert(Mview.result(incr, gkeys).orderBy("o_orderpriority")
+          .collect().toSeq ===
+        Mview.result(full, gkeys).orderBy("o_orderpriority")
+          .collect().toSeq, s"splitMod=$splitMod")
+    }
+  }
 }

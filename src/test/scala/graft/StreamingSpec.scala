@@ -500,6 +500,46 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "bigram counts must match the batch window")
   }
 
+  test("streaming last-touch attribution equals the batch carry-forward window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(spark, sf0001, "events")
+      .select("event_id", "event_type", "user_id", "ts")
+    val n = ev.count()
+    val ordered = ev.withColumn("rn",
+      row_number().over(Window.orderBy("ts", "event_id")))
+    val dir = Files.createTempDirectory("attribution-stream").toString
+    Seq(0L, n / 3, 2 * n / 3, n).sliding(2).foreach { case Seq(lo, hi) =>
+      ordered.filter(col("rn") > lo && col("rn") <= hi).drop("rn")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runToMemory(
+        EventStreams.attributionStream(stream).toDF(),
+        "attribution_out", "append")
+      .select("event_id", "bucket")
+      .as[(Long, String)].collect().toMap
+
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val delta = unix_micros(col("ts")) - unix_micros(col("__click_ts"))
+    val want = ev
+      .withColumn("__click_ts",
+        last(when(col("event_type") === "click", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").cast("long"),
+        when(col("__click_ts").isNull, "organic")
+          .when(delta <= 3600L * 1000000, "click_1h")
+          .when(delta <= 86400L * 1000000, "click_24h")
+          .otherwise("organic").as("bucket"))
+      .as[(Long, String)].collect().toMap
+    assert(want.nonEmpty && want.values.toSet.size > 1,
+      "fixture should exercise several buckets")
+    assert(got === want, "per-purchase buckets must match the batch window")
+  }
+
   test("checkpointed mview maintenance is incremental ACROSS sessions") {
     import graft.operators.Mview
     val statePath = Files.createTempDirectory("mview-state").toString
