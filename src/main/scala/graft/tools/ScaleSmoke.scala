@@ -624,6 +624,49 @@ object ScaleSmoke {
         skewed, Seq("k"), 32, Map(col("l_quantity") -> "sq"), Some("n")).count()
     }
     }
+    // wedge enumeration bounded by Σdeg² with the hub cap — the co-purchase
+    // graph replicates as disjoint components, so work scales linearly
+    section("linkpred") {
+    val liD = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val copur = liD.as("x").join(liD.as("y"), Seq("ok"))
+      .filter(col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      .agg(count(lit(1)).as("co")).filter(col("co") >= 2)
+      .localCheckpoint(true)
+    time("adamic-adar over co-purchase graph") {
+      graft.operators.LinkAnalysis.adamicAdar(copur, "p1", "p2").count()
+    }
+    }
+    // DBSCAN cluster formation: the stage AFTER pair generation (degree
+    // gate -> core components -> border attach); pairs from the sf0.1
+    // corpus, replicated as disjoint ε-graphs
+    section("dbscan") {
+    val basePairs = Dedup.embeddingPairs(
+      table(spark, dir, "embeddings"), "vec_id", "embedding", threshold = 0.32)
+    val pairs = replicate(basePairs.select("left_id", "right_id"),
+      Seq("left_id", "right_id"), copies).localCheckpoint(true)
+    time("dbscan formation (pairs -> labels)") {
+      graft.operators.Clustering.dbscanFromPairs(
+        emb, "vec_id", pairs, "left_id", "right_id", minPts = 4).count()
+    }
+    }
+    section("packing") {
+    val sized = docs.select(col("doc_id"), col("lang"),
+      graft.functions.TextOps.tokenCount(col("text")).as("n_tokens"))
+    time("next-fit packing, lang shards") {
+      graft.operators.Packing.nextFit(sized, "lang", "doc_id", "n_tokens",
+        capacity = 256L).count()
+    }
+    }
+    section("bootstrap") {
+    time("poisson bootstrap, 20 replicates") {
+      graft.operators.Sampling.poissonReplicates(
+          docs.select("doc_id", "n_chars"), col("doc_id"), 20, seed = 17L)
+        .groupBy("replicate")
+        .agg(sum(col("k") * col("n_chars"))).count()
+    }
+    }
     spark.stop()
   }
 }

@@ -319,4 +319,77 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(600))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("graph_linkpred: wedge and anti joins are equi, never cartesian") {
+    val p = plan("graph_linkpred")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // the top-20 presentation is a bounded top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("profile_skew: stats broadcast; top-10 is a bounded top-k") {
+    val p = plan("profile_skew")
+    // the stats branch re-derives the per-key aggregate (identical
+    // exchange subtree — runtime exchange reuse dedupes it); what must
+    // hold: ≤2 tree scans, 1-row stats side broadcast, bounded top-k
+    assert("[:+]- Scan parquet".r.findAllIn(p).size <= 2, p.take(1200))
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q47_autocorr: lag join runs on the hours series, facts aggregate first") {
+    val p = plan("q47_autocorr")
+    // both self-join sides re-derive the hourly aggregate (shared
+    // exchange subtree, runtime-reused); the join itself must be equi on
+    // the shifted index, never cartesian
+    assert("[:+]- Scan parquet".r.findAllIn(p).size <= 2, p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q49_attribution: carry-forward window rides one per-user sort") {
+    val p = plan("q49_attribution")
+    assert(p.contains("Window"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // one window exchange (user_id) + one for the 3-row aggregate at most
+    assert("\\+- Exchange".r.findAllIn(p).size <= 3, p.take(1200))
+  }
+
+  test("cluster_dbscan: nothing past the pair list is cartesian or nested-loop") {
+    val p = plan("cluster_dbscan")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("text_pack_seq / sample_bootstrap: scan-local fan-out, one group shuffle") {
+    val p1 = plan("text_pack_seq")
+    assert(!p1.contains("CartesianProduct"), p1.take(600))
+    assert(p1.contains("MapGroups"), p1.take(800)) // the sorted per-shard walk
+    val p2 = plan("sample_bootstrap")
+    assert(p2.contains("Generate"), p2.take(800)) // replicate explode is scan-local
+    assert(!p2.contains("CartesianProduct"), p2.take(600))
+    assert("\\+- Exchange".r.findAllIn(p2).size <= 2, p2.take(1200))
+  }
+
+  test("eval_auc / eval_calibration: global rank windows are the eval-scale contract") {
+    // Both metrics rank the WHOLE input through one window task — correct
+    // for an eval slice (their contract), corpus-hostile by construction.
+    // This pin exists so a refactor that feeds them something unbounded
+    // trips a human: the global Window must still be there (no silent
+    // semantic rewrite), and nothing else in the plan may go cartesian.
+    val p1 = plan("eval_auc")
+    assert(p1.contains("Window"), p1.take(600))
+    assert(!p1.contains("CartesianProduct"), p1.take(600))
+    val p2 = plan("eval_calibration")
+    assert(p2.contains("Window"), p2.take(600))
+    assert(!p2.contains("CartesianProduct"), p2.take(600))
+  }
+
+  test("mview_join_incremental: delta joins are equi; state merge is hash agg") {
+    val p = plan("mview_join_incremental")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(!p.contains("SortAggregate"), p.take(600))
+  }
 }
