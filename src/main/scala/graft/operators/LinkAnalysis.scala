@@ -428,6 +428,67 @@ object LinkAnalysis {
               (col("degree") * (col("degree") - 1))), 6).as("lcc"))
   }
 
+  /** Newman modularity of a community assignment over an undirected
+    * graph (Newman & Girvan 2004): Q = Σ_c (e_c/m − (d_c/2m)²) — the
+    * "are these communities denser than chance?" score that turns any
+    * labeling ([[labelPropagation]], [[Components]], an external
+    * partition) into a quality number. Kept EXACT: per-community terms
+    * are emitted as the integer numerator 4·m·e_c − d_c² over the common
+    * denominator 4m², with the rounded double total alongside — so the
+    * whole evaluation replays in integer SQL.
+    *
+    * Scale shape: two label-joins of the edge list (broadcast when the
+    * label table is node-sized vs corpus edges) + node-sized aggregates;
+    * nothing quadratic, no iteration.
+    *
+    * @param labels (node, label) — one row per node, as produced by
+    *               [[labelPropagation]]
+    * @return (community, n_nodes, e_in, d_tot, q_term_scaled,
+    *         q_total BIGINT/DOUBLE) — one row per community. */
+  def modularity(
+      pairs: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      labels: DataFrame): DataFrame = {
+    val e = pairs
+      .select(col(leftCol).cast("long").as("u"), col(rightCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = true) // scanned for m, e_in, and degrees
+    val m = e.count()
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label"))
+    val eIn = e
+      .join(lab.select(col("node").as("u"), col("label").as("__lu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("__lv")), Seq("v"))
+      .filter(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("community")).agg(count(lit(1)).as("e_in"))
+    val dTot = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .join(lab, Seq("node"))
+      .groupBy(col("label").as("community")).agg(count(lit(1)).as("d_tot"))
+    val nNodes = lab.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val terms = nNodes
+      .join(eIn, Seq("community"), "left")
+      .join(dTot, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("d_tot"), lit(0L)).as("d_tot"))
+      .withColumn("q_term_scaled",
+        lit(4L) * lit(m) * col("e_in") - col("d_tot") * col("d_tot"))
+    import org.apache.spark.sql.expressions.Window
+    terms
+      .withColumn("__tot",
+        sum(col("q_term_scaled")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("q_total",
+        round(col("__tot").cast("double") /
+          (lit(4.0) * m * m), 6))
+      .drop("__tot")
+  }
+
   /** Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
     * CIKM'03; Adamic & Adar 2003): for every non-adjacent pair at
     * distance 2, the common-neighbor count and the Adamic–Adar score

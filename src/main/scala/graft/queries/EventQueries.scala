@@ -333,6 +333,33 @@ object EventQueries {
         .orderBy("t")
     },
 
+    // Time-weighted average per sensor/type (the irregular-sampling mean:
+    // each reading holds until the next one, so it weighs by its µs
+    // holding interval — what naive AVG gets wrong on bursty series).
+    // q44's quantization discipline: v100 = round(value·100) is the
+    // defined integer signal, interval products sum in DECIMAL(38,0)
+    // (exact at any corpus size — Σ v100·Δt overflows BIGINT at ~10⁶
+    // rows), one shared-text double division at the end. One window sort
+    // per type.
+    "q50_twa" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      table(s, dir, "events")
+        .withColumn("v100", round(col("value") * lit(100), 0).cast("long"))
+        .withColumn("dt",
+          lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+        .filter(col("dt").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("total_us"),
+          sum((col("v100") * col("dt")).cast(DecimalType(38, 0))).as("__num"))
+        .select(col("event_type"), col("n_intervals"), col("total_us"),
+          round(col("__num").cast("double") / col("total_us").cast("double")
+            / lit(100.0), 6).as("twa"))
+        .orderBy("event_type")
+    },
+
     // Last-touch attribution: each purchase credits the user's most
     // recent PRECEDING click (carry-forward window with IGNORE NULLS —
     // the single-pass form of the as-of join q23 does pairwise), bucketed
@@ -481,6 +508,20 @@ object EventQueries {
          SELECT CAST(t AS INTEGER) AS t, c, ROUND(l, 6) AS level,
            ROUND(b, 6) AS trend, ROUND(l + b, 6) AS forecast
          FROM rec ORDER BY t""",
+
+    "q50_twa" ->
+      """WITH v AS (
+           SELECT event_type, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v100,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) - epoch_us(ts) AS dt
+           FROM events)
+         SELECT event_type, COUNT(*) AS n_intervals,
+           CAST(SUM(dt) AS BIGINT) AS total_us,
+           ROUND(CAST(SUM(CAST(v100 * dt AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) / 100.0, 6) AS twa
+         FROM v WHERE dt IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
 
     "q49_attribution" ->
       """WITH e AS (

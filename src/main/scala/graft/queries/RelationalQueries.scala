@@ -609,6 +609,26 @@ object RelationalQueries {
         .orderBy("node")
     },
 
+    // Community QUALITY: Newman modularity of the 4-round LPA labeling
+    // over the co-supply graph — "are these communities denser than
+    // chance?", the score that closes the detect→evaluate loop. Exact
+    // integer numerators over the common 4m² denominator, so community
+    // detection AND its evaluation replay end to end in SQL.
+    "graph_modularity" -> { (s, dir) =>
+      val ps = table(s, dir, "lineitem")
+        .where(col("l_partkey") % 3 === 0)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val coSupply = ps.as("x").join(ps.as("y"), Seq("pk"))
+        .filter(col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("s1"), col("y.sk").as("s2"))
+      val labels = graft.operators.LinkAnalysis
+        .labelPropagation(coSupply, "s1", "s2", iterations = 4)
+      graft.operators.LinkAnalysis
+        .modularity(coSupply, "s1", "s2", labels)
+        .orderBy("community")
+    },
+
     // Item-item co-occurrence similarity (collaborative-filtering prep):
     // parts bought together in one order → pair counts → Jaccard over
     // order sets → top-5 partners per part. The pair fan-out is bounded
@@ -808,6 +828,48 @@ object RelationalQueries {
       Mview.result(st, keys).orderBy(keys.map(col): _*)
     },
 
+    // Pairwise Pearson correlation matrix over the lineitem measures —
+    // the feature-redundancy screen before any model ingests them. All
+    // nine sufficient statistics are EXACT: 2dp measures become v100
+    // integers, cross-products sum in DECIMAL(38,0) (Σ price100² passes
+    // 2⁶³ at ~10⁶ rows), and each r is one shared-text double formula
+    // from identical integer inputs. ONE aggregate pass over the facts;
+    // the 3-row matrix is assembled from the single stats row.
+    "profile_corr" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val d38 = DecimalType(38, 0)
+      def v100(c: String) = round(col(c) * lit(100), 0).cast("long")
+      val stats = table(s, dir, "lineitem")
+        .select(v100("l_quantity").as("q"), v100("l_extendedprice").as("p"),
+          v100("l_discount").as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("sq"), sum(col("p")).as("sp"), sum(col("d")).as("sd"),
+          sum((col("q") * col("q")).cast(d38)).as("sqq"),
+          sum((col("p") * col("p")).cast(d38)).as("spp"),
+          sum((col("d") * col("d")).cast(d38)).as("sdd"),
+          sum((col("q") * col("p")).cast(d38)).as("sqp"),
+          sum((col("q") * col("d")).cast(d38)).as("sqd"),
+          sum((col("p") * col("d")).cast(d38)).as("spd"))
+      def corr(sx: String, sy: String, sxy: String, sxx: String, syy: String) = {
+        val n = col("n").cast(d38)
+        val num = (n * col(sxy) - col(sx).cast(d38) * col(sy).cast(d38))
+          .cast("double")
+        val dx = (n * col(sxx) - col(sx).cast(d38) * col(sx).cast(d38))
+          .cast("double")
+        val dy = (n * col(syy) - col(sy).cast(d38) * col(sy).cast(d38))
+          .cast("double")
+        round(num / sqrt(dx * dy), 6)
+      }
+      val one = stats.localCheckpoint(true)
+      one.select(lit("quantity").as("x"), lit("extendedprice").as("y"),
+          col("n"), corr("sq", "sp", "sqp", "sqq", "spp").as("corr"))
+        .unionByName(one.select(lit("quantity").as("x"), lit("discount").as("y"),
+          col("n"), corr("sq", "sd", "sqd", "sqq", "sdd").as("corr")))
+        .unionByName(one.select(lit("extendedprice").as("x"), lit("discount").as("y"),
+          col("n"), corr("sp", "sd", "spd", "spp", "sdd").as("corr")))
+        .orderBy("x", "y")
+    },
+
     // Incremental maintenance of a JOIN-backed rollup: both fact sides
     // take append-only deltas, and the state is folded forward with the
     // Blakeley delta rule (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — the base A⋈B join
@@ -906,6 +968,39 @@ object RelationalQueries {
         .orderBy("cohort_week", "week_no")
     }
   )
+
+  /** Unrolled 4-round replay of LinkAnalysis.labelPropagation's
+    * synchronous plurality vote, shared by the `graph_labelprop` and
+    * `graph_modularity` oracles: each round is one GROUP BY
+    * (node, label) count plus a (count DESC, label ASC) window argmax —
+    * all integer, so the replay is exact. The graph is symmetrized by
+    * the UNION ALL fan-out of the canonical u<v pair set (`e0`),
+    * matching the operator's least/greatest + distinct
+    * canonicalization; the chain ends in `it4(node, label)`. */
+  private val lpaCtes: String = {
+    def round(k: Int, prev: String) =
+      s"""it$k AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT e.src AS node, p.label AS label,
+              ROW_NUMBER() OVER (PARTITION BY e.src
+                ORDER BY COUNT(*) DESC, p.label) AS rn
+            FROM e JOIN $prev p ON e.dst = p.node
+            GROUP BY e.src, p.label)
+          WHERE rn = 1)"""
+    s"""e0 AS MATERIALIZED (
+          SELECT DISTINCT CAST(x.sk AS BIGINT) AS u, CAST(y.sk AS BIGINT) AS v
+          FROM (SELECT DISTINCT l_partkey pk, l_suppkey sk
+                FROM lineitem WHERE l_partkey % 3 = 0) x
+          JOIN (SELECT DISTINCT l_partkey pk, l_suppkey sk
+                FROM lineitem WHERE l_partkey % 3 = 0) y
+            ON x.pk = y.pk AND x.sk < y.sk),
+        e AS MATERIALIZED (
+          SELECT u AS src, v AS dst FROM e0
+          UNION ALL SELECT v, u FROM e0),
+        it0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        ${round(1, "it0")}, ${round(2, "it1")},
+        ${round(3, "it2")}, ${round(4, "it3")}"""
+  }
 
   val oracle: Map[String, String] = Map(
     // HLL registers recomputed from scratch: portable string hash of the
@@ -1365,37 +1460,36 @@ object RelationalQueries {
           FROM r6 ORDER BY node"""
     },
 
-    "graph_labelprop" -> {
-      // Unrolled 4-round replay of LinkAnalysis.labelPropagation's
-      // synchronous plurality vote: each round is one GROUP BY
-      // (node, label) count plus a (count DESC, label ASC) window argmax
-      // — all integer, so the replay is exact. The graph is symmetrized
-      // by the UNION ALL fan-out of the canonical u<v pair set, matching
-      // the operator's least/greatest + distinct canonicalization.
-      def round(k: Int, prev: String) =
-        s"""it$k AS MATERIALIZED (
-            SELECT node, label FROM (
-              SELECT e.src AS node, p.label AS label,
-                ROW_NUMBER() OVER (PARTITION BY e.src
-                  ORDER BY COUNT(*) DESC, p.label) AS rn
-              FROM e JOIN $prev p ON e.dst = p.node
-              GROUP BY e.src, p.label)
-            WHERE rn = 1)"""
-      s"""WITH e0 AS MATERIALIZED (
-            SELECT DISTINCT CAST(x.sk AS BIGINT) AS u, CAST(y.sk AS BIGINT) AS v
-            FROM (SELECT DISTINCT l_partkey pk, l_suppkey sk
-                  FROM lineitem WHERE l_partkey % 3 = 0) x
-            JOIN (SELECT DISTINCT l_partkey pk, l_suppkey sk
-                  FROM lineitem WHERE l_partkey % 3 = 0) y
-              ON x.pk = y.pk AND x.sk < y.sk),
-          e AS MATERIALIZED (
-            SELECT u AS src, v AS dst FROM e0
-            UNION ALL SELECT v, u FROM e0),
-          it0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-          ${round(1, "it0")}, ${round(2, "it1")},
-          ${round(3, "it2")}, ${round(4, "it3")}
-          SELECT node, label FROM it4 ORDER BY node"""
-    },
+    "graph_labelprop" ->
+      s"""WITH $lpaCtes
+          SELECT node, label FROM it4 ORDER BY node""",
+
+    // Modularity over the SAME unrolled LPA replay: integer e_c/d_c
+    // per community, numerator 4·m·e_c − d_c² over the common 4m².
+    "graph_modularity" ->
+      s"""WITH $lpaCtes,
+          m AS (SELECT COUNT(*) AS m FROM e0),
+          ein AS (SELECT la.label AS community, COUNT(*) AS e_in
+                  FROM e0 JOIN it4 la ON la.node = e0.u
+                  JOIN it4 lb ON lb.node = e0.v
+                  WHERE la.label = lb.label GROUP BY la.label),
+          dtot AS (SELECT la.label AS community, COUNT(*) AS d_tot
+                   FROM e JOIN it4 la ON la.node = e.src GROUP BY la.label),
+          nn AS (SELECT label AS community, COUNT(*) AS n_nodes
+                 FROM it4 GROUP BY label),
+          terms AS (
+            SELECT nn.community, nn.n_nodes,
+              COALESCE(ein.e_in, 0) AS e_in,
+              COALESCE(dtot.d_tot, 0) AS d_tot,
+              CAST(4 * m.m * COALESCE(ein.e_in, 0)
+                - COALESCE(dtot.d_tot, 0) * COALESCE(dtot.d_tot, 0)
+                AS BIGINT) AS q_term_scaled
+            FROM nn LEFT JOIN ein USING (community)
+            LEFT JOIN dtot USING (community) CROSS JOIN m)
+          SELECT community, n_nodes, e_in, d_tot, q_term_scaled,
+            ROUND(CAST((SELECT CAST(SUM(q_term_scaled) AS BIGINT) FROM terms)
+                AS DOUBLE) / (4.0 * m.m * m.m), 6) AS q_total
+          FROM terms CROSS JOIN m ORDER BY community""",
 
     "q32_pivot" -> {
       def cell(status: String) =
@@ -1480,6 +1574,34 @@ object RelationalQueries {
             MAX(l_extendedprice) AS max_value
           FROM lineitem GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus""",
+
+    // The nine sufficient statistics in HUGEINT (exact like Spark's
+    // DECIMAL(38,0) partials), each r the identical double formula.
+    "profile_corr" ->
+      """WITH v AS (
+           SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+           FROM lineitem),
+         st AS (SELECT COUNT(*) AS n,
+             SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
+             SUM(q * q) AS sqq, SUM(p * p) AS spp, SUM(d * d) AS sdd,
+             SUM(q * p) AS sqp, SUM(q * d) AS sqd, SUM(p * d) AS spd
+           FROM v)
+         SELECT x, y, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+             SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+         FROM (
+           SELECT 'quantity' AS x, 'extendedprice' AS y, n,
+             sq AS sx, sp AS sy, sqp AS sxy, sqq AS sxx, spp AS syy FROM st
+           UNION ALL
+           SELECT 'quantity', 'discount', n,
+             sq, sd, sqd, sqq, sdd FROM st
+           UNION ALL
+           SELECT 'extendedprice', 'discount', n,
+             sp, sd, spd, spp, sdd FROM st)
+         ORDER BY x, y""",
 
     "mview_join_incremental" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,

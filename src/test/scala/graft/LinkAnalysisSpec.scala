@@ -314,6 +314,29 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(aa(starEdges, maxDegree = 5).isEmpty)
   }
 
+  test("modularity: two cliques under their own labels score high; " +
+      "one-community labeling scores zero") {
+    import org.apache.spark.sql.functions.col
+    val cliqueA = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cliqueB = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val edges = (cliqueA ++ cliqueB :+ (4L, 5L)).toDF("u", "v")
+    val twoLabels = (1L to 8L).map(n => (n, if (n <= 4) 1L else 5L))
+      .toDF("node", "label")
+    val got = LinkAnalysis.modularity(edges, "u", "v", twoLabels)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    // m = 13; each community: 6 internal edges, degree sum 13
+    assert(got(1L) === ((4L, 6L, 13L, 4L * 13 * 6 - 13 * 13, 0.423077)))
+    assert(got(5L) === got(1L))
+    // driver-side check of the double total: (143 + 143) / (4 * 169)
+    assert(math.abs(got(1L)._5 - 286.0 / 676.0) < 1e-6)
+    // everything in one community: e_in = m, d_tot = 2m => Q = 0
+    val oneLabel = (1L to 8L).map(n => (n, 1L)).toDF("node", "label")
+    val q0 = LinkAnalysis.modularity(edges, "u", "v", oneLabel)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(q0.length === 1 && q0.head._5 === 0L && q0.head._6 === 0.0)
+  }
+
   test("adamic-adar: orientation/duplicate-proof and layout-stable") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
     val a = aa(e)
