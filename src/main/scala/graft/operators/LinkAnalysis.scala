@@ -428,6 +428,70 @@ object LinkAnalysis {
               (col("degree") * (col("degree") - 1))), 6).as("lcc"))
   }
 
+  /** Deterministic random-walk corpus over an undirected graph — the
+    * DeepWalk/node2vec (p=q=1) sampling step (Perozzi et al. KDD'14)
+    * that turns a graph into skip-gram training sequences. Each of
+    * `walksPerNode` walks per start node takes `length` uniform steps;
+    * the "random" choice at (walk, step) is the portable split hash
+    * reduced mod the node's degree over its id-RANKED neighbor list, so
+    * the whole corpus is a pure function of (graph, seed): layout-
+    * stable, re-ingest-stable, and replayable step by step in SQL —
+    * `rand()`-driven walks would re-sample differently every run and be
+    * uncheckable.
+    *
+    * Scale shape: the ranked adjacency is built once (one window sort by
+    * node); each step is ONE equi-join of the walk frontier (|V|·W rows)
+    * against it, lineage truncated per step — L joins total, no
+    * iteration-to-fixpoint, no driver state. Hub neighbor lists are
+    * rows, not arrays, so a mega-hub never materializes its list.
+    *
+    * @return (start BIGINT, walk INT, step INT, node BIGINT) — step 0 is
+    *         the start node; (length+1) rows per walk. */
+  def randomWalks(
+      pairs: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      walksPerNode: Int,
+      length: Int,
+      seed: Long): DataFrame = {
+    require(walksPerNode >= 1 && length >= 1, "need >=1 walks of >=1 steps")
+    val e = pairs
+      .select(col(leftCol).cast("long").as("u"), col(rightCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val sym = e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sym
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("node").orderBy("nbr")))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("node")))
+      .localCheckpoint(eager = true) // probed once per step
+    val starts = ranked.select(col("node")).distinct()
+      .withColumn("walk", explode(array((0 until walksPerNode).map(lit): _*)))
+      .select(col("node").as("start"), col("walk"), lit(0).as("step"),
+        col("node"))
+    var frontier = starts.localCheckpoint(eager = true)
+    val steps = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    for (st <- 1 to length) {
+      // walkId·(L+1)+step keys the draw: every (walk, step) is its own
+      // independent lottery, shared textually with the SQL replay
+      val key = (col("start") * walksPerNode + col("walk")) *
+        (length + 1) + lit(st)
+      val pick = pmod(
+        Sampling.portableSplitBucket(key, seed, 1000003), col("deg"))
+      frontier = frontier
+        .join(ranked, Seq("node"))
+        .filter(col("rank") === pick + 1)
+        .select(col("start"), col("walk"), lit(st).as("step"),
+          col("nbr").as("node"))
+        .localCheckpoint(eager = true)
+      steps += frontier
+    }
+    steps.reduce(_ unionByName _)
+  }
+
   /** Newman modularity of a community assignment over an undirected
     * graph (Newman & Girvan 2004): Q = Σ_c (e_c/m − (d_c/2m)²) — the
     * "are these communities denser than chance?" score that turns any

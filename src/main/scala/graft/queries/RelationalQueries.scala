@@ -609,6 +609,25 @@ object RelationalQueries {
         .orderBy("node")
     },
 
+    // DeepWalk sampling: 2 deterministic uniform walks of length 4 from
+    // every co-supply node — the graph→skip-gram-corpus step of graph
+    // embedding training. Every "random" choice is the portable hash mod
+    // degree over the id-ranked neighbor list, so all 4 steps replay
+    // exactly in SQL.
+    "graph_walks" -> { (s, dir) =>
+      val ps = table(s, dir, "lineitem")
+        .where(col("l_partkey") % 3 === 0)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val coSupply = ps.as("x").join(ps.as("y"), Seq("pk"))
+        .filter(col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("s1"), col("y.sk").as("s2"))
+      graft.operators.LinkAnalysis
+        .randomWalks(coSupply, "s1", "s2", walksPerNode = 2, length = 4,
+          seed = 23L)
+        .orderBy("start", "walk", "step")
+    },
+
     // Community QUALITY: Newman modularity of the 4-round LPA labeling
     // over the co-supply graph — "are these communities denser than
     // chance?", the score that closes the detect→evaluate loop. Exact
@@ -946,6 +965,66 @@ object RelationalQueries {
         .withColumn("skew", round(col("cnt") * col("__keys") / col("__total"), 6))
         .select("key", "cnt", "share", "skew")
         .orderBy(desc("cnt"), asc("key")).limit(10)
+    },
+
+    // RFM customer segmentation: recency / frequency / monetary per
+    // customer, each cut into NTILE(5) quintiles with (metric, custkey)
+    // tiebreaks — the classic marketing-analytics base table. One
+    // grouped pass over orders + a broadcast 1-row anchor date; the
+    // quintile windows run on the customers-sized rollup, never the
+    // facts. (Quintile 1 = most recent / fewest orders / least spend —
+    // consumers relabel as they wish; determinism is the contract.)
+    "q51_rfm" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = table(s, dir, "orders")
+      val anchor = o.agg(max(to_date(col("o_orderdate"))).as("__today"))
+      val per = o.groupBy("o_custkey").agg(
+          max(to_date(col("o_orderdate"))).as("__last"),
+          count(lit(1)).as("frequency"),
+          dsum(col("o_totalprice")).as("monetary"))
+        .crossJoin(broadcast(anchor))
+        .select(col("o_custkey"),
+          datediff(col("__today"), col("__last")).as("recency_days"),
+          col("frequency"), col("monetary"))
+      def q(metric: String) =
+        ntile(5).over(Window.orderBy(col(metric), col("o_custkey")))
+      per
+        .withColumn("r_q", q("recency_days"))
+        .withColumn("f_q", q("frequency"))
+        .withColumn("m_q", q("monetary"))
+        .withColumn("segment",
+          concat(col("r_q"), col("f_q"), col("m_q")))
+        .orderBy("o_custkey")
+    },
+
+    // Pareto / revenue-concentration curve: customers in revenue-desc
+    // deciles with exact decimal revenue, share, and running share —
+    // "do the top 10% carry 30% of revenue?". Decimal sums keep every
+    // share bit-replayable; the windows run on the customer rollup.
+    "q52_pareto" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val per = table(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("__rev"))
+      val bucketed = per
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(desc("__rev"), asc("o_custkey"))))
+        .groupBy("decile").agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("__rev")).as("__drev"))
+      val total = bucketed.agg(
+        sum(col("__drev")).cast(DecimalType(28, 6)).as("__tot"))
+      bucketed.crossJoin(broadcast(total))
+        .withColumn("cum", sum(col("__drev")).over(
+          Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile"), col("n_customers"),
+          col("__drev").cast("double").as("revenue"),
+          round(col("__drev").cast("double") / col("__tot").cast("double"), 6)
+            .as("share"),
+          round(col("cum").cast("double") / col("__tot").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy("decile")
     },
 
     // Retention cohort triangle: users bucketed by first-activity week,
@@ -1464,6 +1543,46 @@ object RelationalQueries {
       s"""WITH $lpaCtes
           SELECT node, label FROM it4 ORDER BY node""",
 
+    // The walk replayed step by step: ranked adjacency + the portable
+    // lottery (walkId·5 + step, seed 23 ⇒ offset 23·φ₃₂) mod degree.
+    "graph_walks" -> {
+      def draw(stepExpr: String) = mixSql(
+        s"(($stepExpr) % 4294967296 + 61052022503) % 4294967296") +
+        " % 1000003"
+      def step(k: Int, prev: String) =
+        s"""w$k AS MATERIALIZED (
+            SELECT p.start, p.walk, $k AS step, rk.nbr AS node
+            FROM $prev p JOIN rk ON rk.node = p.node
+              AND rk.rank = (${draw(s"(p.start * 2 + p.walk) * 5 + $k")})
+                % rk.deg + 1)"""
+      s"""WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT CAST(x.sk AS BIGINT) AS u, CAST(y.sk AS BIGINT) AS v
+            FROM (SELECT DISTINCT l_partkey pk, l_suppkey sk
+                  FROM lineitem WHERE l_partkey % 3 = 0) x
+            JOIN (SELECT DISTINCT l_partkey pk, l_suppkey sk
+                  FROM lineitem WHERE l_partkey % 3 = 0) y
+              ON x.pk = y.pk AND x.sk < y.sk),
+          sym AS MATERIALIZED (
+            SELECT u AS node, v AS nbr FROM e0
+            UNION ALL SELECT v, u FROM e0),
+          rk AS MATERIALIZED (
+            SELECT node, nbr,
+              ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS rank,
+              COUNT(*) OVER (PARTITION BY node) AS deg
+            FROM sym),
+          w0 AS (SELECT n.node AS start, g.w AS walk, 0 AS step, n.node
+                 FROM (SELECT DISTINCT node FROM sym) n
+                 JOIN generate_series(0, 1) g(w) ON TRUE),
+          ${step(1, "w0")}, ${step(2, "w1")},
+          ${step(3, "w2")}, ${step(4, "w3")}
+          SELECT start, CAST(walk AS INTEGER) AS walk,
+            CAST(step AS INTEGER) AS step, node
+          FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1
+                UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+                UNION ALL SELECT * FROM w4)
+          ORDER BY start, walk, step"""
+    },
+
     // Modularity over the SAME unrolled LPA replay: integer e_c/d_c
     // per community, numerator 4·m·e_c − d_c² over the common 4m².
     "graph_modularity" ->
@@ -1741,6 +1860,49 @@ object RelationalQueries {
            ROUND(CAST(cnt * keys AS DOUBLE) / total, 6) AS skew
          FROM c CROSS JOIN s
          ORDER BY cnt DESC, key LIMIT 10""",
+
+    "q51_rfm" ->
+      s"""WITH a AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS today
+                     FROM orders),
+         p AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last,
+                 COUNT(*) AS frequency,
+                 ${sqlDsum("o_totalprice")} AS monetary
+               FROM orders GROUP BY o_custkey),
+         r AS (SELECT o_custkey,
+                 CAST(DATE_DIFF('day', last, a.today) AS INTEGER)
+                   AS recency_days,
+                 frequency, monetary
+               FROM p CROSS JOIN a),
+         q AS (SELECT o_custkey, recency_days, frequency, monetary,
+                 CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey)
+                   AS INTEGER) AS r_q,
+                 CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey)
+                   AS INTEGER) AS f_q,
+                 CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey)
+                   AS INTEGER) AS m_q
+               FROM r)
+         SELECT o_custkey, recency_days, frequency, monetary, r_q, f_q, m_q,
+           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+             || CAST(m_q AS VARCHAR) AS segment
+         FROM q ORDER BY o_custkey""",
+
+    "q52_pareto" ->
+      """WITH p AS (SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+           FROM orders GROUP BY o_custkey),
+         b AS (SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS drev
+               FROM (SELECT o_custkey, rev,
+                       NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+                     FROM p)
+               GROUP BY decile),
+         t AS (SELECT SUM(drev) AS tot FROM b)
+         SELECT CAST(decile AS INTEGER) AS decile, n_customers,
+           CAST(drev AS DOUBLE) AS revenue,
+           ROUND(CAST(drev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+           ROUND(CAST(SUM(drev) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(tot AS DOUBLE), 6) AS cum_share
+         FROM b CROSS JOIN t ORDER BY decile""",
 
     "q38_retention" ->
       """WITH c AS (

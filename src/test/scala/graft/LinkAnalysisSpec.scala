@@ -337,6 +337,38 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(q0.length === 1 && q0.head._5 === 0L && q0.head._6 === 0.0)
   }
 
+  test("random walks: every step follows an edge, counts are exact, " +
+      "layout-stable") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(3)
+    val n = 30
+    val edges = (for (i <- 0 until n; j <- (i + 1) until n
+      if rnd.nextDouble() < 0.2) yield (i.toLong, j.toLong)).toSeq
+    val adj = edges.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def walks(df: org.apache.spark.sql.DataFrame) =
+      LinkAnalysis.randomWalks(df, "u", "v", walksPerNode = 3, length = 5,
+          seed = 9L)
+        .as[(Long, Int, Int, Long)].collect()
+    val got = walks(edges.toDF("u", "v"))
+    // (length+1) rows per walk, walksPerNode walks per touched node
+    assert(got.length === adj.size * 3 * 6)
+    val byWalk = got.groupBy(t => (t._1, t._2))
+      .map { case (k, rows) => k -> rows.sortBy(_._3).map(_._4).toSeq }
+    byWalk.foreach { case ((start, _), path) =>
+      assert(path.head === start)
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(adj(a).contains(b), s"non-edge $a->$b on walk from $start")
+      }
+    }
+    // walks actually diverge (not all picking rank 1)
+    assert(byWalk.values.toSeq.distinct.size > adj.size,
+      "per-node walks should not all coincide")
+    val again = walks(edges.reverse.map(_.swap).toDF("u", "v").repartition(7))
+    assert(walks(edges.toDF("u", "v")).sortBy(t => (t._1, t._2, t._3)).toSeq ===
+      again.sortBy(t => (t._1, t._2, t._3)).toSeq)
+  }
+
   test("adamic-adar: orientation/duplicate-proof and layout-stable") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
     val a = aa(e)
