@@ -59,6 +59,24 @@ object RelationalQueries {
         .localCheckpoint(eager = true)
     }
 
+  /** The part co-purchase graph (parts co-bought in ≥2 orders), shared
+    * by `graph_linkpred` and `graph_assortativity` — same build-once
+    * rationale as [[coSupplyGraph]]; unlike the near-regular co-supply
+    * clique, its degree spectrum (1..13 at sf0.01) is heterogeneous, so
+    * degree-correlation metrics are non-degenerate. */
+  private def coPurchaseGraph(s: SparkSession, dir: String): DataFrame =
+    sessionCached(s, ("copurchase-graph", dir)) {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("p1"), col("y.pk").as("p2"))
+        .agg(count(lit(1)).as("co")).filter(col("co") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint(eager = true)
+    }
+
   val queries: Map[String, Query] = Map(
     // Full-scan partial+final hash aggregate, TPC-H Q1 shape.
     "q01_pricing_summary" -> { (s, dir) =>
@@ -845,6 +863,65 @@ object RelationalQueries {
       Mview.result(st, keys).orderBy(keys.map(col): _*)
     },
 
+    // Benford first-digit audit of order totals — the forensic
+    // data-quality check for fabricated or truncated monetary columns.
+    // v100 integers make the leading digit exact (prices ≥ 1, so v100 ≥
+    // 100 has no leading-zero case); expected shares are the log10(1+1/d)
+    // constants as shared literals; one grouped pass.
+    "profile_benford" -> { (s, dir) =>
+      val expected = Map(1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939,
+        4 -> 0.09691, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+        8 -> 0.051153, 9 -> 0.045757)
+      val expCol = expected.foldLeft(lit(0.0)) { case (acc, (d, e)) =>
+        when(col("digit") === d, lit(e)).otherwise(acc)
+      }
+      val counts = table(s, dir, "orders")
+        .withColumn("digit", substring(
+          round(col("o_totalprice") * lit(100), 0).cast("long").cast("string"),
+          1, 1).cast("int"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("__tot"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("share", round(col("n") / col("__tot"), 6))
+        .withColumn("expected_share", expCol)
+        .withColumn("gap", round(col("share") - col("expected_share"), 6))
+        .select("digit", "n", "share", "expected_share", "gap")
+        .orderBy("digit")
+    },
+
+    // Degree assortativity of the co-purchase graph (Newman 2002):
+    // Pearson r over (deg src, deg dst) across directed edges — do hubs
+    // link to hubs? The profile_corr exact-sufficient-statistics
+    // discipline on graph degrees: DECIMAL(38,0) sums (Σ deg² over edges
+    // passes 2⁶³ on hub-heavy graphs), one shared-text double formula.
+    // (The co-supply clique is near-regular — zero degree variance would
+    // make r undefined — so this runs on the heterogeneous-degree
+    // co-purchase graph.)
+    "graph_assortativity" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val d38 = DecimalType(38, 0)
+      val e = coPurchaseGraph(s, dir)
+      val sym = e.select(col("p1").as("a"), col("p2").as("b"))
+        .unionByName(e.select(col("p2").as("a"), col("p1").as("b")))
+      val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+      val pairs = sym
+        .join(deg.select(col("node").as("a"), col("d").as("x")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("d").as("y")), Seq("b"))
+      pairs.agg(count(lit(1)).as("n_edges"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x") * col("y")).cast(d38)).as("sxy"),
+          sum((col("x") * col("x")).cast(d38)).as("sxx"),
+          sum((col("y") * col("y")).cast(d38)).as("syy"))
+        .select(col("n_edges"),
+          round((col("n_edges").cast(d38) * col("sxy") -
+              col("sx").cast(d38) * col("sy").cast(d38)).cast("double") /
+            sqrt((col("n_edges").cast(d38) * col("sxx") -
+                col("sx").cast(d38) * col("sx").cast(d38)).cast("double") *
+              (col("n_edges").cast(d38) * col("syy") -
+                col("sy").cast(d38) * col("sy").cast(d38)).cast("double")),
+            6).as("assortativity"))
+    },
+
     // Pairwise Pearson correlation matrix over the lineitem measures —
     // the feature-redundancy screen before any model ingests them. All
     // nine sufficient statistics are EXACT: 2dp measures become v100
@@ -935,14 +1012,8 @@ object RelationalQueries {
     // ranking replays exactly in SQL; degrees on this graph are ≤13, far
     // under the hub cap that bounds the wedge fan-out at scale.
     "graph_linkpred" -> { (s, dir) =>
-      val li = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = li.as("x").join(li.as("y"), Seq("ok"))
-        .filter(col("x.pk") < col("y.pk"))
-        .groupBy(col("x.pk").as("p1"), col("y.pk").as("p2"))
-        .agg(count(lit(1)).as("co")).filter(col("co") >= 2)
-      graft.operators.LinkAnalysis.adamicAdar(edges, "p1", "p2")
+      graft.operators.LinkAnalysis
+        .adamicAdar(coPurchaseGraph(s, dir), "p1", "p2")
         .orderBy(desc("aa_score_scaled"), asc("a"), asc("b"))
         .limit(20)
     },
@@ -1691,6 +1762,44 @@ object RelationalQueries {
             MAX(l_extendedprice) AS max_value
           FROM lineitem GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus""",
+
+    "profile_benford" ->
+      """WITH c AS (
+           SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               AS VARCHAR), 1, 1) AS INTEGER) AS digit, COUNT(*) AS n
+           FROM orders GROUP BY 1),
+         t AS (SELECT SUM(n) AS tot FROM c),
+         e(digit, expected_share) AS (VALUES
+           (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691),
+           (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+           (9, 0.045757))
+         SELECT c.digit, c.n,
+           ROUND(CAST(c.n AS BIGINT) / CAST(t.tot AS BIGINT), 6) AS share,
+           e.expected_share,
+           ROUND(ROUND(CAST(c.n AS BIGINT) / CAST(t.tot AS BIGINT), 6)
+             - e.expected_share, 6) AS gap
+         FROM c JOIN e USING (digit) CROSS JOIN t
+         ORDER BY c.digit""",
+
+    "graph_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey ok, l_partkey pk
+                     FROM lineitem),
+         e AS (SELECT a.pk p1, b.pk p2 FROM li a JOIN li b USING (ok)
+               WHERE a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         sym AS (SELECT p1 a, p2 b FROM e UNION ALL SELECT p2, p1 FROM e),
+         deg AS (SELECT a AS node, COUNT(*) AS d FROM sym GROUP BY a),
+         pr AS (SELECT da.d AS x, db.d AS y FROM sym
+                JOIN deg da ON da.node = sym.a
+                JOIN deg db ON db.node = sym.b),
+         st AS (SELECT COUNT(*) AS n_edges, SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+                FROM pr)
+         SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           ROUND(CAST(n_edges * sxy - sx * sy AS DOUBLE) /
+             SQRT(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+               * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6)
+             AS assortativity
+         FROM st""",
 
     // The nine sufficient statistics in HUGEINT (exact like Spark's
     // DECIMAL(38,0) partials), each r the identical double formula.

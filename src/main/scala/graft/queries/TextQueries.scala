@@ -115,6 +115,19 @@ object TextQueries {
     * (same build-once rationale as the ANN index registry). The
     * assignment is persisted MEMORY_AND_DISK; it is deterministic, so
     * correctness is unaffected whichever query materializes it first. */
+  /** Exact Jaccard ≥ 0.5 ground-truth pair set (PPJoin pass), computed
+    * once per (session, sfDir) and served to both dedup-eval queries
+    * (`eval_dedup_recall`, `eval_blocking`) — truth is one artifact, not
+    * a per-metric recomputation. */
+  private def jaccardTruth(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    sessionCached(s, ("jaccard-truth", dir)) {
+      Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.5)
+        .select("left_id", "right_id")
+        .localCheckpoint(eager = true)
+    }
+
   private def componentAssignment(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     sessionCached(s, ("component-map", dir)) {
@@ -193,13 +206,11 @@ object TextQueries {
     // owner runs before trusting approximate dedup at corpus scale.
     "eval_dedup_recall" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
+      val truth = jaccardTruth(s, dir)
       val emitted = Dedup.minhashPairs(docs, "doc_id", "text",
         shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5)
       val matched = emitted.select("left_id", "right_id")
-        .join(truth.select("left_id", "right_id"),
-          Seq("left_id", "right_id"), "left_semi")
+        .join(truth, Seq("left_id", "right_id"), "left_semi")
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(emitted.agg(count(lit(1)).as("n_emitted")))
         .crossJoin(matched.agg(count(lit(1)).as("n_matched")))
@@ -215,8 +226,7 @@ object TextQueries {
     // (threshold 0 keeps every probe); truth = the PPJoin exact pass.
     "eval_blocking" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
-      val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
-        shingleSize = 3, threshold = 0.5).select("left_id", "right_id")
+      val truth = jaccardTruth(s, dir)
       val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
         blockTokens = 3, window = 4, shingleSize = 3, threshold = 0.0)
         .select("left_id", "right_id")
@@ -913,6 +923,28 @@ object TextQueries {
           round((col("__rp2") - col("n_pos") * (col("n_pos") + 1))
               .cast("double") /
             (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+    },
+
+    // Tokenizer-vocabulary coverage: per-doc OOV rate against the top-K
+    // corpus unigrams — the "how much of the corpus does this vocab
+    // cover?" check run before freezing any tokenizer. K = 16 here (the
+    // synthetic vocabulary is 31 tokens — half stays out-of-vocab, so
+    // the rates are exercised; K is the knob at scale). Vocab selection
+    // is a bounded top-k with (count DESC, term ASC) tiebreak; the vocab
+    // broadcasts back to the exploded token stream.
+    "text_oov" -> { (s, dir) =>
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("__n"))
+        .orderBy(desc("__n"), asc("term")).limit(16)
+        .select("term")
+      toks
+        .join(broadcast(vocab.withColumn("__iv", lit(1))), Seq("term"), "left")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+        .orderBy("doc_id")
     },
 
     // Reliability diagram (calibration curve): equal-count deciles of the
@@ -1885,6 +1917,20 @@ object TextQueries {
            CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
              ELSE ROUND(2 * tp / (2 * tp + fp + fn), 6) END AS f1
          FROM m ORDER BY class""",
+
+    "text_oov" ->
+      """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+                    FROM documents),
+         v AS (SELECT term FROM (
+                 SELECT term, COUNT(*) AS n FROM t GROUP BY term)
+               ORDER BY n DESC, term LIMIT 16)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE t.term NOT IN (SELECT term FROM v))
+             AS BIGINT) AS n_oov,
+           ROUND(CAST(COUNT(*) FILTER (WHERE t.term NOT IN
+               (SELECT term FROM v)) AS BIGINT)
+             / COUNT(*), 6) AS oov_rate
+         FROM t GROUP BY doc_id ORDER BY doc_id""",
 
     "eval_calibration" ->
       """WITH t AS (
