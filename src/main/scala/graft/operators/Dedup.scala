@@ -287,6 +287,38 @@ object Dedup {
     * @return (left_id, right_id, jaccard), left_id < right_id; each
     *         unordered pair appears at most once (one rank ordering)
     */
+  /** The SNM BLOCKING stage alone: window-banded candidate id pairs with
+    * no similarity verify — the artifact blocking-quality evaluation
+    * (`eval_blocking`) measures, and the cheap pre-filter a custom
+    * verifier can consume. Same narrow (id, block, rank) machinery as
+    * [[sortedNeighborhoodPairs]].
+    *
+    * @return (__lid, __rid) — one row per in-window ordered pair. */
+  def sortedNeighborhoodCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 3,
+      window: Int = 4): DataFrame = {
+    require(blockTokens >= 1 && window >= 2)
+    val toks = TextOps.tokens(col(textCol))
+    val rk = docs.select(
+        col(idCol).as("id"),
+        col(textCol).as("__text"),
+        concat_ws(" ", slice(toks, 1, blockTokens)).as("__blk"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__blk").orderBy(col("__text"), col("id"))))
+      .select("id", "__blk", "__rn")
+    val probes = rk
+      .withColumn("__k", explode(sequence(lit(1), lit(window - 1))))
+      .select(col("id").as("__lid"),
+        col("__blk"), (col("__rn") + col("__k")).as("__rn"))
+    probes
+      .join(rk.select(col("id").as("__rid"), col("__blk"), col("__rn")),
+        Seq("__blk", "__rn"))
+      .select("__lid", "__rid")
+  }
+
   def sortedNeighborhoodPairs(
       docs: DataFrame,
       idCol: String,
@@ -297,32 +329,18 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(blockTokens >= 1 && window >= 2)
     val toks = TextOps.tokens(col(textCol))
-    // the ranking/pairing machinery runs NARROW — (id, block, rank) only.
-    // Carrying the shingle arrays through the window shuffle and the
-    // (window−1)-way probe explode shuffled each array ~4×; instead the
-    // candidate id pairs are formed first and the two shingle payloads
-    // join back by id afterwards (one shuffle each of the compact
-    // signature table). Measured 6.0 s → ~3 s on the sf0.1 bench; at
-    // 100 TB the window/explode exchanges stay proportional to ids, not
-    // to corpus token count.
-    val base = docs.select(
-      col(idCol).as("id"),
-      col(textCol).as("__text"),
-      concat_ws(" ", slice(toks, 1, blockTokens)).as("__blk"),
+    // the ranking/pairing machinery runs NARROW — (id, block, rank) only
+    // (see sortedNeighborhoodCandidates). Carrying the shingle arrays
+    // through the window shuffle and the (window−1)-way probe explode
+    // shuffled each array ~4×; instead the candidate id pairs are formed
+    // first and the two shingle payloads join back by id afterwards (one
+    // shuffle each of the compact signature table). Measured 6.0 s →
+    // ~3 s on the sf0.1 bench; at 100 TB the window/explode exchanges
+    // stay proportional to ids, not to corpus token count.
+    val idPairs = sortedNeighborhoodCandidates(
+      docs, idCol, textCol, blockTokens, window)
+    val shTab = docs.select(col(idCol).as("id"),
       SortedLongJaccard.sortedHashedShingles(toks, shingleSize).as("sh"))
-    val w = Window.partitionBy("__blk").orderBy(col("__text"), col("id"))
-    val rk = base
-      .withColumn("__rn", row_number().over(w))
-      .select("id", "__blk", "__rn")
-    val probes = rk
-      .withColumn("__k", explode(sequence(lit(1), lit(window - 1))))
-      .select(col("id").as("__lid"),
-        col("__blk"), (col("__rn") + col("__k")).as("__rn"))
-    val idPairs = probes
-      .join(rk.select(col("id").as("__rid"), col("__blk"), col("__rn")),
-        Seq("__blk", "__rn"))
-      .select("__lid", "__rid")
-    val shTab = base.select(col("id"), col("sh"))
     idPairs
       .join(shTab.select(col("id").as("__lid"), col("sh").as("left_sh")), Seq("__lid"))
       .join(shTab.select(col("id").as("__rid"), col("sh").as("right_sh")), Seq("__rid"))

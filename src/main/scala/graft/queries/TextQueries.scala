@@ -223,13 +223,15 @@ object TextQueries {
     // numbers (Christen 2012) that justify any blocking choice: how much
     // of the n² pair space it prunes, and how many true matches survive
     // the pruning. Candidates = the UNVERIFIED window-banded pair set
-    // (threshold 0 keeps every probe); truth = the PPJoin exact pass.
+    // (the blocking stage alone, no similarity compute); truth = the
+    // session-cached PPJoin exact pass.
     "eval_blocking" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val truth = jaccardTruth(s, dir)
-      val cand = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
-        blockTokens = 3, window = 4, shingleSize = 3, threshold = 0.0)
-        .select("left_id", "right_id")
+      val cand = Dedup.sortedNeighborhoodCandidates(docs, "doc_id", "text",
+          blockTokens = 3, window = 4)
+        .select(least(col("__lid"), col("__rid")).as("left_id"),
+          greatest(col("__lid"), col("__rid")).as("right_id"))
       val captured = truth.join(cand, Seq("left_id", "right_id"), "left_semi")
       docs.agg(count(lit(1)).as("n_docs"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))

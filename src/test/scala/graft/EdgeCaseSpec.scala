@@ -206,4 +206,46 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got.count() === 3)
     assert(got.filter($"g" === "a").agg(max("rn")).head().getInt(0) === 2)
   }
+
+  test("round-8 operators on empty / degenerate inputs") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    // DBSCAN with no ε-pairs: everything is noise
+    val ids = (1L to 4L).toDF("id")
+    val dbscan = graft.operators.Clustering
+      .dbscanFromPairs(ids, "id", noPairs, "a", "b", minPts = 2)
+      .as[(Long, Long, String)].collect()
+    assert(dbscan.length === 4 &&
+      dbscan.forall(t => t._2 === -1L && t._3 === "noise"))
+    // adamic-adar on an empty / single-edge graph emits nothing
+    assert(graft.operators.LinkAnalysis.adamicAdar(noPairs, "a", "b")
+      .count() === 0)
+    assert(graft.operators.LinkAnalysis
+      .adamicAdar(Seq((1L, 2L)).toDF("a", "b"), "a", "b").count() === 0)
+    // next-fit on an empty frame yields an empty, correctly-typed frame
+    val emptyPack = graft.operators.Packing.nextFit(
+      Seq.empty[(String, Long, Long)].toDF("g", "id", "sz"),
+      "g", "id", "sz", 10L)
+    assert(emptyPack.count() === 0 &&
+      emptyPack.columns.toSeq === Seq("group", "id", "size", "seq_id"))
+    // poisson bootstrap with 1 replicate keeps every row exactly once
+    val rep = graft.operators.Sampling.poissonReplicates(
+      Seq(1L, 2L).toDF("k0").select(col("k0").as("key")),
+      col("key"), replicates = 1, seed = 1L)
+    assert(rep.count() === 2 &&
+      rep.select("replicate").distinct().as[Int].collect().toSeq === Seq(0))
+    // modularity of an empty labeling/graph is an empty frame
+    assert(graft.operators.LinkAnalysis.modularity(
+        noPairs, "a", "b", Seq.empty[(Long, Long)].toDF("node", "label"))
+      .count() === 0)
+    // random walks on a single edge bounce deterministically
+    val walks = graft.operators.LinkAnalysis.randomWalks(
+        Seq((7L, 8L)).toDF("a", "b"), "a", "b",
+        walksPerNode = 1, length = 3, seed = 1L)
+      .as[(Long, Int, Int, Long)].collect().sortBy(t => (t._1, t._3))
+    assert(walks.length === 8)
+    walks.foreach { case (start, _, step, node) =>
+      val expect = if (step % 2 == 0) start else (15L - start)
+      assert(node === expect, s"walk from $start step $step")
+    }
+  }
 }
