@@ -68,13 +68,18 @@ object Pipeline {
       // cluster removal → quality gate → split → shard packing, written
       // as split-partitioned parquet
       case "corpus" :: docsPath :: idCol :: textCol :: langCol :: outDir :: rest
-          if rest.size <= 1 =>
+          if rest.filterNot(_ == "--nextfit").size <= 1 =>
         val docs = spark.read.parquet(docsPath)
         val nIn = docs.count()
-        // optional trailing arg: eval/benchmark parquet to decontaminate against
-        val evalDocs = rest.headOption.map(spark.read.parquet)
+        // optional: --nextfit packs capacity-BOUNDED shards; optional
+        // trailing path: eval/benchmark parquet to decontaminate against
+        val nextFit = rest.contains("--nextfit")
+        val evalDocs = rest.filterNot(_ == "--nextfit")
+          .headOption.map(spark.read.parquet)
         val prepared = graft.operators.CorpusPrep.prepare(
-          docs, idCol, textCol, langCol, evalDocs = evalDocs)
+          docs, idCol, textCol, langCol,
+          cfg = graft.operators.CorpusPrep.Config(packNextFit = nextFit),
+          evalDocs = evalDocs)
         prepared.write.mode("overwrite").partitionBy("split").parquet(outDir)
         val out = spark.read.parquet(outDir)
         val bySplit = out.groupBy("split")

@@ -47,7 +47,8 @@ object CorpusPrep {
       validNum: Int = 1,
       splitDenom: Int = 10,
       splitSeed: Long = 1L,
-      tokensPerShard: Long = 2000L)
+      tokensPerShard: Long = 2000L,
+      packNextFit: Boolean = false) // capacity-BOUNDED shards via Packing.nextFit
 
   /** Run the chain. Returns `(idCol, langCol, textCol, n_tokens, split,
     * shard_id)` — one row per surviving document, shard-packed within
@@ -165,14 +166,29 @@ object CorpusPrep {
       }
 
     // 5. pack into token-budget shards per (split, language) — parallel
-    // across groups, running sum never funnels through one task
+    // across groups, running sum never funnels through one task.
+    // packNextFit = capacity-BOUNDED shards (no multi-doc shard exceeds
+    // the budget — the trainer-sequence contract) via the next-fit walk;
+    // the default offset-derived shards are cheaper (pure window, no
+    // typed scan) but may straddle the budget at doc boundaries.
     val orderCols =
       if (cfg.ragChunkWin <= 0) Seq(col(idCol)) else Seq(col(idCol), col("chunk_no"))
-    val w = Window.partitionBy("split", langCol).orderBy(orderCols: _*)
-    val packed = unit
-      .withColumn("shard_id",
-        ((sum("n_tokens").over(w) - col("n_tokens")) / cfg.tokensPerShard)
-          .cast("long"))
+    val packed =
+      if (cfg.packNextFit) {
+        require(cfg.ragChunkWin <= 0,
+          "packNextFit packs at document grain; chunk grain uses offset shards")
+        val withGrp = unit.withColumn("__grp",
+          concat_ws("|", col("split"), col(langCol)))
+        val assign = Packing.nextFit(withGrp, "__grp", idCol, "n_tokens",
+            cfg.tokensPerShard)
+          .select(col("id").as(idCol), col("seq_id").as("shard_id"))
+        unit.join(assign, Seq(idCol))
+      } else {
+        val w = Window.partitionBy("split", langCol).orderBy(orderCols: _*)
+        unit.withColumn("shard_id",
+          ((sum("n_tokens").over(w) - col("n_tokens")) / cfg.tokensPerShard)
+            .cast("long"))
+      }
     val outCols = Seq(col(idCol), col(langCol), col(textCol),
       col("n_tokens"), col("split"), col("shard_id")) ++
       (if (cfg.ragChunkWin <= 0) Nil else Seq(col("chunk_no")))

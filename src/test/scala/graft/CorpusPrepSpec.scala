@@ -155,4 +155,23 @@ class CorpusPrepSpec extends SparkSpec {
     val bad = withSpans.filter(size(split($"text", " ")) =!= $"n_tokens")
     assert(bad.count() === 0)
   }
+
+  test("packNextFit: same survivors, multi-doc shards bounded by the budget") {
+    val budget = 300L
+    val nf = CorpusPrep.prepare(docs, "doc_id", "text", "lang",
+      cfg = CorpusPrep.Config(tokensPerShard = budget, packNextFit = true))
+    val base = CorpusPrep.prepare(docs, "doc_id", "text", "lang",
+      cfg = CorpusPrep.Config(tokensPerShard = budget))
+    assert(nf.select("doc_id").as[Long].collect().sorted.toSeq ===
+      base.select("doc_id").as[Long].collect().sorted.toSeq,
+      "packing mode must not change survivorship")
+    val overBudget = nf.groupBy("split", "lang", "shard_id")
+      .agg(count(lit(1)).as("n"), sum($"n_tokens").as("tok"))
+      .filter($"n" > 1 && $"tok" > budget)
+    assert(overBudget.count() === 0,
+      "no multi-doc shard may exceed the token budget")
+    assert(nf.groupBy("split", "lang", "shard_id").count().count() >=
+      base.groupBy("split", "lang", "shard_id").count().count(),
+      "capacity-bounded packing can only use at least as many shards")
+  }
 }
