@@ -38,10 +38,7 @@ object RelationalQueries {
     * localCheckpoint pins the materialized pair list. */
   private def coSupplyGraph(s: SparkSession, dir: String): DataFrame =
     sessionCached(s, ("cosupply-graph", dir)) {
-      val ps = table(s, dir, "lineitem")
-        .where(col("l_partkey") % 3 === 0)
-        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-        .distinct()
+      val ps = sourcingBase(s, dir)
       ps.as("x").join(ps.as("y"), Seq("pk"))
         .filter(col("x.sk") < col("y.sk"))
         .select(col("x.sk").as("s1"), col("y.sk").as("s2"))
@@ -56,6 +53,19 @@ object RelationalQueries {
     sessionCached(s, ("lpa-cosupply", dir)) {
       graft.operators.LinkAnalysis
         .labelPropagation(coSupplyGraph(s, dir), "s1", "s2", iterations = 4)
+        .localCheckpoint(eager = true)
+    }
+
+  /** The deduped part↔supplier sourcing pair set feeding the three
+    * link-rank queries (pagerank, ppr, hits) — built once per (session,
+    * dir); the fan-out to directed string edges stays per-query (it is
+    * cheap and differs between the directed/undirected forms). */
+  private def sourcingBase(s: SparkSession, dir: String): DataFrame =
+    sessionCached(s, ("sourcing-base", dir)) {
+      table(s, dir, "lineitem")
+        .where(col("l_partkey") % 3 === 0)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
         .localCheckpoint(eager = true)
     }
 
@@ -515,10 +525,7 @@ object RelationalQueries {
       // query edge-bound-but-bounded while the operator's scale story
       // lives in LinkAnalysisSpec/ScaleSmoke (judge's knn_join_exact
       // pattern: cap the verification query, not the operator)
-      val base = table(s, dir, "lineitem")
-        .where(col("l_partkey") % 3 === 0)
-        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-        .distinct()
+      val base = sourcingBase(s, dir)
       val fwd = base.select(concat(lit("p:"), col("pk")).as("src"),
         concat(lit("s:"), col("sk")).as("dst"))
       val rev = base.select(concat(lit("s:"), col("sk")).as("src"),
@@ -540,10 +547,7 @@ object RelationalQueries {
     // reaches hold rank 0 and are dropped — the output IS the seeds'
     // neighborhood, ranked.
     "graph_ppr" -> { (s, dir) =>
-      val base = table(s, dir, "lineitem")
-        .where(col("l_partkey") % 3 === 0)
-        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-        .distinct()
+      val base = sourcingBase(s, dir)
       val fwd = base.select(concat(lit("p:"), col("pk")).as("src"),
         concat(lit("s:"), col("sk")).as("dst"))
       val rev = base.select(concat(lit("s:"), col("sk")).as("src"),
@@ -561,10 +565,7 @@ object RelationalQueries {
     // bipartite co-citation regime HITS reduces to). Max-norm integer
     // fixed point ⇒ all 3 iterations replay exactly in the oracle.
     "graph_hits" -> { (s, dir) =>
-      val base = table(s, dir, "lineitem")
-        .where(col("l_partkey") % 3 === 0)
-        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-        .distinct()
+      val base = sourcingBase(s, dir)
       val edges = base.select(concat(lit("p:"), col("pk")).as("src"),
         concat(lit("s:"), col("sk")).as("dst"))
       graft.operators.LinkAnalysis
