@@ -755,6 +755,61 @@ object EventStreams {
       }
   }
 
+  /** Per-type state for [[twaStream]]: the previous reading, the exact
+    * interval mass so far (`num` = Σ v100·Δt as a decimal-string BigInt —
+    * it passes 2⁶³ on long streams), and the denominator/interval count. */
+  final case class TwaState(lastTs: Long, lastV100: Long, n: Long,
+      den: Long, num: String)
+
+  /** One running time-weighted-average snapshot from [[twaStream]]. */
+  final case class Twa(event_type: String, n_intervals: Long,
+      total_us: Long, twa: Double)
+
+  /** Streaming twin of `q50_twa`: the irregular-sampling time-weighted
+    * mean per event type, maintained incrementally — state is one
+    * previous reading plus three exact accumulators per type, however
+    * long the stream runs (the batch form re-sorts full history). Each
+    * arriving event closes its predecessor's holding interval and emits
+    * the updated running TWA; the final emission per type equals the
+    * batch aggregate EXACTLY (BigInt numerator ≡ the batch DECIMAL(38,0)
+    * sum; identical double op sequence; StreamingSpec pins it).
+    *
+    * Ordering contract as [[anomalyStream]]: (ts, event_id)-sorted within
+    * the batch, per-type event-time order across batches. */
+  def twaStream(events: DataFrame): org.apache.spark.sql.Dataset[Twa] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val keyed = events.select(col("event_type"), col("event_id").cast("long"),
+        unix_micros(col("ts")),
+        round(col("value") * lit(100), 0).cast("long"))
+      .as[(String, Long, Long, Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[TwaState, Twa](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[(String, Long, Long, Long)],
+            state: GroupState[TwaState]) =>
+          var st = state.getOption
+            .getOrElse(TwaState(Long.MinValue, 0L, 0L, 0L, "0"))
+          var num = BigInt(st.num)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Twa]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, ts, v) =>
+            if (st.lastTs != Long.MinValue) {
+              val dt = ts - st.lastTs
+              num += BigInt(st.lastV100) * dt
+              st = st.copy(n = st.n + 1, den = st.den + dt)
+              out += Twa(typ, st.n, st.den,
+                round6(num.doubleValue / st.den.toDouble / 100.0))
+            }
+            st = st.copy(lastTs = ts, lastV100 = v)
+          }
+          state.update(st.copy(num = num.toString))
+          out.iterator
+      }
+  }
+
   /** Trailing ring of the last `window` v100 values for [[anomalyStream]]. */
   final case class ZRing(ring: Seq[Long])
 

@@ -540,6 +540,36 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "per-purchase buckets must match the batch window")
   }
 
+  test("streaming time-weighted average converges to the batch q50 aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(spark, sf0001, "events")
+      .select("event_id", "event_type", "ts", "value")
+    val n = ev.count()
+    val ordered = ev.withColumn("rn",
+      row_number().over(Window.orderBy("ts", "event_id")))
+    val dir = Files.createTempDirectory("twa-stream").toString
+    Seq(0L, n / 3, 2 * n / 3, n).sliding(2).foreach { case Seq(lo, hi) =>
+      ordered.filter(col("rn") > lo && col("rn") <= hi).drop("rn")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    // last emission per type == the batch aggregate, bit for bit
+    val got = runToMemory(EventStreams.twaStream(stream).toDF(),
+        "twa_out", "append")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(desc("n_intervals"))))
+      .filter(col("__rn") === 1)
+      .select("event_type", "n_intervals", "total_us", "twa")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+
+    val want = graft.queries.EventQueries.queries("q50_twa")(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(want.nonEmpty)
+    assert(got === want, "streaming TWA must equal the batch aggregate")
+  }
+
   test("checkpointed mview maintenance is incremental ACROSS sessions") {
     import graft.operators.Mview
     val statePath = Files.createTempDirectory("mview-state").toString
