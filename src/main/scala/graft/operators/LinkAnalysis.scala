@@ -492,6 +492,98 @@ object LinkAnalysis {
     steps.reduce(_ unionByName _)
   }
 
+  /** Second-order (node2vec) biased random walks (Grover & Leskovec
+    * KDD'16): like [[randomWalks]], but from step 2 on the transition
+    * out of `cur` is weighted by where the candidate sits relative to
+    * `prev` — `wReturn` for going back (1/p in paper units), `wCommon`
+    * for a mutual neighbor of prev (BFS-ish), `wFar` otherwise
+    * (DFS-ish). Weights are INTEGERS and the draw is the portable hash
+    * mod the total weight over the id-ranked candidate list, so the
+    * corpus remains a pure function of (graph, seed) and every step
+    * replays in SQL — the property float-normalized transition
+    * probabilities can't give.
+    *
+    * Scale shape per step: one frontier×adjacency equi-join (candidate
+    * rows = Σ frontier degrees), one broadcast-free edge-existence probe
+    * (equi-join on the canonical pair), and one per-walk window cumsum —
+    * no alias tables, no driver state. Step 1 has no `prev` and draws
+    * uniformly, exactly like [[randomWalks]].
+    *
+    * @return (start, walk INT, step INT, node BIGINT). */
+  def biasedWalks(
+      pairs: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      walksPerNode: Int,
+      length: Int,
+      seed: Long,
+      wReturn: Int,
+      wCommon: Int,
+      wFar: Int): DataFrame = {
+    require(walksPerNode >= 1 && length >= 1, "need >=1 walks of >=1 steps")
+    require(wReturn >= 1 && wCommon >= 1 && wFar >= 1,
+      "weights must be positive integers")
+    val e = pairs
+      .select(col(leftCol).cast("long").as("u"), col(rightCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = true) // adjacency ranks + per-step edge probe
+    val sym = e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sym
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("node").orderBy("nbr")))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("node")))
+      .localCheckpoint(eager = true)
+    def drawKey(st: Int) =
+      (col("start") * walksPerNode + col("walk")) * (length + 1) + lit(st)
+    val starts = ranked.select(col("node")).distinct()
+      .withColumn("walk", explode(array((0 until walksPerNode).map(lit): _*)))
+      .select(col("node").as("start"), col("walk"), lit(0).as("step"),
+        lit(null).cast("long").as("prev"), col("node"))
+    var frontier = starts.localCheckpoint(eager = true)
+    val steps = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    for (st <- 1 to length) {
+      val cands = frontier.join(ranked, Seq("node"))
+      val next =
+        if (st == 1) {
+          val pick = pmod(
+            Sampling.portableSplitBucket(drawKey(st), seed, 1000003), col("deg"))
+          cands.filter(col("rank") === pick + 1)
+            .select(col("start"), col("walk"), lit(st).as("step"),
+              col("node").as("prev"), col("nbr").as("node"))
+        } else {
+          val probe = e.select(col("u").as("__pu"), col("v").as("__pv"),
+            lit(1).as("__adj"))
+          val classed = cands
+            .join(probe,
+              least(col("prev"), col("nbr")) === col("__pu") &&
+                greatest(col("prev"), col("nbr")) === col("__pv"), "left")
+            .withColumn("w",
+              when(col("nbr") === col("prev"), lit(wReturn.toLong))
+                .when(col("__adj").isNotNull, lit(wCommon.toLong))
+                .otherwise(lit(wFar.toLong)))
+          val ww = Window.partitionBy("start", "walk")
+          val cum = classed
+            .withColumn("cum", sum(col("w")).over(ww.orderBy("rank")))
+            .withColumn("total", sum(col("w")).over(
+              ww.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          val draw = pmod(
+            Sampling.portableSplitBucket(drawKey(st), seed, 1000003),
+            col("total"))
+          cum.filter(draw >= col("cum") - col("w") && draw < col("cum"))
+            .select(col("start"), col("walk"), lit(st).as("step"),
+              col("node").as("prev"), col("nbr").as("node"))
+        }
+      frontier = next.localCheckpoint(eager = true)
+      steps += frontier
+    }
+    steps.reduce(_ unionByName _)
+      .select("start", "walk", "step", "node")
+  }
+
   /** Newman modularity of a community assignment over an undirected
     * graph (Newman & Girvan 2004): Q = Σ_c (e_c/m − (d_c/2m)²) — the
     * "are these communities denser than chance?" score that turns any

@@ -654,6 +654,19 @@ object RelationalQueries {
         .orderBy("start", "walk", "step")
     },
 
+    // node2vec biased sampling: 2nd-order walks over the co-purchase
+    // graph with integer (return=1, common=4, far=2) weights — BFS-ish
+    // exploration for the graph-embedding corpus. Every weighted lottery
+    // is the portable hash mod the integer weight total over the ranked
+    // candidate list, so all 4 steps (including the edge-existence
+    // classing) replay exactly in SQL.
+    "graph_walks_biased" -> { (s, dir) =>
+      graft.operators.LinkAnalysis
+        .biasedWalks(coPurchaseGraph(s, dir), "p1", "p2", walksPerNode = 1,
+          length = 4, seed = 29L, wReturn = 1, wCommon = 4, wFar = 2)
+        .orderBy("start", "walk", "step")
+    },
+
     // Community QUALITY: Newman modularity of the 4-round LPA labeling
     // over the co-supply graph — "are these communities denser than
     // chance?", the score that closes the detect→evaluate loop. Exact
@@ -1095,6 +1108,31 @@ object RelationalQueries {
           round(col("cum").cast("double") / col("__tot").cast("double"), 6)
             .as("cum_share"))
         .orderBy("decile")
+    },
+
+    // Gini coefficient of customer revenue — the single-number
+    // inequality companion to q52's Pareto curve. Revenue per customer
+    // is an exact DECIMAL; the rank-weighted sum Σ i·xᵢ stays DECIMAL
+    // (rank ≤ n, so precision 38 holds to ~10⁹ customers), and the
+    // closed form G = (2Σ i·xᵢ)/(n Σxᵢ) − (n+1)/n is one shared-text
+    // double expression. One rank window over the customer rollup.
+    "profile_gini" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val d38 = DecimalType(38, 6)
+      val per = table(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("__rev"))
+      val ranked = per.withColumn("i",
+        row_number().over(Window.orderBy(asc("__rev"), asc("o_custkey")))
+          .cast("long"))
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("__rev")).cast(d38).as("__sx"),
+          // i·x is exact at scale 6 (integer rank × 6-dp decimal)
+          sum((col("i") * col("__rev")).cast(d38)).as("__six"))
+        .select(col("n"),
+          round(col("__sx").cast("double"), 4).as("total_revenue"),
+          round(lit(2.0) * col("__six").cast("double") /
+              (col("n") * col("__sx").cast("double")) -
+            (col("n") + lit(1)).cast("double") / col("n"), 6).as("gini"))
     },
 
     // Retention cohort triangle: users bucketed by first-activity week,
@@ -1613,6 +1651,65 @@ object RelationalQueries {
       s"""WITH $lpaCtes
           SELECT node, label FROM it4 ORDER BY node""",
 
+    // The 2nd-order walk replayed: ranked candidates, LEFT-JOIN edge
+    // probe for the prev-adjacency class, integer weight CASE, window
+    // cumsum lottery (seed 29 ⇒ offset 29·φ₃₂) mod the weight total.
+    "graph_walks_biased" -> {
+      def draw(stepExpr: String) = mixSql(
+        s"(($stepExpr) % 4294967296 + 76978637069) % 4294967296") +
+        " % 1000003"
+      def step(k: Int, prev: String) =
+        s"""b$k AS MATERIALIZED (
+            SELECT start, walk, $k AS step, node AS prev, nbr AS node
+            FROM (
+              SELECT p.start, p.walk, p.node, rk.nbr, rk.rank,
+                CASE WHEN rk.nbr = p.prev THEN 1
+                     WHEN pe.u IS NOT NULL THEN 4 ELSE 2 END AS w,
+                SUM(CASE WHEN rk.nbr = p.prev THEN 1
+                         WHEN pe.u IS NOT NULL THEN 4 ELSE 2 END)
+                  OVER (PARTITION BY p.start, p.walk ORDER BY rk.rank) AS cum,
+                SUM(CASE WHEN rk.nbr = p.prev THEN 1
+                         WHEN pe.u IS NOT NULL THEN 4 ELSE 2 END)
+                  OVER (PARTITION BY p.start, p.walk) AS total,
+                (${draw(s"(p.start * 1 + p.walk) * 5 + $k")}) AS dr
+              FROM $prev p JOIN rk ON rk.node = p.node
+              LEFT JOIN e0 pe ON pe.u = LEAST(p.prev, rk.nbr)
+                AND pe.v = GREATEST(p.prev, rk.nbr))
+            WHERE dr % total >= cum - w AND dr % total < cum)"""
+      s"""WITH li AS (SELECT DISTINCT l_orderkey ok, l_partkey pk
+                      FROM lineitem),
+          e0 AS MATERIALIZED (
+            SELECT CAST(a.pk AS BIGINT) u, CAST(b.pk AS BIGINT) v
+            FROM li a JOIN li b USING (ok) WHERE a.pk < b.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          sym AS MATERIALIZED (
+            SELECT u AS node, v AS nbr FROM e0
+            UNION ALL SELECT v, u FROM e0),
+          rk AS MATERIALIZED (
+            SELECT node, nbr,
+              ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS rank,
+              COUNT(*) OVER (PARTITION BY node) AS deg
+            FROM sym),
+          b0 AS (SELECT n.node AS start, g.w AS walk, 0 AS step,
+                   CAST(NULL AS BIGINT) AS prev, n.node
+                 FROM (SELECT DISTINCT node FROM sym) n
+                 JOIN generate_series(0, 0) g(w) ON TRUE),
+          b1 AS MATERIALIZED (
+            SELECT p.start, p.walk, 1 AS step, p.node AS prev, rk.nbr AS node
+            FROM b0 p JOIN rk ON rk.node = p.node
+              AND rk.rank = (${draw("(p.start * 1 + p.walk) * 5 + 1")})
+                % rk.deg + 1),
+          ${step(2, "b1")}, ${step(3, "b2")}, ${step(4, "b3")}
+          SELECT start, CAST(walk AS INTEGER) AS walk,
+            CAST(step AS INTEGER) AS step, node
+          FROM (SELECT start, walk, step, node FROM b0
+                UNION ALL SELECT start, walk, step, node FROM b1
+                UNION ALL SELECT start, walk, step, node FROM b2
+                UNION ALL SELECT start, walk, step, node FROM b3
+                UNION ALL SELECT start, walk, step, node FROM b4)
+          ORDER BY start, walk, step"""
+    },
+
     // The walk replayed step by step: ranked adjacency + the portable
     // lottery (walkId·5 + step, seed 23 ⇒ offset 23·φ₃₂) mod degree.
     "graph_walks" -> {
@@ -1993,6 +2090,22 @@ object RelationalQueries {
            CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
              || CAST(m_q AS VARCHAR) AS segment
          FROM q ORDER BY o_custkey""",
+
+    "profile_gini" ->
+      """WITH p AS (SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+           FROM orders GROUP BY o_custkey),
+         r AS (SELECT rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS i
+           FROM p),
+         st AS (SELECT COUNT(*) AS n,
+             CAST(SUM(rev) AS DECIMAL(38,6)) AS sx,
+             CAST(SUM(i * rev) AS DECIMAL(38,6)) AS six
+           FROM r)
+         SELECT n, ROUND(CAST(sx AS DOUBLE), 4) AS total_revenue,
+           ROUND(2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+         FROM st""",
 
     "q52_pareto" ->
       """WITH p AS (SELECT o_custkey,

@@ -369,6 +369,56 @@ class LinkAnalysisSpec extends SparkSpec {
       again.sortBy(t => (t._1, t._2, t._3)).toSeq)
   }
 
+  test("biased walks match a driver-side node2vec replay, step for step") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val n = 25
+    val edges = (for (i <- 0 until n; j <- (i + 1) until n
+      if rnd.nextDouble() < 0.2) yield (i.toLong, j.toLong)).toSeq
+    val (wr, wc, wf) = (1, 4, 2)
+    val (wpn, len, seed) = (2, 4, 29L)
+    val got = LinkAnalysis.biasedWalks(edges.toDF("u", "v"), "u", "v",
+        wpn, len, seed, wr, wc, wf)
+      .as[(Long, Int, Int, Long)].collect()
+      .map(t => (t._1, t._2, t._3) -> t._4).toMap
+    // independent replay: ranked adjacency + the integer lottery
+    def mix32(x: Long): Long = {
+      var h = x
+      h = ((h ^ (h >>> 16)) * 73244475L) & 0xffffffffL
+      h = ((h ^ (h >>> 16)) * 73244475L) & 0xffffffffL
+      h ^ (h >>> 16)
+    }
+    def bucket(key: Long): Long =
+      mix32((key % 4294967296L + seed * 2654435761L) % 4294967296L) % 1000003L
+    val adj = edges.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val eset = edges.map(e => (e._1 min e._2, e._1 max e._2)).toSet
+    for (start <- adj.keys; w <- 0 until wpn) {
+      var prev = -1L
+      var cur = start
+      assert(got((start, w, 0)) === start)
+      for (st <- 1 to len) {
+        val key = (start * wpn + w) * (len + 1) + st
+        val nbrs = adj(cur)
+        val next =
+          if (st == 1) nbrs((bucket(key) % nbrs.size).toInt)
+          else {
+            val ws = nbrs.map { c =>
+              if (c == prev) wr
+              else if (eset((prev min c, prev max c))) wc
+              else wf
+            }
+            val draw = bucket(key) % ws.sum
+            val idx = ws.scanLeft(0)(_ + _).tail.indexWhere(_ > draw)
+            nbrs(idx)
+          }
+        assert(got((start, w, st)) === next,
+          s"walk ($start, $w) step $st: got ${got((start, w, st))}, want $next")
+        prev = cur; cur = next
+      }
+    }
+  }
+
   test("adamic-adar: orientation/duplicate-proof and layout-stable") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
     val a = aa(e)
