@@ -69,6 +69,17 @@ object RelationalQueries {
         .localCheckpoint(eager = true)
     }
 
+  /** The deterministic DeepWalk corpus over [[coSupplyGraph]], shared by
+    * `graph_walks` (the sequences) and `graph_skipgram` (the training
+    * pairs) — one sampled corpus, two views. */
+  private def walkCorpus(s: SparkSession, dir: String): DataFrame =
+    sessionCached(s, ("walk-corpus", dir)) {
+      graft.operators.LinkAnalysis
+        .randomWalks(coSupplyGraph(s, dir), "s1", "s2", walksPerNode = 2,
+          length = 4, seed = 23L)
+        .localCheckpoint(eager = true)
+    }
+
   /** The part co-purchase graph (parts co-bought in ≥2 orders), shared
     * by `graph_linkpred` and `graph_assortativity` — same build-once
     * rationale as [[coSupplyGraph]]; unlike the near-regular co-supply
@@ -648,10 +659,25 @@ object RelationalQueries {
     // degree over the id-ranked neighbor list, so all 4 steps replay
     // exactly in SQL.
     "graph_walks" -> { (s, dir) =>
-      graft.operators.LinkAnalysis
-        .randomWalks(coSupplyGraph(s, dir), "s1", "s2", walksPerNode = 2,
-          length = 4, seed = 23L)
-        .orderBy("start", "walk", "step")
+      walkCorpus(s, dir).orderBy("start", "walk", "step")
+    },
+
+    // The walks' PAYOFF: skip-gram (center, context) training pairs
+    // within window 2 along each walk — exactly what a word2vec trainer
+    // consumes (DeepWalk's second half). One self-join of the walk
+    // corpus on (start, walk) with a step-distance band; pair counts
+    // aggregate before the bounded top-k.
+    "graph_skipgram" -> { (s, dir) =>
+      val w = walkCorpus(s, dir)
+      val a = w.select(col("start"), col("walk"), col("step"),
+        col("node").as("center"))
+      val b = w.select(col("start"), col("walk"), col("step").as("step2"),
+        col("node").as("context"))
+      a.join(b, Seq("start", "walk"))
+        .filter(abs(col("step2") - col("step")).between(1, 2))
+        .groupBy("center", "context").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("center"), asc("context"))
+        .limit(50)
     },
 
     // node2vec biased sampling: 2nd-order walks over the co-purchase
@@ -1189,6 +1215,45 @@ object RelationalQueries {
         ${round(3, "it2")}, ${round(4, "it3")}"""
   }
 
+  /** The `graph_walks` replay as reusable CTEs ending in
+    * `wall(start, walk, step, node)` — shared by the `graph_walks` and
+    * `graph_skipgram` oracles (one sampled corpus, two views, exactly
+    * like the engine's session-cached walk corpus). */
+  private val walkOracleCtes: String = {
+    def draw(stepExpr: String) = mixSql(
+      s"(($stepExpr) % 4294967296 + 61052022503) % 4294967296") +
+      " % 1000003"
+    def step(k: Int, prev: String) =
+      s"""w$k AS MATERIALIZED (
+          SELECT p.start, p.walk, $k AS step, rk.nbr AS node
+          FROM $prev p JOIN rk ON rk.node = p.node
+            AND rk.rank = (${draw(s"(p.start * 2 + p.walk) * 5 + $k")})
+              % rk.deg + 1)"""
+    s"""e0 AS MATERIALIZED (
+          SELECT DISTINCT CAST(x.sk AS BIGINT) AS u, CAST(y.sk AS BIGINT) AS v
+          FROM (SELECT DISTINCT l_partkey pk, l_suppkey sk
+                FROM lineitem WHERE l_partkey % 3 = 0) x
+          JOIN (SELECT DISTINCT l_partkey pk, l_suppkey sk
+                FROM lineitem WHERE l_partkey % 3 = 0) y
+            ON x.pk = y.pk AND x.sk < y.sk),
+        sym AS MATERIALIZED (
+          SELECT u AS node, v AS nbr FROM e0
+          UNION ALL SELECT v, u FROM e0),
+        rk AS MATERIALIZED (
+          SELECT node, nbr,
+            ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS rank,
+            COUNT(*) OVER (PARTITION BY node) AS deg
+          FROM sym),
+        w0 AS (SELECT n.node AS start, g.w AS walk, 0 AS step, n.node
+               FROM (SELECT DISTINCT node FROM sym) n
+               JOIN generate_series(0, 1) g(w) ON TRUE),
+        ${step(1, "w0")}, ${step(2, "w1")},
+        ${step(3, "w2")}, ${step(4, "w3")},
+        wall AS (SELECT * FROM w0 UNION ALL SELECT * FROM w1
+                 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+                 UNION ALL SELECT * FROM w4)"""
+  }
+
   val oracle: Map[String, String] = Map(
     // HLL registers recomputed from scratch: portable string hash of the
     // key, low-8-bit bucket, trailing-zeros rho, per-bucket max.
@@ -1712,43 +1777,23 @@ object RelationalQueries {
 
     // The walk replayed step by step: ranked adjacency + the portable
     // lottery (walkId·5 + step, seed 23 ⇒ offset 23·φ₃₂) mod degree.
-    "graph_walks" -> {
-      def draw(stepExpr: String) = mixSql(
-        s"(($stepExpr) % 4294967296 + 61052022503) % 4294967296") +
-        " % 1000003"
-      def step(k: Int, prev: String) =
-        s"""w$k AS MATERIALIZED (
-            SELECT p.start, p.walk, $k AS step, rk.nbr AS node
-            FROM $prev p JOIN rk ON rk.node = p.node
-              AND rk.rank = (${draw(s"(p.start * 2 + p.walk) * 5 + $k")})
-                % rk.deg + 1)"""
-      s"""WITH e0 AS MATERIALIZED (
-            SELECT DISTINCT CAST(x.sk AS BIGINT) AS u, CAST(y.sk AS BIGINT) AS v
-            FROM (SELECT DISTINCT l_partkey pk, l_suppkey sk
-                  FROM lineitem WHERE l_partkey % 3 = 0) x
-            JOIN (SELECT DISTINCT l_partkey pk, l_suppkey sk
-                  FROM lineitem WHERE l_partkey % 3 = 0) y
-              ON x.pk = y.pk AND x.sk < y.sk),
-          sym AS MATERIALIZED (
-            SELECT u AS node, v AS nbr FROM e0
-            UNION ALL SELECT v, u FROM e0),
-          rk AS MATERIALIZED (
-            SELECT node, nbr,
-              ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS rank,
-              COUNT(*) OVER (PARTITION BY node) AS deg
-            FROM sym),
-          w0 AS (SELECT n.node AS start, g.w AS walk, 0 AS step, n.node
-                 FROM (SELECT DISTINCT node FROM sym) n
-                 JOIN generate_series(0, 1) g(w) ON TRUE),
-          ${step(1, "w0")}, ${step(2, "w1")},
-          ${step(3, "w2")}, ${step(4, "w3")}
+    "graph_walks" ->
+      s"""WITH $walkOracleCtes
           SELECT start, CAST(walk AS INTEGER) AS walk,
             CAST(step AS INTEGER) AS step, node
-          FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1
-                UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
-                UNION ALL SELECT * FROM w4)
-          ORDER BY start, walk, step"""
-    },
+          FROM wall ORDER BY start, walk, step""",
+
+    // Skip-gram pairs off the same replayed corpus: step-distance band
+    // self-join, counts, bounded top-50.
+    "graph_skipgram" ->
+      s"""WITH $walkOracleCtes,
+          pr AS (SELECT a.node AS center, b.node AS context
+                 FROM wall a JOIN wall b
+                   ON a.start = b.start AND a.walk = b.walk
+                   AND ABS(b.step - a.step) BETWEEN 1 AND 2)
+          SELECT center, context, COUNT(*) AS n
+          FROM pr GROUP BY center, context
+          ORDER BY n DESC, center, context LIMIT 50""",
 
     // Modularity over the SAME unrolled LPA replay: integer e_c/d_c
     // per community, numerator 4·m·e_c − d_c² over the common 4m².
