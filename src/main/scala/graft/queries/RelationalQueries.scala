@@ -1161,6 +1161,35 @@ object RelationalQueries {
             (col("n") + lit(1)).cast("double") / col("n"), 6).as("gini"))
     },
 
+    // Cohort LTV curve: cumulative revenue per customer by months since
+    // the cohort's first order — q38's revenue twin, the "how much is a
+    // January customer worth by month 6?" table. Exact DECIMAL revenue,
+    // running sums over the (cohort, month) rollup, one rounded division
+    // by the broadcastable cohort-size table.
+    "q53_ltv" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val c = o.groupBy("o_custkey")
+        .agg(date_trunc("month", min(col("o_orderdate"))).as("__cm"))
+      val sz = c.groupBy("__cm").agg(count(lit(1)).as("n_customers"))
+      val g = o.join(c, Seq("o_custkey"))
+        .withColumn("month_no",
+          months_between(date_trunc("month", col("o_orderdate")), col("__cm"))
+            .cast("int"))
+        .groupBy("__cm", "month_no")
+        .agg(sum(dec(col("o_totalprice"))).as("__rev"))
+      g.withColumn("__cum", sum(col("__rev")).over(
+          Window.partitionBy("__cm").orderBy("month_no")))
+        .join(broadcast(sz), Seq("__cm"))
+        .select(to_date(col("__cm")).as("cohort_month"), col("month_no"),
+          col("n_customers"),
+          // FLOOR-quantize: the per-customer division lands on .xxxx5
+          // boundaries where the engines' ROUND diverges (the
+          // emb_dim_stats lesson — hit on 4 rows of this fixture)
+          (floor(col("__cum").cast("double") / col("n_customers")
+            * lit(10000)) / 10000).as("cum_ltv"))
+        .orderBy("cohort_month", "month_no")
+    },
+
     // Retention cohort triangle: users bucketed by first-activity week,
     // distinct-active counts per (cohort, weeks-since) — the classic
     // product-analytics rollup. Two grouped passes; the per-user cohort
@@ -2169,6 +2198,24 @@ object RelationalQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              / CAST(tot AS DOUBLE), 6) AS cum_share
          FROM b CROSS JOIN t ORDER BY decile""",
+
+    "q53_ltv" ->
+      """WITH c AS (SELECT o_custkey,
+             DATE_TRUNC('month', MIN(o_orderdate)) AS cm
+           FROM orders GROUP BY o_custkey),
+         sz AS (SELECT cm, COUNT(*) AS n_customers FROM c GROUP BY cm),
+         g AS (SELECT c.cm,
+             CAST(DATEDIFF('month', c.cm,
+               DATE_TRUNC('month', o.o_orderdate)) AS INTEGER) AS month_no,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+           FROM orders o JOIN c USING (o_custkey)
+           GROUP BY c.cm, month_no)
+         SELECT CAST(g.cm AS DATE) AS cohort_month, month_no,
+           sz.n_customers,
+           FLOOR(CAST(SUM(g.rev) OVER (PARTITION BY g.cm ORDER BY month_no)
+             AS DOUBLE) / sz.n_customers * 10000) / 10000 AS cum_ltv
+         FROM g JOIN sz USING (cm)
+         ORDER BY cohort_month, month_no""",
 
     "q38_retention" ->
       """WITH c AS (

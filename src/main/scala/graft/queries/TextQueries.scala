@@ -927,6 +927,44 @@ object TextQueries {
             (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
     },
 
+    // RAKE keyphrase extraction (Rose et al. 2010): stopword-delimited
+    // token runs become candidate phrases (maxWords 4, Rose's cap), word
+    // degree/frequency over the retained candidates, phrase score =
+    // Σ deg(w)/freq(w). Per-word ratios are 6dp-rounded then
+    // DECIMAL-summed in any order — a raw double Σ would be
+    // shuffle-order-dependent. Islands via the pos − rank trick (one
+    // window per doc); everything else is exploded equi-joins.
+    "text_rake" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "with")
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+        .filter(!col("tok").isin(stop: _*))
+      val isl = toks.withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      val phrases = isl.groupBy("doc_id", "grp")
+        .agg(sort_array(collect_list(struct(col("pos"), col("tok"))))
+          .as("__pw"))
+        .select(transform(col("__pw"), w => w.getField("tok")).as("words"))
+        .filter(size(col("words")) <= 4)
+      val wstats = phrases
+        .select(explode(col("words")).as("word"), size(col("words")).as("plen"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      val distinctPhrases = phrases
+        .select(concat_ws(" ", col("words")).as("phrase")).distinct()
+      distinctPhrases
+        .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+        .join(wstats, Seq("word"))
+        .groupBy("phrase")
+        .agg(sum(round(col("degree") / col("freq"), 6)
+            .cast(DecimalType(18, 6))).cast("double").as("score"),
+          count(lit(1)).as("n_words"))
+        .orderBy(desc("score"), asc("phrase")).limit(20)
+    },
+
     // Tokenizer-vocabulary coverage: per-doc OOV rate against the top-K
     // corpus unigrams — the "how much of the corpus does this vocab
     // cover?" check run before freezing any tokenizer. K = 16 here (the
@@ -1919,6 +1957,36 @@ object TextQueries {
            CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
              ELSE ROUND(2 * tp / (2 * tp + fp + fn), 6) END AS f1
          FROM m ORDER BY class""",
+
+    "text_rake" ->
+      """WITH t AS (
+           SELECT doc_id, u.tok AS tok, u.pos AS pos,
+             u.tok IN ('the','a','of','and','to','in','is','with') AS stop
+           FROM documents,
+           LATERAL (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok,
+                    UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS pos) u),
+         isl AS (
+           SELECT doc_id, tok, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM t WHERE NOT stop),
+         ph AS (
+           SELECT doc_id, grp, LIST(tok ORDER BY pos) AS words
+           FROM isl GROUP BY doc_id, grp HAVING COUNT(*) <= 4),
+         wstats AS (
+           SELECT w.word, COUNT(*) AS freq,
+             CAST(SUM(LEN(ph.words)) AS BIGINT) AS degree
+           FROM ph, LATERAL (SELECT UNNEST(words) AS word) w
+           GROUP BY w.word),
+         dp AS (SELECT DISTINCT ARRAY_TO_STRING(words, ' ') AS phrase FROM ph),
+         sc AS (SELECT dp.phrase, w.word
+                FROM dp, LATERAL (SELECT UNNEST(STRING_SPLIT(dp.phrase, ' '))
+                                  AS word) w)
+         SELECT phrase,
+           CAST(SUM(CAST(ROUND(CAST(degree AS DOUBLE) / freq, 6)
+             AS DECIMAL(18,6))) AS DOUBLE) AS score,
+           COUNT(*) AS n_words
+         FROM sc JOIN wstats USING (word)
+         GROUP BY phrase ORDER BY score DESC, phrase LIMIT 20""",
 
     "text_oov" ->
       """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
