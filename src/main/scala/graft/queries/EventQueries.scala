@@ -360,6 +360,49 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Kaplan–Meier churn survival: users "churn" at their last-activity
+    // day; users still active in the final 3 days are right-CENSORED —
+    // the estimator that answers "what fraction survives past day t"
+    // without pretending censored users churned. The survival product
+    // S(t) = Π (1 − dᵢ/nᵢ) folds on the DRIVER over the calendar-bounded
+    // (day, d, n) table in day order (the q48_holt pattern: bit-exact
+    // sequential doubles, no ln/exp libm divergence), replayed by a
+    // recursive CTE. Facts are scanned once for the per-user rollup.
+    "q54_survival" -> { (s, dir) =>
+      val horizonExpr = datediff(to_date(max(col("ts"))),
+        to_date(lit("2024-01-01")))
+      // the PURCHASE timeline: every user has ambient events daily (the
+      // all-events estimator would censor everyone), but last purchases
+      // spread over ~12 days — real churn structure
+      val ev = table(s, dir, "events").filter(col("event_type") === "purchase")
+      val horizon = ev.agg(horizonExpr).head.getInt(0)
+      val users = ev.groupBy("user_id")
+        .agg(datediff(to_date(max(col("ts"))), to_date(lit("2024-01-01")))
+          .as("last_day"))
+        .withColumn("censored", col("last_day") >= horizon - 2)
+      val byDay = users.filter(!col("censored"))
+        .groupBy(col("last_day").as("day"))
+        .agg(count(lit(1)).as("n_churned"))
+        .orderBy("day")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      // at-risk at day t: everyone not yet churned (censored users stay
+      // at risk to the horizon, which is ≥ every churn day here)
+      var atRisk = users.count()
+      var sv = 1.0
+      val rows = byDay.map { case (day, d) =>
+        sv = sv * (1.0 - d.toDouble / atRisk)
+        // FLOOR-quantize (not round): both engines floor the identical
+        // double, so a .xxxxxx5 boundary can never split them
+        val out = (day, atRisk, d, math.floor(sv * 1000000) / 1000000)
+        atRisk -= d
+        out
+      }
+      val spark2 = s
+      import spark2.implicits._
+      rows.toSeq.toDF("day", "n_risk", "n_churned", "survival")
+        .orderBy("day")
+    },
+
     // Last-touch attribution: each purchase credits the user's most
     // recent PRECEDING click (carry-forward window with IGNORE NULLS —
     // the single-pass form of the as-of join q23 does pairwise), bucketed
@@ -522,6 +565,42 @@ object EventQueries {
              / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) / 100.0, 6) AS twa
          FROM v WHERE dt IS NOT NULL
          GROUP BY event_type ORDER BY event_type""",
+
+    // KM replayed: per-day churn counts, at-risk via the shifted running
+    // sum, the survival product unrolled by the recursive CTE in day
+    // order — identical double multiply chain, FLOOR-quantized output.
+    "q54_survival" ->
+      """WITH RECURSIVE
+         p AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         h AS (SELECT DATEDIFF('day', DATE '2024-01-01',
+                 CAST(MAX(ts) AS DATE)) AS horizon FROM p),
+         u AS (SELECT user_id, DATEDIFF('day', DATE '2024-01-01',
+                 CAST(MAX(ts) AS DATE)) AS last_day
+               FROM p GROUP BY user_id),
+         uc AS (SELECT u.last_day,
+                  u.last_day >= h.horizon - 2 AS censored
+                FROM u CROSS JOIN h),
+         d AS (SELECT last_day AS day, COUNT(*) AS n_churned
+               FROM uc WHERE NOT censored GROUP BY last_day),
+         ds AS (SELECT day, n_churned,
+                  CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn,
+                  (SELECT COUNT(*) FROM uc)
+                    - COALESCE(SUM(n_churned) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n_risk
+                FROM d),
+         rec(rn, day, n_risk, n_churned, sv) AS (
+           SELECT rn, day, n_risk, n_churned,
+             1.0 * (1.0 - CAST(n_churned AS DOUBLE) / n_risk)
+           FROM ds WHERE rn = 1
+           UNION ALL
+           SELECT ds.rn, ds.day, ds.n_risk, ds.n_churned,
+             rec.sv * (1.0 - CAST(ds.n_churned AS DOUBLE) / ds.n_risk)
+           FROM rec JOIN ds ON ds.rn = rec.rn + 1)
+         SELECT CAST(day AS INTEGER) AS day, CAST(n_risk AS BIGINT) AS n_risk,
+           n_churned, FLOOR(sv * 1000000) / 1000000 AS survival
+         FROM rec ORDER BY day""",
 
     "q49_attribution" ->
       """WITH e AS (

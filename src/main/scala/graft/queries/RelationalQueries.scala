@@ -1161,6 +1161,40 @@ object RelationalQueries {
             (col("n") + lit(1)).cast("double") / col("n"), 6).as("gini"))
     },
 
+    // Association rules over market baskets: directed confidence and
+    // lift for co-purchased part pairs (support ≥ 3 orders) — the rule
+    // form q45's symmetric Jaccard can't express (A→B strength ≠ B→A).
+    // All inputs integer (co, item counts, order total); conf and lift
+    // are one shared-text double division each. Pair fan-out bounded by
+    // order size, as in q45.
+    "q55_assoc_rules" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val tot = li.agg(countDistinct(col("ok")).as("__n"))
+      val cnt = li.groupBy("pk").agg(count(lit(1)).as("n_item"))
+      val pairs = li.as("a").join(li.as("b"), Seq("ok"))
+        .filter(col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("co")).filter(col("co") >= 3)
+      val directed = pairs
+        .select(col("p1").as("antecedent"), col("p2").as("consequent"), col("co"))
+        .unionByName(pairs
+          .select(col("p2").as("antecedent"), col("p1").as("consequent"), col("co")))
+      directed
+        .join(cnt.select(col("pk").as("antecedent"), col("n_item").as("__na")),
+          Seq("antecedent"))
+        .join(cnt.select(col("pk").as("consequent"), col("n_item").as("__nb")),
+          Seq("consequent"))
+        .crossJoin(broadcast(tot))
+        .select(col("antecedent"), col("consequent"), col("co"),
+          round(col("co") / col("__na"), 6).as("confidence"),
+          round((col("co") * col("__n")).cast("double") /
+            (col("__na") * col("__nb")), 6).as("lift"))
+        .orderBy(desc("lift"), asc("antecedent"), asc("consequent"))
+        .limit(20)
+    },
+
     // Cohort LTV curve: cumulative revenue per customer by months since
     // the cohort's first order — q38's revenue twin, the "how much is a
     // January customer worth by month 6?" table. Exact DECIMAL revenue,
@@ -2198,6 +2232,26 @@ object RelationalQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              / CAST(tot AS DOUBLE), 6) AS cum_share
          FROM b CROSS JOIN t ORDER BY decile""",
+
+    "q55_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey ok, l_partkey pk
+                     FROM lineitem),
+         tot AS (SELECT COUNT(DISTINCT ok) AS n FROM li),
+         cnt AS (SELECT pk, COUNT(*) AS n_item FROM li GROUP BY pk),
+         pr AS (SELECT a.pk p1, b.pk p2, COUNT(*) AS co
+                FROM li a JOIN li b USING (ok) WHERE a.pk < b.pk
+                GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         dir AS (SELECT p1 AS antecedent, p2 AS consequent, co FROM pr
+                 UNION ALL SELECT p2, p1, co FROM pr)
+         SELECT antecedent, consequent, co,
+           ROUND(CAST(co AS BIGINT) / ca.n_item, 6) AS confidence,
+           ROUND(CAST(co * tot.n AS DOUBLE) / (ca.n_item * cb.n_item), 6)
+             AS lift
+         FROM dir
+         JOIN cnt ca ON ca.pk = dir.antecedent
+         JOIN cnt cb ON cb.pk = dir.consequent
+         CROSS JOIN tot
+         ORDER BY lift DESC, antecedent, consequent LIMIT 20""",
 
     "q53_ltv" ->
       """WITH c AS (SELECT o_custkey,
