@@ -360,6 +360,86 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Two-proportion z-test (A/B primitive): click→purchase-within-1h
+    // conversion compared between the even/odd user cohorts, with the
+    // pooled-variance z statistic — the experiment readout every growth
+    // pipeline runs. All four counts are exact integers off ONE
+    // carry-forward window pass; p1/p2/z are shared-text doubles,
+    // FLOOR-quantized.
+    "eval_ab_test" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val delta = unix_micros(col("ts")) - unix_micros(col("__click_ts"))
+      val converted = col("event_type") === "purchase" &&
+        col("__click_ts").isNotNull && delta <= 3600L * 1000000
+      val stats = table(s, dir, "events")
+        .withColumn("__cohort",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+        .withColumn("__click_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .groupBy("__cohort").agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("clicks"),
+          sum(when(converted, 1L).otherwise(0L)).as("convs"))
+      def f6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1000000)) / 1000000
+      val one = stats.agg(
+        max(when(col("__cohort") === "A", col("clicks"))).as("n1"),
+        max(when(col("__cohort") === "A", col("convs"))).as("x1"),
+        max(when(col("__cohort") === "B", col("clicks"))).as("n2"),
+        max(when(col("__cohort") === "B", col("convs"))).as("x2"))
+      val p1 = col("x1").cast("double") / col("n1")
+      val p2 = col("x2").cast("double") / col("n2")
+      val pp = (col("x1") + col("x2")).cast("double") /
+        (col("n1") + col("n2"))
+      val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+      one.select(col("n1"), col("x1"), col("n2"), col("x2"),
+        f6(p1).as("p1"), f6(p2).as("p2"), f6(z).as("z"),
+        (abs(z) > 1.959964).as("significant_95"))
+    },
+
+    // Forecast-quality eval: MAE/RMSE of q48's one-step-ahead Holt
+    // forecasts against the realized next-hour counts — the backtest
+    // that closes the forecasting loop (communities got modularity,
+    // classifiers got P/R/F1, forecasts get this). Same driver fold as
+    // q48 (calendar-bounded series); per-step |e| and e² are
+    // 6dp-rounded then DECIMAL-summed, so the metrics are exact.
+    "eval_forecast" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ser = table(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("t", row_number().over(Window.orderBy("hr")))
+        .select(col("t"), col("c")).orderBy("t")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      def f6(x: Double): Double = math.floor(x * 1000000) / 1000000
+      var l = 0.0; var b = 0.0
+      var sae = BigDecimal(0); var sse = BigDecimal(0); var n = 0L
+      ser.foreach { case (t, c) =>
+        if (t == 1) { l = c.toDouble; b = 0.0 }
+        else {
+          val f = l + b // forecast made at t-1 for this step
+          val e = c - f
+          sae += BigDecimal(f6(math.abs(e)))
+          sse += BigDecimal(f6(e * e))
+          n += 1
+          val lNew = 0.5 * c + 0.5 * (l + b)
+          b = 0.5 * (lNew - l) + 0.5 * b
+          l = lNew
+        }
+      }
+      val spark2 = s
+      import spark2.implicits._
+      // FLOOR-quantized terms and metrics: no half-boundary ROUND risk
+      Seq((n,
+          f6(sae.toDouble / n),
+          f6(math.sqrt(sse.toDouble / n))))
+        .toDF("n_forecasts", "mae", "rmse")
+    },
+
     // Kaplan–Meier churn survival: users "churn" at their last-activity
     // day; users still active in the final 3 days are right-CENSORED —
     // the estimator that answers "what fraction survives past day t"
@@ -565,6 +645,67 @@ object EventQueries {
              / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) / 100.0, 6) AS twa
          FROM v WHERE dt IS NOT NULL
          GROUP BY event_type ORDER BY event_type""",
+
+    "eval_ab_test" ->
+      """WITH e AS (
+           SELECT user_id, event_type, ts,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+               IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+           FROM events),
+         st AS (SELECT cohort,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+             COUNT(*) FILTER (WHERE event_type = 'purchase'
+               AND click_ts IS NOT NULL
+               AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000) AS convs
+           FROM e GROUP BY cohort),
+         one AS (SELECT
+             MAX(CASE WHEN cohort = 'A' THEN clicks END) AS n1,
+             MAX(CASE WHEN cohort = 'A' THEN convs END) AS x1,
+             MAX(CASE WHEN cohort = 'B' THEN clicks END) AS n2,
+             MAX(CASE WHEN cohort = 'B' THEN convs END) AS x2
+           FROM st)
+         SELECT n1, x1, n2, x2,
+           FLOOR(CAST(x1 AS DOUBLE) / n1 * 1000000) / 1000000 AS p1,
+           FLOOR(CAST(x2 AS DOUBLE) / n2 * 1000000) / 1000000 AS p2,
+           FLOOR((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / SQRT(CAST(x1 + x2 AS DOUBLE) / (n1 + n2)
+               * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+               * (1.0 / n1 + 1.0 / n2)) * 1000000) / 1000000 AS z,
+           ABS((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / SQRT(CAST(x1 + x2 AS DOUBLE) / (n1 + n2)
+               * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+               * (1.0 / n1 + 1.0 / n2))) > 1.959964 AS significant_95
+         FROM one""",
+
+    // The q48 recursion re-run, each state row joined to the NEXT hour's
+    // actual: e = c_{t+1} − (l_t + b_t); rounded |e| / e² DECIMAL-summed.
+    "eval_forecast" ->
+      """WITH RECURSIVE
+         h AS (SELECT DATE_TRUNC('hour', ts) AS hr, COUNT(*) AS c
+               FROM events GROUP BY 1),
+         s AS (SELECT ROW_NUMBER() OVER (ORDER BY hr) AS t, c FROM h),
+         rec(t, c, l, b) AS (
+           SELECT t, c, CAST(c AS DOUBLE), CAST(0 AS DOUBLE)
+           FROM s WHERE t = 1
+           UNION ALL
+           SELECT s.t, s.c,
+             0.5 * s.c + 0.5 * (rec.l + rec.b),
+             0.5 * ((0.5 * s.c + 0.5 * (rec.l + rec.b)) - rec.l)
+               + 0.5 * rec.b
+           FROM rec JOIN s ON s.t = rec.t + 1),
+         e AS (SELECT
+             FLOOR(ABS(s.c - (rec.l + rec.b)) * 1000000) / 1000000 AS ae,
+             FLOOR((s.c - (rec.l + rec.b)) * (s.c - (rec.l + rec.b))
+               * 1000000) / 1000000 AS se
+           FROM rec JOIN s ON s.t = rec.t + 1)
+         SELECT COUNT(*) AS n_forecasts,
+           FLOOR(CAST(SUM(CAST(ae AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) * 1000000) / 1000000 AS mae,
+           FLOOR(SQRT(CAST(SUM(CAST(se AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*)) * 1000000) / 1000000 AS rmse
+         FROM e""",
 
     // KM replayed: per-day churn counts, at-risk via the shifted running
     // sum, the survival product unrolled by the recursive CTE in day
