@@ -64,9 +64,12 @@ object Clustering {
     val coreEdges = sym
       .join(core.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
       .join(core.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
-    // isolated cores (no core neighbor) are their own singleton cluster
+    // isolated cores (no core neighbor) are their own singleton cluster.
+    // Auto components: ε-graphs at eval scale fit the bounded driver
+    // union-find (≤2²⁰ edges); larger graphs fall through to the
+    // distributed star-contraction loop unchanged.
     val comp = core.join(
-        Components.connectedComponents(coreEdges, "a", "b"), Seq("id"), "left")
+        Components.connectedComponentsAuto(coreEdges, "a", "b"), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
     val border = sym
       .join(core.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
