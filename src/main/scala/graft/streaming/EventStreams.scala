@@ -755,6 +755,53 @@ object EventStreams {
       }
   }
 
+  /** Per-user funnel progress for [[funnelStream]]: first view µs, first
+    * QUALIFYING click µs (strictly after the view), purchase emitted. */
+  final case class FunnelState(fv: Long, fqc: Long, done: Boolean)
+
+  /** One first-time stage qualification from [[funnelStream]]. */
+  final case class FunnelStage(user_id: Long, stage: String)
+
+  /** Streaming twin of `q33_funnel`'s ordered view→click→purchase
+    * qualification: emits (user, stage) exactly ONCE when a user first
+    * reaches each stage — state is two timestamps and a flag per user,
+    * where the batch form re-runs two full-history windows. Distinct
+    * stage counts over the emissions equal the batch funnel's
+    * u_view/u_click/u_purchase (StreamingSpec pins it; same ordering
+    * contract as the other stateful twins). */
+  def funnelStream(
+      events: DataFrame): org.apache.spark.sql.Dataset[FunnelStage] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val NoTs = Long.MinValue
+    val keyed = events.select(
+        col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(NoTs, NoTs, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelStage]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, ts, typ) =>
+            typ match {
+              case "view" if st.fv == NoTs =>
+                st = st.copy(fv = ts); out += FunnelStage(user, "view")
+              case "click" if st.fv != NoTs && st.fv < ts && st.fqc == NoTs =>
+                st = st.copy(fqc = ts); out += FunnelStage(user, "click")
+              case "purchase" if st.fqc != NoTs && st.fqc < ts && !st.done =>
+                st = st.copy(done = true); out += FunnelStage(user, "purchase")
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-type state for [[twaStream]]: the previous reading, the exact
     * interval mass so far (`num` = Σ v100·Δt as a decimal-string BigInt —
     * it passes 2⁶³ on long streams), and the denominator/interval count. */

@@ -570,6 +570,49 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "streaming TWA must equal the batch aggregate")
   }
 
+  test("streaming funnel stage sets equal the batch double-window derivation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(spark, sf0001, "events")
+      .select("event_id", "event_type", "user_id", "ts")
+    val n = ev.count()
+    val ordered = ev.withColumn("rn",
+      row_number().over(Window.orderBy("ts", "event_id")))
+    val dir = Files.createTempDirectory("funnel-stream").toString
+    Seq(0L, n / 3, 2 * n / 3, n).sliding(2).foreach { case Seq(lo, hi) =>
+      ordered.filter(col("rn") > lo && col("rn") <= hi).drop("rn")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runToMemory(EventStreams.funnelStream(stream).toDF(),
+        "funnel_out", "append")
+      .as[(Long, String)].collect()
+    // exactly-once per (user, stage)
+    assert(got.length === got.distinct.length)
+    val gotByStage = got.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSet }
+
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e1 = ev.withColumn("first_view",
+      min(when(col("event_type") === "view", col("ts"))).over(w))
+    val qualClick = col("event_type") === "click" &&
+      col("first_view") < col("ts")
+    val e2 = e1.withColumn("first_qclick",
+      min(when(qualClick, col("ts"))).over(w))
+    val qualPurchase = col("event_type") === "purchase" &&
+      col("first_qclick") < col("ts")
+    def users(cond: org.apache.spark.sql.Column) =
+      e2.filter(cond).select("user_id").distinct().as[Long].collect().toSet
+    val want = Map(
+      "view" -> users(col("event_type") === "view"),
+      "click" -> users(qualClick),
+      "purchase" -> users(qualPurchase))
+    assert(want("purchase").nonEmpty &&
+      want("click").size >= want("purchase").size)
+    assert(gotByStage === want, "stage user sets must match the batch funnel")
+  }
+
   test("checkpointed mview maintenance is incremental ACROSS sessions") {
     import graft.operators.Mview
     val statePath = Files.createTempDirectory("mview-state").toString
