@@ -140,6 +140,42 @@ object Graft {
     graft.operators.EmbeddingPca.project(model, vec)
 
   // ----- column functions ------------------------------------------------
+  // ----- graph & clustering ---------------------------------------------
+  def dbscan(ids: DataFrame, idCol: String, pairs: DataFrame,
+      leftCol: String, rightCol: String, minPts: Int): DataFrame =
+    Clustering.dbscanFromPairs(ids, idCol, pairs, leftCol, rightCol, minPts)
+
+  def adamicAdar(pairs: DataFrame, leftCol: String, rightCol: String,
+      maxDegree: Int = 10000): DataFrame =
+    LinkAnalysis.adamicAdar(pairs, leftCol, rightCol, maxDegree)
+
+  def randomWalks(pairs: DataFrame, leftCol: String, rightCol: String,
+      walksPerNode: Int, length: Int, seed: Long): DataFrame =
+    LinkAnalysis.randomWalks(pairs, leftCol, rightCol, walksPerNode, length, seed)
+
+  def node2vecWalks(pairs: DataFrame, leftCol: String, rightCol: String,
+      walksPerNode: Int, length: Int, seed: Long,
+      wReturn: Int, wCommon: Int, wFar: Int): DataFrame =
+    LinkAnalysis.biasedWalks(pairs, leftCol, rightCol, walksPerNode, length,
+      seed, wReturn, wCommon, wFar)
+
+  def modularity(pairs: DataFrame, leftCol: String, rightCol: String,
+      labels: DataFrame): DataFrame =
+    LinkAnalysis.modularity(pairs, leftCol, rightCol, labels)
+
+  // ----- corpus layout & resampling --------------------------------------
+  def packNextFit(df: DataFrame, groupCol: String, idCol: String,
+      sizeCol: String, capacity: Long): DataFrame =
+    Packing.nextFit(df, groupCol, idCol, sizeCol, capacity)
+
+  def poissonBootstrap(df: DataFrame, keyCol: Column, replicates: Int,
+      seed: Long): DataFrame =
+    Sampling.poissonReplicates(df, keyCol, replicates, seed)
+
+  def mviewJoinDelta(aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame, joinKeys: Seq[String]): DataFrame =
+    Mview.joinDelta(aOld, aDelta, bOld, bDelta, joinKeys)
+
   def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
   def cosine(a: Column, b: Column): Column = VectorOps.cosine(a, b)
   def l2Normalize(a: Column): Column = VectorOps.l2Normalize(a)
