@@ -651,6 +651,27 @@ object ScaleSmoke {
         emb, "vec_id", pairs, "left_id", "right_id", minPts = 4).count()
     }
     }
+    // per step: one frontier equi-join against the ranked adjacency (plus
+    // the edge probe + window cumsum for the biased form) — O(V·W) rows a
+    // step, replicas are disjoint so work scales linearly
+    section("walks") {
+    val liD = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val copur = liD.as("x").join(liD.as("y"), Seq("ok"))
+      .filter(col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      .agg(count(lit(1)).as("co")).filter(col("co") >= 2)
+      .select("p1", "p2")
+      .localCheckpoint(true)
+    time("deepwalk corpus (W=1, L=4)") {
+      graft.operators.LinkAnalysis
+        .randomWalks(copur, "p1", "p2", 1, 4, 23L).count()
+    }
+    time("node2vec corpus (W=1, L=4)") {
+      graft.operators.LinkAnalysis
+        .biasedWalks(copur, "p1", "p2", 1, 4, 29L, 1, 4, 2).count()
+    }
+    }
     section("packing") {
     val sized = docs.select(col("doc_id"), col("lang"),
       graft.functions.TextOps.tokenCount(col("text")).as("n_tokens"))
