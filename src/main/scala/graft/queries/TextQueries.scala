@@ -840,6 +840,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // KMV / bottom-k sketch per language: the k smallest portable-hash
+    // values form a MERGEABLE uniform sample (min-wise: union = take the
+    // k smallest of both sets), and the k-th value yields the KMV
+    // distinct estimate (Bar-Yossef et al. 2002) — unlike HLL, the
+    // ENTIRE sketch AND its estimate are integers here ((k−1)·2³² ÷ hₖ,
+    // integer division), so the sketch family's third member is fully
+    // hash-checked. One rank window over the per-doc hash projection.
+    "profile_kmv" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 5
+      val h = graft.operators.Sampling.portableSplitBucket(
+        col("doc_id").cast("long"), seed = 31L, denom = 1000003)
+      val ranked = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy("h", "doc_id")))
+        .filter(col("rn") <= k)
+      val kth = ranked.filter(col("rn") === k)
+        .select(col("lang"), col("h").as("__hk"))
+      ranked.join(kth, Seq("lang"))
+        .select(col("lang"), col("rn"), col("doc_id"), col("h"),
+          // integer division (Spark's `/` on longs is double division)
+          expr(s"${(k - 1) * 1000003L} div __hk").as("est_distinct"))
+        .orderBy("lang", "rn")
+    },
+
     // Poisson bootstrap over the corpus: 20 deterministic resampling
     // replicates (multiplicity ~ Poisson(1) per doc per replicate, drawn
     // by inverting the CDF on the portable hash), each reporting its
@@ -1913,6 +1939,25 @@ object TextQueries {
            ${mixSql("(doc_id % 4294967296 + 2654435761) % 4294967296")} % 10 AS b
            FROM documents)
          ORDER BY doc_id""",
+
+    // KMV replayed: the portable bucket at seed 31 (offset 31·φ₃₂ =
+    // 82287508591), bottom-5 rank window, integer (k−1)·D ÷ hₖ estimate.
+    "profile_kmv" ->
+      s"""WITH hsh AS (
+           SELECT doc_id, lang,
+             ${mixSql("(doc_id % 4294967296 + 82287508591) % 4294967296")}
+               % 1000003 AS h
+           FROM documents),
+         rk AS (SELECT doc_id, lang, h,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+               AS INTEGER) AS rn
+           FROM hsh),
+         kept AS (SELECT * FROM rk WHERE rn <= 5),
+         kth AS (SELECT lang, h AS hk FROM kept WHERE rn = 5)
+         SELECT kept.lang, kept.rn, kept.doc_id, kept.h,
+           CAST(4 * 1000003 // kth.hk AS BIGINT) AS est_distinct
+         FROM kept JOIN kth USING (lang)
+         ORDER BY lang, rn""",
 
     // The Poisson(1) inverse-CDF draw replayed: portable bucket of
     // (doc_id·20 + replicate) at seed 17 (17·φ₃₂ = 45125407937), integer

@@ -260,6 +260,26 @@ class SamplingSpec extends SparkSpec {
     assert(got === Seq((1, minId, None)))
   }
 
+  test("bottom-k (KMV) sampling is mergeable: union sketch == sketch of union") {
+    // the profile_kmv contract: min-wise samples compose, so a 100 TB
+    // corpus sketches per partition and merges k-sized states
+    def h(id: Long): Long = {
+      def mix(x: Long): Long = {
+        var v = ((x ^ (x >>> 16)) * 73244475L) & 0xffffffffL
+        v = ((v ^ (v >>> 16)) * 73244475L) & 0xffffffffL
+        v ^ (v >>> 16)
+      }
+      mix((id % 4294967296L + 31L * 2654435761L) % 4294967296L) % 1000003L
+    }
+    val k = 5
+    val ids = (0L until 400L)
+    def bottomK(xs: Seq[Long]): Seq[(Long, Long)] =
+      xs.map(i => (h(i), i)).sorted.take(k)
+    val (a, b) = ids.partition(_ % 3 == 0)
+    val merged = bottomK((bottomK(a) ++ bottomK(b)).map(_._2))
+    assert(merged === bottomK(ids), "merge of partial sketches == full sketch")
+  }
+
   test("poisson bootstrap: deterministic, layout-stable, k matches the " +
       "scala inverse-CDF replay") {
     val docs = table(spark, sf0001, "documents")
