@@ -84,6 +84,20 @@ object EventStreams {
         graft.functions.Hll.estimateCol(col("__sk"))
           .as("approx_users"))
 
+  /** KMV twin of [[distinctUsersSketch]]: per-window bottom-k user-hash
+    * sample + distinct estimate — K longs of state per open window, and
+    * unlike HLL the state doubles as an inspectable user SAMPLE. Same
+    * expression batch and streaming, so the sketch bytes are identical. */
+  def distinctUsersKmv(events: DataFrame, width: String): DataFrame =
+    events
+      .select(window(col("ts"), width).as("w"),
+        xxhash64(col("user_id")).as("__h"))
+      .groupBy("w")
+      .agg(graft.functions.Kmv.sketchAgg(col("__h")).as("__sk"))
+      .select(col("w.start").as("window_start"),
+        graft.functions.Kmv.estimateCol(col("__sk")).as("approx_users"),
+        col("__sk").as("sample_sketch"))
+
   /** Hourly (event-time-truncated) counts per type — the aggregation half
     * of the gap-fill twin; runs identically on a batch or streaming
     * DataFrame (plain groupBy on a truncation expression). */

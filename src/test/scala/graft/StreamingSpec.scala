@@ -72,6 +72,23 @@ class StreamingSpec extends SparkSpec {
       "close_value", "low_value", "high_value", "n")).count() === batch.count())
   }
 
+  test("KMV distinct-users sample (complete mode) is bit-equal to batch") {
+    val streamed = runToMemory(
+      EventStreams.distinctUsersKmv(streamEvents, "6 hours"),
+      "kmv_out", "complete")
+    val batch = EventStreams.distinctUsersKmv(batchEvents, "6 hours")
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch,
+      Seq("window_start", "approx_users", "sample_sketch"))
+      .count() === batch.count(), "sketch bytes and estimates must match")
+    // few users per window → below K → estimates are EXACT distincts
+    val exact = batchEvents.groupBy(window(col("ts"), "6 hours"))
+      .agg(countDistinct("user_id").as("exact"))
+      .select(col("window.start").as("window_start"), col("exact"))
+    assert(batch.join(exact, Seq("window_start"))
+      .filter(col("approx_users") =!= col("exact")).count() === 0)
+  }
+
   test("HLL distinct-users sketch (complete mode) is bit-equal to batch") {
     val streamed = runToMemory(
       EventStreams.distinctUsersSketch(streamEvents, "6 hours"),
