@@ -203,6 +203,12 @@ object Graft {
       (es: Seq[Expression]) => CmsMergeAgg(es.head).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_cms_estimate",
       (es: Seq[Expression]) => CmsEstimate(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmv_sketch",
+      (es: Seq[Expression]) => KmvSketchAgg(es.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmv_merge",
+      (es: Seq[Expression]) => KmvMergeAgg(es.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmv_estimate",
+      (es: Seq[Expression]) => KmvEstimate(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_zorder64",
       (es: Seq[Expression]) => ZOrder64(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hilbert64",
