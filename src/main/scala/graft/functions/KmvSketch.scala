@@ -82,7 +82,10 @@ object Kmv {
     else {
       val uk = (buf(K - 1).toDouble - Long.MinValue.toDouble) /
         math.pow(2.0, 64)
-      math.round((K - 1) / uk)
+      // uk == 0 only if all K smallest hashes collapse onto unsigned 0 —
+      // K distinct values make that impossible, but guard the division
+      // against a single-value corruption rather than emitting Long.Min
+      if (uk <= 0.0) K.toLong else math.round((K - 1) / uk)
     }
 
   def serialize(buf: Array[Long]): Array[Byte] = {

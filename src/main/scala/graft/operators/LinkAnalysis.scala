@@ -445,6 +445,11 @@ object LinkAnalysis {
     * iteration-to-fixpoint, no driver state. Hub neighbor lists are
     * rows, not arrays, so a mega-hub never materializes its list.
     *
+    * Key contract (shared with [[biasedWalks]] and the Poisson
+    * bootstrap): the lottery key is `(start·W + walk)·(L+1) + step`
+    * before the 2³² fold — node ids must stay < 2⁶³/(W·(L+1)) or Spark
+    * wraps silently while an overflow-checked SQL replay errors.
+    *
     * @return (start BIGINT, walk INT, step INT, node BIGINT) — step 0 is
     *         the start node; (length+1) rows per walk. */
   def randomWalks(
@@ -613,6 +618,13 @@ object LinkAnalysis {
       .distinct()
       .localCheckpoint(eager = true) // scanned for m, e_in, and degrees
     val m = e.count()
+    // the integer numerators use 4·m·e_c ≤ 4m² and d_c² ≤ 4m²: exact in
+    // BIGINT to ~1.5e9 edges. Web-scale graphs need the terms in
+    // DECIMAL(38,0) — fail loudly instead of silently wrapping.
+    require(m < 1500000000L,
+      s"modularity: $m edges overflows the exact BIGINT numerators " +
+        "(4·m² > 2⁶³); lift q_term arithmetic to DECIMAL(38,0) for " +
+        "graphs beyond ~1.5e9 edges")
     val lab = labels.select(col("node").cast("long").as("node"),
       col("label").cast("long").as("label"))
     val eIn = e

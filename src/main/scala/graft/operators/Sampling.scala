@@ -312,6 +312,12 @@ object Sampling {
     * with k = 0 so consumers can also count distinct coverage; filter
     * k ≥ 1 for the pure resample.
     *
+    * Key contract: the lottery key is `key·replicates + r` BEFORE the
+    * 2³² fold, so `|key| must stay < 2⁶³/replicates` — Spark would wrap
+    * silently past that while an overflow-checked SQL replay errors (a
+    * parity trap). Surrogate ids satisfy this by construction; hash-
+    * derived keys should be masked to 32 bits first.
+    *
     * @return input columns + (replicate INT, k INT) — k = multiplicity of
     *         this row in that replicate. */
   def poissonReplicates(
