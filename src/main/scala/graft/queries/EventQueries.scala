@@ -360,6 +360,36 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Seasonal decomposition (hour-of-day profile): the 24-row seasonal
+    // means of the hourly count series plus the exact share of variance
+    // the daily cycle explains — the "is there a daily rhythm worth
+    // modeling?" check before q48's trend smoother. The 720-hour window
+    // is exactly 30 days, so every hour-of-day has 30 samples and both
+    // sums of squares reduce to INTEGER sufficient statistics
+    // (30·SSR = 30Σc² − Σsₕ²; N·SST = NΣc² − S²); variance explained is
+    // one shared-text double expression. Facts aggregate once.
+    "q56_seasonality" -> { (s, dir) =>
+      val hourly = table(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .select(hour(col("hr")).as("hod"), col("c"))
+      val perHod = hourly.groupBy("hod").agg(
+        count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("s2"))
+      val tot = perHod.agg(sum(col("n")).as("__N"), sum(col("s")).as("__S"),
+        sum(col("s2")).as("__C2"),
+        sum(col("s") * col("s")).as("__SH2"))
+      perHod.crossJoin(broadcast(tot))
+        .select(col("hod"), col("n"), col("s").as("sum_c"),
+          round(col("s") / col("n"), 6).as("seasonal_mean"),
+          round(lit(1.0) -
+            (col("__N") * (lit(30L) * col("__C2") - col("__SH2")))
+              .cast("double") /
+            (lit(30.0) * (col("__N") * col("__C2") - col("__S") * col("__S"))),
+            6).as("var_explained"))
+        .orderBy("hod")
+    },
+
     // Two-proportion z-test (A/B primitive): click→purchase-within-1h
     // conversion compared between the even/odd user cohorts, with the
     // pooled-variance z statistic — the experiment readout every growth
@@ -645,6 +675,26 @@ object EventQueries {
              / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) / 100.0, 6) AS twa
          FROM v WHERE dt IS NOT NULL
          GROUP BY event_type ORDER BY event_type""",
+
+    "q56_seasonality" ->
+      """WITH h AS (SELECT DATE_TRUNC('hour', ts) AS hr, COUNT(*) AS c
+                    FROM events GROUP BY 1),
+         hh AS (SELECT EXTRACT(hour FROM hr) AS hod, c FROM h),
+         per AS (SELECT hod, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS s2
+                 FROM hh GROUP BY hod),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(s) AS BIGINT) AS ss,
+                   CAST(SUM(s2) AS BIGINT) AS c2,
+                   CAST(SUM(s * s) AS BIGINT) AS sh2
+                 FROM per)
+         SELECT CAST(per.hod AS INTEGER) AS hod, per.n,
+           CAST(per.s AS BIGINT) AS sum_c,
+           ROUND(CAST(per.s AS BIGINT) / per.n, 6) AS seasonal_mean,
+           ROUND(1.0 -
+             CAST(tot.nn * (30 * tot.c2 - tot.sh2) AS DOUBLE)
+               / (30.0 * (tot.nn * tot.c2 - tot.ss * tot.ss)), 6)
+             AS var_explained
+         FROM per CROSS JOIN tot ORDER BY hod""",
 
     "eval_ab_test" ->
       """WITH e AS (
