@@ -1080,11 +1080,13 @@ object RelationalQueries {
     // customer, each cut into NTILE(5) quintiles with (metric, custkey)
     // tiebreaks — the classic marketing-analytics base table. One
     // grouped pass over orders + a broadcast 1-row anchor date; the
-    // quintile windows run on the customers-sized rollup, never the
-    // facts. (Quintile 1 = most recent / fewest orders / least spend —
-    // consumers relabel as they wish; determinism is the contract.)
+    // three quintile cuts are distributed [[GlobalRank.ntile]] passes
+    // chained over the customers-sized rollup (range-partitioned rank +
+    // broadcast offsets — never a single-partition window sort), so the
+    // query survives 10⁹ customers. (Quintile 1 = most recent / fewest
+    // orders / least spend — consumers relabel as they wish; determinism
+    // is the contract.)
     "q51_rfm" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val o = table(s, dir, "orders")
       val anchor = o.agg(max(to_date(col("o_orderdate"))).as("__today"))
       val per = o.groupBy("o_custkey").agg(
@@ -1095,38 +1097,45 @@ object RelationalQueries {
         .select(col("o_custkey"),
           datediff(col("__today"), col("__last")).as("recency_days"),
           col("frequency"), col("monetary"))
-      def q(metric: String) =
-        ntile(5).over(Window.orderBy(col(metric), col("o_custkey")))
-      per
-        .withColumn("r_q", q("recency_days"))
-        .withColumn("f_q", q("frequency"))
-        .withColumn("m_q", q("monetary"))
+      def q(df: DataFrame, metric: String, out: String) =
+        graft.operators.GlobalRank.ntile(df,
+          Seq(col(metric), col("o_custkey")), 5, out)
+      val cut = q(q(q(per, "recency_days", "r_q"),
+        "frequency", "f_q"), "monetary", "m_q")
+      cut
         .withColumn("segment",
           concat(col("r_q"), col("f_q"), col("m_q")))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_q"), col("f_q"), col("m_q"), col("segment"))
         .orderBy("o_custkey")
     },
 
     // Pareto / revenue-concentration curve: customers in revenue-desc
     // deciles with exact decimal revenue, share, and running share —
     // "do the top 10% carry 30% of revenue?". Decimal sums keep every
-    // share bit-replayable; the windows run on the customer rollup.
+    // share bit-replayable. The decile cut is a distributed
+    // [[GlobalRank.ntile]] over the customer rollup (no single-partition
+    // window even at 10⁹ customers); the running share is a triangular
+    // broadcast self-join over the 10-row decile table, so NO window
+    // operator appears anywhere in the plan.
     "q52_pareto" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val per = table(s, dir, "orders").groupBy("o_custkey")
         .agg(sum(dec(col("o_totalprice"))).as("__rev"))
-      val bucketed = per
-        .withColumn("decile",
-          ntile(10).over(Window.orderBy(desc("__rev"), asc("o_custkey"))))
+      val bucketed = graft.operators.GlobalRank.ntile(per,
+          Seq(desc("__rev"), asc("o_custkey")), 10, "decile")
         .groupBy("decile").agg(
           count(lit(1)).as("n_customers"),
           sum(col("__rev")).as("__drev"))
       val total = bucketed.agg(
         sum(col("__drev")).cast(DecimalType(28, 6)).as("__tot"))
+      val prior = bucketed
+        .select(col("decile").as("__d2"), col("__drev").as("__c2"))
       bucketed.crossJoin(broadcast(total))
-        .withColumn("cum", sum(col("__drev")).over(
-          Window.orderBy("decile")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(prior), col("__d2") <= col("decile"))
+        .groupBy(col("decile"), col("n_customers"), col("__drev"),
+          col("__tot"))
+        .agg(sum(col("__c2")).as("cum"))
         .select(col("decile"), col("n_customers"),
           col("__drev").cast("double").as("revenue"),
           round(col("__drev").cast("double") / col("__tot").cast("double"), 6)
@@ -1141,15 +1150,15 @@ object RelationalQueries {
     // is an exact DECIMAL; the rank-weighted sum Σ i·xᵢ stays DECIMAL
     // (rank ≤ n, so precision 38 holds to ~10⁹ customers), and the
     // closed form G = (2Σ i·xᵢ)/(n Σxᵢ) − (n+1)/n is one shared-text
-    // double expression. One rank window over the customer rollup.
+    // double expression. The rank is a distributed [[GlobalRank]] pass
+    // over the customer rollup — no single-partition window sort.
     "profile_gini" -> { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
       val d38 = DecimalType(38, 6)
       val per = table(s, dir, "orders").groupBy("o_custkey")
         .agg(sum(dec(col("o_totalprice"))).as("__rev"))
-      val ranked = per.withColumn("i",
-        row_number().over(Window.orderBy(asc("__rev"), asc("o_custkey")))
-          .cast("long"))
+      val ranked = graft.operators.GlobalRank.rowNumber(per,
+        Seq(asc("__rev"), asc("o_custkey")), "i")
       ranked.agg(count(lit(1)).as("n"),
           sum(col("__rev")).cast(d38).as("__sx"),
           // i·x is exact at scale 6 (integer rank × 6-dp decimal)

@@ -925,28 +925,32 @@ object TextQueries {
     // Feature-discrimination AUC: tie-corrected Mann–Whitney AUC of the
     // en-stopword-ratio feature as a predictor of lang = 'en' — the
     // threshold-free "is this signal worth gating on?" check that
-    // precedes any quality-filter deployment. Tied scores get the
-    // MIDRANK, carried as 2·midrank = min_rank + max_rank so every sum
-    // stays in exact BIGINT (a Σ of float midranks would be
-    // shuffle-order-dependent); the one double division at the end is
-    // shared textually with the oracle. One window sort over the
-    // doc-count table.
+    // precedes any quality-filter deployment. AGGREGATE-FIRST: docs
+    // collapse to one row per distinct 6dp score (bounded domain) with
+    // (count, positives); tied scores' shared 2·midrank = min_rank +
+    // max_rank = 2·cum_below − n + 1 falls out of a distributed
+    // [[GlobalRank.prefixSum]] over the score table, so no per-doc rank
+    // — and no single-partition window — exists anywhere. Every sum
+    // stays exact BIGINT; the one double division at the end is shared
+    // textually with the oracle.
     "eval_auc" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val en = Seq("the", "a", "of", "and", "to", "in", "is", "with")
       val toks = array_distinct(split(lower(col("text")), "\\s+"))
-      val scored = table(s, dir, "documents")
+      val grouped = table(s, dir, "documents")
         .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
           round(size(array_intersect(toks, typedlit(en)))
             .cast("double") / size(toks), 6).as("s"))
-      val ties = Window.partitionBy("s")
-      val ranked = scored
-        .withColumn("rn", row_number().over(Window.orderBy("s")).cast("long"))
-        .withColumn("ar2", min(col("rn")).over(ties) + max(col("rn")).over(ties))
-      ranked.agg(
-          sum(col("y")).as("n_pos"),
-          (count(lit(1)) - sum(col("y"))).as("n_neg"),
-          sum(when(col("y") === 1, col("ar2")).otherwise(lit(0L))).as("__rp2"))
+        .groupBy(col("s")).agg(
+          count(lit(1)).as("__n"), sum(col("y")).as("__np"))
+      // inclusive prefix count over ascending score; for a score group:
+      // min_rank + max_rank = (cum−n+1) + cum = 2·cum − n + 1
+      graft.operators.GlobalRank
+        .prefixSum(grouped, Seq(col("s")), col("__n"), "__cum")
+        .agg(
+          sum(col("__np")).as("n_pos"),
+          (sum(col("__n")) - sum(col("__np"))).as("n_neg"),
+          sum(col("__np") *
+            (lit(2L) * col("__cum") - col("__n") + lit(1L))).as("__rp2"))
         .select(col("n_pos"), col("n_neg"),
           round((col("__rp2") - col("n_pos") * (col("n_pos") + 1))
               .cast("double") /
@@ -1019,9 +1023,10 @@ object TextQueries {
     // check to eval_auc's ranking view. Scores are 6dp-rounded and
     // DECIMAL-summed (exact); rates are integer ratios; the gap is a
     // subtraction of the two already-rounded outputs. NTILE ordered by
-    // (score, doc_id) so tied scores split deterministically.
+    // (score, doc_id) so tied scores split deterministically — computed
+    // by the distributed [[GlobalRank.ntile]] (range-partitioned rank +
+    // broadcast offsets), never a single-partition window.
     "eval_calibration" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val en = Seq("the", "a", "of", "and", "to", "in", "is", "with")
       val toks = array_distinct(split(lower(col("text")), "\\s+"))
       val scored = table(s, dir, "documents")
@@ -1029,8 +1034,8 @@ object TextQueries {
           when(col("lang") === "en", 1L).otherwise(0L).as("y"),
           round(size(array_intersect(toks, typedlit(en)))
             .cast("double") / size(toks), 6).as("s"))
-      scored
-        .withColumn("bin", ntile(10).over(Window.orderBy("s", "doc_id")))
+      graft.operators.GlobalRank
+        .ntile(scored, Seq(col("s"), col("doc_id")), 10, "bin")
         .groupBy("bin").agg(
           count(lit(1)).as("n"),
           round(sum(dec(col("s"))).cast("double") / count(lit(1)), 6)
@@ -1044,19 +1049,23 @@ object TextQueries {
     // shuffled by the portable hash, then round-robin interleaved — any
     // prefix of the resulting order carries the full stratum mix, the
     // anti-catastrophic-drift guarantee a source-ordered corpus lacks.
-    // Pure window arithmetic over (rank-in-stratum, stratum), so the
-    // whole ordering replays in SQL; stable across layout and re-ingest
-    // like every portable-hash op.
+    // The in-stratum rank is a per-language window (naturally
+    // partitioned); the TOTAL order over (rank, stratum) — inherently a
+    // global row_number — is a distributed [[GlobalRank.rowNumber]]
+    // (range-partitioned rank + broadcast offsets), so the interleave
+    // replays in SQL yet never funnels the corpus through one task.
     "sample_curriculum" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val k = graft.operators.Sampling.portableSplitBucket(
         col("doc_id"), seed = 13L, denom = 1000003)
-      table(s, dir, "documents")
+      val strat = table(s, dir, "documents")
         .withColumn("__k", k)
         .withColumn("r", row_number().over(
           Window.partitionBy("lang").orderBy(col("__k"), col("doc_id"))))
-        .withColumn("order_idx", row_number().over(
-          Window.orderBy(col("r"), col("lang"))))
+        .select(col("doc_id"), col("lang"), col("r"))
+      graft.operators.GlobalRank
+        .rowNumber(strat, Seq(col("r"), col("lang")), "order_idx")
+        .withColumn("order_idx", col("order_idx").cast("int"))
         .select(col("doc_id"), col("lang"), col("r"), col("order_idx"))
         .orderBy("order_idx")
     },

@@ -371,18 +371,24 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\+- Exchange".r.findAllIn(p2).size <= 2, p2.take(1200))
   }
 
-  test("eval_auc / eval_calibration: global rank windows are the eval-scale contract") {
-    // Both metrics rank the WHOLE input through one window task — correct
-    // for an eval slice (their contract), corpus-hostile by construction.
-    // This pin exists so a refactor that feeds them something unbounded
-    // trips a human: the global Window must still be there (no silent
-    // semantic rewrite), and nothing else in the plan may go cartesian.
-    val p1 = plan("eval_auc")
-    assert(p1.contains("Window"), p1.take(600))
-    assert(!p1.contains("CartesianProduct"), p1.take(600))
-    val p2 = plan("eval_calibration")
-    assert(p2.contains("Window"), p2.take(600))
-    assert(!p2.contains("CartesianProduct"), p2.take(600))
+  test("no single-partition WindowExec anywhere in the ex-global-window six") {
+    // Round-8 verdict: these six funneled a whole entity table through ONE
+    // window task. All now ride operators.GlobalRank (range-partitioned
+    // rank + broadcast offsets) — assert the rewires stick. sparkPlan, not
+    // executedPlan: under AQE the executed plan is an AdaptiveSparkPlanExec
+    // LEAF whose inner tree collect() never visits (GlobalRankSpec's
+    // negative control proves this collector sees windows).
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("eval_auc", "eval_calibration", "sample_curriculum",
+        "q51_rfm", "q52_pareto", "profile_gini")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val bad = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$q still has a single-partition window")
+      assert(!df.queryExecution.sparkPlan.toString.contains("CartesianProduct"),
+        s"$q went cartesian")
+    }
   }
 
   test("mview_join_incremental: delta joins are equi; state merge is hash agg") {
