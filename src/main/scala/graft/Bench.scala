@@ -164,9 +164,15 @@ object Bench {
     // ("n_omitted" cheapest queries summarized as "omitted_sum", so
     // value == sum(queries) + omitted_sum still audits). The full map is
     // never lost: diagnostics line above + bench_full.json next to it.
+    // anchors + spread ride INSIDE bench_full.json: the driver's stdout
+    // tail truncates the diagnostics line away (lost in r7/r8), and the
+    // anchors' whole purpose is cross-session normalization from the
+    // COMMITTED artifacts.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
-      (line(r).dropRight(1) + s""","shuffle_mb":$shuf}""" + "\n")
+      (line(r).dropRight(1) +
+        s""","shuffle_mb":$shuf,"anchor_cpu":$aCpu,"anchor_spark":$aSpark""" +
+        s""","spread_mean":$spreadMean,"trials":$trials}""" + "\n")
         .getBytes("UTF-8"))
     catch { case _: Throwable => () } // emission must never kill the bench
     println(primaryLine(names, med, total, sfName))

@@ -204,7 +204,12 @@ object Graft {
     reg.createOrReplaceTempFunction("graft_cms_estimate",
       (es: Seq[Expression]) => CmsEstimate(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_kmv_sketch",
-      (es: Seq[Expression]) => KmvSketchAgg(es.head).toAggregateExpression(), "built-in")
+      // optional 2nd arg: literal k (accuracy knob, error ~ 1/sqrt(k-2))
+      (es: Seq[Expression]) => {
+        val k = if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue
+                else Kmv.K
+        KmvSketchAgg(es.head, k).toAggregateExpression()
+      }, "built-in")
     reg.createOrReplaceTempFunction("graft_kmv_merge",
       (es: Seq[Expression]) => KmvMergeAgg(es.head).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_kmv_estimate",

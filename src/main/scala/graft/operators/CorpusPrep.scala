@@ -177,8 +177,11 @@ object CorpusPrep {
       if (cfg.packNextFit) {
         require(cfg.ragChunkWin <= 0,
           "packNextFit packs at document grain; chunk grain uses offset shards")
+        // injective key — concat_ws would merge ("train", NULL) with
+        // ("train", "") and let a '|' inside lang fuse distinct groups,
+        // silently interleaving packing across shards (round-8 advice)
         val withGrp = unit.withColumn("__grp",
-          concat_ws("|", col("split"), col(langCol)))
+          Packing.groupKey(col("split"), col(langCol)))
         val assign = Packing.nextFit(withGrp, "__grp", idCol, "n_tokens",
             cfg.tokensPerShard)
           .select(col("id").as(idCol), col("seq_id").as("shard_id"))

@@ -47,9 +47,15 @@ object GlobalRank {
     val p =
       if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint (not persist): if blocks are lost the job FAILS
+    // LOUDLY instead of silently recomputing the range exchange with
+    // freshly-sampled (possibly different) boundaries under one branch.
+    // eager = false: materialization folds into the first action (the
+    // offsets broadcast build) instead of costing its own job at
+    // query-construction time.
     df.repartitionByRange(p, sort: _*)
       .withColumn("__grpid", spark_partition_id())
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
   }
 
   /** Per-partition totals of `weight` → exclusive running offset per
@@ -112,6 +118,45 @@ object GlobalRank {
           .otherwise(rem + (rn - lit(1L) - cut) / greatest(base, lit(1L)) + 1)
           .cast("int"))
       .drop("__grpid", "__grpoff", "__grploc", "__grptot")
+  }
+
+  /** Exact interpolated quantiles of `value` over the WHOLE table,
+    * computed distributed: rank by value via the [[rowNumber]] machinery,
+    * broadcast the total, and fetch each prob's two bracketing ranks with
+    * one bounded broadcast probe — no task ever holds the column in
+    * memory, unlike `percentile`, whose aggregation buffer IS the whole
+    * group (a real OOM at 10¹⁰-row groups; `percentile_approx` trades
+    * exactness away instead). Ties are harmless: row_number among equal
+    * values is arbitrary but the value AT any such rank is identical, so
+    * the output is deterministic. Interpolation matches SQL
+    * QUANTILE_CONT / percentile_cont exactly: pos = p·(N−1),
+    * v = v_lo + (v_hi − v_lo)·(pos − ⌊pos⌋) — shared-text replayable.
+    *
+    * @return (prob DOUBLE, p_value DOUBLE unrounded), one row per prob. */
+  def quantileCont(df: DataFrame, value: Column, probs: Seq[Double],
+      partitions: Int = 0): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0, 1], got $probs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = rowNumber(df.select(value.cast("double").as("__v")),
+      Seq(col("__v")), "__r", partitions)
+    val total = ranked.agg(max(col("__r")).as("__n"))
+    val brackets = probs.toDF("prob")
+      .crossJoin(total)
+      .withColumn("__pos", col("prob") * (col("__n") - 1))
+      .withColumn("__lo", floor(col("__pos")) + 1)
+      .withColumn("__hi", ceil(col("__pos")) + 1)
+    ranked
+      .join(broadcast(brackets),
+        col("__r") === col("__lo") || col("__r") === col("__hi"))
+      .groupBy(col("prob"), col("__pos"))
+      .agg(min(when(col("__r") === col("__lo"), col("__v"))).as("__vlo"),
+        min(when(col("__r") === col("__hi"), col("__v"))).as("__vhi"))
+      .select(col("prob"),
+        (col("__vlo") + (col("__vhi") - col("__vlo")) *
+          (col("__pos") - floor(col("__pos")))).as("p_value"))
+      .orderBy("prob")
   }
 
   /** Distributed inclusive running sum of `value` over the total order

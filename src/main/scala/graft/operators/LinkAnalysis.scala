@@ -450,6 +450,15 @@ object LinkAnalysis {
     * before the 2³² fold — node ids must stay < 2⁶³/(W·(L+1)) or Spark
     * wraps silently while an overflow-checked SQL replay errors.
     *
+    * Degree contract: the draw is `bucket mod degree` with bucket
+    * uniform on [0, 1000003), so a node's degree (or, in
+    * [[biasedWalks]], its total candidate WEIGHT) must stay well below
+    * ~10⁶: at degree ≥ 1000003 the tail of the id-ranked neighbor list
+    * is unreachable, and as degree approaches it the modulo bias skews
+    * transitions (≤0.1 % skew at degree 1000 — negligible; material
+    * past ~10⁵). Hub-heavy graphs should split mega-hubs (PageRank's
+    * `hubSplit` pattern) or contract them before walking.
+    *
     * @return (start BIGINT, walk INT, step INT, node BIGINT) — step 0 is
     *         the start node; (length+1) rows per walk. */
   def randomWalks(
@@ -807,6 +816,48 @@ object LinkAnalysis {
     dist
   }
 
+  /** One LPA plurality vote: per-node argmax (count DESC, label ASC) over
+    * incoming (node, label) messages — map-merge form: ONE node-keyed
+    * aggregateByKey whose combiner holds a per-node label→count map.
+    * Shuffle-count intuition said this should win (one shuffle vs two),
+    * but the ScaleSmoke "labelprop-vote" profile says otherwise: the
+    * LongMap-per-node combiner's allocation + map serialization costs
+    * ~2× the extra primitive-pair shuffle of [[votePreReduce]]
+    * (9.7–11.6 s vs 4.9–6.7 s on 10M messages, interleaved runs,
+    * identical checksums). Retained for the profile harness only; the
+    * production vote is [[votePreReduce]]. */
+  private[graft] def voteMapMerge(msgs: RDD[(Long, Long)],
+      part: org.apache.spark.Partitioner): RDD[(Long, Long)] = msgs
+    .aggregateByKey(
+      scala.collection.mutable.LongMap.empty[Long], part)(
+      (m, lab) => { m(lab) = m.getOrElse(lab, 0L) + 1L; m },
+      (a, b) => { b.foreach { case (lab, c) =>
+        a(lab) = a.getOrElse(lab, 0L) + c }; a })
+    .mapValues { m =>
+      var bestLab = Long.MaxValue; var bestC = -1L
+      m.foreach { case (lab, c) =>
+        if (c > bestC || (c == bestC && lab < bestLab)) {
+          bestLab = lab; bestC = c
+        }
+      }
+      bestLab
+    }
+
+  /** THE production vote (see [[voteMapMerge]] for the profile that
+    * picked it): pre-reduce (node, label) pair counts — map-side combine
+    * on the pair key collapses duplicate messages to primitive tuples —
+    * then a second node-keyed argmax reduce whose records are one
+    * (label, count) pair per node per map partition. Two shuffles, but
+    * both ship flat primitives; no per-node map objects anywhere. */
+  private[graft] def votePreReduce(msgs: RDD[(Long, Long)],
+      part: org.apache.spark.Partitioner): RDD[(Long, Long)] = msgs
+    .map { case (n, lab) => ((n, lab), 1L) }
+    .reduceByKey(new HashPartitioner(part.numPartitions), _ + _)
+    .map { case ((n, lab), c) => (n, (lab, c)) }
+    .reduceByKey(part, (x, y) =>
+      if (x._2 > y._2 || (x._2 == y._2 && x._1 < y._1)) x else y)
+    .mapValues(_._1)
+
   def labelPropagation(
       pairs: DataFrame,
       leftCol: String,
@@ -840,23 +891,12 @@ object LinkAnalysis {
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     e.unpersist(blocking = false)
-    // one plurality vote: node-sized aggregateByKey of per-node label
-    // counts (map-side combined), argmax (count DESC, label ASC) inline
-    def vote(msgs: RDD[(Long, Long)]): RDD[(Long, Long)] = msgs
-      .aggregateByKey(
-        scala.collection.mutable.LongMap.empty[Long], part)(
-        (m, lab) => { m(lab) = m.getOrElse(lab, 0L) + 1L; m },
-        (a, b) => { b.foreach { case (lab, c) =>
-          a(lab) = a.getOrElse(lab, 0L) + c }; a })
-      .mapValues { m =>
-        var bestLab = Long.MaxValue; var bestC = -1L
-        m.foreach { case (lab, c) =>
-          if (c > bestC || (c == bestC && lab < bestLab)) {
-            bestLab = lab; bestC = c
-          }
-        }
-        bestLab
-      }
+    // one plurality vote — pair pre-reduce form, kept after profiling both
+    // candidates on the 10M-message smoke stream (ScaleSmoke
+    // "labelprop-vote": pre-reduce 4.9–6.7 s vs map-merge 9.7–11.6 s,
+    // interleaved runs, identical checksums; see NEXT.md)
+    def vote(msgs: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      votePreReduce(msgs, part)
     // the graph is symmetrized, so every node appears as a source; the
     // round-1 message's label is the sender's id — no join needed
     var labels: RDD[(Long, Long)] =

@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Injective multi-column group key for [[nextFit]]: each component is
+    * null-tagged and length-prefixed (`N;` for NULL, `V<len>;<value>`
+    * otherwise), so — unlike `concat_ws`, which DROPS nulls and lets a
+    * delimiter inside a value merge distinct groups — no two distinct
+    * column tuples ever collide ("train"+NULL ≠ "train"+"" and
+    * ("a|b","c") ≠ ("a","b|c")). */
+  def groupKey(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    concat(cols.map { c0 =>
+      val c = c0.cast("string")
+      when(c.isNull, lit("N;"))
+        .otherwise(concat(lit("V"), length(c), lit(";"), c))
+    }: _*)
+
   /** Next-fit packing of rows into capacity-bounded sequences per group.
     *
     * A row larger than `capacity` gets a sequence of its own (it opens a

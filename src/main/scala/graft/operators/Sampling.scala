@@ -329,8 +329,12 @@ object Sampling {
       s"replicates must be in [1, 10000] (got $replicates)")
     val withR = df.withColumn("replicate",
       explode(array((0 until replicates).map(lit): _*)))
+    // long-cast BEFORE the multiply (the randomWalks discipline): an
+    // IntegerType key would otherwise wrap at 2³¹ — far below the
+    // documented 2⁶³/replicates contract — silently corrupting the draw
     val bucket = portableSplitBucket(
-      keyCol * replicates + col("replicate"), seed, denom = 1000000)
+      keyCol.cast("long") * replicates + col("replicate"), seed,
+      denom = 1000000)
     val k = poissonCdf1e6.zipWithIndex.foldRight(lit(poissonCdf1e6.length)) {
       case ((thr, i), rest) => when(bucket < thr, lit(i)).otherwise(rest)
     }

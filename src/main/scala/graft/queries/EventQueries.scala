@@ -363,11 +363,14 @@ object EventQueries {
     // Seasonal decomposition (hour-of-day profile): the 24-row seasonal
     // means of the hourly count series plus the exact share of variance
     // the daily cycle explains — the "is there a daily rhythm worth
-    // modeling?" check before q48's trend smoother. The 720-hour window
-    // is exactly 30 days, so every hour-of-day has 30 samples and both
-    // sums of squares reduce to INTEGER sufficient statistics
-    // (30·SSR = 30Σc² − Σsₕ²; N·SST = NΣc² − S²); variance explained is
-    // one shared-text double expression. Facts aggregate once.
+    // modeling?" check before q48's trend smoother. The integer
+    // sufficient-statistics identity n·SSR = nΣc² − Σsₕ² requires a
+    // UNIFORM per-hod sample count, so n comes from the data (min=max
+    // guard) rather than assuming a 30-day window: an unaligned window
+    // yields NULL var_explained instead of a silently-wrong ratio
+    // (round-8 advice). N·SST = NΣc² − S² needs no such guard. The
+    // fixture's 720-hour window gives n = 30 everywhere, so the guard is
+    // pure insurance there. Facts aggregate once.
     "q56_seasonality" -> { (s, dir) =>
       val hourly = table(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hr"))
@@ -378,15 +381,17 @@ object EventQueries {
         sum(col("c") * col("c")).as("s2"))
       val tot = perHod.agg(sum(col("n")).as("__N"), sum(col("s")).as("__S"),
         sum(col("s2")).as("__C2"),
-        sum(col("s") * col("s")).as("__SH2"))
+        sum(col("s") * col("s")).as("__SH2"),
+        min(col("n")).as("__nlo"), max(col("n")).as("__nhi"))
       perHod.crossJoin(broadcast(tot))
         .select(col("hod"), col("n"), col("s").as("sum_c"),
           round(col("s") / col("n"), 6).as("seasonal_mean"),
-          round(lit(1.0) -
-            (col("__N") * (lit(30L) * col("__C2") - col("__SH2")))
+          when(col("__nlo") === col("__nhi"), round(lit(1.0) -
+            (col("__N") * (col("__nlo") * col("__C2") - col("__SH2")))
               .cast("double") /
-            (lit(30.0) * (col("__N") * col("__C2") - col("__S") * col("__S"))),
-            6).as("var_explained"))
+            (col("__nlo").cast("double") *
+              (col("__N") * col("__C2") - col("__S") * col("__S"))),
+            6)).as("var_explained"))
         .orderBy("hod")
     },
 
@@ -685,15 +690,18 @@ object EventQueries {
          tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
                    CAST(SUM(s) AS BIGINT) AS ss,
                    CAST(SUM(s2) AS BIGINT) AS c2,
-                   CAST(SUM(s * s) AS BIGINT) AS sh2
+                   CAST(SUM(s * s) AS BIGINT) AS sh2,
+                   CAST(MIN(n) AS BIGINT) AS nlo,
+                   CAST(MAX(n) AS BIGINT) AS nhi
                  FROM per)
          SELECT CAST(per.hod AS INTEGER) AS hod, per.n,
            CAST(per.s AS BIGINT) AS sum_c,
            ROUND(CAST(per.s AS BIGINT) / per.n, 6) AS seasonal_mean,
-           ROUND(1.0 -
-             CAST(tot.nn * (30 * tot.c2 - tot.sh2) AS DOUBLE)
-               / (30.0 * (tot.nn * tot.c2 - tot.ss * tot.ss)), 6)
-             AS var_explained
+           CASE WHEN tot.nlo = tot.nhi THEN ROUND(1.0 -
+             CAST(tot.nn * (tot.nlo * tot.c2 - tot.sh2) AS DOUBLE)
+               / (CAST(tot.nlo AS DOUBLE) *
+                  (tot.nn * tot.c2 - tot.ss * tot.ss)), 6)
+           END AS var_explained
          FROM per CROSS JOIN tot ORDER BY hod""",
 
     "eval_ab_test" ->

@@ -21,6 +21,28 @@ import graft.queries.dec
   * At scale: event-time aggregation state is partitioned by (window, keys)
   * in the state store; watermarks bound state size; `dropDuplicates` dedup
   * state is similarly watermark-bounded.
+  *
+  * == Twin-inventory completeness ==
+  * Every batch analytics query with watermark-boundable state has a
+  * streaming twin here. Two STAY batch-only by design, so the inventory
+  * is explicitly complete rather than silently partial:
+  *
+  *  - `q54_survival` (Kaplan–Meier): the survival curve at time t is a
+  *    PRODUCT over all earlier event times of (1 − dᵢ/nᵢ), where the
+  *    at-risk count nᵢ shrinks with every event AND every censoring. A
+  *    late event re-weights every LATER factor — the output is not an
+  *    accumulation of per-window state but a full-history order statistic,
+  *    so no watermark can finalize any curve point while earlier times can
+  *    still arrive; a "streaming" KM is just a periodic batch recompute
+  *    (which `Mview.maintain`'s checkpointed foreachBatch already gives).
+  *  - `q55_assoc_rules` (support/confidence/lift): support counts are
+  *    joint frequencies over ALL baskets ever seen, and a rule's
+  *    confidence/lift divides two such global counts; admitting a rule
+  *    needs the FINAL support, which only exists when the corpus is
+  *    closed. Incremental pair-count STATE is easy (the co-purchase
+  *    matrix is a running sum) but the rule DECISIONS (support ≥ s,
+  *    top-k by lift) are only meaningful per snapshot — again the
+  *    mview-maintain pattern, not a watermarked operator.
   */
 object EventStreams {
 

@@ -248,4 +248,24 @@ class EdgeCaseSpec extends SparkSpec {
       assert(node === expect, s"walk from $start step $step")
     }
   }
+
+  test("native approx profiling: HLL++ distinct and approx percentile " +
+      "land within tolerance of exact (the A8 surface the replaced " +
+      "q27_profile_approx exercised)") {
+    // implementation-defined floats can't be oracle-hashed (why the query
+    // was replaced by profile_approx_kmv) but the operators must still
+    // work: 2% HLL++ default rsd, percentile_approx within one
+    // accuracy-step of the exact interpolated percentile
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val row = li.agg(
+      approx_count_distinct(col("l_partkey")).as("ad"),
+      percentile_approx(col("l_quantity").cast("double"), lit(0.5),
+        lit(10000)).as("ap"),
+      countDistinct(col("l_partkey")).as("ed"),
+      percentile(col("l_quantity"), lit(0.5)).as("ep")).head
+    val (ad, ed) = (row.getLong(0), row.getLong(2))
+    assert(math.abs(ad - ed.toDouble) / ed < 0.05, s"approx $ad vs exact $ed")
+    assert(math.abs(row.getDouble(1) - row.getDouble(3)) <= 1.0,
+      s"approx p50 ${row.getDouble(1)} vs exact ${row.getDouble(3)}")
+  }
 }

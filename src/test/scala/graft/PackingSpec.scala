@@ -51,4 +51,17 @@ class PackingSpec extends SparkSpec {
     assert(a(("y", 2L)) === 0L && a(("y", 4L)) === 1L)
     assert(pack(rows.reverse, 256, repart = 5) === a)
   }
+
+  test("groupKey is injective: nulls and delimiter-bearing values never merge") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("train", null.asInstanceOf[String]), ("train", ""),
+      ("a|b", "c"), ("a", "b|c"), ("a", "bc"), ("ab", "c"),
+      (null.asInstanceOf[String], "x"), ("", "x"))
+    val keys = rows.toDF("s", "l")
+      .select(graft.operators.Packing.groupKey(col("s"), col("l")))
+      .as[String].collect()
+    assert(keys.distinct.length === rows.length,
+      s"collision among ${keys.mkString(", ")}")
+  }
 }
