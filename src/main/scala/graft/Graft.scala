@@ -176,6 +176,26 @@ object Graft {
       bOld: DataFrame, bDelta: DataFrame, joinKeys: Seq[String]): DataFrame =
     Mview.joinDelta(aOld, aDelta, bOld, bDelta, joinKeys)
 
+  // ----- distributed total-order primitives ------------------------------
+  // Whole-table row_number/ntile/running-sum/exact-quantiles WITHOUT a
+  // single-partition window sort (operators.GlobalRank: range exchange +
+  // broadcast offsets) — the primitive behind the engine's RFM/Pareto/
+  // Gini/AUC/calibration/curriculum queries, promoted to the facade so
+  // library users reach it without the internal package path.
+  def globalRowNumber(df: DataFrame, sort: Seq[Column], out: String): DataFrame =
+    GlobalRank.rowNumber(df, sort, out)
+
+  def globalNtile(df: DataFrame, sort: Seq[Column], n: Int, out: String): DataFrame =
+    GlobalRank.ntile(df, sort, n, out)
+
+  def globalPrefixSum(df: DataFrame, sort: Seq[Column], value: Column,
+      out: String): DataFrame =
+    GlobalRank.prefixSum(df, sort, value, out)
+
+  def globalQuantileCont(df: DataFrame, value: Column,
+      probs: Seq[Double]): DataFrame =
+    GlobalRank.quantileCont(df, value, probs)
+
   def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
   def cosine(a: Column, b: Column): Column = VectorOps.cosine(a, b)
   def l2Normalize(a: Column): Column = VectorOps.l2Normalize(a)
@@ -204,10 +224,26 @@ object Graft {
     reg.createOrReplaceTempFunction("graft_cms_estimate",
       (es: Seq[Expression]) => CmsEstimate(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_kmv_sketch",
-      // optional 2nd arg: literal k (accuracy knob, error ~ 1/sqrt(k-2))
+      // optional 2nd arg: literal k (accuracy knob, error ~ 1/sqrt(k-2));
+      // validated at function-resolution time with a descriptive error —
+      // a NULL, non-foldable, or non-integral k must not surface as a
+      // bare NPE/ClassCastException from eval()
       (es: Seq[Expression]) => {
-        val k = if (es.length > 1) es(1).eval().asInstanceOf[Number].intValue
-                else Kmv.K
+        val k = if (es.length > 1) {
+          val e = es(1)
+          def bad(what: String) = throw new IllegalArgumentException(
+            s"graft_kmv_sketch: k must be a literal integer " +
+              s"(e.g. graft_kmv_sketch(h, 256)); got $what: ${e.sql}")
+          if (!e.foldable) bad("a non-literal expression")
+          e.eval() match {
+            case null => bad("NULL")
+            case i: java.lang.Integer => i.intValue
+            case l: java.lang.Long => l.intValue
+            case s: java.lang.Short => s.intValue
+            case b: java.lang.Byte => b.intValue
+            case other => bad(s"a ${other.getClass.getSimpleName} value")
+          }
+        } else Kmv.K
         KmvSketchAgg(es.head, k).toAggregateExpression()
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_kmv_merge",

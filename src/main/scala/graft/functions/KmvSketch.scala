@@ -29,6 +29,14 @@ import org.apache.spark.sql.types._
   * silently produce a biased sample), and the estimator needs no
   * side-channel k.
   *
+  * FORMAT BREAK (round 9): the 4-byte k header is an incompatible change
+  * to the sketch wire/storage format. Pre-header sketch bytes (persisted
+  * sketch columns, streaming state from `distinctUsersKmv` checkpoints)
+  * fail [[Kmv.deserialize]]'s length check LOUDLY (an old headerless
+  * payload has length % 8 == 0, which can never satisfy
+  * (length − 4) % 8 == 0) — the right failure mode, but it means old
+  * sketches must be RECOMPUTED from source, not resumed or merged.
+  *
   *  - [[KmvSketchAgg]]: aggregates a pre-hashed LongType column (feed
   *    `xxhash64(cols...)` — FULL-range hashes; the estimate assumes a
   *    uniform 2⁶⁴ domain) into the k smallest distinct values;

@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.LongType
 
 /** Distributed total-order primitives: `row_number`, `ntile`, and running
@@ -39,6 +41,15 @@ import org.apache.spark.sql.types.LongType
   * before ranking — the checkpoint materializes whatever it is given.
   */
 object GlobalRank {
+
+  /** Integral (long) division — `a div b`, integer arithmetic end to end.
+    * The fractional `/` is a double Divide whose cast-truncation equals
+    * floor division only while quotients stay below ~2⁵³; a primitive
+    * advertising exact SQL-NTILE arithmetic must not rest on FP rounding.
+    * All ntile operands are non-negative, so truncation == floor. */
+  private def ldiv(a: Column, b: Column): Column =
+    ColumnBridge.column(new IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Range-partition `df` by `sort`, pin the layout, and tag each row with
     * its (now-stable) partition id. */
@@ -101,7 +112,7 @@ object GlobalRank {
     val off = offsets(tagged, lit(1L))
     val total = off
       .agg(max(col("__grpoff") + col("__grpc")).as("__grptot"))
-    val base = (col("__grptot") / n).cast(LongType)     // ⌊c/n⌋
+    val base = ldiv(col("__grptot"), lit(n.toLong))      // ⌊c/n⌋
     val rem = col("__grptot") % n                        // first rem buckets +1
     val cut = rem * (base + lit(1L))                     // rows in fat buckets
     val rn = col("__grpoff") + col("__grploc")
@@ -114,8 +125,8 @@ object GlobalRank {
         .cast(LongType))
       .withColumn(out,
         when(col("__grptot") <= n, rn) // every bucket has ≤1 row
-          .when(rn <= cut, (rn - 1) / (base + lit(1L)) + 1)
-          .otherwise(rem + (rn - lit(1L) - cut) / greatest(base, lit(1L)) + 1)
+          .when(rn <= cut, ldiv(rn - 1, base + lit(1L)) + 1)
+          .otherwise(rem + ldiv(rn - lit(1L) - cut, greatest(base, lit(1L))) + 1)
           .cast("int"))
       .drop("__grpid", "__grpoff", "__grploc", "__grptot")
   }
@@ -163,15 +174,32 @@ object GlobalRank {
     * `sort`, as column `out` typed like `sum(value)` — callers pass an
     * exact type (long / decimal) when bit-replayability matters, since a
     * double prefix sum is order-exact here but loses exactness to
-    * representation. */
+    * representation.
+    *
+    * NON-NULL CONTRACT on `value`: a null would make this diverge from
+    * the global running window it is bit-equal to (a partition whose
+    * local prefix is all-null would yield null where the global window
+    * returns the earlier partitions' sum — and no local fix can know
+    * whether an earlier partition held a non-null). Enforced per row:
+    * a null raises rather than silently mis-summing. Callers pass
+    * counts/weights; `coalesce` at the call-site if nulls mean zero. */
   def prefixSum(df: DataFrame, sort: Seq[Column], value: Column, out: String,
       partitions: Int = 0): DataFrame = {
     val tagged = ranged(df, sort, partitions)
     val off = offsets(tagged, value)
+    // The guard lives INSIDE the summed expression, so column pruning
+    // cannot drop it; the otherwise-branch raises only when a null row is
+    // actually summed, and the when/otherwise result type is exactly
+    // `value`'s type (no decimal-precision widening of the output).
+    val vt = tagged.select(value.as("__v")).schema.head.dataType
+    val guarded = when(value.isNotNull, value).otherwise(
+      raise_error(lit("GlobalRank.prefixSum: value contains NULL — " +
+        "non-null contract (coalesce at the call-site if nulls mean zero)"))
+        .cast(vt))
     tagged
       .join(broadcast(off.select(col("__grpid"), col("__grpoff"))),
         Seq("__grpid"))
-      .withColumn(out, col("__grpoff") + sum(value)
+      .withColumn(out, col("__grpoff") + sum(guarded)
         .over(Window.partitionBy(col("__grpid")).orderBy(sort: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__grpid", "__grpoff")

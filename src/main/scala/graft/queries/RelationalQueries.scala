@@ -1148,11 +1148,21 @@ object RelationalQueries {
         .select(col("o_custkey"),
           datediff(col("__today"), col("__last")).as("recency_days"),
           col("frequency"), col("monetary"))
-      def q(df: DataFrame, metric: String, out: String) =
-        graft.operators.GlobalRank.ntile(df,
+      // Three DISTINCT total orders need three ntile passes — but not
+      // three serial materializations of an ever-wider chain: the rollup
+      // is pinned once, each pass ranks a SLIM (key, metric) projection
+      // of it (GlobalRank checkpoints what it is given), and the three
+      // quintile columns hash-join back on the customer key.
+      val base = per.localCheckpoint(eager = false)
+      def q(metric: String, out: String) =
+        graft.operators.GlobalRank.ntile(
+          base.select(col("o_custkey"), col(metric)),
           Seq(col(metric), col("o_custkey")), 5, out)
-      val cut = q(q(q(per, "recency_days", "r_q"),
-        "frequency", "f_q"), "monetary", "m_q")
+          .select(col("o_custkey"), col(out))
+      val cut = base
+        .join(q("recency_days", "r_q"), Seq("o_custkey"))
+        .join(q("frequency", "f_q"), Seq("o_custkey"))
+        .join(q("monetary", "m_q"), Seq("o_custkey"))
       cut
         .withColumn("segment",
           concat(col("r_q"), col("f_q"), col("m_q")))

@@ -131,4 +131,19 @@ class GraftApiSpec extends SparkSpec {
     assert(sem.count() === emb.count())
     assert(sem.filter(col("keep") === 1).count() > 0)
   }
+
+  test("facade: globalRowNumber/globalNtile/globalPrefixSum/globalQuantileCont wire through") {
+    val df = (1 to 100).map(i => (i.toLong, (i * 37 % 100).toLong))
+      .toDF("id", "v")
+    val rn = Graft.globalRowNumber(df, Seq($"v", $"id"), "rn")
+    assert(rn.agg(min($"rn"), max($"rn")).as[(Long, Long)].head() === ((1L, 100L)))
+    val nt = Graft.globalNtile(df, Seq($"v", $"id"), 4, "q")
+    assert(nt.groupBy($"q").count().as[(Int, Long)].collect().toMap ===
+      Map(1 -> 25L, 2 -> 25L, 3 -> 25L, 4 -> 25L))
+    val ps = Graft.globalPrefixSum(df, Seq($"id"), $"v", "run")
+    assert(ps.filter($"id" === 100).select($"run").as[Long].head() ===
+      (1 to 100).map(i => (i * 37 % 100).toLong).sum)
+    val qc = Graft.globalQuantileCont(df, $"v", Seq(0.0, 0.5, 1.0))
+    assert(qc.count() === 3)
+  }
 }

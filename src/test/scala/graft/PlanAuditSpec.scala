@@ -391,6 +391,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("profile_quantiles_dist: the bracket probe broadcasts the |probs|-row side, never the ranked table") {
+    // quantileCont's OR-condition probe is a BroadcastNestedLoopJoin by
+    // construction — safe ONLY while the build (broadcast) side is the
+    // tiny brackets table. A future edit flipping the build side would
+    // broadcast the whole ranked column: assert the invariant on the plan.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val df = SparkEntry.queries("profile_quantiles_dist")(spark, sf0001)
+    val bnljs = df.queryExecution.sparkPlan.collect {
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnljs.nonEmpty, "bracket probe no longer a BNLJ — update this audit")
+    val builds = bnljs.map { b =>
+      (b.buildSide match {
+        case BuildRight => b.right
+        case BuildLeft => b.left
+      }).output.map(_.name).toSet
+    }
+    // offsets' triangular join (__pb/__cb, ≤P rows) is the other legal
+    // BNLJ; what must NEVER broadcast is the ranked value table
+    builds.foreach { buildOut =>
+      assert(!buildOut.contains("__v"),
+        s"BNLJ broadcasts the ranked VALUE table: $buildOut")
+    }
+    assert(builds.exists(b => b.contains("prob") || b.exists(_.startsWith("__lo"))),
+      s"no BNLJ broadcasts the brackets side: $builds")
+  }
+
   test("mview_join_incremental: delta joins are equi; state merge is hash agg") {
     val p = plan("mview_join_incremental")
     assert(!p.contains("CartesianProduct"), p.take(600))
