@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{AnnIvf, Dedup, Knn}
+import graft.operators.{AnnIvf, AnnIvfInt, Dedup, Knn}
 
 /** Vector-search surface: the reference's KNN semantics (inner product on
   * L2-normalized vectors, per-partition top-k, hierarchical merge,
@@ -35,6 +35,21 @@ object VectorQueries {
       val idx = AnnIvf.build(table(s, dir, "embeddings"), "vec_id", "embedding",
         nlist, seed)
       idx.copy(assigned = idx.assigned.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** Build-once registry for the integer fixed-point IVF twin
+    * ([[graft.operators.AnnIvfInt]]): same serve-many rationale as
+    * [[sharedIndex]]. nlist/iters are pinned here AND in [[IntKmeansSql]]
+    * — the oracle replays the identical training run. */
+  private val IntNlist = 8
+  private val IntIters = 3
+  private def sharedIntIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): AnnIvfInt.IntIndex =
+    sessionCached(s, ("ivf-int-index", dir, IntNlist, IntIters)) {
+      val ix = AnnIvfInt.build(table(s, dir, "embeddings"), "vec_id",
+        "embedding", IntNlist, IntIters)
+      ix.copy(assigned = ix.assigned.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
@@ -348,17 +363,20 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
-    // ANN end-to-end: k-means partitioning + nprobe search (not
-    // SQL-expressible — driver records the rows-only check).
+    // ANN end-to-end, ORACLE-CHECKED (round 10): the integer fixed-point
+    // IVF twin (AnnIvfInt — scaled-BIGINT quantization, seeded Lloyd's
+    // with the iteration count unrolled in the oracle SQL, argmax-dot
+    // routing, integer nprobe probe + top-k). The float production path
+    // (AnnIvf.search, gemm-blocked fp32) stays exercised by
+    // ann_search_verbose / knn_join_all / ann_pq_recall and KnnSpec;
+    // THIS query verifies the routing mechanics end to end vs DuckDB —
+    // the kcore/PageRank integer-replay discipline applied to k-means.
     "ann_ivf_search" -> { (s, dir) =>
-      val emb = table(s, dir, "embeddings")
-      val index = sharedIndex(s, dir)
-      AnnIvf.search(index,
-          queries = emb.filter(col("vec_id") < 5),
-          queryIdCol = "vec_id", vecCol = "embedding", k = 10, nprobe = 4)
-        .filter(col("vec_id") =!= col("query_id"))
+      val ix = sharedIntIndex(s, dir)
+      AnnIvfInt.search(ix, "vec_id", col("vec_id") < 5, k = 10, nprobe = 3,
+          excludeSelf = true)
         .select(col("query_id"), col("vec_id"), col("label"),
-          round(col("score"), 6).as("score"), col("rank").as("rnk"))
+          col("score_q"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     },
 
@@ -463,76 +481,69 @@ object VectorQueries {
         .orderBy("query_id", "partition_id")
     },
 
-    // Recall-vs-cost tuning surface: one row per nprobe in {1,2,4,8,16}
-    // with mean recall@10 against brute force AND the candidate rows the
-    // probe admits — the (nprobe, recall, cost) curve the reference
+    // Recall-vs-cost tuning surface, ORACLE-CHECKED (round 10): one row
+    // per nprobe in {1,2,4,8} over the integer fixed-point index with
+    // mean recall@10 against integer brute force AND the candidate rows
+    // the probe admits — the (nprobe, recall, cost) curve the reference
     // delegates to its nprobe / hnsw:search_ef knobs without ever
     // measuring (storage_factory.py:33, neighborhood_server.py:417-421).
-    // Rows-only (k-means is not SQL-expressible); monotonicity and the
-    // exact-at-nprobe=nlist endpoint are spec-asserted.
-    // Executed as ONE probe at the maximum sweep point with the probe rank
-    // kept: probing is a deterministic top-nprobe, so the top-np prefix of
-    // the top-16 probe IS the np-probe (prefix property) — every smaller
-    // sweep point becomes a rank filter on the same candidate join instead
-    // of its own probe+join+search (was 5 of each; ~2× faster and the same
-    // rows). Candidates explode into the sweep points that admit them
-    // (bounded ×|sweep|), one grouped window ranks all points together.
+    // Executed as ONE probe ranking at nlist with the rank kept: the
+    // top-np prefix of the full probe IS the np-probe (prefix property),
+    // so every sweep point is a rank filter on one shared candidate join.
+    // The mean is SUM(hits)/(10·|queries|) — one integer sum, one
+    // division — so no float accumulation order can flip a 4-dp round.
     "ann_nprobe_sweep" -> { (s, dir) =>
-      val sweepPts = Seq(1, 2, 4, 8, 16)
-      val emb = table(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 20)
-      val index = sharedIndex(s, dir)
-      val sizes = index.assigned.groupBy("partition_id")
-        .agg(count(lit(1)).as("__prows"))
-      val bf = Knn.bruteForce(emb, queries, "vec_id", "vec_id", "embedding",
-          k = 10, excludeSelf = false)
+      val sweepPts = Seq(1, 2, 4, 8)
+      val ix = sharedIntIndex(s, dir)
+      val pred = col("vec_id") < 20
+      val sizes = ix.assigned.groupBy("cid").agg(count(lit(1)).as("__prows"))
+      val bf = AnnIvfInt.bruteForce(ix, "vec_id", pred, k = 10)
         .select(col("query_id"), col("vec_id"))
-      val probed = Knn.topKPerGroup(
-          queries.select(col("vec_id").as("query_id"),
-              col("embedding").as("__query_vec"))
-            .crossJoin(broadcast(index.centroids))
-            .withColumn("pscore", VectorOps.dot(col("__query_vec"), col("centroid"))),
-          Seq(col("query_id")), sweepPts.max, desc("pscore"), asc("partition_id"))
-        .select(col("query_id"), col("partition_id"), col("__query_vec"),
-          col("rank").as("probe_rank"))
       val npCol = explode(array(sweepPts.map(lit): _*)).as("np")
-      val cands = broadcast(probed.withColumn("np", npCol)
-          .filter(col("probe_rank") <= col("np")))
-        .join(index.assigned, Seq("partition_id"))
-        .withColumn("score", VectorOps.dot(col("embedding"), col("__query_vec")))
-      val ann = Knn.topKPerGroup(
-        cands.select(col("np"), col("query_id"), col("vec_id"), col("score")),
-        Seq(col("np"), col("query_id")), 10, desc("score"), asc("vec_id"))
-      val recall = bf.join(ann, Seq("query_id", "vec_id"))
-        .groupBy("np", "query_id").agg((count(lit(1)) / 10.0).as("r"))
-        .groupBy("np").agg(round(avg(col("r")), 4).as("mean_recall_at_10"))
-      val cost = probed.withColumn("np", npCol)
+      val probed = AnnIvfInt.probeRanks(ix, "vec_id", pred)
+        .withColumn("np", npCol)
         .filter(col("probe_rank") <= col("np"))
-        .join(sizes, Seq("partition_id"))
+      val cands = broadcast(probed.select(col("np"), col("query_id"),
+          col("cid"), col("__qq")))
+        .join(ix.assigned, Seq("cid"))
+        .withColumn("score_q", AnnIvfInt.dotQ(col("__q"), col("__qq")))
+      val ann = Knn.topKPerGroup(
+        cands.select(col("np"), col("query_id"), col("vec_id"), col("score_q")),
+        Seq(col("np"), col("query_id")), 10, desc("score_q"), asc("vec_id"))
+      val hits = bf.join(ann, Seq("query_id", "vec_id"))
+        .groupBy("np").agg(count(lit(1)).as("__hits"))
+      val nq = ix.assigned.filter(pred).agg(count(lit(1)).as("__nq"))
+      val cost = probed.join(sizes, Seq("cid"))
         .groupBy("np").agg(sum(col("__prows")).as("candidate_rows"))
-      recall.join(cost, Seq("np"))
-        .select(col("np").as("nprobe"), col("mean_recall_at_10"),
+      cost.join(hits, Seq("np"), "left")
+        .crossJoin(broadcast(nq))
+        .select(col("np").as("nprobe"),
+          round(coalesce(col("__hits"), lit(0L)) / (col("__nq") * 10.0), 4)
+            .as("mean_recall_at_10"),
           col("candidate_rows"))
         .orderBy("nprobe")
     },
 
-    // ANN quality metric: recall@10 of nprobe=4 (of 16) vs brute force —
-    // the measurement a serving deployment tunes nprobe with. Rows-only.
+    // ANN quality metric, ORACLE-CHECKED (round 10): recall@10 of
+    // nprobe=4 (of 8) vs brute force over the integer fixed-point index —
+    // the measurement a serving deployment tunes nprobe with. The mean is
+    // SUM(hits)/(10·|queries|): exact integers up to one final division,
+    // and queries with zero recalled neighbors still count in the
+    // denominator (the avg-of-per-query form silently dropped them).
     "ann_recall_at_10" -> { (s, dir) =>
-      val emb = table(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 20)
-      val index = sharedIndex(s, dir)
-      val ann = AnnIvf.search(index, queries, "vec_id", "embedding",
-          k = 10, nprobe = 4, idCol = "vec_id")
+      val ix = sharedIntIndex(s, dir)
+      val pred = col("vec_id") < 20
+      val ann = AnnIvfInt.search(ix, "vec_id", pred, k = 10, nprobe = 4)
         .select(col("query_id"), col("vec_id"))
-      val bf = Knn.bruteForce(emb, queries, "vec_id", "vec_id", "embedding",
-          k = 10, excludeSelf = false)
+      val bf = AnnIvfInt.bruteForce(ix, "vec_id", pred, k = 10)
         .select(col("query_id"), col("vec_id"))
+      val nq = ix.assigned.filter(pred).agg(count(lit(1)).as("n_queries"))
       bf.join(ann, Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id").agg((count(lit(1)) / 10.0).as("recall_at_10"))
-        .groupBy().agg(
-          round(avg(col("recall_at_10")), 4).as("mean_recall"),
-          count(lit(1)).as("n_queries"))
+        .agg(count(lit(1)).as("__hits"))
+        .crossJoin(broadcast(nq))
+        .select(
+          round(col("__hits") / (col("n_queries") * 10.0), 4).as("mean_recall"),
+          col("n_queries"))
     },
 
     // Per-dimension embedding profile (the calibration scan behind SQ8's
@@ -689,7 +700,145 @@ object VectorQueries {
     },
   )
 
+  /** Shared oracle text for the integer fixed-point IVF twin: quantize →
+    * seeded init → [[IntIters]] unrolled Lloyd's rounds → final
+    * assignment, mirroring [[graft.operators.AnnIvfInt.build]] step for
+    * step (the kcore unrolled-round discipline). Produces CTEs `q`
+    * (vec_id, label, i, qv), `c$IntIters` (final centers: cid, i, cv) and
+    * `af` (final assignment: vec_id, cid). Floor division is written as
+    * ((s − ((s % n + n) % n)) // n) — the explicit non-negative-mod form
+    * whose value is engine-independent (the dividend is made exactly
+    * divisible, so `//` vs `div` truncation semantics cannot differ). */
+  private def intKmeansCtes: String = {
+    val rounds = (1 to IntIters).map { t =>
+      val prev = if (t == 1) "c0" else s"c${t - 1}"
+      s"""d$t AS (SELECT q.vec_id, c.cid, SUM(q.qv * c.cv) AS dot
+         FROM q JOIN $prev c ON c.i = q.i GROUP BY q.vec_id, c.cid),
+         a$t AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY dot DESC, cid) AS rn FROM d$t) WHERE rn = 1),
+         s$t AS (SELECT a.cid, q.i, SUM(q.qv) AS s, COUNT(*) AS n
+         FROM q JOIN a$t a ON a.vec_id = q.vec_id GROUP BY a.cid, q.i),
+         c$t AS (SELECT p.cid, p.i,
+           COALESCE(CAST((m.s - ((m.s % m.n + m.n) % m.n)) // m.n AS BIGINT),
+             p.cv) AS cv
+         FROM $prev p LEFT JOIN s$t m ON m.cid = p.cid AND m.i = p.i),"""
+    }.mkString("\n         ")
+    s"""q AS (SELECT vec_id, label, i, CAST(FLOOR(v * 1000000.0) AS BIGINT) AS qv
+         FROM (SELECT vec_id, label,
+                 UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+                 UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+               FROM embeddings)),
+         seeds AS (SELECT vec_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $IntNlist)),
+         c0 AS (SELECT s.cid, q.i, q.qv AS cv
+         FROM q JOIN seeds s ON s.vec_id = q.vec_id),
+         $rounds
+         df AS (SELECT q.vec_id, c.cid, SUM(q.qv * c.cv) AS dot
+         FROM q JOIN c$IntIters c ON c.i = q.i GROUP BY q.vec_id, c.cid),
+         af AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY dot DESC, cid) AS rn FROM df) WHERE rn = 1)"""
+  }
+
+  /** Probe CTEs over the final centers for queries `vec_id < $qmax`:
+    * `pd` (query_id, cid, ps) and `prk` (+ probe_rank). */
+  private def intProbeCtes(qmax: Int): String =
+    s"""pd AS (SELECT q.vec_id AS query_id, c.cid, SUM(q.qv * c.cv) AS ps
+         FROM q JOIN c$IntIters c ON c.i = q.i
+         WHERE q.vec_id < $qmax GROUP BY q.vec_id, c.cid),
+         prk AS (SELECT query_id, cid, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY ps DESC, cid) AS probe_rank
+         FROM pd)"""
+
+  /** All-pairs integer scores for queries `vec_id < $qmax`: `allsc`
+    * (query_id, vec_id, score_q) and the integer brute-force top-10 `bf`. */
+  private def intBruteForceCtes(qmax: Int): String =
+    s"""allsc AS (SELECT qa.vec_id AS query_id, qb.vec_id,
+           SUM(qa.qv * qb.qv) AS score_q
+         FROM q qa JOIN q qb ON qb.i = qa.i
+         WHERE qa.vec_id < $qmax GROUP BY qa.vec_id, qb.vec_id),
+         bf AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score_q DESC, vec_id) AS rn FROM allsc)
+         WHERE rn <= 10)"""
+
   val oracle: Map[String, String] = Map(
+    // Integer fixed-point IVF search replayed end to end: quantized
+    // training (unrolled Lloyd's), probe top-3 centers, score candidates
+    // in probed cells, top-10 per query — every value BIGINT-exact.
+    "ann_ivf_search" ->
+      s"""WITH $intKmeansCtes,
+         ${intProbeCtes(5)},
+         cand AS (SELECT p.query_id, a.vec_id
+         FROM (SELECT query_id, cid FROM prk WHERE probe_rank <= 3) p
+         JOIN af a ON a.cid = p.cid WHERE a.vec_id <> p.query_id),
+         sc AS (SELECT cd.query_id, cd.vec_id, SUM(qa.qv * qb.qv) AS score_q
+         FROM cand cd
+         JOIN q qa ON qa.vec_id = cd.query_id
+         JOIN q qb ON qb.vec_id = cd.vec_id AND qb.i = qa.i
+         GROUP BY cd.query_id, cd.vec_id)
+         SELECT query_id, vec_id, label, CAST(score_q AS BIGINT) AS score_q,
+           CAST(rn AS INTEGER) AS rnk FROM (
+           SELECT s.query_id, s.vec_id, e.label, s.score_q,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+               ORDER BY s.score_q DESC, s.vec_id) AS rn
+           FROM sc s JOIN embeddings e ON e.vec_id = s.vec_id)
+         WHERE rn <= 10 ORDER BY query_id, rnk""",
+
+    // Recall@10 at nprobe=4: hits between integer brute-force top-10 and
+    // the probed top-10; mean = SUM(hits)/(10·|queries|), one division.
+    "ann_recall_at_10" ->
+      s"""WITH $intKmeansCtes,
+         ${intProbeCtes(20)},
+         ${intBruteForceCtes(20)},
+         ann AS (SELECT query_id, vec_id FROM (
+           SELECT c.query_id, c.vec_id, ROW_NUMBER() OVER (
+             PARTITION BY c.query_id ORDER BY s.score_q DESC, c.vec_id) AS rn
+           FROM (SELECT p.query_id, a.vec_id
+                 FROM (SELECT query_id, cid FROM prk WHERE probe_rank <= 4) p
+                 JOIN af a ON a.cid = p.cid) c
+           JOIN allsc s ON s.query_id = c.query_id AND s.vec_id = c.vec_id)
+         WHERE rn <= 10),
+         nq AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 20)
+         SELECT ROUND(CAST((SELECT COUNT(*) FROM bf JOIN ann
+             ON ann.query_id = bf.query_id AND ann.vec_id = bf.vec_id)
+             AS DOUBLE) / (10.0 * nq.n), 4) AS mean_recall,
+           CAST(nq.n AS BIGINT) AS n_queries
+         FROM nq""",
+
+    // The (nprobe, recall, cost) sweep: prefix property — probe_rank <= np
+    // filters ONE shared probe ranking; candidate_rows sums probed cell
+    // sizes; recall = SUM(hits)/(10·|queries|) per sweep point.
+    "ann_nprobe_sweep" ->
+      s"""WITH $intKmeansCtes,
+         ${intProbeCtes(20)},
+         ${intBruteForceCtes(20)},
+         nps AS (SELECT UNNEST([1, 2, 4, 8]) AS np),
+         probed AS (SELECT n.np, p.query_id, p.cid
+         FROM nps n JOIN prk p ON p.probe_rank <= n.np),
+         sizes AS (SELECT cid, COUNT(*) AS prows FROM af GROUP BY cid),
+         cost AS (SELECT np, CAST(SUM(prows) AS BIGINT) AS candidate_rows
+         FROM probed JOIN sizes ON sizes.cid = probed.cid GROUP BY np),
+         ann AS (SELECT np, query_id, vec_id FROM (
+           SELECT c.np, c.query_id, c.vec_id, ROW_NUMBER() OVER (
+             PARTITION BY c.np, c.query_id
+             ORDER BY s.score_q DESC, c.vec_id) AS rn
+           FROM (SELECT pr.np, pr.query_id, a.vec_id
+                 FROM probed pr JOIN af a ON a.cid = pr.cid) c
+           JOIN allsc s ON s.query_id = c.query_id AND s.vec_id = c.vec_id)
+         WHERE rn <= 10),
+         hits AS (SELECT np, COUNT(*) AS h FROM bf
+         JOIN ann ON ann.query_id = bf.query_id AND ann.vec_id = bf.vec_id
+         GROUP BY np),
+         nq AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 20)
+         SELECT c.np AS nprobe,
+           ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE) / (10.0 * nq.n), 4)
+             AS mean_recall_at_10,
+           c.candidate_rows
+         FROM cost c LEFT JOIN hits h ON h.np = c.np CROSS JOIN nq
+         ORDER BY nprobe""",
     // DBSCAN replayed: quadratic ε-pairs, degree gate (+1 self), the
     // core–core recursive closure labeling with min reachable core id,
     // border attach to the min-labeled core neighbor, noise = -1.
