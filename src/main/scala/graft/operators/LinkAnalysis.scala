@@ -655,11 +655,13 @@ object LinkAnalysis {
         coalesce(col("d_tot"), lit(0L)).as("d_tot"))
       .withColumn("q_term_scaled",
         lit(4L) * lit(m) * col("e_in") - col("d_tot") * col("d_tot"))
-    import org.apache.spark.sql.expressions.Window
+    // global Q total as a broadcast 1-row aggregate, NOT an
+    // empty-partition-spec window: communities can approach node count
+    // (every node its own label), and a partitionless window would sort
+    // that entity-sized table in one task
+    val tot = terms.agg(sum(col("q_term_scaled")).as("__tot"))
     terms
-      .withColumn("__tot",
-        sum(col("q_term_scaled")).over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .crossJoin(broadcast(tot))
       .withColumn("q_total",
         round(col("__tot").cast("double") /
           (lit(4.0) * m * m), 6))

@@ -794,7 +794,6 @@ object RelationalQueries {
     // over the AGGREGATED series (25 rows), so the share computation
     // never touches the fact table again.
     "q42_revenue_share" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val byNation = table(s, dir, "lineitem")
         .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(table(s, dir, "customer")),
@@ -804,11 +803,15 @@ object RelationalQueries {
         .groupBy("n_name")
         .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .as("__rev"))
+      // grand total as a broadcast 1-row aggregate (window-free): exact
+      // decimal sum, so the share division is bit-identical to the old
+      // partitionless-window form without its single-task sort shape
+      val tot = byNation.agg(sum(col("__rev")).as("__tot"))
       byNation
+        .crossJoin(broadcast(tot))
         .withColumn("revenue", col("__rev").cast("double"))
         .withColumn("share",
-          round(col("__rev").cast("double") /
-            sum(col("__rev")).over(Window.partitionBy()).cast("double"), 6))
+          round(col("__rev").cast("double") / col("__tot").cast("double"), 6))
         .select("n_name", "revenue", "share")
         .orderBy("n_name")
     },

@@ -271,7 +271,6 @@ object TextQueries {
     // hash-checked including the χ² total. Two tiny grouped passes +
     // broadcast marginals; the fact table is scanned once.
     "profile_chi2" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val d = table(s, dir, "documents")
       val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
       val rowT = cells.groupBy("lang").agg(sum(col("o")).as("rl"))
@@ -280,7 +279,7 @@ object TextQueries {
       // DENSE grid: a (lang, source) combination with zero docs still
       // contributes (0−e)²/e = e — χ² over observed cells only would
       // silently understate dependence exactly where it's strongest
-      rowT.crossJoin(colT)
+      val grid = rowT.crossJoin(colT)
         .join(cells, Seq("lang", "source"), "left")
         .withColumn("o", coalesce(col("o"), lit(0L)))
         .crossJoin(broadcast(n))
@@ -288,8 +287,13 @@ object TextQueries {
           round((col("rl") * col("rs")).cast("double") / col("__n"), 6))
         .withColumn("term",
           round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 6))
-        .withColumn("chi2",
-          sum(dec(col("term"))).over(Window.partitionBy()).cast("double"))
+      // χ² total as a broadcast 1-row exact-decimal aggregate — same
+      // value as the old partitionless-window sum, without its
+      // single-task shape
+      val tot = grid.agg(sum(dec(col("term"))).as("__chi"))
+      grid
+        .crossJoin(broadcast(tot))
+        .withColumn("chi2", col("__chi").cast("double"))
         .select(col("lang"), col("source"), col("o"), col("e"),
           col("term"), col("chi2"))
         .orderBy("lang", "source")
@@ -1168,13 +1172,19 @@ object TextQueries {
     // share division; one map-side-combined groupBy over a 2-column
     // projection.
     "text_len_hist" -> { (s, dir) =>
-      table(s, dir, "documents")
+      val hist = table(s, dir, "documents")
         .select(TextOps.tokenCount(col("text")).as("n_tokens"))
         .groupBy(expr("n_tokens div 16").as("bucket"))
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
+      // doc total as a broadcast 1-row aggregate; the remaining global
+      // running sum rides the bucket axis, whose cardinality is bounded
+      // by max document length / 16 — not by corpus size
+      val tot = hist.agg(sum(col("n_docs")).as("__t"))
+      hist.crossJoin(broadcast(tot))
         .withColumn("cum_share", round(
           expr("sum(n_docs) over (order by bucket)").cast("double")
-            / expr("sum(n_docs) over ()"), 6))
+            / col("__t"), 6))
+        .drop("__t")
         .orderBy("bucket")
     },
 

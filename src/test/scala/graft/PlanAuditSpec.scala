@@ -419,6 +419,50 @@ class PlanAuditSpec extends SparkSpec {
       s"no BNLJ broadcasts the brackets side: $builds")
   }
 
+  test("global-window sweep: every empty-partition-spec WindowExec in EVERY declared query is limit-bounded or allowlisted") {
+    // The scale-killer class the round-8/9 rewires removed: a Window with
+    // no partition spec funnels its whole input through ONE task. This
+    // sweep makes that un-reintroducible — each global window in any
+    // query plan must either (a) sit above a Limit/TakeOrderedAndProject
+    // (the rank-filter rewrite: the window ranks a bounded candidate
+    // set), or (b) belong to a query allowlisted HERE with the domain
+    // bound that keeps its window input small at any corpus size.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
+      LocalLimitExec, TakeOrderedAndProjectExec}
+    val allow: Map[String, String] = Map(
+      "profile_psi" -> "running PSI over a FIXED 16-bin grid (nBins = 16)",
+      "q40_cumulative_users" -> ("running sum over a day-grain series — " +
+        "rows bounded by calendar span, not event volume"),
+      "q47_autocorr" -> ("row_number over an hour-grain series — rows " +
+        "bounded by calendar span, not event volume"),
+      "text_len_hist" -> ("running share over the n_tokens div 16 bucket " +
+        "axis — rows bounded by max document length, not corpus size"))
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf0001).queryExecution.sparkPlan
+      val wins = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      for (w <- wins if !allow.contains(name)) {
+        val bounded = w.child.collect {
+          case l: LocalLimitExec => l
+          case l: GlobalLimitExec => l
+          case l: TakeOrderedAndProjectExec => l
+          case l: CollectLimitExec => l
+        }.nonEmpty
+        if (!bounded) offenders += name
+      }
+    }
+    assert(offenders.isEmpty,
+      s"entity-sized single-task global windows (add a bound or a justified " +
+        s"allowlist entry): ${offenders.distinct.sorted}")
+    // the allowlist must not rot: every entry still has a global window
+    for ((name, why) <- allow) {
+      val wins = SparkEntry.queries(name)(spark, sf0001).queryExecution
+        .sparkPlan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(wins.nonEmpty, s"$name allowlisted ($why) but has no global window — remove it")
+    }
+  }
+
   test("mview_join_incremental: delta joins are equi; state merge is hash agg") {
     val p = plan("mview_join_incremental")
     assert(!p.contains("CartesianProduct"), p.take(600))
