@@ -649,6 +649,47 @@ object ScaleSmoke {
     }
     // stream through the reducers (no partial collapse), so the hot group
     // pins one task unless salted
+    // GlobalRank scaling: whole-table rank/ntile/prefix-sum over an
+    // entity table at 1x vs Nx — the operator exists precisely so these
+    // run range-partitioned instead of one task sorting the world, so
+    // the wall-clock must scale ~linearly AND the plan must contain no
+    // empty-partition-spec WindowExec (asserted, not eyeballed).
+    section("globalrank") {
+    import graft.operators.GlobalRank
+    val ord1 = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val ordN = orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    def rankAll(df: DataFrame): DataFrame =
+      GlobalRank.prefixSum(
+        GlobalRank.ntile(
+          GlobalRank.rowNumber(df,
+            Seq(col("o_totalprice"), col("o_orderkey")), "rn"),
+          Seq(desc("o_totalprice"), asc("o_orderkey")), 100, "pct"),
+        Seq(col("o_orderkey")), col("rn"), "run")
+    val bad = rankAll(ordN).queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    require(bad.isEmpty,
+      "GlobalRank plan regressed to a single-partition window")
+    def timed(label: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
+      s
+    }
+    val t1 = timed("globalrank rank+ntile+prefix 1x") {
+      rankAll(ord1).agg(max("rn"), max("pct"), max("run")).count()
+    }
+    val tN = timed(s"globalrank rank+ntile+prefix ${copies}x") {
+      rankAll(ordN).agg(max("rn"), max("pct"), max("run")).count()
+    }
+    println(f"[scale] globalrank ${copies}x/1x wall-clock factor: ${tN / t1}%.2f " +
+      f"(data ${copies}x; < $copies%d says sub-linear per-row cost)")
+    }
+
     section("skew-agg") {
     val skewed = li.withColumn("k",
       when(pmod(col("l_orderkey"), lit(20)) =!= 0, lit("hot")).otherwise(col("l_returnflag")))
