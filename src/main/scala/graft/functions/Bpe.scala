@@ -84,6 +84,91 @@ object Bpe {
     Model(merges.result())
   }
 
+  /** DISTRIBUTED merge training over the FULL corpus, emitting the merge
+    * table itself — (merge_rank, left_sym, right_sym, pair_count) — with
+    * the loop structured so every round is plain relational algebra and
+    * the whole run REPLAYS in ANSI SQL (the kcore unrolled-round
+    * discipline; [[train]] is the driver-side reference this is
+    * spec-equal to on a shared corpus).
+    *
+    * State = the word-frequency vocab exploded to (word, freq, pos, sym).
+    * Each round: (1) adjacent-pair counts via a positional self-join;
+    * (2) argmax by (count desc, left desc, right desc) — [[train]]'s
+    * exact `maxBy` tie-break, binary string order in Spark, DuckDB, and
+    * Scala alike; (3) LEFT-TO-RIGHT NON-OVERLAPPING application: within
+    * each maximal run of consecutive match positions, take the 1st, 3rd,
+    * 5th… (run-grouped `row_number` parity — provably equal to the
+    * sequential walk, because a merge only consumes positions p, p+1 and
+    * the walk resumes at p+2 against unchanged symbols); (4) renumber.
+    *
+    * Scale shape: state is vocab-sized (distinct words × word length),
+    * all windows partition by word (bounded by word length), the 1-row
+    * argmax broadcasts back, and each round's state is eagerly pinned
+    * (localCheckpoint + stats reset via DatasetBridge.pinned — WITHOUT
+    * the reset, LogicalRDD inherits the origin plan's stats and the
+    * per-round joins compound sizeInBytes into an exponentially long
+    * BigInt that stalls the optimizer) so lineage stays linear in
+    * rounds. */
+  def trainDistributed(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    import org.apache.spark.sql.graftbridge.DatasetBridge.pinned
+    var st = pinned(vocab
+      .select(col("w"), col("freq"),
+        posexplode(concat(split(col("w"), ""), array(lit(Eow))))
+          .as(Seq("p", "sym")))
+      .withColumn("p", col("p") + 1))
+    val rounds = Vector.newBuilder[DataFrame]
+    for (r <- 1 to numMerges) {
+      // one per-word exchange carries the WHOLE round: lead() supplies
+      // adjacency (no positional self-join), the running match-count's
+      // run-parity picks the left-to-right non-overlapping occurrences,
+      // and lag(taken) marks consumed positions — every window clusters
+      // by w, so Spark plans a single sort under one exchange. Positions
+      // are dense (renumbered each round), which is what makes
+      // "previous row" == "position p−1" in the lag.
+      val byP = Window.partitionBy("w").orderBy("p")
+      val withNext = st.withColumn("__nsym", lead(col("sym"), 1).over(byP))
+      val best = pinned(withNext
+        .filter(col("__nsym").isNotNull)
+        .groupBy(col("sym").as("a"), col("__nsym").as("b"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(desc("pair_count"), desc("a"), desc("b"))
+        .limit(1))
+      rounds += best.select(lit(r).as("merge_rank"), col("a").as("left_sym"),
+        col("b").as("right_sym"), col("pair_count"))
+      // the final round's state is never read — skip its rebuild
+      if (r < numMerges) {
+      val flagged = withNext
+        .crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .withColumn("__m", col("sym") === col("a") && col("__nsym") === col("b"))
+        .withColumn("__rnm", sum(when(col("__m"), 1L).otherwise(0L)).over(
+          byP.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // p − running-match-count is constant within a maximal run of
+        // consecutive match positions — the classic gaps-and-islands key
+        .withColumn("__grp", when(col("__m"), col("p") - col("__rnm")))
+      val taken = flagged
+        .withColumn("__taken", col("__m") &&
+          (col("__rnm") - min(col("__rnm")).over(
+            Window.partitionBy(col("w"), col("__grp")))) % 2 === 0)
+        .withColumn("__consumed",
+          coalesce(lag(col("__taken"), 1).over(byP), lit(false)))
+      st = pinned(taken
+        .filter(!col("__consumed"))
+        .select(col("w"), col("freq"), col("p"),
+          when(col("__taken"), concat(col("sym"), col("__nsym")))
+            .otherwise(col("sym")).as("sym"))
+        .withColumn("__p2", row_number().over(byP).cast("int"))
+        .select(col("w"), col("freq"), col("__p2").as("p"), col("sym")))
+      }
+    }
+    rounds.result().reduce(_ unionAll _)
+  }
+
   /** Tokenize one word with the learned merges (greedy lowest-rank-first,
     * the standard BPE apply). */
   def tokenizeWord(model: Model, w: String): Seq[String] = {

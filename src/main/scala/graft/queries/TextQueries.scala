@@ -401,19 +401,20 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // LEARNED BPE token budget: merge rules trained on a corpus sample
-    // (driver-side, the standard tokenizer-training shape), applied
-    // distributed with the rule table broadcast. Rows-only: iterative
-    // merge training is not SQL-expressible; losslessness, determinism,
-    // and compression are spec-checked (BpeSpec).
+    // LEARNED BPE merges, ORACLE-CHECKED (round 10): the distributed
+    // trainer (Bpe.trainDistributed — vocab-state rounds of pair-count →
+    // argmax → left-to-right non-overlapping merge, each round plain
+    // relational algebra) emits the merge table itself, and the oracle
+    // UNROLLS the same 12 rounds in SQL (the kcore discipline: what was
+    // "iterative, not SQL-expressible" becomes a fixed-round CTE chain).
+    // Tie-break (count desc, left desc, right desc) is Bpe.train's exact
+    // maxBy order; BpeSpec pins trainDistributed ≡ train on a shared
+    // corpus, and the greedy APPLY path stays spec-covered there
+    // (lossless round-trip, compression) + exercised by text_bpe_tokens.
     "text_bpe_learned" -> { (s, dir) =>
-      val docs = table(s, dir, "documents")
-      val model = graft.functions.Bpe.train(docs, "text",
-        numMerges = 200, sampleLimit = 500)
-      docs.select(col("doc_id"),
-          graft.functions.Bpe.subwordCount(model)(col("text")).as("n_subwords_learned"),
-          TextOps.tokenCount(col("text")).as("n_words"))
-        .orderBy("doc_id")
+      graft.functions.Bpe.trainDistributed(
+          table(s, dir, "documents"), "text", numMerges = 12)
+        .orderBy("merge_rank")
     },
 
     // Winnowing rolling-hash sketch (document fingerprinting). The
@@ -1522,7 +1523,57 @@ object TextQueries {
            FROM sc)"""
   }
 
+  /** Unrolled-round replay of [[graft.functions.Bpe.trainDistributed]]:
+    * one (pair-count → argmax → run-parity non-overlapping merge →
+    * renumber) CTE block per merge round — state `st{r}`, best `bs{r}`.
+    * Shares the trainer's exact semantics: binary-collation tie-break
+    * (count desc, left desc, right desc), left-to-right application via
+    * run-grouped row_number parity, end-of-word marker `</w>`. */
+  private def bpeTrainSql(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { r =>
+      val prev = s"st${r - 1}"
+      s"""pr$r AS (SELECT x.sym AS a, y.sym AS b, SUM(x.freq) AS c
+         FROM $prev x JOIN $prev y ON y.w = x.w AND y.p = x.p + 1
+         GROUP BY x.sym, y.sym),
+         bs$r AS MATERIALIZED (SELECT a, b, c FROM pr$r ORDER BY c DESC, a DESC, b DESC LIMIT 1),
+         mt$r AS (SELECT x.w, x.p FROM $prev x
+         JOIN $prev y ON y.w = x.w AND y.p = x.p + 1
+         JOIN bs$r ON x.sym = bs$r.a AND y.sym = bs$r.b),
+         tk$r AS (SELECT w, p FROM (
+           SELECT w, p, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY p) AS rk
+           FROM (SELECT w, p,
+             p - ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS grp
+           FROM mt$r)) WHERE rk % 2 = 1),
+         st$r AS MATERIALIZED (SELECT w, freq,
+           CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS INTEGER) AS p, sym
+         FROM (SELECT s.w, s.freq, s.p,
+             CASE WHEN t1.p IS NOT NULL THEN s.sym || nx.sym ELSE s.sym END AS sym
+           FROM $prev s
+           LEFT JOIN tk$r t1 ON t1.w = s.w AND t1.p = s.p
+           LEFT JOIN tk$r t2 ON t2.w = s.w AND t2.p = s.p - 1
+           LEFT JOIN $prev nx ON nx.w = s.w AND nx.p = s.p + 1
+           WHERE t2.p IS NULL)),"""
+    }.mkString("\n         ")
+    val out = (1 to numMerges).map { r =>
+      s"""SELECT $r AS merge_rank, a AS left_sym, b AS right_sym,
+         CAST(c AS BIGINT) AS pair_count FROM bs$r"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH vocab AS (SELECT w, COUNT(*) AS freq FROM (
+           SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+         WHERE w <> '' GROUP BY w),
+         st0 AS MATERIALIZED (SELECT w, freq, CAST(i AS INTEGER) AS p,
+           CASE WHEN i <= LEN(w) THEN SUBSTRING(w, CAST(i AS INTEGER), 1)
+                ELSE '</w>' END AS sym
+         FROM (SELECT w, freq, UNNEST(RANGE(1, LEN(w) + 2)) AS i FROM vocab)),
+         $rounds
+         dummy AS (SELECT 1)
+         $out
+         ORDER BY merge_rank"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_learned" -> bpeTrainSql(12),
+
     "text_token_stats" ->
       """SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens, n_chars
          FROM documents ORDER BY doc_id""",

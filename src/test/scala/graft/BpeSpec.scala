@@ -42,4 +42,31 @@ class BpeSpec extends SparkSpec {
     // every word is <= chars+1 symbols and merges strictly reduce tokens
     assert(stats._1 < stats._2 / 2, s"subwords=${stats._1} chars=${stats._2}")
   }
+
+  test("trainDistributed emits exactly train's merges, in order, with counts") {
+    val docs = graft.queries.table(spark, sf0001, "documents")
+    // same corpus on both sides: sampleLimit covers the whole table
+    val driver = Bpe.train(docs, "text", numMerges = 12,
+      sampleLimit = Int.MaxValue)
+    val dist = Bpe.trainDistributed(docs, "text", numMerges = 12)
+      .orderBy("merge_rank")
+      .select($"left_sym", $"right_sym", $"pair_count")
+      .as[(String, String, Long)].collect()
+    assert(dist.length === 12)
+    assert(dist.map(t => (t._1, t._2)).toSeq === driver.merges.take(12))
+    // counts strictly positive and the first merge is the global max pair
+    assert(dist.forall(_._3 >= 2))
+    assert(dist.head._3 === dist.map(_._3).max)
+  }
+
+  test("trainDistributed is invariant to input partitioning") {
+    val docs = graft.queries.table(spark, sf0001, "documents")
+    val a = Bpe.trainDistributed(docs, "text", numMerges = 6)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    val b = Bpe.trainDistributed(docs.repartition(13), "text", numMerges = 6)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(a === b)
+  }
 }
