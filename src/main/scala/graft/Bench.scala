@@ -69,7 +69,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    // 5 trials: r9's spread_mean 0.44 showed 3-trial medians still wobble
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "5").toInt
+    // previous round's committed anchors (bench_full.json in cwd, written
+    // by the last bench run and committed) — read BEFORE this run
+    // overwrites the file, so the anchor-normalized total closes the
+    // cross-session drift loop automatically every round
+    val prevAnchors: Option[(Double, Double)] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+        def grab(k: String): Option[Double] =
+          ("\"" + k + "\":([0-9.eE+-]+)").r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble)
+        for (c <- grab("anchor_cpu"); s <- grab("anchor_spark")) yield (c, s)
+      } catch { case _: Throwable => None }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -168,11 +182,29 @@ object Bench {
     // tail truncates the diagnostics line away (lost in r7/r8), and the
     // anchors' whole purpose is cross-session normalization from the
     // COMMITTED artifacts.
+    // anchor-normalized total: total × (prev anchor / this anchor), using
+    // the CPU anchor as the normalizer — measured across sessions it is
+    // stable to ~1% under constant conditions and moves with genuine CPU
+    // contention, while the spark anchor (scheduler dispatch) swings ~50%
+    // run to run and would normalize noise INTO the total; its ratio is
+    // still carried as a dispatch-latency diagnostic. total_normalized is
+    // the number to compare round over round: a shift that survives
+    // normalization AND exceeds per-query spread is a plan regression;
+    // one that normalizes away was ambient machine drift.
+    val anchorExtra = prevAnchors match {
+      case Some((pc, ps)) if aSpark > 0 && aCpu > 0 =>
+        val ratioSpark = r(ps / aSpark)
+        val ratioCpu = r(pc / aCpu)
+        s""","prev_anchor_cpu":$pc,"prev_anchor_spark":$ps""" +
+          s""","anchor_ratio_cpu":$ratioCpu,"anchor_ratio_spark":$ratioSpark""" +
+          s""","total_normalized":${r2(total * ratioCpu)}"""
+      case _ => ""
+    }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (line(r).dropRight(1) +
         s""","shuffle_mb":$shuf,"anchor_cpu":$aCpu,"anchor_spark":$aSpark""" +
-        s""","spread_mean":$spreadMean,"trials":$trials}""" + "\n")
+        s""","spread_mean":$spreadMean,"trials":$trials$anchorExtra}""" + "\n")
         .getBytes("UTF-8"))
     catch { case _: Throwable => () } // emission must never kill the bench
     println(primaryLine(names, med, total, sfName))
