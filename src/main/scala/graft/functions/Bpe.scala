@@ -110,13 +110,23 @@ object Bpe {
     * BigInt that stalls the optimizer) so lineage stays linear in
     * rounds. */
   def trainDistributed(docs: DataFrame, textCol: String,
-      numMerges: Int): DataFrame = {
+      numMerges: Int): DataFrame =
+    trainDistributedImpl(docs, textCol, numMerges, pin = true)
+
+  /** `pin = false` keeps the full per-round plan visible (no checkpoint
+    * re-wrap) so PlanAuditSpec can assert the round SHAPE — only usable
+    * for a couple of rounds before the stats/lineage compounding that
+    * pinning exists to stop. */
+  private[graft] def trainDistributedImpl(docs: DataFrame, textCol: String,
+      numMerges: Int, pin: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vocab = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    import org.apache.spark.sql.graftbridge.DatasetBridge.pinned
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    def pinned(df: DataFrame): DataFrame =
+      if (pin) DatasetBridge.pinned(df) else df
     var st = pinned(vocab
       .select(col("w"), col("freq"),
         posexplode(concat(split(col("w"), ""), array(lit(Eow))))

@@ -690,6 +690,53 @@ object ScaleSmoke {
       f"(data ${copies}x; < $copies%d says sub-linear per-row cost)")
     }
 
+    // Integer fixed-point IVF twin: quantized Lloyd's build + probe at 1x
+    // vs Nx vectors. Assignment is a broadcast-centers scan and the center
+    // update a (cid, dim) partial agg, so build time must scale ~linearly
+    // in corpus size (centers stay nlist-sized).
+    section("intkmeans") {
+    import graft.operators.AnnIvfInt
+    def timed(label: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
+      s
+    }
+    val emb1 = table(spark, dir, "embeddings")
+    def buildSearch(df: DataFrame): Long = {
+      val ix = AnnIvfInt.build(df, "vec_id", "embedding", nlist = 16,
+        iters = 3)
+      AnnIvfInt.search(ix, "vec_id", col("vec_id") < 20, k = 10, nprobe = 4)
+        .count()
+    }
+    val t1 = timed("int-kmeans build+search 1x")(buildSearch(emb1))
+    val tN = timed(s"int-kmeans build+search ${copies}x")(buildSearch(emb))
+    println(f"[scale] intkmeans ${copies}x/1x wall-clock factor: ${tN / t1}%.2f")
+    }
+
+    // Distributed BPE merge training: the per-round state is VOCAB-sized
+    // (distinct words × word length), so replicating the corpus Nx grows
+    // only the one-pass vocab aggregation — rounds must stay ~flat.
+    section("bpetrain") {
+    def timed(label: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
+      s
+    }
+    val docs1 = table(spark, dir, "documents")
+    val t1 = timed("bpe trainDistributed(8) 1x docs") {
+      graft.functions.Bpe.trainDistributed(docs1, "text", 8).count()
+    }
+    val tN = timed(s"bpe trainDistributed(8) ${copies}x docs") {
+      graft.functions.Bpe.trainDistributed(docs, "text", 8).count()
+    }
+    println(f"[scale] bpetrain ${copies}x/1x wall-clock factor: ${tN / t1}%.2f " +
+      "(vocab-bound state: rounds flat, only the vocab scan scales)")
+    }
+
     section("skew-agg") {
     val skewed = li.withColumn("k",
       when(pmod(col("l_orderkey"), lit(20)) =!= 0, lit("hot")).otherwise(col("l_returnflag")))

@@ -419,6 +419,36 @@ class PlanAuditSpec extends SparkSpec {
       s"no BNLJ broadcasts the brackets side: $builds")
   }
 
+  test("ann_ivf_search (int twin): centers/probes broadcast; candidate join is hash; top-k group-limits") {
+    val p = plan("ann_ivf_search")
+    // the only nested-loop joins must be broadcasts of bounded sides
+    // (nlist-row centers, |queries|×nprobe probe set, 1-row argmax) —
+    // never a corpus×corpus pair space
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("BroadcastExchange"), p.take(600))
+    // per-query top-10 rides the group-limit rewrite, not a global sort
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("BPE training round: every window partitions by the word key; argmax is a bounded top-1") {
+    // the shipped trainDistributed pins each round behind a checkpoint
+    // (its plan is invisible in the final union) — audit the round SHAPE
+    // through the unpinned impl at 2 rounds
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val df = graft.functions.Bpe.trainDistributedImpl(docs, "text", 2,
+      pin = false)
+    val plan = df.queryExecution.sparkPlan
+    val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, "BPE round has a single-partition window")
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "unpinned impl shows no windows — audit is vacuous")
+    // per-round argmax is TakeOrdered(1), never a full global sort
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      plan.toString.take(800))
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("global-window sweep: every empty-partition-spec WindowExec in EVERY declared query is limit-bounded or allowlisted") {
     // The scale-killer class the round-8/9 rewires removed: a Window with
     // no partition spec funnels its whole input through ONE task. This
