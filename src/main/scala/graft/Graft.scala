@@ -196,6 +196,18 @@ object Graft {
       probs: Seq[Double]): DataFrame =
     GlobalRank.quantileCont(df, value, probs)
 
+  /** Checkpoint-and-reset for ITERATIVE DataFrame loops: truncates
+    * lineage like `localCheckpoint` AND drops the origin plan's inherited
+    * statistics. Plain `localCheckpoint` preserves stats in its
+    * LogicalRDD, so a loop whose round joins the previous checkpoint k
+    * times compounds `sizeInBytes` ≈ S^k per round — an exact BigInt
+    * that reaches ~k^rounds words and stalls the optimizer in BigInteger
+    * multiplication (measured 0.6 s → 135 s per round by round 9 of BPE
+    * training). Use this instead for any round-over-round loop that
+    * references its previous state more than once. */
+  def pinned(df: DataFrame, eager: Boolean = false): DataFrame =
+    org.apache.spark.sql.graftbridge.DatasetBridge.pinned(df, eager)
+
   def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
   def cosine(a: Column, b: Column): Column = VectorOps.cosine(a, b)
   def l2Normalize(a: Column): Column = VectorOps.l2Normalize(a)

@@ -146,4 +146,22 @@ class GraftApiSpec extends SparkSpec {
     val qc = Graft.globalQuantileCont(df, $"v", Seq(0.0, 0.5, 1.0))
     assert(qc.count() === 3)
   }
+
+  test("facade: pinned truncates lineage, resets stats, preserves rows") {
+    val base = (1 to 50).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+    var st = Graft.pinned(base)
+    // a loop that joins the previous state with itself — the shape whose
+    // inherited-stats sizeInBytes would compound exponentially unpinned
+    for (_ <- 1 to 6) {
+      st = Graft.pinned(
+        st.as("x").join(st.as("y"), $"x.k" === $"y.k")
+          .select($"x.k".as("k"), ($"x.v" + $"y.v" - $"y.v").as("v")))
+      // stats stay at the constant default instead of compounding: the
+      // BigInt must remain small enough to print instantly
+      val bits = st.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+      assert(bits < 512, s"stats compounding: $bits bits")
+    }
+    assert(st.orderBy("k").as[(Long, Long)].collect().toSeq ===
+      (1 to 50).map(i => (i.toLong, i * 2L)))
+  }
 }
