@@ -268,4 +268,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(math.abs(row.getDouble(1) - row.getDouble(3)) <= 1.0,
       s"approx p50 ${row.getDouble(1)} vs exact ${row.getDouble(3)}")
   }
+
+  test("AnnIvfInt degenerate shapes: iters=0 keeps seed centers; nlist > corpus") {
+    import graft.operators.AnnIvfInt
+    val rows = (0L until 5L).map(i =>
+      (i, Array.fill(8)(if (i % 2 == 0) 1.0f else -1.0f), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    // iters = 0: centers ARE the quantized seed vectors, assignment still
+    // routes by argmax dot with lowest-cid ties
+    val ix0 = AnnIvfInt.build(df, "vec_id", "embedding", nlist = 2, iters = 0)
+    val c0 = ix0.centers.orderBy("cid").select($"cvec")
+      .as[Seq[Long]].collect()
+    assert(c0(0) === Seq.fill(8)(1000000L)) // seed id 0 (+1 vector)
+    assert(c0(1) === Seq.fill(8)(-1000000L)) // seed id 1 (−1 vector)
+    val asg0 = ix0.assigned.select($"vec_id", $"cid").as[(Long, Int)]
+      .collect().toMap
+    assert(asg0 === Map(0L -> 0, 2L -> 0, 4L -> 0, 1L -> 1, 3L -> 1))
+    // nlist > corpus: only |corpus| seeds exist; build succeeds and every
+    // vector routes to one of them
+    val ixBig = AnnIvfInt.build(df, "vec_id", "embedding", nlist = 9, iters = 1)
+    assert(ixBig.centers.count() === 5)
+    assert(ixBig.assigned.count() === 5)
+    // search still returns ranked neighbors
+    val got = AnnIvfInt.search(ixBig, "vec_id", $"vec_id" === 0, k = 3,
+      nprobe = 5)
+    assert(got.count() === 3)
+  }
 }
