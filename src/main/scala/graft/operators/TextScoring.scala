@@ -57,8 +57,13 @@ object TextScoring {
         round(-log(col("__c").cast("double") / col("__N").cast("double")), 6))
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), decSum(col("__nll")).as("__s"))
+      // FLOOR-quantized mean (the emb_dim_stats lesson): the exact-decimal
+      // sum ÷ count can land on a .xxxxx5 boundary where Spark's decimal
+      // HALF_UP and DuckDB's double-value ROUND disagree (hit at sf0.1 in
+      // the bigram twin) — floor of the identical double is engine-exact
       .select(col("id"), col("n_tokens"),
-        round(col("__s") / col("n_tokens"), 6).as("cross_entropy"))
+        (floor(col("__s").cast("double") / col("n_tokens") * 1e6) / 1e6)
+          .as("cross_entropy"))
   }
 
   /** Per-document cross-entropy (nats/bigram) under an interpolated bigram
@@ -101,8 +106,11 @@ object TextScoring {
         lit(1.0 - lambda) * (col("__cu").cast("double") / col("__N").cast("double"))), 6))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"), decSum(col("__nll")).as("__s"))
+      // FLOOR-quantized mean — same tie-boundary rationale as the unigram
+      // twin above (2 of 5000 docs diverged at sf0.1 with round())
       .select(col("id"), col("n_bigrams"),
-        round(col("__s") / col("n_bigrams"), 6).as("cross_entropy"))
+        (floor(col("__s").cast("double") / col("n_bigrams") * 1e6) / 1e6)
+          .as("cross_entropy"))
   }
 
   /** PMI formula text shared with the `text_pmi` oracle — `cab`/`ca`/`cb`

@@ -2541,8 +2541,8 @@ object TextQueries {
          n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM t),
          c AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cc FROM t GROUP BY tok)
          SELECT t.doc_id, COUNT(*) AS n_tokens,
-           ROUND(CAST(SUM(CAST(ROUND(-LN(c.cc / n.nn), 6) AS DECIMAL(18,6))) AS DOUBLE)
-             / COUNT(*), 6) AS cross_entropy
+           FLOOR(CAST(SUM(CAST(ROUND(-LN(c.cc / n.nn), 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) * 1000000.0) / 1000000.0 AS cross_entropy
          FROM t JOIN c USING (tok) CROSS JOIN n
          GROUP BY t.doc_id ORDER BY t.doc_id""",
 
@@ -2559,10 +2559,10 @@ object TextQueries {
          cw1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM b GROUP BY w1),
          cb AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cbn FROM b GROUP BY w1, w2)
          SELECT b.doc_id, COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(CAST(ROUND(-LN(
+           FLOOR(CAST(SUM(CAST(ROUND(-LN(
                CAST(0.75 AS DOUBLE) * (cb.cbn / cw1.c1)
              + CAST(0.25 AS DOUBLE) * (u.cu / n.nn)), 6) AS DECIMAL(18,6))) AS DOUBLE)
-             / COUNT(*), 6) AS cross_entropy
+             / COUNT(*) * 1000000.0) / 1000000.0 AS cross_entropy
          FROM b JOIN cb USING (w1, w2) JOIN cw1 USING (w1)
            JOIN u ON u.tok = b.w2 CROSS JOIN n
          GROUP BY b.doc_id ORDER BY b.doc_id""",
