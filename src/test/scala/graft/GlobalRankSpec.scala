@@ -107,4 +107,21 @@ class GlobalRankSpec extends SparkSpec {
       .select("b").as[Int].head()
     assert(b === 1)
   }
+
+  test("prefixSum REJECTS null values loudly (non-null contract)") {
+    // a null would silently diverge from the global-window semantics
+    // (null partition-prefix vs earlier-partition sum) — the guard must
+    // raise, not mis-sum, and must survive column pruning
+    val df = Seq((1L, Option(5L)), (2L, None), (3L, Option(7L)))
+      .toDF("k", "v")
+    val e = intercept[Exception] {
+      GlobalRank.prefixSum(df, Seq(col("k")), col("v"), "run")
+        .agg(org.apache.spark.sql.functions.max("run")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-null contract")),
+      s"unexpected failure: ${messages(e).mkString(" | ")}")
+  }
 }
