@@ -132,16 +132,19 @@ object GlobalRank {
   }
 
   /** Exact interpolated quantiles of `value` over the WHOLE table,
-    * computed distributed: rank by value via the [[rowNumber]] machinery,
-    * broadcast the total, and fetch each prob's two bracketing ranks with
-    * one bounded broadcast probe — no task ever holds the column in
-    * memory, unlike `percentile`, whose aggregation buffer IS the whole
-    * group (a real OOM at 10¹⁰-row groups; `percentile_approx` trades
-    * exactness away instead). Ties are harmless: row_number among equal
-    * values is arbitrary but the value AT any such rank is identical, so
-    * the output is deterministic. Interpolation matches SQL
-    * QUANTILE_CONT / percentile_cont exactly: pos = p·(N−1),
-    * v = v_lo + (v_hi − v_lo)·(pos − ⌊pos⌋) — shared-text replayable.
+    * computed distributed AND selection-pruned: range-partition by value,
+    * count per partition (a sortless aggregate), locate which partitions
+    * hold each prob's two bracketing ranks, and SORT ONLY THOSE — every
+    * other partition is filtered out before the window, so at most
+    * 2·|probs| partitions pay a local sort no matter how large the table.
+    * No task ever holds the column in memory, unlike `percentile`, whose
+    * aggregation buffer IS the whole group (a real OOM at 10¹⁰-row
+    * groups; `percentile_approx` trades exactness away instead). Ties are
+    * harmless: row_number among equal values is arbitrary but the value
+    * AT any such rank is identical, so the output is deterministic.
+    * Interpolation matches SQL QUANTILE_CONT / percentile_cont exactly:
+    * pos = p·(N−1), v = v_lo + (v_hi − v_lo)·(pos − ⌊pos⌋) — shared-text
+    * replayable.
     *
     * @return (prob DOUBLE, p_value DOUBLE unrounded), one row per prob. */
   def quantileCont(df: DataFrame, value: Column, probs: Seq[Double],
@@ -150,14 +153,31 @@ object GlobalRank {
       s"probs must be in [0, 1], got $probs")
     val spark = df.sparkSession
     import spark.implicits._
-    val ranked = rowNumber(df.select(value.cast("double").as("__v")),
-      Seq(col("__v")), "__r", partitions)
-    val total = ranked.agg(max(col("__r")).as("__n"))
+    val tagged = ranged(df.select(value.cast("double").as("__v")),
+      Seq(col("__v")), partitions)
+    val off = offsets(tagged, lit(1L)) // (__grpid, __grpc, __grpoff)
+    val total = off.agg(sum(col("__grpc")).as("__n"))
     val brackets = probs.toDF("prob")
       .crossJoin(total)
       .withColumn("__pos", col("prob") * (col("__n") - 1))
       .withColumn("__lo", floor(col("__pos")) + 1)
       .withColumn("__hi", ceil(col("__pos")) + 1)
+    // partitions whose global-rank span [offset+1, offset+count] contains
+    // a bracket rank — the ONLY ones whose local order matters
+    val needed = off
+      .join(broadcast(brackets),
+        col("__lo").between(col("__grpoff") + 1,
+          col("__grpoff") + col("__grpc")) ||
+        col("__hi").between(col("__grpoff") + 1,
+          col("__grpoff") + col("__grpc")))
+      .select(col("__grpid")).distinct()
+    val ranked = tagged
+      .join(broadcast(needed), Seq("__grpid")) // prune before the sort
+      .join(broadcast(off.select(col("__grpid"), col("__grpoff"))),
+        Seq("__grpid"))
+      .withColumn("__r", col("__grpoff") + row_number()
+        .over(Window.partitionBy(col("__grpid")).orderBy(col("__v")))
+        .cast(LongType))
     ranked
       .join(broadcast(brackets),
         col("__r") === col("__lo") || col("__r") === col("__hi"))

@@ -108,6 +108,23 @@ class GlobalRankSpec extends SparkSpec {
     assert(b === 1)
   }
 
+  test("quantileCont equals the exact percentile builtin (selection-pruned path)") {
+    // 1000 shuffled distinct values + duplicates; probs hitting exact
+    // ranks, interpolated positions, and both endpoints — the pruned
+    // bracket-partition path must be value-identical to Spark's exact
+    // percentile (same QUANTILE_CONT interpolation)
+    val vals = ((1 to 1000).map(i => (i * 37 % 1000).toDouble) ++
+      Seq(5.0, 5.0, 5.0)).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vals.toDF("id", "v")
+    val probs = Seq(0.0, 0.01, 0.25, 0.5, 0.613, 0.99, 1.0)
+    val got = GlobalRank.quantileCont(df, col("v"), probs)
+      .orderBy("prob").select("p_value").as[Double].collect()
+    val exp = df.agg(org.apache.spark.sql.functions.percentile(col("v"),
+        org.apache.spark.sql.functions.lit(probs.toArray)).as("p"))
+      .select("p").as[Seq[Double]].head()
+    assert(got.toSeq === exp)
+  }
+
   test("prefixSum REJECTS null values loudly (non-null contract)") {
     // a null would silently diverge from the global-window semantics
     // (null partition-prefix vs earlier-partition sum) — the guard must
