@@ -75,15 +75,25 @@ object Bench {
     // by the last bench run and committed) — read BEFORE this run
     // overwrites the file, so the anchor-normalized total closes the
     // cross-session drift loop automatically every round
-    val prevAnchors: Option[(Double, Double)] =
+    // key match is anchored at a preceding comma/brace so e.g.
+    // "anchor_cpu" can never match inside "prev_anchor_cpu"
+    def grabPrev(k: String): Option[Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("bench_full.json")), "UTF-8")
-        def grab(k: String): Option[Double] =
-          ("\"" + k + "\":([0-9.eE+-]+)").r.findFirstMatchIn(txt)
-            .map(_.group(1).toDouble)
-        for (c <- grab("anchor_cpu"); s <- grab("anchor_spark")) yield (c, s)
+        ("[,{]\"" + k + "\":([0-9.eE+-]+)").r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
       } catch { case _: Throwable => None }
+    val prevAnchors: Option[(Double, Double)] =
+      for (c <- grabPrev("anchor_cpu"); s <- grabPrev("anchor_spark"))
+        yield (c, s)
+    // FIXED normalization baseline: carried verbatim from round to round
+    // (seeded from the first round that had an anchor at all), so every
+    // round's total_vs_base is normalized against the SAME reference CPU
+    // condition — the chained prev-round ratio (total_normalized) let slow
+    // drift compound across rounds
+    val baseAnchorCpu: Option[Double] =
+      grabPrev("anchor_cpu_base").orElse(grabPrev("anchor_cpu"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -142,7 +152,23 @@ object Bench {
       val v = samples(n)
       n -> r(if (med(n) > 0) (v.max - v.min) / med(n) else 0.0)
     }.toMap
+    // IQR-based spread: unlike range/median (above, kept one transition
+    // round for cross-round comparability), the interquartile range does
+    // NOT grow with trial count — r10's spread_mean jump 0.44 → 0.71 was
+    // purely trials 3 → 5 widening the range, not a stability change
+    def quantile(v: Vector[Double], p: Double): Double = {
+      val s = v.sorted
+      s(math.min(s.size - 1, math.max(0, math.ceil(p * s.size).toInt - 1)))
+    }
+    val spreadIqr = names.map { n =>
+      val v = samples(n)
+      n -> r(if (med(n) > 0) (quantile(v, 0.75) - quantile(v, 0.25)) / med(n)
+             else 0.0)
+    }.toMap
+    val spreadIqrMean =
+      r(if (names.nonEmpty) spreadIqr.values.sum / names.size else 0.0)
     val sp = names.map(n => s"\"$n\":" + spread(n)).mkString("{", ",", "}")
+    val spIqr = names.map(n => s"\"$n\":" + spreadIqr(n)).mkString("{", ",", "}")
     val total = r(med.values.sum)
     val spreadMean = r(if (names.nonEmpty) spread.values.sum / names.size else 0.0)
     val aCpu = r(median(anchorCpu))
@@ -153,7 +179,7 @@ object Bench {
     val qsFull = names.map(n => s"\"$n\":" + r(med(n))).mkString("{", ",", "}")
     val shuf = names.map(n => s"\"$n\":" + shuffleMb.getOrElse(n, 0.0))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"bench_diagnostics","sf_dir":"$sfDir","trials":$trials,"spread_mean":$spreadMean,"anchor_cpu":$aCpu,"anchor_spark":$aSpark,"anchor_note":"fixed-work machine-noise anchors; normalize cross-session totals by the anchor ratio (~1.5-2x ambient drift observed on identical code)","queries_full":$qsFull,"spread":$sp,"shuffle_mb":$shuf,"shuffle_note":"deterministic shuffle-write bytes from the executed plan's SQLMetrics — a perf regression with unchanged shuffle_mb is machine noise; a shuffle_mb jump is a lost broadcast/partial-agg"}""")
+    println(s"""{"metric":"bench_diagnostics","sf_dir":"$sfDir","trials":$trials,"spread_mean":$spreadMean,"anchor_cpu":$aCpu,"anchor_spark":$aSpark,"anchor_note":"fixed-work machine-noise anchors; normalize cross-session totals by the anchor ratio (~1.5-2x ambient drift observed on identical code)","queries_full":$qsFull,"spread":$sp,"spread_iqr":$spIqr,"spread_iqr_mean":$spreadIqrMean,"shuffle_mb":$shuf,"shuffle_note":"deterministic shuffle-write bytes from the executed plan's SQLMetrics — a perf regression with unchanged shuffle_mb is machine noise; a shuffle_mb jump is a lost broadcast/partial-agg"}""")
     spark.stop()
     // PRIMARY contract line, printed LAST and kept small: the driver
     // captures a bounded tail of stdout (observed 2000 chars) and parses
@@ -200,11 +226,19 @@ object Bench {
           s""","total_normalized":${r2(total * ratioCpu)}"""
       case _ => ""
     }
+    // fixed-baseline normalization (non-compounding): carried forward
+    // verbatim; seeded from this run's own anchor on the first round
+    val base = baseAnchorCpu.getOrElse(aCpu)
+    val baseExtra =
+      if (aCpu > 0)
+        s""","anchor_cpu_base":$base,"total_vs_base":${r2(total * base / aCpu)}"""
+      else ""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (line(r).dropRight(1) +
         s""","shuffle_mb":$shuf,"anchor_cpu":$aCpu,"anchor_spark":$aSpark""" +
-        s""","spread_mean":$spreadMean,"trials":$trials$anchorExtra}""" + "\n")
+        s""","spread_mean":$spreadMean,"spread_iqr_mean":$spreadIqrMean""" +
+        s""","trials":$trials$anchorExtra$baseExtra}""" + "\n")
         .getBytes("UTF-8"))
     catch { case _: Throwable => () } // emission must never kill the bench
     println(primaryLine(names, med, total, sfName))

@@ -247,14 +247,21 @@ object Graft {
             s"graft_kmv_sketch: k must be a literal integer " +
               s"(e.g. graft_kmv_sketch(h, 256)); got $what: ${e.sql}")
           if (!e.foldable) bad("a non-literal expression")
-          e.eval() match {
+          val raw: Long = e.eval() match {
             case null => bad("NULL")
-            case i: java.lang.Integer => i.intValue
-            case l: java.lang.Long => l.intValue
-            case s: java.lang.Short => s.intValue
-            case b: java.lang.Byte => b.intValue
+            case i: java.lang.Integer => i.longValue
+            case l: java.lang.Long => l.longValue
+            case s: java.lang.Short => s.longValue
+            case b: java.lang.Byte => b.longValue
             case other => bad(s"a ${other.getClass.getSimpleName} value")
           }
+          // range-check BEFORE narrowing: a Long like 5e9 must not wrap
+          // into a bogus positive int, and k ≤ 2 has no defined error
+          // bound (error ~ 1/sqrt(k − 2))
+          if (raw < 3L || raw > Int.MaxValue.toLong)
+            bad(s"an out-of-range value (need 3 <= k <= ${Int.MaxValue}, " +
+              s"error ~ 1/sqrt(k - 2))")
+          raw.toInt
         } else Kmv.K
         KmvSketchAgg(es.head, k).toAggregateExpression()
       }, "built-in")

@@ -133,7 +133,9 @@ object Bpe {
           .as(Seq("p", "sym")))
       .withColumn("p", col("p") + 1))
     val rounds = Vector.newBuilder[DataFrame]
-    for (r <- 1 to numMerges) {
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
       // one per-word exchange carries the WHOLE round: lead() supplies
       // adjacency (no positional self-join), the running match-count's
       // run-parity picks the left-to-right non-overlapping occurrences,
@@ -149,34 +151,97 @@ object Bpe {
         .agg(sum(col("freq")).as("pair_count"))
         .orderBy(desc("pair_count"), desc("a"), desc("b"))
         .limit(1))
-      rounds += best.select(lit(r).as("merge_rank"), col("a").as("left_sym"),
-        col("b").as("right_sym"), col("pair_count"))
-      // the final round's state is never read — skip its rebuild
-      if (r < numMerges) {
-      val flagged = withNext
-        .crossJoin(broadcast(best.select(col("a"), col("b"))))
-        .withColumn("__m", col("sym") === col("a") && col("__nsym") === col("b"))
-        .withColumn("__rnm", sum(when(col("__m"), 1L).otherwise(0L)).over(
-          byP.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        // p − running-match-count is constant within a maximal run of
-        // consecutive match positions — the classic gaps-and-islands key
-        .withColumn("__grp", when(col("__m"), col("p") - col("__rnm")))
-      val taken = flagged
-        .withColumn("__taken", col("__m") &&
-          (col("__rnm") - min(col("__rnm")).over(
-            Window.partitionBy(col("w"), col("__grp")))) % 2 === 0)
-        .withColumn("__consumed",
-          coalesce(lag(col("__taken"), 1).over(byP), lit(false)))
-      st = pinned(taken
-        .filter(!col("__consumed"))
-        .select(col("w"), col("freq"), col("p"),
-          when(col("__taken"), concat(col("sym"), col("__nsym")))
-            .otherwise(col("sym")).as("sym"))
-        .withColumn("__p2", row_number().over(byP).cast("int"))
-        .select(col("w"), col("freq"), col("__p2").as("p"), col("sym")))
+      // train's stopping rules, verbatim: no adjacent pairs left, or the
+      // best pair no longer repeats (count < 2 — no signal) → stop WITHOUT
+      // emitting, exactly where the driver-side trainer stops. The 1-row
+      // collect per round is the price of parity (and of not letting an
+      // empty `best` silently wipe the state through the cross join).
+      val bestRow = best.select(col("pair_count")).head(1)
+      if (bestRow.isEmpty || bestRow.head.getLong(0) < 2L) done = true
+      else {
+        rounds += best.select(lit(r).as("merge_rank"), col("a").as("left_sym"),
+          col("b").as("right_sym"), col("pair_count"))
+        // the final round's state is never read — skip its rebuild
+        if (r < numMerges)
+          st = pinned(applyMergeStep(withNext, best.select(col("a"), col("b"))))
       }
+      r += 1
     }
-    rounds.result().reduce(_ unionAll _)
+    val out = rounds.result()
+    require(out.nonEmpty,
+      s"trainDistributed: no repeating adjacent pair in the corpus — " +
+        s"0 of $numMerges merges learnable")
+    out.reduce(_ unionAll _)
+  }
+
+  /** One left-to-right non-overlapping merge application over the
+    * (w, freq, p, sym, __nsym) adjacency view: `best` is a 1-row (a, b)
+    * frame (broadcast). Returns the renumbered (w, freq, p, sym) state. */
+  private def applyMergeStep(withNext: DataFrame,
+      best: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byP = Window.partitionBy("w").orderBy("p")
+    val flagged = withNext
+      .crossJoin(broadcast(best))
+      .withColumn("__m", col("sym") === col("a") && col("__nsym") === col("b"))
+      .withColumn("__rnm", sum(when(col("__m"), 1L).otherwise(0L)).over(
+        byP.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // p − running-match-count is constant within a maximal run of
+      // consecutive match positions — the classic gaps-and-islands key
+      .withColumn("__grp", when(col("__m"), col("p") - col("__rnm")))
+    val taken = flagged
+      .withColumn("__taken", col("__m") &&
+        (col("__rnm") - min(col("__rnm")).over(
+          Window.partitionBy(col("w"), col("__grp")))) % 2 === 0)
+      .withColumn("__consumed",
+        coalesce(lag(col("__taken"), 1).over(byP), lit(false)))
+    taken
+      .filter(!col("__consumed"))
+      .select(col("w"), col("freq"), col("p"),
+        when(col("__taken"), concat(col("sym"), col("__nsym")))
+          .otherwise(col("sym")).as("sym"))
+      .withColumn("__p2", row_number().over(byP).cast("int"))
+      .select(col("w"), col("freq"), col("__p2").as("p"), col("sym"))
+  }
+
+  /** DISTRIBUTED apply of a FIXED trained merge table: tokenize the
+    * corpus vocabulary by replaying the merges in rank order — round r
+    * applies merge r left-to-right non-overlapping over the per-word
+    * symbol state, the exact transform a training round uses (and
+    * provably equal to the greedy lowest-rank-first [[tokenizeWord]]:
+    * merge r's operands are produced only by merges < r, and a merge
+    * never deletes a symbol, so an earlier merge can never become newly
+    * applicable after a later one — BpeSpec pins the equality).
+    *
+    * Returns the final per-word state (w, freq, p, sym): one row per
+    * subword token occurrence, positions dense in token order. Per-word
+    * token counts / per-doc subword counts are one groupBy away.
+    *
+    * Scale shape: identical to [[trainDistributed]] minus the pair-count
+    * aggregations — state is vocab-sized, every window partitions by
+    * word, each round's state is pinned, and the merge table is a
+    * driver-side constant of |merges| rows (the frozen-model pattern). */
+  def applyMergesDistributed(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val spark = docs.sparkSession
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var st = DatasetBridge.pinned(vocab
+      .select(col("w"), col("freq"),
+        posexplode(concat(split(col("w"), ""), array(lit(Eow))))
+          .as(Seq("p", "sym")))
+      .withColumn("p", col("p") + 1))
+    val byP = Window.partitionBy("w").orderBy("p")
+    for ((a, b) <- merges) {
+      val best = spark.range(1).select(lit(a).as("a"), lit(b).as("b"))
+      val withNext = st.withColumn("__nsym", lead(col("sym"), 1).over(byP))
+      st = DatasetBridge.pinned(applyMergeStep(withNext, best))
+    }
+    st
   }
 
   /** Tokenize one word with the learned merges (greedy lowest-rank-first,

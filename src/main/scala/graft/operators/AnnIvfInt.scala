@@ -140,9 +140,13 @@ object AnnIvfInt {
 
   /** nprobe search over the fixed-point index: integer scores, top-k per
     * query by (score_q desc, id asc). The probed (query, cid) set
-    * broadcasts into the cell join, so only probed cells are scanned. */
+    * broadcasts into the cell join, so only probed cells are scanned.
+    * `carryCols` names extra candidate columns (e.g. a label) to surface
+    * past the top-k — the operator itself assumes nothing beyond
+    * (idCol, vecCol) about the input schema. */
   def search(index: IntIndex, idCol: String, queryPred: Column, k: Int,
-      nprobe: Int, excludeSelf: Boolean = false): DataFrame = {
+      nprobe: Int, excludeSelf: Boolean = false,
+      carryCols: Seq[String] = Seq.empty): DataFrame = {
     val probed = probeRanks(index, idCol, queryPred)
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("cid"), col("__qq"))
@@ -151,8 +155,59 @@ object AnnIvfInt {
       .filter(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
       .withColumn("score_q", dotQ(col("__q"), col("__qq")))
     Knn.topKPerGroup(
-      cands.select(col("query_id"), col(idCol), col("label"), col("score_q")),
+      cands.select((col("query_id") +: col(idCol) +: carryCols.map(col)) :+
+        col("score_q"): _*),
       Seq(col("query_id")), k, desc("score_q"), asc(idCol))
+  }
+
+  /** The reference's verbose scatter-gather envelope over the fixed-point
+    * index (per probed partition, that partition's local top-k pre-merge
+    * — one row per (query, cid); `neighborhood_server.py:209-226,323-331`):
+    * the integer twin of [[AnnIvf.searchVerbose]], so the envelope shape
+    * itself is DuckDB-replayable. `neighbors` is the rank-ordered struct
+    * array (rank, neighbor_id, score_q). */
+  def searchVerbose(index: IntIndex, idCol: String, queryPred: Column,
+      k: Int, nprobe: Int): DataFrame = {
+    val probed = probeRanks(index, idCol, queryPred)
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("cid"), col("__qq"))
+    val scored = broadcast(probed)
+      .join(index.assigned, Seq("cid"))
+      .withColumn("score_q", dotQ(col("__q"), col("__qq")))
+    Knn.topKPerGroup(
+      scored.select(col("query_id"), col("cid"), col(idCol), col("score_q")),
+      Seq(col("query_id"), col("cid")), k, desc("score_q"), asc(idCol))
+      .groupBy("query_id", "cid")
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col(idCol).as("neighbor_id"), col("score_q"))))
+        .as("neighbors"))
+  }
+
+  /** Corpus×corpus KNN join over the fixed-point index: top-k integer-dot
+    * neighbors for EVERY vector — the integer twin of [[AnnIvf.knnJoin]],
+    * same plan shape as the float production path: the probe side is
+    * corpus-sized so nothing broadcasts; each vector explodes into its
+    * `nprobe` probed cells and the candidate pairing is ONE shuffle join
+    * co-partitioned on `cid` (candidate volume per vector is bounded by
+    * probed-cell occupancy — no quadratic blowup); the merge is the
+    * k-bounded [[TopKAggregator]] (partial before the exchange), so no
+    * task sorts more than k rows per query. Integer scores ride the
+    * aggregator's double slot losslessly (|dot| ≤ 6.4·10¹³ < 2⁵³) and are
+    * cast back to long on the way out. */
+  def knnJoin(index: IntIndex, idCol: String, k: Int, nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val probed = probeRanks(index, idCol, lit(true))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("cid"), col("__qq"))
+    val joined = probed
+      .join(index.assigned.select(col("cid"), col(idCol), col("__q")), Seq("cid"))
+    val filtered =
+      if (excludeSelf) joined.filter(col(idCol) =!= col("query_id")) else joined
+    TopKAggregator.topK(
+      filtered.withColumn("score_q", dotQ(col("__q"), col("__qq")))
+        .select(col("query_id"), col(idCol), col("score_q")),
+      "query_id", idCol, "score_q", k)
+      .withColumn("score_q", col("score_q").cast("long"))
   }
 
   /** Integer brute-force top-k (the recall baseline): every (query,

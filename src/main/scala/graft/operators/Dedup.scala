@@ -594,6 +594,39 @@ object Dedup {
         (coalesce(col("component"), col("id")) === col("id")).cast("int").as("keep"))
   }
 
+  /** Integer fixed-point twin of [[semanticAssignment]] over an
+    * [[AnnIvfInt.IntIndex]]: pair admission is an EXACT integer
+    * comparison — dotQ(a, b) ≥ thresholdQ over the ⌊v·10⁶⌋-quantized
+    * vectors — so the admitted pair set, the min-reachable-id components,
+    * and the keep flags all replay verbatim in ANSI SQL (no float
+    * rounding boundary anywhere). `thresholdQ` is the cosine threshold in
+    * quantized-dot units: τ·10¹² for unit-norm inputs.
+    *
+    * Cluster scoping is the same SemDeDup move: pairs are scored only
+    * within a k-means cell (one self-join co-partitioned on `cid`),
+    * never across the corpus. The float [[semanticAssignment]] remains
+    * the production path — it rides [[AnnIvf.cosinePairsViaIndex]]'s
+    * skew salting and per-cell caps; this twin is the verification
+    * surface (hash-checked end to end, DedupSpec pins the pair-set
+    * equivalence against a naive quadratic build). */
+  def semanticAssignmentInt(index: AnnIvfInt.IntIndex, idCol: String,
+      thresholdQ: Long): DataFrame = {
+    val a = index.assigned.select(col("cid"),
+      col(idCol).cast("long").as("left_id"), col("__q").as("__qa"))
+    val b = index.assigned.select(col("cid"),
+      col(idCol).cast("long").as("right_id"), col("__q").as("__qb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("left_id") < col("right_id"))
+      .filter(AnnIvfInt.dotQ(col("__qa"), col("__qb")) >= thresholdQ)
+      .select("left_id", "right_id")
+    val cc = Components.connectedComponentsAuto(pairs, "left_id", "right_id")
+    index.assigned.select(col(idCol).cast("long").as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component_id"),
+        (coalesce(col("component"), col("id")) === col("id")).cast("int").as("keep"))
+  }
+
   /** Reference cartesian form of [[embeddingPairs]] — equivalence-spec
     * oracle only. */
   private[graft] def embeddingPairsNaive(

@@ -351,14 +351,17 @@ object VectorQueries {
         .orderBy("query_id", "rnk")
     },
 
-    // SemDeDup (Abbas et al. 2023): k-means cluster the embedding space,
-    // drop all but one of any within-cluster cosine-≥-τ group. Rows-only
-    // (k-means); the composition pieces are each spec/oracle-covered
-    // (cosinePairsViaIndex ≡ naive pairs, components = min-reachable-id).
+    // SemDeDup (Abbas et al. 2023), ORACLE-CHECKED (round 11): k-means
+    // cluster the embedding space, drop all but one of any
+    // within-cluster ≥-τ group — over the integer fixed-point index,
+    // where pair admission is an EXACT integer comparison
+    // (dotQ ≥ τ·10¹²) and the min-reachable-id components replay as a
+    // recursive CTE. The float production path (semanticAssignment over
+    // cosinePairsViaIndex with skew salting + caps) stays spec-covered
+    // (pair-set ≡ naive quadratic; components = min-reachable-id).
     "dedup_semantic" -> { (s, dir) =>
-      val emb = table(s, dir, "embeddings")
-      val index = sharedIndex(s, dir)
-      Dedup.semanticAssignment(index, "vec_id", "embedding", threshold = 0.4)
+      val ix = sharedIntIndex(s, dir)
+      Dedup.semanticAssignmentInt(ix, "vec_id", thresholdQ = 400000000000L)
         .select(col("id").as("vec_id"), col("component_id"), col("keep"))
         .orderBy("vec_id")
     },
@@ -374,20 +377,24 @@ object VectorQueries {
     "ann_ivf_search" -> { (s, dir) =>
       val ix = sharedIntIndex(s, dir)
       AnnIvfInt.search(ix, "vec_id", col("vec_id") < 5, k = 10, nprobe = 3,
-          excludeSelf = true)
+          excludeSelf = true, carryCols = Seq("label"))
         .select(col("query_id"), col("vec_id"), col("label"),
           col("score_q"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     },
 
-    // Corpus×corpus similarity search: top-3 neighbors for EVERY vector
-    // via the co-partitioned IVF join — the batch scale path. Rows-only.
+    // Corpus×corpus similarity search, ORACLE-CHECKED (round 11): top-3
+    // neighbors for EVERY vector via the co-partitioned IVF join over the
+    // integer fixed-point index — same plan shape as the float production
+    // path (AnnIvf.knnJoin: corpus-sized probe explode, ONE shuffle join
+    // on the cell id, k-bounded TopKAggregator merge), with integer
+    // scores so the whole batch join replays in DuckDB. The float path
+    // stays exercised (and aggregator-verified) by knn_join_exact.
     "knn_join_all" -> { (s, dir) =>
-      val emb = table(s, dir, "embeddings")
-      val index = sharedIndex(s, dir)
-      AnnIvf.knnJoin(index, "vec_id", "embedding", k = 3, nprobe = 2)
-        .select(col("query_id"), col("vec_id"),
-          round(col("score"), 6).as("score"), col("rank").as("rnk"))
+      val ix = sharedIntIndex(s, dir)
+      AnnIvfInt.knnJoin(ix, "vec_id", k = 3, nprobe = 2)
+        .select(col("query_id"), col("vec_id"), col("score_q"),
+          col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     },
 
@@ -462,22 +469,26 @@ object VectorQueries {
         .select("code_bytes", "compression_x", "recall_adc", "recall_refined")
     },
 
-    // The reference's verbose scatter-gather envelope: per (query, probed
-    // partition) the local top-k, pre-merge — one row per shard response
-    // (neighborhood_server.py:323-331). Rows-only (k-means routing).
-    // All columns are scalar (the neighbor list is joined to a string) so
-    // the driver's canonical row sort can hash the output.
+    // The reference's verbose scatter-gather envelope, ORACLE-CHECKED
+    // (round 11): per (query, probed partition) the local top-k,
+    // pre-merge — one row per shard response
+    // (neighborhood_server.py:209-226,323-331) — over the integer
+    // fixed-point index, so the envelope CONTENT (membership, order, and
+    // scores) replays in DuckDB, not just its shape. All columns are
+    // scalar (the neighbor list is joined to a string) so the driver's
+    // canonical row sort can hash the output. The float envelope
+    // (AnnIvf.searchVerbose) stays spec-covered: its merge equals the
+    // global search result (KnnSpec).
     "ann_search_verbose" -> { (s, dir) =>
-      val emb = table(s, dir, "embeddings")
-      val index = sharedIndex(s, dir)
-      AnnIvf.searchVerbose(index, emb.filter(col("vec_id") < 3),
-          "vec_id", "embedding", k = 5, nprobe = 3)
+      val ix = sharedIntIndex(s, dir)
+      AnnIvfInt.searchVerbose(ix, "vec_id", col("vec_id") < 3,
+          k = 5, nprobe = 3)
         .withColumn("neighbor_ids",
           concat_ws(",",
             transform(col("neighbors"), n => n("neighbor_id").cast("string"))))
-        .withColumn("top_score",
-          round(element_at(col("neighbors"), 1)("score"), 6))
-        .select("query_id", "partition_id", "neighbor_ids", "top_score")
+        .withColumn("top_score", element_at(col("neighbors"), 1)("score_q"))
+        .select(col("query_id"), col("cid").as("partition_id"),
+          col("neighbor_ids"), col("top_score"))
         .orderBy("query_id", "partition_id")
     },
 
@@ -742,15 +753,27 @@ object VectorQueries {
              ORDER BY dot DESC, cid) AS rn FROM df) WHERE rn = 1)"""
   }
 
-  /** Probe CTEs over the final centers for queries `vec_id < $qmax`:
-    * `pd` (query_id, cid, ps) and `prk` (+ probe_rank). */
-  private def intProbeCtes(qmax: Int): String =
+  /** Probe CTEs over the final centers for the query set selected by
+    * `pred` (a predicate over `q`, e.g. "q.vec_id < 5" or "TRUE" for a
+    * corpus×corpus join): `pd` (query_id, cid, ps) and `prk`
+    * (+ probe_rank). */
+  private def intProbeCtes(pred: String): String =
     s"""pd AS (SELECT q.vec_id AS query_id, c.cid, SUM(q.qv * c.cv) AS ps
          FROM q JOIN c$IntIters c ON c.i = q.i
-         WHERE q.vec_id < $qmax GROUP BY q.vec_id, c.cid),
+         WHERE $pred GROUP BY q.vec_id, c.cid),
          prk AS (SELECT query_id, cid, ROW_NUMBER() OVER (
            PARTITION BY query_id ORDER BY ps DESC, cid) AS probe_rank
          FROM pd)"""
+
+  /** Candidate scoring CTE: exact integer dots for the (query_id, vec_id)
+    * pairs of `candCte` — the shared join-back-to-`q` pattern every int
+    * search oracle scores with. */
+  private def intScoreCte(candCte: String): String =
+    s"""sc AS (SELECT cd.query_id, cd.vec_id, SUM(qa.qv * qb.qv) AS score_q
+         FROM $candCte cd
+         JOIN q qa ON qa.vec_id = cd.query_id
+         JOIN q qb ON qb.vec_id = cd.vec_id AND qb.i = qa.i
+         GROUP BY cd.query_id, cd.vec_id)"""
 
   /** All-pairs integer scores for queries `vec_id < $qmax`: `allsc`
     * (query_id, vec_id, score_q) and the integer brute-force top-10 `bf`. */
@@ -770,15 +793,11 @@ object VectorQueries {
     // in probed cells, top-10 per query — every value BIGINT-exact.
     "ann_ivf_search" ->
       s"""WITH $intKmeansCtes,
-         ${intProbeCtes(5)},
+         ${intProbeCtes("q.vec_id < 5")},
          cand AS (SELECT p.query_id, a.vec_id
          FROM (SELECT query_id, cid FROM prk WHERE probe_rank <= 3) p
          JOIN af a ON a.cid = p.cid WHERE a.vec_id <> p.query_id),
-         sc AS (SELECT cd.query_id, cd.vec_id, SUM(qa.qv * qb.qv) AS score_q
-         FROM cand cd
-         JOIN q qa ON qa.vec_id = cd.query_id
-         JOIN q qb ON qb.vec_id = cd.vec_id AND qb.i = qa.i
-         GROUP BY cd.query_id, cd.vec_id)
+         ${intScoreCte("cand")}
          SELECT query_id, vec_id, label, CAST(score_q AS BIGINT) AS score_q,
            CAST(rn AS INTEGER) AS rnk FROM (
            SELECT s.query_id, s.vec_id, e.label, s.score_q,
@@ -787,11 +806,83 @@ object VectorQueries {
            FROM sc s JOIN embeddings e ON e.vec_id = s.vec_id)
          WHERE rn <= 10 ORDER BY query_id, rnk""",
 
+    // Corpus×corpus IVF join replayed: probe EVERY vector (pred TRUE),
+    // candidates = probed cells' members minus self, exact integer
+    // rescoring, top-3 per query — the batch twin of ann_ivf_search.
+    "knn_join_all" ->
+      s"""WITH $intKmeansCtes,
+         ${intProbeCtes("TRUE")},
+         cand AS (SELECT p.query_id, a.vec_id
+         FROM (SELECT query_id, cid FROM prk WHERE probe_rank <= 2) p
+         JOIN af a ON a.cid = p.cid WHERE a.vec_id <> p.query_id),
+         ${intScoreCte("cand")}
+         SELECT query_id, vec_id, CAST(score_q AS BIGINT) AS score_q,
+           CAST(rn AS INTEGER) AS rnk FROM (
+           SELECT query_id, vec_id, score_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score_q DESC, vec_id) AS rn
+           FROM sc)
+         WHERE rn <= 3 ORDER BY query_id, rnk""",
+
+    // The verbose scatter-gather envelope replayed: per (query, probed
+    // cell) the local top-5 by integer dot, rank-ordered id list +
+    // best score — one row per shard response.
+    "ann_search_verbose" ->
+      s"""WITH $intKmeansCtes,
+         ${intProbeCtes("q.vec_id < 3")},
+         cand AS (SELECT p.query_id, p.cid, a.vec_id
+         FROM (SELECT query_id, cid FROM prk WHERE probe_rank <= 3) p
+         JOIN af a ON a.cid = p.cid),
+         sc AS (SELECT cd.query_id, cd.cid, cd.vec_id,
+           SUM(qa.qv * qb.qv) AS score_q
+         FROM cand cd
+         JOIN q qa ON qa.vec_id = cd.query_id
+         JOIN q qb ON qb.vec_id = cd.vec_id AND qb.i = qa.i
+         GROUP BY cd.query_id, cd.cid, cd.vec_id),
+         topn AS (SELECT query_id, cid, vec_id, score_q, rn FROM (
+           SELECT query_id, cid, vec_id, score_q, ROW_NUMBER() OVER (
+             PARTITION BY query_id, cid
+             ORDER BY score_q DESC, vec_id) AS rn FROM sc)
+         WHERE rn <= 5)
+         SELECT query_id, CAST(cid AS INTEGER) AS partition_id,
+           STRING_AGG(CAST(vec_id AS VARCHAR), ',' ORDER BY rn)
+             AS neighbor_ids,
+           CAST(MAX(score_q) AS BIGINT) AS top_score
+         FROM topn GROUP BY query_id, cid
+         ORDER BY query_id, partition_id""",
+
+    // SemDeDup replayed: within-cell integer-dot pairs at the exact
+    // BIGINT threshold, min-reachable-id closure over the (bidirectional)
+    // pair edges, keep = is-own-component-root; singletons keep.
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE $intKmeansCtes,
+         cp AS (SELECT aa.vec_id AS l, bb.vec_id AS r
+         FROM af aa JOIN af bb
+           ON bb.cid = aa.cid AND aa.vec_id < bb.vec_id),
+         pr AS (SELECT cp.l, cp.r FROM cp
+         JOIN q qa ON qa.vec_id = cp.l
+         JOIN q qb ON qb.vec_id = cp.r AND qb.i = qa.i
+         GROUP BY cp.l, cp.r
+         HAVING SUM(qa.qv * qb.qv) >= 400000000000),
+         ed AS (SELECT l AS src, r AS dst FROM pr
+                UNION ALL SELECT r, l FROM pr),
+         reach(id, lbl) AS (
+           SELECT src, src FROM ed
+           UNION
+           SELECT ed.src, rc.lbl FROM ed JOIN reach rc ON rc.id = ed.dst),
+         comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+         SELECT e.vec_id,
+           COALESCE(comp.component, e.vec_id) AS component_id,
+           CAST(CASE WHEN COALESCE(comp.component, e.vec_id) = e.vec_id
+             THEN 1 ELSE 0 END AS INTEGER) AS keep
+         FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
+         ORDER BY e.vec_id""",
+
     // Recall@10 at nprobe=4: hits between integer brute-force top-10 and
     // the probed top-10; mean = SUM(hits)/(10·|queries|), one division.
     "ann_recall_at_10" ->
       s"""WITH $intKmeansCtes,
-         ${intProbeCtes(20)},
+         ${intProbeCtes("q.vec_id < 20")},
          ${intBruteForceCtes(20)},
          ann AS (SELECT query_id, vec_id FROM (
            SELECT c.query_id, c.vec_id, ROW_NUMBER() OVER (
@@ -813,7 +904,7 @@ object VectorQueries {
     // sizes; recall = SUM(hits)/(10·|queries|) per sweep point.
     "ann_nprobe_sweep" ->
       s"""WITH $intKmeansCtes,
-         ${intProbeCtes(20)},
+         ${intProbeCtes("q.vec_id < 20")},
          ${intBruteForceCtes(20)},
          nps AS (SELECT UNNEST([1, 2, 4, 8]) AS np),
          probed AS (SELECT n.np, p.query_id, p.cid
