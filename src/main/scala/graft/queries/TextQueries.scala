@@ -417,6 +417,40 @@ object TextQueries {
         .orderBy("merge_rank")
     },
 
+    // Learned-BPE APPLY, distributed and ORACLE-CHECKED (round 11): the
+    // 12 trained merges (build-once per session — the frozen-model
+    // registry pattern of sharedIndex) are replayed in rank order over
+    // the per-word symbol state (Bpe.applyMergesDistributed — provably
+    // equal to the greedy lowest-rank-first tokenizeWord, BpeSpec), and
+    // per-doc subword counts come from one word-frequency join. This is
+    // the query round 10 traded away when text_bpe_learned moved to
+    // train-evidence: the apply path is distributed AND hash-checked
+    // again (the oracle's final training state IS the applied vocab).
+    "text_bpe_apply" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val merges = sessionCached(s, ("bpe-merges", dir)) {
+        graft.functions.Bpe.trainDistributed(docs, "text", numMerges = 12)
+          .orderBy("merge_rank")
+          .collect().toSeq.map(r => (r.getString(1), r.getString(2)))
+      }
+      val st = graft.functions.Bpe.applyMergesDistributed(docs, "text", merges)
+      val wtok = st.groupBy("w").agg(count(lit(1)).as("n_sub"))
+      val dwf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      val perDoc = dwf.join(wtok, Seq("w"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_sub")).as("n_subwords"))
+      docs.select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
     // Winnowing rolling-hash sketch (document fingerprinting). The
     // poly-31 gram hash is SQL-reproducible, so the sketch cardinality
     // AND content (via its sum) are DuckDB-oracle-checked.
@@ -1529,8 +1563,8 @@ object TextQueries {
     * Shares the trainer's exact semantics: binary-collation tie-break
     * (count desc, left desc, right desc), left-to-right application via
     * run-grouped row_number parity, end-of-word marker `</w>`. */
-  private def bpeTrainSql(numMerges: Int): String = {
-    val rounds = (1 to numMerges).map { r =>
+  private def bpeRoundCtes(numMerges: Int): String =
+    (1 to numMerges).map { r =>
       val prev = s"st${r - 1}"
       s"""pr$r AS (SELECT x.sym AS a, y.sym AS b, SUM(x.freq) AS c
          FROM $prev x JOIN $prev y ON y.w = x.w AND y.p = x.p + 1
@@ -1554,25 +1588,56 @@ object TextQueries {
            LEFT JOIN $prev nx ON nx.w = s.w AND nx.p = s.p + 1
            WHERE t2.p IS NULL)),"""
     }.mkString("\n         ")
+
+  private def bpeTrainSql(numMerges: Int): String = {
     val out = (1 to numMerges).map { r =>
       s"""SELECT $r AS merge_rank, a AS left_sym, b AS right_sym,
          CAST(c AS BIGINT) AS pair_count FROM bs$r"""
     }.mkString("\n         UNION ALL ")
-    s"""WITH vocab AS (SELECT w, COUNT(*) AS freq FROM (
+    s"""WITH ${bpeStateCtes(numMerges)}
+         dummy AS (SELECT 1)
+         $out
+         ORDER BY merge_rank"""
+  }
+
+  /** The shared vocab → st0 → per-round state chain (ends with a trailing
+    * comma — callers append their own terminal CTEs/select). `st{n}` is
+    * the vocabulary tokenized by the first n merges: training state and
+    * BPE-applied vocab are the SAME object, which is what lets the apply
+    * oracle reuse the training replay verbatim. */
+  private def bpeStateCtes(numMerges: Int): String = {
+    val rounds = bpeRoundCtes(numMerges)
+    s"""vocab AS (SELECT w, COUNT(*) AS freq FROM (
            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
          WHERE w <> '' GROUP BY w),
          st0 AS MATERIALIZED (SELECT w, freq, CAST(i AS INTEGER) AS p,
            CASE WHEN i <= LEN(w) THEN SUBSTRING(w, CAST(i AS INTEGER), 1)
                 ELSE '</w>' END AS sym
          FROM (SELECT w, freq, UNNEST(RANGE(1, LEN(w) + 2)) AS i FROM vocab)),
-         $rounds
-         dummy AS (SELECT 1)
-         $out
-         ORDER BY merge_rank"""
+         $rounds"""
   }
+
+  /** Learned-BPE APPLY replayed: the final training state `st$numMerges`
+    * IS the applied vocabulary (one row per subword-token occurrence per
+    * word), so per-word token counts join straight onto the per-doc word
+    * frequencies — no separate apply machinery to trust. */
+  private def bpeApplySql(numMerges: Int): String =
+    s"""WITH ${bpeStateCtes(numMerges)}
+         wtok AS (SELECT w, COUNT(*) AS n_sub FROM st$numMerges GROUP BY w),
+         dwf AS (SELECT doc_id, w, COUNT(*) AS cnt FROM (
+           SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+           FROM documents) WHERE w <> '' GROUP BY doc_id, w)
+         SELECT d.doc_id,
+           CAST(COALESCE(SUM(f.cnt), 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(SUM(f.cnt * t.n_sub), 0) AS BIGINT) AS n_subwords
+         FROM documents d
+         LEFT JOIN dwf f ON f.doc_id = d.doc_id
+         LEFT JOIN wtok t ON t.w = f.w
+         GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   val oracle: Map[String, String] = Map(
     "text_bpe_learned" -> bpeTrainSql(12),
+    "text_bpe_apply" -> bpeApplySql(12),
 
     "text_token_stats" ->
       """SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens, n_chars

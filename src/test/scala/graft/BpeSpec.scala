@@ -69,4 +69,39 @@ class BpeSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(a === b)
   }
+
+  test("trainDistributed stops where train stops: no sub-2 merges ever emitted") {
+    // every pair in this corpus is unique except "ab" (×3): train learns
+    // (a,b) then stops at count < 2 — the distributed trainer must emit
+    // the same single merge instead of padding with count-1 rows (or
+    // wiping state through an empty-argmax cross join)
+    val docs = Seq("ab cd ef", "ab gh ij", "ab").toDF("text")
+    val driver = Bpe.train(docs, "text", numMerges = 8,
+      sampleLimit = Int.MaxValue)
+    val dist = Bpe.trainDistributed(docs, "text", numMerges = 8)
+      .orderBy("merge_rank")
+      .select($"left_sym", $"right_sym", $"pair_count")
+      .as[(String, String, Long)].collect().toSeq
+    assert(driver.merges === dist.map(t => (t._1, t._2)))
+    assert(dist.forall(_._3 >= 2))
+    assert(dist.length < 8) // it actually stopped early
+  }
+
+  test("applyMergesDistributed equals greedy tokenizeWord on every vocab word") {
+    val docs = graft.queries.table(spark, sf0001, "documents")
+    val model = Bpe.train(docs, "text", numMerges = 12,
+      sampleLimit = Int.MaxValue)
+    val got = Bpe.applyMergesDistributed(docs, "text", model.merges)
+      .groupBy($"w")
+      .agg(org.apache.spark.sql.functions.array_sort(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct($"p", $"sym"))).as("t"))
+      .select($"w", org.apache.spark.sql.functions.transform(
+        $"t", x => x.getField("sym")).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (w, toks) =>
+      assert(toks === Bpe.tokenizeWord(model, w), s"word '$w'")
+    }
+  }
 }
