@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Integer fixed-point twin of product quantization ([[AnnPq]]) — the
+  * [[AnnIvfInt]] discipline applied per subspace slice, so codebook
+  * training, encoding, ADC scoring, and the exact-rescore refine all
+  * REPLAY EXACTLY in ANSI SQL and `ann_pq_recall` gains a DuckDB hash
+  * oracle.
+  *
+  * Reference behavior being twinned: the PQ compression knob of the
+  * reference's FAISS factory string
+  * (`/root/reference/src/bioclip_vector_db/storage/storage_impl.py:87`) —
+  * codes replace raw vectors at m bytes each, candidate scoring is
+  * asymmetric-distance (query against the codebook lookup table), an
+  * optional exact rescore refines the shortlist. The float production
+  * path stays [[AnnPq]] (residual IVF-PQ, fp32 ADC); THIS twin verifies
+  * the per-subspace-k-means / encode / LUT / refine MECHANICS against an
+  * independent engine.
+  *
+  * Fixed-point contract (mirrored verbatim by the SQL oracle):
+  *  - inputs are the ⌊v·10⁶⌋-quantized vectors ([[AnnIvfInt.quantize]]);
+  *  - the dim-`dim` vector splits into `m` contiguous subspaces of
+  *    dim/m coordinates;
+  *  - per-subspace codebook: seeds = the sub-slices of the `ksub`
+  *    smallest-id vectors (code = ascending id order, 0-based), then
+  *    `iters` Lloyd's rounds with assignment = argmin integer squared L2
+  *    (tie → lowest code) and centers = per-coordinate floor-division
+  *    means written as ((s − ((s % n + n) % n)) div n); empty codes keep
+  *    their previous center;
+  *  - encode: final argmin per (vector, subspace);
+  *  - ADC score: Σ over subspaces of the integer dot between the query
+  *    sub-slice and the assigned code's center (inner-product ADC);
+  *  - refine: exact integer dot over the full vectors of an ADC
+  *    shortlist.
+  *
+  * Magnitudes: |qv| ≤ 10⁶ ⇒ a squared-L2 term ≤ 4·10¹² and a 16-dim
+  * subspace sum ≤ 6.4·10¹³ — far inside BIGINT; centers are means, so
+  * nothing grows across rounds.
+  *
+  * Scale design: the codebook is m·ksub rows and always broadcasts;
+  * assignment/LUT joins are map-side against that broadcast; the center
+  * update is a (sub, code, i) partial+final hash agg whose shuffle is ≤
+  * m·ksub·(dim/m) rows per task; encoding is corpus-linear. Per-round
+  * codebooks are `localCheckpoint(eager = false)`ed like the IVF twin's
+  * centers.
+  */
+object AnnPqInt {
+
+  final case class IntPq(codebook: DataFrame, encoded: DataFrame,
+      m: Int, ksub: Int, dim: Int)
+
+  /** Exact integer squared L2 of two array<long> columns. */
+  def l2Q(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** One row per (id, sub) with the dim/m-slice of the quantized vector. */
+  private def subVectors(vecs: DataFrame, idCol: String, qCol: String,
+      m: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    vecs.select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col(qCol))
+      .select(col(idCol), col("sub"),
+        slice(col(qCol), col("sub") * lit(dsub) + lit(1), lit(dsub)).as("__sq"))
+  }
+
+  /** argmin-L2 code assignment: (idCol, sub, code), tie → lowest code —
+    * a plain aggregate over a struct (d, code), no window. */
+  private def assign(sv: DataFrame, idCol: String, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), Seq("sub"))
+      .withColumn("__d", l2Q(col("__sq"), col("cvec")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("__d").as("d"), col("code").as("c"))).as("__m"))
+      .select(col(idCol), col("sub"), col("__m.c").as("code"))
+
+  /** One Lloyd's codebook update: per-(sub, code, i) integer sums →
+    * floor-div means, empty codes carry the previous center. */
+  private def recompute(sv: DataFrame, idCol: String, asg: DataFrame,
+      prev: DataFrame): DataFrame = {
+    val sums = sv
+      .select(col(idCol), col("sub"), posexplode(col("__sq")).as(Seq("__i", "__v")))
+      .join(asg, Seq(idCol, "sub"))
+      .groupBy(col("sub"), col("code"), col("__i"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__cv", expr("(__s - ((__s % __n + __n) % __n)) div __n"))
+    val collected = sums.groupBy(col("sub"), col("code"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__i"), col("__cv")))),
+        x => x.getField("__cv")).as("__nv"))
+    prev.select(col("sub"), col("code"), col("cvec").as("__pv"))
+      .join(collected, Seq("sub", "code"), "left")
+      .select(col("sub"), col("code"),
+        coalesce(col("__nv"), col("__pv")).as("cvec"))
+  }
+
+  /** Deterministic fixed-point PQ build over already-quantized vectors
+    * (`qCol`: array<long> of length `dim`). */
+  def build(vecs: DataFrame, idCol: String, qCol: String, m: Int, ksub: Int,
+      iters: Int, dim: Int): IntPq = {
+    require(m > 0 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(ksub > 0 && iters >= 0, s"ksub=$ksub iters=$iters")
+    val sv = subVectors(vecs, idCol, qCol, m, dim)
+      .localCheckpoint(eager = false)
+    // seed codes via the broadcast triangular count (code = #ids smaller),
+    // the same window-free init as the IVF twin
+    val seeds = vecs.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).as("__sid"))
+    val seedIds = seeds.select(col("__sid").as("__b"))
+    val seedCodes = seeds
+      .join(broadcast(seedIds), col("__b") < col("__sid"), "left")
+      .groupBy(col("__sid")).agg(count(col("__b")).cast("int").as("code"))
+    var cb = sv.join(broadcast(seedCodes), col(idCol) === col("__sid"))
+      .select(col("sub"), col("code"), col("__sq").as("cvec"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters)
+      cb = recompute(sv, idCol, assign(sv, idCol, cb), cb)
+        .localCheckpoint(eager = false)
+    IntPq(cb, assign(sv, idCol, cb), m, ksub, dim)
+  }
+
+  /** ADC scores for a query set (`query_id`, `__qq` full quantized
+    * vector): LUT = per (query, sub, code) integer dot against the
+    * broadcast codebook, score = Σ over a vector's m codes — one
+    * (sub, code) equi-join against the corpus codes, no vector math on
+    * the corpus side (the whole point of PQ). */
+  def adcScores(pq: IntPq, queries: DataFrame, idCol: String): DataFrame = {
+    val dsub = pq.dim / pq.m
+    val qsub = queries
+      .select(col("query_id"), explode(sequence(lit(0), lit(pq.m - 1))).as("sub"),
+        col("__qq"))
+      .select(col("query_id"), col("sub"),
+        slice(col("__qq"), col("sub") * lit(dsub) + lit(1), lit(dsub)).as("__qs"))
+    val lut = qsub.join(broadcast(pq.codebook), Seq("sub"))
+      .withColumn("__d", AnnIvfInt.dotQ(col("__qs"), col("cvec")))
+      .select(col("query_id"), col("sub"), col("code"), col("__d"))
+    broadcast(lut).join(pq.encoded, Seq("sub", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__d")).as("adc"))
+  }
+}

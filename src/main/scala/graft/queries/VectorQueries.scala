@@ -44,6 +44,13 @@ object VectorQueries {
     * — the oracle replays the identical training run. */
   private val IntNlist = 8
   private val IntIters = 3
+
+  /** Fixed-point PQ twin knobs, pinned here AND in the `ann_pq_recall`
+    * oracle CTEs (which replay the identical per-subspace training run):
+    * 4 subspaces of 16 dims, 8 codes each, 2 Lloyd's rounds. */
+  private val IntPqM = 4
+  private val IntPqKsub = 8
+  private val IntPqIters = 2
   private def sharedIntIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): AnnIvfInt.IntIndex =
     sessionCached(s, ("ivf-int-index", dir, IntNlist, IntIters)) {
@@ -437,36 +444,51 @@ object VectorQueries {
         .orderBy("query_id", "vec_id")
     },
 
-    // IVF-PQ end-to-end (faithful residual formulation): 8-byte product
-    // codes over v − centroid (32x smaller than fp32 at dim 64), ADC +
-    // pscore candidate scoring, exact top-50 refine — recall of both
-    // stages vs brute force in one row. Rows-only (k-means).
+    // PQ end-to-end, ORACLE-CHECKED (round 11): the integer fixed-point
+    // PQ twin (AnnPqInt — per-subspace Lloyd's on the quantized corpus,
+    // argmin-L2 codes, inner-product ADC via the broadcast LUT, exact
+    // integer top-50 refine) with recall of both stages vs integer brute
+    // force in one row. Means are SUM(hits)/(10·|queries|) — integers up
+    // to one final division, so the 4-dp round replays. The float
+    // production path (AnnPq: residual IVF-PQ at m=8/ksub=256, OPQ/SQ8/
+    // BQ variants) stays spec-covered in AnnPqSpec; THIS query verifies
+    // the PQ mechanics end to end vs DuckDB.
     "ann_pq_recall" -> { (s, dir) =>
-      val emb = table(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 20)
-      val index = sharedIndex(s, dir)
-      val cb = graft.operators.AnnPq.trainResidual(index, "embedding", m = 8,
-        ksub = 256, seed = 42L, sampleLimit = 2048)
-      val encoded = graft.operators.AnnPq.encode(index, cb, "vec_id", "embedding",
-        residual = true)
-      val bf = Knn.bruteForce(emb, queries, "vec_id", "vec_id", "embedding",
-          k = 10, excludeSelf = false)
+      val ix = sharedIntIndex(s, dir)
+      val pq = sessionCached(s, ("pq-int-index", dir)) {
+        val built = graft.operators.AnnPqInt.build(
+          ix.assigned.select(col("vec_id"), col("__q")), "vec_id", "__q",
+          m = IntPqM, ksub = IntPqKsub, iters = IntPqIters, dim = 64)
+        built.copy(encoded = built.encoded.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+      val pred = col("vec_id") < 20
+      val queries = ix.assigned.filter(pred)
+        .select(col("vec_id").as("query_id"), col("__q").as("__qq"))
+      val bf = AnnIvfInt.bruteForce(ix, "vec_id", pred, k = 10)
         .select(col("query_id"), col("vec_id"))
-      def recallOf(res: org.apache.spark.sql.DataFrame, name: String) =
-        bf.join(res.select(col("query_id"), col("vec_id")),
-            Seq("query_id", "vec_id"), "left_semi")
-          .groupBy("query_id").agg((count(lit(1)) / 10.0).as("r"))
-          .agg(round(avg(col("r")), 4).as(name))
-      val adc = recallOf(graft.operators.AnnPq.searchADC(index, cb, encoded,
-        queries, "vec_id", "embedding", k = 10, nprobe = 16,
-        residual = true), "recall_adc")
-      val refined = recallOf(graft.operators.AnnPq.searchADC(index, cb, encoded,
-        queries, "vec_id", "embedding", k = 10, nprobe = 16, refine = 50,
-        residual = true), "recall_refined")
-      adc.crossJoin(refined)
-        .withColumn("code_bytes", lit(cb.codeBytes))
-        .withColumn("compression_x", lit(64 * 4 / cb.codeBytes))
-        .select("code_bytes", "compression_x", "recall_adc", "recall_refined")
+      val adc = graft.operators.AnnPqInt.adcScores(pq, queries, "vec_id")
+      val adcTop = Knn.topKPerGroup(adc, Seq(col("query_id")), 10,
+        desc("adc"), asc("vec_id")).select("query_id", "vec_id")
+      val cand50 = Knn.topKPerGroup(adc, Seq(col("query_id")), 50,
+        desc("adc"), asc("vec_id")).select("query_id", "vec_id")
+      val refined = Knn.topKPerGroup(
+          cand50.join(ix.assigned.select(col("vec_id"), col("__q")), Seq("vec_id"))
+            .join(broadcast(queries), Seq("query_id"))
+            .withColumn("score_q", AnnIvfInt.dotQ(col("__q"), col("__qq"))),
+          Seq(col("query_id")), 10, desc("score_q"), asc("vec_id"))
+        .select("query_id", "vec_id")
+      val nq = ix.assigned.filter(pred).agg(count(lit(1)).as("__nq"))
+      def hitsOf(res: org.apache.spark.sql.DataFrame) =
+        bf.join(res, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("__hits"))
+      hitsOf(adcTop).crossJoin(hitsOf(refined).withColumnRenamed("__hits", "__hits_r"))
+        .crossJoin(broadcast(nq))
+        .select(
+          lit(IntPqM).cast("int").as("code_bytes"),
+          lit(64 * 4 / IntPqM).cast("int").as("compression_x"),
+          round(col("__hits") / (col("__nq") * 10.0), 4).as("recall_adc"),
+          round(col("__hits_r") / (col("__nq") * 10.0), 4).as("recall_refined"))
     },
 
     // The reference's verbose scatter-gather envelope, ORACLE-CHECKED
@@ -735,11 +757,7 @@ object VectorQueries {
              p.cv) AS cv
          FROM $prev p LEFT JOIN s$t m ON m.cid = p.cid AND m.i = p.i),"""
     }.mkString("\n         ")
-    s"""q AS (SELECT vec_id, label, i, CAST(FLOOR(v * 1000000.0) AS BIGINT) AS qv
-         FROM (SELECT vec_id, label,
-                 UNNEST(CAST(embedding AS DOUBLE[])) AS v,
-                 UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
-               FROM embeddings)),
+    s"""$intQuantCte,
          seeds AS (SELECT vec_id,
            CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $IntNlist)),
@@ -752,6 +770,15 @@ object VectorQueries {
            SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
              ORDER BY dot DESC, cid) AS rn FROM df) WHERE rn = 1)"""
   }
+
+  /** The shared quantization CTE `q` (vec_id, label, i 1-based, qv =
+    * ⌊v·10⁶⌋ BIGINT) — the entry point of every integer-twin oracle. */
+  private def intQuantCte: String =
+    """q AS (SELECT vec_id, label, i, CAST(FLOOR(v * 1000000.0) AS BIGINT) AS qv
+         FROM (SELECT vec_id, label,
+                 UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+                 UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+               FROM embeddings))"""
 
   /** Probe CTEs over the final centers for the query set selected by
     * `pred` (a predicate over `q`, e.g. "q.vec_id < 5" or "TRUE" for a
@@ -787,7 +814,90 @@ object VectorQueries {
              ORDER BY score_q DESC, vec_id) AS rn FROM allsc)
          WHERE rn <= 10)"""
 
+  /** Per-subspace fixed-point PQ replay ([[graft.operators.AnnPqInt]]):
+    * sub-slice view `sq` (the subspace id is (i−1) div dsub — positions
+    * stay GLOBAL, which is equivalent to the engine's per-slice arrays
+    * because every join/group carries `sub`), seed codes from the
+    * [[IntPqKsub]] smallest ids, [[IntPqIters]] unrolled Lloyd's rounds
+    * with argmin-L2 assignment (tie → lowest code) and floor-div means
+    * (empty codes carry over), final encode `pe`. Same discipline as
+    * [[intKmeansCtes]] with (sub) threaded through every key. */
+  private def intPqCtes: String = {
+    val dsub = 64 / IntPqM
+    val rounds = (1 to IntPqIters).map { t =>
+      val prev = if (t == 1) "pc0" else s"pc${t - 1}"
+      s"""pd$t AS (SELECT sq.vec_id, sq.sub, c.code,
+           SUM((sq.qv - c.cv) * (sq.qv - c.cv)) AS d
+         FROM sq JOIN $prev c ON c.sub = sq.sub AND c.i = sq.i
+         GROUP BY sq.vec_id, sq.sub, c.code),
+         pa$t AS (SELECT vec_id, sub, code FROM (
+           SELECT vec_id, sub, code, ROW_NUMBER() OVER (
+             PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM pd$t)
+         WHERE rn = 1),
+         ps$t AS (SELECT a.sub, a.code, sq.i, SUM(sq.qv) AS s, COUNT(*) AS n
+         FROM sq JOIN pa$t a ON a.vec_id = sq.vec_id AND a.sub = sq.sub
+         GROUP BY a.sub, a.code, sq.i),
+         pc$t AS (SELECT p.sub, p.code, p.i,
+           COALESCE(CAST((u.s - ((u.s % u.n + u.n) % u.n)) // u.n AS BIGINT),
+             p.cv) AS cv
+         FROM ${if (t == 1) "pc0" else s"pc${t - 1}"} p
+         LEFT JOIN ps$t u ON u.sub = p.sub AND u.code = p.code AND u.i = p.i),"""
+    }.mkString("\n         ")
+    s"""sq AS (SELECT vec_id, CAST((i - 1) // $dsub AS INTEGER) AS sub, i, qv
+         FROM q),
+         pseed AS (SELECT vec_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $IntPqKsub)),
+         pc0 AS (SELECT s.code, sq.sub, sq.i, sq.qv AS cv
+         FROM sq JOIN pseed s ON s.vec_id = sq.vec_id),
+         $rounds
+         pdf AS (SELECT sq.vec_id, sq.sub, c.code,
+           SUM((sq.qv - c.cv) * (sq.qv - c.cv)) AS d
+         FROM sq JOIN pc$IntPqIters c ON c.sub = sq.sub AND c.i = sq.i
+         GROUP BY sq.vec_id, sq.sub, c.code),
+         pe AS (SELECT vec_id, sub, code FROM (
+           SELECT vec_id, sub, code, ROW_NUMBER() OVER (
+             PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM pdf)
+         WHERE rn = 1)"""
+  }
+
   val oracle: Map[String, String] = Map(
+    // Integer PQ replayed end to end: per-subspace training, encode, ADC
+    // via the LUT join, top-50 → exact-refine; recall of both stages vs
+    // integer brute force — integers up to the final /(10·nq).
+    "ann_pq_recall" ->
+      s"""WITH $intQuantCte,
+         $intPqCtes,
+         ${intBruteForceCtes(20)},
+         lut AS (SELECT sq.vec_id AS query_id, c.sub, c.code,
+           SUM(sq.qv * c.cv) AS d
+         FROM sq JOIN pc$IntPqIters c ON c.sub = sq.sub AND c.i = sq.i
+         WHERE sq.vec_id < 20 GROUP BY sq.vec_id, c.sub, c.code),
+         adc AS (SELECT l.query_id, e.vec_id, SUM(l.d) AS adc
+         FROM pe e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+         GROUP BY l.query_id, e.vec_id),
+         adctop AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adc DESC, vec_id) AS rn FROM adc) WHERE rn <= 10),
+         cand50 AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adc DESC, vec_id) AS rn FROM adc) WHERE rn <= 50),
+         ref AS (SELECT query_id, vec_id FROM (
+           SELECT c.query_id, c.vec_id, ROW_NUMBER() OVER (
+             PARTITION BY c.query_id ORDER BY s.score_q DESC, c.vec_id) AS rn
+           FROM cand50 c JOIN allsc s
+             ON s.query_id = c.query_id AND s.vec_id = c.vec_id)
+         WHERE rn <= 10),
+         nq AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 20)
+         SELECT CAST($IntPqM AS INTEGER) AS code_bytes,
+           CAST(${64 * 4 / IntPqM} AS INTEGER) AS compression_x,
+           ROUND(CAST((SELECT COUNT(*) FROM bf JOIN adctop a
+               ON a.query_id = bf.query_id AND a.vec_id = bf.vec_id)
+             AS DOUBLE) / (10.0 * nq.n), 4) AS recall_adc,
+           ROUND(CAST((SELECT COUNT(*) FROM bf JOIN ref rf
+               ON rf.query_id = bf.query_id AND rf.vec_id = bf.vec_id)
+             AS DOUBLE) / (10.0 * nq.n), 4) AS recall_refined
+         FROM nq""",
     // Integer fixed-point IVF search replayed end to end: quantized
     // training (unrolled Lloyd's), probe top-3 centers, score candidates
     // in probed cells, top-10 per query — every value BIGINT-exact.
