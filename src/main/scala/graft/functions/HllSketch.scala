@@ -47,17 +47,28 @@ object Hll {
     a
   }
 
+  /** Estimate with an ORDER-FREE inverse-power sum: Σ 2^−reg is
+    * accumulated as the exact integer Σ 2^(53−reg) (registers are ≤ 53
+    * at P = 12) and divided by 2⁵³ once — so the double value is a pure
+    * function of the register MULTISET, not of accumulation order, and
+    * the whole estimate replays in SQL as the identical IEEE op sequence
+    * (SUM of shifted BIGINTs → one divide → alpha·m²/invSum, with the
+    * linear-counting branch on the zero-register count). The previous
+    * sequential float accumulation was ulp-sensitive to register order —
+    * the one step that kept the estimate off the DuckDB hash gate. */
   def estimate(sketch: Array[Byte]): Long = {
     val m = M.toDouble
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    var invSum = 0.0
+    var s = BigInt(0)
     var zeros = 0
     var i = 0
     while (i < M) {
-      invSum += 1.0 / (1L << (sketch(i) & 0xff)).toDouble
-      if (sketch(i) == 0) zeros += 1
+      val r = sketch(i) & 0xff
+      s += BigInt(1) << math.max(0, 53 - r)
+      if (r == 0) zeros += 1
       i += 1
     }
+    val invSum = s.toDouble / 9007199254740992.0 // 2^53
     val raw = alpha * m * m / invSum
     val corrected =
       if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros.toDouble)

@@ -380,14 +380,21 @@ object RelationalQueries {
         .orderBy("prob")
     },
 
-    // Mergeable HLL sketch profiling: per-group sketches merged to the
-    // global estimate without rescanning — rows-only (sketch internals are
-    // implementation-defined; accuracy/mergeability are spec-checked).
+    // Mergeable HLL sketch profiling, ORACLE-CHECKED (round 11): per-group
+    // sketches over the PORTABLE hash merged to the global estimate
+    // without rescanning. The estimate replays in DuckDB because every
+    // step is now engine-portable: registers are integer-exact (the
+    // checksum query's bit-smear recompute), the inverse-power sum is the
+    // exact integer Σ 2^(53−reg) (order-free — see Hll.estimate), and the
+    // remaining float work is a fixed IEEE op sequence plus one ln() in
+    // the linear-counting branch (ulp-identical in practice; verified at
+    // all three scale factors, which exercise BOTH branches).
     "profile_hll_sketch" -> { (s, dir) =>
-      import graft.functions.Hll
+      import graft.functions.{Hll, TextOps}
+      val hUdf = udf((x: String) => TextOps.portableTokenHash64(x))
       val perGroup = table(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(Hll.sketchAgg(xxhash64(col("l_partkey"))).as("sk"),
+        .agg(Hll.sketchAgg(hUdf(col("l_partkey").cast("string"))).as("sk"),
           count(lit(1)).as("n"))
       perGroup.agg(
         Hll.estimateCol(Hll.mergeAgg(col("sk"))).as("approx_distinct_parts"),
@@ -1390,6 +1397,29 @@ object RelationalQueries {
                  UNION ALL SELECT * FROM w4)"""
   }
 
+  /** Shared register-recompute chain for the P=12 portable-hash HLL
+    * oracles: portable hash of l_partkey → bucket = top 12 bits, rank =
+    * 53 − bitlength(low 52 bits) via bit-smear + BIT_COUNT → per-bucket
+    * max (`regs`). Global max per register ≡ merged per-group maxes. */
+  private def hllRegsCtes: String =
+    s"""pp AS (
+           SELECT ${polySql("CAST(l_partkey AS VARCHAR)", 31)} AS p1,
+                  ${polySql("CAST(l_partkey AS VARCHAR)", 37)} AS p2
+           FROM lineitem),
+         hh AS (SELECT ${tokenHashSql("p1", "p2")} AS h FROM pp),
+         lz AS (SELECT h >> 52 AS bucket,
+                       h & 4503599627370495 AS low FROM hh),
+         s1 AS (SELECT bucket, low, low | (low >> 1) AS r FROM lz),
+         s2 AS (SELECT bucket, low, r | (r >> 2) AS r FROM s1),
+         s3 AS (SELECT bucket, low, r | (r >> 4) AS r FROM s2),
+         s4 AS (SELECT bucket, low, r | (r >> 8) AS r FROM s3),
+         s5 AS (SELECT bucket, low, r | (r >> 16) AS r FROM s4),
+         s6 AS (SELECT bucket, low, r | (r >> 32) AS r FROM s5),
+         regs AS (SELECT bucket,
+                    MAX(CASE WHEN low = 0 THEN 53
+                             ELSE 53 - BIT_COUNT(r) END) AS register
+                  FROM s6 GROUP BY bucket)"""
+
   val oracle: Map[String, String] = Map(
     // HLL registers recomputed from scratch: portable string hash of the
     // key, low-8-bit bucket, trailing-zeros rho, per-bucket max.
@@ -1415,27 +1445,37 @@ object RelationalQueries {
     // 53 − bitlength(low 52 bits) — computed integrally via a bit-smear +
     // BIT_COUNT. Per-group max then merge-max ≡ global max per register.
     "profile_hll_merge_checksum" -> {
-      s"""WITH pp AS (
-           SELECT ${polySql("CAST(l_partkey AS VARCHAR)", 31)} AS p1,
-                  ${polySql("CAST(l_partkey AS VARCHAR)", 37)} AS p2
-           FROM lineitem),
-         hh AS (SELECT ${tokenHashSql("p1", "p2")} AS h FROM pp),
-         lz AS (SELECT h >> 52 AS bucket,
-                       h & 4503599627370495 AS low FROM hh),
-         s1 AS (SELECT bucket, low, low | (low >> 1) AS r FROM lz),
-         s2 AS (SELECT bucket, low, r | (r >> 2) AS r FROM s1),
-         s3 AS (SELECT bucket, low, r | (r >> 4) AS r FROM s2),
-         s4 AS (SELECT bucket, low, r | (r >> 8) AS r FROM s3),
-         s5 AS (SELECT bucket, low, r | (r >> 16) AS r FROM s4),
-         s6 AS (SELECT bucket, low, r | (r >> 32) AS r FROM s5),
-         regs AS (SELECT bucket,
-                    MAX(CASE WHEN low = 0 THEN 53
-                             ELSE 53 - BIT_COUNT(r) END) AS register
-                  FROM s6 GROUP BY bucket)
+      s"""WITH $hllRegsCtes
          SELECT CAST(SUM(register) AS BIGINT) AS register_sum,
                 CAST(COUNT(*) AS BIGINT) AS nonzero_buckets,
                 CAST(SUM((bucket + 1) * register) AS BIGINT) AS weighted_sum
          FROM regs"""
+    },
+
+    // The merged-sketch ESTIMATE replayed: registers via the checksum
+    // chain (merge-max ≡ global max), zero buckets included through the
+    // 0..4095 spine, inverse-power sum as the EXACT integer Σ 2^(53−reg)
+    // (SUM(BIGINT) is HUGEINT — no overflow at 4096·2⁵³), then the
+    // identical IEEE op sequence as Hll.estimate: one divide by 2⁵³,
+    // alpha·m²/invSum, linear-counting ln branch, FLOOR(x + 0.5)
+    // (= Java math.round for positive x).
+    "profile_hll_sketch" -> {
+      s"""WITH $hllRegsCtes,
+         spine AS (SELECT g.i AS bucket, COALESCE(regs.register, 0) AS r
+           FROM GENERATE_SERIES(0, 4095) g(i)
+           LEFT JOIN regs ON regs.bucket = g.i),
+         sums AS (SELECT SUM(CAST(1 AS BIGINT) << (53 - r)) AS sm,
+                    SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS z
+                  FROM spine),
+         est AS (SELECT CASE WHEN raw <= 2.5 * 4096.0 AND z > 0
+                    THEN FLOOR(4096.0 * LN(4096.0 / z) + 0.5)
+                    ELSE FLOOR(raw + 0.5) END AS e
+           FROM (SELECT (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                     / (CAST(sm AS DOUBLE) / 9007199254740992.0) AS raw, z
+                 FROM sums))
+         SELECT CAST(e AS BIGINT) AS approx_distinct_parts,
+           (SELECT COUNT(*) FROM lineitem) AS total_rows
+         FROM est"""
     },
 
     // CMS registers + estimates recomputed from scratch: per-term
