@@ -419,13 +419,17 @@ object TextQueries {
 
     // Learned-BPE APPLY, distributed and ORACLE-CHECKED (round 11): the
     // 12 trained merges (build-once per session — the frozen-model
-    // registry pattern of sharedIndex) are replayed in rank order over
-    // the per-word symbol state (Bpe.applyMergesDistributed — provably
-    // equal to the greedy lowest-rank-first tokenizeWord, BpeSpec), and
-    // per-doc subword counts come from one word-frequency join. This is
-    // the query round 10 traded away when text_bpe_learned moved to
-    // train-evidence: the apply path is distributed AND hash-checked
-    // again (the oracle's final training state IS the applied vocab).
+    // registry pattern of sharedIndex) are applied by the greedy
+    // lowest-rank tokenizer over the DISTINCT-WORD vocabulary (the
+    // production apply shape: broadcast model, vocab-sized work — not
+    // corpus-sized), then per-doc subword counts come from one
+    // word-frequency join. The oracle instead replays the relational
+    // round-by-round apply (its final training state IS the applied
+    // vocab), so the hash match ALSO re-proves greedy ≡ round-by-round
+    // on the whole corpus vocabulary — the equivalence BpeSpec pins
+    // per-word (Bpe.applyMergesDistributed is that relational form as a
+    // reusable operator). This restores the apply-path evidence round 10
+    // traded away when text_bpe_learned moved to train-evidence.
     "text_bpe_apply" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val merges = sessionCached(s, ("bpe-merges", dir)) {
@@ -433,8 +437,13 @@ object TextQueries {
           .orderBy("merge_rank")
           .collect().toSeq.map(r => (r.getString(1), r.getString(2)))
       }
-      val st = graft.functions.Bpe.applyMergesDistributed(docs, "text", merges)
-      val wtok = st.groupBy("w").agg(count(lit(1)).as("n_sub"))
+      val model = graft.functions.Bpe.Model(merges)
+      val wtok = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .select(col("w"),
+          size(graft.functions.Bpe.tokenizeUdf(model)(col("w")))
+            .cast("long").as("n_sub"))
       val dwf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
