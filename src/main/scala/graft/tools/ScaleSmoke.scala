@@ -737,6 +737,81 @@ object ScaleSmoke {
       "(vocab-bound state: rounds flat, only the vocab scan scales)")
     }
 
+    // Corpus×corpus KNN join over the integer index: probe explode +
+    // ONE shuffle join co-partitioned on cid + k-bounded aggregator.
+    // nlist grows with the corpus (the F9 sizing discipline), so probed
+    // candidate volume per query stays ~constant and total work linear.
+    section("intknnjoin") {
+    import graft.operators.AnnIvfInt
+    def timed(label: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
+      s
+    }
+    val emb1 = table(spark, dir, "embeddings")
+    def joinAll(df: DataFrame, nlist: Int): Long = {
+      val ix = AnnIvfInt.build(df, "vec_id", "embedding", nlist, iters = 2)
+      AnnIvfInt.knnJoin(ix, "vec_id", k = 3, nprobe = 2).count()
+    }
+    val t1 = timed("int knnJoin corpus-all 1x")(joinAll(emb1, 8))
+    val tN = timed(s"int knnJoin corpus-all ${copies}x")(joinAll(emb, 8 * copies))
+    println(f"[scale] intknnjoin ${copies}x/1x wall-clock factor: ${tN / t1}%.2f " +
+      "(nlist scaled with corpus: probed volume/query constant)")
+    }
+
+    // Integer PQ: codebook is m*ksub rows (broadcast), training and
+    // encode are corpus-linear scans; ADC is a LUT equi-join with no
+    // vector math on the corpus side.
+    section("pqint") {
+    import graft.operators.{AnnIvfInt, AnnPqInt}
+    def timed(label: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
+      s
+    }
+    val emb1 = table(spark, dir, "embeddings")
+    def buildAdc(df: DataFrame): Long = {
+      val q = df.select(col("vec_id"), AnnIvfInt.quantize(col("embedding")).as("__q"))
+      val pq = AnnPqInt.build(q, "vec_id", "__q", m = 4, ksub = 8,
+        iters = 2, dim = 64)
+      AnnPqInt.adcScores(pq,
+        q.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("__q").as("__qq")),
+        "vec_id").count()
+    }
+    val t1 = timed("int PQ build+ADC 1x")(buildAdc(emb1))
+    val tN = timed(s"int PQ build+ADC ${copies}x")(buildAdc(emb))
+    println(f"[scale] pqint ${copies}x/1x wall-clock factor: ${tN / t1}%.2f")
+    }
+
+    // Integer SemDeDup: within-cell pair admission — nlist scales with
+    // the corpus so per-cell occupancy (and the n²/2-per-cell pair space)
+    // stays constant per cell, linear overall.
+    section("semdedupint") {
+    import graft.operators.{AnnIvfInt, Dedup => D}
+    def timed(label: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
+      s
+    }
+    val emb1 = table(spark, dir, "embeddings")
+    def dedupInt(df: DataFrame, nlist: Int): Long = {
+      val ix = AnnIvfInt.build(df, "vec_id", "embedding", nlist, iters = 2)
+      D.semanticAssignmentInt(ix, "vec_id", 400000000000L)
+        .filter(col("keep") === 0).count()
+    }
+    val t1 = timed("int semantic dedup 1x")(dedupInt(emb1, 8))
+    val tN = timed(s"int semantic dedup ${copies}x")(dedupInt(emb, 8 * copies))
+    println(f"[scale] semdedupint ${copies}x/1x wall-clock factor: ${tN / t1}%.2f " +
+      "(nlist scaled with corpus: per-cell pair space constant)")
+    }
+
     section("skew-agg") {
     val skewed = li.withColumn("k",
       when(pmod(col("l_orderkey"), lit(20)) =!= 0, lit("hot")).otherwise(col("l_returnflag")))
