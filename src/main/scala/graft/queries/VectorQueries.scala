@@ -144,6 +144,25 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // The PCA family's hash-checked twin (round 11): dominant eigenvector
+    // + Rayleigh quotient of the embedding scatter matrix by integer
+    // fixed-point power iteration (EmbeddingPcaInt — quantize ⌊v·10⁴⌋,
+    // one exact-long moment pass, 80 unrolled A·x rounds renormalized by
+    // portable floor-div to max|coord| = 10⁶). Together with
+    // emb_pca_trace (spectrum total) this puts the eigensolve family
+    // under the DuckDB gate; emb_pca itself (full float Jacobi spectrum)
+    // stays rows-only by nature.
+    "emb_pca_power" -> { (s, dir) =>
+      import s.implicits._
+      val pm = graft.operators.EmbeddingPcaInt.fitPower(
+        table(s, dir, "embeddings"), "embedding", rounds = 80)
+      pm.vector.toSeq.zipWithIndex
+        .map { case (v, i) => (i, v, pm.lambdaQ) }
+        .toDF("dim", "v_q", "lambda_q")
+        .select(col("dim").cast("int").as("dim"), col("v_q"), col("lambda_q"))
+        .orderBy("dim")
+    },
+
     // Trace-invariant partial oracle for the eigensolve: Σ of ALL d
     // eigenvalues equals trace(cov) = Σ_i (E[x_i²] − mean_i²), the total
     // centered variance — which IS SQL-expressible. The engine sums the
@@ -1068,6 +1087,48 @@ object VectorQueries {
            COALESCE(lab.role, 'noise') AS role
          FROM embeddings e LEFT JOIN lab ON lab.id = e.vec_id
          ORDER BY vec_id""",
+
+    // Integer power iteration replayed: exact moments → scatter
+    // A = n·S − M·Mᵀ in HUGEINT → 80 unrolled A·x rounds with the
+    // portable floor-div renormalization (the fixture spectrum is nearly
+    // flat — λ1/λ2 ≈ 1.07 — so convergence needs the long unroll; each
+    // round is three ≤64-row CTEs, so the replay stays cheap) → λ_q.
+    // portable floor-div renormalization → Rayleigh λ_q.
+    "emb_pca_power" -> {
+      val rounds = 80
+      val rcte = (1 to rounds).map { r =>
+        val prev = s"px${r - 1}"
+        s"""py$r AS MATERIALIZED (SELECT a.i, SUM(a.v * x.v) AS y
+           FROM aa a JOIN $prev x ON x.i = a.j GROUP BY a.i),
+           pm$r AS (SELECT MAX(ABS(y)) AS mx FROM py$r),
+           px$r AS MATERIALIZED (SELECT y.i,
+             (sv - ((sv % mx + mx) % mx)) // mx AS v
+           FROM (SELECT i, y * 1000000 AS sv FROM py$r) y CROSS JOIN pm$r),"""
+      }.mkString("\n         ")
+      s"""WITH qp AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(v * 10000.0) AS BIGINT) AS qv
+           FROM (SELECT vec_id,
+                   UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+                   UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+                 FROM embeddings)),
+         nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         mm AS (SELECT i, SUM(qv) AS m FROM qp GROUP BY i),
+         ss AS (SELECT a.i, b.i AS j, SUM(a.qv * b.qv) AS s
+         FROM qp a JOIN qp b ON b.vec_id = a.vec_id GROUP BY a.i, b.i),
+         aa AS MATERIALIZED (SELECT ss.i, ss.j,
+           CAST(nn.n AS HUGEINT) * ss.s - CAST(ma.m AS HUGEINT) * mb.m AS v
+         FROM ss JOIN mm ma ON ma.i = ss.i JOIN mm mb ON mb.i = ss.j
+         CROSS JOIN nn),
+         px0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM mm),
+         $rcte
+         lam AS (SELECT
+           (SELECT SUM(xa.v * a.v * xb.v) FROM aa a
+            JOIN px$rounds xa ON xa.i = a.i
+            JOIN px$rounds xb ON xb.i = a.j) AS num,
+           (SELECT SUM(v * v) FROM px$rounds) AS den)
+         SELECT CAST(x.i - 1 AS INTEGER) AS dim, CAST(x.v AS BIGINT) AS v_q,
+           CAST((num - ((num % den + den) % den)) // den AS BIGINT) AS lambda_q
+         FROM px$rounds x CROSS JOIN lam ORDER BY dim"""
+    },
 
     "emb_pca_trace" ->
       """WITH x AS (
