@@ -766,12 +766,12 @@ object VectorQueries {
       val prev = if (t == 1) "c0" else s"c${t - 1}"
       s"""d$t AS (SELECT q.vec_id, c.cid, SUM(q.qv * c.cv) AS dot
          FROM q JOIN $prev c ON c.i = q.i GROUP BY q.vec_id, c.cid),
-         a$t AS (SELECT vec_id, cid FROM (
+         a$t AS MATERIALIZED (SELECT vec_id, cid FROM (
            SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
              ORDER BY dot DESC, cid) AS rn FROM d$t) WHERE rn = 1),
          s$t AS (SELECT a.cid, q.i, SUM(q.qv) AS s, COUNT(*) AS n
          FROM q JOIN a$t a ON a.vec_id = q.vec_id GROUP BY a.cid, q.i),
-         c$t AS (SELECT p.cid, p.i,
+         c$t AS MATERIALIZED (SELECT p.cid, p.i,
            COALESCE(CAST((m.s - ((m.s % m.n + m.n) % m.n)) // m.n AS BIGINT),
              p.cv) AS cv
          FROM $prev p LEFT JOIN s$t m ON m.cid = p.cid AND m.i = p.i),"""
@@ -785,7 +785,7 @@ object VectorQueries {
          $rounds
          df AS (SELECT q.vec_id, c.cid, SUM(q.qv * c.cv) AS dot
          FROM q JOIN c$IntIters c ON c.i = q.i GROUP BY q.vec_id, c.cid),
-         af AS (SELECT vec_id, cid FROM (
+         af AS MATERIALIZED (SELECT vec_id, cid FROM (
            SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
              ORDER BY dot DESC, cid) AS rn FROM df) WHERE rn = 1)"""
   }
@@ -793,7 +793,7 @@ object VectorQueries {
   /** The shared quantization CTE `q` (vec_id, label, i 1-based, qv =
     * ⌊v·10⁶⌋ BIGINT) — the entry point of every integer-twin oracle. */
   private def intQuantCte: String =
-    """q AS (SELECT vec_id, label, i, CAST(FLOOR(v * 1000000.0) AS BIGINT) AS qv
+    """q AS MATERIALIZED (SELECT vec_id, label, i, CAST(FLOOR(v * 1000000.0) AS BIGINT) AS qv
          FROM (SELECT vec_id, label,
                  UNNEST(CAST(embedding AS DOUBLE[])) AS v,
                  UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
@@ -807,7 +807,7 @@ object VectorQueries {
     s"""pd AS (SELECT q.vec_id AS query_id, c.cid, SUM(q.qv * c.cv) AS ps
          FROM q JOIN c$IntIters c ON c.i = q.i
          WHERE $pred GROUP BY q.vec_id, c.cid),
-         prk AS (SELECT query_id, cid, ROW_NUMBER() OVER (
+         prk AS MATERIALIZED (SELECT query_id, cid, ROW_NUMBER() OVER (
            PARTITION BY query_id ORDER BY ps DESC, cid) AS probe_rank
          FROM pd)"""
 
@@ -815,7 +815,7 @@ object VectorQueries {
     * pairs of `candCte` — the shared join-back-to-`q` pattern every int
     * search oracle scores with. */
   private def intScoreCte(candCte: String): String =
-    s"""sc AS (SELECT cd.query_id, cd.vec_id, SUM(qa.qv * qb.qv) AS score_q
+    s"""sc AS MATERIALIZED (SELECT cd.query_id, cd.vec_id, SUM(qa.qv * qb.qv) AS score_q
          FROM $candCte cd
          JOIN q qa ON qa.vec_id = cd.query_id
          JOIN q qb ON qb.vec_id = cd.vec_id AND qb.i = qa.i
@@ -824,11 +824,11 @@ object VectorQueries {
   /** All-pairs integer scores for queries `vec_id < $qmax`: `allsc`
     * (query_id, vec_id, score_q) and the integer brute-force top-10 `bf`. */
   private def intBruteForceCtes(qmax: Int): String =
-    s"""allsc AS (SELECT qa.vec_id AS query_id, qb.vec_id,
+    s"""allsc AS MATERIALIZED (SELECT qa.vec_id AS query_id, qb.vec_id,
            SUM(qa.qv * qb.qv) AS score_q
          FROM q qa JOIN q qb ON qb.i = qa.i
          WHERE qa.vec_id < $qmax GROUP BY qa.vec_id, qb.vec_id),
-         bf AS (SELECT query_id, vec_id FROM (
+         bf AS MATERIALIZED (SELECT query_id, vec_id FROM (
            SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY score_q DESC, vec_id) AS rn FROM allsc)
          WHERE rn <= 10)"""
@@ -849,20 +849,20 @@ object VectorQueries {
            SUM((sq.qv - c.cv) * (sq.qv - c.cv)) AS d
          FROM sq JOIN $prev c ON c.sub = sq.sub AND c.i = sq.i
          GROUP BY sq.vec_id, sq.sub, c.code),
-         pa$t AS (SELECT vec_id, sub, code FROM (
+         pa$t AS MATERIALIZED (SELECT vec_id, sub, code FROM (
            SELECT vec_id, sub, code, ROW_NUMBER() OVER (
              PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM pd$t)
          WHERE rn = 1),
          ps$t AS (SELECT a.sub, a.code, sq.i, SUM(sq.qv) AS s, COUNT(*) AS n
          FROM sq JOIN pa$t a ON a.vec_id = sq.vec_id AND a.sub = sq.sub
          GROUP BY a.sub, a.code, sq.i),
-         pc$t AS (SELECT p.sub, p.code, p.i,
+         pc$t AS MATERIALIZED (SELECT p.sub, p.code, p.i,
            COALESCE(CAST((u.s - ((u.s % u.n + u.n) % u.n)) // u.n AS BIGINT),
              p.cv) AS cv
          FROM ${if (t == 1) "pc0" else s"pc${t - 1}"} p
          LEFT JOIN ps$t u ON u.sub = p.sub AND u.code = p.code AND u.i = p.i),"""
     }.mkString("\n         ")
-    s"""sq AS (SELECT vec_id, CAST((i - 1) // $dsub AS INTEGER) AS sub, i, qv
+    s"""sq AS MATERIALIZED (SELECT vec_id, CAST((i - 1) // $dsub AS INTEGER) AS sub, i, qv
          FROM q),
          pseed AS (SELECT vec_id,
            CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
@@ -874,7 +874,7 @@ object VectorQueries {
            SUM((sq.qv - c.cv) * (sq.qv - c.cv)) AS d
          FROM sq JOIN pc$IntPqIters c ON c.sub = sq.sub AND c.i = sq.i
          GROUP BY sq.vec_id, sq.sub, c.code),
-         pe AS (SELECT vec_id, sub, code FROM (
+         pe AS MATERIALIZED (SELECT vec_id, sub, code FROM (
            SELECT vec_id, sub, code, ROW_NUMBER() OVER (
              PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM pdf)
          WHERE rn = 1)"""
@@ -892,7 +892,7 @@ object VectorQueries {
            SUM(sq.qv * c.cv) AS d
          FROM sq JOIN pc$IntPqIters c ON c.sub = sq.sub AND c.i = sq.i
          WHERE sq.vec_id < 20 GROUP BY sq.vec_id, c.sub, c.code),
-         adc AS (SELECT l.query_id, e.vec_id, SUM(l.d) AS adc
+         adc AS MATERIALIZED (SELECT l.query_id, e.vec_id, SUM(l.d) AS adc
          FROM pe e JOIN lut l ON l.sub = e.sub AND l.code = e.code
          GROUP BY l.query_id, e.vec_id),
          adctop AS (SELECT query_id, vec_id FROM (
@@ -988,7 +988,7 @@ object VectorQueries {
          cp AS (SELECT aa.vec_id AS l, bb.vec_id AS r
          FROM af aa JOIN af bb
            ON bb.cid = aa.cid AND aa.vec_id < bb.vec_id),
-         pr AS (SELECT cp.l, cp.r FROM cp
+         pr AS MATERIALIZED (SELECT cp.l, cp.r FROM cp
          JOIN q qa ON qa.vec_id = cp.l
          JOIN q qb ON qb.vec_id = cp.r AND qb.i = qa.i
          GROUP BY cp.l, cp.r
