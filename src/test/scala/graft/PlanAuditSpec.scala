@@ -462,6 +462,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("knn_join_all (int): merge is the k-bounded aggregator, not a rank window") {
+    val p = plan("knn_join_all")
+    // TopKAggregator partial+final — no per-query rank window sorts the
+    // corpus-sized candidate stream (the nested loops in this plan are
+    // all nlist-row centers broadcasts inside the index build/probe —
+    // the join sweep's modelTbl entry covers them)
+    // (probeRanks' own WindowGroupLimit over the nlist-rows-per-query
+    // probe is fine — the candidate MERGE is what must stay windowless)
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert(p.contains("partial_(vec_id"), p.take(800))
+  }
+
   test("join sweep: no CartesianProduct in ANY declared query; every BroadcastNestedLoopJoin build side is bounded or allowlisted") {
     // The other scale-killer class, closed CI-wide like the window sweep
     // above: a CartesianProduct materializes |L|·|R| rows (never
