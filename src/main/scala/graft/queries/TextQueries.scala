@@ -1804,12 +1804,12 @@ object TextQueries {
              ROW_NUMBER() OVER (PARTITION BY ARRAY_TO_STRING(toks[1:3], ' ')
                ORDER BY text, doc_id) AS rn
            FROM d),
-         cand AS (
+         cand AS MATERIALIZED (
            SELECT LEAST(a.doc_id, b.doc_id) AS left_id,
              GREATEST(a.doc_id, b.doc_id) AS right_id
            FROM rk a JOIN rk b
            ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3),
-         truth AS (
+         truth AS MATERIALIZED (
            SELECT a.doc_id AS left_id, b.doc_id AS right_id
            FROM sh a, sh b
            WHERE a.doc_id < b.doc_id
@@ -2355,13 +2355,13 @@ object TextQueries {
 
     "eval_dedup_recall" ->
       s"""WITH $minhashVerCtes,
-         truth AS (
+         truth AS MATERIALIZED (
            SELECT ha.doc_id AS left_id, hb.doc_id AS right_id
            FROM hset ha, hset hb
            WHERE ha.doc_id < hb.doc_id
              AND ROUND(CAST(LEN(LIST_INTERSECT(ha.hs, hb.hs)) AS DOUBLE)
                / LEN(LIST_DISTINCT(LIST_CONCAT(ha.hs, hb.hs))), 6) >= 0.5),
-         emitted AS (SELECT left_id, right_id FROM ver WHERE jaccard >= 0.5),
+         emitted AS MATERIALIZED (SELECT left_id, right_id FROM ver WHERE jaccard >= 0.5),
          matched AS (SELECT * FROM emitted INTERSECT SELECT * FROM truth)
          SELECT n_truth, n_emitted, n_matched,
            ROUND(CAST(n_matched AS DOUBLE) / n_truth, 4) AS recall
