@@ -122,9 +122,19 @@ object AnnPqInt {
 
   /** ADC scores for a query set (`query_id`, `__qq` full quantized
     * vector): LUT = per (query, sub, code) integer dot against the
-    * broadcast codebook, score = Σ over a vector's m codes — one
-    * (sub, code) equi-join against the corpus codes, no vector math on
-    * the corpus side (the whole point of PQ). */
+    * broadcast codebook, score = Σ over a vector's m codes — no vector
+    * math on the corpus side (the whole point of PQ), and since round 11
+    * no corpus×query shuffle either: each query's LUT pivots to one
+    * dense m·ksub array, the corpus codes pivot once to an m-array per
+    * vector, and the Σ is a map-side `aggregate` lookup under the
+    * broadcast of the (tiny) per-query LUTs. The only corpus-sized
+    * shuffle left is the one-off code pivot (m ints per vector — the PQ
+    * storage layout itself); the scored pairs never shuffle, so a
+    * downstream top-k sees map-local rows and its WindowGroupLimit
+    * partial limit bounds what crosses the wire. (The previous form's
+    * (sub, code) equi-join re-shuffled |Q|·|corpus| scored rows through
+    * the Σ hash-agg — measured 5 MB vs ~0 at sf0.1, and growing with
+    * |Q|·|corpus| at scale.) */
   def adcScores(pq: IntPq, queries: DataFrame, idCol: String): DataFrame = {
     val dsub = pq.dim / pq.m
     val qsub = queries
@@ -135,8 +145,26 @@ object AnnPqInt {
     val lut = qsub.join(broadcast(pq.codebook), Seq("sub"))
       .withColumn("__d", AnnIvfInt.dotQ(col("__qs"), col("cvec")))
       .select(col("query_id"), col("sub"), col("code"), col("__d"))
-    broadcast(lut).join(pq.encoded, Seq("sub", "code"))
-      .groupBy(col("query_id"), col(idCol))
-      .agg(sum(col("__d")).as("adc"))
+    // dense per-query LUT array sorted by (sub, code); seed codes are
+    // 0..cEff−1 per sub with the SAME cEff for every sub (cEff < ksub only
+    // when the corpus has fewer than ksub seeds) and Lloyd's never drops a
+    // codebook row, so the array position of (sub, code) is exactly
+    // sub·cEff + code with cEff = |lut|/m
+    val lutArr = lut.groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("__d")))),
+        x => x.getField("__d")).as("__lut"))
+    // dense per-vector code array, ordered by sub
+    val codes = pq.encoded.groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("__codes"))
+    codes.crossJoin(broadcast(lutArr))
+      .withColumn("__ks", (size(col("__lut")) / lit(pq.m)).cast("int"))
+      .select(col("query_id"), col(idCol),
+        aggregate(sequence(lit(0), lit(pq.m - 1)), lit(0L),
+          (acc, s) => acc + element_at(col("__lut"),
+            s * col("__ks") + element_at(col("__codes"), s + lit(1)) + lit(1)))
+          .as("adc"))
   }
 }

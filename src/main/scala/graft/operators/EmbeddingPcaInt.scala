@@ -45,8 +45,19 @@ object EmbeddingPcaInt {
   val QScale = 10000L
   val XScale = 1000000L
 
+  /** Coarsening divisor for the deflation step: z = ⌊x₁/ZDiv⌋ keeps
+    * |z| ≤ 10², which bounds every deflated-matrix intermediate inside
+    * HUGEINT at the fixture sizes (n ≤ ~10⁴, d = 64). */
+  val ZDiv = 10000L
+
   final case class PowerModel(n: Long, vector: Array[Long], lambdaQ: Long,
       rounds: Int)
+
+  /** Top-2 model from [[fitTop2]]: the dominant pair plus the deflated
+    * second pair, all in exact fixed point. λ values are in A-units
+    * (divide by n²·10⁸ for covariance units). */
+  final case class Deflate2Model(n: Long, v1: Array[Long], lambda1Q: Long,
+      v2: Array[Long], lambda2Q: Long, rounds: Int)
 
   /** Engine-portable floor division (n > 0): the dividend is reduced by
     * its non-negative remainder first, so truncating division is exact —
@@ -54,8 +65,11 @@ object EmbeddingPcaInt {
   def floorDivPortable(s: BigInt, n: BigInt): BigInt =
     (s - ((s % n + n) % n)) / n
 
-  def fitPower(df: DataFrame, vecCol: String, rounds: Int): PowerModel = {
-    require(rounds >= 1, s"rounds=$rounds")
+  /** The ONLY corpus-sized work: one treeAggregate moment pass in exact
+    * longs (commutative integer adds — partition-order invariant), then
+    * the d×d scatter A = n·S − M·Mᵀ in BigInt on the driver. */
+  private def scatter(df: DataFrame, vecCol: String)
+      : (Long, Array[Array[BigInt]]) = {
     val rows = df.select(col(vecCol).cast("array<double>")).rdd
       .map(_.getSeq[Double](0).toArray)
     val d = rows.first().length
@@ -88,10 +102,17 @@ object EmbeddingPcaInt {
         (n1 + n2, m1, s1)
       })
     require(n > 0, "fitPower: empty input")
-    // scatter in BigInt: A_ij = n·S_ij − M_i·M_j
     val a = Array.tabulate(d, d) { (i, j) =>
       BigInt(n) * s(i)(j) - BigInt(m(i)) * BigInt(m(j))
     }
+    (n, a)
+  }
+
+  /** Unrolled normalized power rounds from x₀ = (XScale, …): y = A·x,
+    * then x′ = ⌊y·XScale / max|y|⌋ coordinate-wise. */
+  private def powerRounds(a: Array[Array[BigInt]], rounds: Int)
+      : Array[BigInt] = {
+    val d = a.length
     var x = Array.fill(d)(BigInt(XScale))
     for (_ <- 1 to rounds) {
       val y = Array.tabulate(d) { i =>
@@ -105,17 +126,71 @@ object EmbeddingPcaInt {
         "fitPower: zero scatter — the corpus has no variance to iterate on")
       x = y.map(v => floorDivPortable(v * XScale, mx))
     }
+    x
+  }
+
+  /** Rayleigh quotient ⌊xᵀAx / xᵀx⌋ in A-units. */
+  private def rayleigh(a: Array[Array[BigInt]], x: Array[BigInt]): BigInt = {
+    val d = a.length
+    var acc = BigInt(0)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) { acc += x(i) * a(i)(j) * x(j); j += 1 }
+      i += 1
+    }
+    floorDivPortable(acc, x.map(v => v * v).sum)
+  }
+
+  def fitPower(df: DataFrame, vecCol: String, rounds: Int): PowerModel = {
+    require(rounds >= 1, s"rounds=$rounds")
+    val (n, a) = scatter(df, vecCol)
+    val x = powerRounds(a, rounds)
+    PowerModel(n, x.map(_.toLong), rayleigh(a, x).toLong, rounds)
+  }
+
+  /** Top-2 eigenpairs by exact-integer power iteration with Hotelling
+    * deflation — one shared moment pass, then (driver-side, d²-sized):
+    *
+    *  - x₁ = the dominant chain ([[fitPower]]'s rounds, bit-identical);
+    *  - coarsen z = ⌊x₁/ZDiv⌋ (|z| ≤ 10²), den = zᵀz, num = zᵀAz;
+    *  - deflate ENTIRELY in integers, back to A-units:
+    *    B_ij = ⌊(den²·A_ij − num·z_i·z_j) / den²⌋ — the num·zzᵀ/den²
+    *    rank-1 subtraction with one portable floor per entry (the ≤1
+    *    absolute error per entry is ~10⁻¹⁴ relative at fixture scale and
+    *    identical in every engine);
+    *  - x₂ = the same power chain over B; λ₂ = Rayleigh over B (B is in
+    *    A-units, so λ₁ and λ₂ are directly comparable).
+    *
+    * The coarse z (2 significant digits) leaves a deflation residual of
+    * ~10⁻² λ₁ in the x₁ direction — far below λ₂ for any non-degenerate
+    * spectrum, so the B chain converges to the second component; the spec
+    * adjudicates alignment against the float Jacobi eigensolve while the
+    * DuckDB oracle replays every integer of this contract. */
+  def fitTop2(df: DataFrame, vecCol: String, rounds: Int): Deflate2Model = {
+    require(rounds >= 1, s"rounds=$rounds")
+    val (n, a) = scatter(df, vecCol)
+    val d = a.length
+    val x1 = powerRounds(a, rounds)
+    val z = x1.map(v => floorDivPortable(v, BigInt(ZDiv)))
+    val den = z.map(v => v * v).sum
+    require(den > 0, "fitTop2: dominant eigenvector vanished under ZDiv")
     val num = {
       var acc = BigInt(0)
       var i = 0
       while (i < d) {
         var j = 0
-        while (j < d) { acc += x(i) * a(i)(j) * x(j); j += 1 }
+        while (j < d) { acc += z(i) * a(i)(j) * z(j); j += 1 }
         i += 1
       }
       acc
     }
-    val den = x.map(v => v * v).sum
-    PowerModel(n, x.map(_.toLong), floorDivPortable(num, den).toLong, rounds)
+    val den2 = den * den
+    val b = Array.tabulate(d, d) { (i, j) =>
+      floorDivPortable(den2 * a(i)(j) - num * z(i) * z(j), den2)
+    }
+    val x2 = powerRounds(b, rounds)
+    Deflate2Model(n, x1.map(_.toLong), rayleigh(a, x1).toLong,
+      x2.map(_.toLong), rayleigh(b, x2).toLong, rounds)
   }
 }

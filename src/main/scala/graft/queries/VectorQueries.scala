@@ -163,6 +163,27 @@ object VectorQueries {
         .orderBy("dim")
     },
 
+    // Second-eigenpair twin (round 11, beyond the verdict list): integer
+    // Hotelling deflation over the SAME scatter matrix — coarsen x₁ to
+    // z = ⌊x₁/10⁴⌋, deflate B = ⌊(den²·A − (zᵀAz)·zzᵀ)/den²⌋ entirely in
+    // integers (back in A-units), rerun the 80-round chain on B. With
+    // emb_pca_power (λ₁, v₁) and emb_pca_trace (full-spectrum total) the
+    // eigensolve family now has THREE hash-checked members; λ₁ is carried
+    // in this output so one hash pins both chains end to end. Alignment
+    // with the float Jacobi's second component is PcaIntSpec's
+    // adjudication.
+    "emb_pca_deflate" -> { (s, dir) =>
+      import s.implicits._
+      val dm = graft.operators.EmbeddingPcaInt.fitTop2(
+        table(s, dir, "embeddings"), "embedding", rounds = 80)
+      dm.v2.toSeq.zipWithIndex
+        .map { case (v, i) => (i, v, dm.lambda2Q, dm.lambda1Q) }
+        .toDF("dim", "v2_q", "lambda2_q", "lambda1_q")
+        .select(col("dim").cast("int").as("dim"), col("v2_q"),
+          col("lambda2_q"), col("lambda1_q"))
+        .orderBy("dim")
+    },
+
     // Trace-invariant partial oracle for the eigensolve: Σ of ALL d
     // eigenvalues equals trace(cov) = Σ_i (E[x_i²] − mean_i²), the total
     // centered variance — which IS SQL-expressible. The engine sums the
@@ -821,6 +842,50 @@ object VectorQueries {
          JOIN q qb ON qb.vec_id = cd.vec_id AND qb.i = qa.i
          GROUP BY cd.query_id, cd.vec_id)"""
 
+  /** Exact integer moment/scatter replay for the power-iteration twins
+    * ([[graft.operators.EmbeddingPcaInt]]): quantize qv = ⌊v·10⁴⌋, moments
+    * (n, M, S), scatter A = n·S − M·Mᵀ in HUGEINT, and the all-10⁶ start
+    * vector `px0`. */
+  private def intScatterCtes: String =
+    s"""qp AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(v * 10000.0) AS BIGINT) AS qv
+           FROM (SELECT vec_id,
+                   UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+                   UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+                 FROM embeddings)),
+         nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         mm AS (SELECT i, SUM(qv) AS m FROM qp GROUP BY i),
+         ss AS (SELECT a.i, b.i AS j, SUM(a.qv * b.qv) AS s
+         FROM qp a JOIN qp b ON b.vec_id = a.vec_id GROUP BY a.i, b.i),
+         aa AS MATERIALIZED (SELECT ss.i, ss.j,
+           CAST(nn.n AS HUGEINT) * ss.s - CAST(ma.m AS HUGEINT) * mb.m AS v
+         FROM ss JOIN mm ma ON ma.i = ss.i JOIN mm mb ON mb.i = ss.j
+         CROSS JOIN nn),
+         px0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM mm)"""
+
+  /** `rounds` unrolled normalized power rounds over matrix CTE `mat`
+    * (columns i, j, v), chain prefix `pfx` (reads `${pfx}x0`, leaves
+    * `${pfx}x$rounds`): y = mat·x, then the portable floor-div
+    * renormalization x′ = ⌊y·10⁶ / max|y|⌋. Trailing comma included. */
+  private def powerChainCtes(mat: String, pfx: String, rounds: Int): String =
+    (1 to rounds).map { r =>
+      val prev = s"${pfx}x${r - 1}"
+      s"""${pfx}y$r AS MATERIALIZED (SELECT a.i, SUM(a.v * x.v) AS y
+           FROM $mat a JOIN $prev x ON x.i = a.j GROUP BY a.i),
+           ${pfx}m$r AS (SELECT MAX(ABS(y)) AS mx FROM ${pfx}y$r),
+           ${pfx}x$r AS MATERIALIZED (SELECT y.i,
+             (sv - ((sv % mx + mx) % mx)) // mx AS v
+           FROM (SELECT i, y * 1000000 AS sv FROM ${pfx}y$r) y CROSS JOIN ${pfx}m$r),"""
+    }.mkString("\n         ")
+
+  /** Rayleigh-quotient numerator/denominator (xᵀ·mat·x, xᵀx) of chain
+    * endpoint `xcte` over matrix CTE `mat` — the body of a 1-row CTE. */
+  private def rayleighSql(mat: String, xcte: String): String =
+    s"""SELECT
+           (SELECT SUM(xa.v * a.v * xb.v) FROM $mat a
+            JOIN $xcte xa ON xa.i = a.i
+            JOIN $xcte xb ON xb.i = a.j) AS num,
+           (SELECT SUM(v * v) FROM $xcte) AS den"""
+
   /** All-pairs integer scores for queries `vec_id < $qmax`: `allsc`
     * (query_id, vec_id, score_q) and the integer brute-force top-10 `bf`. */
   private def intBruteForceCtes(qmax: Int): String =
@@ -1096,38 +1161,47 @@ object VectorQueries {
     // portable floor-div renormalization → Rayleigh λ_q.
     "emb_pca_power" -> {
       val rounds = 80
-      val rcte = (1 to rounds).map { r =>
-        val prev = s"px${r - 1}"
-        s"""py$r AS MATERIALIZED (SELECT a.i, SUM(a.v * x.v) AS y
-           FROM aa a JOIN $prev x ON x.i = a.j GROUP BY a.i),
-           pm$r AS (SELECT MAX(ABS(y)) AS mx FROM py$r),
-           px$r AS MATERIALIZED (SELECT y.i,
-             (sv - ((sv % mx + mx) % mx)) // mx AS v
-           FROM (SELECT i, y * 1000000 AS sv FROM py$r) y CROSS JOIN pm$r),"""
-      }.mkString("\n         ")
-      s"""WITH qp AS MATERIALIZED (SELECT vec_id, i, CAST(FLOOR(v * 10000.0) AS BIGINT) AS qv
-           FROM (SELECT vec_id,
-                   UNNEST(CAST(embedding AS DOUBLE[])) AS v,
-                   UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
-                 FROM embeddings)),
-         nn AS (SELECT COUNT(*) AS n FROM embeddings),
-         mm AS (SELECT i, SUM(qv) AS m FROM qp GROUP BY i),
-         ss AS (SELECT a.i, b.i AS j, SUM(a.qv * b.qv) AS s
-         FROM qp a JOIN qp b ON b.vec_id = a.vec_id GROUP BY a.i, b.i),
-         aa AS MATERIALIZED (SELECT ss.i, ss.j,
-           CAST(nn.n AS HUGEINT) * ss.s - CAST(ma.m AS HUGEINT) * mb.m AS v
-         FROM ss JOIN mm ma ON ma.i = ss.i JOIN mm mb ON mb.i = ss.j
-         CROSS JOIN nn),
-         px0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM mm),
-         $rcte
-         lam AS (SELECT
-           (SELECT SUM(xa.v * a.v * xb.v) FROM aa a
-            JOIN px$rounds xa ON xa.i = a.i
-            JOIN px$rounds xb ON xb.i = a.j) AS num,
-           (SELECT SUM(v * v) FROM px$rounds) AS den)
+      s"""WITH $intScatterCtes,
+         ${powerChainCtes("aa", "p", rounds)}
+         lam AS (${rayleighSql("aa", s"px$rounds")})
          SELECT CAST(x.i - 1 AS INTEGER) AS dim, CAST(x.v AS BIGINT) AS v_q,
            CAST((num - ((num % den + den) % den)) // den AS BIGINT) AS lambda_q
          FROM px$rounds x CROSS JOIN lam ORDER BY dim"""
+    },
+
+    // Integer Hotelling deflation replayed: the full dominant chain, the
+    // z-coarsening, the all-integer rank-1 deflation (one portable floor
+    // per entry), the full second chain over B, and BOTH Rayleigh
+    // quotients — every intermediate HUGEINT-exact (z ≤ 10² keeps the
+    // worst deflation product at ~10²⁷, the B-chain at ~10³⁰).
+    "emb_pca_deflate" -> {
+      val rounds = 80
+      s"""WITH $intScatterCtes,
+         ${powerChainCtes("aa", "p", rounds)}
+         zz AS (SELECT i,
+           (v - ((v % 10000 + 10000) % 10000)) // 10000 AS z
+         FROM px$rounds),
+         dn AS (SELECT SUM(z * z) AS den FROM zz),
+         nm AS (SELECT SUM(za.z * a.v * zb.z) AS num
+         FROM aa a JOIN zz za ON za.i = a.i JOIN zz zb ON zb.i = a.j),
+         bb AS MATERIALIZED (SELECT i, j,
+           (t - ((t % d2 + d2) % d2)) // d2 AS v
+         FROM (SELECT a.i, a.j,
+             dn.den * dn.den * a.v - nm.num * za.z * zb.z AS t,
+             dn.den * dn.den AS d2
+           FROM aa a JOIN zz za ON za.i = a.i JOIN zz zb ON zb.i = a.j
+           CROSS JOIN dn CROSS JOIN nm)),
+         qx0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM mm),
+         ${powerChainCtes("bb", "q", rounds)}
+         lam1 AS (${rayleighSql("aa", s"px$rounds")}),
+         lam2 AS (${rayleighSql("bb", s"qx$rounds")})
+         SELECT CAST(x.i - 1 AS INTEGER) AS dim, CAST(x.v AS BIGINT) AS v2_q,
+           CAST((l2.num - ((l2.num % l2.den + l2.den) % l2.den)) // l2.den
+             AS BIGINT) AS lambda2_q,
+           CAST((l1.num - ((l1.num % l1.den + l1.den) % l1.den)) // l1.den
+             AS BIGINT) AS lambda1_q
+         FROM qx$rounds x CROSS JOIN lam1 l1 CROSS JOIN lam2 l2
+         ORDER BY dim"""
     },
 
     "emb_pca_trace" ->

@@ -145,5 +145,26 @@ class AnnPqIntSpec extends SparkSpec {
       iters = 1, dim = 8)
     assert(pqBig.codebook.count() === 10) // 2 subs × 5 available seeds
     assert(pqBig.encoded.count() === 10) // 5 vectors × 2 subs
+    // ADC lookup must stay correct when cEff (5) < declared ksub (9):
+    // the LUT array position is rank-based, not ksub-strided
+    val queries = df.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"__q".as("__qq"))
+    val got = AnnPqInt.adcScores(pqBig, queries, "vec_id")
+      .select($"vec_id", $"adc").as[(Long, Long)].collect().toMap
+    val qv = df.filter($"vec_id" === 0).select($"__q").as[Seq[Long]]
+      .head().toArray
+    val cb = pqBig.codebook.select($"sub", $"code", $"cvec")
+      .as[(Int, Int, Seq[Long])].collect()
+      .map { case (s, c, v) => (s, c) -> v.toArray }.toMap
+    val codes2 = pqBig.encoded.select($"vec_id", $"sub", $"code")
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    for ((id, adc) <- got) {
+      val want = (0 until 2).map { s =>
+        cb((s, codes2(id)(s))).zip(qv.slice(s * 4, (s + 1) * 4))
+          .map { case (a, b) => a * b }.sum
+      }.sum
+      assert(adc === want, s"degenerate ADC mismatch for corpus id $id")
+    }
   }
 }

@@ -40,6 +40,45 @@ class PcaIntSpec extends SparkSpec {
     assert(a.n === b.n)
   }
 
+  test("fitTop2: deflated second pair aligns with the float eigensolve; first pair is fitPower bit-for-bit") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dm = EmbeddingPcaInt.fitTop2(emb, "embedding", rounds = 80)
+    val pm = EmbeddingPcaInt.fitPower(emb, "embedding", rounds = 80)
+    // the dominant chain inside fitTop2 IS fitPower's — bit-identical
+    assert(dm.v1.toSeq === pm.vector.toSeq)
+    assert(dm.lambda1Q === pm.lambdaQ)
+    val fl = EmbeddingPca.fit(emb, "embedding", k = 2)
+    def cos(v: Array[Double], w: Array[Double]): Double = {
+      val dot = v.zip(w).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(v.map(x => x * x).sum) *
+        math.sqrt(w.map(x => x * x).sum))
+    }
+    val v2 = dm.v2.map(_.toDouble)
+    assert(math.abs(cos(v2, fl.components(1))) > 0.99,
+      s"|cos v2| = ${math.abs(cos(v2, fl.components(1)))}")
+    // deflation residual: x2 must have left the x1 direction
+    assert(math.abs(cos(v2, dm.v1.map(_.toDouble))) < 0.05,
+      s"|cos(v2, v1)| = ${math.abs(cos(v2, dm.v1.map(_.toDouble)))}")
+    // λ₂ in covariance units matches the float second eigenvalue
+    val n = emb.count().toDouble
+    val lam2Cov = dm.lambda2Q.toDouble / (n * n * 1e8)
+    assert(math.abs(lam2Cov - fl.eigenvalues(1)) / fl.eigenvalues(1) < 0.02,
+      s"lambda2 $lam2Cov vs float ${fl.eigenvalues(1)}")
+    // ordering: the deflated eigenvalue sits below the dominant one
+    assert(dm.lambda2Q < dm.lambda1Q)
+  }
+
+  test("fitTop2 is invariant to input partitioning") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val a = EmbeddingPcaInt.fitTop2(emb, "embedding", rounds = 6)
+    val b = EmbeddingPcaInt.fitTop2(emb.repartition(7), "embedding",
+      rounds = 6)
+    assert(a.v1.toSeq === b.v1.toSeq)
+    assert(a.v2.toSeq === b.v2.toSeq)
+    assert(a.lambda1Q === b.lambda1Q)
+    assert(a.lambda2Q === b.lambda2Q)
+  }
+
   test("floorDivPortable is floor division for every sign combination") {
     for {
       s <- Seq(BigInt(-7), BigInt(7), BigInt(-6), BigInt(0), BigInt(1),

@@ -213,6 +213,19 @@ class PlanAuditSpec extends SparkSpec {
     // never a second cartesian over the full corpus
   }
 
+  test("ann_pq_recall: ADC is a map-side LUT lookup — scored pairs never shuffle") {
+    val p = plan("ann_pq_recall")
+    // round-11 rewire: the per-(query, vector) ADC Σ runs inside the
+    // broadcast-LUT project (array `aggregate` over the code array), so
+    // the |Q|·|corpus| scored pairs reach the top-k group-limits map-local.
+    // The old shape — a (sub, code) equi-join re-shuffled through a
+    // (query_id, vec_id)-keyed sum(__d) hash agg — must not come back.
+    assert(!p.contains("sum(__d"), "scored-pair shuffle agg is back:\n" +
+      p.linesIterator.filter(_.contains("sum(__d")).mkString("\n"))
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
   test("mview_incremental: state merge is partial+final hash agg, no sort agg") {
     val p = plan("mview_incremental")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
