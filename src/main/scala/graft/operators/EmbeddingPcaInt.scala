@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Integer fixed-point power-iteration twin of [[EmbeddingPca]] — the
@@ -55,9 +55,10 @@ object EmbeddingPcaInt {
 
   /** Top-2 model from [[fitTop2]]: the dominant pair plus the deflated
     * second pair, all in exact fixed point. λ values are in A-units
-    * (divide by n²·10⁸ for covariance units). */
+    * (divide by n²·10⁸ for covariance units); `mu` is the quantized
+    * per-dim mean ⌊M_i/n⌋ consumed by [[projectTop2]]. */
   final case class Deflate2Model(n: Long, v1: Array[Long], lambda1Q: Long,
-      v2: Array[Long], lambda2Q: Long, rounds: Int)
+      v2: Array[Long], lambda2Q: Long, rounds: Int, mu: Array[Long])
 
   /** Engine-portable floor division (n > 0): the dividend is reduced by
     * its non-negative remainder first, so truncating division is exact —
@@ -69,7 +70,7 @@ object EmbeddingPcaInt {
     * longs (commutative integer adds — partition-order invariant), then
     * the d×d scatter A = n·S − M·Mᵀ in BigInt on the driver. */
   private def scatter(df: DataFrame, vecCol: String)
-      : (Long, Array[Array[BigInt]]) = {
+      : (Long, Array[Long], Array[Array[BigInt]]) = {
     val rows = df.select(col(vecCol).cast("array<double>")).rdd
       .map(_.getSeq[Double](0).toArray)
     val d = rows.first().length
@@ -105,7 +106,7 @@ object EmbeddingPcaInt {
     val a = Array.tabulate(d, d) { (i, j) =>
       BigInt(n) * s(i)(j) - BigInt(m(i)) * BigInt(m(j))
     }
-    (n, a)
+    (n, m, a)
   }
 
   /** Unrolled normalized power rounds from x₀ = (XScale, …): y = A·x,
@@ -144,7 +145,7 @@ object EmbeddingPcaInt {
 
   def fitPower(df: DataFrame, vecCol: String, rounds: Int): PowerModel = {
     require(rounds >= 1, s"rounds=$rounds")
-    val (n, a) = scatter(df, vecCol)
+    val (n, _, a) = scatter(df, vecCol)
     val x = powerRounds(a, rounds)
     PowerModel(n, x.map(_.toLong), rayleigh(a, x).toLong, rounds)
   }
@@ -169,7 +170,7 @@ object EmbeddingPcaInt {
     * DuckDB oracle replays every integer of this contract. */
   def fitTop2(df: DataFrame, vecCol: String, rounds: Int): Deflate2Model = {
     require(rounds >= 1, s"rounds=$rounds")
-    val (n, a) = scatter(df, vecCol)
+    val (n, m, a) = scatter(df, vecCol)
     val d = a.length
     val x1 = powerRounds(a, rounds)
     val z = x1.map(v => floorDivPortable(v, BigInt(ZDiv)))
@@ -190,7 +191,31 @@ object EmbeddingPcaInt {
       floorDivPortable(den2 * a(i)(j) - num * z(i) * z(j), den2)
     }
     val x2 = powerRounds(b, rounds)
+    val mu = m.map(mi => floorDivPortable(BigInt(mi), BigInt(n)).toLong)
     Deflate2Model(n, x1.map(_.toLong), rayleigh(a, x1).toLong,
-      x2.map(_.toLong), rayleigh(b, x2).toLong, rounds)
+      x2.map(_.toLong), rayleigh(b, x2).toLong, rounds, mu)
+  }
+
+  /** Exact integer top-2 projection — the twin of
+    * [[EmbeddingPca.project]]'s score step, with the quantized-mean
+    * centering defined so EVERY value is engine-replayable:
+    *
+    *   pc_kq = Σ_i (qv_i − mu_i) · v_k,i,   qv = ⌊x·10⁴⌋, mu = ⌊M/n⌋
+    *
+    * n never multiplies a per-row term, so with |qv − mu| ≤ 2·10⁴,
+    * |v| ≤ 10⁶, d ≤ 512 the scores stay ≤ ~10¹³ — long-safe at ANY corpus
+    * size. Per-row map over broadcast literal vectors: no shuffle, no
+    * driver loop; projection units are QScale·XScale times the
+    * unit-vector projection (v is not unit-norm — callers comparing to
+    * float PCA divide by ‖v‖). */
+  def projectTop2(df: DataFrame, vecCol: String, idCol: String,
+      model: Deflate2Model): DataFrame = {
+    val qv = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(QScale.toDouble)))
+    val cd = zip_with(qv, typedLit(model.mu.toSeq), (a, b) => a - b)
+    def pc(v: Array[Long]): Column =
+      aggregate(zip_with(cd, typedLit(v.toSeq), (a, b) => a * b),
+        lit(0L), (acc, t) => acc + t)
+    df.select(col(idCol), pc(model.v1).as("pc1_q"), pc(model.v2).as("pc2_q"))
   }
 }

@@ -133,14 +133,18 @@ object VectorQueries {
     // whitening / dimension-reduction stage of an embedding pipeline.
     // Rows-only (an eigensolve is not SQL-expressible); the spectral
     // contract (orthonormality, Cv=λv, variance capture) is PcaSpec's.
+    // Top-2 projection, integer twin (converted from the float Jacobi in
+    // round 11 — the LAST rows-only query): fitTop2's exact-integer
+    // eigenpair chains feed a per-row projection pc_kq = Σ (qv − ⌊M/n⌋)·v_k
+    // that is long-safe at any corpus size and replays integer-for-integer
+    // in the oracle. The float production path (EmbeddingPca.fit/project/
+    // whiten, full Jacobi spectrum) stays the library API, spec-covered by
+    // PcaSpec; PcaIntSpec adjudicates the twin's alignment with it.
     "emb_pca" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      val model = graft.operators.EmbeddingPca.fit(emb, "embedding", k = 2)
-      emb.select(col("vec_id"),
-          graft.operators.EmbeddingPca.project(model, col("embedding")).as("p"))
-        .select(col("vec_id"),
-          round(col("p")(0), 6).as("pc1"),
-          round(col("p")(1), 6).as("pc2"))
+      val dm = graft.operators.EmbeddingPcaInt.fitTop2(
+        emb, "embedding", rounds = 80)
+      graft.operators.EmbeddingPcaInt.projectTop2(emb, "embedding", "vec_id", dm)
         .orderBy("vec_id")
     },
 
@@ -149,9 +153,9 @@ object VectorQueries {
     // fixed-point power iteration (EmbeddingPcaInt — quantize ⌊v·10⁴⌋,
     // one exact-long moment pass, 80 unrolled A·x rounds renormalized by
     // portable floor-div to max|coord| = 10⁶). Together with
-    // emb_pca_trace (spectrum total) this puts the eigensolve family
-    // under the DuckDB gate; emb_pca itself (full float Jacobi spectrum)
-    // stays rows-only by nature.
+    // emb_pca_trace (spectrum total), emb_pca_deflate (second pair), and
+    // the emb_pca projection itself, the whole eigensolve family is under
+    // the DuckDB gate.
     "emb_pca_power" -> { (s, dir) =>
       import s.implicits._
       val pm = graft.operators.EmbeddingPcaInt.fitPower(
@@ -877,6 +881,27 @@ object VectorQueries {
            FROM (SELECT i, y * 1000000 AS sv FROM ${pfx}y$r) y CROSS JOIN ${pfx}m$r),"""
     }.mkString("\n         ")
 
+  /** Hotelling deflation chain over the scatter `aa` ([[intScatterCtes]]
+    * names): coarsen the dominant chain endpoint `px$rounds` to z =
+    * ⌊x₁/10⁴⌋, build the all-integer deflated matrix `bb`, run the second
+    * power chain (leaves `qx$rounds`). Trailing comma included. */
+  private def deflateChainCtes(rounds: Int): String =
+    s"""zz AS (SELECT i,
+           (v - ((v % 10000 + 10000) % 10000)) // 10000 AS z
+         FROM px$rounds),
+         dn AS (SELECT SUM(z * z) AS den FROM zz),
+         nm AS (SELECT SUM(za.z * a.v * zb.z) AS num
+         FROM aa a JOIN zz za ON za.i = a.i JOIN zz zb ON zb.i = a.j),
+         bb AS MATERIALIZED (SELECT i, j,
+           (t - ((t % d2 + d2) % d2)) // d2 AS v
+         FROM (SELECT a.i, a.j,
+             dn.den * dn.den * a.v - nm.num * za.z * zb.z AS t,
+             dn.den * dn.den AS d2
+           FROM aa a JOIN zz za ON za.i = a.i JOIN zz zb ON zb.i = a.j
+           CROSS JOIN dn CROSS JOIN nm)),
+         qx0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM mm),
+         ${powerChainCtes("bb", "q", rounds)}"""
+
   /** Rayleigh-quotient numerator/denominator (xᵀ·mat·x, xᵀx) of chain
     * endpoint `xcte` over matrix CTE `mat` — the body of a 1-row CTE. */
   private def rayleighSql(mat: String, xcte: String): String =
@@ -1169,6 +1194,25 @@ object VectorQueries {
          FROM px$rounds x CROSS JOIN lam ORDER BY dim"""
     },
 
+    // Both eigenpair chains + the quantized-mean centering + the per-row
+    // integer projection, all replayed: the corpus-sized part is one GROUP
+    // BY vec_id over qp joined to the two 64-row chain endpoints.
+    "emb_pca" -> {
+      val rounds = 80
+      s"""WITH $intScatterCtes,
+         ${powerChainCtes("aa", "p", rounds)}
+         ${deflateChainCtes(rounds)}
+         mu AS (SELECT mm.i, (m - ((m % n + n) % n)) // n AS mu
+           FROM mm CROSS JOIN nn)
+         SELECT qp.vec_id,
+           CAST(SUM((qp.qv - mu.mu) * x1.v) AS BIGINT) AS pc1_q,
+           CAST(SUM((qp.qv - mu.mu) * x2.v) AS BIGINT) AS pc2_q
+         FROM qp JOIN mu ON mu.i = qp.i
+         JOIN px$rounds x1 ON x1.i = qp.i
+         JOIN qx$rounds x2 ON x2.i = qp.i
+         GROUP BY qp.vec_id ORDER BY vec_id"""
+    },
+
     // Integer Hotelling deflation replayed: the full dominant chain, the
     // z-coarsening, the all-integer rank-1 deflation (one portable floor
     // per entry), the full second chain over B, and BOTH Rayleigh
@@ -1178,21 +1222,7 @@ object VectorQueries {
       val rounds = 80
       s"""WITH $intScatterCtes,
          ${powerChainCtes("aa", "p", rounds)}
-         zz AS (SELECT i,
-           (v - ((v % 10000 + 10000) % 10000)) // 10000 AS z
-         FROM px$rounds),
-         dn AS (SELECT SUM(z * z) AS den FROM zz),
-         nm AS (SELECT SUM(za.z * a.v * zb.z) AS num
-         FROM aa a JOIN zz za ON za.i = a.i JOIN zz zb ON zb.i = a.j),
-         bb AS MATERIALIZED (SELECT i, j,
-           (t - ((t % d2 + d2) % d2)) // d2 AS v
-         FROM (SELECT a.i, a.j,
-             dn.den * dn.den * a.v - nm.num * za.z * zb.z AS t,
-             dn.den * dn.den AS d2
-           FROM aa a JOIN zz za ON za.i = a.i JOIN zz zb ON zb.i = a.j
-           CROSS JOIN dn CROSS JOIN nm)),
-         qx0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM mm),
-         ${powerChainCtes("bb", "q", rounds)}
+         ${deflateChainCtes(rounds)}
          lam1 AS (${rayleighSql("aa", s"px$rounds")}),
          lam2 AS (${rayleighSql("bb", s"qx$rounds")})
          SELECT CAST(x.i - 1 AS INTEGER) AS dim, CAST(x.v AS BIGINT) AS v2_q,

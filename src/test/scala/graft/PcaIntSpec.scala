@@ -68,6 +68,74 @@ class PcaIntSpec extends SparkSpec {
     assert(dm.lambda2Q < dm.lambda1Q)
   }
 
+  test("fitTop2 + projectTop2 recover an analytic 2-D spectrum exactly") {
+    import spark.implicits._
+    // points (±3,0),(0,±1): mean 0, cov = diag(4.5, 0.5) — eigenpairs
+    // known in closed form, every fixed-point intermediate exact
+    val df = Seq((1L, Seq(3.0f, 0.0f)), (2L, Seq(-3.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val dm = EmbeddingPcaInt.fitTop2(df, "embedding", rounds = 40)
+    // A = n·S = diag(72e8, 8e8); the off-axis coordinate decays 9× per
+    // round from the all-ones start, hitting exactly 0 well before 40
+    assert(dm.v1.toSeq === Seq(1000000L, 0L))
+    assert(dm.v2.toSeq === Seq(0L, 1000000L))
+    // λ in covariance units: λ_q / (n²·10⁸)
+    assert(dm.lambda1Q === 72L * 100000000L) // 4.5 · 16 · 1e8
+    assert(dm.lambda2Q === 8L * 100000000L) // 0.5 · 16 · 1e8
+    assert(dm.mu.toSeq === Seq(0L, 0L))
+    val got = EmbeddingPcaInt.projectTop2(df, "embedding", "vec_id", dm)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 30000000000L, 0L), (2L, -30000000000L, 0L),
+      (3L, 0L, 10000000000L), (4L, 0L, -10000000000L)))
+  }
+
+  test("projectTop2 equals an independent scalar recompute, bit for bit") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dm = EmbeddingPcaInt.fitTop2(emb, "embedding", rounds = 80)
+    val got = EmbeddingPcaInt.projectTop2(emb, "embedding", "vec_id", dm)
+      .select($"vec_id", $"pc1_q", $"pc2_q").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // independent reference: quantize + mean + projection in plain scalar
+    // loops over the collected rows (no model.mu — mu is recomputed here)
+    val rows = emb.select($"vec_id",
+        $"embedding".cast("array<double>")).as[(Long, Seq[Double])]
+      .collect().map { case (id, v) =>
+        id -> v.map(x => math.floor(x * 10000.0).toLong).toArray
+      }
+    val d = rows.head._2.length
+    val n = rows.length
+    val mu = Array.tabulate(d) { i =>
+      EmbeddingPcaInt.floorDivPortable(
+        BigInt(rows.map(_._2(i)).sum), BigInt(n)).toLong
+    }
+    for ((id, qv) <- rows) {
+      val want1 = (0 until d).map(i => (qv(i) - mu(i)) * dm.v1(i)).sum
+      val want2 = (0 until d).map(i => (qv(i) - mu(i)) * dm.v2(i)).sum
+      assert(got(id) === ((want1, want2)), s"projection mismatch at $id")
+    }
+    // and the integer projections align with the float PCA's (same
+    // components up to sign and the fixed q-scales): |pearson| ≈ 1
+    val fl = EmbeddingPca.fit(emb, "embedding", k = 2)
+    val flp = emb.select($"vec_id",
+        EmbeddingPca.project(fl, $"embedding").as("p"))
+      .select($"vec_id", $"p"(0), $"p"(1)).as[(Long, Double, Double)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val ma = a.sum / a.size; val mb = b.sum / b.size
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val sa = math.sqrt(a.map(x => (x - ma) * (x - ma)).sum)
+      val sb = math.sqrt(b.map(x => (x - mb) * (x - mb)).sum)
+      cov / (sa * sb)
+    }
+    val ids = got.keys.toSeq.sorted
+    val r1 = pearson(ids.map(got(_)._1.toDouble), ids.map(flp(_)._1))
+    val r2 = pearson(ids.map(got(_)._2.toDouble), ids.map(flp(_)._2))
+    assert(math.abs(r1) > 0.999, s"pc1 pearson $r1")
+    assert(math.abs(r2) > 0.99, s"pc2 pearson $r2")
+  }
+
   test("fitTop2 is invariant to input partitioning") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val a = EmbeddingPcaInt.fitTop2(emb, "embedding", rounds = 6)
