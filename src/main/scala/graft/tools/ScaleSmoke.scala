@@ -812,6 +812,31 @@ object ScaleSmoke {
       "(nlist scaled with corpus: per-cell pair space constant)")
     }
 
+    // Integer PCA twin end-to-end (fitTop2 + projectTop2): the corpus
+    // touches the model once (treeAggregate moment pass) and the
+    // projection is a scan-local map over broadcast literal vectors, so
+    // wall-clock must scale ~linearly in rows; the driver's d²-sized
+    // chains are corpus-independent.
+    section("pcaint") {
+    import graft.operators.EmbeddingPcaInt
+    def timed(label: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
+      s
+    }
+    val emb1 = table(spark, dir, "embeddings")
+    def fitProject(df: DataFrame): Long = {
+      val dm = EmbeddingPcaInt.fitTop2(df, "embedding", rounds = 80)
+      EmbeddingPcaInt.projectTop2(df, "embedding", "vec_id", dm).count()
+    }
+    val t1 = timed("int PCA fitTop2+project 1x")(fitProject(emb1))
+    val tN = timed(s"int PCA fitTop2+project ${copies}x")(fitProject(emb))
+    println(f"[scale] pcaint ${copies}x/1x wall-clock factor: ${tN / t1}%.2f " +
+      "(driver chains corpus-independent)")
+    }
+
     section("skew-agg") {
     val skewed = li.withColumn("k",
       when(pmod(col("l_orderkey"), lit(20)) =!= 0, lit("hot")).otherwise(col("l_returnflag")))

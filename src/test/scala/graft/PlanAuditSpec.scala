@@ -226,6 +226,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
+  test("emb_pca: integer projection is a scan-local map — no joins, only the output sort shuffles") {
+    val p = plan("emb_pca")
+    // round-11 conversion: the model is driver-side (one treeAggregate
+    // moment pass happens at build time, outside this plan); the projection
+    // itself must stay a per-row expression over broadcast literals —
+    // no join against a component table, no corpus re-shuffle beyond the
+    // ORDER BY's range exchange.
+    assert(!p.contains("Join"), p.take(600))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(600))
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p.take(600))
+  }
+
   test("mview_incremental: state merge is partial+final hash agg, no sort agg") {
     val p = plan("mview_incremental")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
@@ -505,8 +517,6 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     // Domain-bound reasons (each entry self-checks below — a rotted
     // entry whose BNLJ disappeared fails the suite):
-    val qryBatch = "broadcast side is the serving query batch — a point/" +
-      "range filter on the id domain, <= tens of rows by query contract"
     val modelTbl = "broadcast side is a checkpointed model table (IVF " +
       "centers / PQ codebook / LUT / probe set: nlist, m*ksub, or " +
       "|queries|*nprobe rows) — the checkpoint erases the structural " +
@@ -514,21 +524,6 @@ class PlanAuditSpec extends SparkSpec {
     val idxStats = "broadcast side is the durable BM25 index's 1-row " +
       "corpus-stats table (a FileScan, so no structural bound)"
     val allow: Map[String, String] = Map(
-      "ann_bq_hamming" -> qryBatch,
-      "ann_filtered_search" -> qryBatch,
-      "eval_retrieval_metrics" -> qryBatch,
-      "hybrid_rrf" -> qryBatch,
-      "hybrid_search" -> qryBatch,
-      "knn_bruteforce" -> qryBatch,
-      "knn_cosine_distance" -> qryBatch,
-      "knn_hard_negatives" -> qryBatch,
-      "knn_matryoshka" -> qryBatch,
-      "knn_maxsim" -> qryBatch,
-      "knn_mmr" -> qryBatch,
-      "knn_range_bruteforce" -> qryBatch,
-      "knn_range_search" -> qryBatch,
-      "knn_topk_per_query" -> qryBatch,
-      "sample_negatives" -> qryBatch,
       "ann_ivf_search" -> modelTbl,
       "ann_nprobe_sweep" -> modelTbl,
       "ann_pq_recall" -> modelTbl,
@@ -537,6 +532,7 @@ class PlanAuditSpec extends SparkSpec {
       "knn_join_all" -> modelTbl,
       "text_bm25_indexed" -> idxStats,
       "text_bm25_prf" -> idxStats,
+      "hybrid_rrf" -> idxStats,
       "profile_chi2" -> ("broadcast side is the per-source marginal of " +
         "the lang x source contingency table — bounded by the source " +
         "dimension's cardinality, not corpus size"))
@@ -544,9 +540,49 @@ class PlanAuditSpec extends SparkSpec {
     // aggregate (1 row); an aggregate keyed ONLY on GlobalRank's internal
     // bracket/bucket ids (`__grp*` — their domain is |probs|/ntile-sized
     // by construction, the quantileCont/rfm/pareto probe side); a literal
-    // Range spine (calendar axes)
+    // Range spine (calendar axes); a point/range filter on a fixture KEY
+    // column vs literals (the serving query-batch idiom, detected below)
     def grpBounded(keys: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
         : Boolean = keys.forall(_.name.startsWith("__grp"))
+    // Point/range-on-key detector — replaces the former 15 per-query
+    // "serving query batch" allowlist entries with the convention itself:
+    // the fixture key columns below are UNIQUE (TESTDATA contract), so
+    //   key =  literal        -> <= 1 row
+    //   key IN (literals...)  -> <= |literals| rows
+    //   key <  literal L      -> <= L rows (ids are dense from 0; the
+    //                            literal is additionally capped so a
+    //                            future `vec_id < 10^12` can't sneak by)
+    // Any OTHER column filtered against a literal proves nothing about
+    // cardinality and does NOT count.
+    val keyCols = Set("vec_id", "doc_id", "query_id")
+    def litLong(v: Any): Long = v match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case _ => Long.MaxValue
+    }
+    def isKey(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Boolean = e match {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        keyCols.contains(a.name)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => isKey(c.child)
+      case _ => false
+    }
+    def keyPointFilter(
+        cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions._
+      cond.exists {
+        case EqualTo(a, _: Literal) if isKey(a) => true
+        case EqualTo(_: Literal, a) if isKey(a) => true
+        case In(a, vs) if isKey(a) &&
+          vs.forall(_.isInstanceOf[Literal]) && vs.size <= 100000 => true
+        case InSet(a, vs) if isKey(a) && vs.size <= 100000 => true
+        case LessThan(a, Literal(v, _)) if isKey(a) && litLong(v) <= 100000 => true
+        case LessThanOrEqual(a, Literal(v, _)) if isKey(a) && litLong(v) <= 100000 => true
+        case GreaterThan(Literal(v, _), a) if isKey(a) && litLong(v) <= 100000 => true
+        case GreaterThanOrEqual(Literal(v, _), a) if isKey(a) && litLong(v) <= 100000 => true
+        case _ => false
+      }
+    }
     def bounded(side: SparkPlan): Boolean =
       side.collectFirst {
         case l: LocalLimitExec => l
@@ -558,6 +594,15 @@ class PlanAuditSpec extends SparkSpec {
         case a: SortAggregateExec if grpBounded(a.groupingExpressions) => a
         case r: org.apache.spark.sql.execution.RangeExec
           if r.numElements <= BigInt(1000000) => r
+        case f: org.apache.spark.sql.execution.FilterExec
+          if keyPointFilter(f.condition) => f
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.dataFilters.exists(keyPointFilter) => s
+        // driver-materialized literal table (collected IVF centers etc.):
+        // its rows already exist on the driver, so the row count is a
+        // DIRECT bound, checked right here
+        case l: org.apache.spark.sql.execution.LocalTableScanExec
+          if l.rows.size <= 100000 => l
       }.nonEmpty
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Round-over-round bench triage: diff two bench_full.json files and
+classify every per-query delta as PLAN-SUSPECT or ambient.
+
+The classifier uses the shuffle_mb channel as the plan fingerprint: a
+query whose wall-clock moved but whose shuffle bytes are (near-)identical
+moved with the sandbox, not with the plan — the round-8..11 manual triage
+rule, now mechanical. Anchor-normalized time ratios (anchor_cpu) remove
+the ambient-drift component before thresholding.
+
+Usage: python3 tools/benchdiff.py OLD.json NEW.json [--time-pct 30]
+       [--shuffle-pct 10] [--min-sec 0.3]
+
+Exit 1 if any PLAN-SUSPECT rows exist (time regressed beyond threshold
+AND shuffle bytes grew beyond threshold), so it can gate CI.
+"""
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--time-pct", type=float, default=30.0,
+                    help="flag if normalized time grew more than this %%")
+    ap.add_argument("--shuffle-pct", type=float, default=10.0,
+                    help="shuffle growth beyond this %% marks a plan change")
+    ap.add_argument("--min-sec", type=float, default=0.3,
+                    help="ignore queries faster than this in BOTH rounds")
+    a = ap.parse_args()
+
+    old = json.load(open(a.old))
+    new = json.load(open(a.new))
+    # normalize new times onto the old round's CPU conditions
+    ratio = 1.0
+    if old.get("anchor_cpu") and new.get("anchor_cpu"):
+        ratio = old["anchor_cpu"] / new["anchor_cpu"]
+    oq, nq = old["queries"], new["queries"]
+    osh, nsh = old.get("shuffle_mb", {}), new.get("shuffle_mb", {})
+
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    suspects, ambient = [], []
+    for name in sorted(set(oq) & set(nq)):
+        t0, t1 = oq[name], nq[name] * ratio
+        if max(t0, t1) < a.min_sec:
+            continue
+        dt_pct = (t1 - t0) / t0 * 100.0
+        s0, s1 = osh.get(name), nsh.get(name)
+        shuffle_moved = (
+            s0 is not None and s1 is not None
+            and (s1 - s0) > max(s0 * a.shuffle_pct / 100.0, 0.5))
+        row = (name, t0, t1, dt_pct, s0, s1)
+        if dt_pct > a.time_pct and shuffle_moved:
+            suspects.append(row)
+        elif abs(dt_pct) > a.time_pct:
+            ambient.append(row)
+
+    def show(rows, tag):
+        for name, t0, t1, dt, s0, s1 in rows:
+            sh = "" if s0 is None else f"  shuffle {s0:.2f} -> {s1:.2f} MB"
+            print(f"{tag} {name:32s} {t0:7.2f} -> {t1:7.2f} s "
+                  f"({dt:+6.1f}%){sh}")
+
+    print(f"anchor ratio old/new: {ratio:.4f}  "
+          f"(new times shown normalized to the old round)")
+    print(f"total: {old['value']:.2f} -> {new['value'] * ratio:.2f} s "
+          f"(raw {new['value']:.2f})")
+    if added:
+        print("added:   " + ", ".join(added))
+    if removed:
+        print("removed: " + ", ".join(removed))
+    show(suspects, "PLAN-SUSPECT")
+    show(ambient, "ambient     ")
+    if not suspects and not ambient:
+        print("no per-query deltas beyond thresholds")
+    return 1 if suspects else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
