@@ -67,3 +67,113 @@ object DotProductFP64 {
     ColumnBridge.column(DotProductFP64(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** Integer sibling of [[DotProductFP64]] for the fixed-point twins
+  * (`ARRAY<BIGINT> × ARRAY<BIGINT> → BIGINT`) — the hot loop of the
+  * integer IVF/PQ/PCA replay family ([[graft.operators.AnnIvfInt]]'s
+  * `dotQ`, quantized scoring, LUT builds).
+  *
+  * Value-identical to `aggregate(zip_with(a, b, _*_), 0L, _+_)`:
+  * integer products summed left to right (associative — any order gives
+  * the same BIGINT). Overflow stays LOUD like the ANSI HOF path:
+  * `Math.multiplyExact`/`addExact` raise instead of wrapping, so a
+  * magnitude bug can never silently corrupt an oracle-replayed score
+  * (call sites bound |q| ≤ 10⁶ per coordinate — far inside range).
+  * Mechanically it is one allocation-free fused loop instead of
+  * zip_with's materialized intermediate array.
+  */
+case class DotProductInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"DotProductInt needs two ARRAY<BIGINT>, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    DotProductInt.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotProductInt.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductInt =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductInt {
+  /** Exact integer fold; static so generated code can call it. */
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s = Math.addExact(s, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    s
+  }
+
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductInt(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Exact integer squared-L2 distance (`ARRAY<BIGINT> × ARRAY<BIGINT> →
+  * BIGINT`) — the PQ trainer's argmin metric ([[graft.operators.AnnPqInt]]
+  * `l2Q`). Same contract as [[DotProductInt]]: value-identical to the
+  * `aggregate(zip_with(a, b, (x,y) => (x−y)²))` form, overflow loud, one
+  * fused loop. */
+case class L2DistInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"L2DistInt needs two ARRAY<BIGINT>, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    L2DistInt.dist(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.L2DistInt.dist($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2DistInt =
+    copy(left = newLeft, right = newRight)
+}
+
+object L2DistInt {
+  /** Exact integer fold; static so generated code can call it. */
+  def dist(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = Math.subtractExact(a.getLong(i), b.getLong(i))
+      s = Math.addExact(s, Math.multiplyExact(d, d))
+      i += 1
+    }
+    s
+  }
+
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(L2DistInt(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

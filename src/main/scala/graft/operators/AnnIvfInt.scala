@@ -63,7 +63,7 @@ object AnnIvfInt {
 
   /** Exact integer dot of two array<long> columns. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.DotProductInt(a, b)
 
   /** argmax-dot assignment: (idCol, cid), tie → lowest cid. The max is a
     * plain aggregate over a struct (dot, −cid) — no window, no shuffle

@@ -53,8 +53,7 @@ object AnnPqInt {
 
   /** Exact integer squared L2 of two array<long> columns. */
   def l2Q(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.L2DistInt(a, b)
 
   /** One row per (id, sub) with the dim/m-slice of the quantized vector. */
   private def subVectors(vecs: DataFrame, idCol: String, qCol: String,

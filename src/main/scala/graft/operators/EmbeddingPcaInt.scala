@@ -214,8 +214,7 @@ object EmbeddingPcaInt {
       x => floor(x * lit(QScale.toDouble)))
     val cd = zip_with(qv, typedLit(model.mu.toSeq), (a, b) => a - b)
     def pc(v: Array[Long]): Column =
-      aggregate(zip_with(cd, typedLit(v.toSeq), (a, b) => a * b),
-        lit(0L), (acc, t) => acc + t)
+      graft.functions.DotProductInt(cd, typedLit(v.toSeq))
     df.select(col(idCol), pc(model.v1).as("pc1_q"), pc(model.v2).as("pc2_q"))
   }
 }

@@ -57,6 +57,38 @@ class VectorOpsSpec extends SparkSpec {
     got.foreach { case (fused, hof) => assert(fused == hof) }
   }
 
+  test("codegen DotProductInt / L2DistInt equal the HOF formulations exactly") {
+    import org.apache.spark.sql.functions.{aggregate, lit, zip_with}
+    val longVec = Gen.chooseNum(2, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000000L, 1000000L)).map(_.toSeq))
+    val cases = sample(
+      longVec.flatMap(a =>
+        Gen.listOfN(a.length, Gen.chooseNum(-1000000L, 1000000L))
+          .map(b => (a, b.toSeq))), 60)
+    val got = cases.toDF("a", "b").select(
+        graft.functions.DotProductInt($"a", $"b"),
+        aggregate(zip_with($"a", $"b", (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x),
+        graft.functions.L2DistInt($"a", $"b"),
+        aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (dotFused, dotHof, l2Fused, l2Hof) =>
+      assert(dotFused === dotHof)
+      assert(l2Fused === l2Hof)
+    }
+    // overflow is loud (like the ANSI HOF path), never a silent wrap —
+    // raw ArithmeticException when evaluated driver-side, Spark-wrapped
+    // from a task
+    val big = Seq((Seq(Long.MaxValue / 2, Long.MaxValue / 2), Seq(3L, 3L)))
+    val e = intercept[Throwable] {
+      big.toDF("a", "b")
+        .select(graft.functions.DotProductInt($"a", $"b")).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain.exists(_.isInstanceOf[ArithmeticException]), e.toString)
+  }
+
   test("cosine(v, v) = 1 for non-zero vectors") {
     val vecs = sample(vecGen, 40).filter(_.exists(_ != 0f))
     val got = vecs.map(v => (v, v)).toDF("a", "b")
