@@ -77,13 +77,14 @@ object Bench {
     // cross-session drift loop automatically every round
     // key match is anchored at a preceding comma/brace so e.g.
     // "anchor_cpu" can never match inside "prev_anchor_cpu"
+    val prevJson: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_full.json")), "UTF-8"))
+      catch { case _: Throwable => None }
     def grabPrev(k: String): Option[Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+      prevJson.flatMap(txt =>
         ("[,{]\"" + k + "\":([0-9.eE+-]+)").r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble)
-      } catch { case _: Throwable => None }
+          .flatMap(m => m.group(1).toDoubleOption))
     val prevAnchors: Option[(Double, Double)] =
       for (c <- grabPrev("anchor_cpu"); s <- grabPrev("anchor_spark"))
         yield (c, s)

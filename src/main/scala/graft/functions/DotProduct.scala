@@ -73,14 +73,16 @@ object DotProductFP64 {
   * integer IVF/PQ/PCA replay family ([[graft.operators.AnnIvfInt]]'s
   * `dotQ`, quantized scoring, LUT builds).
   *
-  * Value-identical to `aggregate(zip_with(a, b, _*_), 0L, _+_)`:
-  * integer products summed left to right (associative — any order gives
-  * the same BIGINT). Overflow stays LOUD like the ANSI HOF path:
-  * `Math.multiplyExact`/`addExact` raise instead of wrapping, so a
-  * magnitude bug can never silently corrupt an oracle-replayed score
-  * (call sites bound |q| ≤ 10⁶ per coordinate — far inside range).
-  * Mechanically it is one allocation-free fused loop instead of
-  * zip_with's materialized intermediate array.
+  * Value-identical to `aggregate(zip_with(a, b, _*_), 0L, _+_)` for
+  * equal-length inputs: integer products summed left to right
+  * (associative — any order gives the same BIGINT). Both failure modes
+  * stay LOUD: overflow raises via `Math.multiplyExact`/`addExact`
+  * (matching the ANSI HOF path), and a LENGTH MISMATCH raises too —
+  * where the HOF form would quietly null-pad — so a dimension bug can
+  * never produce a plausible truncated score (call sites bound |q| ≤
+  * 10⁶ per coordinate and guarantee equal dims). Mechanically it is one
+  * allocation-free fused loop instead of zip_with's materialized
+  * intermediate array.
   */
 case class DotProductInt(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -110,9 +112,18 @@ case class DotProductInt(left: Expression, right: Expression)
 }
 
 object DotProductInt {
+  private[functions] def sameLength(a: ArrayData, b: ArrayData,
+      op: String): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"$op: dimension mismatch ($n vs ${b.numElements()})")
+    n
+  }
+
   /** Exact integer fold; static so generated code can call it. */
   def dot(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameLength(a, b, "DotProductInt")
     var s = 0L
     var i = 0
     while (i < n) {
@@ -130,8 +141,8 @@ object DotProductInt {
 /** Exact integer squared-L2 distance (`ARRAY<BIGINT> × ARRAY<BIGINT> →
   * BIGINT`) — the PQ trainer's argmin metric ([[graft.operators.AnnPqInt]]
   * `l2Q`). Same contract as [[DotProductInt]]: value-identical to the
-  * `aggregate(zip_with(a, b, (x,y) => (x−y)²))` form, overflow loud, one
-  * fused loop. */
+  * `aggregate(zip_with(a, b, (x,y) => (x−y)²))` form for equal lengths,
+  * overflow AND length mismatch loud, one fused loop. */
 case class L2DistInt(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -162,7 +173,7 @@ case class L2DistInt(left: Expression, right: Expression)
 object L2DistInt {
   /** Exact integer fold; static so generated code can call it. */
   def dist(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = DotProductInt.sameLength(a, b, "L2DistInt")
     var s = 0L
     var i = 0
     while (i < n) {

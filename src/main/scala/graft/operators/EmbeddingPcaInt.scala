@@ -66,6 +66,17 @@ object EmbeddingPcaInt {
   def floorDivPortable(s: BigInt, n: BigInt): BigInt =
     (s - ((s % n + n) % n)) / n
 
+  /** Loud BigInt→Long narrowing: λ_q is in A-units ≈ n²·10⁸·λ_cov, which
+    * leaves Long range near n ≈ 3·10⁵ — wrap silently and the model is
+    * garbage while the DuckDB oracle's CAST errors asymmetrically. Same
+    * loud-overflow discipline as DotProductInt. */
+  private def toLongExact(b: BigInt, what: String): Long = {
+    require(b.isValidLong,
+      s"$what = $b exceeds Long range (corpus too large for A-unit " +
+        "fixed-point — reduce n or rescale)")
+    b.toLong
+  }
+
   /** The ONLY corpus-sized work: one treeAggregate moment pass in exact
     * longs (commutative integer adds — partition-order invariant), then
     * the d×d scatter A = n·S − M·Mᵀ in BigInt on the driver. */
@@ -147,7 +158,8 @@ object EmbeddingPcaInt {
     require(rounds >= 1, s"rounds=$rounds")
     val (n, _, a) = scatter(df, vecCol)
     val x = powerRounds(a, rounds)
-    PowerModel(n, x.map(_.toLong), rayleigh(a, x).toLong, rounds)
+    PowerModel(n, x.map(_.toLong),
+      toLongExact(rayleigh(a, x), "lambda_q"), rounds)
   }
 
   /** Top-2 eigenpairs by exact-integer power iteration with Hotelling
@@ -192,8 +204,10 @@ object EmbeddingPcaInt {
     }
     val x2 = powerRounds(b, rounds)
     val mu = m.map(mi => floorDivPortable(BigInt(mi), BigInt(n)).toLong)
-    Deflate2Model(n, x1.map(_.toLong), rayleigh(a, x1).toLong,
-      x2.map(_.toLong), rayleigh(b, x2).toLong, rounds, mu)
+    Deflate2Model(n, x1.map(_.toLong),
+      toLongExact(rayleigh(a, x1), "lambda1_q"),
+      x2.map(_.toLong), toLongExact(rayleigh(b, x2), "lambda2_q"),
+      rounds, mu)
   }
 
   /** Exact integer top-2 projection — the twin of

@@ -1572,13 +1572,18 @@ object TextQueries {
     * Shares the trainer's exact semantics: binary-collation tie-break
     * (count desc, left desc, right desc), left-to-right application via
     * run-grouped row_number parity, end-of-word marker `</w>`. */
+  // `WHERE c >= 2` in bs$r replays Bpe.train/trainDistributed's stopping
+  // rule: a best pair seen once is NOT merged; an empty bs$r leaves mt/tk
+  // empty and st$r ≡ st${r-1} (identity round), so once training stops the
+  // remaining unrolled rounds are no-ops and the merge-table output ends
+  // exactly where the engine's does.
   private def bpeRoundCtes(numMerges: Int): String =
     (1 to numMerges).map { r =>
       val prev = s"st${r - 1}"
       s"""pr$r AS (SELECT x.sym AS a, y.sym AS b, SUM(x.freq) AS c
          FROM $prev x JOIN $prev y ON y.w = x.w AND y.p = x.p + 1
          GROUP BY x.sym, y.sym),
-         bs$r AS MATERIALIZED (SELECT a, b, c FROM pr$r ORDER BY c DESC, a DESC, b DESC LIMIT 1),
+         bs$r AS MATERIALIZED (SELECT a, b, c FROM pr$r WHERE c >= 2 ORDER BY c DESC, a DESC, b DESC LIMIT 1),
          mt$r AS (SELECT x.w, x.p FROM $prev x
          JOIN $prev y ON y.w = x.w AND y.p = x.p + 1
          JOIN bs$r ON x.sym = bs$r.a AND y.sym = bs$r.b),

@@ -28,6 +28,15 @@ object ScaleSmoke {
   def section(name: String)(body: => Unit): Unit =
     if (sections.forall(_.exists(s => name.toLowerCase.contains(s)))) body
 
+  /** Like [[time]] but returns the elapsed seconds (for Nx/1x factors). */
+  def timed(label: String)(f: => Long): Double = {
+    val t0 = System.nanoTime()
+    val n = f
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
+    s
+  }
+
   def time(label: String)(f: => Long): Unit = {
     val t0 = System.nanoTime()
     val n = f
@@ -673,13 +682,6 @@ object ScaleSmoke {
     }
     require(bad.isEmpty,
       "GlobalRank plan regressed to a single-partition window")
-    def timed(label: String)(f: => Long): Double = {
-      val t0 = System.nanoTime()
-      val n = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
-      s
-    }
     val t1 = timed("globalrank rank+ntile+prefix 1x") {
       rankAll(ord1).agg(max("rn"), max("pct"), max("run")).count()
     }
@@ -696,13 +698,6 @@ object ScaleSmoke {
     // in corpus size (centers stay nlist-sized).
     section("intkmeans") {
     import graft.operators.AnnIvfInt
-    def timed(label: String)(f: => Long): Double = {
-      val t0 = System.nanoTime()
-      val n = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
-      s
-    }
     val emb1 = table(spark, dir, "embeddings")
     def buildSearch(df: DataFrame): Long = {
       val ix = AnnIvfInt.build(df, "vec_id", "embedding", nlist = 16,
@@ -719,13 +714,6 @@ object ScaleSmoke {
     // (distinct words × word length), so replicating the corpus Nx grows
     // only the one-pass vocab aggregation — rounds must stay ~flat.
     section("bpetrain") {
-    def timed(label: String)(f: => Long): Double = {
-      val t0 = System.nanoTime()
-      val n = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
-      s
-    }
     val docs1 = table(spark, dir, "documents")
     val t1 = timed("bpe trainDistributed(8) 1x docs") {
       graft.functions.Bpe.trainDistributed(docs1, "text", 8).count()
@@ -743,13 +731,6 @@ object ScaleSmoke {
     // candidate volume per query stays ~constant and total work linear.
     section("intknnjoin") {
     import graft.operators.AnnIvfInt
-    def timed(label: String)(f: => Long): Double = {
-      val t0 = System.nanoTime()
-      val n = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
-      s
-    }
     val emb1 = table(spark, dir, "embeddings")
     def joinAll(df: DataFrame, nlist: Int): Long = {
       val ix = AnnIvfInt.build(df, "vec_id", "embedding", nlist, iters = 2)
@@ -766,13 +747,6 @@ object ScaleSmoke {
     // vector math on the corpus side.
     section("pqint") {
     import graft.operators.{AnnIvfInt, AnnPqInt}
-    def timed(label: String)(f: => Long): Double = {
-      val t0 = System.nanoTime()
-      val n = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
-      s
-    }
     val emb1 = table(spark, dir, "embeddings")
     def buildAdc(df: DataFrame): Long = {
       val q = df.select(col("vec_id"), AnnIvfInt.quantize(col("embedding")).as("__q"))
@@ -793,13 +767,6 @@ object ScaleSmoke {
     // stays constant per cell, linear overall.
     section("semdedupint") {
     import graft.operators.{AnnIvfInt, Dedup => D}
-    def timed(label: String)(f: => Long): Double = {
-      val t0 = System.nanoTime()
-      val n = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
-      s
-    }
     val emb1 = table(spark, dir, "embeddings")
     def dedupInt(df: DataFrame, nlist: Int): Long = {
       val ix = AnnIvfInt.build(df, "vec_id", "embedding", nlist, iters = 2)
@@ -819,13 +786,6 @@ object ScaleSmoke {
     // chains are corpus-independent.
     section("pcaint") {
     import graft.operators.EmbeddingPcaInt
-    def timed(label: String)(f: => Long): Double = {
-      val t0 = System.nanoTime()
-      val n = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $label%-34s $s%7.2f s   ($n rows)")
-      s
-    }
     val emb1 = table(spark, dir, "embeddings")
     def fitProject(df: DataFrame): Long = {
       val dm = EmbeddingPcaInt.fitTop2(df, "embedding", rounds = 80)

@@ -535,7 +535,11 @@ class PlanAuditSpec extends SparkSpec {
       "hybrid_rrf" -> idxStats,
       "profile_chi2" -> ("broadcast side is the per-source marginal of " +
         "the lang x source contingency table — bounded by the source " +
-        "dimension's cardinality, not corpus size"))
+        "dimension's cardinality, not corpus size"),
+      "q52_pareto" -> ("broadcast side is the decile-keyed revenue " +
+        "rollup — the ntile(10) bucket domain bounds it to <= 10 rows; " +
+        "the key is a computed CASE alias the structural walk cannot " +
+        "trace to its bounded domain"))
     // bounded build shapes, structurally: a limit; a global (no-key)
     // aggregate (1 row); an aggregate keyed ONLY on GlobalRank's internal
     // bracket/bucket ids (`__grp*` — their domain is |probs|/ntile-sized
@@ -567,10 +571,17 @@ class PlanAuditSpec extends SparkSpec {
       case c: org.apache.spark.sql.catalyst.expressions.Cast => isKey(c.child)
       case _ => false
     }
+    // Boolean-context-aware: a bounding comparison only counts where it
+    // actually CONSTRAINS the row set — And needs one bounding conjunct,
+    // Or needs BOTH branches to bound, anything else (Not, nested
+    // functions) proves nothing. A blind `exists` would accept
+    // `other > 0 OR vec_id < 5`, which filters almost nothing.
     def keyPointFilter(
         cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
       import org.apache.spark.sql.catalyst.expressions._
-      cond.exists {
+      cond match {
+        case And(l, r) => keyPointFilter(l) || keyPointFilter(r)
+        case Or(l, r) => keyPointFilter(l) && keyPointFilter(r)
         case EqualTo(a, _: Literal) if isKey(a) => true
         case EqualTo(_: Literal, a) if isKey(a) => true
         case In(a, vs) if isKey(a) &&
@@ -583,27 +594,36 @@ class PlanAuditSpec extends SparkSpec {
         case _ => false
       }
     }
-    def bounded(side: SparkPlan): Boolean =
-      side.collectFirst {
-        case l: LocalLimitExec => l
-        case l: GlobalLimitExec => l
-        case l: TakeOrderedAndProjectExec => l
-        case l: CollectLimitExec => l
-        case a: HashAggregateExec if grpBounded(a.groupingExpressions) => a
-        case a: ObjectHashAggregateExec if grpBounded(a.groupingExpressions) => a
-        case a: SortAggregateExec if grpBounded(a.groupingExpressions) => a
-        case r: org.apache.spark.sql.execution.RangeExec
-          if r.numElements <= BigInt(1000000) => r
-        case f: org.apache.spark.sql.execution.FilterExec
-          if keyPointFilter(f.condition) => f
-        case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.dataFilters.exists(keyPointFilter) => s
-        // driver-materialized literal table (collected IVF centers etc.):
-        // its rows already exist on the driver, so the row count is a
-        // DIRECT bound, checked right here
-        case l: org.apache.spark.sql.execution.LocalTableScanExec
-          if l.rows.size <= 100000 => l
-      }.nonEmpty
+    // Structural recursion, NOT collectFirst: a bound below a join must
+    // not vouch for the join's output (corpus JOIN limit(5) is
+    // corpus-sized), so joins require BOTH inputs bounded (then the
+    // output is ≤ |L|·|R|, still model-sized for the shapes here), unions
+    // require all inputs bounded, and only genuinely row-limiting unary
+    // nodes terminate the walk.
+    def bounded(side: SparkPlan): Boolean = side match {
+      case _: LocalLimitExec | _: GlobalLimitExec |
+          _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case a: HashAggregateExec if grpBounded(a.groupingExpressions) => true
+      case a: ObjectHashAggregateExec if grpBounded(a.groupingExpressions) => true
+      case a: SortAggregateExec if grpBounded(a.groupingExpressions) => true
+      case r: org.apache.spark.sql.execution.RangeExec =>
+        r.numElements <= BigInt(1000000)
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        keyPointFilter(f.condition) || bounded(f.child)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.dataFilters.exists(keyPointFilter)
+      // driver-materialized literal table (collected IVF centers etc.):
+      // its rows already exist on the driver, so the row count is a
+      // DIRECT bound, checked right here
+      case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+        l.rows.size <= 100000
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        bounded(j.left) && bounded(j.right)
+      case u: org.apache.spark.sql.execution.UnionExec =>
+        u.children.forall(bounded)
+      case p if p.children.size == 1 => bounded(p.children.head)
+      case _ => false
+    }
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val plan = fn(spark, sf0001).queryExecution.sparkPlan

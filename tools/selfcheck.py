@@ -65,10 +65,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"{name:32s} FAIL  " + "; ".join(problems[:4]))
         else:
             print(f"{name:32s} ok    ({len(got)} rows)")
+    # Verify writes oracle_sql.json filtered to the queries it ran, so a
+    # missing output is ALWAYS a failure (a focused dump has a focused
+    # oracle file; a half-crashed full run can't hide behind one)
     missing = set(oracles) - set(names)
-    # a FOCUSED dump (dev: Verify with an explicit query list) legitimately
-    # omits most queries — only flag missing outputs on a full run
-    if missing and len(names) >= len(oracles) // 2:
+    if missing:
         print(f"queries with oracle but no output: {sorted(missing)}")
         failures += 1
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
