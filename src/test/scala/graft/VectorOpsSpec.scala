@@ -87,6 +87,18 @@ class VectorOpsSpec extends SparkSpec {
     }
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq
     assert(chain.exists(_.isInstanceOf[ArithmeticException]), e.toString)
+    // dimension mismatch is loud too (the HOF form would null-pad; a
+    // silent prefix product would be a plausible wrong score)
+    for (expr <- Seq(graft.functions.DotProductInt($"a", $"b"),
+        graft.functions.L2DistInt($"a", $"b"))) {
+      val m = intercept[Throwable] {
+        Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+          .select(expr).collect()
+      }
+      val mc = Iterator.iterate(m)(_.getCause).takeWhile(_ != null).toSeq
+      assert(mc.exists(t => t.isInstanceOf[IllegalArgumentException] &&
+        t.getMessage.contains("dimension mismatch")), m.toString)
+    }
   }
 
   test("cosine(v, v) = 1 for non-zero vectors") {
