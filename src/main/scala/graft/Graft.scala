@@ -139,6 +139,20 @@ object Graft {
   def pcaProject(model: graft.operators.EmbeddingPca.PcaModel, vec: Column): Column =
     graft.operators.EmbeddingPca.project(model, vec)
 
+  /** Exact-integer top-2 PCA (power iteration + Hotelling deflation in
+    * fixed point): bit-reproducible across runs, partitionings, and
+    * engines — the deterministic twin of [[pcaFit]] for audit/replay
+    * pipelines. One corpus pass; d²-sized driver work. */
+  def pcaFitInt(df: DataFrame, vecCol: String, rounds: Int = 80)
+      : graft.operators.EmbeddingPcaInt.Deflate2Model =
+    graft.operators.EmbeddingPcaInt.fitTop2(df, vecCol, rounds)
+
+  /** Exact-integer top-2 projection for [[pcaFitInt]] models: scan-local,
+    * long-safe at any corpus size (see EmbeddingPcaInt.projectTop2). */
+  def pcaProjectInt(df: DataFrame, vecCol: String, idCol: String,
+      model: graft.operators.EmbeddingPcaInt.Deflate2Model): DataFrame =
+    graft.operators.EmbeddingPcaInt.projectTop2(df, vecCol, idCol, model)
+
   // ----- column functions ------------------------------------------------
   // ----- graph & clustering ---------------------------------------------
   def dbscan(ids: DataFrame, idCol: String, pairs: DataFrame,
@@ -218,6 +232,12 @@ object Graft {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
       (es: Seq[Expression]) => DotProductFP64(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot_int",
+      (es: Seq[Expression]) => graft.functions.DotProductInt(es(0), es(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_l2sq_int",
+      (es: Seq[Expression]) => graft.functions.L2DistInt(es(0), es(1)),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_jaccard",
       (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1)), "built-in")
     spark.udf.register("graft_parse_taxontag", TaxonomyParser.parseUdf)
@@ -292,6 +312,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductFP64].getName, "graft_dot"),
       (es: Seq[Expression]) => DotProductFP64(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot_int"),
+      new ExpressionInfo(classOf[graft.functions.DotProductInt].getName,
+        "graft_dot_int"),
+      (es: Seq[Expression]) => graft.functions.DotProductInt(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_l2sq_int"),
+      new ExpressionInfo(classOf[graft.functions.L2DistInt].getName,
+        "graft_l2sq_int"),
+      (es: Seq[Expression]) => graft.functions.L2DistInt(es(0), es(1))))
     e.injectFunction((
       FunctionIdentifier("graft_sorted_jaccard"),
       new ExpressionInfo(classOf[SortedLongJaccard].getName, "graft_sorted_jaccard"),

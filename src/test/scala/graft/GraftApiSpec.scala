@@ -32,6 +32,23 @@ class GraftApiSpec extends SparkSpec {
       "SELECT graft_l2_normalize(CAST(ARRAY(3.0, 4.0) AS ARRAY<FLOAT>))")
       .as[Seq[Float]].head()
     assert(nrm === Seq(0.6f, 0.8f))
+    assert(spark.sql("SELECT graft_dot_int(ARRAY(1L, 2L), ARRAY(3L, 4L))")
+      .as[Long].head() === 11L)
+    assert(spark.sql("SELECT graft_l2sq_int(ARRAY(1L, 2L), ARRAY(3L, 5L))")
+      .as[Long].head() === 13L)
+  }
+
+  test("facade pcaFitInt/pcaProjectInt match the engine's emb_pca twin") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val m = Graft.pcaFitInt(emb, "embedding")
+    val got = Graft.pcaProjectInt(emb, "embedding", "vec_id", m)
+      .orderBy("vec_id").limit(3)
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = graft.operators.EmbeddingPcaInt.projectTop2(emb, "embedding",
+        "vec_id", graft.operators.EmbeddingPcaInt.fitTop2(
+          emb, "embedding", rounds = 80))
+      .orderBy("vec_id").limit(3).as[(Long, Long, Long)].collect().toSeq
+    assert(got === want)
   }
 
   test("TopKAggregator matches the window-based top-k") {
