@@ -213,7 +213,12 @@ object VectorQueries {
     "emb_pca_trace" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       val d = emb.select(size(col("embedding"))).head().getInt(0)
-      val model = graft.operators.EmbeddingPca.fit(emb, "embedding", k = d)
+      // full-spectrum float fit, built once per (session, sfDir) like the
+      // integer twins' shared models — deterministic, so whichever caller
+      // materializes it first is irrelevant
+      val model = sessionCached(s, ("pca-float-full", dir, d)) {
+        graft.operators.EmbeddingPca.fit(emb, "embedding", k = d)
+      }
       s.range(1).select(
         round(lit(model.eigenvalues.sum), 6).as("trace_total_variance"),
         lit(d).cast("int").as("dim"))
