@@ -147,6 +147,16 @@ class PcaIntSpec extends SparkSpec {
     assert(a.lambda2Q === b.lambda2Q)
   }
 
+  test("fitTop2 raises loudly on a zero-variance corpus") {
+    import spark.implicits._
+    val flat = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f)),
+      (3L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingPcaInt.fitTop2(flat, "embedding", rounds = 4)
+    }
+    assert(e.getMessage.contains("zero scatter"), e.getMessage)
+  }
+
   test("floorDivPortable is floor division for every sign combination") {
     for {
       s <- Seq(BigInt(-7), BigInt(7), BigInt(-6), BigInt(0), BigInt(1),
