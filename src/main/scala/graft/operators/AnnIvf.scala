@@ -76,6 +76,13 @@ object AnnIvf {
       nlist: Int,
       seed: Long = 42L,
       trainSize: Int = 0): Index = {
+    // the centroid table is collected to the driver and broadcast on every
+    // probe (LocalTableScan build side of the probe theta-join): 2²⁰
+    // centers × 64-d floats ≈ 270 MB is the ceiling of that design — the
+    // same bound PlanAuditSpec's join sweep enforces at the plan level
+    require(nlist >= 1 && nlist <= (1 << 20),
+      s"nlist=$nlist outside [1, ${1 << 20}] — the centroid table must " +
+        "stay driver-collectable/broadcastable")
     val spark = vectors.sparkSession
     val trainLimit = if (trainSize > 0) trainSize else 50 * nlist
     val centers: Array[Array[Float]] =
