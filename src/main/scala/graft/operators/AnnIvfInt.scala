@@ -192,8 +192,11 @@ object AnnIvfInt {
     * probed-cell occupancy — no quadratic blowup); the merge is the
     * k-bounded [[TopKAggregator]] (partial before the exchange), so no
     * task sorts more than k rows per query. Integer scores ride the
-    * aggregator's double slot losslessly (|dot| ≤ 6.4·10¹³ < 2⁵³) and are
-    * cast back to long on the way out. */
+    * aggregator's double slot losslessly ONLY while |dot| < 2⁵³ (true for
+    * unit-norm 64-d at 10⁶ quantization: ≤ 6.4·10¹³), and are cast back
+    * to long on the way out; the bound is enforced per row by
+    * [[doubleSafe]], so a larger-dim or un-normalized corpus raises
+    * instead of silently losing low bits in a hash-checked path. */
   def knnJoin(index: IntIndex, idCol: String, k: Int, nprobe: Int,
       excludeSelf: Boolean = true): DataFrame = {
     val probed = probeRanks(index, idCol, lit(true))
@@ -204,11 +207,23 @@ object AnnIvfInt {
     val filtered =
       if (excludeSelf) joined.filter(col(idCol) =!= col("query_id")) else joined
     TopKAggregator.topK(
-      filtered.withColumn("score_q", dotQ(col("__q"), col("__qq")))
+      filtered.withColumn("score_q", doubleSafe(dotQ(col("__q"), col("__qq"))))
         .select(col("query_id"), col(idCol), col("score_q")),
       "query_id", idCol, "score_q", k)
       .withColumn("score_q", col("score_q").cast("long"))
   }
+
+  /** Per-row guard for integer scores routed through a double slot: a
+    * long survives the long→double→long round-trip exactly only while
+    * |score| < 2⁵³. Codegen-side `when` (no UDF, stays in whole-stage
+    * codegen); the error path never allocates on the happy path. */
+  private val DoubleExactBound = 1L << 53
+  private def doubleSafe(score: Column): Column =
+    when(abs(score) < lit(DoubleExactBound), score)
+      .otherwise(raise_error(concat(
+        lit("integer score magnitude >= 2^53 — TopKAggregator's double " +
+          "slot would lose precision; reduce dim or quantization scale " +
+          "(got "), score.cast("string"), lit(")"))))
 
   /** Integer brute-force top-k (the recall baseline): every (query,
     * corpus) pair scored with the integer dot. */

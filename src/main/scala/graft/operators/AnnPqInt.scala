@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * REPLAY EXACTLY in ANSI SQL and `ann_pq_recall` gains a DuckDB hash
   * oracle.
   *
-  * Reference behavior being twinned: the PQ compression knob of the
-  * reference's FAISS factory string
+  * Reference behavior being capability-matched: the reference compresses
+  * its index via the FAISS factory string `IVF{nlist},SQfp16`
   * (`/root/reference/src/bioclip_vector_db/storage/storage_impl.py:87`) —
-  * codes replace raw vectors at m bytes each, candidate scoring is
-  * asymmetric-distance (query against the codebook lookup table), an
-  * optional exact rescore refines the shortlist. The float production
+  * scalar quantization, no PQ component. PQ is the standard FAISS
+  * alternative compression at the same seam (codes replace raw vectors at
+  * m bytes each, candidate scoring is asymmetric-distance against a
+  * codebook lookup table, an optional exact rescore refines the
+  * shortlist); this twin provides that capability rather than translating
+  * a knob the reference file does not actually set. The float production
   * path stays [[AnnPq]] (residual IVF-PQ, fp32 ADC); THIS twin verifies
   * the per-subspace-k-means / encode / LUT / refine MECHANICS against an
   * independent engine.

@@ -79,13 +79,33 @@ object EmbeddingPcaInt {
 
   /** The ONLY corpus-sized work: one treeAggregate moment pass in exact
     * longs (commutative integer adds — partition-order invariant), then
-    * the d×d scatter A = n·S − M·Mᵀ in BigInt on the driver. */
+    * the d×d scatter A = n·S − M·Mᵀ in BigInt on the driver. S is
+    * symmetric, so the pass accumulates the upper triangle only (halves
+    * the inner-loop flops on the corpus-sized work) and mirrors on the
+    * driver. All accumulation is `Math.multiplyExact`/`addExact`: the
+    * fixed-point family's loud-overflow discipline — an un-normalized
+    * corpus (|qv| beyond the documented ≲10⁴ moment budget) raises with
+    * an ArithmeticException instead of silently wrapping into a
+    * plausible-but-garbage model.
+    *
+    * ≥512-d strategy (documented, not yet needed): the d² driver
+    * accumulator guard below is the honest limit of this layout — at
+    * 1024-d+ (modern embedding models) the same one-pass moments shard
+    * cleanly by partitioning the upper triangle into column blocks
+    * (`groupBy(i/blk)` over a posexploded pair stream, or B parallel
+    * treeAggregates each owning a contiguous block of rows of S), each
+    * block a few MB, merged driver-side into the identical BigInt
+    * scatter — bit-identical results, one extra shuffle of ≤ d²/2 longs
+    * total. A sketched-moments variant (count-sketch of X before the
+    * outer product) trades exactness away and is NOT compatible with the
+    * fixed-point replay contract, so the block layout is the scale path. */
   private def scatter(df: DataFrame, vecCol: String)
       : (Long, Array[Long], Array[Array[BigInt]]) = {
     val rows = df.select(col(vecCol).cast("array<double>")).rdd
       .map(_.getSeq[Double](0).toArray)
     val d = rows.first().length
-    require(d <= 512, s"dim $d too large for a d^2 driver accumulator")
+    require(d <= 512, s"dim $d too large for a d^2 driver accumulator — " +
+      "block-partition the scatter (see scaladoc) before raising this cap")
     val zero = (0L, new Array[Long](d), Array.ofDim[Long](d, d))
     val (n, m, s) = rows.treeAggregate(zero)(
       seqOp = { case ((n0, m0, s0), x) =>
@@ -94,10 +114,13 @@ object EmbeddingPcaInt {
         while (i < d) { q(i) = math.floor(x(i) * QScale).toLong; i += 1 }
         i = 0
         while (i < d) {
-          m0(i) += q(i)
+          m0(i) = Math.addExact(m0(i), q(i))
           val si = s0(i); val qi = q(i)
-          var j = 0
-          while (j < d) { si(j) += qi * q(j); j += 1 }
+          var j = i
+          while (j < d) {
+            si(j) = Math.addExact(si(j), Math.multiplyExact(qi, q(j)))
+            j += 1
+          }
           i += 1
         }
         (n0 + 1, m0, s0)
@@ -105,17 +128,18 @@ object EmbeddingPcaInt {
       combOp = { case ((n1, m1, s1), (n2, m2, s2)) =>
         var i = 0
         while (i < d) {
-          m1(i) += m2(i)
+          m1(i) = Math.addExact(m1(i), m2(i))
           val a = s1(i); val b = s2(i)
-          var j = 0
-          while (j < d) { a(j) += b(j); j += 1 }
+          var j = i
+          while (j < d) { a(j) = Math.addExact(a(j), b(j)); j += 1 }
           i += 1
         }
         (n1 + n2, m1, s1)
       })
     require(n > 0, "fitPower: empty input")
     val a = Array.tabulate(d, d) { (i, j) =>
-      BigInt(n) * s(i)(j) - BigInt(m(i)) * BigInt(m(j))
+      val sij = if (j >= i) s(i)(j) else s(j)(i) // mirror the upper triangle
+      BigInt(n) * sij - BigInt(m(i)) * BigInt(m(j))
     }
     (n, m, a)
   }

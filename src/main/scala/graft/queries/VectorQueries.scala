@@ -518,7 +518,7 @@ object VectorQueries {
     // the PQ mechanics end to end vs DuckDB.
     "ann_pq_recall" -> { (s, dir) =>
       val ix = sharedIntIndex(s, dir)
-      val pq = sessionCached(s, ("pq-int-index", dir)) {
+      val pq = sessionCached(s, ("pq-int-index", dir, IntPqM, IntPqKsub, IntPqIters)) {
         val built = graft.operators.AnnPqInt.build(
           ix.assigned.select(col("vec_id"), col("__q")), "vec_id", "__q",
           m = IntPqM, ksub = IntPqKsub, iters = IntPqIters, dim = 64)

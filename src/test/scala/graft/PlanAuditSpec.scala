@@ -651,10 +651,196 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("scan-pruning sweep: every FileSourceScan in EVERY declared query prunes wide-table columns and pushes eligible literal filters") {
+    // The third CI-wide anti-pattern sweep (after global windows and
+    // joins), closing the last SURVEY §4 checklist class: an unpruned
+    // scan. Two mechanical rules over every FileSourceScanExec in every
+    // declared query's plan:
+    //   (a) COLUMN PRUNING — reading EVERY column of a wide fixture
+    //       table (>= 5 file columns: lineitem 11, events 6, orders 6,
+    //       part 6, customer 5, documents 5) means projection pruning
+    //       was lost, unless the query genuinely consumes the full row
+    //       (allowlisted here with the reason).
+    //   (b) FILTER PUSHDOWN — when a scan carries a post-scan dataFilter
+    //       that is a plain literal comparison/IN on a scalar column
+    //       (exactly the shape parquet can evaluate against row-group
+    //       stats), the scan must report non-empty PushedFilters; an
+    //       empty list means the predicate stopped at the JVM filter and
+    //       every row group gets read at 100 TB.
+    val allowFull: Map[String, String] = Map.empty
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    val fullSeen = scala.collection.mutable.Set[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf0001).queryExecution.sparkPlan
+      val (full, issues) = ScanAudit.audit(plan)
+      if (full) fullSeen += name
+      if (full && !allowFull.contains(name))
+        offenders += s"$name: ${ScanAudit.fullWidthDetail(plan)}"
+      offenders ++= issues.map(i => s"$name: $i")
+    }
+    assert(offenders.isEmpty,
+      s"unpruned/unpushed scans (prune the projection, push the filter, " +
+        s"or add a justified allowlist entry): ${offenders.distinct.sorted}")
+    // the allowlist must not rot: every entry still has a full-width scan
+    for ((name, why) <- allowFull)
+      assert(fullSeen.contains(name),
+        s"$name allowlisted ($why) but no longer full-width scans a wide table — remove it")
+  }
+
+  test("scan-pruning sweep negative control: the detectors fire on deliberately bad plans") {
+    // A trivially-green sweep could mean a rotted detector (wrong
+    // metadata key, partition columns inflating the file schema, …), so
+    // both rules are proven against plans built to violate them.
+    import org.apache.spark.sql.functions._
+    // (a) full-width scan of an 11-column table must trip the width rule
+    val unpruned = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .queryExecution.sparkPlan
+    assert(ScanAudit.audit(unpruned)._1,
+      "width detector missed a deliberately full-width lineitem scan")
+    // the same scan projected to 2 columns must NOT trip it
+    val pruned = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity").queryExecution.sparkPlan
+    assert(!ScanAudit.audit(pruned)._1,
+      "width detector fired on a pruned 2-column scan")
+    // (b) a cast ON THE COLUMN blocks filter translation — string→int is
+    // a shape UnwrapCastInBinaryComparison cannot rescue, so the cast
+    // survives to the scan's dataFilters and the detector must flag it
+    val castBlocked = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_returnflag").cast("int") > 0).select("l_orderkey")
+      .queryExecution.sparkPlan
+    val castIssues = ScanAudit.audit(castBlocked)._2
+    assert(castIssues.exists(_.contains("cast over")),
+      s"cast detector missed a string->int cast comparison: $castIssues")
+    // (c) a properly pushed literal predicate is clean — and its column
+    // appears in PushedFilters, proving the metadata-containment check
+    // (a renamed metadata key would flag every query, failing closed)
+    val pushed = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_quantity") > 10.0).select("l_orderkey")
+      .queryExecution.sparkPlan
+    assert(ScanAudit.audit(pushed)._2.isEmpty,
+      "pushdown detector fired on a properly pushed literal predicate")
+  }
+
   test("mview_join_incremental: delta joins are equi; state merge is hash agg") {
     val p = plan("mview_join_incremental")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
     assert(p.contains("HashAggregate"), p.take(600))
     assert(!p.contains("SortAggregate"), p.take(600))
   }
+}
+
+/** Shared detectors for the scan-pruning sweep and its negative control:
+  * one implementation, so a rotted rule fails the control test instead of
+  * silently passing the sweep. */
+private object ScanAudit {
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types._
+
+  /** Wide-table threshold: lineitem 11, events 6, orders 6, part 6,
+    * customer 5, documents 5 file columns. */
+  private val WideCols = 5
+
+  private def scalarType(t: DataType): Boolean = t match {
+    case _: NumericType | StringType | BooleanType | DateType |
+        TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** A Cast over the column blocks parquet pushdown, so only a bare
+    * scalar attribute counts as "should have pushed". */
+  private def atomicAttr(e: Expression): Boolean = e match {
+    case a: AttributeReference => scalarType(a.dataType)
+    case _ => false
+  }
+
+  /** The scalar column a literal comparison/IN constrains, when the
+    * column is BARE (exactly the shape parquet evaluates against
+    * row-group stats). */
+  private def pushableCol(e: Expression): Option[String] = {
+    def n(x: Expression): Option[String] = x match {
+      case a: AttributeReference if scalarType(a.dataType) => Some(a.name)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a, _: Literal) => n(a)
+      case EqualTo(_: Literal, a) => n(a)
+      case LessThan(a, _: Literal) => n(a)
+      case LessThan(_: Literal, a) => n(a)
+      case LessThanOrEqual(a, _: Literal) => n(a)
+      case LessThanOrEqual(_: Literal, a) => n(a)
+      case GreaterThan(a, _: Literal) => n(a)
+      case GreaterThan(_: Literal, a) => n(a)
+      case GreaterThanOrEqual(a, _: Literal) => n(a)
+      case GreaterThanOrEqual(_: Literal, a) => n(a)
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) => n(a)
+      case _ => None
+    }
+  }
+
+  /** The rot class type coercion creates: Cmp(Cast(col), literal) — the
+    * CAST sits on the column, so translateFilter fails and the predicate
+    * never reaches the reader (and Catalyst's UnwrapCastInBinaryComparison
+    * only rescues the numeric-widening cases). Fix is aligning the
+    * literal's type, not allowlisting. */
+  private def castBlockedCol(e: Expression): Option[String] = {
+    def n(x: Expression): Option[String] = x match {
+      case c: Cast => c.child match {
+        case a: AttributeReference if scalarType(a.dataType) => Some(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+    e match {
+      case EqualTo(a, _: Literal) => n(a)
+      case EqualTo(_: Literal, a) => n(a)
+      case LessThan(a, _: Literal) => n(a)
+      case LessThan(_: Literal, a) => n(a)
+      case LessThanOrEqual(a, _: Literal) => n(a)
+      case LessThanOrEqual(_: Literal, a) => n(a)
+      case GreaterThan(a, _: Literal) => n(a)
+      case GreaterThan(_: Literal, a) => n(a)
+      case GreaterThanOrEqual(a, _: Literal) => n(a)
+      case GreaterThanOrEqual(_: Literal, a) => n(a)
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) => n(a)
+      case _ => None
+    }
+  }
+
+  private def scans(plan: SparkPlan): Seq[FileSourceScanExec] =
+    plan.collect { case s: FileSourceScanExec => s }
+
+  private def tableOf(s: FileSourceScanExec): String =
+    s.relation.location.rootPaths.headOption.map(_.getName).getOrElse("?")
+
+  private def fullWidth(s: FileSourceScanExec): Boolean = {
+    val fileCols = s.relation.dataSchema.fieldNames.toSet
+    fileCols.size >= WideCols && s.requiredSchema.fieldNames.toSet == fileCols
+  }
+
+  /** (has a full-width wide scan, pushdown issues). Missing metadata key
+    * fails CLOSED: every translatable conjunct flags. */
+  def audit(plan: SparkPlan): (Boolean, Seq[String]) = {
+    val ss = scans(plan)
+    val issues = ss.flatMap { s =>
+      val pushed = s.metadata.getOrElse("PushedFilters", "")
+      s.dataFilters.flatMap { f =>
+        pushableCol(f) match {
+          case Some(c)
+            if !(pushed.contains(s"($c,") || pushed.contains(s"($c)")) =>
+            Some(s"literal predicate on ${tableOf(s)}.$c translated but " +
+              s"absent from PushedFilters ($f)")
+          case _ => castBlockedCol(f).map(c =>
+            s"cast over ${tableOf(s)}.$c blocks parquet pushdown — align " +
+              s"the literal's type ($f)")
+        }
+      }
+    }
+    (ss.exists(fullWidth), issues)
+  }
+
+  def fullWidthDetail(plan: SparkPlan): String =
+    scans(plan).filter(fullWidth).map(s =>
+      s"unpruned full-width scan of ${tableOf(s)} " +
+        s"(${s.relation.dataSchema.fieldNames.length} cols)").mkString("; ")
 }
