@@ -202,7 +202,10 @@ object TextQueries {
     // Dedup-quality eval: recall of the banded MinHash-LSH pipeline
     // against exact Jaccard ground truth (PPJoin prefix filtering — zero
     // false negatives — so "truth" needs no cartesian on the Spark side;
-    // the oracle replays it quadratically). The measurement a pipeline
+    // the oracle derives the same exact truth from an inverted-index
+    // overlap count: J >= 0.5 implies a shared shingle, so the
+    // shingle self-join's group count IS |a∩b| and J = c/(na+nb-c) —
+    // no quadratic pair scan on either side). The measurement a pipeline
     // owner runs before trusting approximate dedup at corpus scale.
     "eval_dedup_recall" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
@@ -1794,8 +1797,12 @@ object TextQueries {
          ORDER BY left_id, right_id""",
 
     // Blocking eval: the dedup_snm candidate machinery WITHOUT the verify
-    // gate, measured against the full quadratic truth (same hashed-vs-
-    // string shingle parity argument as dedup_snm).
+    // gate, measured against the full exact truth (same hashed-vs-string
+    // shingle parity argument as dedup_snm). Truth is the inverted-index
+    // overlap count, not a quadratic pair scan: every J >= 0.5 pair
+    // shares a shingle, the self-join group count is |a∩b|, and
+    // J = c/(na+nb-c) reproduces LIST_INTERSECT/LIST_DISTINCT(CONCAT)
+    // arithmetic on identical integers (bit-identical ROUND input).
     "eval_blocking" ->
       """WITH d AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks
                     FROM documents),
@@ -1814,12 +1821,16 @@ object TextQueries {
              GREATEST(a.doc_id, b.doc_id) AS right_id
            FROM rk a JOIN rk b
            ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3),
+         shx AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+         ssz AS (SELECT doc_id, LEN(s) AS n FROM sh),
+         sov AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS c
+           FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
          truth AS MATERIALIZED (
-           SELECT a.doc_id AS left_id, b.doc_id AS right_id
-           FROM sh a, sh b
-           WHERE a.doc_id < b.doc_id
-             AND ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
-               / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) >= 0.5),
+           SELECT left_id, right_id
+           FROM sov JOIN ssz sa ON sa.doc_id = left_id
+             JOIN ssz sb ON sb.doc_id = right_id
+           WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
          captured AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
          SELECT n_docs, n_candidates, n_truth, n_captured,
            ROUND(1.0 - 2.0 * n_candidates / (n_docs * (n_docs - 1)), 6)
@@ -2360,12 +2371,15 @@ object TextQueries {
 
     "eval_dedup_recall" ->
       s"""WITH $minhashVerCtes,
+         hsz AS (SELECT doc_id, LEN(hs) AS n FROM hset),
+         hov AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS c
+           FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
          truth AS MATERIALIZED (
-           SELECT ha.doc_id AS left_id, hb.doc_id AS right_id
-           FROM hset ha, hset hb
-           WHERE ha.doc_id < hb.doc_id
-             AND ROUND(CAST(LEN(LIST_INTERSECT(ha.hs, hb.hs)) AS DOUBLE)
-               / LEN(LIST_DISTINCT(LIST_CONCAT(ha.hs, hb.hs))), 6) >= 0.5),
+           SELECT left_id, right_id
+           FROM hov JOIN hsz sa ON sa.doc_id = left_id
+             JOIN hsz sb ON sb.doc_id = right_id
+           WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5),
          emitted AS MATERIALIZED (SELECT left_id, right_id FROM ver WHERE jaccard >= 0.5),
          matched AS (SELECT * FROM emitted INTERSECT SELECT * FROM truth)
          SELECT n_truth, n_emitted, n_matched,
