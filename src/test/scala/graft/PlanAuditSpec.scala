@@ -535,19 +535,73 @@ class PlanAuditSpec extends SparkSpec {
       "hybrid_rrf" -> idxStats,
       "profile_chi2" -> ("broadcast side is the per-source marginal of " +
         "the lang x source contingency table — bounded by the source " +
-        "dimension's cardinality, not corpus size"),
-      "q52_pareto" -> ("broadcast side is the decile-keyed revenue " +
-        "rollup — the ntile(10) bucket domain bounds it to <= 10 rows; " +
-        "the key is a computed CASE alias the structural walk cannot " +
-        "trace to its bounded domain"))
+        "dimension's cardinality, not corpus size"))
     // bounded build shapes, structurally: a limit; a global (no-key)
-    // aggregate (1 row); an aggregate keyed ONLY on GlobalRank's internal
-    // bracket/bucket ids (`__grp*` — their domain is |probs|/ntile-sized
-    // by construction, the quantileCont/rfm/pareto probe side); a literal
-    // Range spine (calendar axes); a point/range filter on a fixture KEY
-    // column vs literals (the serving query-batch idiom, detected below)
-    def grpBounded(keys: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
-        : Boolean = keys.forall(_.name.startsWith("__grp"))
+    // aggregate (1 row); an aggregate whose every key is either one of
+    // GlobalRank's internal bracket/bucket ids (`__grp*` — their domain
+    // is |probs|/ntile-sized by construction, the quantileCont/rfm probe
+    // side) or an integer column CLAMPED between two literals in its
+    // defining Project (greatest(lo, least(hi, …)) — ntile's output
+    // shape, domain <= hi-lo+1; this is what retired the q52_pareto
+    // allowlist entry); a literal Range spine (calendar axes); a
+    // point/range filter on a fixture KEY column vs literals (the
+    // serving query-batch idiom, detected below)
+    def litLong(v: Any): Long = v match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case _ => Long.MaxValue
+    }
+    def clampBounded(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Boolean = {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      def strip(x: Expression): Expression = x match {
+        case c: Cast => strip(c.child)
+        case a: Alias => strip(a.child)
+        case _ => x
+      }
+      def integral(x: Expression): Boolean = x.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      def lits(es: Seq[Expression]): Seq[Long] =
+        es.collect { case Literal(v, _) => litLong(v) }
+      strip(e) match {
+        case g: Greatest if g.children.size == 2 && integral(g) =>
+          val lo = lits(g.children)
+          val inner = g.children.collect { case l: Least => l }
+          lo.size == 1 && inner.size == 1 && {
+            val hi = lits(inner.head.children)
+            inner.head.children.size == 2 && hi.size == 1 &&
+              hi.head >= lo.head && hi.head - lo.head < 100000
+          }
+        case l: Least if l.children.size == 2 && integral(l) =>
+          val hi = lits(l.children)
+          val inner = l.children.collect { case g: Greatest => g }
+          hi.size == 1 && inner.size == 1 && {
+            val lo = lits(inner.head.children)
+            inner.head.children.size == 2 && lo.size == 1 &&
+              hi.head >= lo.head && hi.head - lo.head < 100000
+          }
+        case _ => false
+      }
+    }
+    def keysBounded(
+        keys: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+        child: SparkPlan): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+      def defOf(id: org.apache.spark.sql.catalyst.expressions.ExprId)
+          : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+        child.collect { case p: org.apache.spark.sql.execution.ProjectExec =>
+          p.projectList
+        }.flatten.collectFirst { case a: Alias if a.exprId == id => a.child }
+      keys.forall {
+        case k if k.name.startsWith("__grp") => true
+        case a: Alias => clampBounded(a.child)
+        case r: AttributeReference => defOf(r.exprId).exists(clampBounded)
+        case _ => false
+      }
+    }
     // Point/range-on-key detector — replaces the former 15 per-query
     // "serving query batch" allowlist entries with the convention itself:
     // the fixture key columns below are UNIQUE (TESTDATA contract), so
@@ -559,11 +613,6 @@ class PlanAuditSpec extends SparkSpec {
     // Any OTHER column filtered against a literal proves nothing about
     // cardinality and does NOT count.
     val keyCols = Set("vec_id", "doc_id", "query_id")
-    def litLong(v: Any): Long = v match {
-      case i: Int => i.toLong
-      case l: Long => l
-      case _ => Long.MaxValue
-    }
     def isKey(e: org.apache.spark.sql.catalyst.expressions.Expression)
         : Boolean = e match {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
@@ -603,9 +652,12 @@ class PlanAuditSpec extends SparkSpec {
     def bounded(side: SparkPlan): Boolean = side match {
       case _: LocalLimitExec | _: GlobalLimitExec |
           _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
-      case a: HashAggregateExec if grpBounded(a.groupingExpressions) => true
-      case a: ObjectHashAggregateExec if grpBounded(a.groupingExpressions) => true
-      case a: SortAggregateExec if grpBounded(a.groupingExpressions) => true
+      case a: HashAggregateExec
+        if keysBounded(a.groupingExpressions, a.child) => true
+      case a: ObjectHashAggregateExec
+        if keysBounded(a.groupingExpressions, a.child) => true
+      case a: SortAggregateExec
+        if keysBounded(a.groupingExpressions, a.child) => true
       case r: org.apache.spark.sql.execution.RangeExec =>
         r.numElements <= BigInt(1000000)
       case f: org.apache.spark.sql.execution.FilterExec =>
