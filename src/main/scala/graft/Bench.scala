@@ -209,22 +209,20 @@ object Bench {
     // tail truncates the diagnostics line away (lost in r7/r8), and the
     // anchors' whole purpose is cross-session normalization from the
     // COMMITTED artifacts.
-    // anchor-normalized total: total × (prev anchor / this anchor), using
-    // the CPU anchor as the normalizer — measured across sessions it is
-    // stable to ~1% under constant conditions and moves with genuine CPU
-    // contention, while the spark anchor (scheduler dispatch) swings ~50%
-    // run to run and would normalize noise INTO the total; its ratio is
-    // still carried as a dispatch-latency diagnostic. total_normalized is
-    // the number to compare round over round: a shift that survives
-    // normalization AND exceeds per-query spread is a plan regression;
-    // one that normalizes away was ambient machine drift.
+    // prev-round anchor ratios: the CPU anchor is the meaningful
+    // normalizer (stable to ~1% under constant conditions, moves with
+    // genuine contention); the spark anchor (scheduler dispatch) swings
+    // ~50% run to run and rides along as a dispatch-latency diagnostic
+    // only. The GRADED cross-round number is total_vs_base below — the
+    // chained prev-round product (total_normalized) compounded per-round
+    // anchor noise and was retired in r12 (older artifacts still carry
+    // it).
     val anchorExtra = prevAnchors match {
       case Some((pc, ps)) if aSpark > 0 && aCpu > 0 =>
         val ratioSpark = r(ps / aSpark)
         val ratioCpu = r(pc / aCpu)
         s""","prev_anchor_cpu":$pc,"prev_anchor_spark":$ps""" +
-          s""","anchor_ratio_cpu":$ratioCpu,"anchor_ratio_spark":$ratioSpark""" +
-          s""","total_normalized":${r2(total * ratioCpu)}"""
+          s""","anchor_ratio_cpu":$ratioCpu,"anchor_ratio_spark":$ratioSpark"""
       case _ => ""
     }
     // fixed-baseline normalization (non-compounding): carried forward

@@ -69,6 +69,11 @@ object AnnIvf {
     * vs distributed). */
   val LocalTrainOpsThreshold = 4000000L // points · k
 
+  /** Hard ceiling on serveable nlist: 2²⁰ centers × 64-d floats ≈ 270 MB
+    * driver-collected/broadcast per probe — enforced at [[build]],
+    * [[read]], and [[merge]] (every way an Index enters a session). */
+  val ServeNlistCap: Int = 1 << 20
+
   def build(
       vectors: DataFrame,
       idCol: String,
@@ -80,9 +85,9 @@ object AnnIvf {
     // probe (LocalTableScan build side of the probe theta-join): 2²⁰
     // centers × 64-d floats ≈ 270 MB is the ceiling of that design — the
     // same bound PlanAuditSpec's join sweep enforces at the plan level
-    require(nlist >= 1 && nlist <= (1 << 20),
-      s"nlist=$nlist outside [1, ${1 << 20}] — the centroid table must " +
-        "stay driver-collectable/broadcastable")
+    require(nlist >= 1 && nlist <= ServeNlistCap,
+      s"nlist=$nlist outside [1, $ServeNlistCap] — the centroid table " +
+        "must stay driver-collectable/broadcastable")
     val spark = vectors.sparkSession
     val trainLimit = if (trainSize > 0) trainSize else 50 * nlist
     val centers: Array[Array[Float]] =
@@ -364,6 +369,23 @@ object AnnIvf {
     }
   }
 
+  /** The serving contract behind every probe: the centroid table is
+    * driver-collected and broadcast (LocalTableScan build side of the
+    * probe theta-join), so its row count must stay within the same cap
+    * [[build]] enforces. Indexes can enter a session WITHOUT passing
+    * through `build` — a durable [[read]] or a shard [[merge]] — so the
+    * cap is re-asserted there, turning PlanAuditSpec's 100k-row
+    * LocalTableScan heuristic into a guaranteed API invariant. The check
+    * is a limit-bounded count (never scans more than cap+1 rows). */
+  private[graft] def requireServeableNlist(centroids: DataFrame,
+      what: String, cap: Int = ServeNlistCap): Unit = {
+    val n = centroids.limit(cap + 1).count()
+    require(n <= cap,
+      s"$what has nlist > $cap (count clipped at ${cap + 1}) — the " +
+        "centroid table is driver-collected and broadcast on every " +
+        "probe; rebuild with fewer cells or serve the shards separately")
+  }
+
   def read(spark: SparkSession, path: String): Index = {
     val raw = spark.read.parquet(s"$path/vectors")
     val meta =
@@ -385,7 +407,9 @@ object AnnIvf {
         }
     }
     val writeSalt = meta.map(_.select("write_salt").head().getInt(0)).getOrElse(1)
-    Index(assigned, spark.read.parquet(s"$path/centroids"), writeSalt)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    requireServeableNlist(centroids, s"index at $path")
+    Index(assigned, centroids, writeSalt)
   }
 
   /** Merge two IVF indexes into one serveable index — the shard-combine
@@ -416,9 +440,13 @@ object AnnIvf {
       (col("partition_id") + lit(offset)).cast("int"))
     val bCentroids = b.centroids.withColumn("partition_id",
       (col("partition_id") + lit(offset)).cast("int"))
+    val merged = a.centroids.unionByName(bCentroids)
+    // centroid-UNION semantics can only grow nlist, so the serve cap is
+    // re-checked where the growth happens
+    requireServeableNlist(merged, "merged index")
     Index(
       a.assigned.unionByName(bAssigned),
-      a.centroids.unionByName(bCentroids),
+      merged,
       math.max(a.writeSalt, b.writeSalt))
   }
 

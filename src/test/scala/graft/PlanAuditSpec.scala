@@ -666,7 +666,9 @@ class PlanAuditSpec extends SparkSpec {
         s.dataFilters.exists(keyPointFilter)
       // driver-materialized literal table (collected IVF centers etc.):
       // its rows already exist on the driver, so the row count is a
-      // DIRECT bound, checked right here
+      // DIRECT bound, checked right here — and for IVF centers it is
+      // additionally an API contract (AnnIvf.requireServeableNlist caps
+      // every build/read/merge entry point at ServeNlistCap)
       case l: org.apache.spark.sql.execution.LocalTableScanExec =>
         l.rows.size <= 100000
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
