@@ -451,9 +451,6 @@ class PlanAuditSpec extends SparkSpec {
     // (the rank-filter rewrite: the window ranks a bounded candidate
     // set), or (b) belong to a query allowlisted HERE with the domain
     // bound that keeps its window input small at any corpus size.
-    import org.apache.spark.sql.execution.window.WindowExec
-    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
-      LocalLimitExec, TakeOrderedAndProjectExec}
     val allow: Map[String, String] = Map(
       "profile_psi" -> "running PSI over a FIXED 16-bin grid (nBins = 16)",
       "q40_cumulative_users" -> ("running sum over a day-grain series — " +
@@ -465,26 +462,35 @@ class PlanAuditSpec extends SparkSpec {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val plan = fn(spark, sf0001).queryExecution.sparkPlan
-      val wins = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
-      for (w <- wins if !allow.contains(name)) {
-        val bounded = w.child.collect {
-          case l: LocalLimitExec => l
-          case l: GlobalLimitExec => l
-          case l: TakeOrderedAndProjectExec => l
-          case l: CollectLimitExec => l
-        }.nonEmpty
-        if (!bounded) offenders += name
-      }
+      if (!allow.contains(name) && WindowAudit.unboundedGlobal(plan).nonEmpty)
+        offenders += name
     }
     assert(offenders.isEmpty,
       s"entity-sized single-task global windows (add a bound or a justified " +
         s"allowlist entry): ${offenders.distinct.sorted}")
     // the allowlist must not rot: every entry still has a global window
     for ((name, why) <- allow) {
-      val wins = SparkEntry.queries(name)(spark, sf0001).queryExecution
-        .sparkPlan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      val wins = WindowAudit.globalWindows(
+        SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan)
       assert(wins.nonEmpty, s"$name allowlisted ($why) but has no global window — remove it")
     }
+  }
+
+  test("global-window sweep negative control: the detector fires on an unbounded global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val g = Window.orderBy("l_orderkey")
+    val bad = li.withColumn("rn", row_number().over(g))
+      .queryExecution.sparkPlan
+    assert(WindowAudit.unboundedGlobal(bad).nonEmpty,
+      "window detector missed a corpus-sized empty-partition window")
+    val good = li.orderBy("l_orderkey").limit(20)
+      .withColumn("rn", row_number().over(g)).queryExecution.sparkPlan
+    assert(WindowAudit.globalWindows(good).nonEmpty &&
+      WindowAudit.unboundedGlobal(good).isEmpty,
+      "window detector flagged a limit-bounded rank window")
   }
 
   test("knn_join_all (int): merge is the k-bounded aggregator, not a rank window") {
@@ -546,163 +552,62 @@ class PlanAuditSpec extends SparkSpec {
     // allowlist entry); a literal Range spine (calendar axes); a
     // point/range filter on a fixture KEY column vs literals (the
     // serving query-batch idiom, detected below)
-    def litLong(v: Any): Long = v match {
-      case i: Int => i.toLong
-      case l: Long => l
-      case _ => Long.MaxValue
-    }
-    def clampBounded(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Boolean = {
-      import org.apache.spark.sql.catalyst.expressions._
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      def strip(x: Expression): Expression = x match {
-        case c: Cast => strip(c.child)
-        case a: Alias => strip(a.child)
-        case _ => x
-      }
-      def integral(x: Expression): Boolean = x.dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-      def lits(es: Seq[Expression]): Seq[Long] =
-        es.collect { case Literal(v, _) => litLong(v) }
-      strip(e) match {
-        case g: Greatest if g.children.size == 2 && integral(g) =>
-          val lo = lits(g.children)
-          val inner = g.children.collect { case l: Least => l }
-          lo.size == 1 && inner.size == 1 && {
-            val hi = lits(inner.head.children)
-            inner.head.children.size == 2 && hi.size == 1 &&
-              hi.head >= lo.head && hi.head - lo.head < 100000
-          }
-        case l: Least if l.children.size == 2 && integral(l) =>
-          val hi = lits(l.children)
-          val inner = l.children.collect { case g: Greatest => g }
-          hi.size == 1 && inner.size == 1 && {
-            val lo = lits(inner.head.children)
-            inner.head.children.size == 2 && lo.size == 1 &&
-              hi.head >= lo.head && hi.head - lo.head < 100000
-          }
-        case _ => false
-      }
-    }
-    def keysBounded(
-        keys: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
-        child: SparkPlan): Boolean = {
-      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
-      def defOf(id: org.apache.spark.sql.catalyst.expressions.ExprId)
-          : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-        child.collect { case p: org.apache.spark.sql.execution.ProjectExec =>
-          p.projectList
-        }.flatten.collectFirst { case a: Alias if a.exprId == id => a.child }
-      keys.forall {
-        case k if k.name.startsWith("__grp") => true
-        case a: Alias => clampBounded(a.child)
-        case r: AttributeReference => defOf(r.exprId).exists(clampBounded)
-        case _ => false
-      }
-    }
-    // Point/range-on-key detector — replaces the former 15 per-query
-    // "serving query batch" allowlist entries with the convention itself:
-    // the fixture key columns below are UNIQUE (TESTDATA contract), so
-    //   key =  literal        -> <= 1 row
-    //   key IN (literals...)  -> <= |literals| rows
-    //   key <  literal L      -> <= L rows (ids are dense from 0; the
-    //                            literal is additionally capped so a
-    //                            future `vec_id < 10^12` can't sneak by)
-    // Any OTHER column filtered against a literal proves nothing about
-    // cardinality and does NOT count.
-    val keyCols = Set("vec_id", "doc_id", "query_id")
-    def isKey(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Boolean = e match {
-      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        keyCols.contains(a.name)
-      case c: org.apache.spark.sql.catalyst.expressions.Cast => isKey(c.child)
-      case _ => false
-    }
-    // Boolean-context-aware: a bounding comparison only counts where it
-    // actually CONSTRAINS the row set — And needs one bounding conjunct,
-    // Or needs BOTH branches to bound, anything else (Not, nested
-    // functions) proves nothing. A blind `exists` would accept
-    // `other > 0 OR vec_id < 5`, which filters almost nothing.
-    def keyPointFilter(
-        cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
-      import org.apache.spark.sql.catalyst.expressions._
-      cond match {
-        case And(l, r) => keyPointFilter(l) || keyPointFilter(r)
-        case Or(l, r) => keyPointFilter(l) && keyPointFilter(r)
-        case EqualTo(a, _: Literal) if isKey(a) => true
-        case EqualTo(_: Literal, a) if isKey(a) => true
-        case In(a, vs) if isKey(a) &&
-          vs.forall(_.isInstanceOf[Literal]) && vs.size <= 100000 => true
-        case InSet(a, vs) if isKey(a) && vs.size <= 100000 => true
-        case LessThan(a, Literal(v, _)) if isKey(a) && litLong(v) <= 100000 => true
-        case LessThanOrEqual(a, Literal(v, _)) if isKey(a) && litLong(v) <= 100000 => true
-        case GreaterThan(Literal(v, _), a) if isKey(a) && litLong(v) <= 100000 => true
-        case GreaterThanOrEqual(Literal(v, _), a) if isKey(a) && litLong(v) <= 100000 => true
-        case _ => false
-      }
-    }
-    // Structural recursion, NOT collectFirst: a bound below a join must
-    // not vouch for the join's output (corpus JOIN limit(5) is
-    // corpus-sized), so joins require BOTH inputs bounded (then the
-    // output is ≤ |L|·|R|, still model-sized for the shapes here), unions
-    // require all inputs bounded, and only genuinely row-limiting unary
-    // nodes terminate the walk.
-    def bounded(side: SparkPlan): Boolean = side match {
-      case _: LocalLimitExec | _: GlobalLimitExec |
-          _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
-      case a: HashAggregateExec
-        if keysBounded(a.groupingExpressions, a.child) => true
-      case a: ObjectHashAggregateExec
-        if keysBounded(a.groupingExpressions, a.child) => true
-      case a: SortAggregateExec
-        if keysBounded(a.groupingExpressions, a.child) => true
-      case r: org.apache.spark.sql.execution.RangeExec =>
-        r.numElements <= BigInt(1000000)
-      case f: org.apache.spark.sql.execution.FilterExec =>
-        keyPointFilter(f.condition) || bounded(f.child)
-      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.dataFilters.exists(keyPointFilter)
-      // driver-materialized literal table (collected IVF centers etc.):
-      // its rows already exist on the driver, so the row count is a
-      // DIRECT bound, checked right here — and for IVF centers it is
-      // additionally an API contract (AnnIvf.requireServeableNlist caps
-      // every build/read/merge entry point at ServeNlistCap)
-      case l: org.apache.spark.sql.execution.LocalTableScanExec =>
-        l.rows.size <= 100000
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-        bounded(j.left) && bounded(j.right)
-      case u: org.apache.spark.sql.execution.UnionExec =>
-        u.children.forall(bounded)
-      case p if p.children.size == 1 => bounded(p.children.head)
-      case _ => false
-    }
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val plan = fn(spark, sf0001).queryExecution.sparkPlan
-      if (plan.collectFirst { case c: CartesianProductExec => c }.nonEmpty)
+      if (JoinAudit.hasCartesian(plan))
         offenders += s"$name: CartesianProduct"
-      if (!allow.contains(name))
-        for (b <- plan.collect { case b: BroadcastNestedLoopJoinExec => b }) {
-          val build = b.buildSide match {
-            case BuildLeft => b.left
-            case BuildRight => b.right
-          }
-          if (!bounded(build)) offenders += s"$name: unbounded BNLJ build"
-        }
+      if (!allow.contains(name) && JoinAudit.unboundedBnljBuilds(plan).nonEmpty)
+        offenders += s"$name: unbounded BNLJ build"
     }
     assert(offenders.isEmpty,
       s"unbounded join shapes (bound the build side or add a justified " +
         s"allowlist entry): ${offenders.distinct.sorted}")
     // the allowlist must not rot: every entry still has a BNLJ
     for ((name, why) <- allow) {
-      val has = SparkEntry.queries(name)(spark, sf0001).queryExecution
-        .sparkPlan.collectFirst {
-          case b: BroadcastNestedLoopJoinExec => b
-        }.nonEmpty
+      val has = JoinAudit.hasBnlj(
+        SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan)
       assert(has, s"$name allowlisted ($why) but has no BNLJ — remove it")
     }
+  }
+
+  test("join sweep negative control: the detectors fire on deliberately bad joins") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    // (a) forced CartesianProduct (auto-broadcast off so neither side
+    // broadcasts) must trip the cartesian rule
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val cart = li.as("a").crossJoin(li.as("b")).queryExecution.sparkPlan
+      assert(JoinAudit.hasCartesian(cart),
+        "cartesian detector missed a forced CartesianProduct")
+    } finally spark.conf.set(key, saved)
+    // (b) a BNLJ whose broadcast build is a bare corpus scan (no limit,
+    // no bounding filter) must trip the unbounded-build rule
+    val badBnlj = li.as("a").crossJoin(broadcast(li.as("b")))
+      .queryExecution.sparkPlan
+    assert(JoinAudit.hasBnlj(badBnlj) &&
+      JoinAudit.unboundedBnljBuilds(badBnlj).nonEmpty,
+      "BNLJ detector missed an unbounded corpus-scan build side")
+    // (c) the same join with a limit-bounded build is clean
+    val goodBnlj = li.as("a").crossJoin(broadcast(li.limit(5).as("b")))
+      .queryExecution.sparkPlan
+    assert(JoinAudit.hasBnlj(goodBnlj) &&
+      JoinAudit.unboundedBnljBuilds(goodBnlj).isEmpty,
+      "BNLJ detector flagged a limit-bounded build side")
+    // (d) ... and a key-point-filtered build (the serving query-batch
+    // idiom) is clean too
+    val keyed = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang")
+    val batchBnlj = keyed.as("a")
+      .crossJoin(broadcast(keyed.filter(col("doc_id") < 100).as("b")))
+      .queryExecution.sparkPlan
+    assert(JoinAudit.hasBnlj(batchBnlj) &&
+      JoinAudit.unboundedBnljBuilds(batchBnlj).isEmpty,
+      "BNLJ detector flagged a key-point-filtered query batch")
   }
 
   test("scan-pruning sweep: every FileSourceScan in EVERY declared query prunes wide-table columns and pushes eligible literal filters") {
@@ -781,6 +686,185 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(600))
     assert(!p.contains("SortAggregate"), p.take(600))
   }
+}
+
+/** Shared detectors for the join sweep and its negative control: one
+  * implementation, so a rotted rule fails the control test instead of
+  * silently passing the sweep. */
+private object JoinAudit {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+  import org.apache.spark.sql.execution.{CollectLimitExec, FileSourceScanExec,
+    FilterExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec,
+    ProjectExec, RangeExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec}
+  import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+    ObjectHashAggregateExec, SortAggregateExec}
+  import org.apache.spark.sql.execution.joins.{BaseJoinExec,
+    BroadcastNestedLoopJoinExec, CartesianProductExec}
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+  def hasCartesian(plan: SparkPlan): Boolean =
+    plan.collectFirst { case c: CartesianProductExec => c }.nonEmpty
+
+  def hasBnlj(plan: SparkPlan): Boolean =
+    plan.collectFirst { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty
+
+  def unboundedBnljBuilds(plan: SparkPlan): Seq[BroadcastNestedLoopJoinExec] =
+    plan.collect { case b: BroadcastNestedLoopJoinExec => b }.filterNot { b =>
+      bounded(b.buildSide match {
+        case BuildLeft => b.left
+        case BuildRight => b.right
+      })
+    }
+
+  private def litLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case _ => Long.MaxValue
+  }
+
+  /** greatest(lo, least(hi, …)) / least(hi, greatest(lo, …)) over an
+    * integral expression: domain <= hi-lo+1 by construction (ntile's
+    * output shape — what retired the q52_pareto allowlist entry). */
+  private def clampBounded(e: Expression): Boolean = {
+    def strip(x: Expression): Expression = x match {
+      case c: Cast => strip(c.child)
+      case a: Alias => strip(a.child)
+      case _ => x
+    }
+    def integral(x: Expression): Boolean = x.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def lits(es: Seq[Expression]): Seq[Long] =
+      es.collect { case Literal(v, _) => litLong(v) }
+    strip(e) match {
+      case g: Greatest if g.children.size == 2 && integral(g) =>
+        val lo = lits(g.children)
+        val inner = g.children.collect { case l: Least => l }
+        lo.size == 1 && inner.size == 1 && {
+          val hi = lits(inner.head.children)
+          inner.head.children.size == 2 && hi.size == 1 &&
+            hi.head >= lo.head && hi.head - lo.head < 100000
+        }
+      case l: Least if l.children.size == 2 && integral(l) =>
+        val hi = lits(l.children)
+        val inner = l.children.collect { case g: Greatest => g }
+        hi.size == 1 && inner.size == 1 && {
+          val lo = lits(inner.head.children)
+          inner.head.children.size == 2 && lo.size == 1 &&
+            hi.head >= lo.head && hi.head - lo.head < 100000
+        }
+      case _ => false
+    }
+  }
+
+  /** Every aggregate key either carries GlobalRank's internal `__grp*`
+    * convention (|probs|/ntile-sized domain by construction) or traces
+    * through child Projects (by exprId) to a literal-clamped integer. */
+  private def keysBounded(keys: Seq[NamedExpression], child: SparkPlan)
+      : Boolean = {
+    def defOf(id: ExprId): Option[Expression] =
+      child.collect { case p: ProjectExec => p.projectList }
+        .flatten.collectFirst { case a: Alias if a.exprId == id => a.child }
+    keys.forall {
+      case k if k.name.startsWith("__grp") => true
+      case a: Alias => clampBounded(a.child)
+      case r: AttributeReference => defOf(r.exprId).exists(clampBounded)
+      case _ => false
+    }
+  }
+
+  // Point/range-on-key detector — replaces the former 15 per-query
+  // "serving query batch" allowlist entries with the convention itself:
+  // the fixture key columns below are UNIQUE (TESTDATA contract), so
+  //   key =  literal        -> <= 1 row
+  //   key IN (literals...)  -> <= |literals| rows
+  //   key <  literal L      -> <= L rows (ids are dense from 0; the
+  //                            literal is additionally capped so a
+  //                            future `vec_id < 10^12` can't sneak by)
+  // Any OTHER column filtered against a literal proves nothing about
+  // cardinality and does NOT count.
+  private val keyCols = Set("vec_id", "doc_id", "query_id")
+  private def isKey(e: Expression): Boolean = e match {
+    case a: AttributeReference => keyCols.contains(a.name)
+    case c: Cast => isKey(c.child)
+    case _ => false
+  }
+
+  // Boolean-context-aware: a bounding comparison only counts where it
+  // actually CONSTRAINS the row set — And needs one bounding conjunct,
+  // Or needs BOTH branches to bound, anything else (Not, nested
+  // functions) proves nothing. A blind `exists` would accept
+  // `other > 0 OR vec_id < 5`, which filters almost nothing.
+  private def keyPointFilter(cond: Expression): Boolean = cond match {
+    case And(l, r) => keyPointFilter(l) || keyPointFilter(r)
+    case Or(l, r) => keyPointFilter(l) && keyPointFilter(r)
+    case EqualTo(a, _: Literal) if isKey(a) => true
+    case EqualTo(_: Literal, a) if isKey(a) => true
+    case In(a, vs) if isKey(a) &&
+      vs.forall(_.isInstanceOf[Literal]) && vs.size <= 100000 => true
+    case InSet(a, vs) if isKey(a) && vs.size <= 100000 => true
+    case LessThan(a, Literal(v, _)) if isKey(a) && litLong(v) <= 100000 => true
+    case LessThanOrEqual(a, Literal(v, _)) if isKey(a) && litLong(v) <= 100000 => true
+    case GreaterThan(Literal(v, _), a) if isKey(a) && litLong(v) <= 100000 => true
+    case GreaterThanOrEqual(Literal(v, _), a) if isKey(a) && litLong(v) <= 100000 => true
+    case _ => false
+  }
+
+  // Structural recursion, NOT collectFirst: a bound below a join must
+  // not vouch for the join's output (corpus JOIN limit(5) is
+  // corpus-sized), so joins require BOTH inputs bounded (then the
+  // output is ≤ |L|·|R|, still model-sized for the shapes here), unions
+  // require all inputs bounded, and only genuinely row-limiting unary
+  // nodes terminate the walk.
+  private def bounded(side: SparkPlan): Boolean = side match {
+    case _: LocalLimitExec | _: GlobalLimitExec |
+        _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+    case a: HashAggregateExec
+      if keysBounded(a.groupingExpressions, a.child) => true
+    case a: ObjectHashAggregateExec
+      if keysBounded(a.groupingExpressions, a.child) => true
+    case a: SortAggregateExec
+      if keysBounded(a.groupingExpressions, a.child) => true
+    case r: RangeExec => r.numElements <= BigInt(1000000)
+    case f: FilterExec => keyPointFilter(f.condition) || bounded(f.child)
+    case s: FileSourceScanExec => s.dataFilters.exists(keyPointFilter)
+    // driver-materialized literal table (collected IVF centers etc.):
+    // its rows already exist on the driver, so the row count is a
+    // DIRECT bound, checked right here — and for IVF centers it is
+    // additionally an API contract (AnnIvf.requireServeableNlist caps
+    // every build/read/merge entry point at ServeNlistCap)
+    case l: LocalTableScanExec => l.rows.size <= 100000
+    case j: BaseJoinExec => bounded(j.left) && bounded(j.right)
+    case u: UnionExec => u.children.forall(bounded)
+    case p if p.children.size == 1 => bounded(p.children.head)
+    case _ => false
+  }
+}
+
+/** Shared detectors for the global-window sweep and its negative control:
+  * one implementation, so a rotted rule fails the control test instead of
+  * silently passing the sweep. */
+private object WindowAudit {
+  import org.apache.spark.sql.execution.window.WindowExec
+  import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
+    LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+
+  def globalWindows(plan: SparkPlan): Seq[WindowExec] =
+    plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+
+  /** Empty-partition-spec windows whose input is NOT limit-bounded —
+    * the single-task scale-killer class. */
+  def unboundedGlobal(plan: SparkPlan): Seq[WindowExec] =
+    globalWindows(plan).filterNot { w =>
+      w.child.collect {
+        case l: LocalLimitExec => l
+        case l: GlobalLimitExec => l
+        case l: TakeOrderedAndProjectExec => l
+        case l: CollectLimitExec => l
+      }.nonEmpty
+    }
 }
 
 /** Shared detectors for the scan-pruning sweep and its negative control:
