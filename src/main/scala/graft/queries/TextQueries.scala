@@ -1735,19 +1735,34 @@ object TextQueries {
                UNION ALL SELECT doc_id + 100000, text FROM documents)
          GROUP BY h HAVING COUNT(*) > 1 ORDER BY keep_id""",
 
+    // Inverted-index form of the pairwise-jaccard truth, NOT the naive
+    // all-pairs scan: |a ∩ b| is counted by the shared-shingle equi-join
+    // (per-doc lists are LIST_DISTINCT, so COUNT(*) is exact) and
+    // |a ∪ b| = |a| + |b| − |a ∩ b|, the same integers the list form
+    // computes — the division and 6-dp round are bit-identical. Any pair
+    // with jaccard ≥ 0.5 > 0 shares a shingle, so the candidate set is
+    // lossless. Same result, ~100× cheaper at sf0.1 (95 s → 0.9 s —
+    // this and the apply twin were the top two oracles of the selfcheck
+    // wall after the r12 eval-truth fix).
     "dedup_jaccard_pairs" ->
       """WITH sh AS (
            SELECT doc_id, LIST_DISTINCT(CASE WHEN LEN(toks) >= 3
              THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN RANGE(1, LEN(toks) - 1)]
              ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS s
-           FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents))
-         SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-           ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
-             / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) AS jaccard
-         FROM sh a, sh b
-         WHERE a.doc_id % 10 = 0 AND a.doc_id < b.doc_id
-           AND ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
-             / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) >= 0.5
+           FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)),
+         ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+         sz AS (SELECT doc_id, LEN(s) AS n FROM sh),
+         inter AS (
+           SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS i
+           FROM ex a JOIN ex b ON a.g = b.g
+           WHERE a.doc_id % 10 = 0 AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT left_id, right_id,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = left_id
+         JOIN sz sb ON sb.doc_id = right_id
+         WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
          ORDER BY left_id, right_id""",
 
     // SNM: blocking key, in-block rank, window-banded candidates, string-
@@ -1973,18 +1988,27 @@ object TextQueries {
                  / LEN(STRING_SPLIT(text, ' ')), 6) < 0.12
          ORDER BY doc_id""",
 
+    // Same inverted-index truth as dedup_jaccard_pairs (see there for the
+    // losslessness argument); `dupes` is its right-id projection.
     "dedup_jaccard_apply" ->
       """WITH sh AS (
            SELECT doc_id, LIST_DISTINCT(CASE WHEN LEN(toks) >= 3
              THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN RANGE(1, LEN(toks) - 1)]
              ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS s
            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)),
-         dupes AS (
-           SELECT DISTINCT b.doc_id
-           FROM sh a, sh b
+         ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+         sz AS (SELECT doc_id, LEN(s) AS n FROM sh),
+         inter AS (
+           SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS i
+           FROM ex a JOIN ex b ON a.g = b.g
            WHERE a.doc_id % 10 = 0 AND a.doc_id < b.doc_id
-             AND ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
-               / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) >= 0.5)
+           GROUP BY 1, 2),
+         dupes AS (
+           SELECT DISTINCT right_id AS doc_id
+           FROM inter
+           JOIN sz sa ON sa.doc_id = left_id
+           JOIN sz sb ON sb.doc_id = right_id
+           WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5)
          SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
          ORDER BY doc_id""",
