@@ -13,12 +13,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Cross-SESSION totals additionally drift ~1.5-2x with ambient sandbox
   * load on byte-identical code (observed r3/r4): the JSON therefore
-  * carries two machine-noise anchors measured in the same warmed JVM —
+  * carries three machine-noise anchors measured in the same warmed JVM —
   * `anchor_cpu` (fixed single-thread integer loop: raw CPU speed ×
-  * contention) and `anchor_spark` (fixed 32-task range-sum: scheduler +
-  * task dispatch cost). Comparing runs from different sessions, divide
-  * totals by the anchor ratio first; only a shift beyond both the anchor
-  * ratio and per-query spread is a plan regression.
+  * contention), `anchor_cpu_mt` (the same loop on all bench threads at
+  * once: 32-wide throughput — the ratio that actually normalizes the
+  * queries, which run 32-wide; the 1-thread anchor is blind to SMT/
+  * quota/turbo contention, observed +30% uniform in r12 with a flat
+  * 1-thread ratio) and `anchor_spark` (fixed 32-task range-sum:
+  * scheduler + task dispatch cost). Comparing runs from different
+  * sessions, divide totals by the mt anchor ratio first; only a shift
+  * beyond both the anchor ratio and per-query spread is a plan
+  * regression.
   */
 object Bench {
 
@@ -34,6 +39,26 @@ object Bench {
   }
 
   /** Fixed 32-task Spark job — times scheduler/dispatch constant cost. */
+  /** Same fixed FNV loop as [[cpuAnchorOnce]] run on `n` threads at once
+    * (wall = slowest thread). The 1-thread anchor is blind to multicore
+    * ambient — r12 measured a uniform +30% across all 188 queries with
+    * `anchor_ratio_cpu` flat at 0.985, because host contention throttles
+    * 32-wide throughput (SMT siblings, cgroup quota, turbo headroom)
+    * without touching a lone busy thread. Queries run 32-wide, so THIS
+    * is the ratio that normalizes them. */
+  private def cpuMtAnchorOnce(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { t =>
+      new Thread(() => {
+        var x = 1469598103934665603L + t
+        var i = 0
+        while (i < 200000000) { x = (x ^ i) * 1099511628211L; i += 1 }
+        if (x == 42) print("") // defeat dead-code elimination
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
   private def sparkAnchorOnce(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0, 50000000L, 1, 32).selectExpr("sum(id % 7)").collect()
@@ -95,6 +120,11 @@ object Bench {
     // drift compound across rounds
     val baseAnchorCpu: Option[Double] =
       grabPrev("anchor_cpu_base").orElse(grabPrev("anchor_cpu"))
+    // mt twin (since r12): normalizes the 32-wide query workload; base is
+    // seeded from the first run that carried the mt anchor
+    val prevAnchorCpuMt: Option[Double] = grabPrev("anchor_cpu_mt")
+    val baseAnchorCpuMt: Option[Double] =
+      grabPrev("anchor_cpu_mt_base").orElse(grabPrev("anchor_cpu_mt"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -115,8 +145,10 @@ object Bench {
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
 
     // anchors: one untimed warmup each, then median-of-trials like queries
-    cpuAnchorOnce(); sparkAnchorOnce(spark)
+    val nMt = cpus.toInt
+    cpuAnchorOnce(); cpuMtAnchorOnce(nMt); sparkAnchorOnce(spark)
     val anchorCpu = Vector.fill(trials)(cpuAnchorOnce())
+    val anchorCpuMt = Vector.fill(trials)(cpuMtAnchorOnce(nMt))
     val anchorSpark = Vector.fill(trials)(sparkAnchorOnce(spark))
 
     val names = SparkEntry.queries.keys.toVector.sorted
@@ -173,6 +205,7 @@ object Bench {
     val total = r(med.values.sum)
     val spreadMean = r(if (names.nonEmpty) spread.values.sum / names.size else 0.0)
     val aCpu = r(median(anchorCpu))
+    val aCpuMt = r(median(anchorCpuMt))
     val aSpark = r(median(anchorSpark))
     // Diagnostics line (full-precision medians, spread per query,
     // machine-noise anchors): its own JSON line so the PRIMARY line below
@@ -180,7 +213,7 @@ object Bench {
     val qsFull = names.map(n => s"\"$n\":" + r(med(n))).mkString("{", ",", "}")
     val shuf = names.map(n => s"\"$n\":" + shuffleMb.getOrElse(n, 0.0))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"bench_diagnostics","sf_dir":"$sfDir","trials":$trials,"spread_mean":$spreadMean,"anchor_cpu":$aCpu,"anchor_spark":$aSpark,"anchor_note":"fixed-work machine-noise anchors; normalize cross-session totals by the anchor ratio (~1.5-2x ambient drift observed on identical code)","queries_full":$qsFull,"spread":$sp,"spread_iqr":$spIqr,"spread_iqr_mean":$spreadIqrMean,"shuffle_mb":$shuf,"shuffle_note":"deterministic shuffle-write bytes from the executed plan's SQLMetrics — a perf regression with unchanged shuffle_mb is machine noise; a shuffle_mb jump is a lost broadcast/partial-agg"}""")
+    println(s"""{"metric":"bench_diagnostics","sf_dir":"$sfDir","trials":$trials,"spread_mean":$spreadMean,"anchor_cpu":$aCpu,"anchor_cpu_mt":$aCpuMt,"anchor_spark":$aSpark,"anchor_note":"fixed-work machine-noise anchors; normalize cross-session totals by the anchor ratio (~1.5-2x ambient drift observed on identical code)","queries_full":$qsFull,"spread":$sp,"spread_iqr":$spIqr,"spread_iqr_mean":$spreadIqrMean,"shuffle_mb":$shuf,"shuffle_note":"deterministic shuffle-write bytes from the executed plan's SQLMetrics — a perf regression with unchanged shuffle_mb is machine noise; a shuffle_mb jump is a lost broadcast/partial-agg"}""")
     spark.stop()
     // PRIMARY contract line, printed LAST and kept small: the driver
     // captures a bounded tail of stdout (observed 2000 chars) and parses
@@ -217,25 +250,33 @@ object Bench {
     // chained prev-round product (total_normalized) compounded per-round
     // anchor noise and was retired in r12 (older artifacts still carry
     // it).
-    val anchorExtra = prevAnchors match {
+    val anchorExtra = (prevAnchors match {
       case Some((pc, ps)) if aSpark > 0 && aCpu > 0 =>
         val ratioSpark = r(ps / aSpark)
         val ratioCpu = r(pc / aCpu)
         s""","prev_anchor_cpu":$pc,"prev_anchor_spark":$ps""" +
           s""","anchor_ratio_cpu":$ratioCpu,"anchor_ratio_spark":$ratioSpark"""
       case _ => ""
-    }
+    }) + (prevAnchorCpuMt match {
+      case Some(pm) if aCpuMt > 0 =>
+        s""","prev_anchor_cpu_mt":$pm,"anchor_ratio_cpu_mt":${r(pm / aCpuMt)}"""
+      case _ => ""
+    })
     // fixed-baseline normalization (non-compounding): carried forward
     // verbatim; seeded from this run's own anchor on the first round
     val base = baseAnchorCpu.getOrElse(aCpu)
+    val baseMt = baseAnchorCpuMt.getOrElse(aCpuMt)
     val baseExtra =
-      if (aCpu > 0)
+      (if (aCpu > 0)
         s""","anchor_cpu_base":$base,"total_vs_base":${r2(total * base / aCpu)}"""
-      else ""
+      else "") +
+      (if (aCpuMt > 0)
+        s""","anchor_cpu_mt_base":$baseMt,"total_vs_base_mt":${r2(total * baseMt / aCpuMt)}"""
+      else "")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (line(r).dropRight(1) +
-        s""","shuffle_mb":$shuf,"anchor_cpu":$aCpu,"anchor_spark":$aSpark""" +
+        s""","shuffle_mb":$shuf,"anchor_cpu":$aCpu,"anchor_cpu_mt":$aCpuMt,"anchor_spark":$aSpark""" +
         s""","spread_mean":$spreadMean,"spread_iqr_mean":$spreadIqrMean""" +
         s""","trials":$trials$anchorExtra$baseExtra}""" + "\n")
         .getBytes("UTF-8"))

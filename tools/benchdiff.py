@@ -33,10 +33,16 @@ def main() -> int:
 
     old = json.load(open(a.old))
     new = json.load(open(a.new))
-    # normalize new times onto the old round's CPU conditions
-    ratio = 1.0
-    if old.get("anchor_cpu") and new.get("anchor_cpu"):
+    # normalize new times onto the old round's CPU conditions; prefer the
+    # multicore anchor (since r12) — queries run 32-wide, and the 1-thread
+    # anchor is blind to multicore ambient (r12: +30% uniform, flat 1t ratio)
+    ratio, anchor_kind = 1.0, "none"
+    if old.get("anchor_cpu_mt") and new.get("anchor_cpu_mt"):
+        ratio = old["anchor_cpu_mt"] / new["anchor_cpu_mt"]
+        anchor_kind = "cpu_mt"
+    elif old.get("anchor_cpu") and new.get("anchor_cpu"):
         ratio = old["anchor_cpu"] / new["anchor_cpu"]
+        anchor_kind = "cpu(1t)"
     oq, nq = old["queries"], new["queries"]
     osh, nsh = old.get("shuffle_mb", {}), new.get("shuffle_mb", {})
 
@@ -64,7 +70,7 @@ def main() -> int:
             print(f"{tag} {name:32s} {t0:7.2f} -> {t1:7.2f} s "
                   f"({dt:+6.1f}%){sh}")
 
-    print(f"anchor ratio old/new: {ratio:.4f}  "
+    print(f"anchor ratio old/new: {ratio:.4f} [{anchor_kind}]  "
           f"(new times shown normalized to the old round)")
     print(f"total: {old['value']:.2f} -> {new['value'] * ratio:.2f} s "
           f"(raw {new['value']:.2f})")
