@@ -649,11 +649,14 @@ object EventQueries {
     // Holt recurrence unrolled by the recursive CTE — the level update
     // expression is repeated textually inside the trend update so both
     // engines execute the identical double op sequence.
+    // s MUST be MATERIALIZED: the recursion joins s every step, and
+    // default inlining re-aggregated all of events per step
+    // (7.7 s -> 0.4 s at sf0.1, result identical; same fix below).
     "q48_holt" ->
       """WITH RECURSIVE
          h AS (SELECT DATE_TRUNC('hour', ts) AS hr, COUNT(*) AS c
                FROM events GROUP BY 1),
-         s AS (SELECT ROW_NUMBER() OVER (ORDER BY hr) AS t, c FROM h),
+         s AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY hr) AS t, c FROM h),
          rec(t, c, l, b) AS (
            SELECT t, c, CAST(c AS DOUBLE), CAST(0 AS DOUBLE)
            FROM s WHERE t = 1
@@ -743,7 +746,7 @@ object EventQueries {
       """WITH RECURSIVE
          h AS (SELECT DATE_TRUNC('hour', ts) AS hr, COUNT(*) AS c
                FROM events GROUP BY 1),
-         s AS (SELECT ROW_NUMBER() OVER (ORDER BY hr) AS t, c FROM h),
+         s AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY hr) AS t, c FROM h),
          rec(t, c, l, b) AS (
            SELECT t, c, CAST(c AS DOUBLE), CAST(0 AS DOUBLE)
            FROM s WHERE t = 1

@@ -1819,28 +1819,32 @@ object RelationalQueries {
       // integer recurrence. SUMs come back as HUGEINT in DuckDB — cast
       // to BIGINT before the normalization multiply so both engines run
       // the same 64-bit op (values fit: maxInDeg·Scale² < 2^63).
+      // AS MATERIALIZED is load-bearing like graph_kcore's: every stage
+      // is referenced twice (scalar MAX + the next stage), so default
+      // inlining doubles the work per unrolled stage — 2^stages re-scans
+      // (measured 17.6 s -> 0.2 s at sf0.1, result identical).
       val sc = graft.operators.LinkAnalysis.ScaleHits
       def norm(raw: String, out: String) =
-        s"""$out AS (
+        s"""$out AS MATERIALIZED (
             SELECT node, s * $sc // (SELECT MAX(s) FROM $raw) AS v
             FROM $raw)"""
       def araw(k: Int, hub: String) =
-        s"""a${k}raw AS (
+        s"""a${k}raw AS MATERIALIZED (
             SELECT e.dst AS node, CAST(SUM(h.v) AS BIGINT) AS s
             FROM edges e JOIN $hub h ON e.src = h.node GROUP BY e.dst)"""
       def hraw(k: Int, auth: String) =
-        s"""h${k}raw AS (
+        s"""h${k}raw AS MATERIALIZED (
             SELECT e.src AS node, CAST(SUM(a.v) AS BIGINT) AS s
             FROM edges e JOIN $auth a ON e.dst = a.node GROUP BY e.src)"""
       def iter(k: Int, hubPrev: String) =
         s"""${araw(k, hubPrev)}, ${norm(s"a${k}raw", s"a$k")},
             ${hraw(k, s"a$k")}, ${norm(s"h${k}raw", s"h$k")}"""
-      s"""WITH edges AS (
+      s"""WITH edges AS MATERIALIZED (
            SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
            FROM lineitem WHERE l_partkey % 3 = 0),
          nodes AS (SELECT DISTINCT src AS node FROM edges
                    UNION SELECT DISTINCT dst FROM edges),
-         a1raw AS (SELECT dst AS node, CAST($sc * COUNT(*) AS BIGINT) AS s
+         a1raw AS MATERIALIZED (SELECT dst AS node, CAST($sc * COUNT(*) AS BIGINT) AS s
                    FROM edges GROUP BY dst),
          ${norm("a1raw", "a1")},
          ${hraw(1, "a1")}, ${norm("h1raw", "h1")},
@@ -2054,6 +2058,11 @@ object RelationalQueries {
           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
     },
 
+    // pn reads tri ONCE via UNNEST([x,y,z]) — DuckDB inlines CTEs, so the
+    // previous 3-branch UNION ALL re-enumerated every triangle three times
+    // (41 s → 25 s at sf0.1, result identical). e/ps stay inlined on
+    // purpose: AS MATERIALIZED blocks the pushdown and measured 10-17x
+    // SLOWER (430 s for a materialized e).
     "graph_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_partkey pk, l_suppkey sk
                      FROM lineitem WHERE l_partkey % 3 = 0),
@@ -2064,9 +2073,7 @@ object RelationalQueries {
                   JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
                   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
           pn AS (SELECT node, COUNT(*) triangles FROM (
-                   SELECT x node FROM tri UNION ALL
-                   SELECT y FROM tri UNION ALL
-                   SELECT z FROM tri) GROUP BY node),
+                   SELECT UNNEST([x, y, z]) AS node FROM tri) GROUP BY node),
           deg AS (SELECT node, COUNT(*) degree FROM (
                     SELECT u node FROM e UNION ALL
                     SELECT v FROM e) GROUP BY node)

@@ -1447,19 +1447,25 @@ object TextQueries {
     * verify, before the threshold filter). Composed with `WITH` by the
     * `dedup_minhash_lsh` oracle and with `WITH RECURSIVE` by the
     * `dedup_components` closure oracle. */
+  /** Every CTE here is MATERIALIZED: the chain is per-row hashing (no
+    * pushdown for inlining to exploit), several stages are referenced
+    * 2-3×, and the component queries reference `cedges` from inside a
+    * recursive closure — DuckDB's default inlining re-ran the whole
+    * MinHash chain per closure step (dedup_components 24 s → 3 s at
+    * sf0.1, results identical). */
   private val minhashVerCtes: String = {
     val permHi = mixSql("((h >> 32) + 2654435761 * (p + 1)) & 4294967295")
     val permLo = mixSql("((h & 4294967295) + 2246822507 * (p + 1)) & 4294967295")
     val fold = mixSql("XOR(f, x) & 4294967295")
-    s"""toks AS (
+    s"""toks AS MATERIALIZED (
            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
-         shs AS (
+         shs AS MATERIALIZED (
            SELECT doc_id, LIST_DISTINCT(CASE WHEN LEN(t) >= 3
              THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN RANGE(1, LEN(t) - 1)]
              ELSE [ARRAY_TO_STRING(t, ' ')] END) AS s
            FROM toks),
-         shex AS (SELECT doc_id, UNNEST(s) AS sh FROM shs),
-         pp AS (
+         shex AS MATERIALIZED (SELECT doc_id, UNNEST(s) AS sh FROM shs),
+         pp AS MATERIALIZED (
            SELECT doc_id,
              LIST_REDUCE(LIST_PREPEND(0::BIGINT,
                  [ORD(c) FOR c IN REGEXP_SPLIT_TO_ARRAY(sh, '') IF c <> '']),
@@ -1468,24 +1474,24 @@ object TextQueries {
                  [ORD(c) FOR c IN REGEXP_SPLIT_TO_ARRAY(sh, '') IF c <> '']),
                (a, b) -> (a * 37 + b) & 4294967295) AS p2
            FROM shex),
-         hh AS (SELECT DISTINCT doc_id, ${tokenHashSql("p1", "p2")} AS h FROM pp),
-         hset AS (SELECT doc_id, LIST(DISTINCT h) AS hs FROM hh GROUP BY doc_id),
-         mins AS (
+         hh AS MATERIALIZED (SELECT DISTINCT doc_id, ${tokenHashSql("p1", "p2")} AS h FROM pp),
+         hset AS MATERIALIZED (SELECT doc_id, LIST(DISTINCT h) AS hs FROM hh GROUP BY doc_id),
+         mins AS MATERIALIZED (
            SELECT doc_id, p, MIN(($permHi >> 1) * 4294967296 + ($permLo)) AS m
            FROM hh CROSS JOIN (SELECT UNNEST(RANGE(0, 32)) AS p) ps
            GROUP BY doc_id, p),
-         bk AS (
+         bk AS MATERIALIZED (
            SELECT doc_id, (p // 4) * 4294967296 +
              LIST_REDUCE(LIST_PREPEND(0::BIGINT,
                  FLATTEN(LIST([m >> 32, m & 4294967295] ORDER BY p))),
                (f, x) -> $fold) AS band
            FROM mins GROUP BY doc_id, p // 4),
-         ok AS (SELECT band FROM bk GROUP BY band HAVING COUNT(*) > 1 AND COUNT(*) <= 1024),
-         cand AS (
+         ok AS MATERIALIZED (SELECT band FROM bk GROUP BY band HAVING COUNT(*) > 1 AND COUNT(*) <= 1024),
+         cand AS MATERIALIZED (
            SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
            FROM bk a JOIN bk b ON a.band = b.band JOIN ok ON ok.band = a.band
            WHERE a.doc_id < b.doc_id),
-         ver AS (
+         ver AS MATERIALIZED (
            SELECT left_id, right_id,
              ROUND(CAST(LEN(LIST_INTERSECT(ha.hs, hb.hs)) AS DOUBLE)
                / LEN(LIST_DISTINCT(LIST_CONCAT(ha.hs, hb.hs))), 6) AS jaccard
@@ -1553,6 +1559,9 @@ object TextQueries {
     val cases = profiles.map { case (l, _) =>
       s"WHEN $l = GREATEST($g) THEN '$l'"
     }.mkString("\n                ")
+    // pred is MATERIALIZED: eval_classifier reads it from 3 correlated
+    // COUNT subqueries per class — inlined, the tokenize+score chain
+    // re-ran ~18x (9.2 s → 1.1 s at sf0.1, result identical)
     s"""t AS (
            SELECT doc_id, lang,
              LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+')) AS toks
@@ -1561,7 +1570,7 @@ object TextQueries {
            SELECT doc_id, lang,
            $scoreCols
            FROM t),
-         pred AS (
+         pred AS MATERIALIZED (
            SELECT doc_id, lang,
              CASE WHEN GREATEST($g) = 0 THEN 'und'
                   $cases
@@ -1859,13 +1868,16 @@ object TextQueries {
 
     // Next-fit packing replayed: the per-group walk is a linear
     // recurrence (fill resets when the doc doesn't fit), unrolled by the
-    // recursive CTE one row per step per group.
+    // recursive CTE one row per step per group. r MUST be MATERIALIZED:
+    // the recursive part joins r every step, and DuckDB's default CTE
+    // inlining re-tokenized every document per step (38 s → 2 s at
+    // sf0.1, result identical).
     "text_pack_seq" ->
       """WITH RECURSIVE t AS (
            SELECT doc_id, lang,
              CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
            FROM documents),
-         r AS (SELECT doc_id, lang, n_tokens,
+         r AS MATERIALIZED (SELECT doc_id, lang, n_tokens,
              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
            FROM t),
          rec(lang, rn, doc_id, n_tokens, bin, fill) AS (
@@ -2035,14 +2047,14 @@ object TextQueries {
     // verified near-dup pairs; singletons label themselves.
     "dedup_components" ->
       s"""WITH RECURSIVE $minhashVerCtes,
-         pairs AS (SELECT left_id, right_id FROM ver WHERE jaccard >= 0.5),
-         cedges AS (SELECT left_id AS ea, right_id AS eb FROM pairs
+         pairs AS MATERIALIZED (SELECT left_id, right_id FROM ver WHERE jaccard >= 0.5),
+         cedges AS MATERIALIZED (SELECT left_id AS ea, right_id AS eb FROM pairs
                     UNION ALL SELECT right_id, left_id FROM pairs),
          reach(id, lbl) AS (
            SELECT doc_id, doc_id FROM documents
            UNION
            SELECT e.ea, r.lbl FROM cedges e JOIN reach r ON r.id = e.eb),
-         comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+         comp AS MATERIALIZED (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id),
          csizes AS (SELECT component_id, COUNT(*) AS cluster_size
                     FROM comp GROUP BY component_id)
          SELECT CAST(comp.id AS BIGINT) AS doc_id,
@@ -2053,14 +2065,14 @@ object TextQueries {
 
     "dedup_components_apply" ->
       s"""WITH RECURSIVE $minhashVerCtes,
-         pairs AS (SELECT left_id, right_id FROM ver WHERE jaccard >= 0.5),
-         cedges AS (SELECT left_id AS ea, right_id AS eb FROM pairs
+         pairs AS MATERIALIZED (SELECT left_id, right_id FROM ver WHERE jaccard >= 0.5),
+         cedges AS MATERIALIZED (SELECT left_id AS ea, right_id AS eb FROM pairs
                     UNION ALL SELECT right_id, left_id FROM pairs),
          reach(id, lbl) AS (
            SELECT doc_id, doc_id FROM documents
            UNION
            SELECT e.ea, r.lbl FROM cedges e JOIN reach r ON r.id = e.eb),
-         comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id)
+         comp AS MATERIALIZED (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id)
          SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.n_chars
          FROM documents d JOIN comp ON comp.id = d.doc_id
          WHERE comp.id = comp.component_id
@@ -2068,14 +2080,14 @@ object TextQueries {
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $minhashVerCtes,
-         pairs AS (SELECT left_id, right_id FROM ver WHERE jaccard >= 0.5),
-         cedges AS (SELECT left_id AS ea, right_id AS eb FROM pairs
+         pairs AS MATERIALIZED (SELECT left_id, right_id FROM ver WHERE jaccard >= 0.5),
+         cedges AS MATERIALIZED (SELECT left_id AS ea, right_id AS eb FROM pairs
                     UNION ALL SELECT right_id, left_id FROM pairs),
          reach(id, lbl) AS (
            SELECT doc_id, doc_id FROM documents
            UNION
            SELECT e.ea, r.lbl FROM cedges e JOIN reach r ON r.id = e.eb),
-         comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id)
+         comp AS MATERIALIZED (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id)
          SELECT component_id, kept_doc_id, lang, n_chars FROM (
            SELECT CAST(comp.component_id AS BIGINT) AS component_id,
              CAST(d.doc_id AS BIGINT) AS kept_doc_id, d.lang, d.n_chars,

@@ -1171,14 +1171,19 @@ object VectorQueries {
     // DBSCAN replayed: quadratic ε-pairs, degree gate (+1 self), the
     // core–core recursive closure labeling with min reachable core id,
     // border attach to the min-labeled core neighbor, noise = -1.
+    // p/core/ce are MATERIALIZED: all three are small (ε-pairs, not the
+    // n² cross product), p is referenced three times, and ce sits inside
+    // the recursive closure — DuckDB's default inlining re-ran the
+    // quadratic dot-product scan per reference/step (33 s → 6 s at
+    // sf0.1, result identical).
     "cluster_dbscan" ->
       s"""WITH RECURSIVE
-         p AS (SELECT a.vec_id i, b.vec_id j FROM embeddings a, embeddings b
+         p AS MATERIALIZED (SELECT a.vec_id i, b.vec_id j FROM embeddings a, embeddings b
                WHERE a.vec_id <> b.vec_id
                  AND ${sqlDot("a.embedding", "b.embedding")} >= 0.32),
-         core AS (SELECT i FROM (SELECT i, COUNT(*) + 1 AS n FROM p GROUP BY i)
+         core AS MATERIALIZED (SELECT i FROM (SELECT i, COUNT(*) + 1 AS n FROM p GROUP BY i)
                   WHERE n >= 4),
-         ce AS (SELECT p.i, p.j FROM p
+         ce AS MATERIALIZED (SELECT p.i, p.j FROM p
                 JOIN core x ON x.i = p.i JOIN core y ON y.i = p.j),
          reach(id, lbl) AS (
            SELECT i, i FROM core
