@@ -27,6 +27,31 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** THE bench session shape — also used by [[graft.tools.Time]], so the
+    * targeted per-query timer can never drift from the plans the full
+    * benchmark measures (same broadcast threshold, same parallelism). */
+  private[graft] def benchSession(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // single-node bench: a mid-size dim (orders at sf0.1 ~8-12 MB) is
+      // cheaper broadcast than shuffled; 64 MB is also a sane cluster value
+      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** One-time JVM/codegen/parquet-footer warmup so the first timed query
+    * doesn't absorb session start-up or cold-read cost. */
+  private[graft] def warmTables(spark: SparkSession, sfDir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try graft.queries.table(spark, sfDir, t).count()
+      catch { case _: Throwable => }
+    }
+
   /** Fixed CPU work, no allocation — times raw single-core throughput. */
   private def cpuAnchorOnce(): Double = {
     val t0 = System.nanoTime()
@@ -125,22 +150,8 @@ object Bench {
     val prevAnchorCpuMt: Option[Double] = grabPrev("anchor_cpu_mt")
     val baseAnchorCpuMt: Option[Double] =
       grabPrev("anchor_cpu_mt_base").orElse(grabPrev("anchor_cpu_mt"))
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // single-node bench: a mid-size dim (orders at sf0.1 ~8-12 MB) is
-      // cheaper broadcast than shuffled; 64 MB is also a sane cluster value
-      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // one-time JVM/codegen/parquet-footer warmup so the first timed query
-    // doesn't absorb session start-up or cold-read cost
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try graft.queries.table(spark, sfDir, t).count()
-      catch { case _: Throwable => }
-    }
+    val spark = benchSession(cpus)
+    warmTables(spark, sfDir)
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
 

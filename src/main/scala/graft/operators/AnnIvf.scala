@@ -373,10 +373,12 @@ object AnnIvf {
     * driver-collected and broadcast (LocalTableScan build side of the
     * probe theta-join), so its row count must stay within the same cap
     * [[build]] enforces. Indexes can enter a session WITHOUT passing
-    * through `build` — a durable [[read]] or a shard [[merge]] — so the
-    * cap is re-asserted there, turning PlanAuditSpec's 100k-row
-    * LocalTableScan heuristic into a guaranteed API invariant. The check
-    * is a limit-bounded count (never scans more than cap+1 rows). */
+    * through `build` — a durable [[read]], a shard [[merge]], or
+    * [[rebalance]]'s snapshot-pinned load — and [[splitHotCells]] can
+    * GROW nlist in-session, so the cap is re-asserted at all four,
+    * turning PlanAuditSpec's 100k-row LocalTableScan heuristic into a
+    * guaranteed API invariant. The check is a limit-bounded count
+    * (never scans more than cap+1 rows). */
   private[graft] def requireServeableNlist(centroids: DataFrame,
       what: String, cap: Int = ServeNlistCap): Unit = {
     val n = centroids.limit(cap + 1).count()
@@ -567,6 +569,11 @@ object AnnIvf {
       .filter(!col("partition_id").isin(splitIds: _*))
       .unionByName(newRows.toDF("partition_id", "centroid")
         .withColumn("centroid", col("centroid").cast("array<float>")))
+    // growth path: splitting adds one sibling per hot cell, so this is
+    // an entry point where nlist can CROSS the serve cap in-session —
+    // assert before handing the grown index back (same contract as
+    // build/read/merge)
+    requireServeableNlist(newCentroids, "index after splitHotCells")
     Index(newAssigned, newCentroids, index.writeSalt)
   }
 
@@ -634,6 +641,10 @@ object AnnIvf {
       catch { case _: org.apache.spark.sql.AnalysisException => 1 }
     val index = Index(assigned,
       spark.read.parquet(s"$path/centroids"), writeSalt)
+    // rebalance bypasses read() (snapshot-pinned file list), so the
+    // serve-cap contract is re-asserted here — this IS an entry point an
+    // Index has into a session
+    requireServeableNlist(index.centroids, s"index at $path (rebalance)")
     def hotCount(ix: Index): Long =
       ix.assigned.groupBy("partition_id").agg(count(lit(1)).as("__n"))
         .filter(col("__n") > maxCellRows).count()

@@ -491,6 +491,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(WindowAudit.globalWindows(good).nonEmpty &&
       WindowAudit.unboundedGlobal(good).isEmpty,
       "window detector flagged a limit-bounded rank window")
+    // a limit on the SMALL side of a join must not vouch: the window
+    // input is the corpus-sized join output (the soundness rule
+    // JoinAudit.bounded enforces for BNLJ builds, shared here)
+    val dim = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey").limit(5)
+    val joined = li.join(broadcast(dim),
+        li("l_orderkey") === dim("o_orderkey"))
+      .withColumn("rn", row_number().over(g)).queryExecution.sparkPlan
+    assert(WindowAudit.unboundedGlobal(joined).nonEmpty,
+      "window detector let a limit below a join vouch for the join's " +
+        "corpus-sized output")
+    // and a join with BOTH sides bounded is fine
+    val both = li.limit(10).join(broadcast(dim),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("rn", row_number().over(g)).queryExecution.sparkPlan
+    assert(WindowAudit.unboundedGlobal(both).isEmpty,
+      "window detector flagged a join of two limit-bounded sides")
   }
 
   test("knn_join_all (int): merge is the k-bounded aggregator, not a rank window") {
@@ -608,6 +625,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(JoinAudit.hasBnlj(batchBnlj) &&
       JoinAudit.unboundedBnljBuilds(batchBnlj).isEmpty,
       "BNLJ detector flagged a key-point-filtered query batch")
+    // (e) a VALUE-LEVEL NO-OP clamp (greatest(MinValue, least(MaxValue,
+    // key))) must NOT vouch: hi-lo wraps negative on raw Longs, so a
+    // naive width check would bless a 2^64-domain aggregate key
+    val noopClamp = li.as("a").crossJoin(broadcast(
+        li.groupBy(greatest(lit(Long.MinValue),
+            least(lit(Long.MaxValue), col("l_orderkey"))).as("k"))
+          .agg(sum("l_quantity")).as("b")))
+      .queryExecution.sparkPlan
+    assert(JoinAudit.hasBnlj(noopClamp) &&
+      JoinAudit.unboundedBnljBuilds(noopClamp).nonEmpty,
+      "BNLJ detector let a no-op Long clamp vouch for an unbounded " +
+        "aggregate-key domain")
   }
 
   test("scan-pruning sweep: every FileSourceScan in EVERY declared query prunes wide-table columns and pushes eligible literal filters") {
@@ -744,8 +773,12 @@ private object JoinAudit {
         val inner = g.children.collect { case l: Least => l }
         lo.size == 1 && inner.size == 1 && {
           val hi = lits(inner.head.children)
+          // BigInt width: hi-lo on raw Longs wraps for a no-op clamp
+          // like greatest(MinValue, least(MaxValue, x)) and would
+          // vouch for a 2^64 domain
           inner.head.children.size == 2 && hi.size == 1 &&
-            hi.head >= lo.head && hi.head - lo.head < 100000
+            hi.head >= lo.head &&
+            BigInt(hi.head) - BigInt(lo.head) < 100000
         }
       case l: Least if l.children.size == 2 && integral(l) =>
         val hi = lits(l.children)
@@ -753,7 +786,8 @@ private object JoinAudit {
         hi.size == 1 && inner.size == 1 && {
           val lo = lits(inner.head.children)
           inner.head.children.size == 2 && lo.size == 1 &&
-            hi.head >= lo.head && hi.head - lo.head < 100000
+            hi.head >= lo.head &&
+            BigInt(hi.head) - BigInt(lo.head) < 100000
         }
       case _ => false
     }
@@ -818,7 +852,7 @@ private object JoinAudit {
   // output is ≤ |L|·|R|, still model-sized for the shapes here), unions
   // require all inputs bounded, and only genuinely row-limiting unary
   // nodes terminate the walk.
-  private def bounded(side: SparkPlan): Boolean = side match {
+  def bounded(side: SparkPlan): Boolean = side match {
     case _: LocalLimitExec | _: GlobalLimitExec |
         _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
     case a: HashAggregateExec
@@ -848,23 +882,19 @@ private object JoinAudit {
   * silently passing the sweep. */
 private object WindowAudit {
   import org.apache.spark.sql.execution.window.WindowExec
-  import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
-    LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+  import org.apache.spark.sql.execution.SparkPlan
 
   def globalWindows(plan: SparkPlan): Seq[WindowExec] =
     plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
 
   /** Empty-partition-spec windows whose input is NOT limit-bounded —
-    * the single-task scale-killer class. */
+    * the single-task scale-killer class. Uses [[JoinAudit.bounded]]'s
+    * structural recursion, NOT a blind collect: a limit on the small
+    * side of a join below the window must not vouch for the join's
+    * corpus-sized output (the same soundness rule the join sweep's
+    * BNLJ-build check enforces). */
   def unboundedGlobal(plan: SparkPlan): Seq[WindowExec] =
-    globalWindows(plan).filterNot { w =>
-      w.child.collect {
-        case l: LocalLimitExec => l
-        case l: GlobalLimitExec => l
-        case l: TakeOrderedAndProjectExec => l
-        case l: CollectLimitExec => l
-      }.nonEmpty
-    }
+    globalWindows(plan).filterNot(w => JoinAudit.bounded(w.child))
 }
 
 /** Shared detectors for the scan-pruning sweep and its negative control:
