@@ -709,6 +709,49 @@ class PlanAuditSpec extends SparkSpec {
       "pushdown detector fired on a properly pushed literal predicate")
   }
 
+  test("redundant-shuffle sweep: no declared query shuffles into a shuffle") {
+    // Fourth CI-wide anti-pattern sweep: a ShuffleExchange whose input
+    // (through only row-local project/filter/sort) is another
+    // ShuffleExchange throws the inner shuffle's entire effect away —
+    // its only product IS a partitioning, and the outer shuffle
+    // immediately replaces it. EnsureRequirements never produces this
+    // shape on its own; it appears when a hand-placed repartition()
+    // fights the partitioning Catalyst already arranged, or when an
+    // alias change breaks partitioning propagation and someone patches
+    // it downstream. Zero instances today; this keeps it that way.
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf0001).queryExecution.sparkPlan
+      val wasted = ExchangeAudit.wastedShuffles(plan)
+      if (wasted.nonEmpty)
+        offenders += s"$name: ${wasted.size} shuffle(s) feeding a shuffle"
+    }
+    assert(offenders.isEmpty,
+      s"wasted back-to-back shuffles (drop the inner repartition or " +
+        s"let Catalyst place the exchange): ${offenders.distinct.sorted}")
+  }
+
+  test("redundant-shuffle sweep negative control: the detector fires on repartition-into-repartition") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // repartition by one key, project, repartition by another: the
+    // first shuffle is pure waste
+    val bad = li.repartition(col("l_orderkey"))
+      .select(col("l_partkey"), col("l_quantity"))
+      .repartition(col("l_partkey"))
+      .queryExecution.sparkPlan
+    assert(ExchangeAudit.wastedShuffles(bad).nonEmpty,
+      "detector missed repartition-into-repartition")
+    // a shuffle CONSUMED by an aggregate below the next shuffle is fine
+    val good = li.repartition(col("l_orderkey"))
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("s"))
+      .repartition(col("s"))
+      .queryExecution.sparkPlan
+    assert(ExchangeAudit.wastedShuffles(good).isEmpty,
+      "detector flagged a shuffle consumed by an aggregate")
+  }
+
   test("mview_join_incremental: delta joins are equi; state merge is hash agg") {
     val p = plan("mview_join_incremental")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
@@ -895,6 +938,32 @@ private object WindowAudit {
     * BNLJ-build check enforces). */
   def unboundedGlobal(plan: SparkPlan): Seq[WindowExec] =
     globalWindows(plan).filterNot(w => JoinAudit.bounded(w.child))
+}
+
+/** Shared detector for the redundant-shuffle sweep and its negative
+  * control: a ShuffleExchange whose input — through only row-local,
+  * partitioning-irrelevant nodes (project / filter / sort) — is another
+  * ShuffleExchange discards the inner shuffle's entire effect (its only
+  * product IS a partitioning, and the outer shuffle immediately
+  * destroys it). At 100 TB that is a full wasted pass over the data.
+  * Any node that CONSUMES the inner partitioning (aggregate, join,
+  * window, generate) breaks the adjacency and is not flagged. */
+private object ExchangeAudit {
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SortExec,
+    SparkPlan}
+
+  def wastedShuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] =
+    plan.collect {
+      case e: ShuffleExchangeExec if discardsChildShuffle(e.child) => e
+    }
+
+  private def discardsChildShuffle(p: SparkPlan): Boolean = p match {
+    case _: ShuffleExchangeExec => true
+    case _: ProjectExec | _: FilterExec | _: SortExec =>
+      discardsChildShuffle(p.children.head)
+    case _ => false
+  }
 }
 
 /** Shared detectors for the scan-pruning sweep and its negative control:
