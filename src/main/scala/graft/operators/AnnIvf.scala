@@ -37,9 +37,18 @@ object AnnIvf {
     * "leader" table (partition_id, centroid). `writeSalt` > 1 on a durable
     * index means `assigned` carries a stored `__salt` column in [0,
     * writeSalt) — the skew-spreading sub-key (k-means partitions are
-    * skewed by construction; the reference has no answer to this). */
+    * skewed by construction; the reference has no answer to this).
+    *
+    * `nlist`/`maxPid` are the centroid table's exact row count and max
+    * partition_id, carried as metadata so the serve-cap contract and
+    * [[merge]]'s renumbering are pure arithmetic instead of Spark jobs —
+    * a fold-merge over many shards would otherwise recount the whole
+    * accumulated centroid-union lineage on every step. −1 means "not yet
+    * known" (ad-hoc/test construction); every library path populates
+    * them, and the fallback is a one-time bounded count. */
   final case class Index(
-      assigned: DataFrame, centroids: DataFrame, writeSalt: Int = 1)
+      assigned: DataFrame, centroids: DataFrame, writeSalt: Int = 1,
+      nlist: Long = -1L, maxPid: Int = -1)
 
   /** `nlist = ⌊10·√N⌋` — the reference's partition-count heuristic
     * (reference: storage/storage_impl.py:82). */
@@ -110,7 +119,8 @@ object AnnIvf {
     val centroids = centroidRows.toSeq
       .toDF("partition_id", "centroid")
       .withColumn("centroid", col("centroid").cast("array<float>"))
-    Index(assigned, centroids)
+    Index(assigned, centroids,
+      nlist = centers.length.toLong, maxPid = centers.length - 1)
   }
 
   /** Seeded Lloyd's with deterministic sampling init — the local fast path
@@ -358,13 +368,24 @@ object AnnIvf {
       .write.mode("overwrite").parquet(s"$path/centroids")
     val spark = index.centroids.sparkSession
     import spark.implicits._
+    // persist nlist/max_pid so `read` can assert the serve cap (and
+    // `merge` can renumber) from a scalar instead of a Spark job per
+    // session entry; derived with one tiny job here only when the Index
+    // was constructed without them
+    val nlistOut =
+      if (index.nlist >= 0) index.nlist else index.centroids.count()
+    val maxPidOut =
+      if (index.maxPid >= 0) index.maxPid
+      else index.centroids.agg(max("partition_id")).head().getInt(0)
     sq8Bounds match {
       case Some(b) =>
-        Seq((writeSalt, b.vmin.toSeq, b.vmax.toSeq))
-          .toDF("write_salt", "sq8_vmin", "sq8_vmax").coalesce(1)
+        Seq((writeSalt, nlistOut, maxPidOut, b.vmin.toSeq, b.vmax.toSeq))
+          .toDF("write_salt", "nlist", "max_pid", "sq8_vmin", "sq8_vmax")
+          .coalesce(1)
           .write.mode("overwrite").parquet(s"$path/meta")
       case None =>
-        Seq(writeSalt).toDF("write_salt").coalesce(1)
+        Seq((writeSalt, nlistOut, maxPidOut))
+          .toDF("write_salt", "nlist", "max_pid").coalesce(1)
           .write.mode("overwrite").parquet(s"$path/meta")
     }
   }
@@ -388,11 +409,43 @@ object AnnIvf {
         "probe; rebuild with fewer cells or serve the shards separately")
   }
 
+  /** Scalar form of the serve-cap contract — used wherever nlist is
+    * already known as metadata (Index field or the meta sidecar), so the
+    * check costs no Spark job. */
+  private[graft] def requireServeableNlist(nlist: Long, what: String,
+      cap: Int): Unit =
+    require(nlist <= cap,
+      s"$what has nlist $nlist > $cap — the centroid table is " +
+        "driver-collected and broadcast on every probe; rebuild with " +
+        "fewer cells or serve the shards separately")
+
+  /** The index's exact centroid count: the carried metadata when known,
+    * else ONE bounded count (clipped at cap+1 — under the cap the clipped
+    * count IS exact, over it the require fires first). */
+  private def exactNlist(ix: Index, what: String, cap: Int): Long =
+    if (ix.nlist >= 0) { requireServeableNlist(ix.nlist, what, cap); ix.nlist }
+    else {
+      val n = ix.centroids.limit(cap + 1).count()
+      requireServeableNlist(n, what, cap)
+      n
+    }
+
+  /** The index's max partition_id: carried metadata when known, else one
+    * tiny agg over the (nlist-sized) centroid table. */
+  private def maxPidOf(ix: Index): Int =
+    if (ix.maxPid >= 0) ix.maxPid
+    else ix.centroids.agg(max("partition_id")).head().getInt(0)
+
   def read(spark: SparkSession, path: String): Index = {
     val raw = spark.read.parquet(s"$path/vectors")
-    val meta =
-      try Some(spark.read.parquet(s"$path/meta"))
+    // ONE head() over the 1-row meta sidecar serves salt, sq8 bounds, and
+    // the persisted nlist/max_pid scalars
+    val meta: Option[org.apache.spark.sql.Row] =
+      try Some(spark.read.parquet(s"$path/meta").head())
       catch { case _: org.apache.spark.sql.AnalysisException => None } // pre-salt layout
+    def metaField[T](name: String)(get: org.apache.spark.sql.Row => T)
+        : Option[T] =
+      meta.filter(_.schema.fieldNames.contains(name)).map(get)
     val assigned = raw.columns.find(_.endsWith(Fp16Suffix)) match {
       case Some(packed) =>
         raw.withColumn(packed.dropRight(Fp16Suffix.length),
@@ -400,18 +453,32 @@ object AnnIvf {
       case None =>
         raw.columns.find(_.endsWith(Sq8Suffix)) match {
           case Some(packed) =>
-            val m = meta.get.select("sq8_vmin", "sq8_vmax").head()
+            val m = meta.get
             val b = graft.functions.SQ8.Bounds(
-              m.getSeq[Float](0).toArray, m.getSeq[Float](1).toArray)
+              m.getAs[Seq[Float]]("sq8_vmin").toArray,
+              m.getAs[Seq[Float]]("sq8_vmax").toArray)
             raw.withColumn(packed.dropRight(Sq8Suffix.length),
               graft.functions.SQ8.unpackCol(b, col(packed))).drop(packed)
           case None => raw
         }
     }
-    val writeSalt = meta.map(_.select("write_salt").head().getInt(0)).getOrElse(1)
+    val writeSalt = metaField("write_salt")(_.getAs[Int]("write_salt"))
+      .getOrElse(1)
     val centroids = spark.read.parquet(s"$path/centroids")
-    requireServeableNlist(centroids, s"index at $path")
-    Index(assigned, centroids, writeSalt)
+    // serve-cap contract: a meta-carried nlist makes this a free scalar
+    // check; a pre-nlist layout pays the one bounded count
+    val nlist = metaField("nlist")(_.getAs[Long]("nlist")) match {
+      case Some(n) =>
+        requireServeableNlist(n, s"index at $path", ServeNlistCap); n
+      case None =>
+        // under the cap the clipped count IS the exact nlist, so even a
+        // legacy layout leaves read() with known metadata
+        val n = centroids.limit(ServeNlistCap + 1).count()
+        requireServeableNlist(n, s"index at $path", ServeNlistCap)
+        n
+    }
+    Index(assigned, centroids, writeSalt, nlist = nlist,
+      maxPid = metaField("max_pid")(_.getAs[Int]("max_pid")).getOrElse(-1))
   }
 
   /** Merge two IVF indexes into one serveable index — the shard-combine
@@ -436,32 +503,41 @@ object AnnIvf {
     * spaces must be disjoint (caller's contract, same as [[Ingest]]'s
     * dup-PK discipline — [[mergeStrict]] verifies when paying one
     * semi-join is acceptable). */
-  def merge(a: Index, b: Index): Index = {
-    val offset = a.centroids.agg(max("partition_id")).head().getInt(0) + 1
+  def merge(a: Index, b: Index, cap: Int = ServeNlistCap): Index = {
+    // centroid-UNION semantics can only grow nlist, so the serve cap is
+    // re-checked where the growth happens — as ARITHMETIC over the
+    // carried metadata, never a recount of the accumulated union lineage
+    // (a fold-merge over many shards would recompute that union on every
+    // step); an Index constructed without metadata pays one bounded
+    // count of ITS OWN (pre-union) centroid table here
+    val na = exactNlist(a, "merge: left index", cap)
+    val nb = exactNlist(b, "merge: right index", cap)
+    requireServeableNlist(na + nb, "merged index", cap)
+    val offset = maxPidOf(a) + 1
     val bAssigned = b.assigned.withColumn("partition_id",
       (col("partition_id") + lit(offset)).cast("int"))
     val bCentroids = b.centroids.withColumn("partition_id",
       (col("partition_id") + lit(offset)).cast("int"))
     val merged = a.centroids.unionByName(bCentroids)
-    // centroid-UNION semantics can only grow nlist, so the serve cap is
-    // re-checked where the growth happens
-    requireServeableNlist(merged, "merged index")
     Index(
       a.assigned.unionByName(bAssigned),
       merged,
-      math.max(a.writeSalt, b.writeSalt))
+      math.max(a.writeSalt, b.writeSalt),
+      nlist = na + nb,
+      maxPid = offset + maxPidOf(b))
   }
 
   /** [[merge]] + an id-disjointness check (one anti-join-shaped count;
     * skips it at 100 TB only if the caller already guarantees key
     * hygiene). Throws on overlap instead of silently serving duplicate
     * ids from both halves. */
-  def mergeStrict(a: Index, b: Index, idCol: String = "vec_id"): Index = {
+  def mergeStrict(a: Index, b: Index, idCol: String = "vec_id",
+      cap: Int = ServeNlistCap): Index = {
     val overlap = a.assigned.select(idCol)
       .join(b.assigned.select(idCol), Seq(idCol)).limit(1).count()
     require(overlap == 0L,
       s"mergeStrict: id space overlap on '$idCol' between the two indexes")
-    merge(a, b)
+    merge(a, b, cap)
   }
 
   /** IVF index maintenance for the add-after-train regime: split every
@@ -489,7 +565,8 @@ object AnnIvf {
       vecCol: String,
       maxCellRows: Long,
       seed: Long = 42L,
-      sampleSize: Int = 256): Index = {
+      sampleSize: Int = 256,
+      cap: Int = ServeNlistCap): Index = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     val hotIds = index.assigned.groupBy("partition_id")
@@ -513,8 +590,7 @@ object AnnIvf {
       .select(col("partition_id").cast("int"), col(vecCol))
       .as[(Int, Seq[Float])].collect()
       .groupBy(_._1).map { case (pid, rows) => pid -> rows.map(_._2.toArray) }
-    val maxId = index.centroids
-      .agg(max(col("partition_id"))).head().getInt(0)
+    val maxId = maxPidOf(index)
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       val n = math.min(a.length, b.length)
@@ -572,9 +648,12 @@ object AnnIvf {
     // growth path: splitting adds one sibling per hot cell, so this is
     // an entry point where nlist can CROSS the serve cap in-session —
     // assert before handing the grown index back (same contract as
-    // build/read/merge)
-    requireServeableNlist(newCentroids, "index after splitHotCells")
-    Index(newAssigned, newCentroids, index.writeSalt)
+    // build/read/merge); arithmetic over carried metadata, no recount
+    val baseNlist = exactNlist(index, "splitHotCells: input index", cap)
+    val grownNlist = baseNlist + splits.size
+    requireServeableNlist(grownNlist, "index after splitHotCells", cap)
+    Index(newAssigned, newCentroids, index.writeSalt,
+      nlist = grownNlist, maxPid = splits.map(_._4).max)
   }
 
   /** [[rebalance]] report: cell counts before/after, how many cells were
@@ -617,7 +696,8 @@ object AnnIvf {
       maxCellRows: Long,
       seed: Long = 42L,
       sampleSize: Int = 256,
-      onStaged: () => Unit = () => ()): RebalanceStats = {
+      onStaged: () => Unit = () => (),
+      cap: Int = ServeNlistCap): RebalanceStats = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hconf)
@@ -636,22 +716,29 @@ object AnnIvf {
           graft.functions.FP16.unpackCol(col(packed))).drop(packed)
       case None => raw
     }
-    val writeSalt =
-      try spark.read.parquet(s"$path/meta").select("write_salt").head().getInt(0)
-      catch { case _: org.apache.spark.sql.AnalysisException => 1 }
+    val metaRow: Option[org.apache.spark.sql.Row] =
+      try Some(spark.read.parquet(s"$path/meta").head())
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    def metaField[T](name: String)(get: org.apache.spark.sql.Row => T)
+        : Option[T] =
+      metaRow.filter(_.schema.fieldNames.contains(name)).map(get)
+    val writeSalt = metaField("write_salt")(_.getAs[Int]("write_salt"))
+      .getOrElse(1)
     val index = Index(assigned,
-      spark.read.parquet(s"$path/centroids"), writeSalt)
+      spark.read.parquet(s"$path/centroids"), writeSalt,
+      nlist = metaField("nlist")(_.getAs[Long]("nlist")).getOrElse(-1L),
+      maxPid = metaField("max_pid")(_.getAs[Int]("max_pid")).getOrElse(-1))
     // rebalance bypasses read() (snapshot-pinned file list), so the
     // serve-cap contract is re-asserted here — this IS an entry point an
-    // Index has into a session
-    requireServeableNlist(index.centroids, s"index at $path (rebalance)")
+    // Index has into a session; exactNlist uses the meta scalar when the
+    // layout carries one (no Spark job), else one bounded count
+    val cellsBefore = exactNlist(index, s"index at $path (rebalance)", cap)
     def hotCount(ix: Index): Long =
       ix.assigned.groupBy("partition_id").agg(count(lit(1)).as("__n"))
         .filter(col("__n") > maxCellRows).count()
-    val cellsBefore = index.centroids.count()
     val hotBefore = hotCount(index)
     val rebalanced = splitHotCells(index, idCol, vecCol, maxCellRows,
-      seed, sampleSize)
+      seed, sampleSize, cap)
     if (rebalanced eq index)
       return RebalanceStats(cellsBefore, cellsBefore, hotBefore, hotBefore, 0L)
     val staging = new org.apache.hadoop.fs.Path(
@@ -681,7 +768,8 @@ object AnnIvf {
     }
     fs.delete(retired, true)
     val published = read(spark, path)
-    RebalanceStats(cellsBefore, published.centroids.count(),
+    // read() always leaves nlist known (meta scalar or the bounded count)
+    RebalanceStats(cellsBefore, published.nlist,
       hotBefore, hotCount(published), recovered)
   }
 

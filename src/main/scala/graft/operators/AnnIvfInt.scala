@@ -216,10 +216,14 @@ object AnnIvfInt {
   /** Per-row guard for integer scores routed through a double slot: a
     * long survives the long→double→long round-trip exactly only while
     * |score| < 2⁵³. Codegen-side `when` (no UDF, stays in whole-stage
-    * codegen); the error path never allocates on the happy path. */
+    * codegen); the error path never allocates on the happy path. The
+    * bound is checked symmetrically rather than via abs() — abs(Long
+    * .MinValue) wraps negative, which would let that one value slip
+    * past an abs-based guard. */
   private val DoubleExactBound = 1L << 53
   private def doubleSafe(score: Column): Column =
-    when(abs(score) < lit(DoubleExactBound), score)
+    when(score < lit(DoubleExactBound) && score > lit(-DoubleExactBound),
+        score)
       .otherwise(raise_error(concat(
         lit("integer score magnitude >= 2^53 — TopKAggregator's double " +
           "slot would lose precision; reduce dim or quantization scale " +

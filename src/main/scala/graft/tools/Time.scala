@@ -17,11 +17,13 @@ object Time {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "5").toInt
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — nothing was timed")
     val spark = Bench.benchSession(cpus)
     Bench.warmTables(spark, sfDir)
     for (name <- args) {
-      val fn = SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query: $name"))
+      val fn = SparkEntry.queries(name)
       try {
         fn(spark, sfDir).count() // warmup: codegen + footer cache
         val samples = Vector.fill(trials) {

@@ -318,4 +318,88 @@ class AnnMaintainSpec extends SparkSpec {
       AnnIvf.mergeStrict(ia, ia)
     }
   }
+
+  // ---- serve-cap threading: the guard fires AT each maintenance entry
+  // point, driven by a tiny injected cap (a 2^20-cell fixture being
+  // impractical was exactly the r12 gap — the checks were placement-
+  // verified only)
+
+  test("serve cap fires inside merge when the union would cross it") {
+    val (ia, ib, _) = halves // 2 + 2 cells
+    val err = intercept[IllegalArgumentException] {
+      AnnIvf.merge(ia, ib, cap = 3)
+    }
+    assert(err.getMessage.contains("merged index"), err.getMessage)
+    assert(AnnIvf.merge(ia, ib, cap = 4).nlist === 4L) // boundary passes
+  }
+
+  test("serve cap fires inside splitHotCells when growth crosses it") {
+    val (idx, _) = drifted // 3 cells, one hot → would grow to 4
+    val err = intercept[IllegalArgumentException] {
+      AnnIvf.splitHotCells(idx, "vec_id", "embedding", maxCellRows = 200,
+        cap = 3)
+    }
+    assert(err.getMessage.contains("splitHotCells"), err.getMessage)
+    // boundary passes and carries exact metadata
+    val ok = AnnIvf.splitHotCells(idx, "vec_id", "embedding",
+      maxCellRows = 200, cap = 4)
+    assert(ok.nlist === 4L)
+  }
+
+  test("serve cap fires inside rebalance and leaves the layout untouched") {
+    val (idx, _) = drifted
+    val dir = java.nio.file.Files.createTempDirectory("rebalance-cap").toString
+    AnnIvf.write(idx, dir, writeSalt = 2)
+    val before = new java.io.File(s"$dir/vectors").lastModified()
+    intercept[IllegalArgumentException] {
+      AnnIvf.rebalance(spark, dir, "vec_id", "embedding",
+        maxCellRows = 200, cap = 3)
+    }
+    // the raise happened before staging/publish: the durable layout is
+    // exactly as written
+    assert(new java.io.File(s"$dir/vectors").lastModified() === before)
+    assert(AnnIvf.read(spark, dir).centroids.count() === 3)
+    // an over-cap index already AT rest is rejected on the way in too
+    intercept[IllegalArgumentException] {
+      AnnIvf.rebalance(spark, dir, "vec_id", "embedding",
+        maxCellRows = 200, cap = 2)
+    }
+  }
+
+  // ---- nlist/maxPid metadata: carried arithmetic must match the data
+
+  test("index metadata (nlist/maxPid) is exact across build/write/read/merge/split") {
+    val (ia, ib, _) = halves
+    assert(ia.nlist === 2L && ia.maxPid === 1)
+    val m = AnnIvf.merge(ia, ib)
+    assert(m.nlist === m.centroids.count())
+    assert(m.maxPid === m.centroids.agg(max("partition_id")).head().getInt(0))
+    val dir = java.nio.file.Files.createTempDirectory("metaidx").toString
+    AnnIvf.write(m, dir, writeSalt = 2)
+    val rt = AnnIvf.read(spark, dir)
+    assert(rt.nlist === 4L && rt.maxPid === m.maxPid)
+    val (idx, _) = drifted
+    val split = AnnIvf.splitHotCells(idx, "vec_id", "embedding",
+      maxCellRows = 200)
+    assert(split.nlist === split.centroids.count())
+    assert(split.maxPid ===
+      split.centroids.agg(max("partition_id")).head().getInt(0))
+  }
+
+  test("a legacy meta sidecar without nlist falls back to the bounded count") {
+    val (idx, _) = drifted
+    val dir = java.nio.file.Files.createTempDirectory("legacymeta").toString
+    AnnIvf.write(idx, dir, writeSalt = 2)
+    // rewrite the meta sidecar in the pre-r13 shape (write_salt only)
+    Seq(2).toDF("write_salt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val rt = AnnIvf.read(spark, dir)
+    assert(rt.writeSalt === 2)
+    assert(rt.nlist === 3L) // recovered by the bounded count
+    assert(rt.maxPid === -1) // unknown — recomputed lazily if ever needed
+    // and a metadata-less index still merges correctly via the fallbacks
+    val m = AnnIvf.merge(rt, rt)
+    assert(m.nlist === 6L)
+    assert(m.centroids.select("partition_id").distinct().count() === 6L)
+  }
 }
