@@ -34,10 +34,12 @@ import org.apache.spark.sql.functions._
   * 9·10¹⁰); A_ij ≤ 2n²·10⁸ and the iteration runs in BigInt / HUGEINT
   * (y ≤ 64·A·10⁶ ≈ 10²³ at n = 4000 — far inside 128-bit).
   *
-  * Scale design: the ONLY corpus-sized work is the moment pass — one
-  * treeAggregate computing (n, M[d], S[d][d]) in exact longs (commutative
-  * integer adds: partition-order invariant by construction). Everything
-  * after is model-sized (d² = 4096 entries) on the driver, the same
+  * Scale design: the ONLY corpus-sized work is the moment pass computing
+  * (n, M[d], upper-triangle S) in exact longs (commutative integer adds:
+  * partition-order invariant by construction) — one treeAggregate up to
+  * [[PlainScatterMaxDim]], the row-block-sharded layout above it
+  * (768/1024/4096-d embedding models), bit-identical by construction.
+  * Everything after is model-sized (d² entries) on the driver, the same
   * split as [[EmbeddingPca.fit]]'s Gramian-then-Jacobi.
   */
 object EmbeddingPcaInt {
@@ -77,52 +79,96 @@ object EmbeddingPcaInt {
     b.toLong
   }
 
-  /** The ONLY corpus-sized work: one treeAggregate moment pass in exact
-    * longs (commutative integer adds — partition-order invariant), then
-    * the d×d scatter A = n·S − M·Mᵀ in BigInt on the driver. S is
-    * symmetric, so the pass accumulates the upper triangle only (halves
-    * the inner-loop flops on the corpus-sized work) and mirrors on the
+  /** Above this dim the moment pass switches from one treeAggregate to
+    * the row-block-sharded layout ([[momentsBlocked]]) — both are exact
+    * integer sums of the same terms, so the two layouts are bit-identical
+    * (PcaIntSpec proves it by running both on the same corpus). */
+  val PlainScatterMaxDim = 512
+
+  /** Target record size for one row-block of the sharded triangle:
+    * 2²¹ longs ≈ 2 MB — small enough to shuffle/merge comfortably, large
+    * enough that even 4096-d needs only ~4 k blocks. */
+  private val BlockTargetLongs = 1 << 18
+
+  /** Ragged upper triangle: row i holds S(i, i), …, S(i, d−1). */
+  private type TriRows = Array[Array[Long]]
+
+  /** The ONLY corpus-sized work: one moment pass in exact longs
+    * (commutative integer adds — partition-order invariant), then the
+    * d×d scatter A = n·S − M·Mᵀ in BigInt on the driver. S is symmetric,
+    * so the pass accumulates the upper triangle only (halves the
+    * inner-loop flops on the corpus-sized work) and mirrors on the
     * driver. All accumulation is `Math.multiplyExact`/`addExact`: the
     * fixed-point family's loud-overflow discipline — an un-normalized
     * corpus (|qv| beyond the documented ≲10⁴ moment budget) raises with
     * an ArithmeticException instead of silently wrapping into a
     * plausible-but-garbage model.
     *
-    * ≥512-d strategy (documented, not yet needed): the d² driver
-    * accumulator guard below is the honest limit of this layout — at
-    * 1024-d+ (modern embedding models) the same one-pass moments shard
-    * cleanly by partitioning the upper triangle into column blocks
-    * (`groupBy(i/blk)` over a posexploded pair stream, or B parallel
-    * treeAggregates each owning a contiguous block of rows of S), each
-    * block a few MB, merged driver-side into the identical BigInt
-    * scatter — bit-identical results, one extra shuffle of ≤ d²/2 longs
-    * total. A sketched-moments variant (count-sketch of X before the
-    * outer product) trades exactness away and is NOT compatible with the
-    * fixed-point replay contract, so the block layout is the scale path. */
-  private def scatter(df: DataFrame, vecCol: String)
+    * Two layouts, bit-identical by construction (same integer terms,
+    * exact adds):
+    *  - d ≤ [[PlainScatterMaxDim]]: one treeAggregate whose accumulator
+    *    is the whole triangle — the 64-d board path, zero shuffles;
+    *  - above it (768/1024/4096-d embedding models): the triangle is
+    *    sharded into contiguous ROW BLOCKS of ~[[BlockTargetLongs]]
+    *    longs each; every input partition still makes one local pass,
+    *    then emits its partial triangle as per-block records that merge
+    *    via `reduceByKey` ACROSS executors (no single d²-long object is
+    *    ever serialized, merge parallelism = block count) and collect as
+    *    B modest records — one extra shuffle of ≤ d²/2 longs total.
+    *    Per-TASK working memory is still the d²/2-long partial triangle
+    *    (67 MB at 4096-d — executor-sized, not driver-sized); a
+    *    sketched-moments variant would shrink that but trades exactness
+    *    away and is NOT compatible with the fixed-point replay contract. */
+  private def scatter(df: DataFrame, vecCol: String, blocked: Boolean)
       : (Long, Array[Long], Array[Array[BigInt]]) = {
     val rows = df.select(col(vecCol).cast("array<double>")).rdd
       .map(_.getSeq[Double](0).toArray)
     val d = rows.first().length
-    require(d <= 512, s"dim $d too large for a d^2 driver accumulator — " +
-      "block-partition the scatter (see scaladoc) before raising this cap")
-    val zero = (0L, new Array[Long](d), Array.ofDim[Long](d, d))
-    val (n, m, s) = rows.treeAggregate(zero)(
+    val (n, m, s) =
+      if (blocked || d > PlainScatterMaxDim) momentsBlocked(rows, d)
+      else momentsPlain(rows, d)
+    require(n > 0, "fitPower: empty input")
+    val a = Array.tabulate(d, d) { (i, j) =>
+      val sij = if (j >= i) s(i)(j - i) else s(j)(i - j) // mirror the triangle
+      BigInt(n) * sij - BigInt(m(i)) * BigInt(m(j))
+    }
+    (n, m, a)
+  }
+
+  /** Quantize one row in place into `q`. */
+  @inline private def quantize(x: Array[Double], q: Array[Long], d: Int)
+      : Unit = {
+    var i = 0
+    while (i < d) { q(i) = math.floor(x(i) * QScale).toLong; i += 1 }
+  }
+
+  /** Accumulate one quantized row into (m, tri). */
+  @inline private def accumulate(q: Array[Long], m: Array[Long],
+      tri: TriRows, d: Int): Unit = {
+    var i = 0
+    while (i < d) {
+      m(i) = Math.addExact(m(i), q(i))
+      val ti = tri(i); val qi = q(i)
+      var j = i
+      while (j < d) {
+        ti(j - i) = Math.addExact(ti(j - i), Math.multiplyExact(qi, q(j)))
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  private def newTri(d: Int): TriRows =
+    Array.tabulate(d)(i => new Array[Long](d - i))
+
+  /** ≤512-d layout: one treeAggregate, the triangle is the accumulator. */
+  private def momentsPlain(rows: org.apache.spark.rdd.RDD[Array[Double]],
+      d: Int): (Long, Array[Long], TriRows) =
+    rows.treeAggregate((0L, new Array[Long](d), newTri(d)))(
       seqOp = { case ((n0, m0, s0), x) =>
         val q = new Array[Long](d)
-        var i = 0
-        while (i < d) { q(i) = math.floor(x(i) * QScale).toLong; i += 1 }
-        i = 0
-        while (i < d) {
-          m0(i) = Math.addExact(m0(i), q(i))
-          val si = s0(i); val qi = q(i)
-          var j = i
-          while (j < d) {
-            si(j) = Math.addExact(si(j), Math.multiplyExact(qi, q(j)))
-            j += 1
-          }
-          i += 1
-        }
+        quantize(x, q, d)
+        accumulate(q, m0, s0, d)
         (n0 + 1, m0, s0)
       },
       combOp = { case ((n1, m1, s1), (n2, m2, s2)) =>
@@ -130,18 +176,85 @@ object EmbeddingPcaInt {
         while (i < d) {
           m1(i) = Math.addExact(m1(i), m2(i))
           val a = s1(i); val b = s2(i)
-          var j = i
-          while (j < d) { a(j) = Math.addExact(a(j), b(j)); j += 1 }
+          var j = 0
+          while (j < a.length) { a(j) = Math.addExact(a(j), b(j)); j += 1 }
           i += 1
         }
         (n1 + n2, m1, s1)
       })
-    require(n > 0, "fitPower: empty input")
-    val a = Array.tabulate(d, d) { (i, j) =>
-      val sij = if (j >= i) s(i)(j) else s(j)(i) // mirror the upper triangle
-      BigInt(n) * sij - BigInt(m(i)) * BigInt(m(j))
+
+  /** >512-d layout: per-partition local pass, triangle emitted as
+    * contiguous row-block records, merged distributed via reduceByKey.
+    * Key −1 carries (n, M) packed as one long array. */
+  private def momentsBlocked(rows: org.apache.spark.rdd.RDD[Array[Double]],
+      d: Int): (Long, Array[Long], TriRows) = {
+    val blkRows = math.max(1, BlockTargetLongs / d)
+    val nBlocks = (d + blkRows - 1) / blkRows
+    val parts = rows.mapPartitions { it =>
+      var n0 = 0L
+      val m0 = new Array[Long](d)
+      val tri = newTri(d)
+      val q = new Array[Long](d)
+      while (it.hasNext) {
+        quantize(it.next(), q, d)
+        accumulate(q, m0, tri, d)
+        n0 += 1L
+      }
+      if (n0 == 0L) Iterator.empty
+      else {
+        val head = new Array[Long](d + 1)
+        head(0) = n0
+        System.arraycopy(m0, 0, head, 1, d)
+        // lazily flatten each row block so only one block copy is live
+        // beyond the partial triangle at any moment
+        Iterator.single((-1, head)) ++ (0 until nBlocks).iterator.map { b =>
+          val lo = b * blkRows
+          val hi = math.min(d, lo + blkRows)
+          var len = 0
+          var i = lo
+          while (i < hi) { len += d - i; i += 1 }
+          val out = new Array[Long](len)
+          var off = 0
+          i = lo
+          while (i < hi) {
+            val ti = tri(i)
+            System.arraycopy(ti, 0, out, off, ti.length)
+            off += ti.length
+            i += 1
+          }
+          (b, out)
+        }
+      }
     }
-    (n, m, a)
+    val merged = parts.reduceByKey(
+      { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+        a
+      },
+      numPartitions =
+        math.min(nBlocks + 1, rows.sparkContext.defaultParallelism))
+      .collectAsMap()
+    require(merged.contains(-1), "fitPower: empty input")
+    val head = merged(-1)
+    val n = head(0)
+    val m = java.util.Arrays.copyOfRange(head, 1, d + 1)
+    val tri = new Array[Array[Long]](d)
+    var b = 0
+    while (b < nBlocks) {
+      val arr = merged(b)
+      val lo = b * blkRows
+      val hi = math.min(d, lo + blkRows)
+      var off = 0
+      var i = lo
+      while (i < hi) {
+        tri(i) = java.util.Arrays.copyOfRange(arr, off, off + (d - i))
+        off += d - i
+        i += 1
+      }
+      b += 1
+    }
+    (n, m, tri)
   }
 
   /** Unrolled normalized power rounds from x₀ = (XScale, …): y = A·x,
@@ -178,9 +291,13 @@ object EmbeddingPcaInt {
     floorDivPortable(acc, x.map(v => v * v).sum)
   }
 
-  def fitPower(df: DataFrame, vecCol: String, rounds: Int): PowerModel = {
+  /** `blockedScatter` pins the sharded moment layout regardless of dim
+    * (the two layouts are bit-identical — PcaIntSpec proves it); above
+    * [[PlainScatterMaxDim]] the blocked layout is used either way. */
+  def fitPower(df: DataFrame, vecCol: String, rounds: Int,
+      blockedScatter: Boolean = false): PowerModel = {
     require(rounds >= 1, s"rounds=$rounds")
-    val (n, _, a) = scatter(df, vecCol)
+    val (n, _, a) = scatter(df, vecCol, blockedScatter)
     val x = powerRounds(a, rounds)
     PowerModel(n, x.map(_.toLong),
       toLongExact(rayleigh(a, x), "lambda_q"), rounds)
@@ -204,9 +321,10 @@ object EmbeddingPcaInt {
     * spectrum, so the B chain converges to the second component; the spec
     * adjudicates alignment against the float Jacobi eigensolve while the
     * DuckDB oracle replays every integer of this contract. */
-  def fitTop2(df: DataFrame, vecCol: String, rounds: Int): Deflate2Model = {
+  def fitTop2(df: DataFrame, vecCol: String, rounds: Int,
+      blockedScatter: Boolean = false): Deflate2Model = {
     require(rounds >= 1, s"rounds=$rounds")
-    val (n, m, a) = scatter(df, vecCol)
+    val (n, m, a) = scatter(df, vecCol, blockedScatter)
     val d = a.length
     val x1 = powerRounds(a, rounds)
     val z = x1.map(v => floorDivPortable(v, BigInt(ZDiv)))
@@ -241,8 +359,8 @@ object EmbeddingPcaInt {
     *   pc_kq = Σ_i (qv_i − mu_i) · v_k,i,   qv = ⌊x·10⁴⌋, mu = ⌊M/n⌋
     *
     * n never multiplies a per-row term, so with |qv − mu| ≤ 2·10⁴,
-    * |v| ≤ 10⁶, d ≤ 512 the scores stay ≤ ~10¹³ — long-safe at ANY corpus
-    * size. Per-row map over broadcast literal vectors: no shuffle, no
+    * |v| ≤ 10⁶ the scores stay ≤ 2·10¹⁰·d — long-safe at ANY corpus size
+    * up to d ≈ 4·10⁸ (every real embedding dim). Per-row map over broadcast literal vectors: no shuffle, no
     * driver loop; projection units are QScale·XScale times the
     * unit-vector projection (v is not unit-norm — callers comparing to
     * float PCA divide by ‖v‖). */

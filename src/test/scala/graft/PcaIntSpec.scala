@@ -157,6 +157,71 @@ class PcaIntSpec extends SparkSpec {
     assert(e.getMessage.contains("zero scatter"), e.getMessage)
   }
 
+  test("blocked scatter layout is bit-identical to the plain treeAggregate") {
+    // the 768-d scale path must never change a result: force the
+    // row-block-sharded moment layout on the 64-d fixture and compare
+    // every model field against the plain layout, bit for bit
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val plain = EmbeddingPcaInt.fitTop2(emb, "embedding", rounds = 80)
+    val blocked = EmbeddingPcaInt.fitTop2(emb, "embedding", rounds = 80,
+      blockedScatter = true)
+    assert(blocked.n === plain.n)
+    assert(blocked.v1.toSeq === plain.v1.toSeq)
+    assert(blocked.v2.toSeq === plain.v2.toSeq)
+    assert(blocked.lambda1Q === plain.lambda1Q)
+    assert(blocked.lambda2Q === plain.lambda2Q)
+    assert(blocked.mu.toSeq === plain.mu.toSeq)
+    // and under adversarial partitioning (exact adds commute)
+    val blockedRep = EmbeddingPcaInt.fitTop2(emb.repartition(7),
+      "embedding", rounds = 80, blockedScatter = true)
+    assert(blockedRep.v1.toSeq === plain.v1.toSeq)
+    assert(blockedRep.lambda1Q === plain.lambda1Q)
+  }
+
+  test("a 768-d corpus fits through the blocked path with a recoverable spectrum") {
+    import spark.implicits._
+    // deterministic 768-d corpus with a PLANTED dominant direction: rows
+    // are s·u + noise, u the normalized alternating ramp; the blocked
+    // moment pass (auto-selected above PlainScatterMaxDim = 512) must
+    // recover u — this dim raised a require() before r13
+    val d = 768
+    val u = {
+      val raw = Array.tabulate(d)(i => (if (i % 2 == 0) 1.0 else -1.0) *
+        (1.0 + (i % 7) / 7.0))
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / norm)
+    }
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 600).map { id =>
+      val s = if (id % 2 == 0) 1.0 else -1.0 // symmetric: mean ≈ 0
+      val v = Array.tabulate(d)(i =>
+        (s * u(i) + rnd.nextGaussian() * 0.01).toFloat)
+      (id.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      .repartition(5)
+    val pm = EmbeddingPcaInt.fitPower(df, "embedding", rounds = 40)
+    assert(pm.n === 600L)
+    assert(pm.vector.length === d)
+    assert(pm.lambdaQ > 0L)
+    val v = pm.vector.map(_.toDouble)
+    val cos = {
+      val dot = v.zip(u).map { case (a, b) => a * b }.sum
+      dot / math.sqrt(v.map(x => x * x).sum)
+    }
+    assert(math.abs(cos) > 0.999, s"|cos vs planted| = ${math.abs(cos)}")
+    // projections stay long-safe at 768-d (the projectTop2 bound is
+    // 2·10¹⁰·d): exercise the full top-2 surface end to end
+    val dm = EmbeddingPcaInt.fitTop2(df, "embedding", rounds = 40)
+    assert(dm.v1.toSeq === pm.vector.toSeq)
+    assert(dm.lambda1Q === pm.lambdaQ)
+    assert(dm.lambda2Q < dm.lambda1Q)
+    val proj = EmbeddingPcaInt.projectTop2(df, "embedding", "vec_id", dm)
+    assert(proj.count() === 600L)
+  }
+
   test("floorDivPortable is floor division for every sign combination") {
     for {
       s <- Seq(BigInt(-7), BigInt(7), BigInt(-6), BigInt(0), BigInt(1),
