@@ -637,6 +637,38 @@ class PlanAuditSpec extends SparkSpec {
       JoinAudit.unboundedBnljBuilds(noopClamp).nonEmpty,
       "BNLJ detector let a no-op Long clamp vouch for an unbounded " +
         "aggregate-key domain")
+    // (f) key domains multiply: TWO individually-clamped 400-wide keys
+    // are a 160k-group build — each key passes alone, the PRODUCT must
+    // not (the r12 per-key rule would have blessed this)
+    def clamp400(c: org.apache.spark.sql.Column) =
+      greatest(lit(1L), least(lit(400L), c))
+    val oneKey = li.as("a").crossJoin(broadcast(
+        li.groupBy(clamp400(col("l_orderkey")).as("k1"))
+          .agg(sum("l_quantity")).as("b")))
+      .queryExecution.sparkPlan
+    assert(JoinAudit.unboundedBnljBuilds(oneKey).isEmpty,
+      "BNLJ detector flagged a single 400-wide clamped key")
+    val twoKeys = li.as("a").crossJoin(broadcast(
+        li.groupBy(clamp400(col("l_orderkey")).as("k1"),
+            clamp400(col("l_quantity").cast("long") * 7).as("k2"))
+          .agg(sum("l_quantity")).as("b")))
+      .queryExecution.sparkPlan
+    assert(JoinAudit.unboundedBnljBuilds(twoKeys).nonEmpty,
+      "BNLJ detector let two individually-clamped keys vouch for a " +
+        "product-of-domains build over the broadcast budget")
+    // (g) mixed __grp* + clamped keys multiply too: the __grp* family
+    // contributes one partition-count factor (4096), so 4096·400 is
+    // over budget even though each key looks harmless alone
+    val mixed = li.as("a").crossJoin(broadcast(
+        li.select(col("l_quantity"),
+            org.apache.spark.sql.functions.spark_partition_id()
+              .cast("long").as("__grpx"),
+            clamp400(col("l_orderkey")).as("k1"))
+          .groupBy("__grpx", "k1").agg(sum("l_quantity")).as("b")))
+      .queryExecution.sparkPlan
+    assert(JoinAudit.unboundedBnljBuilds(mixed).nonEmpty,
+      "BNLJ detector let __grp* absorb a clamped co-key instead of " +
+        "multiplying the partition-count factor")
   }
 
   test("scan-pruning sweep: every FileSourceScan in EVERY declared query prunes wide-table columns and pushes eligible literal filters") {
@@ -796,9 +828,10 @@ private object JoinAudit {
   }
 
   /** greatest(lo, least(hi, …)) / least(hi, greatest(lo, …)) over an
-    * integral expression: domain <= hi-lo+1 by construction (ntile's
-    * output shape — what retired the q52_pareto allowlist entry). */
-  private def clampBounded(e: Expression): Boolean = {
+    * integral expression: returns the domain WIDTH hi-lo+1 when the
+    * shape matches (ntile's output shape — what retired the q52_pareto
+    * allowlist entry), None otherwise. */
+  private def clampWidth(e: Expression): Option[BigInt] = {
     def strip(x: Expression): Expression = x match {
       case c: Cast => strip(c.child)
       case a: Alias => strip(a.child)
@@ -814,41 +847,54 @@ private object JoinAudit {
       case g: Greatest if g.children.size == 2 && integral(g) =>
         val lo = lits(g.children)
         val inner = g.children.collect { case l: Least => l }
-        lo.size == 1 && inner.size == 1 && {
+        if (lo.size == 1 && inner.size == 1) {
           val hi = lits(inner.head.children)
           // BigInt width: hi-lo on raw Longs wraps for a no-op clamp
           // like greatest(MinValue, least(MaxValue, x)) and would
           // vouch for a 2^64 domain
-          inner.head.children.size == 2 && hi.size == 1 &&
-            hi.head >= lo.head &&
-            BigInt(hi.head) - BigInt(lo.head) < 100000
-        }
+          if (inner.head.children.size == 2 && hi.size == 1 &&
+              hi.head >= lo.head)
+            Some(BigInt(hi.head) - BigInt(lo.head) + 1)
+          else None
+        } else None
       case l: Least if l.children.size == 2 && integral(l) =>
         val hi = lits(l.children)
         val inner = l.children.collect { case g: Greatest => g }
-        hi.size == 1 && inner.size == 1 && {
+        if (hi.size == 1 && inner.size == 1) {
           val lo = lits(inner.head.children)
-          inner.head.children.size == 2 && lo.size == 1 &&
-            hi.head >= lo.head &&
-            BigInt(hi.head) - BigInt(lo.head) < 100000
-        }
-      case _ => false
+          if (inner.head.children.size == 2 && lo.size == 1 &&
+              hi.head >= lo.head)
+            Some(BigInt(hi.head) - BigInt(lo.head) + 1)
+          else None
+        } else None
+      case _ => None
     }
   }
 
-  /** Every aggregate key either carries GlobalRank's internal `__grp*`
-    * convention (|probs|/ntile-sized domain by construction) or traces
-    * through child Projects (by exprId) to a literal-clamped integer. */
+  /** The build-side group count a keyed aggregate can produce is the
+    * PRODUCT of its key domains, so the keys are vouched jointly, not
+    * one by one (two individually-clamped 400-wide keys are a 160k-group
+    * build — over the broadcast budget). GlobalRank's internal `__grp*`
+    * keys are all derived from one spark_partition_id() (any number of
+    * them is jointly ≤ the stage's partition count), so together they
+    * contribute a single partition-count factor; every other key must
+    * trace through child Projects (by exprId) to a literal-clamped
+    * integer and contributes its clamp width. */
+  private val GrpPartitionFactor = BigInt(4096) // >= any sane stage width
   private def keysBounded(keys: Seq[NamedExpression], child: SparkPlan)
       : Boolean = {
     def defOf(id: ExprId): Option[Expression] =
       child.collect { case p: ProjectExec => p.projectList }
         .flatten.collectFirst { case a: Alias if a.exprId == id => a.child }
-    keys.forall {
-      case k if k.name.startsWith("__grp") => true
-      case a: Alias => clampBounded(a.child)
-      case r: AttributeReference => defOf(r.exprId).exists(clampBounded)
-      case _ => false
+    val (grp, rest) = keys.partition(_.name.startsWith("__grp"))
+    val widths = rest.map {
+      case a: Alias => clampWidth(a.child)
+      case r: AttributeReference => defOf(r.exprId).flatMap(clampWidth)
+      case _ => None
+    }
+    widths.forall(_.isDefined) && {
+      val grpFactor = if (grp.nonEmpty) GrpPartitionFactor else BigInt(1)
+      widths.flatten.foldLeft(grpFactor)(_ * _) < 100000
     }
   }
 
