@@ -134,6 +134,23 @@ object ScaleSmoke {
       val m = graft.operators.EmbeddingPca.fit(emb, "embedding", k = 8)
       emb.select(graft.operators.EmbeddingPca.project(m, col("embedding"))).count()
     }
+    // >512-d corpora take the row-block-sharded moment layout
+    // (EmbeddingPcaInt r13): per-partition local pass over the ragged
+    // upper triangle, ~2 MB block records merged distributed via
+    // reduceByKey — no d²-long object is ever serialized. 768-d here =
+    // 12 deterministically-rescaled copies of the 64-d embedding, so
+    // the corpus-sized pass is ~n·d²/2 exact-long multiply-adds.
+    time("int PCA fitPower 768-d (blocked moment layout)") {
+      val wide = emb.select(col("vec_id"),
+        flatten(array((0 until 12).map(k =>
+          transform(col("embedding"),
+            x => x / lit((k + 1).toDouble))): _*)).as("embedding"))
+      val pm = graft.operators.EmbeddingPcaInt
+        .fitPower(wide, "embedding", rounds = 6)
+      require(pm.vector.length == 768 && pm.lambdaQ > 0L,
+        s"768-d power model malformed: d=${pm.vector.length}")
+      pm.n
+    }
     // the one-call corpus chain: every stage is hash-shuffle / banded-LSH
     // shaped, so the whole pipeline should track the minhash line above
     time("corpus prep end-to-end (dedup→gate→split→pack)") {
