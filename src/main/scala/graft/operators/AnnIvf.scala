@@ -331,9 +331,14 @@ object AnnIvf {
   private val Fp16Suffix = "__fp16"
   private val Sq8Suffix = "__sq8"
 
+  /** `sq8BoundsOpt` lets a maintenance rewrite reuse the layout's
+    * ORIGINAL trained bounds instead of re-training on decoded values —
+    * decode→re-encode is then bit-stable (v = vmin + code·step recovers
+    * `code` exactly), so repeated rebalances never drift the codec. */
   def write(index: Index, path: String, writeSalt: Int = 4,
       fp16: Boolean = false, vecCol: String = "embedding",
-      sq8: Boolean = false): Unit = {
+      sq8: Boolean = false,
+      sq8BoundsOpt: Option[graft.functions.SQ8.Bounds] = None): Unit = {
     require(!(fp16 && sq8), "pick ONE storage codec: fp16 or sq8")
     // k-means partitions are skewed by construction (SURVEY.md §7.4); the
     // salt is a STORED column: it spreads each hot partition over
@@ -342,7 +347,10 @@ object AnnIvf {
     // partition over `writeSalt` reducers. The on-disk layout
     // (partition_id=... dirs, hence pruning) is unchanged.
     val sq8Bounds =
-      if (sq8) Some(graft.functions.SQ8.train(index.assigned, vecCol)) else None
+      if (sq8)
+        Some(sq8BoundsOpt.getOrElse(
+          graft.functions.SQ8.train(index.assigned, vecCol)))
+      else None
     val stored =
       if (fp16)
         // the reference's SQfp16 index compression (storage_impl.py:87):
@@ -421,12 +429,16 @@ object AnnIvf {
 
   /** The index's exact centroid count: the carried metadata when known,
     * else ONE bounded count (clipped at cap+1 — under the cap the clipped
-    * count IS exact, over it the require fires first). */
+    * count IS exact, over it the require fires first and the message says
+    * the count is clipped, not exact). */
   private def exactNlist(ix: Index, what: String, cap: Int): Long =
     if (ix.nlist >= 0) { requireServeableNlist(ix.nlist, what, cap); ix.nlist }
     else {
       val n = ix.centroids.limit(cap + 1).count()
-      requireServeableNlist(n, what, cap)
+      require(n <= cap,
+        s"$what has nlist > $cap (count clipped at ${cap + 1}) — the " +
+          "centroid table is driver-collected and broadcast on every " +
+          "probe; rebuild with fewer cells or serve the shards separately")
       n
     }
 
@@ -569,6 +581,11 @@ object AnnIvf {
       cap: Int = ServeNlistCap): Index = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
+    // entry contract FIRST (same as build/read/merge/rebalance): an
+    // already-over-cap index raises here, before any corpus-sized work —
+    // and on the no-op early returns below, which are exits from this
+    // entry point too
+    val baseNlist = exactNlist(index, "splitHotCells: input index", cap)
     val hotIds = index.assigned.groupBy("partition_id")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxCellRows)
@@ -649,7 +666,6 @@ object AnnIvf {
     // an entry point where nlist can CROSS the serve cap in-session —
     // assert before handing the grown index back (same contract as
     // build/read/merge); arithmetic over carried metadata, no recount
-    val baseNlist = exactNlist(index, "splitHotCells: input index", cap)
     val grownNlist = baseNlist + splits.size
     requireServeableNlist(grownNlist, "index after splitHotCells", cap)
     Index(newAssigned, newCentroids, index.writeSalt,
@@ -709,19 +725,34 @@ object AnnIvf {
     // excluded here and recovered below)
     val raw = spark.read.option("basePath", vectorsDir.toString)
       .parquet(snapshot.map(_.toString): _*)
-    val packedCol = raw.columns.find(_.endsWith(Fp16Suffix))
-    val assigned = packedCol match {
-      case Some(packed) =>
-        raw.withColumn(packed.dropRight(Fp16Suffix.length),
-          graft.functions.FP16.unpackCol(col(packed))).drop(packed)
-      case None => raw
-    }
     val metaRow: Option[org.apache.spark.sql.Row] =
       try Some(spark.read.parquet(s"$path/meta").head())
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     def metaField[T](name: String)(get: org.apache.spark.sql.Row => T)
         : Option[T] =
       metaRow.filter(_.schema.fieldNames.contains(name)).map(get)
+    val packedCol = raw.columns.find(_.endsWith(Fp16Suffix))
+    val sq8Col = raw.columns.find(_.endsWith(Sq8Suffix))
+    // the layout's trained bounds: needed to decode AND reused verbatim
+    // at the rewrite so decode→re-encode is bit-stable (no codec drift
+    // across repeated rebalances)
+    val sq8Bounds = sq8Col.map { _ =>
+      val m = metaRow.getOrElse(sys.error(
+        s"rebalance: sq8-packed layout at $path has no meta sidecar"))
+      graft.functions.SQ8.Bounds(
+        m.getAs[Seq[Float]]("sq8_vmin").toArray,
+        m.getAs[Seq[Float]]("sq8_vmax").toArray)
+    }
+    val assigned = (packedCol, sq8Col) match {
+      case (Some(packed), _) =>
+        raw.withColumn(packed.dropRight(Fp16Suffix.length),
+          graft.functions.FP16.unpackCol(col(packed))).drop(packed)
+      case (None, Some(packed)) =>
+        raw.withColumn(packed.dropRight(Sq8Suffix.length),
+          graft.functions.SQ8.unpackCol(sq8Bounds.get, col(packed)))
+          .drop(packed)
+      case (None, None) => raw
+    }
     val writeSalt = metaField("write_salt")(_.getAs[Int]("write_salt"))
       .getOrElse(1)
     val index = Index(assigned,
@@ -745,7 +776,8 @@ object AnnIvf {
       target.getParent, s".${target.getName}__rebalancing")
     fs.delete(staging, true)
     write(rebalanced, staging.toString, writeSalt,
-      fp16 = packedCol.isDefined, vecCol = vecCol)
+      fp16 = packedCol.isDefined, vecCol = vecCol,
+      sq8 = sq8Col.isDefined, sq8BoundsOpt = sq8Bounds)
     onStaged()
     val retired = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}__retired")

@@ -86,9 +86,15 @@ object EmbeddingPcaInt {
   val PlainScatterMaxDim = 512
 
   /** Target record size for one row-block of the sharded triangle:
-    * 2²¹ longs ≈ 2 MB — small enough to shuffle/merge comfortably, large
-    * enough that even 4096-d needs only ~4 k blocks. */
+    * 2¹⁸ longs = 2 MB — small enough to shuffle/merge comfortably, large
+    * enough that 4096-d needs only 64 blocks (blkRows = 2¹⁸/d). */
   private val BlockTargetLongs = 1 << 18
+
+  /** Hard dim ceiling: the driver holds the d² BigInt scatter and runs
+    * the d²-per-round power chain, so past ~8k dims the model-sized work
+    * stops being model-sized (8192² BigInts ≈ several GB). Raising this
+    * needs a driver-side blocked scatter too, not just the moment pass. */
+  val MaxDim = 8192
 
   /** Ragged upper triangle: row i holds S(i, i), …, S(i, d−1). */
   private type TriRows = Array[Array[Long]]
@@ -124,6 +130,11 @@ object EmbeddingPcaInt {
     val rows = df.select(col(vecCol).cast("array<double>")).rdd
       .map(_.getSeq[Double](0).toArray)
     val d = rows.first().length
+    // loud ceiling instead of an unguided driver/executor OOM: past this
+    // the d^2 BigInt scatter and power rounds are no longer driver-sized
+    require(d <= MaxDim, s"dim $d > $MaxDim — the driver-side d^2 scatter/" +
+      "power chain is the limit; reduce the dim (PCA-project first) or " +
+      "extend the blocked layout to the driver stage before raising MaxDim")
     val (n, m, s) =
       if (blocked || d > PlainScatterMaxDim) momentsBlocked(rows, d)
       else momentsPlain(rows, d)

@@ -217,6 +217,35 @@ class AnnMaintainSpec extends SparkSpec {
       searchSet(idx, full, nprobe = 3))
   }
 
+  test("durable rebalance of an sq8 layout preserves the codec bit-stably") {
+    // pre-r13 this threw an unresolved-column AnalysisException (only
+    // fp16 was decoded) — and a naive fix that re-TRAINS bounds on the
+    // decoded values would drift the codec on every pass; the rewrite
+    // must reuse the layout's original bounds
+    val (idx, full) = drifted
+    val dir = java.nio.file.Files.createTempDirectory("rebalance-sq8").toString
+    AnnIvf.write(idx, dir, writeSalt = 2, sq8 = true)
+    val before = AnnIvf.read(spark, dir)
+    // materialize NOW: rebalance swaps the directory out from under
+    // `before`'s lazy scan
+    val beforeSet = searchSet(before, full, nprobe = 3)
+    val beforeCount = before.assigned.count()
+    val stats = AnnIvf.rebalance(spark, dir, "vec_id", "embedding",
+      maxCellRows = 200)
+    assert(stats.cellsAfter === stats.cellsBefore + 1)
+    assert(stats.hotAfter < stats.hotBefore)
+    val published = AnnIvf.read(spark, dir)
+    // codec survived: packed column on disk, decoded on read, SAME bounds
+    assert(spark.read.parquet(s"$dir/vectors").columns
+      .exists(_.endsWith("__sq8")))
+    val m0 = spark.read.parquet(s"$dir/meta").head()
+    assert(m0.schema.fieldNames.contains("sq8_vmin"))
+    // bit-stable: every decoded vector is unchanged (split only relabels
+    // partition_id), so exhaustive search is exactly the pre-split set
+    assert(searchSet(published, full, nprobe = 4) === beforeSet)
+    assert(published.assigned.count() === beforeCount)
+  }
+
   test("rebalance with nothing hot is a no-op on disk") {
     val (idx, _) = drifted
     val dir = java.nio.file.Files.createTempDirectory("rebalance-noop").toString

@@ -894,7 +894,10 @@ private object JoinAudit {
     }
     widths.forall(_.isDefined) && {
       val grpFactor = if (grp.nonEmpty) GrpPartitionFactor else BigInt(1)
-      widths.flatten.foldLeft(grpFactor)(_ * _) < 100000
+      // <= : a single key of width exactly 100000 was blessed by the
+      // retired per-key rule (hi-lo < 100000 ⇔ width <= 100000); the
+      // product rule must not silently flip that boundary
+      widths.flatten.foldLeft(grpFactor)(_ * _) <= BigInt(100000)
     }
   }
 
