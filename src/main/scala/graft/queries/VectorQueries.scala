@@ -182,6 +182,29 @@ object VectorQueries {
         .orderBy("dim")
     },
 
+    // The r13 >512-d scale layout, hash-checked at 64-d: the SAME
+    // dominant chain as emb_pca_power but with the moment pass FORCED
+    // through the row-block-sharded layout (blockedScatter = true —
+    // per-partition ragged triangles, ~2 MB block records, reduceByKey
+    // merge, driver assembly). The two layouts are exact integer sums of
+    // the same terms, so this query shares emb_pca_power's oracle
+    // VERBATIM: a hash match proves the blocked merge bit-identical
+    // under the DuckDB gate, not just under PcaIntSpec.
+    "emb_pca_power_blocked" -> { (s, dir) =>
+      import s.implicits._
+      val pm = sessionCached(s, ("pca-int-power-blocked", dir, PcaRounds)) {
+        graft.operators.EmbeddingPcaInt.fitPower(
+          table(s, dir, "embeddings"), "embedding", rounds = PcaRounds,
+          blockedScatter = true)
+      }
+      pm.vector.toSeq.zipWithIndex
+        .map { case (v, i) => (i, v, pm.lambdaQ) }
+        .toDF("dim", "v_q", "lambda_q")
+        .select(col("dim").cast("int").as("dim"), col("v_q"),
+          col("lambda_q"))
+        .orderBy("dim")
+    },
+
     // Second-eigenpair twin (round 11, beyond the verdict list): integer
     // Hotelling deflation over the SAME scatter matrix — coarsen x₁ to
     // z = ⌊x₁/10⁴⌋, deflate B = ⌊(den²·A − (zᵀAz)·zzᵀ)/den²⌋ entirely in
@@ -930,6 +953,20 @@ object VectorQueries {
             JOIN $xcte xb ON xb.i = a.j) AS num,
            (SELECT SUM(v * v) FROM $xcte) AS den"""
 
+  /** The power-iteration replay shared by `emb_pca_power` (treeAggregate
+    * moment layout) and `emb_pca_power_blocked` (row-block-sharded
+    * layout): ONE oracle, two engine layouts that must land the same
+    * hash — the gate-level proof that the blocked merge is bit-identical. */
+  private def powerOracle: String = {
+    val rounds = PcaRounds
+    s"""WITH $intScatterCtes,
+         ${powerChainCtes("aa", "p", rounds)}
+         lam AS (${rayleighSql("aa", s"px$rounds")})
+         SELECT CAST(x.i - 1 AS INTEGER) AS dim, CAST(x.v AS BIGINT) AS v_q,
+           CAST((num - ((num % den + den) % den)) // den AS BIGINT) AS lambda_q
+         FROM px$rounds x CROSS JOIN lam ORDER BY dim"""
+  }
+
   /** All-pairs integer scores for queries `vec_id < $qmax`: `allsc`
     * (query_id, vec_id, score_q) and the integer brute-force top-10 `bf`. */
   private def intBruteForceCtes(qmax: Int): String =
@@ -1208,15 +1245,10 @@ object VectorQueries {
     // flat — λ1/λ2 ≈ 1.07 — so convergence needs the long unroll; each
     // round is three ≤64-row CTEs, so the replay stays cheap) → λ_q.
     // portable floor-div renormalization → Rayleigh λ_q.
-    "emb_pca_power" -> {
-      val rounds = PcaRounds
-      s"""WITH $intScatterCtes,
-         ${powerChainCtes("aa", "p", rounds)}
-         lam AS (${rayleighSql("aa", s"px$rounds")})
-         SELECT CAST(x.i - 1 AS INTEGER) AS dim, CAST(x.v AS BIGINT) AS v_q,
-           CAST((num - ((num % den + den) % den)) // den AS BIGINT) AS lambda_q
-         FROM px$rounds x CROSS JOIN lam ORDER BY dim"""
-    },
+    // The _blocked twin shares this oracle VERBATIM: same truth, the
+    // engine side differs only in the moment-pass layout.
+    "emb_pca_power" -> powerOracle,
+    "emb_pca_power_blocked" -> powerOracle,
 
     // Both eigenpair chains + the quantized-mean centering + the per-row
     // integer projection, all replayed: the corpus-sized part is one GROUP
