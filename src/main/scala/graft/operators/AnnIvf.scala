@@ -448,6 +448,54 @@ object AnnIvf {
     if (ix.maxPid >= 0) ix.maxPid
     else ix.centroids.agg(max("partition_id")).head().getInt(0)
 
+  /** Stored vector codec of a durable layout — what an APPENDER must
+    * match: mixed raw/packed files in one vectors dir fork the parquet
+    * schema, and the reader (which infers from one footer) silently
+    * reads whichever half lost as NULL vectors. */
+  sealed trait StorageCodec
+  object StorageCodec {
+    case object Raw extends StorageCodec
+    case object Fp16 extends StorageCodec
+    final case class Sq8(bounds: graft.functions.SQ8.Bounds)
+      extends StorageCodec
+  }
+
+  /** Detect the stored codec of the vectors dir at `vectorsPath` (the
+    * meta sidecar is its sibling, per [[write]]'s layout contract). Raw
+    * when the dir doesn't exist yet — the first append defines it. */
+  def layoutCodec(spark: SparkSession, vectorsPath: String): StorageCodec = {
+    val p = new org.apache.hadoop.fs.Path(vectorsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) StorageCodec.Raw
+    else {
+      val cols = spark.read.parquet(vectorsPath).schema.fieldNames
+      if (cols.exists(_.endsWith(Fp16Suffix))) StorageCodec.Fp16
+      else if (cols.exists(_.endsWith(Sq8Suffix))) {
+        val m = spark.read
+          .parquet(new org.apache.hadoop.fs.Path(p.getParent, "meta").toString)
+          .head()
+        StorageCodec.Sq8(graft.functions.SQ8.Bounds(
+          m.getAs[Seq[Float]]("sq8_vmin").toArray,
+          m.getAs[Seq[Float]]("sq8_vmax").toArray))
+      } else StorageCodec.Raw
+    }
+  }
+
+  /** Pack `vecCol` to the layout's stored codec so appended files share
+    * the on-disk schema ([[layoutCodec]]); sq8 reuses the layout's
+    * trained bounds, so the append is encoded exactly like the original
+    * write. Raw layouts pass through untouched. */
+  def packForCodec(df: DataFrame, vecCol: String, codec: StorageCodec)
+      : DataFrame = codec match {
+    case StorageCodec.Raw => df
+    case StorageCodec.Fp16 =>
+      df.withColumn(s"$vecCol$Fp16Suffix",
+        graft.functions.FP16.packCol(col(vecCol))).drop(vecCol)
+    case StorageCodec.Sq8(b) =>
+      df.withColumn(s"$vecCol$Sq8Suffix",
+        graft.functions.SQ8.packCol(b, col(vecCol))).drop(vecCol)
+  }
+
   def read(spark: SparkSession, path: String): Index = {
     val raw = spark.read.parquet(s"$path/vectors")
     // ONE head() over the 1-row meta sidecar serves salt, sq8 bounds, and

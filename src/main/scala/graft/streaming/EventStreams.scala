@@ -204,10 +204,19 @@ object EventStreams {
     val session = bloomExpectedIds.map(n =>
       new graft.operators.Ingest.BloomIngestSession(
         stream.sparkSession, indexVectorsPath, idCol, "partition_id", n))
+    // the layout's stored codec, detected ONCE at stream start: an
+    // fp16/sq8 layout (the reference ships IVF+SQfp16,
+    // storage_impl.py:87) must receive PACKED appends — raw float files
+    // in a packed dir fork the parquet schema and whichever half loses
+    // the footer race reads back NULL vectors (silent corruption;
+    // IngestPipelineSpec proves it)
+    val codec = graft.operators.AnnIvf
+      .layoutCodec(stream.sparkSession, indexVectorsPath)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val assigned = graft.operators.AnnIvf
-          .assignPartitions(batch, "embedding", centers)
+        val assigned = graft.operators.AnnIvf.packForCodec(
+          graft.operators.AnnIvf.assignPartitions(batch, "embedding", centers),
+          "embedding", codec)
         session match {
           case Some(s) => s.append(assigned); ()
           case None => graft.operators.Ingest.appendNew(

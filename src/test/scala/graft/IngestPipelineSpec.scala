@@ -94,6 +94,51 @@ class IngestPipelineSpec extends SparkSpec {
     assert(frames.count() === media.count() * 4)
   }
 
+  test("streaming annIngest into a PACKED layout preserves the stored codec") {
+    // the add-after-train flow the reference ships (IVF + SQfp16 storage,
+    // storage_impl.py:87,125-144): durable layout written with a codec,
+    // stream appends arrive later. Appending RAW float files into a
+    // packed dir would fork the parquet schema — the reader infers from
+    // ONE footer, so whichever half loses reads its vector column as
+    // NULL (silent corruption, not an error). The ingest must pack each
+    // micro-batch to the layout's stored codec.
+    for (codec <- Seq("fp16", "sq8")) {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val idx = AnnIvf.build(emb.filter($"vec_id" < 300), "vec_id",
+        "embedding", nlist = 3, seed = 7L)
+      val dir = Files.createTempDirectory(s"pack$codec").toString
+      AnnIvf.write(idx, dir, writeSalt = 2,
+        fp16 = codec == "fp16", sq8 = codec == "sq8")
+      val centers = idx.centroids.orderBy("partition_id")
+        .collect().map(_.getSeq[Float](1).toArray)
+      val late = emb.filter($"vec_id" >= 300 && $"vec_id" < 350)
+        .withColumn("vec_id", $"vec_id" + 1000)
+      val srcDir = Files.createTempDirectory(s"packsrc$codec").toString
+      late.write.mode("overwrite").parquet(srcDir)
+      val q = graft.streaming.EventStreams.annIngest(
+        spark.readStream.schema(late.schema).parquet(srcDir),
+        centers, s"$dir/vectors", "vec_id")
+      q.awaitTermination(120000)
+      // ONE schema on disk: every file carries the packed column
+      val stored = spark.read.parquet(s"$dir/vectors")
+      assert(stored.columns.exists(_.endsWith(s"__$codec")),
+        s"$codec: ${stored.columns.toSeq}")
+      assert(!stored.columns.contains("embedding"),
+        s"$codec: raw files forked the schema: ${stored.columns.toSeq}")
+      val grown = AnnIvf.read(spark, dir)
+      assert(grown.assigned.count() === 350)
+      // every row decodes — pre-fix, whichever half lost the schema race
+      // read back null vectors
+      assert(grown.assigned.filter($"embedding".isNull).count() === 0,
+        s"$codec: null vectors after mixed-schema append")
+      // appended rows keep the batch assigner's routing
+      val want = AnnIvf.assignPartitions(late, "embedding", centers)
+        .select($"vec_id", $"partition_id".as("want_pid"))
+      assert(grown.assigned.filter($"vec_id" >= 1000L).join(want, Seq("vec_id"))
+        .filter($"partition_id" =!= $"want_pid").count() === 0)
+    }
+  }
+
   test("compact collapses micro-batch file storms, preserves rows + pruning layout") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val index = AnnIvf.build(emb.filter($"vec_id" < 200), "vec_id", "embedding",
