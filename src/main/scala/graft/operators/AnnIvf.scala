@@ -481,6 +481,21 @@ object AnnIvf {
     }
   }
 
+  /** The durable layout's write salt (meta sidecar sibling of
+    * `vectorsPath`), 1 when absent — what an APPENDER consults to stamp
+    * `__salt` on appended rows so the dir keeps one schema. */
+  def layoutWriteSalt(spark: SparkSession, vectorsPath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(vectorsPath)
+    try {
+      val m = spark.read
+        .parquet(new org.apache.hadoop.fs.Path(p.getParent, "meta").toString)
+        .head()
+      if (m.schema.fieldNames.contains("write_salt"))
+        m.getAs[Int]("write_salt")
+      else 1
+    } catch { case _: org.apache.spark.sql.AnalysisException => 1 }
+  }
+
   /** Pack `vecCol` to the layout's stored codec so appended files share
     * the on-disk schema ([[layoutCodec]]); sq8 reuses the layout's
     * trained bounds, so the append is encoded exactly like the original

@@ -212,11 +212,23 @@ object EventStreams {
     // IngestPipelineSpec proves it)
     val codec = graft.operators.AnnIvf
       .layoutCodec(stream.sparkSession, indexVectorsPath)
+    // a salted layout (writeSalt > 1) stores a __salt column in every
+    // file; appends must carry it too or the dir schema forks the same
+    // way (the VALUE is already handled — knnJoin coalesces a null salt
+    // to pmod(xxhash64(id), writeSalt) — so the append stamps exactly
+    // that, keeping plans deterministic and rows pre-spread)
+    val layoutSalt = graft.operators.AnnIvf
+      .layoutWriteSalt(stream.sparkSession, indexVectorsPath)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val assigned = graft.operators.AnnIvf.packForCodec(
+        val packed = graft.operators.AnnIvf.packForCodec(
           graft.operators.AnnIvf.assignPartitions(batch, "embedding", centers),
           "embedding", codec)
+        val assigned =
+          if (layoutSalt > 1)
+            packed.withColumn("__salt",
+              pmod(xxhash64(col(idCol)), lit(layoutSalt)).cast("int"))
+          else packed
         session match {
           case Some(s) => s.append(assigned); ()
           case None => graft.operators.Ingest.appendNew(

@@ -125,6 +125,12 @@ class IngestPipelineSpec extends SparkSpec {
         s"$codec: ${stored.columns.toSeq}")
       assert(!stored.columns.contains("embedding"),
         s"$codec: raw files forked the schema: ${stored.columns.toSeq}")
+      // the salted layout keeps one schema too: appends stamp the SAME
+      // __salt knnJoin would coalesce a null to, so no file lacks the
+      // column and no row reads it back null
+      assert(stored.columns.contains("__salt"), stored.columns.toSeq)
+      assert(stored.filter($"__salt".isNull).count() === 0,
+        s"$codec: appended rows without a stored salt")
       val grown = AnnIvf.read(spark, dir)
       assert(grown.assigned.count() === 350)
       // every row decodes — pre-fix, whichever half lost the schema race
