@@ -112,6 +112,26 @@ object SQ8 {
   def packCol(b: Bounds, v: Column): Column = packUdf(b)(v)
   def unpackCol(b: Bounds, v: Column): Column = unpackUdf(b)(v)
 
+  /** How many elements of `v` fall STRICTLY outside the trained per-dim
+    * bounds — the elements [[packCol]] silently clamps to code 0/255.
+    * This is the drift signal for the add-after-train regime: a stream
+    * whose distribution moves past the bounds it was trained on degrades
+    * its appended vectors with no error, so operators aggregate this
+    * fraction per micro-batch (`annIngest`'s `onSq8OutOfBounds`) and
+    * re-train when it climbs. Pure built-in HOFs (zip_with + aggregate)
+    * over literal bound arrays — codegen-friendly, no UDF. */
+  def oobCountCol(b: Bounds, v: Column): Column = {
+    val vmin = array(b.vmin.map(x => lit(x)): _*)
+    val vmax = array(b.vmax.map(x => lit(x)): _*)
+    val below = aggregate(
+      zip_with(v, vmin, (x, mn) => when(x < mn, 1).otherwise(0)),
+      lit(0), (acc, e) => acc + e)
+    val above = aggregate(
+      zip_with(v, vmax, (x, mx) => when(x > mx, 1).otherwise(0)),
+      lit(0), (acc, e) => acc + e)
+    below + above
+  }
+
   /** Inner product DIRECTLY on the byte codes — the ADC move for a linear
     * quantizer: q·decode(c) = Σ qᵢ(vminᵢ + (cᵢ+0.5)/256·spanᵢ) folds into
     * `base(q) + Σ wᵢ(q)·cᵢ` with `base` and the per-dimension weight LUT

@@ -333,8 +333,10 @@ object AnnIvf {
 
   /** `sq8BoundsOpt` lets a maintenance rewrite reuse the layout's
     * ORIGINAL trained bounds instead of re-training on decoded values —
-    * decode→re-encode is then bit-stable (v = vmin + code·step recovers
-    * `code` exactly), so repeated rebalances never drift the codec. */
+    * decode→re-encode is then bit-stable (decode is the MIDPOINT
+    * v = vmin + (code+0.5)·step, and re-encoding floors (v−vmin)/step =
+    * code+0.5 back to `code` exactly), so repeated rebalances never
+    * drift the codec. */
   def write(index: Index, path: String, writeSalt: Int = 4,
       fp16: Boolean = false, vecCol: String = "embedding",
       sq8: Boolean = false,
@@ -385,15 +387,21 @@ object AnnIvf {
     val maxPidOut =
       if (index.maxPid >= 0) index.maxPid
       else index.centroids.agg(max("partition_id")).head().getInt(0)
+    // the codec NAME rides in the sidecar so a live appender's per-batch
+    // drift check ([[assertLayoutUnchanged]]) is one 1-row meta read, not
+    // a footer-inference pass over the (arbitrarily large) vectors dir
+    val codecName = if (fp16) "fp16" else if (sq8) "sq8" else "raw"
     sq8Bounds match {
       case Some(b) =>
-        Seq((writeSalt, nlistOut, maxPidOut, b.vmin.toSeq, b.vmax.toSeq))
-          .toDF("write_salt", "nlist", "max_pid", "sq8_vmin", "sq8_vmax")
+        Seq((writeSalt, nlistOut, maxPidOut, codecName,
+            b.vmin.toSeq, b.vmax.toSeq))
+          .toDF("write_salt", "nlist", "max_pid", "codec",
+            "sq8_vmin", "sq8_vmax")
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$path/meta")
       case None =>
-        Seq((writeSalt, nlistOut, maxPidOut))
-          .toDF("write_salt", "nlist", "max_pid").coalesce(1)
+        Seq((writeSalt, nlistOut, maxPidOut, codecName))
+          .toDF("write_salt", "nlist", "max_pid", "codec").coalesce(1)
           .write.mode("overwrite").parquet(s"$path/meta")
     }
   }
@@ -462,22 +470,129 @@ object AnnIvf {
 
   /** Detect the stored codec of the vectors dir at `vectorsPath` (the
     * meta sidecar is its sibling, per [[write]]'s layout contract). Raw
-    * when the dir doesn't exist yet — the first append defines it. */
+    * when the dir doesn't exist yet OR exists but holds no readable data
+    * files — the first append defines it either way. An sq8-suffixed dir
+    * whose meta sidecar is missing raises a descriptive error (the
+    * trained bounds are unrecoverable without it). */
   def layoutCodec(spark: SparkSession, vectorsPath: String): StorageCodec = {
     val p = new org.apache.hadoop.fs.Path(vectorsPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) StorageCodec.Raw
     else {
-      val cols = spark.read.parquet(vectorsPath).schema.fieldNames
+      val cols =
+        try spark.read.parquet(vectorsPath).schema.fieldNames
+        catch {
+          // dir exists but schema inference found nothing to read — an
+          // empty pre-created dir is "not written yet", same as absent
+          case _: org.apache.spark.sql.AnalysisException =>
+            Array.empty[String]
+        }
       if (cols.exists(_.endsWith(Fp16Suffix))) StorageCodec.Fp16
       else if (cols.exists(_.endsWith(Sq8Suffix))) {
-        val m = spark.read
-          .parquet(new org.apache.hadoop.fs.Path(p.getParent, "meta").toString)
-          .head()
+        val metaPath =
+          new org.apache.hadoop.fs.Path(p.getParent, "meta").toString
+        val m =
+          try spark.read.parquet(metaPath).head()
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => sys.error(
+              s"sq8-packed layout at $vectorsPath has no meta sidecar " +
+                s"($metaPath) — the trained per-dim bounds live there and " +
+                "appends cannot be encoded without them")
+          }
         StorageCodec.Sq8(graft.functions.SQ8.Bounds(
           m.getAs[Seq[Float]]("sq8_vmin").toArray,
           m.getAs[Seq[Float]]("sq8_vmax").toArray))
       } else StorageCodec.Raw
+    }
+  }
+
+  /** Point-in-time append contract of a durable layout: stored codec,
+    * write salt, and whether the meta sidecar existed. A live appender
+    * ([[graft.streaming.EventStreams.annIngest]]) captures one at stream
+    * start and re-asserts it per micro-batch with
+    * [[assertLayoutUnchanged]] — an out-of-band re-[[write]] with a
+    * different codec or salt would otherwise re-open the mixed-schema
+    * NULL-vector corruption the packed-append path closed. */
+  final case class LayoutSnapshot(
+      codec: StorageCodec, writeSalt: Int, hasMeta: Boolean)
+
+  private def codecTag(c: StorageCodec): String = c match {
+    case StorageCodec.Raw => "raw"
+    case StorageCodec.Fp16 => "fp16"
+    case StorageCodec.Sq8(_) => "sq8"
+  }
+
+  def layoutSnapshot(spark: SparkSession, vectorsPath: String)
+      : LayoutSnapshot = {
+    val p = new org.apache.hadoop.fs.Path(vectorsPath)
+    val metaPath = new org.apache.hadoop.fs.Path(p.getParent, "meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    LayoutSnapshot(
+      layoutCodec(spark, vectorsPath),
+      layoutWriteSalt(spark, vectorsPath),
+      fs.exists(metaPath))
+  }
+
+  /** Raise iff the layout's append contract drifted from `snap`. Cost per
+    * call: one filesystem `exists` plus (when a sidecar exists) one 1-row
+    * meta read — never a footer pass over the vectors dir, except for
+    * LEGACY sidecars written before the codec name was persisted, which
+    * fall back to schema inference. A missing sidecar that the snapshot
+    * HAD is retried briefly before raising: [[rebalance]]'s publish swap
+    * leaves a sub-second window where the layout dir is mid-rename, and
+    * a rebalance preserves codec+salt by construction, so waiting it out
+    * is correct. */
+  def assertLayoutUnchanged(spark: SparkSession, vectorsPath: String,
+      snap: LayoutSnapshot): Unit = {
+    val p = new org.apache.hadoop.fs.Path(vectorsPath)
+    val metaPath = new org.apache.hadoop.fs.Path(p.getParent, "meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def metaNow(): Option[org.apache.spark.sql.Row] =
+      if (!fs.exists(metaPath)) None
+      else
+        try Some(spark.read.parquet(metaPath.toString).head())
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    var m = metaNow()
+    if (snap.hasMeta && m.isEmpty) {
+      // possibly rebalance's retire→publish rename window — wait it out
+      var tries = 0
+      while (m.isEmpty && tries < 20) { Thread.sleep(100); m = metaNow(); tries += 1 }
+    }
+    def fail(what: String): Nothing = sys.error(
+      s"layout at $vectorsPath drifted mid-stream ($what) — an " +
+        "out-of-band rewrite changed the append contract; appending " +
+        "would fork the on-disk schema into silent NULL vectors. " +
+        "Restart the ingest stream against the new layout.")
+    (snap.hasMeta, m) match {
+      case (false, None) => () // still unwritten/raw-append layout
+      case (false, Some(_)) =>
+        fail("a meta sidecar appeared after stream start")
+      case (true, None) =>
+        fail("the meta sidecar disappeared")
+      case (true, Some(row)) =>
+        val names = row.schema.fieldNames
+        val saltNow =
+          if (names.contains("write_salt")) row.getAs[Int]("write_salt")
+          else 1
+        if (saltNow != snap.writeSalt)
+          fail(s"write_salt ${snap.writeSalt} -> $saltNow")
+        val codecNow: StorageCodec =
+          if (names.contains("codec")) row.getAs[String]("codec") match {
+            case "fp16" => StorageCodec.Fp16
+            case "sq8" => StorageCodec.Sq8(graft.functions.SQ8.Bounds(
+              row.getAs[Seq[Float]]("sq8_vmin").toArray,
+              row.getAs[Seq[Float]]("sq8_vmax").toArray))
+            case _ => StorageCodec.Raw
+          } else layoutCodec(spark, vectorsPath) // legacy sidecar
+        if (codecTag(codecNow) != codecTag(snap.codec))
+          fail(s"codec ${codecTag(snap.codec)} -> ${codecTag(codecNow)}")
+        (codecNow, snap.codec) match {
+          case (StorageCodec.Sq8(a), StorageCodec.Sq8(b))
+              if !(java.util.Arrays.equals(a.vmin, b.vmin) &&
+                java.util.Arrays.equals(a.vmax, b.vmax)) =>
+            fail("sq8 trained bounds changed")
+          case _ => ()
+        }
     }
   }
 
@@ -499,7 +614,15 @@ object AnnIvf {
   /** Pack `vecCol` to the layout's stored codec so appended files share
     * the on-disk schema ([[layoutCodec]]); sq8 reuses the layout's
     * trained bounds, so the append is encoded exactly like the original
-    * write. Raw layouts pass through untouched. */
+    * write. Raw layouts pass through untouched.
+    *
+    * sq8 CLAMP CAVEAT: values outside the layout's originally trained
+    * per-dim bounds saturate to code 0/255 (the FAISS contract) — an
+    * append stream whose distribution drifts past the trained bounds
+    * silently degrades its appended vectors. The drift is observable:
+    * [[graft.functions.SQ8.oobCountCol]] counts out-of-bounds elements,
+    * and `annIngest`'s `onSq8OutOfBounds` callback reports the fraction
+    * per micro-batch so an operator can alert and re-train. */
   def packForCodec(df: DataFrame, vecCol: String, codec: StorageCodec)
       : DataFrame = codec match {
     case StorageCodec.Raw => df
@@ -649,11 +772,19 @@ object AnnIvf {
     // and on the no-op early returns below, which are exits from this
     // entry point too
     val baseNlist = exactNlist(index, "splitHotCells: input index", cap)
+    // no-op early returns below still carry forward any scalar just paid
+    // for (nlist here, maxPid further down) — `copy` keeps the DataFrame
+    // references, so callers detecting a no-op by `assigned eq` still can
+    def carry(maxPidOpt: Option[Int]): Index =
+      if (index.nlist == baseNlist &&
+          maxPidOpt.forall(_ == index.maxPid)) index
+      else index.copy(nlist = baseNlist,
+        maxPid = maxPidOpt.getOrElse(index.maxPid))
     val hotIds = index.assigned.groupBy("partition_id")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxCellRows)
       .select(col("partition_id").cast("int")).as[Int].collect().sorted
-    if (hotIds.isEmpty) return index
+    if (hotIds.isEmpty) return carry(None)
     // seeded hash order, NOT id order: the add-after-train regime this
     // operator targets is exactly the one where ids correlate with
     // content (a drifting stream appends newest-last), so "first
@@ -696,7 +827,7 @@ object AnnIvf {
           else Some((pid, cs(0), cs(1), maxId + 1 + idx))
         }
       }
-    if (splits.isEmpty) return index
+    if (splits.isEmpty) return carry(Some(maxId))
     val bc = spark.sparkContext.broadcast(
       splits.map(s => s._1 -> ((s._2, s._3, s._4))).toMap)
     val reassign = udf { (pid: Int, v: Seq[Float]) =>
@@ -833,7 +964,9 @@ object AnnIvf {
     val hotBefore = hotCount(index)
     val rebalanced = splitHotCells(index, idCol, vecCol, maxCellRows,
       seed, sampleSize, cap)
-    if (rebalanced eq index)
+    // a no-op split may still return a metadata-enriched copy (carried
+    // nlist/maxPid) — the DATA no-op is "assigned untouched"
+    if (rebalanced.assigned eq index.assigned)
       return RebalanceStats(cellsBefore, cellsBefore, hotBefore, hotBefore, 0L)
     val staging = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}__rebalancing")

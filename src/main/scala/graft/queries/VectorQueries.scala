@@ -696,6 +696,31 @@ object VectorQueries {
         .orderBy("dim")
     },
 
+    // sq8 drift audit — the add-after-train observability behind
+    // annIngest's onSq8OutOfBounds: train per-dim bounds (SQ8.train, the
+    // real codec-training pass) on the even-id half, then count how many
+    // elements of the odd-id half fall STRICTLY outside them — exactly
+    // the elements SQ8.packCol silently clamps to code 0/255 when a
+    // drifted stream appends into a trained layout. Counting is
+    // SQ8.oobCountCol (built-in zip_with + aggregate HOFs over literal
+    // bound arrays, no UDF); the fraction floor-quantizes to 6 dp
+    // (exact-long division is engine-identical, floor keeps it so).
+    "ann_sq8_drift" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val b = graft.functions.SQ8.train(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding")
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .select(
+          graft.functions.SQ8.oobCountCol(b, col("embedding")).as("__oob"),
+          size(col("embedding")).as("__n"))
+        .agg(count(lit(1)).as("apply_rows"),
+          sum(col("__oob").cast("long")).as("oob_elems"),
+          sum(col("__n").cast("long")).as("total_elems"))
+        .select(col("apply_rows"), col("oob_elems"), col("total_elems"),
+          (floor(col("oob_elems") / col("total_elems") * 1e6) / 1e6)
+            .as("oob_frac"))
+    },
+
     // Contrastive mining, hard regime: the 5 most-similar WRONG-label
     // candidates per anchor — informative near-misses for embedding
     // finetunes. Label anti-filter under the broadcast-scan group-limit.
@@ -1551,6 +1576,32 @@ object VectorQueries {
            FLOOR(MIN(v) * 1e6) / 1e6 AS min_v,
            FLOOR(MAX(v) * 1e6) / 1e6 AS max_v
          FROM e GROUP BY dim ORDER BY dim""",
+
+    "ann_sq8_drift" ->
+      """WITH b AS (
+           SELECT g.i AS i,
+             MIN(embedding[g.i]) AS vmin, MAX(embedding[g.i]) AS vmax
+           FROM embeddings JOIN generate_series(1, 64) g(i)
+             ON g.i <= LEN(embedding)
+           WHERE vec_id % 2 = 0
+           GROUP BY 1),
+         a AS (
+           SELECT g.i AS i, embedding[g.i] AS v
+           FROM embeddings JOIN generate_series(1, 64) g(i)
+             ON g.i <= LEN(embedding)
+           WHERE vec_id % 2 = 1),
+         n AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS apply_rows
+           FROM embeddings WHERE vec_id % 2 = 1)
+         SELECT n.apply_rows,
+           CAST(SUM(CASE WHEN a.v < b.vmin OR a.v > b.vmax
+             THEN 1 ELSE 0 END) AS BIGINT) AS oob_elems,
+           CAST(COUNT(*) AS BIGINT) AS total_elems,
+           FLOOR(CAST(SUM(CASE WHEN a.v < b.vmin OR a.v > b.vmax
+               THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6 AS oob_frac
+         FROM a JOIN b USING (i) CROSS JOIN n
+         GROUP BY n.apply_rows""",
 
     "knn_hard_negatives" ->
       s"""SELECT query_id, vec_id, label, score, CAST(rn AS INTEGER) AS rnk

@@ -197,37 +197,64 @@ object EventStreams {
       centers: Array[Array[Float]],
       indexVectorsPath: String,
       idCol: String,
-      bloomExpectedIds: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      bloomExpectedIds: Option[Long] = None,
+      onSq8OutOfBounds: Option[(Long, Double) => Unit] = None,
+      onBatch: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     // with an expected-id budget, skip-existing runs through ONE amortized
     // membership sketch for the whole stream (the durable layout's id
     // column is scanned once, not once per micro-batch)
     val session = bloomExpectedIds.map(n =>
       new graft.operators.Ingest.BloomIngestSession(
         stream.sparkSession, indexVectorsPath, idCol, "partition_id", n))
-    // the layout's stored codec, detected ONCE at stream start: an
-    // fp16/sq8 layout (the reference ships IVF+SQfp16,
-    // storage_impl.py:87) must receive PACKED appends — raw float files
-    // in a packed dir fork the parquet schema and whichever half loses
-    // the footer race reads back NULL vectors (silent corruption;
-    // IngestPipelineSpec proves it)
-    val codec = graft.operators.AnnIvf
-      .layoutCodec(stream.sparkSession, indexVectorsPath)
-    // a salted layout (writeSalt > 1) stores a __salt column in every
-    // file; appends must carry it too or the dir schema forks the same
-    // way (the VALUE is already handled — knnJoin coalesces a null salt
-    // to pmod(xxhash64(id), writeSalt) — so the append stamps exactly
-    // that, keeping plans deterministic and rows pre-spread)
-    val layoutSalt = graft.operators.AnnIvf
-      .layoutWriteSalt(stream.sparkSession, indexVectorsPath)
+    // the layout's append contract — stored codec + write salt — is
+    // snapshotted ONCE at stream start: an fp16/sq8 layout (the reference
+    // ships IVF+SQfp16, storage_impl.py:87) must receive PACKED appends,
+    // and a salted layout stores a __salt column in EVERY file [[write]]
+    // produces, so appends must carry both or the dir schema forks and
+    // whichever half loses the footer race reads back NULL vectors
+    // (silent corruption; IngestPipelineSpec proves it). The snapshot is
+    // then RE-ASSERTED per micro-batch (one 1-row meta read) so an
+    // out-of-band re-write with a different codec/salt kills the stream
+    // loudly instead of silently re-opening that corruption class —
+    // `rebalance` preserves codec+salt bit-stably, so legitimate
+    // concurrent maintenance never trips it.
+    val snap = graft.operators.AnnIvf
+      .layoutSnapshot(stream.sparkSession, indexVectorsPath)
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val packed = graft.operators.AnnIvf.packForCodec(
-          graft.operators.AnnIvf.assignPartitions(batch, "embedding", centers),
-          "embedding", codec)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(batchId) // test seam: the window an out-of-band rewrite races into
+        graft.operators.AnnIvf.assertLayoutUnchanged(
+          batch.sparkSession, indexVectorsPath, snap)
+        val routed = graft.operators.AnnIvf
+          .assignPartitions(batch, "embedding", centers)
+        // sq8 drift observability: packForCodec CLAMPS elements outside
+        // the layout's trained bounds (code saturates at 0/255) — report
+        // the out-of-bounds element fraction per micro-batch when asked,
+        // so distribution drift past the trained bounds is visible
+        // before it degrades recall (one small agg over the batch)
+        (snap.codec, onSq8OutOfBounds) match {
+          case (graft.operators.AnnIvf.StorageCodec.Sq8(b), Some(report)) =>
+            val row = routed.agg(
+              sum(graft.functions.SQ8.oobCountCol(b, col("embedding")))
+                .as("oob"),
+              sum(size(col("embedding"))).as("n")).head()
+            val n = if (row.isNullAt(1)) 0L else row.getLong(1)
+            report(batchId,
+              if (n == 0L) 0.0 else row.getLong(0).toDouble / n)
+          case _ => ()
+        }
+        val packed = graft.operators.AnnIvf
+          .packForCodec(routed, "embedding", snap.codec)
+        // stamp keyed on sidecar presence, NOT salt > 1: write() stores a
+        // __salt column even at writeSalt = 1 (value 0), so any layout
+        // with a sidecar needs the column on appends too; the stamped
+        // VALUE is exactly what knnJoin's null-coalesce would derive
+        // (pmod(xxhash64(id), salt)), keeping plans deterministic
         val assigned =
-          if (layoutSalt > 1)
+          if (snap.hasMeta)
             packed.withColumn("__salt",
-              pmod(xxhash64(col(idCol)), lit(layoutSalt)).cast("int"))
+              pmod(xxhash64(col(idCol)), lit(snap.writeSalt)).cast("int"))
           else packed
         session match {
           case Some(s) => s.append(assigned); ()

@@ -81,10 +81,21 @@ class AnnMaintainSpec extends SparkSpec {
     assert(searchSet(split, full, nprobe = 4) === searchSet(idx, full, nprobe = 3))
   }
 
-  test("no cell above the cap returns the index unchanged") {
+  test("no cell above the cap returns the index unchanged (data-wise), metadata carried") {
     val (idx, _) = drifted
-    assert(AnnIvf.splitHotCells(idx, "vec_id", "embedding",
-      maxCellRows = 100000) eq idx)
+    // `drifted` is constructed WITHOUT metadata (nlist = -1), so the no-op
+    // early return pays one bounded count — and must hand the paid scalar
+    // forward instead of discarding it (ADVICE r13): assigned/centroids
+    // are the very same DataFrames, nlist is now known
+    val out = AnnIvf.splitHotCells(idx, "vec_id", "embedding",
+      maxCellRows = 100000)
+    assert(out.assigned eq idx.assigned)
+    assert(out.centroids eq idx.centroids)
+    assert(out.nlist === 3L)
+    // an index that ALREADY carries metadata comes back reference-identical
+    val (ia, _, _) = halves
+    assert(AnnIvf.splitHotCells(ia, "vec_id", "embedding",
+      maxCellRows = 100000) eq ia)
   }
 
   test("split of a durable fp16+salted index round-trips through write/read") {
@@ -139,9 +150,14 @@ class AnnMaintainSpec extends SparkSpec {
     val idx = mkIndex(Seq(0 -> same, 1 -> cold),
       Seq(0 -> Seq(0.0, 1.0, 0.0, 0.0), 1 -> Seq(0.0, 0.0, 1.0, 0.0)))
     val once = AnnIvf.splitHotCells(idx, "vec_id", "embedding", maxCellRows = 200)
-    assert(once eq idx, "degenerate cell must be left whole")
+    // left whole data-wise; the no-op return carries the paid scalars
+    // (nlist/maxPid) instead of discarding them (ADVICE r13)
+    assert(once.assigned eq idx.assigned, "degenerate cell must be left whole")
+    assert(once.centroids eq idx.centroids)
+    assert(once.nlist === 2L && once.maxPid === 1)
     // an iterated maintenance loop converges instead of appending
-    // duplicate centroids forever
+    // duplicate centroids forever — and with metadata now carried, the
+    // second pass is reference-identical (no more scalars to learn)
     val twice = AnnIvf.splitHotCells(once, "vec_id", "embedding", maxCellRows = 200)
     assert(twice eq once)
     assert(twice.centroids.count() === 2)
@@ -430,5 +446,76 @@ class AnnMaintainSpec extends SparkSpec {
     val m = AnnIvf.merge(rt, rt)
     assert(m.nlist === 6L)
     assert(m.centroids.select("partition_id").distinct().count() === 6L)
+  }
+
+  test("degenerate-split no-op carries nlist AND maxPid forward") {
+    // a hot cell of value-identical vectors cannot split (the r12 guard),
+    // so splitHotCells takes the splits-empty early return — which by
+    // then has paid BOTH scalars (bounded count + centroid max) and must
+    // carry both (ADVICE r13)
+    val flat = toVecDf((0L until 300L).map(i =>
+      (i, Seq(1f, 0f, 0f, 0f))))
+    val idx0 = AnnIvf.build(flat, "vec_id", "embedding", nlist = 1,
+      seed = 5L, trainSize = 50)
+    val bare = AnnIvf.Index(idx0.assigned, idx0.centroids) // strip metadata
+    val out = AnnIvf.splitHotCells(bare, "vec_id", "embedding",
+      maxCellRows = 100)
+    assert(out.assigned eq bare.assigned)
+    assert(out.nlist === 1L)
+    assert(out.maxPid === 0)
+  }
+
+  // ---- metadata-carried cap checks cost no Spark job (mechanical proof)
+
+  test("merge over metadata-carrying indexes schedules ZERO Spark jobs") {
+    // the r13 claim made un-regressable: with nlist/maxPid carried,
+    // merge's cap re-check and renumbering are pure arithmetic. Counted
+    // with a job-group-tagged listener; a sentinel job flushes the FIFO
+    // listener bus so "zero observed" is deterministic, not a race.
+    val tagged = new java.util.concurrent.atomic.AtomicInteger
+    val total = new java.util.concurrent.atomic.AtomicInteger
+    val tag = s"graft-jobcount-${System.nanoTime()}"
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        total.incrementAndGet()
+        if (js.properties != null &&
+            tag == js.properties.getProperty("spark.jobGroup.id"))
+          tagged.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def flush(): Unit = {
+      val base = total.get()
+      spark.range(2).count() // untagged sentinel
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (total.get() == base && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      assert(total.get() > base, "listener never observed the sentinel job")
+    }
+    try {
+      val (ia, ib, _) = halves
+      assert(ia.nlist >= 0 && ia.maxPid >= 0) // carried from build
+      flush() // drain anything in flight before measuring
+      spark.sparkContext.setJobGroup(tag, tag)
+      val m =
+        try AnnIvf.merge(ia, ib)
+        finally spark.sparkContext.clearJobGroup()
+      flush() // FIFO bus: sentinel observed ⇒ everything before it observed
+      assert(tagged.get() === 0,
+        s"metadata merge scheduled ${tagged.get()} Spark job(s)")
+      assert(m.nlist === ia.nlist + ib.nlist)
+      // legacy control: stripped metadata must pay the bounded counts —
+      // the detector sees jobs when jobs happen
+      val la = AnnIvf.Index(ia.assigned, ia.centroids, ia.writeSalt)
+      val lb = AnnIvf.Index(ib.assigned, ib.centroids, ib.writeSalt)
+      spark.sparkContext.setJobGroup(tag, tag)
+      try AnnIvf.merge(la, lb)
+      finally spark.sparkContext.clearJobGroup()
+      flush()
+      assert(tagged.get() > 0,
+        "legacy merge should have paid bounded counts (negative control)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

@@ -145,6 +145,161 @@ class IngestPipelineSpec extends SparkSpec {
     }
   }
 
+  test("annIngest raises on mid-stream layout drift instead of corrupting") {
+    // r13 closed the schema-fork NULL-vector bug for the codec the stream
+    // SAW AT START; this pins the guard that keeps it closed when the
+    // layout changes underneath a LIVE stream: an out-of-band re-write
+    // with a different salt (or codec) must kill the stream loudly at the
+    // next micro-batch, not append mis-shaped files.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val idx = AnnIvf.build(emb.filter($"vec_id" < 300), "vec_id",
+      "embedding", nlist = 3, seed = 7L)
+    val dir = Files.createTempDirectory("drift").toString
+    AnnIvf.write(idx, dir, writeSalt = 2, fp16 = true)
+    val centers = idx.centroids.orderBy("partition_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val late = emb.filter($"vec_id" >= 300 && $"vec_id" < 340)
+      .withColumn("vec_id", $"vec_id" + 1000)
+    val srcDir = Files.createTempDirectory("driftsrc").toString
+    late.repartition(2).write.mode("overwrite").parquet(srcDir)
+    val q = graft.streaming.EventStreams.annIngest(
+      spark.readStream.schema(late.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      centers, s"$dir/vectors", "vec_id",
+      onBatch = bid =>
+        // batch 0 appends normally; before batch 1 an operator re-writes
+        // the layout with a DIFFERENT salt — the drift the guard exists for
+        if (bid == 1L) AnnIvf.write(idx, dir, writeSalt = 4, fp16 = true))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("drifted mid-stream")),
+      messages(err).mkString(" | "))
+    // the rewritten layout is intact — every row decodes, nothing forked
+    val after = AnnIvf.read(spark, dir)
+    assert(after.assigned.filter($"embedding".isNull).count() === 0)
+  }
+
+  test("assertLayoutUnchanged catches codec, bounds, and sidecar drift") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val idx = AnnIvf.build(emb.filter($"vec_id" < 200), "vec_id",
+      "embedding", nlist = 2, seed = 7L)
+    // codec drift: fp16 at snapshot → sq8 after
+    val d1 = Files.createTempDirectory("drift-codec").toString
+    AnnIvf.write(idx, d1, writeSalt = 2, fp16 = true)
+    val s1 = AnnIvf.layoutSnapshot(spark, s"$d1/vectors")
+    AnnIvf.assertLayoutUnchanged(spark, s"$d1/vectors", s1) // happy path
+    AnnIvf.write(idx, d1, writeSalt = 2, sq8 = true)
+    val e1 = intercept[RuntimeException] {
+      AnnIvf.assertLayoutUnchanged(spark, s"$d1/vectors", s1)
+    }
+    assert(e1.getMessage.contains("codec fp16 -> sq8"), e1.getMessage)
+    // sq8 retrained-bounds drift: same codec name, different bounds
+    val d2 = Files.createTempDirectory("drift-bounds").toString
+    AnnIvf.write(idx, d2, writeSalt = 2, sq8 = true)
+    val s2 = AnnIvf.layoutSnapshot(spark, s"$d2/vectors")
+    AnnIvf.assertLayoutUnchanged(spark, s"$d2/vectors", s2)
+    val scaled = AnnIvf.Index(
+      idx.assigned.withColumn("embedding",
+        transform($"embedding", x => x * lit(2.0f))),
+      idx.centroids, idx.writeSalt, idx.nlist, idx.maxPid)
+    AnnIvf.write(scaled, d2, writeSalt = 2, sq8 = true)
+    val e2 = intercept[RuntimeException] {
+      AnnIvf.assertLayoutUnchanged(spark, s"$d2/vectors", s2)
+    }
+    assert(e2.getMessage.contains("sq8 trained bounds changed"), e2.getMessage)
+    // a sidecar APPEARING after a raw-dir snapshot is drift too (an
+    // out-of-band write() landed where only raw appends were expected)
+    val d3 = Files.createTempDirectory("drift-meta").toString
+    val s3 = AnnIvf.layoutSnapshot(spark, s"$d3/vectors")
+    assert(!s3.hasMeta)
+    AnnIvf.assertLayoutUnchanged(spark, s"$d3/vectors", s3)
+    AnnIvf.write(idx, d3, writeSalt = 2)
+    val e3 = intercept[RuntimeException] {
+      AnnIvf.assertLayoutUnchanged(spark, s"$d3/vectors", s3)
+    }
+    assert(e3.getMessage.contains("meta sidecar appeared"), e3.getMessage)
+    // rebalance is NOT drift: codec and salt are preserved bit-stably
+    val d4 = Files.createTempDirectory("drift-rebal").toString
+    AnnIvf.write(idx, d4, writeSalt = 2, sq8 = true)
+    val s4 = AnnIvf.layoutSnapshot(spark, s"$d4/vectors")
+    AnnIvf.rebalance(spark, d4, "vec_id", "embedding", maxCellRows = 60L)
+    AnnIvf.assertLayoutUnchanged(spark, s"$d4/vectors", s4)
+  }
+
+  test("annIngest stamps __salt even into a writeSalt=1 layout") {
+    // write() stores a __salt column at EVERY salt (pmod(x,1)=0), so an
+    // append lacking the column forks the parquet schema exactly like the
+    // raw-into-packed bug — the stamp is keyed on sidecar presence, not
+    // salt > 1 (ADVICE r13)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val idx = AnnIvf.build(emb.filter($"vec_id" < 300), "vec_id",
+      "embedding", nlist = 3, seed = 7L)
+    val dir = Files.createTempDirectory("salt1").toString
+    AnnIvf.write(idx, dir, writeSalt = 1)
+    val centers = idx.centroids.orderBy("partition_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val late = emb.filter($"vec_id" >= 300 && $"vec_id" < 350)
+      .withColumn("vec_id", $"vec_id" + 1000)
+    val srcDir = Files.createTempDirectory("salt1src").toString
+    late.write.mode("overwrite").parquet(srcDir)
+    graft.streaming.EventStreams.annIngest(
+      spark.readStream.schema(late.schema).parquet(srcDir),
+      centers, s"$dir/vectors", "vec_id").awaitTermination(120000)
+    val stored = spark.read.parquet(s"$dir/vectors")
+    assert(stored.count() === 350)
+    assert(stored.columns.contains("__salt"))
+    assert(stored.filter($"__salt".isNull).count() === 0,
+      "appended rows missing the stored salt column")
+    assert(stored.filter($"__salt" =!= 0).count() === 0,
+      "pmod(x, 1) must stamp 0 everywhere")
+  }
+
+  test("annIngest reports the sq8 out-of-bounds fraction per micro-batch") {
+    // the clamp signal: sq8 appends outside the trained bounds saturate
+    // silently at code 0/255 — the opt-in per-batch metric makes that
+    // drift observable (ADVICE r13)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val idx = AnnIvf.build(emb.filter($"vec_id" < 300), "vec_id",
+      "embedding", nlist = 3, seed = 7L)
+    val dir = Files.createTempDirectory("oob").toString
+    AnnIvf.write(idx, dir, writeSalt = 2, sq8 = true)
+    val centers = idx.centroids.orderBy("partition_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    // batch of DRIFTED vectors: ×100 pushes all but the near-zero
+    // elements outside the trained per-dim bounds
+    val late = emb.filter($"vec_id" >= 300 && $"vec_id" < 350)
+      .withColumn("vec_id", $"vec_id" + 1000)
+      .withColumn("embedding", transform($"embedding", x => x * lit(100.0f)))
+    val srcDir = Files.createTempDirectory("oobsrc").toString
+    late.write.mode("overwrite").parquet(srcDir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    graft.streaming.EventStreams.annIngest(
+      spark.readStream.schema(late.schema).parquet(srcDir),
+      centers, s"$dir/vectors", "vec_id",
+      onSq8OutOfBounds = Some((bid, frac) => seen.synchronized {
+        seen += ((bid, frac)); ()
+      })).awaitTermination(120000)
+    assert(seen.nonEmpty, "metric callback never fired")
+    assert(seen.forall { case (_, f) => f > 0.5 && f <= 1.0 }, seen.toSeq)
+    // and an IN-BOUNDS append reports EXACTLY 0: vectors the bounds were
+    // trained on (fresh ids) cannot fall strictly outside them
+    val inb = emb.filter($"vec_id" >= 100 && $"vec_id" < 110)
+      .withColumn("vec_id", $"vec_id" + 5000)
+    val srcDir2 = Files.createTempDirectory("oobsrc2").toString
+    inb.write.mode("overwrite").parquet(srcDir2)
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    graft.streaming.EventStreams.annIngest(
+      spark.readStream.schema(inb.schema).parquet(srcDir2),
+      centers, s"$dir/vectors", "vec_id",
+      onSq8OutOfBounds = Some((_, frac) => seen2.synchronized {
+        seen2 += frac; ()
+      })).awaitTermination(120000)
+    assert(seen2.nonEmpty && seen2.forall(_ === 0.0), seen2.toSeq)
+  }
+
   test("compact collapses micro-batch file storms, preserves rows + pruning layout") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val index = AnnIvf.build(emb.filter($"vec_id" < 200), "vec_id", "embedding",
