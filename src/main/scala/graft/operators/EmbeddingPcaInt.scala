@@ -93,7 +93,11 @@ object EmbeddingPcaInt {
   /** Hard dim ceiling: the driver holds the d² BigInt scatter and runs
     * the d²-per-round power chain, so past ~8k dims the model-sized work
     * stops being model-sized (8192² BigInts ≈ several GB). Raising this
-    * needs a driver-side blocked scatter too, not just the moment pass. */
+    * needs a driver-side blocked scatter too, not just the moment pass.
+    * This is a PERMANENT contract, not a TODO (posture recorded in
+    * COVERAGE.md, r14): no published embedding model exceeds ~4096 dims,
+    * so the driver-blocked scatter would be complexity for a dim nobody
+    * ships. */
   val MaxDim = 8192
 
   /** Ragged upper triangle: row i holds S(i, i), …, S(i, d−1). */
@@ -120,9 +124,14 @@ object EmbeddingPcaInt {
     *    then emits its partial triangle as per-block records that merge
     *    via `reduceByKey` ACROSS executors (no single d²-long object is
     *    ever serialized, merge parallelism = block count) and collect as
-    *    B modest records — one extra shuffle of ≤ d²/2 longs total.
+    *    B modest records — one extra shuffle of ≤ d²/2 longs PER INPUT
+    *    PARTITION (each partition ships its whole partial; 67 MB × P at
+    *    4096-d — trivial next to the corpus scan it replaces, and the
+    *    reduce side only ever holds two copies of one block).
     *    Per-TASK working memory is still the d²/2-long partial triangle
-    *    (67 MB at 4096-d — executor-sized, not driver-sized); a
+    *    (67 MB at 4096-d — executor-sized, not driver-sized; MEASURED by
+    *    ScaleSmoke's `pcaint-wide` section, 32 concurrent tasks at
+    *    2048/4096-d inside one 8 GB JVM); a
     *    sketched-moments variant would shrink that but trades exactness
     *    away and is NOT compatible with the fixed-point replay contract. */
   private def scatter(df: DataFrame, vecCol: String, blocked: Boolean)

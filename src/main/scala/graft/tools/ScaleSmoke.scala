@@ -814,6 +814,57 @@ object ScaleSmoke {
       "(driver chains corpus-independent)")
     }
 
+    // The blocked moment pass's per-task memory claim (the d²/2-long
+    // partial triangle: 16.8 MB at 2048-d, 67.1 MB at 4096-d) as a
+    // MEASUREMENT rather than arithmetic: run the pass at embedding-model
+    // widths over 32 CONCURRENT tasks inside this one driver+executor JVM
+    // (default -Xmx8g) and record wall + peak used heap. n stays the base
+    // 2,000 rows on purpose — the pass is n·d²/2 exact-long madds, so the
+    // wide dims are d²-dominated and small n isolates the memory shape;
+    // completing inside the 8 GB ceiling with 32 resident triangles plus
+    // the driver's d² BigInt scatter IS the "executor-sized, not
+    // driver-sized" claim. Peak heap is a conservative upper bound (it
+    // includes uncollected garbage between sampler GCs).
+    section("pcaint-wide") {
+    import graft.operators.EmbeddingPcaInt
+    val emb32 = table(spark, dir, "embeddings").repartition(32)
+    def widen(tiles: Int): DataFrame =
+      emb32.select(col("vec_id"),
+        flatten(array((0 until tiles).map(k =>
+          transform(col("embedding"),
+            x => x / lit((k + 1).toDouble))): _*)).as("embedding"))
+    for (d <- Seq(2048, 4096)) {
+      val rt = Runtime.getRuntime
+      System.gc()
+      val base = rt.totalMemory() - rt.freeMemory()
+      val peak = new java.util.concurrent.atomic.AtomicLong(base)
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          val used = rt.totalMemory() - rt.freeMemory()
+          peak.updateAndGet(p => math.max(p, used))
+          Thread.sleep(20)
+        }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
+      time(s"int PCA fitPower $d-d (blocked, 32 tasks)") {
+        val pm = EmbeddingPcaInt.fitPower(widen(d / 64), "embedding",
+          rounds = 3)
+        require(pm.vector.length == d && pm.lambdaQ > 0L,
+          s"$d-d power model malformed: d=${pm.vector.length}")
+        pm.n
+      }
+      sampling = false
+      sampler.join()
+      val mb = 1L << 20
+      val triMb = d.toLong * (d + 1) / 2 * 8 / mb
+      println(f"[scale] $d%d-d peak used heap ${(peak.get - base) / mb}%d MB " +
+        f"over the ${base / mb}%d MB base (arithmetic: $triMb%d MB triangle " +
+        "× 32 concurrent tasks + the driver d² BigInt scatter)")
+    }
+    }
+
     section("skew-agg") {
     val skewed = li.withColumn("k",
       when(pmod(col("l_orderkey"), lit(20)) =!= 0, lit("hot")).otherwise(col("l_returnflag")))
