@@ -191,7 +191,15 @@ object EventStreams {
     * storage_impl.py:125-144: add-after-train, never retrain): each
     * micro-batch is assigned against the FROZEN broadcast centroids and
     * idempotently appended to the partitioned index layout. Returns the
-    * running StreamingQuery. */
+    * running StreamingQuery.
+    *
+    * `onSq8OutOfBounds(batchId, fraction)` (sq8 layouts only): the
+    * fraction of this batch's vector elements falling strictly outside
+    * the layout's trained per-dim bounds — the elements the sq8 clamp
+    * silently saturates to code 0/255. Collected as a CollectMetrics
+    * node (`Dataset.observe`) riding the append's own action, upstream
+    * of the skip-existing filter: whole-batch semantics at ZERO extra
+    * passes over the batch. */
   def annIngest(
       stream: DataFrame,
       centers: Array[Array[Float]],
@@ -231,21 +239,28 @@ object EventStreams {
         // sq8 drift observability: packForCodec CLAMPS elements outside
         // the layout's trained bounds (code saturates at 0/255) — report
         // the out-of-bounds element fraction per micro-batch when asked,
-        // so distribution drift past the trained bounds is visible
-        // before it degrades recall (one small agg over the batch)
-        (snap.codec, onSq8OutOfBounds) match {
-          case (graft.operators.AnnIvf.StorageCodec.Sq8(b), Some(report)) =>
-            val row = routed.agg(
-              sum(graft.functions.SQ8.oobCountCol(b, col("embedding")))
-                .as("oob"),
-              sum(size(col("embedding"))).as("n")).head()
-            val n = if (row.isNullAt(1)) 0L else row.getLong(1)
-            report(batchId,
-              if (n == 0L) 0.0 else row.getLong(0).toDouble / n)
-          case _ => ()
+        // so distribution drift past the trained bounds is visible before
+        // it degrades recall. The sums ride the append itself as a
+        // CollectMetrics node (Dataset.observe) attached UPSTREAM of the
+        // skip-existing filter — same whole-batch semantics as a separate
+        // agg, at zero extra passes over the batch (the append path
+        // always runs at least one action, so the observation resolves)
+        val oobObs = (snap.codec, onSq8OutOfBounds) match {
+          case (graft.operators.AnnIvf.StorageCodec.Sq8(_), Some(_)) =>
+            Some(new org.apache.spark.sql.Observation(
+              s"graft_sq8_oob_$batchId"))
+          case _ => None
+        }
+        val observed = (snap.codec, oobObs) match {
+          case (graft.operators.AnnIvf.StorageCodec.Sq8(b), Some(obs)) =>
+            routed.observe(obs,
+              sum(graft.functions.SQ8.oobCountCol(b, col("embedding"))
+                .cast("long")).as("oob"),
+              sum(size(col("embedding")).cast("long")).as("n"))
+          case _ => routed
         }
         val packed = graft.operators.AnnIvf
-          .packForCodec(routed, "embedding", snap.codec)
+          .packForCodec(observed, "embedding", snap.codec)
         // stamp keyed on sidecar presence, NOT salt > 1: write() stores a
         // __salt column even at writeSalt = 1 (value 0), so any layout
         // with a sidecar needs the column on appends too; the stamped
@@ -260,6 +275,17 @@ object EventStreams {
           case Some(s) => s.append(assigned); ()
           case None => graft.operators.Ingest.appendNew(
             batch.sparkSession, assigned, indexVectorsPath, idCol, "partition_id")
+        }
+        // the append above ran the batch's action(s), so the observation
+        // is resolved — report the clamp fraction (empty batch sums to
+        // SQL NULL → 0.0)
+        (oobObs, onSq8OutOfBounds) match {
+          case (Some(obs), Some(report)) =>
+            val m = obs.get
+            val n = Option(m("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+            val oob = Option(m("oob")).map(_.asInstanceOf[Long]).getOrElse(0L)
+            report(batchId, if (n == 0L) 0.0 else oob.toDouble / n)
+          case _ => ()
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -300,6 +300,59 @@ class IngestPipelineSpec extends SparkSpec {
     assert(seen2.nonEmpty && seen2.forall(_ === 0.0), seen2.toSeq)
   }
 
+  test("sq8 drift metric rides the append: zero extra Spark jobs when enabled") {
+    // the metric is a CollectMetrics node (Dataset.observe) on the append's
+    // own pass, not a second aggregation job over the batch — proven the
+    // AnnMaintainSpec way: count scheduler jobs for two IDENTICAL ingests
+    // (same source, bit-identical layouts), callback off vs on, and assert
+    // the counts are EQUAL. A FIFO-bus sentinel brackets each measurement
+    // so "all jobs observed" is deterministic, not a race.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val idx = AnnIvf.build(emb.filter($"vec_id" < 300), "vec_id",
+      "embedding", nlist = 3, seed = 7L)
+    val dirs = Seq.fill(2)(Files.createTempDirectory("oobjobs").toString)
+    dirs.foreach(d => AnnIvf.write(idx, d, writeSalt = 2, sq8 = true))
+    val centers = idx.centroids.orderBy("partition_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val late = emb.filter($"vec_id" >= 300 && $"vec_id" < 350)
+      .withColumn("vec_id", $"vec_id" + 1000)
+    val srcDir = Files.createTempDirectory("oobjobssrc").toString
+    late.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val total = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        total.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def flush(): Unit = {
+      val base = total.get()
+      spark.range(2).count() // sentinel: bus is FIFO, so observing it
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (total.get() == base && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      assert(total.get() > base, "listener never observed the sentinel job")
+    }
+    try {
+      def jobsFor(dir: String,
+          cb: Option[(Long, Double) => Unit]): Int = {
+        flush()
+        val before = total.get()
+        graft.streaming.EventStreams.annIngest(
+          spark.readStream.schema(late.schema).parquet(srcDir),
+          centers, s"$dir/vectors", "vec_id", onSq8OutOfBounds = cb)
+          .awaitTermination(120000)
+        flush()
+        total.get() - before - 1 // minus this bracket's own sentinel
+      }
+      val off = jobsFor(dirs(0), None)
+      val on = jobsFor(dirs(1), Some((_, _) => ()))
+      assert(on === off,
+        s"enabling the drift metric scheduled extra jobs: off=$off on=$on")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("compact collapses micro-batch file storms, preserves rows + pruning layout") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val index = AnnIvf.build(emb.filter($"vec_id" < 200), "vec_id", "embedding",
