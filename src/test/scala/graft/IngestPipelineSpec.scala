@@ -300,6 +300,41 @@ class IngestPipelineSpec extends SparkSpec {
     assert(seen2.nonEmpty && seen2.forall(_ === 0.0), seen2.toSeq)
   }
 
+  test("drift check on a LEGACY sidecar (no codec column) never false-raises") {
+    // layouts written before r13 persisted the codec name lack the sidecar
+    // `codec` column; assertLayoutUnchanged must fall back to footer
+    // inference for those instead of raising — a live stream over an old
+    // layout keeps running across upgrades
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val idx = AnnIvf.build(emb.filter($"vec_id" < 200), "vec_id",
+      "embedding", nlist = 2, seed = 7L)
+    val dir = Files.createTempDirectory("legacy-meta").toString
+    AnnIvf.write(idx, dir, writeSalt = 2, fp16 = true)
+    // strip the codec column in place — the pre-r13 sidecar shape
+    val legacy = spark.read.parquet(s"$dir/meta").drop("codec").collect()
+    val legacySchema = spark.read.parquet(s"$dir/meta").drop("codec").schema
+    spark.createDataFrame(
+        java.util.Arrays.asList(legacy: _*), legacySchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val snap = AnnIvf.layoutSnapshot(spark, s"$dir/vectors")
+    assert(snap.codec === AnnIvf.StorageCodec.Fp16)
+    assert(snap.writeSalt === 2 && snap.hasMeta)
+    // the happy path must NOT raise: the fallback infers fp16 from the
+    // vectors footer and matches the snapshot
+    AnnIvf.assertLayoutUnchanged(spark, s"$dir/vectors", snap)
+    // and real drift is still caught through the fallback
+    AnnIvf.write(idx, dir, writeSalt = 2, sq8 = true)
+    val legacy2 = spark.read.parquet(s"$dir/meta").drop("codec").collect()
+    val legacySchema2 = spark.read.parquet(s"$dir/meta").drop("codec").schema
+    spark.createDataFrame(
+        java.util.Arrays.asList(legacy2: _*), legacySchema2)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[RuntimeException] {
+      AnnIvf.assertLayoutUnchanged(spark, s"$dir/vectors", snap)
+    }
+    assert(e.getMessage.contains("codec fp16 -> sq8"), e.getMessage)
+  }
+
   test("sq8 drift metric rides the append: zero extra Spark jobs when enabled") {
     // the metric is a CollectMetrics node (Dataset.observe) on the append's
     // own pass, not a second aggregation job over the batch — proven the
