@@ -121,15 +121,16 @@ object SQ8 {
     * re-train when it climbs. Pure built-in HOFs (zip_with + aggregate)
     * over literal bound arrays — codegen-friendly, no UDF. */
   def oobCountCol(b: Bounds, v: Column): Column = {
-    val vmin = array(b.vmin.map(x => lit(x)): _*)
-    val vmax = array(b.vmax.map(x => lit(x)): _*)
-    val below = aggregate(
-      zip_with(v, vmin, (x, mn) => when(x < mn, 1).otherwise(0)),
+    // two SCALAR array literals + one fused pass — NOT one Literal node
+    // per dimension per bound (at 4096-d that is 8k expression nodes
+    // re-analyzed per use; typedlit keeps the tree 2 nodes wide at any d)
+    val vmin = typedLit(b.vmin.toSeq)
+    val vmax = typedLit(b.vmax.toSeq)
+    aggregate(
+      transform(v, (x, i) =>
+        when(x < element_at(vmin, i + lit(1)) ||
+          x > element_at(vmax, i + lit(1)), 1).otherwise(0)),
       lit(0), (acc, e) => acc + e)
-    val above = aggregate(
-      zip_with(v, vmax, (x, mx) => when(x > mx, 1).otherwise(0)),
-      lit(0), (acc, e) => acc + e)
-    below + above
   }
 
   /** Inner product DIRECTLY on the byte codes — the ADC move for a linear

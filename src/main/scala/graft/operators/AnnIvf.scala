@@ -499,9 +499,7 @@ object AnnIvf {
                 s"($metaPath) — the trained per-dim bounds live there and " +
                 "appends cannot be encoded without them")
           }
-        StorageCodec.Sq8(graft.functions.SQ8.Bounds(
-          m.getAs[Seq[Float]]("sq8_vmin").toArray,
-          m.getAs[Seq[Float]]("sq8_vmax").toArray))
+        StorageCodec.Sq8(boundsFromMeta(m))
       } else StorageCodec.Raw
     }
   }
@@ -522,15 +520,85 @@ object AnnIvf {
     case StorageCodec.Sq8(_) => "sq8"
   }
 
+  /** Per-dim trained sq8 bounds from a meta sidecar row — the single
+    * extraction point for [[write]]'s bounds encoding (four call sites:
+    * snapshot, drift check, [[read]], [[rebalance]]). */
+  private[operators] def boundsFromMeta(m: org.apache.spark.sql.Row)
+      : graft.functions.SQ8.Bounds =
+    graft.functions.SQ8.Bounds(
+      m.getAs[Seq[Float]]("sq8_vmin").toArray,
+      m.getAs[Seq[Float]]("sq8_vmax").toArray)
+
+  /** Codec from a sidecar row carrying the persisted codec name; None for
+    * LEGACY sidecars written before the name existed (callers fall back
+    * to footer inference). An UNKNOWN name raises loudly — defaulting it
+    * to raw would let an appender write raw floats into a layout packed
+    * by a newer codec, the exact NULL-vector schema fork this family of
+    * checks exists to stop. */
+  private def codecFromMeta(m: org.apache.spark.sql.Row, where: String)
+      : Option[StorageCodec] =
+    if (!m.schema.fieldNames.contains("codec")) None
+    else Some(m.getAs[String]("codec") match {
+      case "raw" => StorageCodec.Raw
+      case "fp16" => StorageCodec.Fp16
+      case "sq8" => StorageCodec.Sq8(boundsFromMeta(m))
+      case other => sys.error(
+        s"$where: unknown stored codec '$other' — the layout was written " +
+          "by a newer engine; refusing to guess an append format")
+    })
+
+  /** One sidecar read serves codec (+bounds), salt, and existence — not
+    * three separate reads whose interleavings could mix contracts from
+    * two generations of the layout. The vectors footer is only consulted
+    * when the sidecar is absent or LEGACY (no codec column). A PACKED or
+    * SALTED vectors dir with NO sidecar raises: that is a [[write]] that
+    * crashed between its vectors and meta stages, and appending into it
+    * would fork the on-disk schema (stored files carry `__salt`/packed
+    * columns the append would lack). */
   def layoutSnapshot(spark: SparkSession, vectorsPath: String)
       : LayoutSnapshot = {
     val p = new org.apache.hadoop.fs.Path(vectorsPath)
     val metaPath = new org.apache.hadoop.fs.Path(p.getParent, "meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    LayoutSnapshot(
-      layoutCodec(spark, vectorsPath),
-      layoutWriteSalt(spark, vectorsPath),
-      fs.exists(metaPath))
+    val metaRow =
+      if (!fs.exists(metaPath)) None
+      else
+        try Some(spark.read.parquet(metaPath.toString).head())
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val codec = metaRow
+      .flatMap(codecFromMeta(_, s"layoutSnapshot($vectorsPath)")) match {
+      case Some(c) => c
+      case None =>
+        val cols =
+          if (!fs.exists(p)) Array.empty[String]
+          else
+            try spark.read.parquet(vectorsPath).schema.fieldNames
+            catch {
+              case _: org.apache.spark.sql.AnalysisException =>
+                Array.empty[String]
+            }
+        val inferred =
+          if (cols.exists(_.endsWith(Fp16Suffix))) StorageCodec.Fp16
+          else if (cols.exists(_.endsWith(Sq8Suffix)))
+            StorageCodec.Sq8(boundsFromMeta(metaRow.getOrElse(sys.error(
+              s"sq8-packed layout at $vectorsPath has no meta sidecar — " +
+                "the trained per-dim bounds live there and appends cannot " +
+                "be encoded without them"))))
+          else StorageCodec.Raw
+        if (metaRow.isEmpty &&
+            (inferred != StorageCodec.Raw || cols.contains("__salt")))
+          sys.error(s"layout at $vectorsPath is packed or salted but has " +
+            "no meta sidecar — a write() crashed between its vectors and " +
+            "meta stages; restore the sidecar (or rewrite the layout) " +
+            "before appending, or the appends fork the on-disk schema")
+        inferred
+    }
+    val salt = metaRow.map { r =>
+      if (r.schema.fieldNames.contains("write_salt"))
+        r.getAs[Int]("write_salt")
+      else 1
+    }.getOrElse(1)
+    LayoutSnapshot(codec, salt, metaRow.isDefined)
   }
 
   /** Raise iff the layout's append contract drifted from `snap`. Cost per
@@ -543,7 +611,7 @@ object AnnIvf {
     * a rebalance preserves codec+salt by construction, so waiting it out
     * is correct. */
   def assertLayoutUnchanged(spark: SparkSession, vectorsPath: String,
-      snap: LayoutSnapshot): Unit = {
+      snap: LayoutSnapshot, context: String = ""): Unit = {
     val p = new org.apache.hadoop.fs.Path(vectorsPath)
     val metaPath = new org.apache.hadoop.fs.Path(p.getParent, "meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -562,7 +630,7 @@ object AnnIvf {
       s"layout at $vectorsPath drifted mid-stream ($what) — an " +
         "out-of-band rewrite changed the append contract; appending " +
         "would fork the on-disk schema into silent NULL vectors. " +
-        "Restart the ingest stream against the new layout.")
+        s"Restart the ingest stream against the new layout.$context")
     (snap.hasMeta, m) match {
       case (false, None) => () // still unwritten/raw-append layout
       case (false, Some(_)) =>
@@ -576,14 +644,9 @@ object AnnIvf {
           else 1
         if (saltNow != snap.writeSalt)
           fail(s"write_salt ${snap.writeSalt} -> $saltNow")
-        val codecNow: StorageCodec =
-          if (names.contains("codec")) row.getAs[String]("codec") match {
-            case "fp16" => StorageCodec.Fp16
-            case "sq8" => StorageCodec.Sq8(graft.functions.SQ8.Bounds(
-              row.getAs[Seq[Float]]("sq8_vmin").toArray,
-              row.getAs[Seq[Float]]("sq8_vmax").toArray))
-            case _ => StorageCodec.Raw
-          } else layoutCodec(spark, vectorsPath) // legacy sidecar
+        val codecNow: StorageCodec = codecFromMeta(
+            row, s"assertLayoutUnchanged($vectorsPath)")
+          .getOrElse(layoutCodec(spark, vectorsPath)) // legacy sidecar
         if (codecTag(codecNow) != codecTag(snap.codec))
           fail(s"codec ${codecTag(snap.codec)} -> ${codecTag(codecNow)}")
         (codecNow, snap.codec) match {
@@ -651,10 +714,7 @@ object AnnIvf {
       case None =>
         raw.columns.find(_.endsWith(Sq8Suffix)) match {
           case Some(packed) =>
-            val m = meta.get
-            val b = graft.functions.SQ8.Bounds(
-              m.getAs[Seq[Float]]("sq8_vmin").toArray,
-              m.getAs[Seq[Float]]("sq8_vmax").toArray)
+            val b = boundsFromMeta(meta.get)
             raw.withColumn(packed.dropRight(Sq8Suffix.length),
               graft.functions.SQ8.unpackCol(b, col(packed))).drop(packed)
           case None => raw
@@ -897,7 +957,14 @@ object AnnIvf {
     *
     * A cell-less no-op (nothing hot, or every hot cell degenerate) leaves
     * the layout untouched. `onStaged` is the test seam between staging
-    * and swap — the window a concurrent append races into. */
+    * and swap — the window a concurrent append races into.
+    *
+    * Crash posture (same as [[Ingest.compact]]): the publish is two
+    * renames, not one atomic op — a crash between them leaves the layout
+    * under `.<name>__retired` with nothing deleted; recovery is one
+    * manual rename back. A live `annIngest` stream's per-batch drift
+    * check retries a missing sidecar briefly (the rename window) and
+    * then raises rather than appending into a half-published layout. */
   def rebalance(
       spark: SparkSession,
       path: String,
@@ -931,11 +998,8 @@ object AnnIvf {
     // at the rewrite so decode→re-encode is bit-stable (no codec drift
     // across repeated rebalances)
     val sq8Bounds = sq8Col.map { _ =>
-      val m = metaRow.getOrElse(sys.error(
-        s"rebalance: sq8-packed layout at $path has no meta sidecar"))
-      graft.functions.SQ8.Bounds(
-        m.getAs[Seq[Float]]("sq8_vmin").toArray,
-        m.getAs[Seq[Float]]("sq8_vmax").toArray)
+      boundsFromMeta(metaRow.getOrElse(sys.error(
+        s"rebalance: sq8-packed layout at $path has no meta sidecar")))
     }
     val assigned = (packedCol, sq8Col) match {
       case (Some(packed), _) =>

@@ -230,7 +230,13 @@ object Ingest {
     * pass. Returns (filesBefore, filesAfter).
     *
     * `onStaged` is a test seam invoked between the staged rewrite and the
-    * directory swap — the window a concurrent append races into. */
+    * directory swap — the window a concurrent append races into.
+    *
+    * Crash posture: the swap is two renames, not one atomic op. A crash
+    * between them leaves the layout under `.<name>__retired` (and the
+    * rewrite under `.<name>__compacting`) — nothing is deleted until
+    * recovery completes, so the fix is one manual rename back; a crash
+    * BEFORE the retire rename leaves the live layout untouched. */
   def compact(
       spark: SparkSession,
       path: String,

@@ -207,7 +207,8 @@ object EventStreams {
       idCol: String,
       bloomExpectedIds: Option[Long] = None,
       onSq8OutOfBounds: Option[(Long, Double) => Unit] = None,
-      onBatch: Long => Unit = _ => ())
+      onBatch: Long => Unit = _ => (),
+      onAppended: Long => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // with an expected-id budget, skip-existing runs through ONE amortized
     // membership sketch for the whole stream (the durable layout's id
@@ -222,11 +223,16 @@ object EventStreams {
     // produces, so appends must carry both or the dir schema forks and
     // whichever half loses the footer race reads back NULL vectors
     // (silent corruption; IngestPipelineSpec proves it). The snapshot is
-    // then RE-ASSERTED per micro-batch (one 1-row meta read) so an
-    // out-of-band re-write with a different codec/salt kills the stream
-    // loudly instead of silently re-opening that corruption class —
-    // `rebalance` preserves codec+salt bit-stably, so legitimate
-    // concurrent maintenance never trips it.
+    // then RE-ASSERTED per micro-batch (one 1-row meta read), BEFORE and
+    // AFTER each append, so an out-of-band re-write with a different
+    // codec/salt kills the stream loudly instead of silently re-opening
+    // that corruption class: the pre-check fails fast, and the
+    // post-check bounds the check-then-act window — a rewrite that
+    // overlaps an in-flight append is detected within the SAME batch
+    // (including the final one) with remediation guidance, never left
+    // for a later read to surface as NULL vectors. `rebalance` preserves
+    // codec+salt bit-stably, so legitimate concurrent maintenance never
+    // trips either check.
     val snap = graft.operators.AnnIvf
       .layoutSnapshot(stream.sparkSession, indexVectorsPath)
     stream.writeStream
@@ -245,19 +251,18 @@ object EventStreams {
         // skip-existing filter — same whole-batch semantics as a separate
         // agg, at zero extra passes over the batch (the append path
         // always runs at least one action, so the observation resolves)
-        val oobObs = (snap.codec, onSq8OutOfBounds) match {
-          case (graft.operators.AnnIvf.StorageCodec.Sq8(_), Some(_)) =>
-            Some(new org.apache.spark.sql.Observation(
-              s"graft_sq8_oob_$batchId"))
-          case _ => None
-        }
-        val observed = (snap.codec, oobObs) match {
-          case (graft.operators.AnnIvf.StorageCodec.Sq8(b), Some(obs)) =>
-            routed.observe(obs,
+        // ONE match derives both: an Observation that exists but was
+        // never attached would block obs.get below forever, so attach
+        // and create in the same arm
+        val (observed, oobObs) = (snap.codec, onSq8OutOfBounds) match {
+          case (graft.operators.AnnIvf.StorageCodec.Sq8(b), Some(_)) =>
+            val obs = new org.apache.spark.sql.Observation(
+              s"graft_sq8_oob_$batchId")
+            (routed.observe(obs,
               sum(graft.functions.SQ8.oobCountCol(b, col("embedding"))
                 .cast("long")).as("oob"),
-              sum(size(col("embedding")).cast("long")).as("n"))
-          case _ => routed
+              sum(size(col("embedding")).cast("long")).as("n")), Some(obs))
+          case _ => (routed, None)
         }
         val packed = graft.operators.AnnIvf
           .packForCodec(observed, "embedding", snap.codec)
@@ -276,6 +281,17 @@ object EventStreams {
           case None => graft.operators.Ingest.appendNew(
             batch.sparkSession, assigned, indexVectorsPath, idCol, "partition_id")
         }
+        onAppended(batchId) // test seam: a rewrite racing the in-flight append
+        // the pre-append check is check-then-act: a rewrite landing WHILE
+        // the append is in flight still gets this batch's files into the
+        // new layout under the old contract. Re-asserting here bounds the
+        // damage to DETECTED-within-the-same-batch — including the FINAL
+        // batch, which no next batch would ever re-check
+        graft.operators.AnnIvf.assertLayoutUnchanged(
+          batch.sparkSession, indexVectorsPath, snap,
+          context = " NOTE: the rewrite overlapped this batch's append — " +
+            "files this batch just appended may not match the new " +
+            "layout; inspect files newer than the rewrite before serving.")
         // the append above ran the batch's action(s), so the observation
         // is resolved — report the clamp fraction (empty batch sums to
         // SQL NULL → 0.0)

@@ -300,6 +300,101 @@ class IngestPipelineSpec extends SparkSpec {
     assert(seen2.nonEmpty && seen2.forall(_ === 0.0), seen2.toSeq)
   }
 
+  test("a rewrite racing the IN-FLIGHT append is detected within the same batch") {
+    // the pre-append check is check-then-act: a rewrite landing while the
+    // append runs still gets this batch's files durable under the old
+    // contract. The post-append re-check turns that from
+    // silent-until-something-reads-NULLs into a same-batch raise — and
+    // covers the FINAL batch, which no later batch would ever re-check.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val idx = AnnIvf.build(emb.filter($"vec_id" < 300), "vec_id",
+      "embedding", nlist = 3, seed = 7L)
+    val dir = Files.createTempDirectory("driftpost").toString
+    AnnIvf.write(idx, dir, writeSalt = 2, fp16 = true)
+    val centers = idx.centroids.orderBy("partition_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val late = emb.filter($"vec_id" >= 300 && $"vec_id" < 340)
+      .withColumn("vec_id", $"vec_id" + 1000)
+    val srcDir = Files.createTempDirectory("driftpostsrc").toString
+    late.coalesce(1).write.mode("overwrite").parquet(srcDir) // ONE batch
+    val q = graft.streaming.EventStreams.annIngest(
+      spark.readStream.schema(late.schema).parquet(srcDir),
+      centers, s"$dir/vectors", "vec_id",
+      onAppended = _ =>
+        AnnIvf.write(idx, dir, writeSalt = 4, fp16 = true))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("drifted mid-stream")),
+      messages(err).mkString(" | "))
+    assert(messages(err).exists(_.contains("overlapped this batch's append")),
+      messages(err).mkString(" | "))
+  }
+
+  test("a packed or salted layout with NO sidecar refuses appends") {
+    // a write() that crashes between its vectors and meta stages leaves
+    // packed/__salt columns in the stored files with no sidecar to key
+    // the append contract on — snapshotting it for appends must raise,
+    // not silently append unpacked/unstamped rows into the fork
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val idx = AnnIvf.build(emb.filter($"vec_id" < 200), "vec_id",
+      "embedding", nlist = 2, seed = 7L)
+    def fsDelete(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    // fp16-packed, sidecar gone
+    val d1 = Files.createTempDirectory("halfwritten-fp16").toString
+    AnnIvf.write(idx, d1, writeSalt = 2, fp16 = true)
+    fsDelete(s"$d1/meta")
+    val e1 = intercept[RuntimeException] {
+      AnnIvf.layoutSnapshot(spark, s"$d1/vectors")
+    }
+    assert(e1.getMessage.contains("no meta sidecar"), e1.getMessage)
+    // raw codec but salted files, sidecar gone — same fork via __salt
+    val d2 = Files.createTempDirectory("halfwritten-salt").toString
+    AnnIvf.write(idx, d2, writeSalt = 2)
+    fsDelete(s"$d2/meta")
+    val e2 = intercept[RuntimeException] {
+      AnnIvf.layoutSnapshot(spark, s"$d2/vectors")
+    }
+    assert(e2.getMessage.contains("no meta sidecar"), e2.getMessage)
+    // a NEVER-written dir stays a fine append target (first append
+    // defines the layout)
+    val d3 = Files.createTempDirectory("halfwritten-raw").toString
+    val s3 = AnnIvf.layoutSnapshot(spark, s"$d3/vectors")
+    assert(s3.codec === AnnIvf.StorageCodec.Raw && !s3.hasMeta)
+  }
+
+  test("an UNKNOWN stored codec name raises instead of defaulting to raw") {
+    // forward-compat: a layout packed by a newer engine must refuse
+    // appends from this one — defaulting the unknown name to raw would
+    // re-open the raw-into-packed NULL-vector fork
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val idx = AnnIvf.build(emb.filter($"vec_id" < 200), "vec_id",
+      "embedding", nlist = 2, seed = 7L)
+    val dir = Files.createTempDirectory("unknown-codec").toString
+    AnnIvf.write(idx, dir, writeSalt = 2)
+    val snapBefore = AnnIvf.layoutSnapshot(spark, s"$dir/vectors")
+    val doctored = spark.read.parquet(s"$dir/meta")
+      .withColumn("codec", lit("pq9")).collect()
+    val schema = spark.read.parquet(s"$dir/meta").schema
+    spark.createDataFrame(java.util.Arrays.asList(doctored: _*), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e1 = intercept[RuntimeException] {
+      AnnIvf.layoutSnapshot(spark, s"$dir/vectors")
+    }
+    assert(e1.getMessage.contains("unknown stored codec 'pq9'"), e1.getMessage)
+    // a LIVE stream's drift check must also refuse it, not pass it as raw
+    val e2 = intercept[RuntimeException] {
+      AnnIvf.assertLayoutUnchanged(spark, s"$dir/vectors", snapBefore)
+    }
+    assert(e2.getMessage.contains("unknown stored codec 'pq9'"), e2.getMessage)
+  }
+
   test("drift check on a LEGACY sidecar (no codec column) never false-raises") {
     // layouts written before r13 persisted the codec name lack the sidecar
     // `codec` column; assertLayoutUnchanged must fall back to footer
