@@ -118,18 +118,27 @@ object SQ8 {
     * whose distribution moves past the bounds it was trained on degrades
     * its appended vectors with no error, so operators aggregate this
     * fraction per micro-batch (`annIngest`'s `onSq8OutOfBounds`) and
-    * re-train when it climbs. Pure built-in HOFs (zip_with + aggregate)
-    * over literal bound arrays — codegen-friendly, no UDF. */
+    * re-train when it climbs. Pure built-in HOFs (transform +
+    * try_element_at + aggregate) over two scalar array literals —
+    * codegen-friendly, no UDF; elements beyond the trained dim count 0
+    * rather than erroring under ANSI. */
   def oobCountCol(b: Bounds, v: Column): Column = {
-    // two SCALAR array literals + one fused pass — NOT one Literal node
-    // per dimension per bound (at 4096-d that is 8k expression nodes
-    // re-analyzed per use; typedlit keeps the tree 2 nodes wide at any d)
+    // two SCALAR array literals + one fused transform/aggregate pass —
+    // NOT one Literal node per dimension per bound (at 4096-d that is 8k
+    // expression nodes re-analyzed per use; typedlit keeps the tree 2
+    // nodes wide at any d). try_element_at, not element_at: a malformed
+    // vector LONGER than the trained dim must count its overflow
+    // elements as 0 (null comparison → otherwise-arm), matching the old
+    // zip_with null-padding — under Spark 4's default ANSI mode a plain
+    // element_at past the bounds array would instead kill the stream,
+    // and enabling observability must not introduce a crash path packCol
+    // itself doesn't have.
     val vmin = typedLit(b.vmin.toSeq)
     val vmax = typedLit(b.vmax.toSeq)
     aggregate(
       transform(v, (x, i) =>
-        when(x < element_at(vmin, i + lit(1)) ||
-          x > element_at(vmax, i + lit(1)), 1).otherwise(0)),
+        when(x < try_element_at(vmin, i + lit(1)) ||
+          x > try_element_at(vmax, i + lit(1)), 1).otherwise(0)),
       lit(0), (acc, e) => acc + e)
   }
 

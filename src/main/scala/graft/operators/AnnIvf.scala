@@ -468,41 +468,59 @@ object AnnIvf {
       extends StorageCodec
   }
 
+  /** Schema field names of the vectors dir; empty when the dir is absent
+    * or holds nothing readable (an empty pre-created dir is "not written
+    * yet", same as absent). */
+  private def vectorCols(spark: SparkSession, vectorsPath: String)
+      : Array[String] = {
+    val p = new org.apache.hadoop.fs.Path(vectorsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else
+      try spark.read.parquet(vectorsPath).schema.fieldNames
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => Array.empty
+      }
+  }
+
+  /** The 1-row meta sidecar sibling of `vectorsPath`, None when absent or
+    * unreadable — THE sidecar-read primitive every layout check shares
+    * ([[layoutSnapshot]], [[assertLayoutUnchanged]], [[layoutCodec]]). */
+  private def readMetaRow(spark: SparkSession, vectorsPath: String)
+      : Option[org.apache.spark.sql.Row] = {
+    val p = new org.apache.hadoop.fs.Path(vectorsPath)
+    val metaPath = new org.apache.hadoop.fs.Path(p.getParent, "meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) None
+    else
+      try Some(spark.read.parquet(metaPath.toString).head())
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** Footer-inference codec from the vectors dir's column names — THE
+    * single suffix-matching site (a future codec is added here and in
+    * [[codecFromMeta]], nowhere else). sq8 needs its trained bounds,
+    * which only the sidecar holds — `metaRow` is by-name so callers that
+    * already read it don't pay twice and raw/fp16 never read it. */
+  private def inferCodecFromCols(cols: Array[String], vectorsPath: String,
+      metaRow: => Option[org.apache.spark.sql.Row]): StorageCodec =
+    if (cols.exists(_.endsWith(Fp16Suffix))) StorageCodec.Fp16
+    else if (cols.exists(_.endsWith(Sq8Suffix)))
+      StorageCodec.Sq8(boundsFromMeta(metaRow.getOrElse(sys.error(
+        s"sq8-packed layout at $vectorsPath has no meta sidecar — the " +
+          "trained per-dim bounds live there and appends cannot be " +
+          "encoded without them"))))
+    else StorageCodec.Raw
+
   /** Detect the stored codec of the vectors dir at `vectorsPath` (the
     * meta sidecar is its sibling, per [[write]]'s layout contract). Raw
     * when the dir doesn't exist yet OR exists but holds no readable data
     * files — the first append defines it either way. An sq8-suffixed dir
     * whose meta sidecar is missing raises a descriptive error (the
     * trained bounds are unrecoverable without it). */
-  def layoutCodec(spark: SparkSession, vectorsPath: String): StorageCodec = {
-    val p = new org.apache.hadoop.fs.Path(vectorsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) StorageCodec.Raw
-    else {
-      val cols =
-        try spark.read.parquet(vectorsPath).schema.fieldNames
-        catch {
-          // dir exists but schema inference found nothing to read — an
-          // empty pre-created dir is "not written yet", same as absent
-          case _: org.apache.spark.sql.AnalysisException =>
-            Array.empty[String]
-        }
-      if (cols.exists(_.endsWith(Fp16Suffix))) StorageCodec.Fp16
-      else if (cols.exists(_.endsWith(Sq8Suffix))) {
-        val metaPath =
-          new org.apache.hadoop.fs.Path(p.getParent, "meta").toString
-        val m =
-          try spark.read.parquet(metaPath).head()
-          catch {
-            case _: org.apache.spark.sql.AnalysisException => sys.error(
-              s"sq8-packed layout at $vectorsPath has no meta sidecar " +
-                s"($metaPath) — the trained per-dim bounds live there and " +
-                "appends cannot be encoded without them")
-          }
-        StorageCodec.Sq8(boundsFromMeta(m))
-      } else StorageCodec.Raw
-    }
-  }
+  def layoutCodec(spark: SparkSession, vectorsPath: String): StorageCodec =
+    inferCodecFromCols(vectorCols(spark, vectorsPath), vectorsPath,
+      readMetaRow(spark, vectorsPath))
 
   /** Point-in-time append contract of a durable layout: stored codec,
     * write salt, and whether the meta sidecar existed. A live appender
@@ -557,34 +575,13 @@ object AnnIvf {
     * columns the append would lack). */
   def layoutSnapshot(spark: SparkSession, vectorsPath: String)
       : LayoutSnapshot = {
-    val p = new org.apache.hadoop.fs.Path(vectorsPath)
-    val metaPath = new org.apache.hadoop.fs.Path(p.getParent, "meta")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val metaRow =
-      if (!fs.exists(metaPath)) None
-      else
-        try Some(spark.read.parquet(metaPath.toString).head())
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val metaRow = readMetaRow(spark, vectorsPath)
     val codec = metaRow
       .flatMap(codecFromMeta(_, s"layoutSnapshot($vectorsPath)")) match {
       case Some(c) => c
       case None =>
-        val cols =
-          if (!fs.exists(p)) Array.empty[String]
-          else
-            try spark.read.parquet(vectorsPath).schema.fieldNames
-            catch {
-              case _: org.apache.spark.sql.AnalysisException =>
-                Array.empty[String]
-            }
-        val inferred =
-          if (cols.exists(_.endsWith(Fp16Suffix))) StorageCodec.Fp16
-          else if (cols.exists(_.endsWith(Sq8Suffix)))
-            StorageCodec.Sq8(boundsFromMeta(metaRow.getOrElse(sys.error(
-              s"sq8-packed layout at $vectorsPath has no meta sidecar — " +
-                "the trained per-dim bounds live there and appends cannot " +
-                "be encoded without them"))))
-          else StorageCodec.Raw
+        val cols = vectorCols(spark, vectorsPath)
+        val inferred = inferCodecFromCols(cols, vectorsPath, metaRow)
         if (metaRow.isEmpty &&
             (inferred != StorageCodec.Raw || cols.contains("__salt")))
           sys.error(s"layout at $vectorsPath is packed or salted but has " +
@@ -605,21 +602,17 @@ object AnnIvf {
     * call: one filesystem `exists` plus (when a sidecar exists) one 1-row
     * meta read — never a footer pass over the vectors dir, except for
     * LEGACY sidecars written before the codec name was persisted, which
-    * fall back to schema inference. A missing sidecar that the snapshot
+    * fall back to schema inference (so a pre+post-append pair of checks
+    * pays it twice per batch — one [[write]] rewrite persists the codec
+    * name and makes every future check 1-row). A missing sidecar that the snapshot
     * HAD is retried briefly before raising: [[rebalance]]'s publish swap
     * leaves a sub-second window where the layout dir is mid-rename, and
     * a rebalance preserves codec+salt by construction, so waiting it out
     * is correct. */
   def assertLayoutUnchanged(spark: SparkSession, vectorsPath: String,
       snap: LayoutSnapshot, context: String = ""): Unit = {
-    val p = new org.apache.hadoop.fs.Path(vectorsPath)
-    val metaPath = new org.apache.hadoop.fs.Path(p.getParent, "meta")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def metaNow(): Option[org.apache.spark.sql.Row] =
-      if (!fs.exists(metaPath)) None
-      else
-        try Some(spark.read.parquet(metaPath.toString).head())
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      readMetaRow(spark, vectorsPath)
     var m = metaNow()
     if (snap.hasMeta && m.isEmpty) {
       // possibly rebalance's retire→publish rename window — wait it out
@@ -644,9 +637,18 @@ object AnnIvf {
           else 1
         if (saltNow != snap.writeSalt)
           fail(s"write_salt ${snap.writeSalt} -> $saltNow")
-        val codecNow: StorageCodec = codecFromMeta(
-            row, s"assertLayoutUnchanged($vectorsPath)")
-          .getOrElse(layoutCodec(spark, vectorsPath)) // legacy sidecar
+        val codecNow: StorageCodec =
+          try codecFromMeta(row, s"assertLayoutUnchanged($vectorsPath)")
+            .getOrElse(layoutCodec(spark, vectorsPath)) // legacy sidecar
+          catch {
+            // an unknown persisted codec IS drift here — surface it with
+            // the same framing (and post-append remediation context) as
+            // every other contract change, not a bare unknown-codec error
+            case e: RuntimeException
+                if Option(e.getMessage)
+                  .exists(_.contains("unknown stored codec")) =>
+              fail(e.getMessage)
+          }
         if (codecTag(codecNow) != codecTag(snap.codec))
           fail(s"codec ${codecTag(snap.codec)} -> ${codecTag(codecNow)}")
         (codecNow, snap.codec) match {

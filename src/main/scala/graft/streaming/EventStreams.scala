@@ -282,19 +282,11 @@ object EventStreams {
             batch.sparkSession, assigned, indexVectorsPath, idCol, "partition_id")
         }
         onAppended(batchId) // test seam: a rewrite racing the in-flight append
-        // the pre-append check is check-then-act: a rewrite landing WHILE
-        // the append is in flight still gets this batch's files into the
-        // new layout under the old contract. Re-asserting here bounds the
-        // damage to DETECTED-within-the-same-batch — including the FINAL
-        // batch, which no next batch would ever re-check
-        graft.operators.AnnIvf.assertLayoutUnchanged(
-          batch.sparkSession, indexVectorsPath, snap,
-          context = " NOTE: the rewrite overlapped this batch's append — " +
-            "files this batch just appended may not match the new " +
-            "layout; inspect files newer than the rewrite before serving.")
         // the append above ran the batch's action(s), so the observation
-        // is resolved — report the clamp fraction (empty batch sums to
-        // SQL NULL → 0.0)
+        // is resolved — report the clamp fraction BEFORE the drift
+        // re-check below: the appended files are durable either way, and
+        // if the re-check raises, this batch's clamp fraction is part of
+        // what the operator inspects (empty batch sums to SQL NULL → 0.0)
         (oobObs, onSq8OutOfBounds) match {
           case (Some(obs), Some(report)) =>
             val m = obs.get
@@ -303,6 +295,19 @@ object EventStreams {
             report(batchId, if (n == 0L) 0.0 else oob.toDouble / n)
           case _ => ()
         }
+        // the pre-append check is check-then-act: a rewrite landing WHILE
+        // the append is in flight still gets this batch's files into the
+        // new layout under the old contract. Re-asserting here NARROWS
+        // the undetected window to a rewrite whose publish lands after
+        // this read (it cannot close it without layout-level locking) —
+        // in particular a rewrite overlapping the FINAL batch, which no
+        // next batch would ever re-check, is now caught when its publish
+        // beats this read
+        graft.operators.AnnIvf.assertLayoutUnchanged(
+          batch.sparkSession, indexVectorsPath, snap,
+          context = " NOTE: the rewrite overlapped this batch's append — " +
+            "files this batch just appended may not match the new " +
+            "layout; inspect files newer than the rewrite before serving.")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

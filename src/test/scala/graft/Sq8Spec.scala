@@ -39,6 +39,27 @@ class Sq8Spec extends SparkSpec {
     assert(codes(1).forall(_ === 0))
   }
 
+  test("oobCountCol: exact strict-outside count; longer vectors don't crash") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val b = SQ8.train(emb.filter($"vec_id" < 250), "embedding")
+    // scalar recompute on the held-out half — exact count parity
+    val got = emb.filter($"vec_id" >= 250)
+      .select($"embedding", SQ8.oobCountCol(b, $"embedding").as("oob"))
+      .as[(Seq[Float], Int)].collect()
+    got.foreach { case (v, oob) =>
+      val expect = v.indices.count(d => v(d) < b.vmin(d) || v(d) > b.vmax(d))
+      assert(oob === expect)
+    }
+    assert(got.map(_._2).sum > 0, "held-out half should drift somewhere")
+    // a MALFORMED vector longer than the trained dim counts its overflow
+    // elements as 0 instead of raising under ANSI (try_element_at): the
+    // observability path must not introduce a crash packCol doesn't have
+    val long = Seq((1L, Seq.fill(80)(1e9f))).toDF("vec_id", "embedding")
+    val n = long.select(SQ8.oobCountCol(b, $"embedding").as("oob"))
+      .as[Int].head()
+    assert(n === 64, s"64 in-dim elements all out of bounds, got $n")
+  }
+
   test("sq8 ADC: direct-on-codes dot tracks decode-then-dot, same ranking") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val b = SQ8.train(emb, "embedding")
