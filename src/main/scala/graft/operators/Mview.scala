@@ -27,7 +27,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Mview {
 
   /** Per-group partial state for one measure column `valueCol`:
-    * (groupCols*, n, sum_dec, mn, mx). */
+    * (groupCols*, n, sum_dec, mn, mx).
+    *
+    * Value domain: |value| < 10¹² (DECIMAL(18,6) integral capacity; group
+    * sums get DECIMAL(28,6) headroom from Spark's sum widening). Under
+    * Spark's default ANSI mode an overflowing value RAISES at init time —
+    * the same loud-overflow discipline as the fixed-point family. Legacy
+    * non-ANSI sessions would instead null the cast and silently
+    * under-count the sum while `n` still counts the row — keep ANSI on
+    * (this repo never disables it). */
   def init(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     df.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n"),
@@ -57,13 +65,25 @@ object Mview {
     * artifact. */
   def diff(oldState: DataFrame, newState: DataFrame,
       groupCols: Seq[String]): DataFrame = {
+    // dataframe ALIASES, not o(c)/n(c) references: the two states often
+    // share lineage (diff(old, merge(old, delta)), or a state against
+    // itself), where unqualified attributes are ambiguous-self-join errors
     val o = oldState.select(
       groupCols.map(col) ++ Seq(col("n").as("__on"), col("sum_dec").as("__os")): _*)
+      .alias("__mv_o")
     val n = newState.select(
       groupCols.map(col) ++ Seq(col("n").as("__nn"), col("sum_dec").as("__ns")): _*)
-    o.join(n, groupCols, "full_outer")
+      .alias("__mv_n")
+    // null-SAFE key equality (<=>): init/merge group null keys together,
+    // so diff must match them together too — plain = would split an
+    // unchanged null-keyed group into one "disappearing" and one
+    // "appearing" phantom row every run
+    o.join(n,
+        groupCols.map(c => col(s"__mv_o.$c") <=> col(s"__mv_n.$c"))
+          .reduce(_ && _), "full_outer")
       .select(
-        groupCols.map(col) ++ Seq[Column](
+        groupCols.map(c =>
+          coalesce(col(s"__mv_o.$c"), col(s"__mv_n.$c")).as(c)) ++ Seq[Column](
           coalesce(col("__on"), lit(0L)).as("old_n"),
           coalesce(col("__nn"), lit(0L)).as("new_n"),
           (coalesce(col("__nn"), lit(0L)) - coalesce(col("__on"), lit(0L)))

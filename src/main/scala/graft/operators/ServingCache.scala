@@ -20,8 +20,19 @@ import org.apache.spark.util.LongAccumulator
   *
   * Cache decisions are driver-side (the probe result is a ≤
   * |queries|·nprobe driver round-trip in [[AnnIvf.searchPruned]] too —
-  * the reference's "leader search first" sequencing), so methods are
-  * synchronized for concurrent serving threads.
+  * the reference's "leader search first" sequencing). Concurrency: the
+  * cache monitor guards only the LRU map itself; a COLD load (persist +
+  * optional eager count job — seconds on a big partition) runs outside
+  * it behind a per-partition gate, so a cold query never blocks
+  * concurrent hits on resident partitions and two threads never
+  * double-load the same partition.
+  *
+  * A probe set WIDER than the cache does not thrash it: a single search
+  * probing more distinct partitions than `maxCachedPartitions` serves
+  * resident partitions from cache, fills the remaining capacity with
+  * cold loads, and reads the overflow through ONE direct
+  * partition-pruned scan (counted in `bypasses`) — the LRU never evicts
+  * a partition the same search just paid to load.
   *
   * `eagerLoad = true` (the default) materializes a partition with a
   * `count()` at load time — one extra job per cold partition, mirroring
@@ -43,31 +54,49 @@ final class ServingCache(val index: AnnIvf.Index, val maxCachedPartitions: Int,
   /** Rows materialized by cache loads, cumulative (the reference's
     * per-load `index.ntotal` roll-up). */
   val rowsLoaded: LongAccumulator = sc.longAccumulator("graft.ann.cache.rows_loaded")
+  /** Partitions served via the direct overflow scan because one search's
+    * probe set exceeded the cache capacity (no load, no eviction). */
+  val bypasses: LongAccumulator = sc.longAccumulator("graft.ann.cache.bypasses")
 
   // access-ordered LinkedHashMap = LRU; values are persisted partition scans
   private val lru = new java.util.LinkedHashMap[Int, DataFrame](16, 0.75f, true)
+  // per-partition load gates: serialize duplicate loads of the SAME
+  // partition without holding the cache monitor across the load's jobs
+  private val loadGates =
+    new java.util.concurrent.ConcurrentHashMap[Int, AnyRef]()
 
   def cachedPartitions: Seq[Int] = synchronized {
     import scala.jdk.CollectionConverters._
     lru.keySet().asScala.toSeq
   }
 
-  private def partitionDf(pid: Int): DataFrame = synchronized {
-    val got = lru.get(pid)
-    if (got != null) { hits.add(1); got }
-    else {
+  /** Resident lookup (bumps LRU order); null when cold. */
+  private def cachedOrNull(pid: Int): DataFrame = synchronized { lru.get(pid) }
+
+  private def partitionDf(pid: Int): DataFrame = {
+    val got = cachedOrNull(pid)
+    if (got != null) { hits.add(1); return got }
+    val gate = loadGates.computeIfAbsent(pid, _ => new AnyRef)
+    gate.synchronized {
+      // re-check: the previous holder of this gate may have loaded it
+      val again = cachedOrNull(pid)
+      if (again != null) { hits.add(1); return again }
       misses.add(1)
       val df = index.assigned.filter(col("partition_id") === pid)
         .persist(StorageLevel.MEMORY_AND_DISK)
       // eager load, like the reference's blocking read_index; lazy mode
-      // lets the first search's own job fill the persisted storage
+      // lets the first search's own job fill the persisted storage.
+      // Runs under the per-pid gate only — concurrent hits on OTHER
+      // partitions proceed through the cache monitor unblocked
       if (eagerLoad) rowsLoaded.add(df.count())
-      lru.put(pid, df)
-      while (lru.size > maxCachedPartitions) {
-        val it = lru.entrySet().iterator()
-        it.next().getValue.unpersist(blocking = false)
-        it.remove()
-        evictions.add(1)
+      synchronized {
+        lru.put(pid, df)
+        while (lru.size > maxCachedPartitions) {
+          val it = lru.entrySet().iterator()
+          it.next().getValue.unpersist(blocking = false)
+          it.remove()
+          evictions.add(1)
+        }
       }
       df
     }
@@ -85,9 +114,30 @@ final class ServingCache(val index: AnnIvf.Index, val maxCachedPartitions: Int,
       .collect().map(_.getAs[Number]("partition_id").intValue()).sorted
     if (pids.isEmpty) return AnnIvf.searchPruned(
       index, queries, queryIdCol, vecCol, k, nprobe, idCol)
-    val cands = pids.map(partitionDf).reduce(_.unionByName(_))
+    // resident-first capacity split — the overflow of a wide probe set
+    // goes to one direct pruned scan instead of churning the LRU (see
+    // class doc); reading keySet does not bump access order
+    val residentNow = synchronized {
+      import scala.jdk.CollectionConverters._
+      lru.keySet().asScala.toSet
+    }
+    val (hot, cold) = pids.partition(residentNow.contains)
+    val viaCache = (hot ++ cold).take(maxCachedPartitions)
+    val direct = pids.filterNot(viaCache.contains)
+    bypasses.add(direct.length.toLong)
+    val directScan =
+      if (direct.isEmpty) Nil
+      else Seq(index.assigned.filter(
+        col("partition_id").isin(direct.toSeq: _*)))
+    val cands = (viaCache.map(partitionDf).toSeq ++ directScan)
+      .reduce(_.unionByName(_))
+    // broadcast the SMALL things separately: the (query, partition)
+    // pairs and the query vectors ONCE each — not the probe result with
+    // a query-vector copy per probed partition (nprobe× the bytes)
+    val pairs = probed.select("query_id", "partition_id")
     Knn.topKPerGroup(
-      broadcast(probed).join(cands, Seq("partition_id"))
+      broadcast(pairs).join(cands, Seq("partition_id"))
+        .join(broadcast(q), Seq("query_id"))
         .withColumn("score",
           graft.functions.VectorOps.dot(col(vecCol), col("__query_vec"))),
       Seq(col("query_id")), k, desc("score"), asc(idCol))
@@ -100,9 +150,10 @@ final class ServingCache(val index: AnnIvf.Index, val maxCachedPartitions: Int,
     import spark.implicits._
     synchronized {
       Seq((lru.size(), hits.value: Long, misses.value: Long,
-          evictions.value: Long, rowsLoaded.value: Long))
+          evictions.value: Long, rowsLoaded.value: Long,
+          bypasses.value: Long))
         .toDF("cached_partitions", "cache_hits", "cache_misses",
-          "cache_evictions", "rows_loaded")
+          "cache_evictions", "rows_loaded", "cache_bypasses")
     }
   }
 

@@ -47,16 +47,20 @@ object WebDataset {
     new String(b, start, end - start, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** Parse one ustar archive into ordered (name, payload) members.
-    * Tolerant: stops at the end-of-archive zero block, skips non-file
-    * entries (dirs, symlinks, PAX headers), never reads past the buffer
-    * (truncated shards yield the complete leading members). */
-  private[graft] def tarMembers(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+  /** Parse one ustar archive into ordered (name, payload) members plus a
+    * parse status: "clean" (end-of-archive zero block reached),
+    * "truncated" (buffer ended mid-archive), or "corrupt-header" (a
+    * non-zero header whose size field is garbage or GNU base-256 —
+    * unsupported). Tolerant by contract: either non-clean status stops
+    * the parse and keeps the complete leading members (WebDatasetSpec
+    * pins it) — [[auditShards]] is how the silent tail loss is SEEN. */
+  private[graft] def parseShard(bytes: Array[Byte])
+      : (Seq[(String, Array[Byte])], String) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     var off = 0
-    var done = false
-    while (!done && off + BlockSize <= bytes.length) {
-      if (bytes(off) == 0) done = true // zero block = end of archive
+    var status: String = null
+    while (status == null && off + BlockSize <= bytes.length) {
+      if (bytes(off) == 0) status = "clean" // zero block = end of archive
       else {
         val name = {
           // POSIX ustar prefix field (345, 155 bytes) for long paths
@@ -72,7 +76,8 @@ object WebDataset {
         val dataStart = off.toLong + BlockSize
         val dataEnd = dataStart + size
         val next = dataStart + ((size + BlockSize - 1) / BlockSize) * BlockSize
-        if (size < 0 || next <= off || next > Int.MaxValue) done = true
+        if (size < 0 || next <= off || next > Int.MaxValue)
+          status = "corrupt-header"
         else {
           if ((typeflag == '0'.toByte || typeflag == 0.toByte) &&
               dataEnd <= bytes.length && name.nonEmpty)
@@ -82,8 +87,12 @@ object WebDataset {
         }
       }
     }
-    out.toSeq
+    (out.toSeq, if (status == null) "truncated" else status)
   }
+
+  /** Members only — the tolerant ingest view over [[parseShard]]. */
+  private[graft] def tarMembers(bytes: Array[Byte]): Seq[(String, Array[Byte])] =
+    parseShard(bytes)._1
 
   /** WebDataset key split: (key, extension) — key runs to the first dot
     * of the basename, extension is everything after it. */
@@ -130,6 +139,32 @@ object WebDataset {
     samples(spark, path)
       .flatMap(s => s.files.iterator.map { case (ext, p) => (s.shard, s.key, ext, p) })
       .toDF("shard", "key", "ext", "payload")
+  }
+
+  /** One row of [[auditShards]]. */
+  final case class ShardAuditRow(shard: String, bytes: Long, members: Long,
+      samples: Long, status: String)
+
+  /** Per-shard parse audit — the observability behind the reader's
+    * tolerant-stop contract: truncation or a corrupt header silently
+    * drops the TAIL members of a shard by design, which at a 100 TB
+    * corpus is undetectable training-data loss unless something looks.
+    * One row per shard with member/sample counts and the parse status
+    * ("clean" | "truncated" | "corrupt-header"); schedule it like any
+    * data-quality scan and alert on status != "clean". Same
+    * shard-per-task fan-out as [[samples]]. */
+  def auditShards(spark: SparkSession, path: String): Dataset[ShardAuditRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (shard, bytes) =>
+        val (members, status) = parseShard(bytes)
+        ShardAuditRow(shard, bytes.length.toLong, members.size.toLong,
+          groupSamples(shard, members).size.toLong, status)
+      }
   }
 
   // ---- sink: the writer dual of the source ----
@@ -200,7 +235,14 @@ object WebDataset {
     * FileSystem API (local/HDFS/object store), no shard ever buffered
     * whole; driver work is only the returned one-row-per-shard
     * manifest. Executor-side `Configuration()` inherits the cluster's
-    * site configs from the classpath, as on any real deployment. */
+    * site configs from the classpath, as on any real deployment.
+    * Publish protocol: each shard streams to an attempt-suffixed temp
+    * name and renames into place (last attempt wins) — task retries and
+    * speculative execution are safe, and a died-mid-write attempt leaves
+    * only a temp file the reader glob never matches, never a truncated
+    * `.tar` the tolerant parser would silently accept. Keys with a dot
+    * in the basename are rejected (they would not round-trip through
+    * the first-dot key/extension split). */
   def writeShards(
       samples: DataFrame,
       keyCol: String,
@@ -222,15 +264,33 @@ object WebDataset {
         fs.mkdirs(root)
         val shards = scala.collection.mutable.ArrayBuffer.empty[ShardInfo]
         var seq = 0
+        // retry-safe publish: task retries and speculative attempts must
+        // neither collide on create nor leave a truncated FINAL shard the
+        // tolerant reader would silently accept — each shard streams to an
+        // attempt-suffixed temp name the "*.tar" reader glob never
+        // matches, then renames into place last-attempt-wins
+        val attemptId = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         while (it.hasNext) {
           val name = f"shard-$pid%05d-$seq%04d.tar"
           val path = new org.apache.hadoop.fs.Path(root, name)
-          val os = fs.create(path, false)
+          val tmp = new org.apache.hadoop.fs.Path(root,
+            s".$name.inprogress-$attemptId")
+          val os = fs.create(tmp, true)
           var n = 0L
           var bytes = 0L
           try {
             while (it.hasNext && n < samplesPerShard) {
               val (key, files) = it.next()
+              // dotted BASENAMES do not round-trip: the read side splits
+              // key/extension at the first dot of the basename, so a key
+              // like "img.1" would regroup under sample "img" on read —
+              // reject at write instead of silently mangling the corpus
+              // (dots in DIRECTORY components are fine)
+              val base = key.substring(key.lastIndexOf('/') + 1)
+              require(!base.contains('.'),
+                s"WebDataset key '$key' has a dot in its basename — keys " +
+                  "split at the first dot on read and would not round-trip")
               files.toSeq.sortBy(_._1).foreach { case (ext, payload) =>
                 val member = if (ext.isEmpty) key else s"$key.$ext"
                 os.write(tarHeader(member, payload.length.toLong))
@@ -245,6 +305,9 @@ object WebDataset {
             os.write(new Array[Byte](2 * BlockSize))
             bytes += 2 * BlockSize
           } finally os.close()
+          fs.delete(path, false)
+          require(fs.rename(tmp, path),
+            s"writeShards: cannot publish $tmp -> $path")
           shards += ShardInfo(path.toString, n, bytes)
           seq += 1
         }

@@ -53,6 +53,29 @@ class MviewSpec extends SparkSpec {
       collectState(Mview.init(li, keys, "l_extendedprice")))
   }
 
+  test("diff matches null group keys null-safely — no phantom change rows") {
+    // init/merge group null keys together (groupBy is null-safe), so diff
+    // must match them together too: with a plain = join an UNCHANGED
+    // null-keyed group shows up as one disappearing + one appearing row
+    // on every run
+    import spark.implicits._
+    val rows = Seq(
+      (Option("a"), 1.0), (Option("a"), 2.0),
+      (Option.empty[String], 5.0), (Option.empty[String], 7.0))
+      .toDF("k", "v")
+    val st = Mview.init(rows, Seq("k"), "v")
+    // identical states: NOTHING changed, including the null-keyed group
+    assert(Mview.diff(st, st, Seq("k")).count() === 0)
+    // a real change under the null key surfaces exactly once, keyed null
+    val st2 = Mview.merge(st,
+      Mview.init(Seq((Option.empty[String], 100.0)).toDF("k", "v"),
+        Seq("k"), "v"), Seq("k"))
+    val d = Mview.diff(st, st2, Seq("k")).collect()
+    assert(d.length === 1)
+    assert(d.head.isNullAt(d.head.fieldIndex("k")))
+    assert(d.head.getAs[Long]("n_delta") === 1L)
+  }
+
   test("join delta rule: base state + joinDelta == init(full join), any split") {
     val spark2 = spark
     import spark2.implicits._

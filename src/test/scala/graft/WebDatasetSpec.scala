@@ -92,6 +92,28 @@ class WebDatasetSpec extends SparkSpec {
     assert(members2.map(_._1) === Seq("0001.jpg"))
   }
 
+  test("parseShard reports clean / truncated / corrupt-header status") {
+    val clean = tarOf("0001.jpg" -> bytes("A" * 600))
+    assert(WebDataset.parseShard(clean)._2 === "clean")
+    val truncated = java.util.Arrays.copyOfRange(clean, 0, 512 + 300)
+    assert(WebDataset.parseShard(truncated)._2 === "truncated")
+    val corrupt = tarOf("0001.jpg" -> bytes("ok"), "0002.jpg" -> bytes("x"))
+    corrupt(512 + 512 + 124) = 0x80.toByte // GNU base-256 marker
+    assert(WebDataset.parseShard(corrupt)._2 === "corrupt-header")
+    // the audit surfaces all three per shard — the observability the
+    // tolerant ingest path deliberately lacks
+    val dir = java.nio.file.Files.createTempDirectory("wds-audit").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.tar"), clean)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.tar"), truncated)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "c.tar"), corrupt)
+    val audit = WebDataset.auditShards(spark, dir).collect()
+      .map(r => (r.shard.split('/').last, r.status, r.members)).sortBy(_._1)
+    assert(audit.map(t => (t._1, t._2)).toSeq ===
+      Seq(("a.tar", "clean"), ("b.tar", "truncated"),
+        ("c.tar", "corrupt-header")))
+    assert(audit.map(_._3).toSeq === Seq(1L, 0L, 1L))
+  }
+
   test("keyExt follows the first-dot-of-basename convention") {
     assert(WebDataset.keyExt("dir/0001.seg.json") === ("dir/0001", "seg.json"))
     assert(WebDataset.keyExt("0001.jpg") === ("0001", "jpg"))
@@ -132,6 +154,44 @@ class WebDatasetSpec extends SparkSpec {
         assert(java.util.Arrays.equals(got(k)(ext), p), s"$k.$ext")
       }
     }
+  }
+
+  test("writeShards re-run publishes over prior output; temp files invisible") {
+    // retry-safe publish contract: a retried/speculative attempt must not
+    // collide on create (the pre-fix fs.create(path, false) threw
+    // FileAlreadyExistsException), and a died-mid-write attempt leaves
+    // only an attempt-suffixed temp the "*.tar" glob never matches
+    val dir = java.nio.file.Files.createTempDirectory("wds-retry").toString
+    val rows = Seq("0001" -> Map("txt" -> bytes("v1")))
+    WebDataset.writeShards(sampleDf(rows), "key", "files", dir)
+    // second run over the same dir = the retry: overwrites, no throw
+    val rows2 = Seq("0001" -> Map("txt" -> bytes("v2-longer")))
+    WebDataset.writeShards(sampleDf(rows2), "key", "files", dir)
+    // a truncated leftover from a dead attempt is never read
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".shard-00000-0000.tar.inprogress-99"),
+      bytes("garbage"))
+    val got = WebDataset.samples(spark, dir).collect()
+    assert(got.length === 1)
+    assert(new String(got.head.files("txt"), "UTF-8") === "v2-longer")
+  }
+
+  test("writeShards rejects keys with a dot in the basename") {
+    val dir = java.nio.file.Files.createTempDirectory("wds-dot").toString
+    val bad = Seq("img.1" -> Map("jpg" -> bytes("x")))
+    val e = intercept[org.apache.spark.SparkException] {
+      WebDataset.writeShards(sampleDf(bad), "key", "files", dir)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("dot in its basename")),
+      messages(e).mkString(" | "))
+    // dots in DIRECTORY components round-trip fine and stay allowed
+    val ok = Seq("dir.v2/0001" -> Map("jpg" -> bytes("y")))
+    WebDataset.writeShards(sampleDf(ok), "key", "files", dir)
+    assert(WebDataset.samples(spark, dir).collect()
+      .exists(_.key === "dir.v2/0001"))
   }
 
   test("samplesPerShard splits a partition into multiple tars; order preserved") {
