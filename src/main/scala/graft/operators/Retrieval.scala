@@ -153,11 +153,13 @@ object Retrieval {
     * terms' postings, not the corpus.
     *
     * Layout at `path`:
-    *  - `postings/` (term, id, tf) — range-partitioned AND sorted by
-    *    `term`, so a serving query's `term IN (...)` predicate reaches the
-    *    parquet scan (`PushedFilters: In(term,...)`) and row-group
-    *    min/max stats skip every postings block of non-query terms — the
-    *    file-format analogue of probing an inverted index;
+    *  - `postings/` (term, id, tf, __dl) — range-partitioned by
+    *    (term, id) AND sorted by `term`, so a serving query's
+    *    `term IN (...)` predicate reaches the parquet scan
+    *    (`PushedFilters: In(term,...)`) and row-group min/max stats skip
+    *    every postings block of non-query terms — the file-format
+    *    analogue of probing an inverted index; `__dl` rides each posting
+    *    so the query path never opens the corpus-sized doclen table;
     *  - `df/` (term, df) — same sorted-by-term layout;
     *  - `doclen/` (id, __dl); `stats/` one row (__n, __avgdl).
     */
@@ -169,8 +171,18 @@ object Retrieval {
     val toks = TextOps.tokens(col(textCol))
     val t = docs.select(col(idCol), explode(toks).as("term"))
     val dl = t.groupBy(idCol).agg(count(lit(1)).as("__dl"))
+    // __dl DENORMALIZED into the postings rows (one int per posting, paid
+    // once at build): a query then never touches the corpus-sized doclen
+    // table — without it, every serving query joined its few-term
+    // postings against ALL |corpus| doclen rows, corpus-proportional IO
+    // on the per-query path. Range partitioning by (term, id), not term
+    // alone: equal range keys never split, so a stopword's billion
+    // postings would otherwise land in ONE write task; the id tiebreak
+    // lets sampling cut inside a heavy term while files stay
+    // term-clustered for row-group min/max pushdown
     t.groupBy("term", idCol).agg(count(lit(1)).as("tf"))
-      .repartitionByRange(col("term"))
+      .join(dl, Seq(idCol))
+      .repartitionByRange(col("term"), col(idCol))
       .sortWithinPartitions("term", idCol)
       .write.mode("overwrite").parquet(s"$path/postings")
     t.groupBy("term").agg(countDistinct(col(idCol)).as("df"))
@@ -186,10 +198,12 @@ object Retrieval {
 
   /** Serve a BM25 query from a [[writeIndex]] layout. `queryTerms` are
     * literal strings (the serving-call shape), so the postings and df
-    * scans carry a static `In(term, ...)` pushdown — no corpus-wide read,
-    * no corpus-side shuffle (the filtered postings are broadcast-joined
-    * to the doc-length table). Scores are bit-identical to [[bm25]] on
-    * the same corpus (shared term-score expression; spec + oracle). */
+    * scans carry a static `In(term, ...)` pushdown — no corpus-wide
+    * read, no corpus-side shuffle (doc length is denormalized into the
+    * postings, so the only corpus-sized table in the plan is the
+    * pushdown-pruned postings scan itself). Scores are bit-identical to
+    * [[bm25]] on the same corpus (shared term-score expression; spec +
+    * oracle). */
   def searchIndex(
       spark: SparkSession,
       path: String,
@@ -198,20 +212,25 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val terms = queryTerms.distinct
+    assertNoTornAppend(spark, path)
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("term").isin(terms: _*))
     val dfc = spark.read.parquet(s"$path/df")
       .filter(col("term").isin(terms: _*))
-    val dl = spark.read.parquet(s"$path/doclen")
     val stats = spark.read.parquet(s"$path/stats")
-    // only df (≤|terms| rows) and stats (1 row) get broadcast hints; the
-    // postings⋈doclen join is left to the planner — a stopword query term
+    // postings built by the current writeIndex carry __dl denormalized —
+    // the query path is then pushdown-pruned postings only. LEGACY
+    // layouts without it fall back to the doclen join (corpus-sized —
+    // rebuild the index to shed it); either way only df (≤|terms| rows)
+    // and stats (1 row) get broadcast hints — a stopword query term
     // makes the filtered postings corpus-sized, so forcing a broadcast
     // there would be the classic 100×-scale failure (AQE broadcasts it
     // anyway whenever the term set is genuinely selective)
+    val withDl =
+      if (postings.columns.contains("__dl")) postings
+      else postings.join(spark.read.parquet(s"$path/doclen"), Seq(idCol))
     sumTerms(idCol)(
-      postings.join(broadcast(dfc), Seq("term"))
-        .join(dl, Seq(idCol))
+      withDl.join(broadcast(dfc), Seq("term"))
         .crossJoin(broadcast(stats))
         .withColumn("__ts", bm25TermScore(k1, b)))
   }
@@ -241,28 +260,46 @@ object Retrieval {
       textCol: String,
       path: String): Unit = {
     val spark = newDocs.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    // the four-table update (postings append, doclen append, df swap,
+    // stats swap) is NOT crash-atomic — and the documented idempotence
+    // route (feeding only new ids) makes a torn append unrepairable by
+    // retry: the re-fed batch filters to empty and the df/stats merge
+    // never happens, leaving scores silently wrong forever. The marker
+    // turns that into a LOUD state: it exists for exactly the duration
+    // of the update, and searchIndex/loadProfile/appendToIndex refuse a
+    // layout whose marker survived a crash (re-run writeIndex, or re-run
+    // the SAME append without the new-id filter after removing it).
+    assertNoTornAppend(spark, path)
+    val marker = tornMarker(path)
+    fs.create(marker, true).close()
     val toks = TextOps.tokens(col(textCol))
     val t = newDocs.select(col(idCol), explode(toks).as("term"))
-    t.groupBy("term", idCol).agg(count(lit(1)).as("tf"))
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions("term", idCol)
-      .write.mode("append").parquet(s"$path/postings")
     // doclen rows only for docs with ≥1 token — the same convention as
     // writeIndex/bm25 (and the oracle), so half-build + append equals a
-    // full build exactly
-    t.groupBy(idCol).agg(count(lit(1)).as("__dl"))
-      .write.mode("append").parquet(s"$path/doclen")
-    // corpus-global tables: merge + atomic dir swap
-    val hconf = spark.sparkContext.hadoopConfiguration
+    // full build exactly; __dl rides the delta postings exactly as in
+    // writeIndex, and heavy terms split by the id range tiebreak
+    val dlDelta = t.groupBy(idCol).agg(count(lit(1)).as("__dl"))
+    t.groupBy("term", idCol).agg(count(lit(1)).as("tf"))
+      .join(dlDelta, Seq(idCol))
+      .repartitionByRange(col("term"), col(idCol))
+      .sortWithinPartitions("term", idCol)
+      .write.mode("append").parquet(s"$path/postings")
+    dlDelta.write.mode("append").parquet(s"$path/doclen")
+    // corpus-global tables: merge + checked atomic dir swap (rename
+    // reports most failures by RETURNING FALSE — an unchecked rename
+    // here published nothing while reporting success)
     def swapIn(dirName: String)(df: DataFrame): Unit = {
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
       val live = new org.apache.hadoop.fs.Path(s"$path/$dirName")
       val staged = new org.apache.hadoop.fs.Path(s"$path/.$dirName.staged")
       val retired = new org.apache.hadoop.fs.Path(s"$path/.$dirName.retired")
       df.write.mode("overwrite").parquet(staged.toString)
       fs.delete(retired, true)
-      fs.rename(live, retired)
-      fs.rename(staged, live)
+      require(fs.rename(live, retired),
+        s"appendToIndex: cannot retire $live")
+      require(fs.rename(staged, live),
+        s"appendToIndex: cannot publish $staged -> $live")
       fs.delete(retired, true)
     }
     val mergedDf = spark.read.parquet(s"$path/df")
@@ -276,6 +313,24 @@ object Retrieval {
     swapIn("stats")(dl.agg(
       count(lit(1)).cast("double").as("__n"),
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl")))
+    fs.delete(marker, false)
+    ()
+  }
+
+  private def tornMarker(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, "_APPEND_INPROGRESS")
+
+  /** Raise if a crashed [[appendToIndex]] left the layout torn (postings
+    * possibly appended, df/stats stale) — serving it would return
+    * silently wrong scores, the worst failure mode an index can have. */
+  private def assertNoTornAppend(spark: SparkSession, path: String): Unit = {
+    val p = tornMarker(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) sys.error(
+      s"index at $path has a live _APPEND_INPROGRESS marker — an append " +
+        "crashed mid-update and postings/df/stats may disagree; rebuild " +
+        "with writeIndex (or re-run the identical append after removing " +
+        "the marker, WITHOUT the new-id filter) before serving")
   }
 
   /** A STANDING query frozen for scan-local scoring: the query terms with
@@ -297,6 +352,7 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75): QueryProfile = {
     val terms = queryTerms.distinct
+    assertNoTornAppend(spark, path)
     val dfc = spark.read.parquet(s"$path/df")
       .filter(col("term").isin(terms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -325,7 +381,9 @@ object Retrieval {
     val bc = spark.sparkContext.broadcast(profile)
     val scoreUdf = udf { (text: String) =>
       val p = bc.value
-      val toks = text.split(" ", -1)
+      // null-safe: one null-text event in the streaming firehose this is
+      // documented for must score 0, not NPE the task and kill the query
+      val toks = if (text == null) Array.empty[String] else text.split(" ", -1)
       val dl = toks.length.toDouble
       val tf = scala.collection.mutable.HashMap.empty[String, Long]
       toks.foreach { t =>

@@ -19,8 +19,10 @@ import graft.queries.dec
   * values themselves.
   *
   * At scale: event-time aggregation state is partitioned by (window, keys)
-  * in the state store; watermarks bound state size; `dropDuplicates` dedup
-  * state is similarly watermark-bounded.
+  * in the state store; watermarks bound state size; dedup state is
+  * watermark-bounded via `dropDuplicatesWithinWatermark` (plain
+  * `dropDuplicates` without the event-time column in its key set never
+  * evicts).
   *
   * == Twin-inventory completeness ==
   * Every batch analytics query with watermark-boundable state has a
@@ -177,9 +179,18 @@ object EventStreams {
     stream.withWatermark("ts", delay)
 
   /** Streaming dedup on event_id within the watermark horizon — the
-    * idempotent-ingest semantics (ST2). */
+    * idempotent-ingest semantics (ST2). dropDuplicatesWithinWatermark,
+    * NOT dropDuplicates: plain dropDuplicates only evicts state when the
+    * event-time column is part of the dedup key set, so keyed on
+    * event_id alone its state would grow with every id EVER seen — the
+    * WithinWatermark variant evicts each key once the watermark passes
+    * it, which is exactly the horizon this operator's name promises.
+    * Standard watermark contract applies: rows arriving LATER than
+    * `delay` behind the stream's max event time are dropped as late
+    * data, so pick `delay` ≥ the source's re-delivery lag plus its
+    * event-time disorder. */
   def dedupWithinWatermark(stream: DataFrame, delay: String): DataFrame =
-    stream.withWatermark("ts", delay).dropDuplicates("event_id")
+    stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static enrichment join against a frozen dimension (ST3) — the
     * add-after-train shape: the static side (centroids / dimension table)
@@ -337,7 +348,11 @@ object EventStreams {
     * [[nearDupMatches]] with one caveat exactly-once inherits: if the
     * lowest shared band's bucket went degenerate (over cap), the pair is
     * not emitted even when a higher band still could — the batch engine
-    * drops over-cap buckets the same way. State is
+    * drops over-cap buckets the same way. With `stateTtlMs > 0` the
+    * lowest-band rule is unsound (bucket lifetimes expire independently,
+    * so the designated emitter may no longer hold the pair): every LIVE
+    * shared band emits instead — at-least-once match events; consumers
+    * dedup on (media_id, dup_of). State is
     * hash-partitioned by (band, chunk); a bucket passing `maxBucketSize`
     * tombstones itself and goes silent (the batch drop); `stateTtlMs`
     * bounds state on unbounded streams. In-batch arrival order is
@@ -404,7 +419,15 @@ object EventStreams {
                 } else {
                   members.foreach { case (mid, mh) =>
                     val d = java.lang.Long.bitCount(mh ^ h)
-                    if (d <= maxHamming && firstSharedBand(mh, h) == key._1)
+                    // TTL off: exactly-once — only the lowest shared band
+                    // emits. TTL ON: bucket lifetimes are independent, so
+                    // the lowest shared band's bucket may have expired
+                    // while a higher one still holds both signatures —
+                    // gating on lowest-band would then lose the match
+                    // entirely; every LIVE shared band emits instead
+                    // (at-least-once; consumers dedup on (id, dup_of))
+                    if (d <= maxHamming &&
+                        (stateTtlMs > 0 || firstSharedBand(mh, h) == key._1))
                       out += SigMatch(id, mid, d)
                   }
                   members = members :+ ((id, h))
@@ -524,8 +547,17 @@ object EventStreams {
       new java.net.URI(statePath),
       spark.sessionState.newHadoopConf())
     val p = new org.apache.hadoop.fs.Path(statePath, "_LATEST")
-    val out = fs.create(p, true)
+    // write-temp-then-rename, NOT create(p, true): an in-place overwrite
+    // truncates the LIVE pointer the moment create() opens it, so a crash
+    // before close() (or a torn concurrent read) destroys the
+    // exactly-once commit record this machinery exists to keep — the
+    // same staged-publish discipline as compact/rebalance/writeShards
+    val tmp = new org.apache.hadoop.fs.Path(statePath, s"._LATEST.tmp-$seq")
+    val out = fs.create(tmp, true)
     try out.write(s"$seq\n$id\n$runKey".getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"mviewMaintain: cannot publish pointer $tmp -> $p")
   }
 
   /** Micro-batch ANN SERVING: a stream of query vectors answered against
@@ -737,9 +769,14 @@ object EventStreams {
         col("__toks"))).as("g"))
       .distinct().collect().map(_.getLong(0)).toSet
     val bc = spark.sparkContext.broadcast(evalGrams)
-    val nShared = udf { (grams: Seq[Long]) => grams.count(bc.value.contains) }
+    // null-safe: a single null-text event must score 0, not NPE the task
+    // and kill the whole stream
+    val nShared = udf { (grams: Seq[Long]) =>
+      if (grams == null) 0 else grams.count(bc.value.contains) }
     docs
-      .withColumn("__toks", graft.functions.TextOps.tokens(col(textCol)))
+      .withColumn("__toks", coalesce(
+        graft.functions.TextOps.tokens(col(textCol)),
+        array().cast("array<string>")))
       .select(col(idCol).as("id"),
         nShared(graft.functions.TextOps.portableHashedShinglesUdf(n)(
           col("__toks"))).as("n_shared"))
@@ -753,7 +790,10 @@ object EventStreams {
     * [[graft.operators.Dedup.dropExactDuplicates]]: state is keyed by the
     * content hash, the FIRST arrival under each hash is canonical, and
     * every arrival emits a verdict (later copies with `is_dup = true`, for
-    * dropping or routing to a dup log). Within a micro-batch rows fold in
+    * dropping or routing to a dup log) — except an at-least-once
+    * RE-delivery of the canonical row itself, which emits nothing: a
+    * keeper flagged as a dup of itself would hand a downstream compactor
+    * the only stored copy. Within a micro-batch rows fold in
     * ascending id order, so when arrival order is id order the kept set
     * equals the batch min-id form exactly (StreamingSpec asserts this).
     *
@@ -790,6 +830,10 @@ object EventStreams {
               if (keeper == Long.MinValue) {
                 keeper = id
                 out += ExactDupVerdict(id, id, is_dup = false)
+              } else if (id == keeper) {
+                // at-least-once re-delivery of the CANONICAL row (ST2):
+                // no verdict — flagging the keeper as a dup of itself
+                // would hand a downstream compactor the only stored copy
               } else out += ExactDupVerdict(id, keeper, is_dup = true)
             }
             state.update(keeper)
@@ -1034,11 +1078,19 @@ object EventStreams {
             val v100 = math.round(value * 100)
             if (ring.length == window) {
               var s1 = 0L; var s2 = 0L
-              ring.foreach { v => s1 += v; s2 += v * v }
+              ring.foreach { v =>
+                s1 = Math.addExact(s1, v)
+                s2 = Math.addExact(s2, Math.multiplyExact(v, v))
+              }
               // identical op sequence to the batch twin: every input is
               // an exact integer < 2^53, so each double op is correctly
-              // rounded from identical operands
-              val sd100 = math.sqrt((w * s2 - s1 * s1) / (w * w))
+              // rounded from identical operands. Exact JVM arithmetic,
+              // not += / *: the batch twin runs in SQL where ANSI mode
+              // RAISES on Long overflow — plain JVM ops would silently
+              // wrap here (s1² wraps at |s1| ≈ 3e9) and produce garbage
+              // z-scores where batch errors loudly
+              val sd100 =
+                math.sqrt((w * s2 - Math.multiplyExact(s1, s1)) / (w * w))
               val z = if (sd100 == 0.0) 0.0 else (v100 - s1 / w) / sd100
               out += ZScore(id, typ, value,
                 BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,

@@ -122,13 +122,46 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming dedup drops re-delivered event ids") {
+    // horizon wider than the fixture's whole time span: the files split
+    // round-robin, so each micro-batch carries near-max event times and
+    // a short delay would LATE-DROP most of the later batches (the
+    // standard watermark contract, not the replay-dedup this pins)
     val dup = streamEvents.union(streamEvents)
     val deduped = runToMemory(
-      EventStreams.dedupWithinWatermark(dup, "1 hour")
+      EventStreams.dedupWithinWatermark(dup, "60 days")
         .groupBy().count(),
       "dedup_out", "complete")
     val want = batchEvents.count()
     assert(deduped.orderBy(desc("count")).head().getLong(0) === want)
+  }
+
+  test("streaming dedup state is watermark-bounded: stale keys evict") {
+    // the reason dedupWithinWatermark uses dropDuplicatesWithinWatermark:
+    // plain dropDuplicates NEVER evicts when the event-time column is not
+    // in the key set, so its state grows with every id ever seen. Feed
+    // two far-apart batches in event-time order and assert the stream
+    // completes with BOTH batches deduped (horizon covers in-batch
+    // replays) while the first batch's keys are evictable — observable as
+    // numRowsTotal in the last progress staying below the all-keys total.
+    val dir = Files.createTempDirectory("dedup-evict").toString
+    val early = batchEvents.filter(col("ts") < "2024-01-10")
+    val late = batchEvents.filter(col("ts") >= "2024-01-25")
+    early.union(early).coalesce(1).write.mode("append").parquet(dir)
+    late.union(late).coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStreams.dedupWithinWatermark(stream, "1 hour")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("dedup_evict_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val want = early.count() + late.count()
+    assert(spark.table("dedup_evict_out")
+      .orderBy(desc("count")).head().getLong(0) === want)
+    val lastState = q.recentProgress.flatMap(p =>
+      Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal)).lastOption
+    assert(lastState.exists(_ < want),
+      s"state should have evicted the early keys, held $lastState of $want")
   }
 
   test("streaming near-dup matches equal batch minhashPairs across micro-batches") {
