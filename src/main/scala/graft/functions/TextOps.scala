@@ -77,11 +77,17 @@ object TextOps {
     * [[portableTokenHash64]] — so a SQL oracle can rebuild the set
     * string-for-string, hash-for-hash. */
   def portableHashedShinglesUdf(n: Int) = udf { (toks: Seq[String]) =>
+    // null token array (null text upstream) -> no shingles: the doc can
+    // near-dup-match nothing, and one null row must not NPE a whole
+    // corpus pass (winnowUdf set this convention)
+    if (toks == null) Array.empty[Long]
+    else {
     val shingles =
       if (toks.length >= n)
         (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).distinct
       else Seq(toks.mkString(" "))
     shingles.map(portableTokenHash64).distinct.sorted.toArray
+    }
   }
 
   /** Portable MinHash permutations over 63-bit shingle hashes: perm `p`
@@ -127,7 +133,12 @@ object TextOps {
   /** SimHash straight from the token array: portable per-token hash +
     * per-bit majority vote fused into one UDF pass — the hot path of
     * [[graft.operators.Dedup.simhashPairs]]. */
-  val simhashFromTokensUdf = udf { (toks: Seq[String]) =>
+  val simhashFromTokensUdf = udf { (toks0: Seq[String]) =>
+    // null-safe like the shingle UDF: null text simhashes as the empty
+    // doc instead of NPE-ing the task (empty/null docs all sign 0 and
+    // may pair with each other — the exact-dedup convention for equal
+    // empty content)
+    val toks = if (toks0 == null) Seq.empty[String] else toks0
     val acc = new Array[Int](64)
     toks.foreach { t =>
       val h = portableTokenHash64(t)

@@ -48,7 +48,10 @@ object CorpusPrep {
       splitDenom: Int = 10,
       splitSeed: Long = 1L,
       tokensPerShard: Long = 2000L,
-      packNextFit: Boolean = false) // capacity-BOUNDED shards via Packing.nextFit
+      packNextFit: Boolean = false, // capacity-BOUNDED shards via Packing.nextFit
+      packSubGroups: Int = 1) // >1: hash-split each (split, lang) into N
+                              // independently-packed sub-groups — the
+                              // parallelism knob for few-language corpora
 
   /** Run the chain. Returns `(idCol, langCol, textCol, n_tokens, split,
     * shard_id)` — one row per surviving document, shard-packed within
@@ -165,12 +168,24 @@ object CorpusPrep {
           .withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast("long"))
       }
 
-    // 5. pack into token-budget shards per (split, language) — parallel
-    // across groups, running sum never funnels through one task.
-    // packNextFit = capacity-BOUNDED shards (no multi-doc shard exceeds
-    // the budget — the trainer-sequence contract) via the next-fit walk;
-    // the default offset-derived shards are cheaper (pure window, no
-    // typed scan) but may straddle the budget at doc boundaries.
+    // 5. pack into token-budget shards per (split, language). Parallelism
+    // contract: each group's running sum funnels through ONE task — fine
+    // when #(split × language) groups is large, but a MONOLINGUAL corpus
+    // has ~3 groups and would sort its whole train split (text column
+    // included) in one reducer. packSubGroups > 1 is the knob for that
+    // shape: ids hash-split each group into N independently-packed
+    // sub-groups (shard ids interleave so they stay globally unique, and
+    // shard token budgets still hold per shard; the cost is up to N−1
+    // partially-filled shards per group). packNextFit = capacity-BOUNDED
+    // shards (no multi-doc shard exceeds the budget — the
+    // trainer-sequence contract) via the next-fit walk; the default
+    // offset-derived shards are cheaper (pure window, no typed scan) but
+    // may straddle the budget at doc boundaries.
+    require(cfg.packSubGroups >= 1,
+      s"packSubGroups must be >= 1 (got ${cfg.packSubGroups})")
+    val sub =
+      if (cfg.packSubGroups == 1) lit(0L)
+      else pmod(xxhash64(col(idCol)), lit(cfg.packSubGroups.toLong))
     val orderCols =
       if (cfg.ragChunkWin <= 0) Seq(col(idCol)) else Seq(col(idCol), col("chunk_no"))
     val packed =
@@ -180,17 +195,24 @@ object CorpusPrep {
         // injective key — concat_ws would merge ("train", NULL) with
         // ("train", "") and let a '|' inside lang fuse distinct groups,
         // silently interleaving packing across shards (round-8 advice)
-        val withGrp = unit.withColumn("__grp",
-          Packing.groupKey(col("split"), col(langCol)))
+        val withGrp = unit
+          .withColumn("__sub", sub)
+          .withColumn("__grp",
+            Packing.groupKey(col("split"), col(langCol), col("__sub")))
         val assign = Packing.nextFit(withGrp, "__grp", idCol, "n_tokens",
             cfg.tokensPerShard)
           .select(col("id").as(idCol), col("seq_id").as("shard_id"))
-        unit.join(assign, Seq(idCol))
+        unit.withColumn("__sub", sub).join(assign, Seq(idCol))
+          .withColumn("shard_id",
+            col("__sub") + lit(cfg.packSubGroups.toLong) * col("shard_id"))
+          .drop("__sub")
       } else {
-        val w = Window.partitionBy("split", langCol).orderBy(orderCols: _*)
-        unit.withColumn("shard_id",
-          ((sum("n_tokens").over(w) - col("n_tokens")) / cfg.tokensPerShard)
-            .cast("long"))
+        val w = Window.partitionBy(col("split"), col(langCol), sub)
+          .orderBy(orderCols: _*)
+        unit.withColumn("shard_id", sub +
+          lit(cfg.packSubGroups.toLong) *
+            ((sum("n_tokens").over(w) - col("n_tokens")) / cfg.tokensPerShard)
+              .cast("long"))
       }
     val outCols = Seq(col(idCol), col(langCol), col(textCol),
       col("n_tokens"), col("split"), col("shard_id")) ++

@@ -143,8 +143,12 @@ object Dedup {
     requireIntegralId(sig0, idCol, "hamming64Pairs")
     val spark = sig0.sparkSession
     import spark.implicits._
-    val sig = sig0.select(col(idCol).cast("long").as("id"),
-      col(hashCol).cast("long").as("sim"))
+    // null signatures (undecodable media in the dHash path this operator
+    // documents) cannot match anything — drop them instead of failing the
+    // non-nullable Long decode below
+    val sig = sig0.filter(col(hashCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(hashCol).cast("long").as("sim"))
     val banded = sig.select(col("id"), col("sim"),
       explode(array((0 until numBands).map { i =>
         struct(lit(i).as("band"),
@@ -200,9 +204,15 @@ object Dedup {
     * suffix smaller than ⌈t·|X|⌉ ≤ |A∩B|). So candidates = pairs sharing
     * at least one PREFIX shingle — an equi-join on prefix-shingle hash —
     * and everything else is skipped exactly. Shingle hashes are uniform,
-    * so prefix buckets are near-singletons on non-duplicate text; a
-    * corpus whose buckets degenerate is one whose true pair OUTPUT is
-    * quadratic, which no exact algorithm avoids.
+    * so prefix buckets are near-singletons on non-duplicate text — but a
+    * hot prefix shingle does NOT imply true pairs (near-template docs
+    * {s, xᵢ} with distinct xᵢ all bucket on s at zero true pairs), so
+    * exactness cannot cap the candidate space the way the banded
+    * operators do. `maxBucketPairs` is the loud guard instead: before
+    * the join, the worst per-token candidate PRODUCT is measured (two
+    * small aggs over the prefix tables) and a bucket whose a×b
+    * candidates exceed the bound raises with the offending size — a
+    * refused job beats a 10¹³-row shuffle. Set 0 to disable.
     *
     * ε guards (both only ever LENGTHEN the prefix — extra candidates are
     * discarded by the exact verify, never missed): t − 1e-6 covers the
@@ -215,7 +225,8 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       threshold: Double,
-      leftFilter: DataFrame => DataFrame = identity): DataFrame = {
+      leftFilter: DataFrame => DataFrame = identity,
+      maxBucketPairs: Long = 1_000_000_000L): DataFrame = {
     val sh = docs
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .select(col(idCol).as("id"),
@@ -229,6 +240,17 @@ object Dedup {
     }
     val aPre = prefixToks(leftFilter(sh)).select(col("id").as("left_id"), col("tok"))
     val bPre = prefixToks(sh).select(col("id").as("right_id"), col("tok"))
+    if (maxBucketPairs > 0) {
+      val worst = aPre.groupBy("tok").agg(count(lit(1)).as("__na"))
+        .join(bPre.groupBy("tok").agg(count(lit(1)).as("__nb")), Seq("tok"))
+        .agg(max(col("__na").cast("double") * col("__nb")).as("m")).head()
+      if (!worst.isNullAt(0) && worst.getDouble(0) > maxBucketPairs.toDouble)
+        sys.error(f"jaccardPairs: a prefix-shingle bucket would emit " +
+          f"${worst.getDouble(0)}%.0f candidate pairs > maxBucketPairs=" +
+          s"$maxBucketPairs — near-template corpus; dedup exact/chunk " +
+          "duplicates first (dropRepeatedChunks) or raise the bound " +
+          "deliberately (0 disables)")
+    }
     val cands = aPre.join(bPre, Seq("tok"))
       .filter(col("left_id") < col("right_id"))
       .select("left_id", "right_id")
@@ -299,13 +321,31 @@ object Dedup {
       idCol: String,
       textCol: String,
       blockTokens: Int = 3,
-      window: Int = 4): DataFrame = {
+      window: Int = 4,
+      maxBlockRows: Long = 5_000_000L): DataFrame = {
     require(blockTokens >= 1 && window >= 2)
     val toks = TextOps.tokens(col(textCol))
-    val rk = docs.select(
-        col(idCol).as("id"),
-        col(textCol).as("__text"),
-        concat_ws(" ", slice(toks, 1, blockTokens)).as("__blk"))
+    val blocked = docs.select(
+      col(idCol).as("id"),
+      col(textCol).as("__text"),
+      concat_ws(" ", slice(toks, 1, blockTokens)).as("__blk"))
+    // the rank window ships one WHOLE block — full __text sort key
+    // included — to one task. Fine when blocking keys spread (the design
+    // assumption); a boilerplate-heavy corpus where one opening phrase
+    // dominates would funnel a corpus-sized single-task sort, so measure
+    // the worst block first (one narrow agg) and refuse loudly instead
+    // of hanging. Set 0 to disable.
+    if (maxBlockRows > 0) {
+      val worst = blocked.groupBy("__blk").agg(count(lit(1)).as("__n"))
+        .agg(max(col("__n"))).head()
+      if (!worst.isNullAt(0) && worst.getLong(0) > maxBlockRows)
+        sys.error(s"sortedNeighborhoodCandidates: hottest block has " +
+          s"${worst.getLong(0)} rows > maxBlockRows=$maxBlockRows — the " +
+          "per-block rank would single-task-sort it with the full text " +
+          "as key; use more blockTokens (finer blocks) or raise the " +
+          "bound deliberately (0 disables)")
+    }
+    val rk = blocked
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__blk").orderBy(col("__text"), col("id"))))
       .select("id", "__blk", "__rn")
@@ -475,8 +515,13 @@ object Dedup {
     val spark = vectors.sparkSession
     import spark.implicits._
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // limit(max+1), not collect-then-count: the guard must fire BEFORE an
+    // unbounded driver collect — with the default identity leftFilter the
+    // left side is the whole corpus, and a post-collect require would
+    // only diagnose the driver OOM it exists to prevent
     val left: Array[(Long, Array[Float])] = leftFilter(v)
       .select(col("id").cast("long"), col("vec"))
+      .limit(maxLeftRows + 1)
       .as[(java.lang.Long, Seq[Float])].collect()
       .map { case (i, vec) =>
         require(i != null,
@@ -484,8 +529,8 @@ object Dedup {
         (i.longValue(), CentroidGemm.toFloatArray(vec))
       }
     require(left.length <= maxLeftRows,
-      s"embeddingPairs: left side has ${left.length} rows > maxLeftRows=" +
-        s"$maxLeftRows — not broadcastable; use AnnIvf.cosinePairsViaIndex")
+      s"embeddingPairs: left side exceeds maxLeftRows=$maxLeftRows — " +
+        "not broadcastable; use AnnIvf.cosinePairsViaIndex")
     val bc = spark.sparkContext.broadcast(left)
     // raw cutoff t − 1e-6: every pair whose ROUNDED score passes the final
     // filter has raw ≥ t − 5e-7, so nothing the crossJoin form returned is

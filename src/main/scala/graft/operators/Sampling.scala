@@ -96,10 +96,17 @@ object Sampling {
       .withColumn("__thresh", floor(col("__rate") * lit(denom.toLong)))
       .withColumn("keep_rate", round(col("__rate"), 6))
       .drop("__nmin", "__rate")
-    df.join(broadcast(rates), Seq(strataCol))
+    // null-SAFE join (aliased <=>): a null stratum is a first-class
+    // stratum here (counts groupBy already groups it), but a plain
+    // equi-join would silently DROP every null-stratum row from the
+    // output instead of giving it a keep decision
+    df.alias("__tk_d")
+      .join(broadcast(rates.alias("__tk_r")),
+        col(s"__tk_d.$strataCol") <=> col(s"__tk_r.$strataCol"))
       .withColumn("keep",
         (portableSplitBucket(keyCol, seed, denom) < col("__thresh")).cast("int"))
       .drop("__thresh")
+      .drop(col(s"__tk_r.$strataCol"))
   }
 
   /** Mixture planning — the static data-mixing stage (the fixed-weight
@@ -150,11 +157,19 @@ object Sampling {
       targets: Map[String, Double], seed: Long): DataFrame = {
     val plan = mixturePlan(df, strataCol, targets)
       .select(col(strataCol), col("take_docs"))
+    // the rank bound must ALSO appear as a LITERAL conjunct: rn <= column
+    // alone is not a shape InferWindowGroupLimit recognizes, so every
+    // stratum would fully sort in its window task; rn <= lit(maxTake)
+    // (a 1-row scalar off the already-tiny plan) lets the group-limit
+    // push into the sort, and the dynamic per-stratum filter then
+    // tightens it — semantically identical (take_docs <= maxTake)
+    val maxTakeRow = plan.agg(max(col("take_docs"))).head()
+    val maxTake = if (maxTakeRow.isNullAt(0)) 0L else maxTakeRow.getLong(0)
     val w = Window.partitionBy(col(strataCol))
       .orderBy(portableSplitBucket(keyCol, seed, 1000003), keyCol)
     df.join(broadcast(plan), Seq(strataCol))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= col("take_docs"))
+      .filter(col("__rn") <= lit(maxTake) && col("__rn") <= col("take_docs"))
       .drop("__rn", "take_docs")
   }
 
@@ -245,7 +260,11 @@ object Sampling {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
-    val pts = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    // null vectors carry no geometry: a null ms would sort FIRST under
+    // asc (nulls-first), hijack every argmin pick, and then NPE the
+    // driver loop — exclude them up front
+    val pts = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     def simTo(center: Seq[Float]) =
       round(graft.functions.VectorOps.dot(col("vec"), typedlit(center)), 6)
 
@@ -271,10 +290,17 @@ object Sampling {
           val p = rows(0)
           picks = (step, p.getLong(0), Double.box(p.getDouble(2))) :: picks
           centerVec = p.getSeq[Float](1)
-          if (step < k)
+          if (step < k) {
+            val prev = state
             state = state.filter(col("id") =!= p.getLong(0))
               .withColumn("ms", greatest(col("ms"), simTo(centerVec)))
               .localCheckpoint(eager = true)
+            // the new checkpoint is MATERIALIZED (eager), so the previous
+            // round's blocks — a full (id, vec, ms) copy of the corpus —
+            // can go; without this the storage pins k copies and a large
+            // k spill-thrashes the executors
+            prev.unpersist(blocking = false)
+          }
           step += 1
         }
       }

@@ -156,6 +156,34 @@ class CorpusPrepSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("packSubGroups splits the per-group funnel; budgets and coverage hold") {
+    val base = docs
+    val cfg1 = CorpusPrep.Config()
+    val cfgN = CorpusPrep.Config(packSubGroups = 4)
+    val p1 = CorpusPrep.prepare(base, "doc_id", "text", "lang", cfg1)
+    val pN = CorpusPrep.prepare(base, "doc_id", "text", "lang", cfgN)
+    // survivors identical — sub-grouping only re-shards, never re-gates
+    assert(p1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      pN.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // every (split, lang, shard) still respects the token budget at the
+    // offset grain: shards are CONTIGUOUS runs per sub-group, so within a
+    // shard the token sum stays <= budget + one straddling doc
+    val budget = cfgN.tokensPerShard
+    val worst = pN.groupBy("split", "lang", "shard_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("tok"),
+        org.apache.spark.sql.functions.max("n_tokens").as("mx"))
+      .filter(col("tok") > lit(budget) + col("mx"))
+    assert(worst.count() === 0L, "a sub-grouped shard blew its budget")
+    // shard ids from different sub-groups never collide (interleaved)
+    val perShardSubs = pN
+      .withColumn("__sub", pmod(xxhash64(col("doc_id")), lit(4L)))
+      .groupBy("split", "lang", "shard_id")
+      .agg(org.apache.spark.sql.functions.countDistinct("__sub").as("ns"))
+      .filter(col("ns") > 1)
+    assert(perShardSubs.count() === 0L,
+      "one shard id mixed docs from two sub-groups")
+  }
+
   test("packNextFit: same survivors, multi-doc shards bounded by the budget") {
     val budget = 300L
     val nf = CorpusPrep.prepare(docs, "doc_id", "text", "lang",

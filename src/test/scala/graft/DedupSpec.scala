@@ -250,6 +250,69 @@ class DedupSpec extends SparkSpec {
     assert(capped === uncapped)
   }
 
+  test("null-text docs neither crash nor pair: minhash/simhash/jaccard/snm") {
+    // one null-text row in a corpus must not NPE a whole pass (the
+    // shingle/simhash UDFs previously dereferenced the null token array);
+    // it also must not invent pairs with real docs
+    val withNull = docs.unionByName(
+      Seq((99L, null: String)).toDF("doc_id", "text"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val mh = pairsOf(Dedup.minhashPairs(withNull, "doc_id", "text",
+      shingleSize = 3, numBands = 8, rowsPerBand = 4, threshold = 0.5))
+    assert(!mh.exists(p => p._1 == 99L || p._2 == 99L))
+    val sh = pairsOf(Dedup.simhashPairs(withNull, "doc_id", "text",
+      maxHamming = 3))
+    assert(!sh.exists(p => p._1 == 99L || p._2 == 99L))
+    val jp = pairsOf(Dedup.jaccardPairs(withNull, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5))
+    assert(!jp.exists(p => p._1 == 99L || p._2 == 99L))
+    assert(jp.nonEmpty) // the real near-dups still found
+  }
+
+  test("hamming64Pairs drops null signatures instead of crashing") {
+    // the dHash path this operator documents yields null for undecodable
+    // media; a null signature can match nothing
+    val sigs = Seq((1L, java.lang.Long.valueOf(0L)),
+      (2L, java.lang.Long.valueOf(1L)),
+      (3L, null: java.lang.Long))
+      .toDF("media_id", "sig")
+    val got = Dedup.hamming64Pairs(sigs, "media_id", "sig", maxHamming = 3)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("jaccardPairs refuses a near-template prefix bucket loudly") {
+    // docs {s, x_i}: every prefix contains the shared shingle s, zero
+    // true pairs at t=0.8 — the exact shape where the prefix filter
+    // cannot bound candidates; the guard must raise, not shuffle n^2/2
+    val template = (0 until 200).map(i =>
+      (i.toLong, s"aaa bbb ccc unique$i token$i word$i"))
+      .toDF("doc_id", "text")
+    val e = intercept[RuntimeException] {
+      Dedup.jaccardPairs(template, "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, maxBucketPairs = 1000L).count()
+    }
+    assert(e.getMessage.contains("maxBucketPairs"), e.getMessage)
+    // same corpus with the guard at its default passes (small n here)
+    Dedup.jaccardPairs(template, "doc_id", "text",
+      shingleSize = 3, threshold = 0.8).count()
+  }
+
+  test("sortedNeighborhoodCandidates refuses a corpus-sized hot block") {
+    val boiler = (0 until 100).map(i =>
+      (i.toLong, s"copyright all rights reserved document $i"))
+      .toDF("doc_id", "text")
+    val e = intercept[RuntimeException] {
+      Dedup.sortedNeighborhoodCandidates(boiler, "doc_id", "text",
+        blockTokens = 3, window = 4, maxBlockRows = 50L).count()
+    }
+    assert(e.getMessage.contains("maxBlockRows"), e.getMessage)
+    // default bound leaves the small corpus untouched
+    assert(Dedup.sortedNeighborhoodCandidates(boiler, "doc_id", "text",
+      blockTokens = 3, window = 4).count() > 0)
+  }
+
   test("SortedLongJaccard matches set-based jaccard on random inputs") {
     val g = for {
       a <- Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted)

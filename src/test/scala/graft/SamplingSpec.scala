@@ -199,6 +199,34 @@ class SamplingSpec extends SparkSpec {
     assert(plan("en")._2 === 0L)
   }
 
+  test("temperatureKeep: null-stratum rows get a keep decision, not dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Option("en")), (2L, Option("en")), (3L, Option("en")),
+      (4L, Option("en")), (5L, Option.empty[String]), (6L, Option.empty[String]))
+      .toDF("id", "lang")
+    val kept = graft.operators.Sampling.temperatureKeep(
+      rows, "lang", col("id"), seed = 7L)
+    // EVERY input row comes back with a decision — the previous plain
+    // equi-join silently dropped the null-stratum rows
+    assert(kept.count() === 6L)
+    val nullRows = kept.filter(col("lang").isNull)
+    assert(nullRows.count() === 2L)
+    // the null stratum is first-class: it is the smallest, so rate 1.0
+    assert(nullRows.select("keep_rate").distinct().head().getDouble(0) === 1.0)
+  }
+
+  test("k-center coreset: null vectors are excluded, not argmin hijackers") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Some(Seq(1f, 0f))), (2L, Some(Seq(0f, 1f))),
+      (3L, Some(Seq(1f, 1f))), (9L, Option.empty[Seq[Float]]))
+      .toDF("id", "vec")
+    val picks = graft.operators.Sampling.kCenterCoreset(pts, "id", "vec", k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(picks === Set(1L, 2L, 3L)) // 9 never selected, no NPE
+  }
+
   test("L1 and Linf distances: zero to self, triangle sanity") {
     val got = Seq((Seq(1f, 2f, -3f), Seq(0f, 2f, 1f)))
       .toDF("a", "b")
