@@ -44,7 +44,15 @@ object AnnPq {
       sampleLimit: Int = 1 << 14): Codebooks = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val sample = vectors.select(col(vecCol)).limit(sampleLimit)
+    // hash-ordered TakeOrdered, not bare limit(): limit takes whatever
+    // rows arrive first, which after any shuffle is run-dependent —
+    // different sample → different codebooks → a rebuilt index that does
+    // not replay. Ordering by the vectors' hash keeps the per-partition
+    // top-K shape (never a full sort) and makes the sample a pure
+    // function of the corpus VALUES.
+    val sample = vectors.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)), col(vecCol))
+      .limit(sampleLimit)
       .as[Seq[Float]].collect().map(CentroidGemm.toFloatArray)
     require(sample.nonEmpty, "AnnPq.train: empty sample")
     trainLocal(sample, m, ksub, seed)
@@ -53,9 +61,18 @@ object AnnPq {
   /** Driver-local PQ training over an in-memory sample (the shared core
     * of [[train]] / [[trainResidual]] / [[trainOpq]]). */
   private def trainLocal(
-      sample: Array[Array[Float]], m: Int, ksub: Int, seed: Long): Codebooks = {
+      sample0: Array[Array[Float]], m: Int, ksub: Int, seed: Long): Codebooks = {
     require(ksub >= 2 && ksub <= 256,
       s"PQ codes are single bytes: need 2 <= ksub <= 256, got $ksub")
+    // canonical (lexicographic) order: the seeded init walks the sample
+    // array, so codebooks must be a pure function of the sample SET —
+    // never of partition fetch order, which is what arrives here
+    val sample = sample0.sortWith { (a, b) =>
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n && a(i) == b(i)) i += 1
+      if (i < n) a(i) < b(i) else a.length < b.length
+    }
     val dim = sample(0).length
     require(dim % m == 0, s"AnnPq.train: dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -113,10 +130,15 @@ object AnnPq {
     * the same byte budget quantizes much finer. Scores stay exact-form
     * because inner products decompose linearly:
     * ⟨q, c_p + r̂⟩ = ⟨q, c_p⟩ (the probe's `pscore`) + ⟨q, r̂⟩ (ADC). */
-  def encodeResidualUdf(cb: Codebooks, centers: Map[Int, Array[Float]]) =
+  def encodeResidualUdf(cb: Codebooks,
+      centers: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Float]]]) =
     udf { (pid: Int, vec: Seq[Float]) =>
+      // broadcast handle, NOT the raw map: a closure-captured center map
+      // is nlist·dim floats serialized into EVERY stage's task binary —
+      // at the module's own sizing (10·√N centroids) that is GBs of task
+      // broadcast per stage instead of one shared broadcast
       val v = CentroidGemm.toFloatArray(vec).clone()
-      val c = centers(pid)
+      val c = centers.value(pid)
       var i = 0
       while (i < v.length) { v(i) -= c(i); i += 1 }
       encodeVec(cb, v)
@@ -154,15 +176,17 @@ object AnnPq {
     * unpersisted lineage would re-run `encodeUdf` inside every search
     * plan, and after projection collapse into the candidate join that
     * means once per (query, vector) PAIR, not per vector (measured 5× on
-    * sf0.1). Spark's cache manager dedupes by canonicalized plan, so
-    * repeated `encode` calls over the same index share one entry; call
-    * `.unpersist()` when done, or write it out as partitioned parquet
-    * (same layout contract as [[AnnIvf.write]]) for the durable form. */
+    * sf0.1). Each call persists its OWN entry (the fresh UDF closure
+    * defeats plan-canonicalization dedup), so encode ONCE per index and
+    * reuse the returned DataFrame across searches; call `.unpersist()`
+    * when done, or write it out as partitioned parquet (same layout
+    * contract as [[AnnIvf.write]]) for the durable form. */
   def encode(index: AnnIvf.Index, cb: Codebooks,
       idCol: String, vecCol: String, residual: Boolean = false): DataFrame = {
     val codeCol =
       if (residual)
-        encodeResidualUdf(cb, AnnIvf.centerMap(index))(
+        encodeResidualUdf(cb, index.assigned.sparkSession.sparkContext
+            .broadcast(AnnIvf.centerMap(index)))(
           col("partition_id"), col(vecCol))
       else encodeUdf(cb)(col(vecCol))
     index.assigned.select(col("partition_id"), col(idCol),
@@ -232,7 +256,9 @@ object AnnPq {
       iters: Int = 10): (Codebooks, Array[Array[Float]]) = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val sample = vectors.select(col(vecCol)).limit(sampleLimit)
+    val sample = vectors.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)), col(vecCol))
+      .limit(sampleLimit)
       .as[Seq[Float]].collect().map(CentroidGemm.toFloatArray)
     require(sample.nonEmpty, "AnnPq.trainOpq: empty sample")
     val dim = sample(0).length
@@ -563,15 +589,22 @@ object AnnPq {
       (DataFrame, org.apache.spark.broadcast.Broadcast[Map[Long, Array[Float]]]) = {
     val spark = queries.sparkSession
     import spark.implicits._
+    requireIntegralId(queries, queryIdCol, "AnnPq.searchADC")
     val q = queries.select(
       col(queryIdCol).cast("long").as("query_id"), col(vecCol).as("__query_vec"))
     // residual mode keeps the probe's ⟨q, c_p⟩ term: candidate score =
     // pscore + ADC over the residual codes (linear decomposition)
     val probed = AnnIvf.probeStep(index, q, nprobe)
       .select("query_id", "partition_id", "pscore")
-    val luts = q.as[(Long, Seq[Float])].collect()
+    val lutList = q.as[(Long, Seq[Float])].collect()
       .map { case (qid, v) => qid -> computeLut(cb, CentroidGemm.toFloatArray(v)) }
-      .toMap
+    val luts = lutList.toMap
+    // duplicate query ids would silently collapse to ONE surviving LUT
+    // while the probe still fans out for every vector — all candidates
+    // would score against the wrong query; refuse instead
+    require(luts.size == lutList.length,
+      s"AnnPq.searchADC: duplicate ids in '$queryIdCol' — each query " +
+        "needs a distinct id (its LUT is keyed by it)")
     val bc = spark.sparkContext.broadcast(luts)
     val m = cb.m
     val ksub = cb.ksub

@@ -74,7 +74,20 @@ object GlobalRank {
     * result carries (`__grpid`, `__grpoff`, `__grpc`) with `__grpoff` typed
     * like `sum(weight)`. */
   private def offsets(tagged: DataFrame, weight: Column): DataFrame = {
-    val counts = tagged.groupBy(col("__grpid")).agg(sum(weight).as("__grpc"))
+    // __grpn guard: the per-partition local rank is Spark's row_number,
+    // whose buffer is an Int — a range partition past 2^31-1 rows would
+    // WRAP it silently into wrong (negative/duplicate) global ranks at
+    // exactly the 10^12-row scale this module exists for. The row count
+    // rides the same agg for free; raise_error fires loudly instead.
+    val counts = tagged.groupBy(col("__grpid"))
+      .agg(sum(weight).as("__grpc"), count(lit(1)).as("__grpn"))
+      .withColumn("__grpc",
+        when(col("__grpn") <= lit(Int.MaxValue.toLong), col("__grpc"))
+          .otherwise(raise_error(format_string(
+            "GlobalRank: range partition %s holds %s rows — past the " +
+              "2^31-1 row_number buffer; pass a larger `partitions`",
+            col("__grpid"), col("__grpn")))))
+      .drop("__grpn")
     val zero = lit(0).cast(counts.schema("__grpc").dataType)
     val right = counts
       .select(col("__grpid").as("__pb"), col("__grpc").as("__cb"))
@@ -160,7 +173,13 @@ object GlobalRank {
       s"probs must be in [0, 1], got $probs")
     val spark = df.sparkSession
     import spark.implicits._
-    val tagged = ranged(df.select(value.cast("double").as("__v")),
+    // NULLs are excluded before ranking — SQL percentile_cont ignores
+    // them, and Spark sorts them FIRST, so counting them in N would
+    // silently shift every bracket rank onto the wrong rows. (NaN sorts
+    // LAST in Spark and is passed through like any engine-specific
+    // garbage value — filter upstream if the metric can be NaN.)
+    val tagged = ranged(
+      df.select(value.cast("double").as("__v")).filter(col("__v").isNotNull),
       Seq(col("__v")), partitions)
     val off = offsets(tagged, lit(1L)) // (__grpid, __grpc, __grpoff)
     val total = off.agg(sum(col("__grpc")).as("__n"))

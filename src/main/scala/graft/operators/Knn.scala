@@ -80,6 +80,12 @@ object Knn {
       excludeSelf: Boolean = true): DataFrame = {
     requireIntegralId(vectors, idCol, "bruteForceBlocked")
     requireIntegralId(queries, queryIdCol, "bruteForceBlocked")
+    // contract parity with bruteForce, which returns 0 rows for k <= 0
+    // via its rank filter; the blocked accumulator would instead throw
+    // buf.last-on-Nil deep inside a task
+    if (k <= 0)
+      return bruteForce(vectors, queries, idCol, queryIdCol, vecCol, k,
+        excludeSelf)
     val spark = vectors.sparkSession
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries

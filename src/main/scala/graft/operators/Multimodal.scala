@@ -43,9 +43,16 @@ object Multimodal {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (readers.hasNext) {
         val r = readers.next()
+        // a payload the reader CLAIMS but cannot parse (valid signature,
+        // truncated/garbage header) must degrade like any other
+        // undecodable payload, not abort a 100 TB profiling scan on one
+        // poison row — the JDK readers throw more than IOException here
         try {
           r.setInput(iis)
           MediaMeta(id, n, r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            MediaMeta(id, n, "corrupt", 0, 0)
         } finally r.dispose()
       } else MediaMeta(id, n, "unknown", 0, 0)
     } finally iis.close()
@@ -109,6 +116,24 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Full-decode pixel cap: a ~100-byte crafted header can declare
+    * 50000×50000 and make `ImageIO.read` allocate a ~10 GB raster — one
+    * adversarial row must not OOM an executor. 2²⁶ px ≈ 256 MB ARGB. */
+  private val MaxDecodePixels = 1L << 26
+
+  /** Decode an untrusted payload defensively: header-only dims gate
+    * first (no pixel IO), then the full decode under a NonFatal catch —
+    * the JDK GIF/BMP readers throw unchecked exceptions on malformed
+    * input, not just IOException. Null on any refusal. */
+  private def safeDecode(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val meta = decodeHeader(0L, payload)
+    if (meta.width <= 0 || meta.height <= 0 ||
+        meta.width.toLong * meta.height > MaxDecodePixels) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   /** 64-bit difference hash (dHash) of an image payload — the classic
     * perceptual fingerprint for image near-dup detection: decode, reduce
     * to a 9×8 luma grid with an INTEGER box filter (pure pixel-sum math
@@ -119,9 +144,7 @@ object Multimodal {
     * Null for undecodable payloads. */
   def dHash64(payload: Array[Byte]): java.lang.Long = {
     if (payload == null || payload.isEmpty) return null
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+    val img = safeDecode(payload)
     if (img == null) return null
     val (gw, gh) = (9, 8)
     val w = img.getWidth
@@ -188,9 +211,7 @@ object Multimodal {
   def resizeUdf(w: Int, h: Int) = udf { (payload: Array[Byte]) =>
     if (payload == null) null
     else {
-      val src =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+      val src = safeDecode(payload)
       if (src == null) null
       else {
         val dst = new java.awt.image.BufferedImage(
@@ -230,7 +251,12 @@ object Multimodal {
       var i = 0
       while (i < payload.length) {
         h = (h ^ payload(i)) * 1099511628211L
-        v((i + (h & 0x7fffffff).toInt) % dim) += ((h >> 32).toInt % 1000) / 1000.0f
+        // Long + floorMod: `(i + (h & 0x7fffffff).toInt) % dim` overflows
+        // Int with probability ~i/2^31 per byte — near-certain somewhere
+        // in any payload ≳64 KB — and a negative index crashes the task.
+        // The Long sum is identical wherever the Int sum did not overflow
+        v(java.lang.Math.floorMod(i.toLong + (h & 0x7fffffffL),
+          dim.toLong).toInt) += ((h >> 32).toInt % 1000) / 1000.0f
         i += 1
       }
       var ss = 0.0

@@ -108,6 +108,17 @@ class GlobalRankSpec extends SparkSpec {
     assert(b === 1)
   }
 
+  test("quantileCont ignores NULL values exactly like percentile_cont") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), None, None).toDF("v")
+    val probs = Seq(0.0, 0.5, 1.0)
+    val got = GlobalRank.quantileCont(df, col("v"), probs)
+      .orderBy("prob").select("p_value").as[Double].collect().toSeq
+    // SQL semantics: N = 3 non-null values {1,2,3}
+    assert(got === Seq(1.0, 2.0, 3.0),
+      s"nulls must not shift bracket ranks: $got")
+  }
+
   test("quantileCont equals the exact percentile builtin (selection-pruned path)") {
     // 1000 shuffled distinct values + duplicates; probs hitting exact
     // ranks, interpolated positions, and both endpoints — the pruned

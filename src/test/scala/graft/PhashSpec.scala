@@ -40,6 +40,40 @@ class PhashSpec extends SparkSpec {
     assert(Multimodal.dHash64("not a png".getBytes) === null)
   }
 
+  test("poison payloads degrade, never crash: corrupt header, bomb dims, big embed") {
+    // corrupt-but-sniffable: valid PNG signature, garbage after — the
+    // header decode must degrade (corrupt/unknown), not throw
+    val good = Multimodal.encodePng(7L, perturb = false)
+    val truncated = java.util.Arrays.copyOfRange(good, 0, 20)
+    val meta = Multimodal.decodeHeader(1L, truncated)
+    assert(meta.format === "corrupt" || meta.format === "unknown")
+    assert(Multimodal.dHash64(truncated) === null)
+    // decompression bomb: patch the IHDR dims of a REAL tiny PNG to
+    // 50000x50000 — the header-gated decode must refuse before any
+    // pixel allocation (a ~10 GB raster), not OOM the executor
+    val bomb = good.clone()
+    def putBE(off: Int, v: Int): Unit = {
+      bomb(off) = ((v >>> 24) & 0xff).toByte
+      bomb(off + 1) = ((v >>> 16) & 0xff).toByte
+      bomb(off + 2) = ((v >>> 8) & 0xff).toByte
+      bomb(off + 3) = (v & 0xff).toByte
+    }
+    putBE(16, 50000) // IHDR width (8-byte sig + 4 len + 4 type)
+    putBE(20, 50000) // IHDR height
+    assert(Multimodal.dHash64(bomb) === null)
+    // embedUdf on a payload large enough that the old 32-bit bucket
+    // index arithmetic overflowed negative (~certain at 200 KB)
+    import spark.implicits._
+    val big: Array[Byte] =
+      Array.tabulate(200 * 1024)(i => ((i * 31) & 0xff).toByte)
+    val emb = Seq(Tuple1(big)).toDF("payload")
+      .select(Multimodal.embedUdf(32)($"payload").as("v"))
+      .head().getSeq[Float](0)
+    assert(emb.length === 32)
+    val norm = math.sqrt(emb.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
+
   test("hamming64Pairs equals brute force within the pigeonhole bound") {
     val sig = (0L until 120L)
       .map(id => (id, Multimodal.dHash64(Multimodal.encodePng(id, perturb = false)).longValue()))
