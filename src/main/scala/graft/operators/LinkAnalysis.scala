@@ -101,7 +101,12 @@ object LinkAnalysis {
     require(edges.schema(dstCol).dataType == nodeType,
       s"src/dst type mismatch: $nodeType vs ${edges.schema(dstCol).dataType}")
 
+    // null endpoints filtered like every sibling operator: an unfiltered
+    // null would become a graph NODE and then a null value under the
+    // nullable=false output schema — a false non-null contract Catalyst
+    // is allowed to optimize against
     val eDist = edges.select(col(srcCol), col(dstCol))
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
     val e: RDD[(Any, Any)] = (if (assumeDistinct) eDist else eDist.distinct())
       .rdd.map(r => (r.get(0), r.get(1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -111,6 +116,15 @@ object LinkAnalysis {
     // get one partition per ~250k edges up to the cluster's parallelism —
     // the same fit-the-partition-to-the-data rule the sinks use
     val m = e.count()
+    // empty graph: n = 0 would divide the teleport mass by zero below —
+    // the honest answer is an empty rank table, not an ArithmeticException
+    if (m == 0) {
+      e.unpersist(blocking = false)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("node", nodeType, nullable = false),
+          StructField("pr", LongType, nullable = false))))
+    }
     val part = new HashPartitioner(
       math.max(1, math.min(spark.sparkContext.defaultParallelism,
         (m / 1000000L).toInt + 1)))
@@ -121,7 +135,14 @@ object LinkAnalysis {
     // out-degree are edge-partitioned into slices that each carry the
     // TOTAL out-degree, so the per-edge contribution is computed
     // identically from any slice (keys are unchanged, so the hash
-    // partitioning is preserved through the slicing)
+    // partitioning is preserved through the slicing).
+    // Honest bound: the slices cap each ROUND's per-record size, but the
+    // one-time aggregateByKey build still merges a hub's whole out-list
+    // in one combiner before slicing (and all slices of one key land in
+    // one hash partition) — ~1 GB of boxed refs per 10^8-degree hub in
+    // that task. Splitting the BUILD too needs salted keys plus a
+    // total-degree join; do it if a corpus with 10^8-degree hubs ever
+    // actually shows up
     val adj: RDD[(Any, (Int, Array[Any]))] = e.aggregateByKey(
         scala.collection.mutable.ArrayBuffer.empty[Any], part)(
         (b, d) => b += d, (a, b) => a ++= b)
@@ -140,8 +161,12 @@ object LinkAnalysis {
     // personalized: restart mass and init concentrate on the seed set;
     // the uniform default is the seeds-= everything special case
     val personalized = teleportSeeds.nonEmpty
-    val nRestart = if (personalized) teleportSeeds.size.toLong else n
-    val bcSeeds = spark.sparkContext.broadcast(teleportSeeds.toSet)
+    // distinct BEFORE sizing: nRestart counting duplicate seeds while the
+    // membership set dedups them would silently dilute every seed's
+    // teleport mass (total rank mass < Scale)
+    val seedsDistinct = teleportSeeds.distinct
+    val nRestart = if (personalized) seedsDistinct.size.toLong else n
+    val bcSeeds = spark.sparkContext.broadcast(seedsDistinct.toSet)
     val teleport = (100L - d100) * Scale / (100L * nRestart)
 
     // rank is a pure function of the in-sum (pr = teleport + d·s div 100,
@@ -235,6 +260,7 @@ object LinkAnalysis {
       s"src/dst type mismatch: $nodeType vs ${edges.schema(dstCol).dataType}")
 
     val eDist = edges.select(col(srcCol), col(dstCol))
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
     val e: RDD[(Any, Any)] = (if (assumeDistinct) eDist else eDist.distinct())
       .rdd.map(r => (r.get(0), r.get(1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -272,6 +298,15 @@ object LinkAnalysis {
         .persist(StorageLevel.MEMORY_AND_DISK)
       live += raw
       val mx = raw.values.max()
+      // the documented exactness bound (maxDegree < 2^63/ScaleHits^2, see
+      // ScaleHits scaladoc) enforced at runtime: s <= mx, so one check on
+      // the round maximum guards every normalization multiply — real
+      // web-graph authorities exceed ~9.2e6 in-degree and would otherwise
+      // wrap into negative scores with no error (modularity() fails
+      // loudly for its analogous bound; so does HITS now)
+      require(mx <= Long.MaxValue / ScaleHits,
+        s"HITS: round max raw score $mx would overflow the ScaleHits " +
+          "normalization — in-degree beyond the documented ~9.2e6 bound")
       raw.mapValues(s => s * ScaleHits / mx)
     }
 
@@ -709,8 +744,17 @@ object LinkAnalysis {
     // is generated once per shared neighbor, canonically a < b
     val centerTerm = deg.filter(col("d") <= maxDegree && col("d") >= 2)
       .withColumn("term", floor(lit(1000000.0) / log(col("d"))).cast("long"))
+    // hub centers must drop BEFORE the wedge self-join: Spark preserves
+    // syntactic join order (no CBO reorder by default), so filtering
+    // after the join would first materialize ~d² wedge rows for a
+    // mega-hub — the exact fan-out maxDegree exists to bound. The
+    // semi-joins are node-sized; results are identical (the old form
+    // inner-joined centerTerm right after)
+    val lowDeg = centerTerm.select("z")
     val s1 = sym.select(col("b").as("z"), col("a"))
+      .join(lowDeg, Seq("z"), "left_semi")
     val s2 = sym.select(col("a").as("z"), col("b"))
+      .join(lowDeg, Seq("z"), "left_semi")
     val wedges = s1.join(s2, "z").filter(col("a") < col("b"))
       .join(centerTerm, "z")
     wedges

@@ -50,8 +50,20 @@ object TemporalJoins {
       Seq(col(keyCol).as("__key"), col(tsCol).as("__ts"), lit(0).as("__side"),
         lit(null).cast(l.schema("__lrow").dataType).as("__lrow"),
         struct(rightPayload.map(col): _*).as("__rrow"))
-    val r = right.select(rSel: _*)
-    val w = Window.partitionBy(col("__key")).orderBy(col("__ts"), col("__side"))
+    // SQL comparison semantics on the right side: a null key can equal
+    // nothing and a null ts is never <= any left ts — unfiltered they
+    // would match null-key LEFT rows and sort "earliest" (Spark sorts
+    // nulls first). Left rows with a null key keep their row, payload
+    // null, exactly like the SQL as-of subquery.
+    val r = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(rSel: _*)
+    // __rrow as the final sort key: several right rows tying on
+    // (key, ts) must resolve DETERMINISTICALLY (the greatest payload
+    // struct wins), not by shuffle arrival order — a single-partition
+    // test is stable either way, a clustered run is not
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts"), col("__side"), col("__rrow"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select(col("__lrow"),
@@ -62,7 +74,13 @@ object TemporalJoins {
   }
 
   /** Pairs (l, r) matching on `keyCol` with |l.ts − r.ts| ≤ `widthSec`,
-    * via bucketized equi-join. Output: key, left ts/id, right ts/id. */
+    * via bucketized equi-join. Output: key, left ts/id, right ts/id.
+    *
+    * Granularity contract: comparisons run on `unix_timestamp`, i.e.
+    * WHOLE SECONDS — sub-second differences truncate before the width
+    * test (two events 0.9 s past the width can pair). Pass a TIMESTAMP
+    * column: a string ts parses in the session timezone (and DST-gap
+    * strings parse to null, silently dropping rows). */
   def rangeJoin(
       left: DataFrame,
       right: DataFrame,
@@ -70,6 +88,10 @@ object TemporalJoins {
       tsCol: String,
       idCol: String,
       widthSec: Long): DataFrame = {
+    // widthSec = 0 divides the bucket index by zero (null buckets under
+    // legacy mode -> silently empty result; an ANSI error mid-job) and
+    // negative widths are meaningless — refuse both up front
+    require(widthSec >= 1, s"rangeJoin: widthSec must be >= 1 (got $widthSec)")
     def bucketed(df: DataFrame, side: String, shift: Int = 0) = df.select(
       col(keyCol),
       (floor(unix_timestamp(col(tsCol)) / widthSec) + shift).as("__bucket"),

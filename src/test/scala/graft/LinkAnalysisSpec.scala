@@ -83,6 +83,29 @@ class LinkAnalysisSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
       .map { case (n, a, h) => n -> (a, h) }.toMap
 
+  test("edge-input hygiene: empty graph, null endpoints, duplicate seeds") {
+    import spark.implicits._
+    // empty edge set: an empty rank table, not a divide-by-zero
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(LinkAnalysis.pageRank(none, "src", "dst", iterations = 3).count() === 0)
+    // null endpoints are filtered like every sibling operator — never a
+    // null NODE under the nullable=false output schema
+    val withNulls = Seq(
+      (Option(1L), Option(2L)), (Option(2L), Option(1L)),
+      (Option.empty[Long], Option(2L)), (Option(1L), Option.empty[Long]))
+      .toDF("src", "dst")
+    val pr = LinkAnalysis.pageRank(withNulls, "src", "dst", iterations = 3)
+    assert(pr.count() === 2 && pr.filter($"node".isNull).count() === 0)
+    // duplicate teleport seeds must not dilute the restart mass: the
+    // rank vector equals the deduplicated seed list's exactly
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val dup = LinkAnalysis.pageRank(e, "src", "dst", iterations = 4,
+      teleportSeeds = Seq(1L, 1L, 2L)).orderBy("node").collect().toSeq
+    val ded = LinkAnalysis.pageRank(e, "src", "dst", iterations = 4,
+      teleportSeeds = Seq(1L, 2L)).orderBy("node").collect().toSeq
+    assert(dup === ded)
+  }
+
   test("hits: star center is the sole authority, leaves are equal hubs") {
     val got = hitsOf(Seq("l1" -> "c", "l2" -> "c", "l3" -> "c"))
     assert(got("c")._1 === LinkAnalysis.ScaleHits, "center auth = max-norm 1")
