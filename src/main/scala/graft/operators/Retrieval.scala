@@ -152,22 +152,42 @@ object Retrieval {
     * ONCE at build, and every subsequent query's IO is proportional to its
     * terms' postings, not the corpus.
     *
-    * Layout at `path`:
-    *  - `postings/` (term, id, tf, __dl) — range-partitioned by
-    *    (term, id) AND sorted by `term`, so a serving query's
-    *    `term IN (...)` predicate reaches the parquet scan
-    *    (`PushedFilters: In(term,...)`) and row-group min/max stats skip
-    *    every postings block of non-query terms — the file-format
-    *    analogue of probing an inverted index; `__dl` rides each posting
-    *    so the query path never opens the corpus-sized doclen table;
-    *  - `df/` (term, df) — same sorted-by-term layout;
-    *  - `doclen/` (id, __dl); `stats/` one row (__n, __avgdl).
+    * Layout at `path` (generation-versioned — the `mviewMaintain`
+    * `_LATEST` discipline, so every update is crash-atomic):
+    *  - `_LATEST` — one line, the live generation number N; published by
+    *    temp+rename, the single commit point for builds AND appends.
+    *    Readers that load it see a complete, mutually consistent set of
+    *    tables; a crash anywhere before the publish leaves the previous
+    *    generation live (never a refusal, never torn scores);
+    *  - `data/postings/batch-K/` (term, id, tf, __dl) — append-only
+    *    batch dirs, each range-partitioned by (term, id) AND sorted by
+    *    `term`, so a serving query's `term IN (...)` predicate reaches
+    *    every batch's parquet scan (`PushedFilters: In(term,...)`) and
+    *    row-group min/max stats skip all postings blocks of non-query
+    *    terms — the file-format analogue of probing an inverted index;
+    *    `__dl` rides each posting so the query path never opens the
+    *    corpus-sized doclen table;
+    *  - `data/doclen/batch-K/` (id, __dl) — same append-only batches;
+    *  - `gen-N/df/` (term, df) — per-generation merged vocabulary;
+    *  - `gen-N/stats/` one row (__n, __avgdl, __ndocs, __sumdl) — the
+    *    exact long counters make incremental stats merge bit-identical
+    *    to a full rebuild without re-scanning doclen;
+    *  - `gen-N/MANIFEST` — the batch ids this generation serves.
+    *    Batch dirs not in the live manifest (orphans of a crashed
+    *    append, batches of a superseded rebuild) are invisible to
+    *    readers; a janitor can prune them, like mview's old versions.
     */
   def writeIndex(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       path: String): Unit = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a rebuild over a live layout becomes generation N+1 serving ONLY
+    // its own fresh batch; the old generation's batches become orphans
+    val next = latestGen(fs, path).map(_ + 1L).getOrElse(0L)
     val toks = TextOps.tokens(col(textCol))
     val t = docs.select(col(idCol), explode(toks).as("term"))
     val dl = t.groupBy(idCol).agg(count(lit(1)).as("__dl"))
@@ -184,17 +204,27 @@ object Retrieval {
       .join(dl, Seq(idCol))
       .repartitionByRange(col("term"), col(idCol))
       .sortWithinPartitions("term", idCol)
-      .write.mode("overwrite").parquet(s"$path/postings")
+      .write.mode("overwrite").parquet(s"$path/data/postings/batch-$next")
+    dl.write.mode("overwrite").parquet(s"$path/data/doclen/batch-$next")
     t.groupBy("term").agg(countDistinct(col(idCol)).as("df"))
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$path/df")
-    dl.write.mode("overwrite").parquet(s"$path/doclen")
-    dl.agg(
-        count(lit(1)).cast("double").as("__n"),
-        (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode("overwrite").parquet(s"$path/gen-$next/df")
+    dl.agg(statsCols.head, statsCols.tail: _*)
+      .write.mode("overwrite").parquet(s"$path/gen-$next/stats")
+    writeManifest(fs, path, next, Seq(next))
+    publishLatest(fs, path, next)
   }
+
+  /** Stats row: the two doubles the score expression reads, plus the
+    * exact long counters that let [[appendToIndex]] merge stats without
+    * re-scanning the corpus-sized doclen data — integer addition is
+    * exact, so incremental __avgdl is bit-identical to a rebuild's. */
+  private def statsCols: Seq[Column] = Seq(
+    count(lit(1)).cast("double").as("__n"),
+    (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"),
+    count(lit(1)).as("__ndocs"),
+    coalesce(sum(col("__dl")), lit(0L)).as("__sumdl"))
 
   /** Serve a BM25 query from a [[writeIndex]] layout. `queryTerms` are
     * literal strings (the serving-call shape), so the postings and df
@@ -212,23 +242,38 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val terms = queryTerms.distinct
-    assertNoTornAppend(spark, path)
-    val postings = spark.read.parquet(s"$path/postings")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (postingsRaw, dfPath, statsPath, legacyDoclen) =
+      latestGen(fs, path) match {
+        case Some(gen) =>
+          val batches = readManifest(fs, path, gen)
+          (spark.read.parquet(
+             batches.map(k => s"$path/data/postings/batch-$k"): _*),
+           s"$path/gen-$gen/df", s"$path/gen-$gen/stats", None)
+        case None =>
+          // LEGACY flat layout (pre-generation): serve-only support
+          assertNoTornAppend(spark, path)
+          (spark.read.parquet(s"$path/postings"),
+           s"$path/df", s"$path/stats", Some(s"$path/doclen"))
+      }
+    val postings = postingsRaw.filter(col("term").isin(terms: _*))
+    val dfc = spark.read.parquet(dfPath)
       .filter(col("term").isin(terms: _*))
-    val dfc = spark.read.parquet(s"$path/df")
-      .filter(col("term").isin(terms: _*))
-    val stats = spark.read.parquet(s"$path/stats")
-    // postings built by the current writeIndex carry __dl denormalized —
-    // the query path is then pushdown-pruned postings only. LEGACY
-    // layouts without it fall back to the doclen join (corpus-sized —
-    // rebuild the index to shed it); either way only df (≤|terms| rows)
-    // and stats (1 row) get broadcast hints — a stopword query term
-    // makes the filtered postings corpus-sized, so forcing a broadcast
-    // there would be the classic 100×-scale failure (AQE broadcasts it
-    // anyway whenever the term set is genuinely selective)
+    val stats = spark.read.parquet(statsPath).select("__n", "__avgdl")
+    // generation postings always carry __dl denormalized — the query
+    // path is then pushdown-pruned postings only. LEGACY flat layouts
+    // without it fall back to the doclen join (corpus-sized — rebuild
+    // the index to shed it); either way only df (≤|terms| rows) and
+    // stats (1 row) get broadcast hints — a stopword query term makes
+    // the filtered postings corpus-sized, so forcing a broadcast there
+    // would be the classic 100×-scale failure (AQE broadcasts it anyway
+    // whenever the term set is genuinely selective)
     val withDl =
       if (postings.columns.contains("__dl")) postings
-      else postings.join(spark.read.parquet(s"$path/doclen"), Seq(idCol))
+      else postings.join(
+        spark.read.parquet(legacyDoclen.getOrElse(sys.error(
+          s"index at $path: generation postings missing __dl"))), Seq(idCol))
     sumTerms(idCol)(
       withDl.join(broadcast(dfc), Seq("term"))
         .crossJoin(broadcast(stats))
@@ -237,23 +282,36 @@ object Retrieval {
 
   /** Incremental index maintenance — the lexical ST3 (add-after-build):
     * fold a batch of NEW documents into a [[writeIndex]] layout without
-    * re-paying the corpus pass.
+    * re-paying the corpus pass, CRASH-ATOMICALLY.
     *
-    *  - postings/doclen: the new docs' rows are APPENDED as their own
-    *    range-sorted files — existing files are never rewritten, and
+    *  - postings/doclen: the new docs' rows become their OWN range-sorted
+    *    `batch-(N+1)` dirs — existing files are never rewritten, and
     *    per-file row-group stats keep the `In(term,...)` pushdown
-    *    effective on old and new files alike;
-    *  - df/stats: merged (old ∪ delta, summed) and atomically swapped —
-    *    these are the only corpus-global tables, and they are term- and
-    *    1-row-sized respectively, so the refresh cost is ∝ vocabulary,
-    *    not corpus.
+    *    effective on old and new batches alike;
+    *  - df: merged (old ∪ delta, summed) into `gen-(N+1)/df`;
+    *  - stats: merged from generation N's exact long counters + the
+    *    delta's — O(1), never re-scans doclen, and integer addition makes
+    *    the result bit-identical to a full rebuild's;
+    *  - commit: `gen-(N+1)/MANIFEST` lists the old batches + the new one,
+    *    then the `_LATEST` pointer swings to N+1 by temp+rename — the
+    *    SINGLE atomic step. A crash at ANY earlier point leaves readers
+    *    on generation N (consistent, never torn, never refused); the
+    *    orphan `batch-(N+1)`/`gen-(N+1)` dirs are invisible because no
+    *    live manifest references them, and a RETRY of the same append
+    *    overwrites them and completes — idempotent because nothing
+    *    published, so upstream `Ingest.newRecords` still classifies the
+    *    batch as new.
     *
     * Single-maintainer discipline (like `AnnIvf.rebalance`): one appender
     * at a time; feed only genuinely-new ids (route through
     * `Ingest.newRecords`/`newRecordsBloom` upstream for idempotence).
-    * After the call, [[searchIndex]]/[[loadProfile]] results are
-    * BIT-IDENTICAL to an index built from scratch on the full corpus
-    * (RetrievalSpec). */
+    * LEGACY flat layouts (pre-generation `postings/` at the top level)
+    * are refused loudly — their postings may predate the denormalized
+    * `__dl` column, and appending would fork the parquet schema mid-dir
+    * (old rows would read `__dl = null` and silently mis-score);
+    * rebuild with [[writeIndex]] to migrate. After the call,
+    * [[searchIndex]]/[[loadProfile]] results are BIT-IDENTICAL to an
+    * index built from scratch on the full corpus (RetrievalSpec). */
   def appendToIndex(
       newDocs: DataFrame,
       idCol: String,
@@ -262,18 +320,14 @@ object Retrieval {
     val spark = newDocs.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-    // the four-table update (postings append, doclen append, df swap,
-    // stats swap) is NOT crash-atomic — and the documented idempotence
-    // route (feeding only new ids) makes a torn append unrepairable by
-    // retry: the re-fed batch filters to empty and the df/stats merge
-    // never happens, leaving scores silently wrong forever. The marker
-    // turns that into a LOUD state: it exists for exactly the duration
-    // of the update, and searchIndex/loadProfile/appendToIndex refuse a
-    // layout whose marker survived a crash (re-run writeIndex, or re-run
-    // the SAME append without the new-id filter after removing it).
-    assertNoTornAppend(spark, path)
-    val marker = tornMarker(path)
-    fs.create(marker, true).close()
+    val gen = latestGen(fs, path).getOrElse(sys.error(
+      s"appendToIndex: $path is not a generation-versioned index " +
+        "(no _LATEST pointer). Legacy flat layouts cannot be appended " +
+        "to — their postings schema may lack the denormalized __dl " +
+        "column, and appending would fork the parquet dir schema so " +
+        "old documents silently mis-score. Rebuild with writeIndex."))
+    val batches = readManifest(fs, path, gen)
+    val next = gen + 1L
     val toks = TextOps.tokens(col(textCol))
     val t = newDocs.select(col(idCol), explode(toks).as("term"))
     // doclen rows only for docs with ≥1 token — the same convention as
@@ -285,52 +339,104 @@ object Retrieval {
       .join(dlDelta, Seq(idCol))
       .repartitionByRange(col("term"), col(idCol))
       .sortWithinPartitions("term", idCol)
-      .write.mode("append").parquet(s"$path/postings")
-    dlDelta.write.mode("append").parquet(s"$path/doclen")
-    // corpus-global tables: merge + checked atomic dir swap (rename
-    // reports most failures by RETURNING FALSE — an unchecked rename
-    // here published nothing while reporting success)
-    def swapIn(dirName: String)(df: DataFrame): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$path/$dirName")
-      val staged = new org.apache.hadoop.fs.Path(s"$path/.$dirName.staged")
-      val retired = new org.apache.hadoop.fs.Path(s"$path/.$dirName.retired")
-      df.write.mode("overwrite").parquet(staged.toString)
-      fs.delete(retired, true)
-      require(fs.rename(live, retired),
-        s"appendToIndex: cannot retire $live")
-      require(fs.rename(staged, live),
-        s"appendToIndex: cannot publish $staged -> $live")
-      fs.delete(retired, true)
-    }
-    val mergedDf = spark.read.parquet(s"$path/df")
+      .write.mode("overwrite").parquet(s"$path/data/postings/batch-$next")
+    maybeCrash(1)
+    dlDelta.write.mode("overwrite")
+      .parquet(s"$path/data/doclen/batch-$next")
+    maybeCrash(2)
+    spark.read.parquet(s"$path/gen-$gen/df")
       .unionByName(t.groupBy("term").agg(countDistinct(col(idCol)).as("df")))
       .groupBy("term").agg(sum(col("df")).as("df"))
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term")
-    swapIn("df")(mergedDf)
-    // stats re-derive from the (appended) doclen table — one tiny scan
-    val dl = spark.read.parquet(s"$path/doclen")
-    swapIn("stats")(dl.agg(
-      count(lit(1)).cast("double").as("__n"),
-      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl")))
-    fs.delete(marker, false)
-    ()
+      .write.mode("overwrite").parquet(s"$path/gen-$next/df")
+    maybeCrash(3)
+    // stats: exact long counters merge old + delta in O(1); the double
+    // columns re-derive from the longs, bit-equal to a rebuild's
+    val old = spark.read.parquet(s"$path/gen-$gen/stats")
+      .select("__ndocs", "__sumdl").head()
+    val delta = dlDelta.agg(statsCols.head, statsCols.tail: _*)
+      .select("__ndocs", "__sumdl").head()
+    val (n, s) = (old.getLong(0) + delta.getLong(0),
+      old.getLong(1) + delta.getLong(1))
+    spark.range(1).select(
+        lit(n.toDouble).as("__n"),
+        (lit(s).cast("double") / lit(n)).as("__avgdl"),
+        lit(n).as("__ndocs"), lit(s).as("__sumdl"))
+      .write.mode("overwrite").parquet(s"$path/gen-$next/stats")
+    maybeCrash(4)
+    writeManifest(fs, path, next, batches :+ next)
+    maybeCrash(5)
+    publishLatest(fs, path, next)
   }
 
-  private def tornMarker(path: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(path, "_APPEND_INPROGRESS")
+  /** Crash-injection seam for the atomicity spec: appendToIndex raises
+    * after step k when `crashAfterStep` ≤ k. Production value is
+    * MaxValue (never fires); RetrievalSpec sets/restores it. */
+  private[graft] var crashAfterStep: Int = Int.MaxValue
+  private def maybeCrash(step: Int): Unit =
+    if (step >= crashAfterStep)
+      throw new RuntimeException(s"injected crash after append step $step")
 
-  /** Raise if a crashed [[appendToIndex]] left the layout torn (postings
-    * possibly appended, df/stats stale) — serving it would return
-    * silently wrong scores, the worst failure mode an index can have. */
+  private def latestPointer(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, "_LATEST")
+
+  /** Live generation number, if `path` is a generation-versioned layout. */
+  private def latestGen(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Long] = {
+    val p = latestPointer(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()
+      Some(raw.toLong)
+    }
+  }
+
+  /** Swing `_LATEST` to `gen` — write-temp-then-rename, NOT
+    * `create(p, true)`: an in-place overwrite truncates the LIVE pointer
+    * the moment create() opens it (the `mviewMaintain` discipline). */
+  private def publishLatest(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, gen: Long): Unit = {
+    val p = latestPointer(path)
+    val tmp = new org.apache.hadoop.fs.Path(path, s"._LATEST.tmp-$gen")
+    val out = fs.create(tmp, true)
+    try out.write(s"$gen".getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"Retrieval: cannot publish pointer $tmp -> $p")
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, gen: Long, batches: Seq[Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/gen-$gen", "MANIFEST")
+    val out = fs.create(p, true)
+    try out.write(batches.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, gen: Long): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/gen-$gen", "MANIFEST")
+    val in = fs.open(p)
+    val raw = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+    finally in.close()
+    raw.split("\n").map(_.trim.toLong).toSeq
+  }
+
+  /** Raise if a crashed pre-generation append left a LEGACY flat layout
+    * torn (postings possibly appended, df/stats stale) — serving it would
+    * return silently wrong scores. Generation layouts cannot tear. */
   private def assertNoTornAppend(spark: SparkSession, path: String): Unit = {
-    val p = tornMarker(path)
+    val p = new org.apache.hadoop.fs.Path(path, "_APPEND_INPROGRESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) sys.error(
-      s"index at $path has a live _APPEND_INPROGRESS marker — an append " +
-        "crashed mid-update and postings/df/stats may disagree; rebuild " +
-        "with writeIndex (or re-run the identical append after removing " +
-        "the marker, WITHOUT the new-id filter) before serving")
+      s"legacy index at $path has a live _APPEND_INPROGRESS marker — an " +
+        "append crashed mid-update and postings/df/stats may disagree; " +
+        "rebuild with writeIndex before serving")
   }
 
   /** A STANDING query frozen for scan-local scoring: the query terms with
@@ -352,11 +458,18 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75): QueryProfile = {
     val terms = queryTerms.distinct
-    assertNoTornAppend(spark, path)
-    val dfc = spark.read.parquet(s"$path/df")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dfPath, statsPath) = latestGen(fs, path) match {
+      case Some(gen) => (s"$path/gen-$gen/df", s"$path/gen-$gen/stats")
+      case None =>
+        assertNoTornAppend(spark, path)
+        (s"$path/df", s"$path/stats")
+    }
+    val dfc = spark.read.parquet(dfPath)
       .filter(col("term").isin(terms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val st = spark.read.parquet(s"$path/stats").head()
+    val st = spark.read.parquet(statsPath).select("__n", "__avgdl").head()
     QueryProfile(dfc, st.getDouble(0), st.getDouble(1), k1, b)
   }
 

@@ -102,6 +102,83 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(term"), plan.take(1500))
   }
 
+  test("append crash at EVERY step leaves readers on the old generation; " +
+      "retry completes idempotently") {
+    val terms = qTerms.as[String].collect().toSeq
+    val half1 = docs.filter($"doc_id" % 2 === 1)
+    val half2 = docs.filter($"doc_id" % 2 === 0)
+    val p = java.nio.file.Files.createTempDirectory("retr-idx-crash").toString
+    Retrieval.writeIndex(half1, "doc_id", "text", p)
+    val before = Retrieval.searchIndex(spark, p, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    // inject a crash after each of the five append steps (delta postings,
+    // delta doclen, merged df, merged stats, manifest) — the _LATEST
+    // publish is the only commit point, so every crash must leave the
+    // half1 generation serving bit-identically, never torn, never refused
+    (1 to 5).foreach { step =>
+      try {
+        Retrieval.crashAfterStep = step
+        val e = intercept[RuntimeException] {
+          Retrieval.appendToIndex(half2, "doc_id", "text", p)
+        }
+        assert(e.getMessage.contains("injected crash"), e.getMessage)
+      } finally Retrieval.crashAfterStep = Int.MaxValue
+      val after = Retrieval.searchIndex(spark, p, "doc_id", terms)
+        .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+      assert(after.toSeq === before.toSeq,
+        s"crash after step $step changed served results")
+    }
+    // retry over the orphan dirs completes and equals a full build
+    Retrieval.appendToIndex(half2, "doc_id", "text", p)
+    val incr = Retrieval.searchIndex(spark, p, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    val full = Retrieval.searchIndex(spark, indexPath, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    assert(incr.toSeq === full.toSeq)
+  }
+
+  test("legacy flat layout: served read-only (doclen fallback), append refused") {
+    // hand-build the pre-generation layout, postings WITHOUT __dl — the
+    // shape appendToIndex must refuse (appending __dl-carrying rows would
+    // fork the parquet dir schema and silently mis-score old docs)
+    val p = java.nio.file.Files.createTempDirectory("retr-idx-legacy").toString
+    val t = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("__dl"))
+    t.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .write.parquet(s"$p/postings")
+    t.groupBy("term").agg(countDistinct($"doc_id").as("df"))
+      .write.parquet(s"$p/df")
+    dl.write.parquet(s"$p/doclen")
+    dl.agg(
+        count(lit(1)).cast("double").as("__n"),
+        (sum($"__dl").cast("double") / count(lit(1))).as("__avgdl"))
+      .write.parquet(s"$p/stats")
+    val terms = qTerms.as[String].collect().toSeq
+    val legacy = Retrieval.searchIndex(spark, p, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    val inline = Retrieval.bm25(docs, "doc_id", "text", qTerms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    assert(legacy.toSeq === inline.toSeq)
+    val e = intercept[RuntimeException] {
+      Retrieval.appendToIndex(docs.limit(1), "doc_id", "text", p)
+    }
+    assert(e.getMessage.contains("Rebuild with writeIndex"), e.getMessage)
+  }
+
+  test("rebuild over a live index supersedes it atomically") {
+    val p = java.nio.file.Files.createTempDirectory("retr-idx-rebuild").toString
+    val half1 = docs.filter($"doc_id" % 2 === 1)
+    Retrieval.writeIndex(half1, "doc_id", "text", p)
+    Retrieval.writeIndex(docs, "doc_id", "text", p)
+    val terms = qTerms.as[String].collect().toSeq
+    val got = Retrieval.searchIndex(spark, p, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    val full = Retrieval.searchIndex(spark, indexPath, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === full.toSeq,
+      "rebuild must serve ONLY its own corpus, not union the old batches")
+  }
+
   test("PRF: a synonym-only doc is reachable through feedback expansion") {
     // d1/d2 share 'alpha' with the query AND carry 'beta'; d3 uses ONLY
     // the synonym 'beta' — invisible to the base query, reachable after
