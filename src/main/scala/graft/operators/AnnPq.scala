@@ -66,12 +66,16 @@ object AnnPq {
       s"PQ codes are single bytes: need 2 <= ksub <= 256, got $ksub")
     // canonical (lexicographic) order: the seeded init walks the sample
     // array, so codebooks must be a pure function of the sample SET —
-    // never of partition fetch order, which is what arrives here
+    // never of partition fetch order, which is what arrives here.
+    // Float.compare, not ==/<: raw float comparison is intransitive on
+    // NaN (lt(a,b) and lt(b,a) both false), which TimSort can reject at
+    // runtime — one NaN vector in the sample must not abort training
     val sample = sample0.sortWith { (a, b) =>
       var i = 0
       val n = math.min(a.length, b.length)
-      while (i < n && a(i) == b(i)) i += 1
-      if (i < n) a(i) < b(i) else a.length < b.length
+      while (i < n && java.lang.Float.compare(a(i), b(i)) == 0) i += 1
+      if (i < n) java.lang.Float.compare(a(i), b(i)) < 0
+      else a.length < b.length
     }
     val dim = sample(0).length
     require(dim % m == 0, s"AnnPq.train: dim $dim not divisible by m=$m")

@@ -116,19 +116,47 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Full-decode pixel cap: a ~100-byte crafted header can declare
-    * 50000×50000 and make `ImageIO.read` allocate a ~10 GB raster — one
-    * adversarial row must not OOM an executor. 2²⁶ px ≈ 256 MB ARGB. */
-  private val MaxDecodePixels = 1L << 26
+  /** Default full-decode pixel cap: a ~100-byte crafted header can
+    * declare 50000×50000 and make `ImageIO.read` allocate a ~10 GB
+    * raster — one adversarial row must not OOM an executor. 2²⁶ px
+    * ≈ 256 MB ARGB. Legitimate larger images (panoramas, scans) exist:
+    * every decode entry point takes the cap as a parameter, and
+    * [[decodeStatus]] classifies refusals as "oversized" — distinct from
+    * "corrupt" — so a pipeline can COUNT what a given cap loses before
+    * (or after) choosing it. */
+  val DefaultMaxDecodePixels: Long = 1L << 26
+
+  /** Classify a payload from its HEADER only (no pixel IO): "ok",
+    * "empty", "unknown" (not an image), "corrupt" (claimed but
+    * unparseable), or "oversized" (dims exceed `maxPixels` — the rows
+    * [[dHash64]]/[[resizeUdf]] refuse at the same cap). The observable
+    * twin of the silent nulls those functions return: group by this
+    * column to see exactly what a cap excludes, separately from genuine
+    * corruption. */
+  def decodeStatus(payload: Array[Byte],
+      maxPixels: Long = DefaultMaxDecodePixels): String = {
+    val meta = decodeHeader(0L, payload)
+    meta.format match {
+      case "empty" | "unknown" | "corrupt" => meta.format
+      case _ if meta.width <= 0 || meta.height <= 0 => "corrupt"
+      case _ if meta.width.toLong * meta.height > maxPixels => "oversized"
+      case _ => "ok"
+    }
+  }
+
+  /** Column form of [[decodeStatus]]. */
+  def decodeStatusUdf(maxPixels: Long = DefaultMaxDecodePixels) =
+    udf { (payload: Array[Byte]) => decodeStatus(payload, maxPixels) }
 
   /** Decode an untrusted payload defensively: header-only dims gate
     * first (no pixel IO), then the full decode under a NonFatal catch —
     * the JDK GIF/BMP readers throw unchecked exceptions on malformed
     * input, not just IOException. Null on any refusal. */
-  private def safeDecode(payload: Array[Byte]): java.awt.image.BufferedImage = {
+  private def safeDecode(payload: Array[Byte],
+      maxPixels: Long): java.awt.image.BufferedImage = {
     val meta = decodeHeader(0L, payload)
     if (meta.width <= 0 || meta.height <= 0 ||
-        meta.width.toLong * meta.height > MaxDecodePixels) null
+        meta.width.toLong * meta.height > maxPixels) null
     else
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => null }
@@ -142,9 +170,10 @@ object Multimodal {
     * (x,y) = 1 iff cell(x,y) is brighter than cell(x+1,y). Survives
     * re-encode/resize/small edits; pairs join via [[Dedup.hamming64Pairs]].
     * Null for undecodable payloads. */
-  def dHash64(payload: Array[Byte]): java.lang.Long = {
+  def dHash64(payload: Array[Byte],
+      maxPixels: Long = DefaultMaxDecodePixels): java.lang.Long = {
     if (payload == null || payload.isEmpty) return null
-    val img = safeDecode(payload)
+    val img = safeDecode(payload, maxPixels)
     if (img == null) return null
     val (gw, gh) = (9, 8)
     val w = img.getWidth
@@ -191,7 +220,14 @@ object Multimodal {
   }
 
   /** Column form of [[dHash64]]. */
-  def dHashUdf = udf { (payload: Array[Byte]) => Option(dHash64(payload)).map(_.longValue) }
+  def dHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    dHashUdf(DefaultMaxDecodePixels)
+
+  /** [[dHashUdf]] with an explicit pixel cap; pair with
+    * [[decodeStatusUdf]] at the same cap to observe refusals. */
+  def dHashUdf(maxPixels: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) =>
+      Option(dHash64(payload, maxPixels)).map(_.longValue) }
 
   /** Batched decode pass: one partition = one batch, iterator-in /
     * iterator-out like `mapInPandas`, producing the compact metadata
@@ -208,10 +244,11 @@ object Multimodal {
     * re-encode as PNG. Payload stays opaque bytes end to end, runs batched
     * on executors, output size bounded by the target dims. Non-image
     * payloads map to null (filter or quarantine downstream). */
-  def resizeUdf(w: Int, h: Int) = udf { (payload: Array[Byte]) =>
+  def resizeUdf(w: Int, h: Int,
+      maxPixels: Long = DefaultMaxDecodePixels) = udf { (payload: Array[Byte]) =>
     if (payload == null) null
     else {
-      val src = safeDecode(payload)
+      val src = safeDecode(payload, maxPixels)
       if (src == null) null
       else {
         val dst = new java.awt.image.BufferedImage(

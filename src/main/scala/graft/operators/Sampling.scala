@@ -299,11 +299,14 @@ object Sampling {
             // round's blocks — a full (id, vec, ms) copy of the corpus —
             // can go; without this the storage pins k copies and a large
             // k spill-thrashes the executors
-            prev.unpersist(blocking = false)
+            releaseCheckpoint(prev)
           }
           step += 1
         }
       }
+      // the final round's checkpoint is equally dead once picks are
+      // collected — don't leave one corpus copy pinned until GC
+      releaseCheckpoint(state)
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](
@@ -313,6 +316,20 @@ object Sampling {
         StructField("id", LongType, nullable = false),
         StructField("nearest_sim", DoubleType, nullable = true))))
   }
+
+  /** Deterministically release a `localCheckpoint(eager = true)`'d
+    * Dataset's storage. `Dataset.unpersist` is a NO-OP here — it only
+    * clears CacheManager entries, while localCheckpoint persists the
+    * underlying RDD directly (released otherwise only when the RDD is
+    * GC'd via ContextCleaner) — so unpersist the checkpointed RDD
+    * itself, reached through the plan's LogicalRDD leaf. Blocking, so a
+    * caller loop never races ahead of the block removal it relies on. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = true)
+      case _ => ()
+    }
 
   /** Cumulative Poisson(1) CDF in 1e-6 units — integer thresholds for the
     * inverse-CDF draw below, so the decision is pure BIGINT compare on

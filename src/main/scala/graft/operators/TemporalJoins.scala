@@ -58,12 +58,23 @@ object TemporalJoins {
     val r = right
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(rSel: _*)
-    // __rrow as the final sort key: several right rows tying on
-    // (key, ts) must resolve DETERMINISTICALLY (the greatest payload
-    // struct wins), not by shuffle arrival order — a single-partition
-    // test is stable either way, a clustered run is not
+    // Final sort key: several right rows tying on (key, ts) must resolve
+    // DETERMINISTICALLY (the greatest payload wins), not by shuffle
+    // arrival order — a single-partition test is stable either way, a
+    // clustered run is not. Ordering by the whole payload struct would
+    // fail analysis when any payload field is unorderable (MapType), so
+    // the tiebreak restricts to the ORDERABLE payload fields; a payload
+    // with none falls back to a content hash of its JSON rendering —
+    // still a pure function of the row's values, never of arrival order
+    val orderableTie = rightPayload.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.schema(right.schema.fieldIndex(c)).dataType))
+    val tie: Column =
+      if (orderableTie.nonEmpty)
+        struct(orderableTie.map(c => col(s"__rrow.$c")): _*)
+      else xxhash64(to_json(col("__rrow")))
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts"), col("__side"), col("__rrow"))
+      .orderBy(col("__ts"), col("__side"), tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select(col("__lrow"),

@@ -22,6 +22,18 @@ class AnnPqSpec extends SparkSpec {
     assert(a.centers.flatten.flatten.toSeq === b.centers.flatten.flatten.toSeq)
   }
 
+  test("one NaN vector in the sample does not abort training") {
+    // the canonicalizing sort must use a TOTAL order: raw float </== is
+    // intransitive on NaN and TimSort then throws "Comparison method
+    // violates its general contract!" non-deterministically
+    val poisoned = emb.select($"vec_id",
+      when($"vec_id" === 3L,
+        transform($"embedding", x => lit(Float.NaN)))
+        .otherwise($"embedding").as("embedding"))
+    val cb = AnnPq.train(poisoned, "embedding", m = 8, ksub = 16, seed = 7L)
+    assert(cb.dim === 64 && cb.centers.length === 8)
+  }
+
   test("encode emits m bytes per vector with codes in [0, ksub)") {
     val cb = AnnPq.train(emb, "embedding", m = 8, ksub = 16, seed = 7L)
     val codes = AnnPq.encode(index, cb, "vec_id", "embedding")

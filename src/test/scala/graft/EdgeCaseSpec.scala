@@ -156,6 +156,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got === Seq((100L, Some(2L), None)))
   }
 
+  test("asOfJoin tolerates an unorderable (MapType) payload column") {
+    // the (key, ts) tiebreak must NOT order by the whole payload struct:
+    // a map field would fail analysis with "cannot be used in ordering".
+    // With a map in the payload the tiebreak restricts to the orderable
+    // fields; the as-of semantics are unchanged.
+    val left = Seq((100L, 1L, new Timestamp(30L)))
+      .toDF("id", "user_id", "ts")
+    val right = Seq(
+      (1L, new Timestamp(10L), 1L, Map("a" -> 1)),
+      (1L, new Timestamp(20L), 2L, Map("b" -> 2)))
+      .toDF("user_id", "ts", "right_id", "attrs")
+    val got = TemporalJoins.asOfJoin(left, right, "user_id", "ts",
+        rightPayload = Seq("right_id", "attrs"))
+      .select($"id", $"asof_right_id", $"asof_attrs")
+      .as[(Long, Option[Long], Map[String, Int])].collect().toSeq
+    assert(got === Seq((100L, Some(2L), Map("b" -> 2))))
+    // payload of ONLY unorderable columns: json-hash fallback, still works
+    val got2 = TemporalJoins.asOfJoin(left, right, "user_id", "ts",
+        rightPayload = Seq("attrs"))
+      .select($"id", $"asof_attrs")
+      .as[(Long, Map[String, Int])].collect().toSeq
+    assert(got2 === Seq((100L, Map("b" -> 2))))
+  }
+
   test("contaminationCounts: empty eval set and empty train set are empty") {
     val docs = Seq((1L, "some train document text here")).toDF("doc_id", "text")
     val none = docs.filter($"doc_id" < 0)

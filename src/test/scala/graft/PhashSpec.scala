@@ -11,6 +11,31 @@ import graft.operators.{Dedup, Multimodal}
 class PhashSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pixel cap is a parameter; refusals classify as 'oversized', " +
+      "distinct from 'corrupt'") {
+    val p = Multimodal.encodePng(7L, perturb = false) // 23x16 = 368 px
+    // default cap: decodes and hashes
+    assert(Multimodal.dHash64(p) !== null)
+    assert(Multimodal.decodeStatus(p) === "ok")
+    // a cap below the image's pixel count refuses the SAME payload —
+    // and decodeStatus reports the loss as oversized, not corrupt
+    assert(Multimodal.dHash64(p, maxPixels = 100L) === null)
+    assert(Multimodal.decodeStatus(p, maxPixels = 100L) === "oversized")
+    // corrupt stays corrupt at any cap (PNG signature, garbage header)
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10,
+      1, 2, 3, 4, 5, 6, 7, 8)
+    assert(Multimodal.decodeStatus(corrupt, maxPixels = 100L) === "corrupt")
+    assert(Multimodal.decodeStatus(Array.empty[Byte]) === "empty")
+    assert(Multimodal.decodeStatus("not an image".getBytes) === "unknown")
+    // column form at the same cap: countable refusal surface
+    val media = Multimodal.withPngPayload(
+      spark.range(0, 8).toDF("id"), "id")
+    val counts = media
+      .select(Multimodal.decodeStatusUdf(100L)($"payload").as("st"))
+      .groupBy("st").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("oversized" -> 8L))
+  }
+
   test("dHash64 is a deterministic pure function of the payload") {
     val p = Multimodal.encodePng(7L, perturb = false)
     assert(Multimodal.dHash64(p) === Multimodal.dHash64(p.clone()))

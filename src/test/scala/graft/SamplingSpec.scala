@@ -216,6 +216,19 @@ class SamplingSpec extends SparkSpec {
     assert(nullRows.select("keep_rate").distinct().head().getDouble(0) === 1.0)
   }
 
+  test("k-center coreset releases its per-round checkpoints deterministically") {
+    // Dataset.unpersist is a no-op on a localCheckpoint'ed Dataset (it
+    // only clears CacheManager entries; the RDD itself stays persisted
+    // until GC) — the release must go through the checkpointed RDD, and
+    // when it does, no round's corpus copy outlives the call
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val emb = table(spark, sf0001, "embeddings")
+    Sampling.kCenterCoreset(emb, "vec_id", "embedding", k = 5).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"k-center left ${leaked.size} checkpoint RDD(s) persisted: $leaked")
+  }
+
   test("k-center coreset: null vectors are excluded, not argmin hijackers") {
     import spark.implicits._
     val pts = Seq(
