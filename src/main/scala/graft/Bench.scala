@@ -155,12 +155,24 @@ object Bench {
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
 
-    // anchors: one untimed warmup each, then median-of-trials like queries
+    // anchors: one untimed warmup each. The spark anchor keeps its
+    // start-block median (dispatch-latency diagnostic only); the CPU
+    // anchors are sampled INTERLEAVED through the whole timed sweep
+    // (below) — r14's post-mortem showed a start-block anchor measures
+    // only the first ~2 s of ambient, while the queries it normalizes
+    // run for ~10 min, so the graded total_vs_base_mt swung ±20% on
+    // near-identical trees purely on when the host was busy. The median
+    // of ~20 samples spread across the run tracks the contention the
+    // queries actually experienced.
     val nMt = cpus.toInt
     cpuAnchorOnce(); cpuMtAnchorOnce(nMt); sparkAnchorOnce(spark)
-    val anchorCpu = Vector.fill(trials)(cpuAnchorOnce())
-    val anchorCpuMt = Vector.fill(trials)(cpuMtAnchorOnce(nMt))
     val anchorSpark = Vector.fill(trials)(sparkAnchorOnce(spark))
+    val anchorCpuSamples = collection.mutable.ArrayBuffer.empty[Double]
+    val anchorCpuMtSamples = collection.mutable.ArrayBuffer.empty[Double]
+    def sampleAnchors(): Unit = {
+      anchorCpuSamples += cpuAnchorOnce()
+      anchorCpuMtSamples += cpuMtAnchorOnce(nMt)
+    }
 
     val names = SparkEntry.queries.keys.toVector.sorted
     // untimed warmup pass: codegen compile + parquet footer cache for every
@@ -174,6 +186,12 @@ object Bench {
     val shuffleMb = collection.mutable.Map.empty[String, Double]
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
+    // ~18 anchor sample points spread evenly across the sweep, plus one
+    // at each end — anchor cost is ~0.6 s per point, noise in the gaps
+    // between query timings, never inside them
+    val anchorEvery = math.max(1, names.size * trials / 18)
+    var sinceAnchor = 0
+    sampleAnchors()
     for (trial <- 1 to trials; name <- names) {
       val fn = SparkEntry.queries(name)
       val before = if (trial == 1) {
@@ -187,7 +205,12 @@ object Bench {
         drainListenerBus(spark)
         shuffleMb(name) = math.rint((tally.bytes - before) / 1e6 * 100) / 100
       }
+      sinceAnchor += 1
+      if (sinceAnchor >= anchorEvery) { sinceAnchor = 0; sampleAnchors() }
     }
+    sampleAnchors()
+    val anchorCpu = anchorCpuSamples.toVector
+    val anchorCpuMt = anchorCpuMtSamples.toVector
     def median(v: Vector[Double]): Double = { val s = v.sorted; s(s.size / 2) }
     def r(x: Double): Double = math.rint(x * 1e6) / 1e6
     def r2(x: Double): Double = math.rint(x * 1e2) / 1e2
@@ -218,6 +241,12 @@ object Bench {
     val aCpu = r(median(anchorCpu))
     val aCpuMt = r(median(anchorCpuMt))
     val aSpark = r(median(anchorSpark))
+    // the graded normalizer's own stability across the run — when this
+    // is wide, ambient shifted mid-run and total_vs_base_mt deserves
+    // less trust than spread_iqr_mean alone suggests
+    val aCpuMtIqr = r(if (aCpuMt > 0)
+      (quantile(anchorCpuMt, 0.75) - quantile(anchorCpuMt, 0.25)) / aCpuMt
+      else 0.0)
     // Diagnostics line (full-precision medians, spread per query,
     // machine-noise anchors): its own JSON line so the PRIMARY line below
     // stays compact.
@@ -288,6 +317,7 @@ object Bench {
       java.nio.file.Paths.get("bench_full.json"),
       (line(r).dropRight(1) +
         s""","shuffle_mb":$shuf,"anchor_cpu":$aCpu,"anchor_cpu_mt":$aCpuMt,"anchor_spark":$aSpark""" +
+        s""","anchor_cpu_mt_iqr":$aCpuMtIqr,"anchor_samples":${anchorCpuMt.size}""" +
         s""","spread_mean":$spreadMean,"spread_iqr_mean":$spreadIqrMean""" +
         s""","trials":$trials$anchorExtra$baseExtra}""" + "\n")
         .getBytes("UTF-8"))

@@ -208,11 +208,12 @@ object Dedup {
     * hot prefix shingle does NOT imply true pairs (near-template docs
     * {s, xᵢ} with distinct xᵢ all bucket on s at zero true pairs), so
     * exactness cannot cap the candidate space the way the banded
-    * operators do. `maxBucketPairs` is the loud guard instead: before
-    * the join, the worst per-token candidate PRODUCT is measured (two
-    * small aggs over the prefix tables) and a bucket whose a×b
-    * candidates exceed the bound raises with the offending size — a
-    * refused job beats a 10¹³-row shuffle. Set 0 to disable.
+    * operators do. `maxBucketPairs` is the loud guard instead: per-tok
+    * candidate PRODUCTS (two aggs sharing the candidate join's own tok
+    * exchanges — no separate eager job) join into the pass, and a bucket
+    * whose a×b candidates exceed the bound raises in-plan with the
+    * offending size before that bucket's pairs stream into the shuffle —
+    * a refused job beats a 10¹³-row shuffle. Set 0 to disable.
     *
     * ε guards (both only ever LENGTHEN the prefix — extra candidates are
     * discarded by the exact verify, never missed): t − 1e-6 covers the
@@ -240,18 +241,29 @@ object Dedup {
     }
     val aPre = prefixToks(leftFilter(sh)).select(col("id").as("left_id"), col("tok"))
     val bPre = prefixToks(sh).select(col("id").as("right_id"), col("tok"))
-    if (maxBucketPairs > 0) {
-      val worst = aPre.groupBy("tok").agg(count(lit(1)).as("__na"))
+    // The guard rides INSIDE the candidate pass, not as a separate eager
+    // job: per-tok counts of both prefix tables join on the same key as
+    // the candidate join (the exchanges are shared), and the poison
+    // bucket raises from a codegen'd raise_error the moment the merge
+    // reaches it — BEFORE that bucket's a×b pairs stream into the
+    // shuffle. Joining aPre against the guard first sequences the check
+    // ahead of the pair emission for each tok.
+    val aGuarded = if (maxBucketPairs <= 0) aPre else {
+      val guard = aPre.groupBy("tok").agg(count(lit(1)).as("__na"))
         .join(bPre.groupBy("tok").agg(count(lit(1)).as("__nb")), Seq("tok"))
-        .agg(max(col("__na").cast("double") * col("__nb")).as("m")).head()
-      if (!worst.isNullAt(0) && worst.getDouble(0) > maxBucketPairs.toDouble)
-        sys.error(f"jaccardPairs: a prefix-shingle bucket would emit " +
-          f"${worst.getDouble(0)}%.0f candidate pairs > maxBucketPairs=" +
-          s"$maxBucketPairs — near-template corpus; dedup exact/chunk " +
-          "duplicates first (dropRepeatedChunks) or raise the bound " +
-          "deliberately (0 disables)")
+        .select(col("tok"),
+          when(col("__na").cast("double") * col("__nb") > maxBucketPairs.toDouble,
+            raise_error(format_string(
+              "jaccardPairs: a prefix-shingle bucket would emit " +
+                "%.0f candidate pairs > maxBucketPairs=" + maxBucketPairs +
+                " — near-template corpus; dedup exact/chunk duplicates " +
+                "first (dropRepeatedChunks) or raise the bound " +
+                "deliberately (0 disables)",
+              col("__na").cast("double") * col("__nb"))))
+            .otherwise(lit(true)).as("__ok"))
+      aPre.join(guard.filter(col("__ok")), Seq("tok"))
     }
-    val cands = aPre.join(bPre, Seq("tok"))
+    val cands = aGuarded.join(bPre, Seq("tok"))
       .filter(col("left_id") < col("right_id"))
       .select("left_id", "right_id")
       .dropDuplicates("left_id", "right_id")

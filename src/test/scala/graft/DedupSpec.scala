@@ -289,11 +289,16 @@ class DedupSpec extends SparkSpec {
     val template = (0 until 200).map(i =>
       (i.toLong, s"aaa bbb ccc unique$i token$i word$i"))
       .toDF("doc_id", "text")
-    val e = intercept[RuntimeException] {
+    // the guard raises from INSIDE the plan (raise_error), so the driver
+    // sees a job-failure exception wrapping it — search the cause chain
+    val e = intercept[Exception] {
       Dedup.jaccardPairs(template, "doc_id", "text",
         shingleSize = 3, threshold = 0.8, maxBucketPairs = 1000L).count()
     }
-    assert(e.getMessage.contains("maxBucketPairs"), e.getMessage)
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("maxBucketPairs"), msgs)
     // same corpus with the guard at its default passes (small n here)
     Dedup.jaccardPairs(template, "doc_id", "text",
       shingleSize = 3, threshold = 0.8).count()

@@ -28,6 +28,53 @@ class ServingCacheSpec extends SparkSpec {
     assert(cached.nonEmpty)
   }
 
+  test("N-thread mixed hot/cold stress: no deadlock, eviction bound holds, " +
+      "every result equals the uncached path") {
+    // 8 partitions through a 3-slot cache, 8 threads × 4 rounds of
+    // different query slices (different probe sets → constant churn of
+    // resident/cold/bypass classification). The per-pid load gates +
+    // cache monitor must never deadlock (gate never held inside the
+    // monitor), never leave >cap resident, and every concurrent search
+    // must equal AnnIvf.searchPruned on the same queries.
+    val cache = new ServingCache(index, maxCachedPartitions = 3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val tasks = (0 until 8).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try {
+              (0 until 4).foreach { round =>
+                val lo = (t * 7 + round * 13) % 40
+                val q = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 4)
+                val nprobe = 1 + (t + round) % 5
+                val got = results(
+                  cache.search(q, "vec_id", "embedding", k = 5, nprobe = nprobe))
+                val want = results(AnnIvf.searchPruned(
+                  index, q, "vec_id", "embedding", k = 5, nprobe = nprobe))
+                if (got != want)
+                  failures.add(s"thread $t round $round: $got != $want")
+              }
+            } catch {
+              case e: Throwable => failures.add(s"thread $t threw: $e")
+            }
+        })
+      }
+      pool.shutdown()
+      // a deadlock (gate vs monitor lock inversion) would hang here
+      assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS),
+        "stress pool did not finish in 300 s — deadlock or livelock")
+      tasks.foreach(_.get())
+    } finally pool.shutdownNow()
+    assert(failures.isEmpty, failures.toArray.mkString("\n"))
+    // eviction bound: never more resident than capacity, and every
+    // eviction was preceded by a load (no phantom eviction)
+    assert(cache.cachedPartitions.size <= 3)
+    assert(cache.evictions.value <= cache.misses.value)
+    // the cache did real work across the stress, not all bypass
+    assert(cache.hits.value + cache.misses.value > 0)
+  }
+
   test("counters: miss on first load, hit on re-probe, evict past capacity") {
     val cache = new ServingCache(index, maxCachedPartitions = 2)
     val q = emb.filter(col("vec_id") === 0)
