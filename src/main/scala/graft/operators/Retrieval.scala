@@ -483,8 +483,12 @@ object Retrieval {
     * arriving docs by relevance to a fixed query) with no state store, no
     * watermark, no shuffle — the lexical analogue of
     * `EventStreams.decontamCountsStream`'s frozen-gram probe. Docs
-    * sharing no term with the profile score 0 and are kept (filter
-    * downstream). */
+    * sharing no term with the profile score 0 with `matched_terms` 0
+    * and are kept (filter downstream). Filter on `matched_terms > 0`,
+    * NOT `bm25 > 0`, to reproduce the join paths' row set exactly: a
+    * doc that DOES share a term can legitimately sum to 0.000000 (each
+    * per-term score rounds to 6 dp before the sum — idf·tf < 5e-7 when
+    * df ≈ n at corpus scale), and the join paths keep such docs. */
   def scoreWithProfile(
       profile: QueryProfile,
       docs: DataFrame,
@@ -511,8 +515,10 @@ object Retrieval {
         sum = sum.add(BigDecimal(ts)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal)
       }
-      sum.doubleValue
+      (sum.doubleValue, tf.size)
     }
-    docs.select(col(idCol), scoreUdf(col(textCol)).as("bm25"))
+    docs.select(col(idCol), scoreUdf(col(textCol)).as("__s"))
+      .select(col(idCol), col("__s._1").as("bm25"),
+        col("__s._2").as("matched_terms"))
   }
 }

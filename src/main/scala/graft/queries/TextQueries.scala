@@ -105,6 +105,22 @@ object TextQueries {
             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn FROM agg)
         WHERE rn <= 10 ORDER BY rnk"""
 
+  /** Exact Jaccard ≥ 0.5 ground-truth pair set (PPJoin pass), computed
+    * once per (session, sfDir) and served to both dedup-eval queries
+    * (`eval_dedup_recall`, `eval_blocking`) — truth is one artifact, not
+    * a per-metric recomputation. Persisted MEMORY_AND_DISK like
+    * [[componentAssignment]] — localCheckpoint blocks are executor-local
+    * and unrecoverable after an executor loss, which would poison every
+    * later consumer of the session-cached plan for the session's life. */
+  private def jaccardTruth(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    sessionCached(s, ("jaccard-truth", dir)) {
+      Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.5)
+        .select("left_id", "right_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** minhash near-dup pairs → connected components → (doc_id,
     * component_id) for EVERY doc (singletons map to themselves). Shared
     * by `dedup_components` (assignment + sizes) and
@@ -115,19 +131,6 @@ object TextQueries {
     * (same build-once rationale as the ANN index registry). The
     * assignment is persisted MEMORY_AND_DISK; it is deterministic, so
     * correctness is unaffected whichever query materializes it first. */
-  /** Exact Jaccard ≥ 0.5 ground-truth pair set (PPJoin pass), computed
-    * once per (session, sfDir) and served to both dedup-eval queries
-    * (`eval_dedup_recall`, `eval_blocking`) — truth is one artifact, not
-    * a per-metric recomputation. */
-  private def jaccardTruth(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    sessionCached(s, ("jaccard-truth", dir)) {
-      Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
-          shingleSize = 3, threshold = 0.5)
-        .select("left_id", "right_id")
-        .localCheckpoint(eager = true)
-    }
-
   private def componentAssignment(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     sessionCached(s, ("component-map", dir)) {
@@ -142,6 +145,76 @@ object TextQueries {
             coalesce(col("component"), col("doc_id")).as("component_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
+
+  /** Train↔eval 5-gram contamination counts, computed ONCE per
+    * (session, sfDir) and shared by `text_decontam` (audit) and
+    * `text_decontam_apply` (removal) — the corpus-wide gram-hash explode
+    * + equi-join is the expensive stage of both, the same build-once
+    * shape as [[componentAssignment]]. */
+  private def decontamCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    sessionCached(s, ("decontam-counts", dir)) {
+      val docs = table(s, dir, "documents")
+      val isEval = col("doc_id") % 10 === 7
+      Dedup.contaminationCounts(
+          docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", n = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Perceptual-hash signatures of the shared PNG fixture corpus
+    * (originals < 200 plus perturbed copies of every 5th), computed ONCE
+    * per (session, sfDir) and persisted: `multimodal_phash` and
+    * `dedup_phash_apply` both pair-join over it, and the apply query
+    * references it twice in one plan (under the component contraction
+    * AND in the final projection) — without the persist every image
+    * would be PNG-encoded + decoded + hashed once per reference. */
+  private def phashSig(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    sessionCached(s, ("phash-sig", dir)) {
+      import graft.operators.Multimodal
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      val media = Multimodal.withPngPayload(docs, "doc_id")
+        .unionByName(Multimodal.withPngPayloadPerturbed(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", idOffset = 10000L))
+      media.select(col("media_id"),
+          Multimodal.dHashUdf(col("payload")).as("phash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** The durable BM25 index for `dir`'s corpus (doc 0 excluded — it is
+    * the standing query), built ONCE per (session, sfDir) into a temp
+    * dir that is deleted on JVM exit: the three serving-path queries
+    * (`text_bm25_prf`/`_indexed`/`_profile`) must read the SAME index
+    * (they share one oracle and one cache key), so the build lives here
+    * rather than copy-pasted per query where the copies could
+    * desynchronize while the session cache keeps serving whichever was
+    * built first. */
+  private def bm25IndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    sessionCached(s, ("bm25-index", dir)) {
+      val p = java.nio.file.Files.createTempDirectory("graft-bm25-idx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(p).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        catch { case _: Throwable => () }
+      }))
+      graft.operators.Retrieval.writeIndex(
+        table(s, dir, "documents").filter(col("doc_id") =!= 0),
+        "doc_id", "text", p.toString)
+      p.toString
+    }
+
+  /** Doc 0's distinct terms as driver literals — the serving-call query
+    * shape shared by the three BM25 index queries. */
+  private def bm25QueryTerms(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    sessionCached(s, ("bm25-qterms", dir)) {
+      table(s, dir, "documents").filter(col("doc_id") === 0)
+        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .distinct().collect().map(_.getString(0)).toSeq
+    }
 
   val queries: Map[String, Query] = Map(
     // Token counting (whitespace tokenizer).
@@ -253,11 +326,15 @@ object TextQueries {
     "profile_sources" -> { (s, dir) =>
       val d = table(s, dir, "documents")
         .select(col("source"), col("lang"), TextOps.tokenCount(col("text")).as("__tk"))
-      val tot = d.agg(sum(col("__tk")).as("__tot"))
-      d.groupBy("source").agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("__tk")).as("total_tokens"),
-          countDistinct(col("lang")).as("n_langs"))
+      val grouped = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tk")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      // the 1-row total derives from the #sources-row grouped frame (sum
+      // of per-source exact-integer sums ≡ corpus sum) — aggregating the
+      // raw projection would tokenize the whole corpus a second time
+      val tot = grouped.agg(sum(col("total_tokens")).as("__tot"))
+      grouped
         .crossJoin(broadcast(tot))
         .withColumn("token_share",
           round(col("total_tokens").cast("double") / col("__tot"), 6))
@@ -308,8 +385,7 @@ object TextQueries {
     "text_decontam_apply" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val isEval = col("doc_id") % 10 === 7
-      val counts = Dedup.contaminationCounts(
-        docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", n = 5)
+      val counts = decontamCounts(s, dir)
       docs.filter(!isEval)
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
         .join(counts.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -326,13 +402,8 @@ object TextQueries {
     // join as the brute-force scan it provably equals, the closure as a
     // recursive CTE.
     "dedup_phash_apply" -> { (s, dir) =>
-      import graft.operators.{Components, Dedup, Multimodal}
-      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
-      val media = Multimodal.withPngPayload(docs, "doc_id")
-        .unionByName(Multimodal.withPngPayloadPerturbed(
-          docs.filter(col("doc_id") % 5 === 0), "doc_id", idOffset = 10000L))
-      val sig = media.select(col("media_id"),
-        Multimodal.dHashUdf(col("payload")).as("phash"))
+      import graft.operators.{Components, Dedup}
+      val sig = phashSig(s, dir)
       val pairs = Dedup.hamming64Pairs(sig, "media_id", "phash",
         maxHamming = 6, numBands = 8)
       val cc = Components.connectedComponentsAuto(pairs, "left_id", "right_id")
@@ -568,18 +639,9 @@ object TextQueries {
     "text_bm25_prf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
-      val path = sessionCached(s, ("bm25-index", dir)) {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-bm25-idx").toString
-        graft.operators.Retrieval.writeIndex(
-          docs.filter(col("doc_id") =!= 0), "doc_id", "text", p)
-        p
-      }
-      val qTerms = docs.filter(col("doc_id") === 0)
-        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
-        .distinct().collect().map(_.getString(0)).toSeq
       graft.operators.Retrieval.bm25PrfIndexed(
-          s, path, docs.filter(col("doc_id") =!= 0), "doc_id", "text", qTerms)
+          s, bm25IndexPath(s, dir), docs.filter(col("doc_id") =!= 0),
+          "doc_id", "text", bm25QueryTerms(s, dir))
         .withColumn("rnk", row_number().over(
           Window.orderBy(desc("bm25"), asc("doc_id"))))
         .filter(col("rnk") <= 10)
@@ -597,18 +659,8 @@ object TextQueries {
     // vectors.
     "text_bm25_indexed" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val path = sessionCached(s, ("bm25-index", dir)) {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-bm25-idx").toString
-        graft.operators.Retrieval.writeIndex(
-          table(s, dir, "documents").filter(col("doc_id") =!= 0),
-          "doc_id", "text", p)
-        p
-      }
-      val qTerms = table(s, dir, "documents").filter(col("doc_id") === 0)
-        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
-        .distinct().collect().map(_.getString(0)).toSeq
-      graft.operators.Retrieval.searchIndex(s, path, "doc_id", qTerms)
+      graft.operators.Retrieval.searchIndex(
+          s, bm25IndexPath(s, dir), "doc_id", bm25QueryTerms(s, dir))
         .withColumn("rnk", row_number().over(
           Window.orderBy(desc("bm25"), asc("doc_id"))))
         .filter(col("rnk") <= 10)
@@ -624,22 +676,15 @@ object TextQueries {
     // oracle: UDF arithmetic ≡ join-path arithmetic ≡ DuckDB.
     "text_bm25_profile" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val path = sessionCached(s, ("bm25-index", dir)) {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-bm25-idx").toString
-        graft.operators.Retrieval.writeIndex(
-          table(s, dir, "documents").filter(col("doc_id") =!= 0),
-          "doc_id", "text", p)
-        p
-      }
-      val qTerms = table(s, dir, "documents").filter(col("doc_id") === 0)
-        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
-        .distinct().collect().map(_.getString(0)).toSeq
-      val prof = graft.operators.Retrieval.loadProfile(s, path, qTerms)
+      val prof = graft.operators.Retrieval.loadProfile(
+        s, bm25IndexPath(s, dir), bm25QueryTerms(s, dir))
+      // matched_terms > 0, NOT bm25 > 0: the join paths keep a matching
+      // doc whose per-term-rounded scores sum to exactly 0.000000; only
+      // the zero-shared-terms docs (which they never emit) must go
       graft.operators.Retrieval.scoreWithProfile(prof,
           table(s, dir, "documents").filter(col("doc_id") =!= 0),
           "doc_id", "text")
-        .filter(col("bm25") > 0)
+        .filter(col("matched_terms") > 0)
         .withColumn("rnk", row_number().over(
           Window.orderBy(desc("bm25"), asc("doc_id"))))
         .filter(col("rnk") <= 10)
@@ -1128,8 +1173,7 @@ object TextQueries {
     "text_decontam" -> { (s, dir) =>
       val docs = table(s, dir, "documents")
       val isEval = col("doc_id") % 10 === 7
-      val counts = Dedup.contaminationCounts(
-        docs.filter(!isEval), docs.filter(isEval), "doc_id", "text", n = 5)
+      val counts = decontamCounts(s, dir)
       docs.filter(!isEval).select(col("doc_id"))
         .join(counts.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -1304,14 +1348,8 @@ object TextQueries {
     // join — replays in DuckDB from the ids alone, making this a fully
     // hash-checked multimodal query, not a rows-only one.
     "multimodal_phash" -> { (s, dir) =>
-      import graft.operators.{Dedup, Multimodal}
-      val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
-      val media = Multimodal.withPngPayload(docs, "doc_id")
-        .unionByName(Multimodal.withPngPayloadPerturbed(
-          docs.filter(col("doc_id") % 5 === 0), "doc_id", idOffset = 10000L))
-      val sig = media.select(col("media_id"),
-        Multimodal.dHashUdf(col("payload")).as("phash"))
-      Dedup.hamming64Pairs(sig, "media_id", "phash",
+      import graft.operators.Dedup
+      Dedup.hamming64Pairs(phashSig(s, dir), "media_id", "phash",
           maxHamming = 6, numBands = 8)
         .orderBy("left_id", "right_id")
     },

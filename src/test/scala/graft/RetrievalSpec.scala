@@ -69,7 +69,7 @@ class RetrievalSpec extends SparkSpec {
     val terms = qTerms.as[String].collect().toSeq
     val prof = Retrieval.loadProfile(spark, indexPath, terms)
     val udfPath = Retrieval.scoreWithProfile(prof, docs, "doc_id", "text")
-      .filter($"bm25" > 0)
+      .filter($"matched_terms" > 0)
       .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
     val joinPath = Retrieval.searchIndex(spark, indexPath, "doc_id", terms)
       .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)

@@ -307,11 +307,12 @@ class StreamingSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).parquet(feed)
     val got = runToMemory(
       graft.operators.Retrieval.scoreWithProfile(prof, stream,
-        "doc_id", "text"),
+        "doc_id", "text").select("doc_id", "bm25"),
       "bm25_stream_out", "append")
       .as[(Long, Double)].collect().toMap
     val want = graft.operators.Retrieval
       .scoreWithProfile(prof, corpus, "doc_id", "text")
+      .select("doc_id", "bm25")
       .as[(Long, Double)].collect().toMap
     assert(want.nonEmpty)
     assert(got === want)
