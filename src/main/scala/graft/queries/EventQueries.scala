@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
+  /** Hourly-count Holt(α=β=½) state series (t, count, level, trend,
+    * one-step forecast), computed ONCE per (session, sfDir) and shared
+    * by `q48_holt` (the smoother) and `eval_forecast` (its backtest) —
+    * one driver fold over the calendar-bounded series, and the two
+    * queries can never desynchronize on the recurrence they share. */
+  private def holtSeries(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Int, Long, Double, Double, Double)] =
+    sessionCached(s, ("holt-series", dir)) {
+      import org.apache.spark.sql.expressions.Window
+      val ser = table(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("t", row_number().over(Window.orderBy("hr")))
+        .select(col("t"), col("c")).orderBy("t")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      var l = 0.0; var b = 0.0
+      ser.map { case (t, c) =>
+        if (t == 1) { l = c.toDouble; b = 0.0 }
+        else {
+          val lNew = 0.5 * c + 0.5 * (l + b)
+          b = 0.5 * (lNew - l) + 0.5 * b
+          l = lNew
+        }
+        (t, c, l, b, l + b)
+      }.toSeq
+    }
+
   val queries: Map[String, Query] = Map(
     // Time-series gap fill / resample: a dense hourly grid over the fixed
     // reporting window × every event type, zero-filled where no events
@@ -307,26 +334,9 @@ object EventQueries {
     // the textually-identical double op sequence from identical integer
     // inputs, so all 720 steps replay bit-for-bit in the recursive CTE.
     "q48_holt" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val ser = table(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("t", row_number().over(Window.orderBy("hr")))
-        .select(col("t"), col("c")).orderBy("t")
-        .collect().map(r => (r.getInt(0), r.getLong(1)))
-      var l = 0.0; var b = 0.0
-      val rows = ser.map { case (t, c) =>
-        if (t == 1) { l = c.toDouble; b = 0.0 }
-        else {
-          val lNew = 0.5 * c + 0.5 * (l + b)
-          b = 0.5 * (lNew - l) + 0.5 * b
-          l = lNew
-        }
-        (t, c, l, b, l + b)
-      }
       val spark = s
       import spark.implicits._
-      rows.toSeq.toDF("t", "c", "__l", "__b", "__f")
+      holtSeries(s, dir).toDF("t", "c", "__l", "__b", "__f")
         .select(col("t"), col("c"),
           round(col("__l"), 6).as("level"), round(col("__b"), 6).as("trend"),
           round(col("__f"), 6).as("forecast"))
@@ -443,28 +453,17 @@ object EventQueries {
     // q48 (calendar-bounded series); per-step |e| and e² are
     // 6dp-rounded then DECIMAL-summed, so the metrics are exact.
     "eval_forecast" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val ser = table(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("t", row_number().over(Window.orderBy("hr")))
-        .select(col("t"), col("c")).orderBy("t")
-        .collect().map(r => (r.getInt(0), r.getLong(1)))
       def f6(x: Double): Double = math.floor(x * 1000000) / 1000000
-      var l = 0.0; var b = 0.0
+      // the forecast scored at step t is the PREVIOUS step's one-step
+      // forecast (its level + trend) — the shared holtSeries fold
       var sae = BigDecimal(0); var sse = BigDecimal(0); var n = 0L
-      ser.foreach { case (t, c) =>
-        if (t == 1) { l = c.toDouble; b = 0.0 }
-        else {
-          val f = l + b // forecast made at t-1 for this step
-          val e = c - f
+      holtSeries(s, dir).sliding(2).foreach {
+        case Seq((_, _, _, _, fPrev), (_, c, _, _, _)) =>
+          val e = c - fPrev
           sae += BigDecimal(f6(math.abs(e)))
           sse += BigDecimal(f6(e * e))
           n += 1
-          val lNew = 0.5 * c + 0.5 * (l + b)
-          b = 0.5 * (lNew - l) + 0.5 * b
-          l = lNew
-        }
+        case _ => () // series shorter than 2: nothing to backtest
       }
       val spark2 = s
       import spark2.implicits._

@@ -294,10 +294,12 @@ object RelationalQueries {
 
     // JSON extraction from the events props column (F6).
     "q18_event_props_json" -> { (s, dir) =>
+      // k_val is nullable (props without '$.k' / non-integer k): pin the
+      // null order explicitly — Spark defaults NULLS FIRST, DuckDB LAST
       table(s, dir, "events")
         .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k_val"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-        .orderBy("k_val")
+        .orderBy(asc_nulls_first("k_val"))
     },
 
     // UNION ALL + aggregate over the merged relation.
@@ -315,12 +317,18 @@ object RelationalQueries {
     // Correlated scalar subquery — Catalyst decorrelates it into an
     // aggregate + left outer join (RewriteCorrelatedScalarSubquery).
     "q31_correlated_subquery" -> { (s, dir) =>
-      table(s, dir, "customer").createOrReplaceTempView("customer_v")
-      table(s, dir, "orders").createOrReplaceTempView("orders_v")
-      s.sql("""
+      // view names scoped per data dir: createOrReplaceTempView is
+      // session-global mutable state, and a fixed name would let a
+      // second build against another dir rebind the views under a
+      // concurrent first build (wrong-dir reads); the dir tag makes
+      // same-dir interleavings idempotent and cross-dir ones disjoint
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      table(s, dir, "customer").createOrReplaceTempView(s"customer_v_$tag")
+      table(s, dir, "orders").createOrReplaceTempView(s"orders_v_$tag")
+      s.sql(s"""
         SELECT c_custkey,
-               (SELECT MAX(o_totalprice) FROM orders_v WHERE o_custkey = c_custkey) AS max_order
-        FROM customer_v ORDER BY c_custkey""")
+               (SELECT MAX(o_totalprice) FROM orders_v_$tag WHERE o_custkey = c_custkey) AS max_order
+        FROM customer_v_$tag ORDER BY c_custkey""")
     },
 
     // Filtered scan: the timestamp range predicate must reach the parquet
@@ -358,11 +366,14 @@ object RelationalQueries {
 
     // Exact interpolated percentiles (A8) per group.
     "q26_percentiles" -> { (s, dir) =>
+      // rounded like every other computed float (package.scala parity
+      // rule): the builtins interpolate with algebraically-equal but
+      // IEEE-different op orders across engines — 6 dp absorbs the ulp
       table(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
-          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"))
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90_price"))
         .orderBy("l_returnflag")
     },
 
@@ -412,6 +423,9 @@ object RelationalQueries {
       val h = table(s, dir, "lineitem")
         .select(hUdf(col("l_partkey").cast("string")).as("h"))
       val w = shiftrightunsigned(col("h"), 8)
+      // w == 0 sentinel 56 cannot collide with a real rho: h has bit 63
+      // clear (portable-hash contract), so w spans bits 8..62 — 55 bits —
+      // and the largest achievable nonzero rho is tz(bit 54) + 1 = 55
       h.select(col("h").bitwiseAND(lit(255L)).as("bucket"),
           when(w === 0, lit(56))
             .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1).as("rho"))
@@ -1478,10 +1492,6 @@ object RelationalQueries {
          FROM est"""
     },
 
-    // CMS registers + estimates recomputed from scratch: per-term
-    // portable hash, 4 row-rekeys (mix32 with the portable-MinHash
-    // additive constants) mod 512, counters = sum of true counts of the
-    // terms landing there, estimate = min over the 4 counters.
     "profile_moments" ->
       s"""WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
          g AS (SELECT lang, COUNT(*) AS n,
@@ -1500,6 +1510,10 @@ object RelationalQueries {
            ROUND($momKurt, 6) AS kurt_chars
          FROM f ORDER BY lang""",
 
+    // CMS registers + estimates recomputed from scratch: per-term
+    // portable hash, 4 row-rekeys (mix32 with the portable-MinHash
+    // additive constants) mod 512, counters = sum of true counts of the
+    // terms landing there, estimate = min over the 4 counters.
     "profile_cms_estimates" -> {
       val rekey = mixSql(
         "((XOR(h, h >> 32) + 2654435761 * (rr + 1)) & 4294967295)")
@@ -1652,7 +1666,7 @@ object RelationalQueries {
     "q18_event_props_json" ->
       s"""SELECT CAST(JSON_EXTRACT_STRING(props, '$$.k') AS INTEGER) AS k_val,
           COUNT(*) AS n, ${sqlDsum("value")} AS total_value
-          FROM events GROUP BY k_val ORDER BY k_val""",
+          FROM events GROUP BY k_val ORDER BY k_val NULLS FIRST""",
 
     "q19_account_union" ->
       s"""SELECT nationkey, COUNT(*) AS n_accounts, ${sqlDsum("acctbal")} AS total_bal
@@ -1691,8 +1705,8 @@ object RelationalQueries {
 
     "q26_percentiles" ->
       """SELECT l_returnflag,
-         QUANTILE_CONT(l_quantity, 0.5) AS p50_qty,
-         QUANTILE_CONT(l_extendedprice, 0.9) AS p90_price
+         ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS p50_qty,
+         ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // The distributed-quantile replay: rank by value, bracket each prob at
