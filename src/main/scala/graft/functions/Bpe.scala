@@ -29,8 +29,33 @@ object Bpe {
       merges.zipWithIndex.toMap
   }
 
-  private def wordSymbols(w: String): Vector[String] =
-    w.map(_.toString).toVector :+ Eow
+  /** Symbols of one word = its Unicode CODE POINTS (+ [[Eow]]) — the
+    * same segmentation as the distributed twin's `split(w, "")`, which
+    * splits per code point on Spark 4. Mapping UTF-16 chars instead
+    * would shatter any supplementary-plane character (emoji in web
+    * text) into two lone surrogates and silently diverge the learned
+    * merge tables between the driver reference and the engine. */
+  private def wordSymbols(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result() :+ Eow
+  }
+
+  /** The engine-wide word surface: literal single-space split, empties
+    * dropped, null text = no words — textually the distributed path's
+    * `explode(split(col, " ")) ... filter(w =!= "")`, so [[train]] /
+    * [[tokenizeUdf]] can never diverge from [[trainDistributed]] and
+    * the ANSI-SQL oracle on tabs/newlines/double spaces (a `\\s+` split
+    * here once did exactly that — latently, the fixtures being
+    * single-spaced). */
+  private def words(text: String): Seq[String] =
+    if (text == null) Seq.empty
+    else text.split(" ", -1).toSeq.filter(_.nonEmpty)
 
   /** Learn `numMerges` merge rules from the word-frequency table of a
     * bounded text sample. */
@@ -41,8 +66,8 @@ object Bpe {
     val texts = docs.select(col(textCol).cast("string"))
       .limit(sampleLimit).as[String].collect()
     val wordFreq = scala.collection.mutable.HashMap.empty[String, Long]
-    texts.foreach(_.split("\\s+").foreach { w =>
-      if (w.nonEmpty) wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1L
+    texts.foreach(words(_).foreach { w =>
+      wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1L
     })
     var vocab: Vector[(Vector[String], Long)] =
       wordFreq.toVector.sortBy(_._1).map { case (w, n) => (wordSymbols(w), n) }
@@ -270,9 +295,7 @@ object Bpe {
     * rides the closure as a broadcast-sized constant (merge table,
     * ~numMerges strings). */
   def tokenizeUdf(model: Model) = udf { (text: String) =>
-    if (text == null) Seq.empty[String]
-    else text.split("\\s+").toSeq.filter(_.nonEmpty)
-      .flatMap(w => tokenizeWord(model, w))
+    words(text).flatMap(w => tokenizeWord(model, w))
   }
 
   def subwordCount(model: Model)(text: Column): Column =

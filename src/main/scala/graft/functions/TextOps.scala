@@ -247,7 +247,10 @@ object TextOps {
 
   /** MinHash signature over pre-hashed shingles: for each of `numPerms`
     * seeded mixes, the minimum over the document's shingle hashes. */
-  def minhashUdf(numPerms: Int) = udf { (sh: Seq[Long]) =>
+  def minhashUdf(numPerms: Int) = udf { (sh0: Seq[Long]) =>
+    // null-guarded like simhashFromTokensUdf: one null row (null text
+    // upstream) must not NPE a whole corpus pass
+    val sh = if (sh0 == null) Seq.empty[Long] else sh0
     val sig = Array.fill(numPerms)(Long.MaxValue)
     sh.foreach { s0 =>
       var p = 0
@@ -263,7 +266,8 @@ object TextOps {
   /** LSH band keys from a MinHash signature: `numBands` keys, each hashing
     * `rowsPerBand` consecutive signature slots. Two docs collide on a band
     * iff that band's slots are all equal. */
-  def bandsUdf(numBands: Int, rowsPerBand: Int) = udf { (sig: Seq[Long]) =>
+  def bandsUdf(numBands: Int, rowsPerBand: Int) = udf { (sig0: Seq[Long]) =>
+    val sig = if (sig0 == null) Seq.empty[Long] else sig0
     (0 until numBands).map { b =>
       val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
       b.toLong << 56 | (slice.foldLeft(0xcbf29ce484222325L) { (h, v) =>
@@ -276,7 +280,11 @@ object TextOps {
     * `transform(tokens(c), t => portableTokenHash64(t))` for the
     * oracle-checkable pipeline). Near-duplicate docs land within a small
     * Hamming distance. */
-  val simhashUdf = udf { (hashes: Seq[Long]) =>
+  val simhashUdf = udf { (hashes0: Seq[Long]) =>
+    // null-guarded (the docstring's transform(tokens(c), ...) feed IS
+    // null for null text, and Graft.register exposes this as
+    // graft_simhash): score the empty doc, don't NPE the query
+    val hashes = if (hashes0 == null) Seq.empty[Long] else hashes0
     val acc = new Array[Int](64)
     hashes.foreach { h =>
       var b = 0
@@ -297,25 +305,21 @@ object TextOps {
   /** Hamming distance between two 64-bit simhashes (codegen'd, no UDF). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Winnowing-style rolling-hash fingerprint set: hash every k-gram of
-    * chars, keep the minimum hash per window of w consecutive k-grams.
-    * Compact sketch for containment-style near-dup detection.
-    *
-    * Gram hash is polynomial base-31 over UTF-16 units with NO modulus —
-    * for k ≤ 9 printable-ASCII chars it stays far below 2⁶³, so the
-    * identical value is computable in plain SQL and the
-    * `text_winnow_sketch` DuckDB oracle recomputes it (ord == UTF-16
-    * unit on ASCII; the testdata corpus is ASCII-only). */
   /** RAG-style strided chunking: fixed `win`-token windows every `stride`
     * tokens (overlap = win − stride) over the whitespace token array —
     * the retrieval-chunk prep between corpus and embedding. Scan-local
     * (a generated per-row sequence, no shuffle); short docs yield one
-    * chunk. Output: (idCol, chunk_no, n_tokens, chunk_text). */
+    * chunk, and a NULL-text doc behaves as an empty doc (one empty
+    * chunk) rather than vanishing — under ANSI, size(null array) is
+    * null and posexplode would silently drop the doc_id from the
+    * output, losing the document from every downstream shard join.
+    * Output: (idCol, chunk_no, n_tokens, chunk_text). */
   def chunkStride(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, win: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(win >= 1 && stride >= 1 && stride <= win,
       s"need 1 <= stride <= win (got win=$win stride=$stride)")
-    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    df.select(col(idCol),
+        tokens(coalesce(col(textCol), lit(""))).as("__t"))
       .select(col(idCol), size(col("__t")).as("n_tokens"),
         posexplode(transform(
           sequence(lit(0),
@@ -326,6 +330,15 @@ object TextOps {
         col("n_tokens"), col("col").as("chunk_text"))
   }
 
+  /** Winnowing-style rolling-hash fingerprint set: hash every k-gram of
+    * chars, keep the minimum hash per window of w consecutive k-grams.
+    * Compact sketch for containment-style near-dup detection.
+    *
+    * Gram hash is polynomial base-31 over UTF-16 units with NO modulus —
+    * for k ≤ 9 printable-ASCII chars it stays far below 2⁶³, so the
+    * identical value is computable in plain SQL and the
+    * `text_winnow_sketch` DuckDB oracle recomputes it (ord == UTF-16
+    * unit on ASCII; the testdata corpus is ASCII-only). */
   def winnowUdf(k: Int, w: Int) = udf { (text: String) =>
     if (text == null || text.length < k) Seq.empty[Long]
     else {

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 import graft.SparkEntry
 
@@ -9,12 +8,11 @@ import graft.SparkEntry
 object Explain {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.autoBroadcastJoinThreshold", "67108864") // match Bench
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the EXACT session shape the benchmark runs (shared builder, like
+    // tools/Time) — a hand-copied config here once made audited plans
+    // free to drift from benchmarked plans whenever Bench's changed
+    val spark = graft.Bench.benchSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>

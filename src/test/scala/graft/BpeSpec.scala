@@ -43,6 +43,29 @@ class BpeSpec extends SparkSpec {
     assert(stats._1 < stats._2 / 2, s"subwords=${stats._1} chars=${stats._2}")
   }
 
+  test("train ≡ trainDistributed on tabs, double spaces, nulls, and emoji") {
+    // word surface parity: both sides split on LITERAL single space
+    // (tabs/newlines stay inside words, double spaces yield dropped
+    // empties, null text contributes nothing) and segment words by CODE
+    // POINT (an emoji is one symbol, not two UTF-16 surrogates)
+    val docs = Seq(
+      Some("foo\tbar foo\tbar foo\tbar baz  baz"),
+      Some("low low low 😀x 😀x 😀x"),
+      Option.empty[String],
+      Some("foo\tbar baz low")).toDF("text")
+    val driver = Bpe.train(docs, "text", numMerges = 6,
+      sampleLimit = Int.MaxValue)
+    val dist = Bpe.trainDistributed(docs, "text", numMerges = 6)
+      .orderBy("merge_rank")
+      .select($"left_sym", $"right_sym")
+      .as[(String, String)].collect().toSeq
+    assert(dist === driver.merges.take(dist.length))
+    // the emoji word tokenizes with the surrogate PAIR intact
+    val toks = Bpe.tokenizeWord(driver, "😀x")
+    assert(toks.mkString.stripSuffix(Bpe.Eow) === "😀x")
+    assert(!toks.exists(t => t.length == 1 && t.charAt(0).isSurrogate))
+  }
+
   test("trainDistributed emits exactly train's merges, in order, with counts") {
     val docs = graft.queries.table(spark, sf0001, "documents")
     // same corpus on both sides: sampleLimit covers the whole table

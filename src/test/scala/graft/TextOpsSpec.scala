@@ -128,6 +128,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((3L, "z")))
   }
 
+  test("null text: chunkStride keeps the doc as one empty chunk; " +
+      "hash UDFs score the empty doc instead of NPEing") {
+    // a null doc must BEHAVE AS an empty doc, never vanish (ANSI
+    // size(null) is null → posexplode drops the row) and never kill a
+    // corpus pass through an unguarded Seq in a udf
+    val docs = Seq((1L, Some("a b c d")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkStride(docs, "doc_id", "text", win = 2, stride = 2)
+      .select("doc_id", "chunk_no").as[(Long, Int)].collect().toSet
+    assert(chunks === Set((1L, 0), (1L, 1), (2L, 0)))
+    val hashed = docs.select(
+        TextOps.simhashUdf(transform(TextOps.tokens(col("text")),
+          t => TextOps.portableTokenHash64(t))).as("sh"),
+        TextOps.minhashUdf(4)(transform(TextOps.tokens(col("text")),
+          t => TextOps.portableTokenHash64(t))).as("mh"))
+    assert(hashed.count() === 2) // no NPE on the null row
+  }
+
   test("partition ordinals are dense per partition") {
     val df = Seq((0, 10L), (0, 12L), (1, 11L), (0, 11L)).toDF("pid", "id")
     val got = Ingest.withPartitionOrdinals(df, "pid", "id")
