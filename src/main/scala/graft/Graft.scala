@@ -227,40 +227,58 @@ object Graft {
   def l2Normalize(a: Column): Column = VectorOps.l2Normalize(a)
   def parseTaxontag(c: Column): Column = TaxonomyParser.parseTag(c)
 
-  /** Register the engine's SQL functions on an existing session. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      (es: Seq[Expression]) => DotProductFP64(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_dot_int",
-      (es: Seq[Expression]) => graft.functions.DotProductInt(es(0), es(1)),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_l2sq_int",
-      (es: Seq[Expression]) => graft.functions.L2DistInt(es(0), es(1)),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_sorted_jaccard",
-      (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1)), "built-in")
-    spark.udf.register("graft_parse_taxontag", TaxonomyParser.parseUdf)
-    spark.udf.register("graft_lang_id", LangId.detectUdf)
-    spark.udf.register("graft_simhash", TextOps.simhashUdf)
-    reg.createOrReplaceTempFunction("graft_hll_sketch",
-      (es: Seq[Expression]) => HllSketchAgg(es.head).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("graft_hll_merge",
-      (es: Seq[Expression]) => HllMergeAgg(es.head).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("graft_hll_estimate",
-      (es: Seq[Expression]) => HllEstimate(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_cms_sketch",
-      (es: Seq[Expression]) => CmsSketchAgg(es.head).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("graft_cms_merge",
-      (es: Seq[Expression]) => CmsMergeAgg(es.head).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("graft_cms_estimate",
-      (es: Seq[Expression]) => CmsEstimate(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_kmv_sketch",
-      // optional 2nd arg: literal k (accuracy knob, error ~ 1/sqrt(k-2));
-      // validated at function-resolution time with a descriptive error —
-      // a NULL, non-foldable, or non-integral k must not surface as a
-      // bare NPE/ClassCastException from eval()
+  /** Wrap a builder with an arity check: a wrong argument count must
+    * surface as a descriptive resolution-time error, not a raw
+    * IndexOutOfBoundsException from `es(1)`. */
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$name expects exactly $n argument(s), got ${es.length}")
+      f(es)
+    }
+
+  /** THE expression-backed SQL function surface — one list feeding BOTH
+    * [[register]] (temp functions on a live session) and
+    * [[GraftExtensions]] (session builtins for SQL-only deployments), so
+    * the two can never drift. Entries: (name, implementing class for
+    * ExpressionInfo, arity-checked builder). */
+  private[graft] val sqlFunctionBuilders
+      : Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProductFP64].getName,
+      arity("graft_dot", 2)(es => DotProductFP64(es(0), es(1)))),
+    ("graft_dot_int", classOf[graft.functions.DotProductInt].getName,
+      arity("graft_dot_int", 2)(es =>
+        graft.functions.DotProductInt(es(0), es(1)))),
+    ("graft_l2sq_int", classOf[graft.functions.L2DistInt].getName,
+      arity("graft_l2sq_int", 2)(es =>
+        graft.functions.L2DistInt(es(0), es(1)))),
+    ("graft_sorted_jaccard", classOf[SortedLongJaccard].getName,
+      arity("graft_sorted_jaccard", 2)(es => SortedLongJaccard(es(0), es(1)))),
+    ("graft_hll_sketch", classOf[HllSketchAgg].getName,
+      arity("graft_hll_sketch", 1)(es =>
+        HllSketchAgg(es.head).toAggregateExpression())),
+    ("graft_hll_merge", classOf[HllMergeAgg].getName,
+      arity("graft_hll_merge", 1)(es =>
+        HllMergeAgg(es.head).toAggregateExpression())),
+    ("graft_hll_estimate", classOf[HllEstimate].getName,
+      arity("graft_hll_estimate", 1)(es => HllEstimate(es.head))),
+    ("graft_cms_sketch", classOf[CmsSketchAgg].getName,
+      arity("graft_cms_sketch", 1)(es =>
+        CmsSketchAgg(es.head).toAggregateExpression())),
+    ("graft_cms_merge", classOf[CmsMergeAgg].getName,
+      arity("graft_cms_merge", 1)(es =>
+        CmsMergeAgg(es.head).toAggregateExpression())),
+    ("graft_cms_estimate", classOf[CmsEstimate].getName,
+      arity("graft_cms_estimate", 2)(es => CmsEstimate(es(0), es(1)))),
+    ("graft_kmv_sketch", classOf[KmvSketchAgg].getName,
+      // 1 or 2 args; optional 2nd: literal k (accuracy knob, error ~
+      // 1/sqrt(k-2)), validated at function-resolution time with a
+      // descriptive error — a NULL, non-foldable, or non-integral k
+      // must not surface as a bare NPE/ClassCastException from eval()
       (es: Seq[Expression]) => {
+        if (es.isEmpty || es.length > 2) throw new IllegalArgumentException(
+          s"graft_kmv_sketch expects 1 or 2 arguments, got ${es.length}")
         val k = if (es.length > 1) {
           val e = es(1)
           def bad(what: String) = throw new IllegalArgumentException(
@@ -284,47 +302,49 @@ object Graft {
           raw.toInt
         } else Kmv.K
         KmvSketchAgg(es.head, k).toAggregateExpression()
-      }, "built-in")
-    reg.createOrReplaceTempFunction("graft_kmv_merge",
-      (es: Seq[Expression]) => KmvMergeAgg(es.head).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("graft_kmv_estimate",
-      (es: Seq[Expression]) => KmvEstimate(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_zorder64",
-      (es: Seq[Expression]) => ZOrder64(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_hilbert64",
-      (es: Seq[Expression]) => Hilbert64(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_fp16_pack",
-      (es: Seq[Expression]) => PackFP16(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_fp16_unpack",
-      (es: Seq[Expression]) => UnpackFP16(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_l2_normalize",
-      (es: Seq[Expression]) => L2NormalizeFP32(es.head), "built-in")
+      }),
+    ("graft_kmv_merge", classOf[KmvMergeAgg].getName,
+      arity("graft_kmv_merge", 1)(es =>
+        KmvMergeAgg(es.head).toAggregateExpression())),
+    ("graft_kmv_estimate", classOf[KmvEstimate].getName,
+      arity("graft_kmv_estimate", 1)(es => KmvEstimate(es.head))),
+    ("graft_zorder64", classOf[ZOrder64].getName,
+      arity("graft_zorder64", 2)(es => ZOrder64(es(0), es(1)))),
+    ("graft_hilbert64", classOf[Hilbert64].getName,
+      arity("graft_hilbert64", 2)(es => Hilbert64(es(0), es(1)))),
+    ("graft_fp16_pack", classOf[PackFP16].getName,
+      arity("graft_fp16_pack", 1)(es => PackFP16(es.head))),
+    ("graft_fp16_unpack", classOf[UnpackFP16].getName,
+      arity("graft_fp16_unpack", 1)(es => UnpackFP16(es.head))),
+    ("graft_l2_normalize", classOf[L2NormalizeFP32].getName,
+      arity("graft_l2_normalize", 1)(es => L2NormalizeFP32(es.head))))
+
+  /** Register the engine's SQL functions on an existing session: every
+    * expression-backed builder from [[sqlFunctionBuilders]] plus the
+    * three Scala-UDF-backed functions (taxontag parse, lang id, simhash)
+    * that have no Expression form to inject. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    sqlFunctionBuilders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+    spark.udf.register("graft_parse_taxontag", TaxonomyParser.parseUdf)
+    spark.udf.register("graft_lang_id", LangId.detectUdf)
+    spark.udf.register("graft_simhash", TextOps.simhashUdf)
   }
 }
 
-/** `SparkSessionExtensions` hook: the expression-backed functions become
-  * session builtins, e.g.
+/** `SparkSessionExtensions` hook: every expression-backed function from
+  * `Graft.sqlFunctionBuilders` becomes a session builtin, e.g.
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
-  * `--conf spark.sql.extensions=graft.GraftExtensions`. */
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — the SQL-only
+  * deployment path (Thrift server) where `Graft.register` cannot run.
+  * The three Scala-UDF functions (graft_parse_taxontag, graft_lang_id,
+  * graft_simhash) exist only via `Graft.register`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProductFP64].getName, "graft_dot"),
-      (es: Seq[Expression]) => DotProductFP64(es(0), es(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_dot_int"),
-      new ExpressionInfo(classOf[graft.functions.DotProductInt].getName,
-        "graft_dot_int"),
-      (es: Seq[Expression]) => graft.functions.DotProductInt(es(0), es(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_l2sq_int"),
-      new ExpressionInfo(classOf[graft.functions.L2DistInt].getName,
-        "graft_l2sq_int"),
-      (es: Seq[Expression]) => graft.functions.L2DistInt(es(0), es(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_sorted_jaccard"),
-      new ExpressionInfo(classOf[SortedLongJaccard].getName, "graft_sorted_jaccard"),
-      (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1))))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    Graft.sqlFunctionBuilders.foreach { case (name, cls, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls, name), builder))
+    }
 }

@@ -87,13 +87,16 @@ object Ingest {
     def append(batch: DataFrame): Long = {
       requireIntegralId(batch, idCol, "BloomIngestSession.append")
       val hasData = exists(spark, path)
+      // one read of the layout serves both the sketch build and the
+      // exact residual check — at 100 TB each read.parquet is a full
+      // file listing + schema inference against the object store
+      lazy val existing = spark.read.parquet(path)
       if (sketch == null)
         sketch =
-          if (hasData) buildIdBloom(spark.read.parquet(path), idCol, expectedIds, fpp)
+          if (hasData) buildIdBloom(existing, idCol, expectedIds, fpp)
           else org.apache.spark.util.sketch.BloomFilter.create(expectedIds, fpp)
       val fresh =
-        (if (hasData)
-           newRecordsBloomWith(batch, spark.read.parquet(path), idCol, sketch)
+        (if (hasData) newRecordsBloomWith(batch, existing, idCol, sketch)
          else batch)
           .dropDuplicates(idCol)
           .cache() // two passes below: count + write
@@ -102,25 +105,36 @@ object Ingest {
         // so any post-append re-evaluation (cache miss) would see its own
         // output and undercount
         val written = fresh.count()
-        fresh
-          .repartition(col(partitionCol))
-          .write.mode(SaveMode.Append)
-          .partitionBy(partitionCol)
-          .parquet(path)
-        // distributed feedback: aggregate ids into a filter built with
-        // the SAME (expectedIds, fpp) — identical bit layout, so
-        // mergeInPlace is a bitwise OR — and fold it into the session
-        // sketch; no ids ever land on the driver. Aggregated over the
-        // RAW batch, not `fresh`: batch ⊇ fresh and the already-known
-        // remainder is in the sketch by the session invariant, so the
-        // merge is equivalent — but the batch side is layout-independent,
-        // immune to the same re-evaluation hazard (a LOST id would fail
-        // unsafe: its replay would look definitely-new).
-        if (written > 0L)
-          sketch.mergeInPlace(
+        // never write an EMPTY batch: a zero-row partitioned write emits
+        // no parquet files, and on a not-yet-existing path it would
+        // create a footerless directory (only _SUCCESS) that poisons
+        // every later append with UNABLE_TO_INFER_SCHEMA — a
+        // filter-everything first micro-batch must not kill the stream
+        if (written > 0L) {
+          fresh
+            .repartition(col(partitionCol))
+            .write.mode(SaveMode.Append)
+            .partitionBy(partitionCol)
+            .parquet(path)
+          // distributed feedback: aggregate ids into a filter built with
+          // the SAME (expectedIds, fpp) — identical bit layout, so
+          // mergeInPlace is a bitwise OR — and fold it into the session
+          // sketch; no ids ever land on the driver. Aggregated over the
+          // RAW batch, not `fresh`: batch ⊇ fresh and the already-known
+          // remainder is in the sketch by the session invariant, so the
+          // merge is equivalent — but the batch side is layout-independent,
+          // immune to the same re-evaluation hazard (a LOST id would fail
+          // unsafe: its replay would look definitely-new). If the
+          // feedback job itself fails AFTER the durable write, the
+          // sketch is now stale in the unsafe direction — drop it so the
+          // next append rebuilds from the layout (which already contains
+          // this batch) instead of silently re-appending on retry.
+          try sketch.mergeInPlace(
             batch.select(col(idCol).cast("long").as(idCol))
               .filter(col(idCol).isNotNull)
               .stat.bloomFilter(idCol, expectedIds, fpp))
+          catch { case e: Throwable => sketch = null; throw e }
+        }
         written
       } finally fresh.unpersist()
     }
@@ -151,8 +165,12 @@ object Ingest {
   }
 
   /** Idempotent partitioned append: anti-join against what's already at
-    * `path`, assign dense per-partition ordinals (the reference's faiss_id,
-    * metadata_storage.py:49-51), append partitioned Parquet. */
+    * `path`, append partitioned Parquet. Rows keep their input columns
+    * unchanged — callers wanting the reference's dense per-partition
+    * faiss_id (metadata_storage.py:49-51) apply
+    * [[withPartitionOrdinals]] on the READ side, where the ordinal can
+    * be derived over the full partition; baking it into append-time rows
+    * could never stay dense across batches without rewriting old files. */
   def appendNew(
       spark: SparkSession,
       incoming: DataFrame,
@@ -160,8 +178,9 @@ object Ingest {
       idCol: String,
       partitionCol: String,
       bloomExpectedIds: Option[Long] = None): Unit = {
+    val layoutExists = exists(spark, path)
     val fresh =
-      if (exists(spark, path)) {
+      if (layoutExists) {
         val existing = spark.read.parquet(path)
         // at corpus scale pass the expected id count to route the
         // skip-existing check through the Bloom pre-filter (existing is
@@ -171,12 +190,18 @@ object Ingest {
           case None => newRecords(incoming, existing, idCol)
         }
       } else incoming
-    fresh
-      .dropDuplicates(idCol)
-      .repartition(col(partitionCol))
-      .write.mode(SaveMode.Append)
-      .partitionBy(partitionCol)
-      .parquet(path)
+    val deduped = fresh.dropDuplicates(idCol)
+    // creating a NEW layout from an empty batch would leave a
+    // footerless directory (only _SUCCESS — a zero-row partitioned
+    // write emits no files) that fails every later read with
+    // UNABLE_TO_INFER_SCHEMA; probe emptiness first in that case only
+    // (appending zero rows into an EXISTING layout is harmless)
+    if (layoutExists || !deduped.isEmpty)
+      deduped
+        .repartition(col(partitionCol))
+        .write.mode(SaveMode.Append)
+        .partitionBy(partitionCol)
+        .parquet(path)
   }
 
   /** Merge-into upsert (SCD type-1): one surviving row per key across
@@ -203,10 +228,15 @@ object Ingest {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy((versionCol +: tieBreak).map(c => col(c).desc): _*)
+    // collision-proof rank column name: withColumn REPLACES an existing
+    // column, so a fixed "__rn" would silently destroy a user column of
+    // that name on its way through the upsert
+    val taken = (base.columns ++ updates.columns).toSet
+    val rn = Iterator.from(0).map(i => s"__rn$i").find(!taken(_)).get
     base.unionByName(updates)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Compact a partitioned layout in place: every micro-batch append
@@ -223,11 +253,17 @@ object Ingest {
     *
     * Concurrent-writer safe: the rewrite reads EXACTLY the files listed in
     * an up-front snapshot (not "whatever is in the directory when the scan
-    * runs"), and after the swap any data file that a concurrent appender
-    * landed AFTER the snapshot is moved from the retired dir back into the
-    * published dir before the retired dir is deleted — a late micro-batch
-    * is never silently dropped; it just stays uncompacted until the next
-    * pass. Returns (filesBefore, filesAfter).
+    * runs"), and after the swap any COMMITTED data file that a concurrent
+    * appender landed AFTER the snapshot is moved from the retired dir back
+    * into the published dir before the retired dir is deleted — a late
+    * micro-batch is never silently dropped; it just stays uncompacted
+    * until the next pass. If an append's commit recreates the target dir
+    * in the window between the two swap renames, the publish degrades to
+    * a file-by-file merge of the staged rewrite into the recreated dir
+    * (unique task UUIDs — no collisions). An append still IN FLIGHT at
+    * retire time (un-promoted `_temporary` attempt files) fails its
+    * commit loudly and retries cleanly — its half-written attempt files
+    * are never "restored" as live data. Returns (filesBefore, filesAfter).
     *
     * `onStaged` is a test seam invoked between the staged rewrite and the
     * directory swap — the window a concurrent append races into.
@@ -269,11 +305,35 @@ object Ingest {
       target.getParent, s".${target.getName}__retired")
     fs.delete(retired, true)
     require(fs.rename(target, retired), s"compact: cannot retire $target")
-    require(fs.rename(staging, target), s"compact: cannot publish $staging")
+    // publish. A concurrent append can RECREATE the target dir between
+    // the two renames (its commit mkdirs the output path): then the
+    // whole-dir rename either fails (local FS: dest exists) or — HDFS
+    // semantics — moves staging INSIDE the recreated dir. Detect both
+    // and degrade to a file-by-file merge of the staged rewrite into the
+    // recreated dir; the late batch's files carry unique task UUIDs, so
+    // nothing collides and nothing is lost.
+    val renamed = fs.rename(staging, target)
+    val nested = new org.apache.hadoop.fs.Path(target, staging.getName)
+    val mergeFrom =
+      if (!renamed) Some(staging)
+      else if (fs.exists(nested)) Some(nested)
+      else None
+    mergeFrom.foreach { src =>
+      dataFiles(src).foreach { f =>
+        val dest = new org.apache.hadoop.fs.Path(target, rel(src, f))
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(f, dest), s"compact: cannot merge staged $f")
+      }
+      fs.delete(src, true)
+    }
     val snapshotRel = snapshot.map(rel(target, _)).toSet
     dataFiles(retired).foreach { f =>
       val r = rel(retired, f)
-      if (!snapshotRel.contains(r)) {
+      // skip task-attempt files of an append still IN FLIGHT at retire
+      // time (_temporary trees): "restoring" them would plant garbage
+      // the committer never promoted; deleting retired below instead
+      // fails that append's commit LOUDLY, and its retry lands cleanly
+      if (!snapshotRel.contains(r) && !r.contains("_temporary")) {
         val dest = new org.apache.hadoop.fs.Path(target, r)
         fs.mkdirs(dest.getParent)
         require(fs.rename(f, dest), s"compact: cannot restore late append $f")

@@ -30,6 +30,26 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT graft_sorted_jaccard(ARRAY(1L, 2L), ARRAY(2L, 3L))")
         .head().getDouble(0)
       assert(jac === 1.0 / 3.0)
+      // the WHOLE expression surface is injected, not a hand-kept subset
+      // (a SQL-only deployment has no way to call Graft.register): every
+      // name in the shared builder list must resolve on this session
+      Graft.sqlFunctionBuilders.foreach { case (name, _, _) =>
+        assert(fresh.catalog.functionExists(name), s"$name not injected")
+      }
+      // KMV expects FULL-range xxhash64 values (unsigned 2^64 domain)
+      val est = fresh.sql(
+        "SELECT graft_kmv_estimate(graft_kmv_sketch(xxhash64(CAST(id AS STRING)))) " +
+          "FROM RANGE(500)").head().getLong(0)
+      assert(est > 300L && est < 700L, s"kmv estimate off: $est")
+      // wrong arity is a descriptive resolution-time error, not a raw
+      // IndexOutOfBoundsException from es(1)
+      val e = intercept[Exception] {
+        fresh.sql("SELECT graft_dot(CAST(ARRAY(1.0) AS ARRAY<FLOAT>))").head()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("expects exactly 2"), msgs)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

@@ -121,6 +121,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0).width === 0 && got(0).height === 0)
   }
 
+  test("empty first batch never poisons a new layout (footerless dir)") {
+    // a zero-row partitioned write emits no parquet files; on a fresh
+    // path that used to leave a dir readable by exists() but fatal to
+    // spark.read.parquet (UNABLE_TO_INFER_SCHEMA) — killing the stream
+    // from the second batch on
+    val dir = java.nio.file.Files.createTempDirectory("ingest-empty").toString
+    val p = s"$dir/layout"
+    val empty = Seq.empty[(Long, Int, String)].toDF("id", "pid", "v")
+    val sess = new Ingest.BloomIngestSession(spark, p, "id", "pid", 1000L)
+    assert(sess.append(empty) === 0L)
+    assert(sess.append(Seq((1L, 0, "a")).toDF("id", "pid", "v")) === 1L)
+    assert(spark.read.parquet(p).count() === 1L)
+    // same contract for the batch API
+    val p2 = s"$dir/layout2"
+    Ingest.appendNew(spark, empty, p2, "id", "pid")
+    Ingest.appendNew(spark, Seq((2L, 0, "b")).toDF("id", "pid", "v"),
+      p2, "id", "pid")
+    assert(spark.read.parquet(p2).count() === 1L)
+  }
+
+  test("upsertLatest preserves a pre-existing user column named __rn") {
+    val base = Seq((1L, 10L, "old", 7)).toDF("k", "ver", "v", "__rn")
+    val upd = Seq((1L, 20L, "new", 9)).toDF("k", "ver", "v", "__rn")
+    val got = Ingest.upsertLatest(base, upd, Seq("k"), "ver")
+      .select("k", "ver", "v", "__rn").as[(Long, Long, String, Int)].collect()
+    assert(got.toSeq === Seq((1L, 20L, "new", 9)))
+  }
+
   test("idempotent ingest: anti-join keeps only new ids; append dedups") {
     val existing = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val incoming = Seq((2L, "y2"), (3L, "z")).toDF("id", "v")
