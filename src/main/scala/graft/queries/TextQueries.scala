@@ -188,8 +188,11 @@ object TextQueries {
     * (they share one oracle and one cache key), so the build lives here
     * rather than copy-pasted per query where the copies could
     * desynchronize while the session cache keeps serving whichever was
-    * built first. */
-  private def bm25IndexPath(s: org.apache.spark.sql.SparkSession,
+    * built first. The temp path is DRIVER-LOCAL — right for the local
+    * bench/verify harness these fixture queries run in; a cluster
+    * deployment passes a shared-FS path to `Retrieval.writeIndex`
+    * directly. */
+  private[queries] def bm25IndexPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     sessionCached(s, ("bm25-index", dir)) {
       val p = java.nio.file.Files.createTempDirectory("graft-bm25-idx")
@@ -208,7 +211,7 @@ object TextQueries {
 
   /** Doc 0's distinct terms as driver literals — the serving-call query
     * shape shared by the three BM25 index queries. */
-  private def bm25QueryTerms(s: org.apache.spark.sql.SparkSession,
+  private[queries] def bm25QueryTerms(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[String] =
     sessionCached(s, ("bm25-qterms", dir)) {
       table(s, dir, "documents").filter(col("doc_id") === 0)

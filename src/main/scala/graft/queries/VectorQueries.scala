@@ -40,8 +40,9 @@ object VectorQueries {
 
   /** Build-once registry for the integer fixed-point IVF twin
     * ([[graft.operators.AnnIvfInt]]): same serve-many rationale as
-    * [[sharedIndex]]. nlist/iters are pinned here AND in [[IntKmeansSql]]
-    * — the oracle replays the identical training run. */
+    * [[sharedIndex]]. nlist/iters are pinned here AND in
+    * [[intKmeansCtes]] — the oracle replays the identical training
+    * run. */
   private val IntNlist = 8
   private val IntIters = 3
 
@@ -235,7 +236,11 @@ object VectorQueries {
     // scalar without being replayed.
     "emb_pca_trace" -> { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      val d = emb.select(size(col("embedding"))).head().getInt(0)
+      // dim lookup cached too: it is a Spark job, and the model cache key
+      // depends on it — uncached it would re-scan parquet per invocation
+      val d = sessionCached(s, ("emb-dim", dir)) {
+        emb.select(size(col("embedding"))).head().getInt(0)
+      }
       // full-spectrum float fit, built once per (session, sfDir) like the
       // integer twins' shared models — deterministic, so whichever caller
       // materializes it first is irrelevant
@@ -292,8 +297,10 @@ object VectorQueries {
       val docs = table(s, dir, "documents")
       val emb = table(s, dir, "embeddings")
       val toks = graft.functions.TextOps.tokens(col("text"))
+      // array_distinct already dedups the single query doc's terms — a
+      // further .distinct() would be one more exchange for nothing
       val qTerms = docs.filter(col("doc_id") === 0)
-        .select(explode(array_distinct(toks)).as("term")).distinct()
+        .select(explode(array_distinct(toks)).as("term"))
       val tf = docs.filter(col("doc_id") =!= 0)
         .select(col("doc_id"), explode(toks).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -357,22 +364,14 @@ object VectorQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
       val emb = table(s, dir, "embeddings")
-      // lexical leg from the build-once durable index (same registry
-      // rationale as sharedIndex: the corpus pass is paid once per
-      // session; searchIndex scores are bit-identical to inline bm25 —
+      // lexical leg from the build-once durable index (TextQueries'
+      // shared helper — same session-cache key, so the three text BM25
+      // queries and this fusion serve ONE index, with its JVM-exit
+      // cleanup; searchIndex scores are bit-identical to inline bm25 —
       // RetrievalSpec — so the fusion and its oracle are unchanged)
-      val idxPath = sessionCached(s, ("bm25-index", dir)) {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft-bm25-idx").toString
-        graft.operators.Retrieval.writeIndex(
-          docs.filter(col("doc_id") =!= 0), "doc_id", "text", p)
-        p
-      }
-      val qTerms = docs.filter(col("doc_id") === 0)
-        .select(explode(array_distinct(
-          graft.functions.TextOps.tokens(col("text")))).as("term"))
-        .distinct().collect().map(_.getString(0)).toSeq
-      val lex = graft.operators.Retrieval.searchIndex(s, idxPath, "doc_id", qTerms)
+      val lex = graft.operators.Retrieval.searchIndex(
+          s, TextQueries.bm25IndexPath(s, dir), "doc_id",
+          TextQueries.bm25QueryTerms(s, dir))
         .withColumn("rl", row_number().over(
           Window.orderBy(desc("bm25"), asc("doc_id"))))
         .filter(col("rl") <= 20).select("doc_id", "rl")
@@ -788,15 +787,17 @@ object VectorQueries {
       val qlab = broadcast(
         qs.select(col("vec_id").as("query_id"), col("label").as("__qlabel")))
       val labelN = emb.groupBy("label").agg(count(lit(1)).as("__ln"))
-      val dec = "decimal(18,6)"
+      // dec6, not `dec`: a local named `dec` would shadow the package
+      // exact-decimal helper used lines above
+      val dec6 = "decimal(18,6)"
       val term = (r: org.apache.spark.sql.Column) =>
         round(lit(1.0) / (log(r.cast("double") + 1.0) / log(lit(2.0))), 6)
-          .cast(dec)
+          .cast(dec6)
       val rel = ranked.join(qlab, Seq("query_id"))
         .withColumn("rel", (col("label") === col("__qlabel")).cast("int"))
       val perQ = rel.groupBy("query_id", "__qlabel").agg(
         sum(when(col("rel") === 1, term(col("rank")))
-          .otherwise(lit(0).cast(dec))).as("__dcg"),
+          .otherwise(lit(0).cast(dec6))).as("__dcg"),
         min(when(col("rel") === 1, col("rank"))).as("__first"))
       perQ
         .join(broadcast(labelN), perQ("__qlabel") === labelN("label"))
@@ -807,8 +808,8 @@ object VectorQueries {
         .withColumn("__idcg",
           when(col("__ik") >= 1,
             aggregate(sequence(lit(1L), col("__ik")),
-              lit(0).cast(dec), (acc, i) => (acc + term(i)).cast(dec)))
-            .otherwise(lit(0).cast(dec)))
+              lit(0).cast(dec6), (acc, i) => (acc + term(i)).cast(dec6)))
+            .otherwise(lit(0).cast(dec6)))
         .select(col("query_id"),
           when(col("__idcg") > 0,
               round(col("__dcg").cast("double") / col("__idcg").cast("double"), 4))
@@ -833,9 +834,13 @@ object VectorQueries {
       // per (session, dir) like the IVF index; serving measures cluster
       // FORMATION (ScaleSmoke's dbscan section times formation alone too)
       val pairs = sessionCached(s, ("dbscan-pairs", dir)) {
+        // persist, not localCheckpoint: session-cached artifacts must
+        // survive an executor loss (localCheckpoint blocks are
+        // executor-local and a lost one poisons every later consumer of
+        // the cached plan — the jaccardTruth discipline)
         graft.operators.Dedup.embeddingPairs(
             emb, "vec_id", "embedding", threshold = 0.32)
-          .localCheckpoint(eager = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       graft.operators.Clustering
         .dbscanFromPairs(emb, "vec_id", pairs, "left_id", "right_id", minPts = 4)

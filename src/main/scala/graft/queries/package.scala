@@ -19,11 +19,16 @@ package object queries {
 
   type Query = (SparkSession, String) => DataFrame
 
-  /** Session-scoped build-once caches (ANN index registry, component map):
-    * a WeakHashMap keyed by the LIVE session object, so entries die with
-    * their session (no identity-hash collisions against a GC'd session's
-    * stale DataFrames) and a long-lived JVM hosting many sessions never
-    * accumulates dead plans. */
+  /** Session-scoped build-once caches (ANN index registry, component
+    * map), keyed by the session object. RETENTION CONTRACT: cached
+    * values (DataFrames, indexes) strongly reference their
+    * SparkSession, so an entry keeps its session reachable and the weak
+    * keying alone cannot collect it — a long-lived JVM hosting MANY
+    * short-lived sessions must call [[clearSessionCache]] when it
+    * retires a session (the repo's own mains run one session per JVM
+    * and the test harness one shared session, so they never need to).
+    * The weak keying still prevents identity-hash collisions against a
+    * cleared-and-collected session's stale entries. */
   private val sessionCaches =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[Any, Any]]()
@@ -37,7 +42,31 @@ package object queries {
       }
       c
     }
-    cache.getOrElseUpdate(key, build).asInstanceOf[T]
+    // fast path lock-free; the BUILD runs under the per-session cache
+    // monitor — TrieMap.getOrElseUpdate alone may evaluate the thunk in
+    // two racing threads and discard one result, leaking the loser's
+    // persisted artifacts (an index build, a temp dir) for the session's
+    // life
+    cache.get(key) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        cache.synchronized {
+          cache.getOrElseUpdate(key, build).asInstanceOf[T]
+        }
+    }
+  }
+
+  /** Drop (and unpersist) everything cached for `s` — the hook a host
+    * that cycles through many sessions calls on session retirement; see
+    * the retention contract above. */
+  def clearSessionCache(s: SparkSession): Unit = {
+    val c = sessionCaches.synchronized(sessionCaches.remove(s))
+    if (c != null) c.values.foreach {
+      case df: DataFrame =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      case _ => ()
+    }
   }
 
   def table(s: SparkSession, dir: String, name: String): DataFrame =
