@@ -110,10 +110,16 @@ object Components {
       localMaxEdges: Long = 1L << 20,
       maxIter: Int = 50,
       reliable: Boolean = false): DataFrame = {
+    requireIntegralId(pairs, leftCol, "connectedComponentsAuto")
+    requireIntegralId(pairs, rightCol, "connectedComponentsAuto")
     val edges = canonical(pairs, leftCol, rightCol)
       .localCheckpoint(eager = true)
     if (edges.count() > localMaxEdges)
-      connectedComponents(edges, "src", "dst", maxIter, reliable)
+      // already canonical AND checkpointed — enter the loop directly
+      // rather than re-paying a full distinct shuffle + a second
+      // materializing checkpoint over the whole edge set (the exact
+      // large-graph case this branch exists to keep cheap)
+      statsFromCanonical(edges, maxIter, reliable).assignment
     else {
       val spark = pairs.sparkSession
       import spark.implicits._
@@ -165,6 +171,20 @@ object Components {
       rightCol: String,
       maxIter: Int = 50,
       reliable: Boolean = false): CcStats = {
+    requireIntegralId(pairs, leftCol, "connectedComponents")
+    requireIntegralId(pairs, rightCol, "connectedComponents")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+    statsFromCanonical(
+      truncate(canonical(pairs, leftCol, rightCol)), maxIter, reliable)
+  }
+
+  /** The star-contraction loop over ALREADY canonical (src > dst,
+    * deduplicated, null-free), already materialized edges. */
+  private def statsFromCanonical(
+      edges0: DataFrame,
+      maxIter: Int,
+      reliable: Boolean): CcStats = {
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     def signature(e: DataFrame): (Long, Long) = {
@@ -173,7 +193,7 @@ object Components {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var edges = truncate(canonical(pairs, leftCol, rightCol))
+    var edges = edges0
     var sig = signature(edges)
     var iter = 0
     var converged = sig._1 == 0L

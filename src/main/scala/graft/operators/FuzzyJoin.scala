@@ -73,6 +73,10 @@ object FuzzyJoin {
       maxDist: Int,
       q: Int = 2): DataFrame = {
     require(maxDist >= 0 && q >= 2, s"need maxDist >= 0, q >= 2")
+    // a fractional id column would silently truncate under the long cast
+    // (two docs collapse onto one id; pairs vanish or mislabel) — the
+    // exact hazard requireIntegralId exists for
+    requireIntegralId(df, idCol, "FuzzyJoin.selfPairs")
     val prefixLen = q * maxDist + 1
     val docs = df
       .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))

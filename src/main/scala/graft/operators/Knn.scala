@@ -93,7 +93,13 @@ object Knn {
       .as[(Long, Seq[Float])].collect()
       .map { case (i, v) => (i, v.toArray) }
     val bc = spark.sparkContext.broadcast(qArr)
+    // null id / null vector rows are EXCLUDED (the primitive tuple
+    // encoder and the array math cannot carry them; one bad row must not
+    // fail a 100 TB scan). bruteForce instead ranks their null scores
+    // last — the paths differ only when a query has fewer than k
+    // non-null candidates.
     val partial = vectors
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
@@ -182,6 +188,9 @@ object Knn {
       excludeSelf: Boolean = true,
       score: (Column, Column) => Column = VectorOps.dot): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    // prefixDim = 0 would slice every vector to [], score all candidates
+    // 0.0, and ship a lowest-id shortlist that LOOKS confidently ranked
+    require(prefixDim >= 1, s"prefixDim must be >= 1 (got $prefixDim)")
     val prefixScore = (a: Column, b: Column) =>
       score(slice(a, 1, prefixDim), slice(b, 1, prefixDim))
     val cand = bruteForce(vectors, queries, idCol, queryIdCol, vecCol,

@@ -22,10 +22,18 @@ object TopKAggregator {
 
   type Entry = (Long, Double) // (id, score)
 
-  /** Insert into a descending-sorted, k-bounded buffer in O(k). */
+  /** Insert into a descending-sorted, k-bounded buffer in O(k).
+    * Double.compare, not raw >/== — raw float comparison is not a total
+    * order under NaN (NaN==NaN is false, so two NaN scores never resolve
+    * their id tiebreak and an all-NaN buffer rejects every finite
+    * entry), while Double.compare matches Spark's own sort semantics
+    * exactly (NaN greatest, -0.0 < 0.0) — the bit-parity contract with
+    * the window plan. */
   def insert(buf: List[Entry], e: Entry, k: Int): List[Entry] = {
-    def better(a: Entry, b: Entry): Boolean =
-      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    def better(a: Entry, b: Entry): Boolean = {
+      val c = java.lang.Double.compare(a._2, b._2)
+      c > 0 || (c == 0 && a._1 < b._1)
+    }
     if (buf.lengthCompare(k) >= 0 && !better(e, buf.last)) buf
     else {
       val (hi, lo) = buf.span(better(_, e))
@@ -48,12 +56,21 @@ object TopKAggregator {
     }
 
   /** DataFrame form with real partial aggregation: group by `groupCol`,
-    * emit exploded (group, id, score, rank) rows. */
+    * emit exploded (group, id, score, rank) rows. Rows with a null id or
+    * null score are EXCLUDED (the primitive (Long, Double) buffer cannot
+    * rank them); the window form ranks null scores last instead — the
+    * two differ only when a group has fewer than k non-null rows.
+    * k <= 0 returns the empty result the window form's rank filter
+    * produces, instead of throwing from the first insert. */
   def topK(df: DataFrame, groupCol: String, idCol: String, scoreCol: String,
       k: Int): DataFrame = {
     requireIntegralId(df, idCol, "TopKAggregator.topK")
+    if (k <= 0)
+      return df.select(col(groupCol), col(idCol).cast("long").as(idCol),
+        col(scoreCol).cast("double").as(scoreCol), lit(1).as("rank")).limit(0)
     val topkUdaf = udaf(aggregator(k))
-    df.groupBy(col(groupCol))
+    df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(topkUdaf(col(idCol).cast("long"), col(scoreCol).cast("double")).as("topk"))
       .select(col(groupCol),
         posexplode(col("topk")).as(Seq("pos", "entry")))

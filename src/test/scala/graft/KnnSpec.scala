@@ -84,6 +84,43 @@ class KnnSpec extends SparkSpec {
     assert(AnnIvf.parsePartitionSpec("7,5-8") === Seq(5, 6, 7, 8)) // dedup
   }
 
+  test("one null vector row does not fail the blocked scan; NaN scores " +
+      "keep a total order in the bounded buffer") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val poisoned = emb.select($"vec_id",
+      when($"vec_id" === 3L, lit(null)
+        .cast(emb.schema("embedding").dataType))
+        .otherwise($"embedding").as("embedding"))
+    val queries = emb.filter($"vec_id" < 3)
+    // bruteForce ranks the null score last; blocked excludes the row —
+    // with k << corpus both top-k sets are identical
+    val blocked = Knn.bruteForceBlocked(poisoned, queries,
+        "vec_id", "vec_id", "embedding", k = 5)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val plain = Knn.bruteForce(poisoned, queries,
+        "vec_id", "vec_id", "embedding", k = 5)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(blocked === plain)
+    // insert(): an all-NaN buffer must not reject a finite entry, and
+    // NaN ties must resolve by id — Double.compare total order
+    import graft.operators.TopKAggregator.insert
+    val nan = Double.NaN
+    val buf = List((5L, nan), (9L, nan))
+    // Spark sorts NaN greatest: a finite entry must not displace a NaN
+    // (compare ids — NaN breaks tuple equality)
+    assert(insert(buf, (1L, 2.0), 2).map(_._1) === List(5L, 9L))
+    // ...and two NaNs sort by ascending id exactly like the window plan
+    val built = List((9L, nan), (5L, nan), (1L, 2.0))
+      .foldLeft(List.empty[(Long, Double)])((b, e) => insert(b, e, 2))
+    assert(built.map(_._1) === List(5L, 9L))
+    // k <= 0: empty result like the window form, not an executor throw
+    assert(graft.operators.TopKAggregator.topK(
+      emb.select($"vec_id", lit(1.0).as("s")).withColumn("g", lit(0)),
+      "g", "vec_id", "s", k = 0).count() === 0)
+  }
+
   test("bruteForceBlocked is bit-identical to the crossJoin plan") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 7)

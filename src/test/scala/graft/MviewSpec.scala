@@ -11,6 +11,8 @@ import graft.queries.table
   * same final state as aggregating from scratch, bit-for-bit (DECIMAL
   * sums make the equality exact, not approximate). */
 class MviewSpec extends SparkSpec {
+  import spark.implicits._
+
 
   private val keys = Seq("l_returnflag", "l_linestatus")
   private lazy val li = table(spark, sf0001, "lineitem")
@@ -27,6 +29,29 @@ class MviewSpec extends SparkSpec {
       Mview.init(b, keys, "l_extendedprice"), keys)
     assert(collectState(merged) ===
       collectState(Mview.init(li, keys, "l_extendedprice")))
+  }
+
+  test("avg excludes null measures (SQL AVG), all-null group is NULL, " +
+      "legacy nv-less state merges") {
+    val df = Seq(
+      ("a", Some(10.0)), ("a", None),
+      ("b", Option.empty[Double]))
+      .toDF("k", "v")
+    val res = Mview.result(Mview.init(df, Seq("k"), "v"), Seq("k"))
+      .select("k", "n", "avg_value")
+      .as[(String, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // sum skips nulls: avg must divide by the NON-null count, not n
+    assert(res("a") === ((2L, Some(10.0))))
+    assert(res("b") === ((1L, None))) // all-null -> NULL, not 0/0 error
+    // a durable state written by a pre-nv engine merges (nv backfills
+    // from n — that state's own historical semantics)
+    val legacy = Mview.init(df.filter($"v".isNotNull), Seq("k"), "v")
+      .drop("nv")
+    val merged = Mview.merge(legacy,
+      Mview.init(df.filter($"v".isNull), Seq("k"), "v"), Seq("k"))
+    assert(Mview.result(merged, Seq("k")).filter($"k" === "a")
+      .select("avg_value").as[Double].head() === 10.0)
   }
 
   test("merge is associative: ((a+b)+c) == (a+(b+c))") {
