@@ -98,6 +98,11 @@ object BitQuant {
     var s = 0
     var i = 0
     while (i < n) {
+      // a NULL word is corrupt input (packCol emits containsNull=false;
+      // only a foreign array can carry one) — refuse descriptively
+      // instead of NPEing out of the unboxing in generated code
+      if (a.isNullAt(i) || b.isNullAt(i)) throw new IllegalArgumentException(
+        "HammingPacked: packed word arrays must not contain NULL elements")
       s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
       i += 1
     }

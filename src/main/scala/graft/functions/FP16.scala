@@ -55,8 +55,9 @@ case class UnpackFP16(child: Expression) extends UnaryExpression {
 object FP16 {
 
   /** fp32 → binary16 bits (JDK17 has no Float.floatToFloat16; this is the
-    * standard public bit algorithm, round-half-up, NaN/Inf/subnormal
-    * preserving).
+    * standard public bit algorithm, round-half-up; Inf/subnormal
+    * preserving, and every NaN maps to a QUIET half NaN — still NaN
+    * after the round trip, payload truncated to the bits that fit).
     *
     * Rounding-mode deviation: exact-tie values round half-UP here, where
     * IEEE 754 (and FAISS's F16C-based SQfp16 encoder) round half-to-EVEN —
@@ -67,17 +68,25 @@ object FP16 {
   def floatToHalf(fval: Float): Short = {
     val fbits = java.lang.Float.floatToIntBits(fval)
     val sign = (fbits >>> 16) & 0x8000
-    val value = (fbits & 0x7fffffff) + 0x1000
+    val abs = fbits & 0x7fffffff
+    // NaN handled FIRST, as a quiet half NaN (0x7e00 | payload bits):
+    // the rounding add below overflows Int on high-payload NaNs
+    // (collapsing them to ±0 through the subnormal fall-through), and a
+    // low-payload NaN's top-13 mantissa bits are all zero (collapsing it
+    // to ±Inf) — either silently turns an unordered value into an
+    // ordered one in every downstream comparison
+    if (abs > 0x7f800000)
+      return (sign | 0x7e00 | ((fbits & 0x007fffff) >>> 13)).toShort
+    val value = abs + 0x1000
     if (value >= 0x47800000) {
-      if ((fbits & 0x7fffffff) >= 0x47800000) {
-        if ((fbits & 0x7fffffff) < 0x7f800000) (sign | 0x7c00).toShort // → inf
-        else (sign | 0x7c00 | ((fbits & 0x007fffff) >>> 13)).toShort   // NaN
+      if (abs >= 0x47800000) {
+        (sign | 0x7c00).toShort                                        // → inf
       } else (sign | 0x7bff).toShort                                   // max half
     }
     else if (value >= 0x38800000) (sign | ((value - 0x38000000) >>> 13)).toShort
     else if (value < 0x33000000) sign.toShort                          // → ±0
     else { // subnormal half
-      val exp = (fbits & 0x7fffffff) >>> 23
+      val exp = abs >>> 23
       (sign | ((((fbits & 0x7fffff) | 0x800000) + (0x800000 >>> (exp - 102))) >>> (126 - exp))).toShort
     }
   }
@@ -111,15 +120,24 @@ object FP16 {
   }
 
   def unpack(b: Array[Byte]): ArrayData = {
+    // reject a torn/foreign binary loudly (the sketch-deserializer
+    // discipline) — silently dropping a trailing byte would decode a
+    // shorter vector that mis-scores downstream instead of failing here
+    require(b.length % 2 == 0,
+      s"fp16_unpack: binary length ${b.length} is not a whole number of " +
+        "half-floats — corrupt or foreign input")
     val n = b.length / 2
-    val out = new Array[Any](n)
+    // primitive-backed ArrayData: this decode runs once per SCANNED row
+    // (the file's own contract), and a GenericArrayData of boxed Floats
+    // costs ~dim allocations per row of pure GC pressure
+    val out = new Array[Float](n)
     var i = 0
     while (i < n) {
       val h = (b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)
       out(i) = halfToFloat(h)
       i += 1
     }
-    new GenericArrayData(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   def packCol(a: Column): Column =

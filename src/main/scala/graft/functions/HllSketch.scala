@@ -32,9 +32,17 @@ object Hll {
   def emptySketch(): Array[Byte] = new Array[Byte](M)
 
   def add(sketch: Array[Byte], hash: Long): Unit = {
-    val idx = (hash >>> (64 - P)).toInt
-    val rest = hash << P
-    val rank = (if (rest == 0) 64 - P else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+    // register index from bits 62..51, NOT the top 12 bits: the engine's
+    // portable token hash keeps bit 63 permanently clear, so a top-bit
+    // index would leave registers 2048..4095 forever zero — the
+    // linear-counting branch then never exits and the estimate CAPS at
+    // m·ln 2 ≈ 2839 regardless of true cardinality. Skipping the sign
+    // bit costs full-range feeds (xxhash64) nothing: the index needs 12
+    // uniform bits and the rank a geometric source, and bits 62..51 /
+    // 50..0 supply both for every feed.
+    val idx = ((hash >>> 51) & (M - 1)).toInt
+    val rest = hash << 13
+    val rank = (if (rest == 0) 51 else java.lang.Long.numberOfLeadingZeros(rest)) + 1
     if (rank > sketch(idx)) sketch(idx) = rank.toByte
   }
 
@@ -57,6 +65,10 @@ object Hll {
     * sequential float accumulation was ulp-sensitive to register order —
     * the one step that kept the estimate off the DuckDB hash gate. */
   def estimate(sketch: Array[Byte]): Long = {
+    require(sketch.length == M,
+      s"hll_estimate: input is not a graft HLL sketch — expected $M " +
+        s"register bytes, got ${sketch.length} (feed only columns " +
+        "produced by hll_sketch/hll_merge)")
     val m = M.toDouble
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     var s = BigInt(0)

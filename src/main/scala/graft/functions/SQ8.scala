@@ -37,11 +37,18 @@ object SQ8 {
   def train(df: DataFrame, vecCol: String): Bounds = {
     val spark = df.sparkSession
     import spark.implicits._
-    val (mins, maxs) = df.select(col(vecCol)).as[Seq[Float]].rdd
+    // null vectors carry no bounds information — dropped up front (the
+    // packUdf convention), not an executor NPE; ragged dims are refused
+    // loudly in the fold, not an index crash / silent tail truncation
+    val (mins, maxs) = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .as[Seq[Float]].rdd
       .treeAggregate((null: Array[Float], null: Array[Float]))(
         seqOp = { case ((mn, mx), v) =>
           if (mn == null) (v.toArray, v.toArray.clone())
           else {
+            require(v.length == mn.length,
+              s"SQ8.train: ragged vector dims (${v.length} vs ${mn.length}) " +
+                "— quantization bounds need one consistent dimension")
             var i = 0
             while (i < mn.length) {
               val x = v(i)
@@ -56,6 +63,9 @@ object SQ8 {
           case ((null, _), r) => r
           case (l, (null, _)) => l
           case ((lmn, lmx), (rmn, rmx)) =>
+            require(lmn.length == rmn.length,
+              s"SQ8.train: ragged vector dims across partitions " +
+                s"(${lmn.length} vs ${rmn.length})")
             var i = 0
             while (i < lmn.length) {
               if (rmn(i) < lmn(i)) lmn(i) = rmn(i)

@@ -1412,17 +1412,20 @@ object RelationalQueries {
   }
 
   /** Shared register-recompute chain for the P=12 portable-hash HLL
-    * oracles: portable hash of l_partkey → bucket = top 12 bits, rank =
-    * 53 − bitlength(low 52 bits) via bit-smear + BIT_COUNT → per-bucket
-    * max (`regs`). Global max per register ≡ merged per-group maxes. */
+    * oracles: portable hash of l_partkey → bucket = bits 62..51 (the
+    * sign bit is skipped — it is permanently clear in the portable
+    * hash, so a top-12-bit bucket would strand half the registers),
+    * rank = 52 − bitlength(low 51 bits) via bit-smear + BIT_COUNT →
+    * per-bucket max (`regs`). Global max per register ≡ merged
+    * per-group maxes. */
   private def hllRegsCtes: String =
     s"""pp AS (
            SELECT ${polySql("CAST(l_partkey AS VARCHAR)", 31)} AS p1,
                   ${polySql("CAST(l_partkey AS VARCHAR)", 37)} AS p2
            FROM lineitem),
          hh AS (SELECT ${tokenHashSql("p1", "p2")} AS h FROM pp),
-         lz AS (SELECT h >> 52 AS bucket,
-                       h & 4503599627370495 AS low FROM hh),
+         lz AS (SELECT h >> 51 AS bucket,
+                       h & 2251799813685247 AS low FROM hh),
          s1 AS (SELECT bucket, low, low | (low >> 1) AS r FROM lz),
          s2 AS (SELECT bucket, low, r | (r >> 2) AS r FROM s1),
          s3 AS (SELECT bucket, low, r | (r >> 4) AS r FROM s2),
@@ -1430,8 +1433,8 @@ object RelationalQueries {
          s5 AS (SELECT bucket, low, r | (r >> 16) AS r FROM s4),
          s6 AS (SELECT bucket, low, r | (r >> 32) AS r FROM s5),
          regs AS (SELECT bucket,
-                    MAX(CASE WHEN low = 0 THEN 53
-                             ELSE 53 - BIT_COUNT(r) END) AS register
+                    MAX(CASE WHEN low = 0 THEN 52
+                             ELSE 52 - BIT_COUNT(r) END) AS register
                   FROM s6 GROUP BY bucket)"""
 
   val oracle: Map[String, String] = Map(
@@ -1454,10 +1457,11 @@ object RelationalQueries {
     },
 
     // Merged-sketch checksums recomputed from scratch: the P=12 sketch's
-    // bucket is the hash's top 12 bits (bit 63 is always clear in the
-    // portable hash) and rank = leading zeros of (h << 12) + 1, i.e.
-    // 53 − bitlength(low 52 bits) — computed integrally via a bit-smear +
-    // BIT_COUNT. Per-group max then merge-max ≡ global max per register.
+    // bucket is bits 62..51 of the hash (bit 63 — always clear in the
+    // portable hash — is skipped) and rank = leading zeros of (h << 13)
+    // + 1, i.e. 52 − bitlength(low 51 bits) — computed integrally via a
+    // bit-smear + BIT_COUNT. Per-group max then merge-max ≡ global max
+    // per register.
     "profile_hll_merge_checksum" -> {
       s"""WITH $hllRegsCtes
          SELECT CAST(SUM(register) AS BIGINT) AS register_sum,

@@ -47,6 +47,17 @@ class BitQuantSpec extends SparkSpec {
     assert(viaSpark(a, a.map(-_)) === 4, "every nonzero coord's sign bit flips")
   }
 
+  test("a NULL packed word is refused descriptively, not an NPE") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT 1").select(BitQuant.hammingCol(
+          array(lit(1L), lit(null).cast("long")), array(lit(1L), lit(2L))))
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("must not contain NULL"), msgs)
+  }
+
   test("word-count mismatch fails loudly, not with a silent prefix scan") {
     val e = intercept[Exception] {
       Seq((Seq.fill(64)(1f), Seq.fill(128)(1f))).toDF("a", "b")

@@ -32,6 +32,30 @@ class FP16Spec extends SparkSpec {
     assert(top1(packed) === top1(emb.select($"vec_id", $"embedding")))
   }
 
+  test("every NaN stays NaN through the half round trip; odd-length " +
+      "binaries are refused") {
+    // high-payload NaN (0x7fffffff): the rounding add overflows Int —
+    // must not collapse to ±0; low-payload NaN (0x7f800001): top-13
+    // mantissa bits are zero — must not collapse to ±Inf
+    Seq(0x7fffffff, 0x7f800001, 0xffc00000, 0x7fc00000).foreach { bits =>
+      val f = java.lang.Float.intBitsToFloat(bits)
+      val back = FP16.halfToFloat(FP16.floatToHalf(f) & 0xffff)
+      assert(back.isNaN, f"0x$bits%08x -> $back (expected NaN)")
+    }
+    // Inf and max-half survive unchanged
+    assert(FP16.halfToFloat(FP16.floatToHalf(Float.PositiveInfinity) & 0xffff)
+      === Float.PositiveInfinity)
+    assert(FP16.halfToFloat(FP16.floatToHalf(Float.NegativeInfinity) & 0xffff)
+      === Float.NegativeInfinity)
+    val e = intercept[Exception] {
+      Seq(Array[Byte](1, 2, 3)).toDF("b")
+        .select(FP16.unpackCol($"b")).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("fp16_unpack"), msgs)
+  }
+
   test("fp16 conversion properties over random + special values") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

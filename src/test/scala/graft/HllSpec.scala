@@ -20,6 +20,29 @@ class HllSpec extends SparkSpec {
     assert(math.abs(got._3 - got._4).toDouble / got._4 < 0.05, got)
   }
 
+  test("estimate accurate over the PORTABLE hash too (bit 63 always clear)") {
+    // the production profiling queries feed portableTokenHash64, whose
+    // sign bit is permanently 0 — a top-12-bit register index would
+    // strand half the registers and CAP the estimate at m·ln 2 ≈ 2839
+    // forever; 20k distinct keys must estimate near 20k, not 2.8k
+    val hUdf = udf((x: String) => graft.functions.TextOps.portableTokenHash64(x))
+    val got = spark.range(0, 20000).toDF("id")
+      .agg(Hll.estimateCol(Hll.sketchAgg(hUdf($"id".cast("string")))))
+      .as[Long].head()
+    assert(math.abs(got - 20000L).toDouble / 20000.0 < 0.05,
+      s"portable-hash estimate $got is not within 5% of 20000")
+  }
+
+  test("estimate rejects non-sketch binary with a descriptive error") {
+    val e = intercept[Exception] {
+      Seq(Array[Byte](1, 2, 3)).toDF("sk")
+        .select(Hll.estimateCol($"sk")).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("hll_estimate"), msgs)
+  }
+
   test("merging per-group sketches is register-exact vs global sketch") {
     val li = table(spark, sf0001, "lineitem")
     val perGroup = li.groupBy("l_returnflag")

@@ -39,6 +39,18 @@ class Sq8Spec extends SparkSpec {
     assert(codes(1).forall(_ === 0))
   }
 
+  test("train: null vectors dropped, ragged dims refused loudly") {
+    val ok = Seq((1L, Some(Seq(1f, 2f))), (2L, Option.empty[Seq[Float]]),
+      (3L, Some(Seq(-1f, 5f)))).toDF("id", "v")
+    val b = SQ8.train(ok, "v") // one null row: no NPE
+    assert(b.vmin.toSeq === Seq(-1f, 2f) && b.vmax.toSeq === Seq(1f, 5f))
+    val ragged = Seq(Seq(1f, 2f), Seq(1f, 2f, 3f)).toDF("v")
+    val e = intercept[Exception] { SQ8.train(ragged, "v") }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("ragged"), msgs)
+  }
+
   test("oobCountCol: exact strict-outside count; longer vectors don't crash") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val b = SQ8.train(emb.filter($"vec_id" < 250), "embedding")
