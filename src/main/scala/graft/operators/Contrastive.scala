@@ -35,13 +35,27 @@ object Contrastive {
       labelCol: String,
       k: Int,
       score: (Column, Column) => Column = VectorOps.dot): DataFrame = {
-    val q = broadcast(queries.select(
-      col(queryIdCol).as("query_id"),
-      col(vecCol).as("__query_vec"),
-      col(labelCol).as("__query_label")))
-    val scored = vectors.crossJoin(q)
+    // EXPLICIT null-label policy: unlabeled rows cannot participate in
+    // label-contrastive selection — an unlabeled candidate might share
+    // the anchor's class (a false negative poisons training), and an
+    // unlabeled anchor has no wrong-label set. Filtered here, not left
+    // to =!='s null propagation, which silently gave null-label anchors
+    // ZERO negatives (the anchor just vanished from the output).
+    val q = broadcast(queries
+      .filter(col(labelCol).isNotNull)
+      .select(
+        col(queryIdCol).as("query_id"),
+        col(vecCol).as("__query_vec"),
+        col(labelCol).as("__query_label")))
+    val scored = vectors
+      .filter(col(labelCol).isNotNull)
+      .crossJoin(q)
       .filter(col(labelCol) =!= col("__query_label"))
       .withColumn("score", score(col(vecCol), col("__query_vec")))
+      // a NaN score (one corrupt candidate vector) sorts GREATEST in
+      // Spark's ordering — it would claim rank 1..k for EVERY anchor,
+      // displacing all genuine hard negatives corpus-wide
+      .filter(col("score").isNotNull && !isnan(col("score")))
       .drop("__query_vec", "__query_label")
     Knn.topKPerGroup(scored, Seq(col("query_id")), k,
       desc("score"), asc(idCol))
@@ -64,10 +78,14 @@ object Contrastive {
       labelCol: String,
       k: Int,
       seed: Long): DataFrame = {
-    val q = broadcast(queries.select(
-      col(queryIdCol).as("query_id"),
-      col(labelCol).as("__query_label")))
+    // same explicit null-label policy as hardNegatives
+    val q = broadcast(queries
+      .filter(col(labelCol).isNotNull)
+      .select(
+        col(queryIdCol).as("query_id"),
+        col(labelCol).as("__query_label")))
     val lotted = candidates.select(col(idCol), col(labelCol))
+      .filter(col(labelCol).isNotNull)
       .crossJoin(q)
       .filter(col(labelCol) =!= col("__query_label"))
       .withColumn("lot", Sampling.portableSplitBucket(

@@ -29,11 +29,18 @@ import org.apache.spark.sql.functions._
 object Mmr {
 
   private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // BigDecimal(Double) stringifies — NaN/Inf would throw
+    // NumberFormatException in an executor; pass non-finites through
+    if (!java.lang.Double.isFinite(x)) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   private def dot(a: Array[Float], b: Array[Float]): Double = {
+    // a corpus with mixed dims is corrupt — a silently truncated dot is
+    // a plausible-but-wrong similarity that changes which items MMR picks
+    require(a.length == b.length,
+      s"mmrRerank: candidate vector dims differ (${a.length} vs ${b.length})")
     var s = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
   }
@@ -64,6 +71,11 @@ object Mmr {
     val spark = candidates.sparkSession
     import spark.implicits._
     candidates
+      // rows the greedy cannot rank are EXCLUDED up front: a null vector
+      // would NPE the pairwise pass, and a null/NaN relevance has no
+      // place in a deterministic argmax (NaN compares false both ways)
+      .filter(col(vecCol).isNotNull && col(scoreCol).isNotNull &&
+        !isnan(col(scoreCol)))
       .select(col(queryIdCol).cast("long"), col(idCol).cast("long"),
         col(vecCol).cast("array<float>"), col(scoreCol).cast("double"))
       .as[(Long, Long, Array[Float], Double)]

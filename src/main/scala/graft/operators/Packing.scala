@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sequence packing: assigning variable-length documents to fixed-token-
@@ -57,14 +57,26 @@ object Packing {
     require(capacity >= 1, s"capacity must be >= 1 (got $capacity)")
     val spark = df.sparkSession
     import spark.implicits._
+    // refuse incomplete rows IN-PLAN, loudly: a NULL id/size would
+    // otherwise surface as an opaque encoder error mid-job, and silently
+    // dropping rows from a PACKER loses documents from the training set
+    def reqNotNull(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"Packing.nextFit: NULL $what — pack input must be complete")))
+        .otherwise(c)
     val ds = df.select(col(groupCol).cast("string").as("group"),
-        col(idCol).cast("long").as("id"), col(sizeCol).cast("long").as("size"))
+        reqNotNull(col(idCol).cast("long"), idCol).as("id"),
+        reqNotNull(col(sizeCol).cast("long"), sizeCol).as("size"))
       .as[(String, Long, Long)]
     ds.groupByKey(_._1)
       .flatMapSortedGroups($"id") { (g: String, it: Iterator[(String, Long, Long)]) =>
         var bin = 0L
         var fill = 0L
         it.map { case (_, id, sz) =>
+          // a negative size (upstream bug) would let a sealed sequence
+          // exceed capacity with no error at pack time
+          require(sz >= 0,
+            s"Packing.nextFit: negative size $sz for id $id in group $g")
           if (fill + sz > capacity && fill > 0) { bin += 1; fill = 0 }
           fill += sz
           (g, id, sz, bin)

@@ -37,6 +37,12 @@ object RandomProjection {
   def signMatrix(k: Int, d: Int, seed: Long): Array[Array[Double]] = {
     require(k >= 1 && d >= 1 && k.toLong * d <= (1 << 18),
       s"sign matrix $k x $d too large to inline")
+    // |seed| bound (the portableSplitBucket contract): seed·k·d must stay
+    // in Long — JVM arithmetic would wrap silently while the documented
+    // overflow-checked SQL replay raises, so the same (seed, k, d) would
+    // regenerate a DIFFERENT matrix outside Spark
+    require(math.abs(seed) < Int.MaxValue.toLong,
+      s"signMatrix: |seed| must be < 2^31 for portable arithmetic (got $seed)")
     Array.tabulate(k, d) { (r, j) =>
       val h = graft.functions.TextOps.mix32(
         (seed * k * d + r.toLong * d + j) & 0xffffffffL)

@@ -27,8 +27,20 @@ object Salting {
       saltBuckets: Int,
       sums: Map[Column, String],
       countName: Option[String] = None): DataFrame = {
+    require(saltBuckets >= 1,
+      s"saltedSumCount: saltBuckets must be >= 1 (got $saltBuckets)")
+    require(sums.nonEmpty || countName.nonEmpty,
+      "saltedSumCount: nothing to aggregate (empty sums, no countName)")
+    // salt must be DETERMINISTIC per row content, never
+    // monotonically_increasing_id: a task retry after a fetch failure
+    // re-enumerates ids in a different order, rows land in different
+    // (key, salt) groups than the first attempt, and phase 2 merges
+    // partials from BOTH attempts — silently double-counted sums.
+    // Hashing all columns keeps identical rows on one salt (harmless for
+    // algebraic merges) while hot KEYS still spread across buckets
+    // through their varying payload columns.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
     val phase1Aggs =
       sums.toSeq.map { case (c, n) => sum(c).as(s"__p_$n") } ++
         countName.map(n => count(lit(1)).as(s"__p_$n")).toSeq

@@ -49,8 +49,11 @@ object TextScoring {
       textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
-    val total = toks.agg(count(lit(1)).as("__N"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
+    // N derives from the vocab-sized table (sum of exact counts ≡ the
+    // corpus token count) — aggregating toks directly would tokenize and
+    // explode the whole corpus a second time
+    val total = vocab.agg(sum(col("__c")).as("__N"))
     toks.join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))
       .withColumn("__nll",
@@ -86,8 +89,10 @@ object TextScoring {
       lambda: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
-    val total = toks.agg(count(lit(1)).as("__N"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("__cu"))
+    // N from the vocab table, cw1 from the bigram-count table below —
+    // each derived total saves one full corpus tokenize+explode pass
+    val total = uni.agg(sum(col("__cu")).as("__N"))
     val bi = docs
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .filter(size(col("__toks")) >= 2)
@@ -95,8 +100,8 @@ object TextScoring {
         """transform(sequence(0, size(__toks) - 2),
            i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))""")).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val cw1 = bi.groupBy("w1").agg(count(lit(1)).as("__cw1"))
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    val cw1 = cb.groupBy("w1").agg(sum(col("__cb")).as("__cw1"))
     bi.join(cb, Seq("w1", "w2"))
       .join(cw1, Seq("w1"))
       .join(uni.withColumnRenamed("tok", "w2"), Seq("w2"))
@@ -134,8 +139,10 @@ object TextScoring {
   def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L): DataFrame = {
     val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("tok"))
-    val t1 = toks.agg(count(lit(1)).cast("double").as("t1"))
     val cu = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // totals derive from the count tables (vocab-sized), not from
+    // re-exploding the corpus
+    val t1 = cu.agg(sum(col("c")).cast("double").as("t1"))
     val bi = docs
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .filter(size(col("__toks")) >= 2)
@@ -143,8 +150,9 @@ object TextScoring {
         """transform(sequence(0, size(__toks) - 2),
            i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))""")).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val t2 = bi.agg(count(lit(1)).cast("double").as("t2"))
-    bi.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+    val cabAll = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+    val t2 = cabAll.agg(sum(col("cab")).cast("double").as("t2"))
+    cabAll
       .filter(col("cab") >= minCount)
       .join(cu.select(col("tok").as("w1"), col("c").as("ca")), Seq("w1"))
       .join(cu.select(col("tok").as("w2"), col("c").as("cb")), Seq("w2"))
@@ -155,7 +163,11 @@ object TextScoring {
 
   /** DSIR importance log-weights: features are the document's DISTINCT word
     * bigrams hashed into `numBuckets` buckets on the portable 64-bit stack
-    * (binarized hashed n-grams); each feature contributes
+    * (distinct n-grams, COUNTED per bucket after hashing — two distinct
+    * shingles landing in one bucket both contribute, so the per-doc
+    * feature vector is a hashed multinomial, not strictly binary; docs
+    * shorter than n contribute their whole text as one feature, the
+    * shingle udf's documented fallback); each feature contributes
     * ln(p̂_target(b)/p̂_raw(b)) with add-one smoothing over the bucket space,
     * and the document's weight is the rounded-term sum. Resample the raw
     * corpus with probability ∝ exp(log_weight) to shift it toward the

@@ -43,6 +43,27 @@ class PackingSpec extends SparkSpec {
     assert(got.keySet === rows.map(r => (r._1, r._2)).toSet)
   }
 
+  test("null id/size and negative sizes are refused loudly, not packed wrong") {
+    import graft.operators.Packing
+    val nullSize = Seq((Some("g"), Some(1L), Option.empty[Long]))
+      .toDF("g", "id", "sz")
+    val e1 = intercept[Exception] {
+      Packing.nextFit(nullSize, "g", "id", "sz", capacity = 10).collect()
+    }
+    val m1 = Iterator.iterate(e1: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(m1.contains("NULL sz"), m1)
+    // a negative size would let a sealed sequence exceed capacity
+    val neg = Seq(("g", 1L, 5L), ("g", 2L, -10L), ("g", 3L, 20L))
+      .toDF("g", "id", "sz")
+    val e2 = intercept[Exception] {
+      Packing.nextFit(neg, "g", "id", "sz", capacity = 10).collect()
+    }
+    val m2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(m2.contains("negative size"), m2)
+  }
+
   test("groups pack independently; layout does not change the walk") {
     val rows = Seq(("x", 1L, 200L), ("y", 2L, 200L), ("x", 3L, 100L),
       ("y", 4L, 100L))

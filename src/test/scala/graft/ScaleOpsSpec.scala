@@ -11,6 +11,50 @@ import graft.queries.{dec, table}
 class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("salt is a pure function of row content (deterministic under retry); " +
+      "misuse refused") {
+    // monotonically_increasing_id-derived salts change when a retried
+    // task re-enumerates rows — partials from two attempts then
+    // double-merge. Content-hash salts make two independent evaluations
+    // of the same input land every row on the same salt.
+    val li = table(spark, sf0001, "lineitem").limit(500)
+    def run() = Salting.saltedSumCount(li, Seq("l_returnflag"), 8,
+        Map(col("l_quantity") -> "q"), Some("n"))
+      .collect().map(_.toSeq).toSet
+    assert(run() === run())
+    intercept[IllegalArgumentException] {
+      Salting.saltedSumCount(li, Seq("l_returnflag"), 0,
+        Map(col("l_quantity") -> "q"))
+    }
+    intercept[IllegalArgumentException] {
+      Salting.saltedSumCount(li, Seq("l_returnflag"), 8, Map.empty)
+    }
+  }
+
+  test("contrastive negatives: explicit null-label policy, NaN scores " +
+      "never claim ranks") {
+    import graft.operators.Contrastive
+    val vecs = Seq(
+      (1L, Seq(1f, 0f), Some("cat")), (2L, Seq(0.9f, 0.1f), Some("dog")),
+      (3L, Seq(0f, 1f), Option.empty[String]),
+      (4L, Seq(Float.NaN, 1f), Some("dog")))
+      .toDF("id", "vec", "label")
+    val qs = Seq(
+      (10L, Seq(1f, 0f), Some("cat")),
+      (11L, Seq(0f, 1f), Option.empty[String]))
+      .toDF("qid", "vec", "label")
+    val got = Contrastive.hardNegatives(vecs, qs, "id", "qid", "vec",
+        "label", k = 2)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toSet
+    // unlabeled anchor 11 and unlabeled candidate 3 are excluded by the
+    // documented policy; NaN-scored candidate 4 never outranks real ones
+    assert(got === Set((10L, 2L)))
+    val rnd = Contrastive.randomNegatives(vecs, qs, "id", "qid",
+        "label", k = 2, seed = 7L)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toSet
+    assert(rnd.forall(_._1 == 10L) && rnd.forall(t => Set(2L, 4L)(t._2)))
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = table(spark, sf0001, "lineitem")
     val direct = li.groupBy("l_returnflag")
