@@ -31,14 +31,17 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var exitCode = 0
     try args.toList match {
       case "build" :: vectors :: idCol :: vecCol :: indexDir :: rest =>
         val df = spark.read.parquet(vectors)
+        // one full-table count, reused (this is the 100 TB table)
+        val nVecs = df.count()
         val nlist = rest.headOption.map(_.toInt)
-          .getOrElse(AnnIvf.defaultNlist(df.count()))
+          .getOrElse(AnnIvf.defaultNlist(nVecs))
         val index = AnnIvf.build(df, idCol, vecCol, nlist)
         AnnIvf.write(index, indexDir)
-        println(s"[pipeline] built index: ${df.count()} vectors, nlist=$nlist → $indexDir")
+        println(s"[pipeline] built index: $nVecs vectors, nlist=$nlist → $indexDir")
 
       case "search" :: indexDir :: queriesPath :: idCol :: vecCol :: rest =>
         val k = rest.headOption.map(_.toInt).getOrElse(10)
@@ -53,9 +56,15 @@ object Pipeline {
         }
         val queries = spark.read.parquet(queriesPath)
         val hits = AnnIvf.searchPruned(index, queries, idCol, vecCol, k, nprobe,
-          idCol = idCol)
-        hits.orderBy("query_id", "rank").show(50, truncate = false)
-        println(s"[pipeline] ${hits.count()} results")
+            idCol = idCol)
+          .orderBy("query_id", "rank")
+          // one execution serves both the preview and the count — the
+          // show-then-count pattern re-ran the whole probe+join+topk
+          .cache()
+        try {
+          hits.show(50, truncate = false)
+          println(s"[pipeline] ${hits.count()} results")
+        } finally hits.unpersist()
 
       case "health" :: indexDir :: Nil =>
         val index = AnnIvf.read(spark, indexDir)
@@ -105,22 +114,30 @@ object Pipeline {
         scored.write.mode("overwrite").parquet(outDir)
         val s = spark.read.parquet(outDir)
           .agg(count(lit(1)), avg("unigram_ce"), avg("bigram_ce")).head()
+        // avg over zero rows (empty input) is NULL — report NaN, don't
+        // NPE out of Row.getDouble after the real work succeeded
+        def mean(i: Int) = if (s.isNullAt(i)) Double.NaN else s.getDouble(i)
         println(f"[pipeline] score: ${s.getLong(0)} docs → $outDir " +
-          f"(mean unigram_ce=${s.getDouble(1)}%.3f, bigram_ce=${s.getDouble(2)}%.3f)")
+          f"(mean unigram_ce=${mean(1)}%.3f, bigram_ce=${mean(2)}%.3f)")
 
       // lexical twin of build/search: durable inverted index + BM25 serve
       case "textindex" :: docsPath :: idCol :: textCol :: indexDir :: Nil =>
         val docs = spark.read.parquet(docsPath)
         graft.operators.Retrieval.writeIndex(docs, idCol, textCol, indexDir)
-        val n = spark.read.parquet(s"$indexDir/postings").count()
+        // generation layout: postings live in batch dirs under data/
+        val n = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$indexDir/data/postings").count()
         println(s"[pipeline] built text index: $n postings → $indexDir")
 
       case "textsearch" :: indexDir :: idCol :: rest if rest.nonEmpty =>
         val hits = graft.operators.Retrieval
           .searchIndex(spark, indexDir, idCol, rest)
           .orderBy(desc("bm25"), col(idCol)).limit(20)
-        hits.show(20, truncate = false)
-        println(s"[pipeline] ${hits.count()} results for terms $rest")
+          .cache() // one execution for preview + count
+        try {
+          hits.show(20, truncate = false)
+          println(s"[pipeline] ${hits.count()} results for terms $rest")
+        } finally hits.unpersist()
 
       // dbt-style data-quality audit on any parquet table: PK
       // uniqueness/nullability plus per-column null counts — one
@@ -130,13 +147,21 @@ object Pipeline {
         val df = spark.read.parquet(path)
         val dupPk = df.groupBy(col(idCol)).count()
           .filter(col("count") > 1).count()
-        val nullPk = df.filter(col(idCol).isNull).count()
-        val checks = Seq(s"duplicate $idCol" -> dupPk, s"null $idCol" -> nullPk) ++
-          cols.map(c => s"null $c" -> df.filter(col(c).isNull).count())
+        // ALL null counts in ONE aggregation pass (a per-column filter
+        // job would scan the full table once per checked column)
+        val nullAggs = (idCol +: cols).map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+        val nulls = df.agg(nullAggs.head, nullAggs.tail: _*).head()
+        val checks = Seq(s"duplicate $idCol" -> dupPk,
+          s"null $idCol" -> nulls.getLong(0)) ++
+          cols.zipWithIndex.map { case (c, i) =>
+            s"null $c" -> nulls.getLong(i + 1) }
         checks.foreach { case (name, v) =>
           println(f"[pipeline] dq: $name%-28s $v violations")
         }
-        if (checks.exists(_._2 > 0L)) sys.exit(1)
+        // record, exit AFTER the finally — sys.exit here would skip
+        // spark.stop()
+        if (checks.exists(_._2 > 0L)) exitCode = 1
 
       // RAG chunking: fixed win/stride token windows per document
       case "chunk" :: docsPath :: idCol :: textCol :: outDir :: rest
@@ -155,7 +180,8 @@ object Pipeline {
         System.err.println(s"unknown args: $other " +
           "(want build|search|health|corpus|score|textindex|textsearch|" +
           "dq|chunk ...)")
-        sys.exit(2)
+        exitCode = 2
     } finally spark.stop()
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }

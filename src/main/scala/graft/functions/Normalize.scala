@@ -44,18 +44,28 @@ object L2NormalizeFP32 {
     val n = a.numElements()
     var ss = 0.0
     var i = 0
-    while (i < n) { val x = a.getFloat(i).toDouble; ss += x * x; i += 1 }
+    while (i < n) {
+      // a NULL element would silently read as 0.0f through getFloat —
+      // diverging from the HOF twin and laundering a corrupt vector
+      // into a clean containsNull=false output; refuse loudly instead
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        "graft_l2_normalize: vector contains a NULL element — normalize " +
+          "a complete vector or filter/repair upstream")
+      val x = a.getFloat(i).toDouble; ss += x * x; i += 1
+    }
     // divide (not multiply-by-reciprocal) for bit-parity with the HOF
     // x / sqrt(Σx²) formulation
     val norm0 = math.sqrt(ss)
     val norm = if (norm0 == 0.0) 1.0 else norm0
-    val out = new Array[Any](n)
+    // primitive-backed output: this runs once per scanned row
+    val out = new Array[Float](n)
     i = 0
     while (i < n) {
       out(i) = (a.getFloat(i).toDouble / norm).toFloat
       i += 1
     }
-    new GenericArrayData(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   def apply(a: Column): Column =

@@ -65,6 +65,12 @@ object SortedLongJaccard {
     if (na == 0 && nb == 0) return 1.0
     var i = 0; var j = 0; var inter = 0
     while (i < na && j < nb) {
+      // a NULL element would silently read as 0L through getLong and
+      // match a real 0 shingle (or another null) — phantom intersections
+      // on corrupt input; the sorted-distinct contract excludes nulls
+      if (a.isNullAt(i) || b.isNullAt(j)) throw new IllegalArgumentException(
+        "graft_sorted_jaccard: shingle arrays must not contain NULL " +
+          "elements (sorted-distinct contract)")
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { inter += 1; i += 1; j += 1 }
       else if (x < y) i += 1

@@ -94,11 +94,17 @@ object VectorOps {
     * late-interaction corpus would use on the durable index: one row per
     * document, slicing at scoring time. */
   def maxSim(a: Column, b: Column, slices: Int, dim: Int): Column = {
+    // slices = 0 would reduce an empty term list and slices = 1 would
+    // hand `greatest` a single argument (analysis error) — both are
+    // legitimate-looking degenerate calls (a single-token document)
+    require(slices >= 1 && dim >= 1,
+      s"maxSim: need slices >= 1 and dim >= 1 (got $slices, $dim)")
     val terms = (0 until slices).map { i =>
       val ai = slice(a, i * dim + 1, dim)
-      val maxJ = greatest((0 until slices).map { j =>
+      val dots = (0 until slices).map { j =>
         dot(ai, slice(b, j * dim + 1, dim))
-      }: _*)
+      }
+      val maxJ = if (dots.length == 1) dots.head else greatest(dots: _*)
       round(maxJ, 6).cast(DecimalType(18, 6))
     }
     terms.reduce(_ + _).cast(DoubleType)

@@ -199,6 +199,10 @@ object AnnIvf {
     val bc = sc.broadcast(centers)
     val assignUdf = udf { (v: Seq[Float]) =>
       val cs = bc.value
+      // same loud dim check as CentroidGemm.assign (bit-parity twins):
+      // a truncated dot silently mis-assigns into the durable index
+      require(cs.isEmpty || v.length == cs(0).length,
+        s"assign: vector dim ${v.length} != centroid dim ${cs(0).length}")
       var best = 0; var bestScore = Double.NegativeInfinity
       var p = 0
       while (p < cs.length) {

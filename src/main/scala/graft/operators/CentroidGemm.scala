@@ -65,7 +65,15 @@ object CentroidGemm {
         val b = rows.length
         val vecs = new Array[Array[Float]](b)
         var r = 0
-        while (r < b) { vecs(r) = toFloatArray(rows(r).getSeq[Float](vecIdx)); r += 1 }
+        while (r < b) {
+          vecs(r) = toFloatArray(rows(r).getSeq[Float](vecIdx))
+          // a row vector of the wrong dim would silently score over the
+          // shared prefix and be CONFIDENTLY assigned to a wrong
+          // partition (the error then persists into the durable index)
+          require(vecs(r).length == d,
+            s"CentroidGemm: vector dim ${vecs(r).length} != centroid dim $d")
+          r += 1
+        }
         val best = new Array[Int](b)
         val bestS = Array.fill(b)(Double.NegativeInfinity)
         var c = 0
@@ -113,7 +121,15 @@ object CentroidGemm {
         val b = rows.length
         val vecs = new Array[Array[Float]](b)
         var r = 0
-        while (r < b) { vecs(r) = toFloatArray(rows(r).getSeq[Float](vecIdx)); r += 1 }
+        while (r < b) {
+          vecs(r) = toFloatArray(rows(r).getSeq[Float](vecIdx))
+          // a row vector of the wrong dim would silently score over the
+          // shared prefix and be CONFIDENTLY assigned to a wrong
+          // partition (the error then persists into the durable index)
+          require(vecs(r).length == d,
+            s"CentroidGemm: vector dim ${vecs(r).length} != centroid dim $d")
+          r += 1
+        }
         val topS = new Array[Double](b * np)
         val topP = new Array[Int](b * np)
         val counts = new Array[Int](b)

@@ -38,13 +38,19 @@ object EmbeddingPca {
   def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
     val rows = df.select(col(vecCol).cast("array<double>")).rdd
       .map(_.getSeq[Double](0).toArray)
-    val d = rows.first().length
-    require(d <= 512, s"dim $d too large for a d^2 driver accumulator")
-    require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
-    // acc = (n, sum[d], upper-tri raw moment M[i][j] = sum x_i x_j)
-    val zero = (0L, new Array[Double](d), Array.ofDim[Double](d, d))
+    // ONE pass, as documented: the accumulator lazily sizes itself from
+    // the first row it sees (the SQ8.train pattern) instead of paying a
+    // separate first() job just to learn d — which also threw an
+    // unhelpful NoSuchElementException on an empty input before the
+    // row-count require could speak
+    val zero = (0L, null: Array[Double], null: Array[Array[Double]])
     val (n, s, m) = rows.treeAggregate(zero)(
-      seqOp = { case ((n0, s0, m0), x) =>
+      seqOp = { case ((n0, s0x, m0x), x) =>
+        val s0 = if (s0x == null) new Array[Double](x.length) else s0x
+        val m0 = if (m0x == null) Array.ofDim[Double](x.length, x.length) else m0x
+        val d = s0.length
+        require(x.length == d,
+          s"PCA: ragged vector dims (${x.length} vs $d)")
         var i = 0
         while (i < d) {
           s0(i) += x(i)
@@ -55,18 +61,27 @@ object EmbeddingPca {
         }
         (n0 + 1, s0, m0)
       },
-      combOp = { case ((n1, s1, m1), (n2, s2, m2)) =>
-        var i = 0
-        while (i < d) {
-          s1(i) += s2(i)
-          val a = m1(i); val b = m2(i)
-          var j = i
-          while (j < d) { a(j) += b(j); j += 1 }
-          i += 1
-        }
-        (n1 + n2, s1, m1)
+      combOp = {
+        case ((0L, _, _), r) => r
+        case (l, (0L, _, _)) => l
+        case ((n1, s1, m1), (n2, s2, m2)) =>
+          require(s1.length == s2.length,
+            s"PCA: ragged vector dims across partitions " +
+              s"(${s1.length} vs ${s2.length})")
+          var i = 0
+          while (i < s1.length) {
+            s1(i) += s2(i)
+            val a = m1(i); val b = m2(i)
+            var j = i
+            while (j < s1.length) { a(j) += b(j); j += 1 }
+            i += 1
+          }
+          (n1 + n2, s1, m1)
       })
     require(n > 1, s"PCA needs >= 2 rows, got $n")
+    val d = s.length
+    require(d <= 512, s"dim $d too large for a d^2 driver accumulator")
+    require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
     val mean = s.map(_ / n)
     // covariance = M/n - mean meanᵀ, symmetrized from the upper triangle
     val cov = Array.ofDim[Double](d, d)
@@ -142,7 +157,16 @@ object EmbeddingPca {
               + Double.MinPositiveValue) {
             rotated = true
             val tau = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            // tau == 0 (equal diagonal entries): signum(0) = 0 would make
+            // t = 0 — an IDENTITY rotation still marked as progress, so
+            // the sweep loop spins to its cap and returns a
+            // non-diagonalized matrix (hit by any two features with
+            // equal variance and nonzero covariance, e.g. a duplicated
+            // embedding dim). The 45° rotation t = 1 zeroes apq exactly
+            // in that case — the standard Jacobi guard.
+            val t =
+              if (tau == 0.0) 1.0
+              else math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
             val c = 1.0 / math.sqrt(1.0 + t * t)
             val s = c * t
             // A <- JᵀAJ on rows/cols p,q

@@ -100,6 +100,36 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("symmetricEigen: equal-diagonal pairs rotate (the tau = 0 case)") {
+    // [[1, .5], [.5, 1]] — equal variances, nonzero covariance: with
+    // t = signum(0)/... = 0 the rotation was the identity, the sweep
+    // spun to its cap, and fit() returned wrong components. True
+    // eigenpairs are 1.5/0.5 at ±45°.
+    val a = Array(Array(1.0, 0.5), Array(0.5, 1.0))
+    val (vals, vecs) = EmbeddingPca.symmetricEigen(a)
+    assert(vals.sorted.zip(Array(0.5, 1.5)).forall {
+      case (x, y) => math.abs(x - y) < 1e-12 }, vals.toSeq)
+    // eigenvector components are ±1/√2
+    vecs.foreach(_.foreach(v =>
+      assert(math.abs(math.abs(v) - math.sqrt(0.5)) < 1e-12, v)))
+  }
+
+  test("fit: empty input and ragged dims are clear errors, in one pass") {
+    val e = intercept[Exception] {
+      EmbeddingPca.fit(Seq.empty[Seq[Double]].toDF("v"), "v", k = 1)
+    }
+    val m = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(m.contains(">= 2 rows"), m)
+    val e2 = intercept[Exception] {
+      EmbeddingPca.fit(
+        Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)).toDF("v"), "v", k = 1)
+    }
+    val m2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(m2.contains("ragged"), m2)
+  }
+
   test("symmetricEigen recovers a known spectrum exactly") {
     // diag(5, 2, -1) rotated by a fixed orthogonal basis
     val theta = 0.6

@@ -108,6 +108,35 @@ class VectorOpsSpec extends SparkSpec {
     got.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
   }
 
+  test("maxSim: single-slice works (greatest needs 2 args); slices=0 refused") {
+    val got = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("q", "d")
+      .select(VectorOps.maxSim($"q", $"d", slices = 1, dim = 2))
+      .as[Double].head()
+    assert(got === 11.0)
+    intercept[IllegalArgumentException] {
+      VectorOps.maxSim($"q", $"d", slices = 0, dim = 2)
+    }
+  }
+
+  test("null elements refused loudly by the fused normalize and jaccard") {
+    import graft.functions.{L2NormalizeFP32, SortedLongJaccard}
+    val e = intercept[Exception] {
+      Seq(Seq(Some(3f), Option.empty[Float])).toDF("a")
+        .select(L2NormalizeFP32($"a")).collect()
+    }
+    val m = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(m.contains("graft_l2_normalize"), m)
+    // getLong would read a NULL slot as 0 — a phantom intersection
+    val e2 = intercept[Exception] {
+      Seq((Seq(Option.empty[Long]), Seq(Option(0L)))).toDF("a", "b")
+        .select(SortedLongJaccard.sortedJaccard($"a", $"b")).collect()
+    }
+    val m2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(m2.contains("graft_sorted_jaccard"), m2)
+  }
+
   test("maxSim sums each query slice's best doc-slice match") {
     // 2 token-vectors of dim 2 packed per side:
     // q = [(1,0), (0.5,0)], d = [(0.8,0), (0,1)]
