@@ -370,6 +370,39 @@ object Retrieval {
     publishLatest(fs, path, next)
   }
 
+  /** Janitor for a generation-versioned index: delete every generation
+    * dir below `_LATEST` and every data batch dir the live manifest does
+    * not reference (superseded rebuilds, orphans of crashed appends) —
+    * the mview old-version pruning, applied here. Safe concurrently with
+    * READERS that loaded `_LATEST` after the current generation
+    * published (time-travel readers of older generations lose their
+    * snapshot — that is the point of pruning); run it from the single
+    * maintainer, like [[appendToIndex]]. Returns the number of
+    * directories removed. */
+  def pruneIndex(spark: SparkSession, path: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = latestGen(fs, path).getOrElse(sys.error(
+      s"pruneIndex: $path is not a generation-versioned index"))
+    val live = readManifest(fs, path, gen).toSet
+    var removed = 0
+    def pruneDir(parent: String, prefix: String, keep: String => Boolean): Unit = {
+      val p = new org.apache.hadoop.fs.Path(parent)
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(prefix) && !keep(name.stripPrefix(prefix))) {
+          fs.delete(st.getPath, true)
+          removed += 1
+        }
+      }
+    }
+    pruneDir(path, "gen-", _ == gen.toString)
+    val liveBatch = (s: String) => s.toLongOption.exists(live.contains)
+    pruneDir(s"$path/data/postings", "batch-", liveBatch)
+    pruneDir(s"$path/data/doclen", "batch-", liveBatch)
+    removed
+  }
+
   /** Crash-injection seam for the atomicity spec: appendToIndex raises
     * after step k when `crashAfterStep` ≤ k. Production value is
     * MaxValue (never fires); RetrievalSpec sets/restores it. */

@@ -165,6 +165,38 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("Rebuild with writeIndex"), e.getMessage)
   }
 
+  test("pruneIndex removes superseded generations and orphan batches; " +
+      "serving is unchanged") {
+    val p = java.nio.file.Files.createTempDirectory("retr-idx-prune").toString
+    val half1 = docs.filter($"doc_id" % 2 === 1)
+    val half2 = docs.filter($"doc_id" % 2 === 0)
+    Retrieval.writeIndex(half1, "doc_id", "text", p)   // gen 0 (superseded)
+    Retrieval.writeIndex(half1, "doc_id", "text", p)   // gen 1 (rebuild)
+    // a crashed append leaves orphan batch dirs no manifest references
+    try {
+      Retrieval.crashAfterStep = 3
+      intercept[RuntimeException] {
+        Retrieval.appendToIndex(half2, "doc_id", "text", p)
+      }
+    } finally Retrieval.crashAfterStep = Int.MaxValue
+    Retrieval.appendToIndex(half2, "doc_id", "text", p) // gen 2 (live)
+    val terms = qTerms.as[String].collect().toSeq
+    val before = Retrieval.searchIndex(spark, p, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    val removed = Retrieval.pruneIndex(spark, p)
+    // superseded gen-0/gen-1 dirs + gen-0's batch-0 postings/doclen (the
+    // rebuild's batch-1 is referenced by the live manifest, the crashed
+    // attempt's gen-2 dirs were overwritten by the retry)
+    assert(removed >= 4, s"removed only $removed dirs")
+    val dirs = new java.io.File(p).listFiles().map(_.getName).toSet
+    assert(!dirs.contains("gen-0") && !dirs.contains("gen-1"), dirs)
+    val after = Retrieval.searchIndex(spark, p, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    assert(after.toSeq === before.toSeq)
+    // idempotent: a second prune removes nothing
+    assert(Retrieval.pruneIndex(spark, p) === 0)
+  }
+
   test("rebuild over a live index supersedes it atomically") {
     val p = java.nio.file.Files.createTempDirectory("retr-idx-rebuild").toString
     val half1 = docs.filter($"doc_id" % 2 === 1)
