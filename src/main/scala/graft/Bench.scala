@@ -37,6 +37,11 @@ object Bench {
       // single-node bench: a mid-size dim (orders at sf0.1 ~8-12 MB) is
       // cheaper broadcast than shuffled; 64 MB is also a sane cluster value
       .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+      // UTC everywhere: correctness (Verify) runs under UTC for oracle
+      // parity, so the bench/timer/plan-audit sessions must time the
+      // SAME timestamp plans — a host-timezone bench would measure
+      // expressions the oracle never verified
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

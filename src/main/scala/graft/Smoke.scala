@@ -6,12 +6,11 @@ import org.apache.spark.sql.SparkSession
   * the row count + a sample. Usage: runMain graft.Smoke */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same session shape + parallelism convention as every other main —
+    // a hardcoded local[8] exercised a different partitioning than the
+    // driver's verify/bench runs
+    val spark = Bench.benchSession(sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(8, Runtime.getRuntime.availableProcessors).toString))
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)
     val rows = df.collect()

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 import graft.queries._
 
@@ -22,9 +21,19 @@ object SparkEntry {
     VectorQueries.queries("knn_bruteforce")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ VectorQueries.queries ++
-      TextQueries.queries ++ EventQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val mods = Seq(RelationalQueries.queries, VectorQueries.queries,
+      TextQueries.queries, EventQueries.queries)
+    // ++ is silently last-wins: a duplicate key across modules would
+    // drop one implementation and could hash its survivor against the
+    // OTHER module's oracle — refuse loudly instead
+    val merged = mods.reduce(_ ++ _)
+    require(merged.size == mods.map(_.size).sum,
+      "duplicate query keys across modules: " +
+        mods.flatMap(_.keys).groupBy(identity).collect {
+          case (k, v) if v.size > 1 => k }.mkString(", "))
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →

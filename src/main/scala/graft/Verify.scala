@@ -12,24 +12,27 @@ object Verify {
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // single-node bench: a mid-size dim (orders at sf0.1 ~8-12 MB) is
-      // cheaper broadcast than shuffled; 64 MB is also a sane cluster value
-      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // THE shared session shape (Bench.benchSession — also Time/Explain):
+    // a hand-copied builder here had already drifted once (this main
+    // pinned UTC while the bench did not, so benchmarks timed timestamp
+    // plans the oracle never verified on a non-UTC host)
+    val spark = Bench.benchSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+        // coalesce(1): ONE part file so the query's orderBy survives the
+        // parquet round-trip for the driver's row-ordered compare
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        catch {
+          // NonFatal only: an OOM/StackOverflow must abort the run —
+          // results produced by a heap-exhausted JVM would be compared
+          // as if genuine. e.toString, not getMessage: message-less
+          // exceptions logged "null" with no class name
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[verify] $name failed: $e")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
