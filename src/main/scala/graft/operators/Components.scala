@@ -124,6 +124,9 @@ object Components {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      // the edge list now lives on the driver; the checkpoint backing it
+      // is dead (the result below is built from driver rows)
+      releaseCheckpoint(edges)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -180,7 +183,12 @@ object Components {
   }
 
   /** The star-contraction loop over ALREADY canonical (src > dst,
-    * deduplicated, null-free), already materialized edges. */
+    * deduplicated, null-free), already materialized edges.
+    *
+    * Takes OWNERSHIP of `edges0`'s checkpoint: once the first round
+    * supersedes it, its storage is released (both callers build it fresh
+    * and never reuse it) — as with every superseded round, so pinned
+    * storage stays O(1) instead of O(rounds × edge set). */
   private def statsFromCanonical(
       edges0: DataFrame,
       maxIter: Int,
@@ -216,6 +224,13 @@ object Components {
       // checkpointed, so this is one extra join-sized pass per call.
       converged = nsig == sig && next.exceptAll(edges).isEmpty
       sig = nsig
+      // next is materialized and the exceptAll probe above was this
+      // round's last read of the superseded edge set — release it (for
+      // reliable mode this also deletes the round's checkpoint FILES,
+      // which Spark otherwise cleans only on GC, and only if
+      // cleanCheckpoints is on). The final round's checkpoint stays: the
+      // returned assignment plan reads it.
+      releaseCheckpoint(edges)
       edges = next
       iter += 1
     }

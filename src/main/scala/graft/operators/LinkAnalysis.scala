@@ -408,6 +408,11 @@ object LinkAnalysis {
         .localCheckpoint(eager = true)
       val m = pruned.count()
       converged = m == n
+      // pruned is MATERIALIZED (eager), so the superseded round's edge
+      // copy can go — without this a deep peel pins O(rounds) edge-set
+      // copies of un-evictable (lineage-truncated) blocks. The FINAL
+      // round's checkpoint stays: the returned degrees plan reads it.
+      releaseCheckpoint(edges)
       edges = pruned
       n = m
       iter += 1
@@ -538,6 +543,10 @@ object LinkAnalysis {
         .localCheckpoint(eager = true)
       steps += frontier
     }
+    // deliberately NOT releaseCheckpoint'd: unlike the fixpoint loops,
+    // no step supersedes another — the returned union reads EVERY
+    // step's checkpoint, so all L+1 frontiers (each |starts|-sized, not
+    // edge-set-sized) stay live by construction
     steps.reduce(_ unionByName _)
   }
 
@@ -629,6 +638,7 @@ object LinkAnalysis {
       frontier = next.localCheckpoint(eager = true)
       steps += frontier
     }
+    // all steps live until (and beyond) the union — see randomWalks
     steps.reduce(_ unionByName _)
       .select("start", "walk", "step", "node")
   }
@@ -845,6 +855,7 @@ object LinkAnalysis {
       .withColumn("dist", lit(0))
       .localCheckpoint(eager = true)
     var frontier = dist.select("node")
+    var prevNext: DataFrame = null
     var k = 1
     var frontierSize = frontier.count()
     while (k <= maxHops && frontierSize > 0L) {
@@ -855,10 +866,21 @@ object LinkAnalysis {
         .withColumn("dist", lit(k))
         .localCheckpoint(eager = true)
       frontierSize = next.count()
+      val prevDist = dist
       dist = dist.unionByName(next).localCheckpoint(eager = true)
+      // both the superseded dist copy and the PREVIOUS round's frontier
+      // are dead once this round's next and dist are materialized —
+      // releasing them keeps pinned storage O(1), not O(hops)
+      releaseCheckpoint(prevDist)
+      if (prevNext != null) releaseCheckpoint(prevNext)
+      prevNext = next
       frontier = next.select("node")
       k += 1
     }
+    // the returned dist is its own materialized checkpoint: the edge
+    // list and the final frontier no longer back anything
+    releaseCheckpoint(edges)
+    if (prevNext != null) releaseCheckpoint(prevNext)
     dist
   }
 

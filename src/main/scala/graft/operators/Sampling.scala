@@ -317,20 +317,6 @@ object Sampling {
         StructField("nearest_sim", DoubleType, nullable = true))))
   }
 
-  /** Deterministically release a `localCheckpoint(eager = true)`'d
-    * Dataset's storage. `Dataset.unpersist` is a NO-OP here — it only
-    * clears CacheManager entries, while localCheckpoint persists the
-    * underlying RDD directly (released otherwise only when the RDD is
-    * GC'd via ContextCleaner) — so unpersist the checkpointed RDD
-    * itself, reached through the plan's LogicalRDD leaf. Blocking, so a
-    * caller loop never races ahead of the block removal it relies on. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = true)
-      case _ => ()
-    }
-
   /** Cumulative Poisson(1) CDF in 1e-6 units — integer thresholds for the
     * inverse-CDF draw below, so the decision is pure BIGINT compare on
     * both engines (floor(1e6·Σₖ e⁻¹/k!)). Mass beyond k = 7 is < 1e-7 of

@@ -5,6 +5,38 @@ import org.apache.spark.sql.types._
 
 package object operators {
 
+  /** Deterministically release a checkpointed Dataset's storage.
+    * `Dataset.unpersist` is a NO-OP here — it only clears CacheManager
+    * entries, while `localCheckpoint` persists the underlying RDD
+    * directly (released otherwise only when the RDD is GC'd via
+    * ContextCleaner) — so unpersist the checkpointed RDD itself, reached
+    * through the plan's LogicalRDD leaf. Blocking, so a caller loop never
+    * races ahead of the block removal it relies on. For RELIABLE
+    * checkpoints (`Dataset.checkpoint`) the pinned state is files under
+    * the checkpoint dir, not blocks — those are deleted too (Spark's own
+    * `cleanCheckpoints` path is GC-driven and off by default).
+    *
+    * Call ONLY on frames that are fully superseded: a released
+    * checkpoint has truncated lineage, so any later action on it (or on
+    * a lazy plan built over it) fails with lost blocks. Every fixpoint
+    * loop here releases round N's frame only after round N+1's is
+    * eagerly materialized, and never releases the frame backing the
+    * returned plan. */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = true)
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val fs = p.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          if (!fs.delete(p, true) && fs.exists(p))
+            org.slf4j.LoggerFactory.getLogger("graft.operators").warn(
+              s"releaseCheckpoint: could not delete checkpoint files at $f")
+        }
+      case _ => ()
+    }
+
   /** Fail fast on the numeric-id contract shared by the blocked/aggregated
     * operators (bruteForceBlocked, TopKAggregator.topK, minhashPairs,
     * embeddingPairs): ids are carried as primitive longs in their hot

@@ -55,6 +55,66 @@ class ComponentsSpec extends SparkSpec {
     assert(st.edges === 63L) // fixpoint star: every non-root points at 0
   }
 
+  test("pinned checkpoints stay O(1) across the contraction rounds") {
+    // the 64-node chain runs several star-contraction rounds; every
+    // superseded round's edge checkpoint must be released (including the
+    // caller-built canonical input — statsFromCanonical takes ownership).
+    // Only the fixpoint round's checkpoint may remain: the returned
+    // assignment plan reads it.
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Components.connectedComponents(
+        chain.toDF("left_id", "right_id"), "left_id", "right_id")
+      .as[(Long, Long)].collect()
+    assert(got.length === 64)
+    val leaked = SpecUtil.leakedAfterRelease(spark, before, budget = 1)
+    assert(leaked.size <= 1,
+      s"connectedComponents left ${leaked.size} checkpoint RDD(s) pinned " +
+        s"(expected <= 1, the fixpoint edges): $leaked")
+  }
+
+  test("the adaptive local branch pins nothing after collect") {
+    // below the edge budget the result is built from driver rows — the
+    // canonical-edges checkpoint backs nothing and must be released
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Components.connectedComponentsAuto(
+        Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    val leaked = SpecUtil.leakedAfterRelease(spark, before, budget = 0)
+    assert(leaked.isEmpty,
+      s"local branch left ${leaked.size} checkpoint RDD(s) pinned: $leaked")
+  }
+
+  test("reliable mode deletes superseded rounds' checkpoint FILES") {
+    // with reliable checkpoints the pinned state is files under the
+    // checkpoint dir, not blocks — Spark's own cleanup is GC-driven and
+    // off by default, so releaseCheckpoint deletes them directly
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val chain = (0L until 63L).map(i => (i, i + 1))
+      val got = Components.connectedComponents(
+          chain.toDF("left_id", "right_id"), "left_id", "right_id",
+          reliable = true)
+        .as[(Long, Long)].collect().toMap
+      assert(got.size === 64 && got.values.toSet === Set(0L))
+      // rdd-* dirs remaining: the caller-built canonical input is
+      // released on first supersession, every superseded round too —
+      // only the fixpoint round's files may survive
+      val rddDirs = new java.io.File(dir).listFiles()
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.startsWith("rdd-"))
+      assert(rddDirs.length <= 1,
+        s"reliable loop left ${rddDirs.length} checkpoint dirs: " +
+          rddDirs.map(_.getName).mkString(", "))
+    } finally {
+      // no unset API for the checkpoint dir; leaving it set is harmless
+      // (nothing else in the suite uses reliable checkpoints)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("a star graph needs exactly one round to detect the fixpoint") {
     val st = Components.connectedComponentsStats(
       (1L to 20L).map(i => (0L, i)).toDF("left_id", "right_id"),

@@ -72,6 +72,23 @@ class KCoreSpec extends SparkSpec {
     assert(full.keySet === Set(20L, 21L, 22L))
   }
 
+  test("pinned checkpoints stay O(1) across a deep peel, not O(rounds)") {
+    // a 30-node path under k=2 peels one node off each end per round —
+    // ~15 rounds, each producing its own eager localCheckpoint. Every
+    // superseded round's edge copy must be released (Dataset.unpersist
+    // is a no-op on localCheckpoint — the release goes through the RDD);
+    // only the FINAL round's checkpoint may remain, since the returned
+    // degrees plan reads it.
+    val path = (0L until 30L).map(i => (i, i + 1))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = run(path, k = 2)
+    assert(got.isEmpty, "a path has no 2-core")
+    val leaked = SpecUtil.leakedAfterRelease(spark, before, budget = 1)
+    assert(leaked.size <= 1,
+      s"kCore left ${leaked.size} checkpoint RDD(s) pinned " +
+        s"(expected <= 1, the result-backing one): $leaked")
+  }
+
   test("invariants: min within-core degree >= k; result is maximal") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))

@@ -281,6 +281,21 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(bfs(noisy, 1L, 5) === bfs(g, 1L, 5))
   }
 
+  test("BFS: pinned checkpoints stay O(1) across a deep walk, not O(hops)") {
+    // a 25-node path from node 0 runs ~24 rounds, each checkpointing a
+    // new frontier AND a new unioned dist — every superseded copy must
+    // be released; only the final dist checkpoint may stay (the returned
+    // plan reads it)
+    val path = (0L until 25L).map(i => (i, i + 1))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = bfs(path, 0L, 40)
+    assert(got.size === 26 && got(25L) === 25)
+    val leaked = SpecUtil.leakedAfterRelease(spark, before, budget = 1)
+    assert(leaked.size <= 1,
+      s"bfsHops left ${leaked.size} checkpoint RDD(s) pinned " +
+        s"(expected <= 1, the result-backing dist): $leaked")
+  }
+
   test("BFS: isolated source yields empty; repartition-stable") {
     val g = Seq(1L -> 2L, 2L -> 3L)
     assert(bfs(g, 9L, 3) === Map.empty)

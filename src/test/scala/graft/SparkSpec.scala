@@ -21,6 +21,26 @@ object SparkSpec {
   val sf0001 = "/root/testdata/sf0.001"
 }
 
+object SpecUtil {
+  /** Persistent-RDD ids added since `before`, polled until at most
+    * `budget` remain (the operators release superseded frames with
+    * non-blocking unpersists in places — give the async removal a
+    * bounded window before declaring a leak) or ~3 s pass. */
+  def leakedAfterRelease(
+      spark: SparkSession,
+      before: collection.Set[Int],
+      budget: Int): collection.Set[Int] = {
+    var leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    var tries = 0
+    while (leaked.size > budget && tries < 30) {
+      Thread.sleep(100)
+      leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      tries += 1
+    }
+    leaked
+  }
+}
+
 trait SparkSpec extends AnyFunSuite {
   // stable identifier so `import spark.implicits._` works in suites
   final lazy val spark: SparkSession = SparkSpec.spark
