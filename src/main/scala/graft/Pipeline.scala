@@ -124,9 +124,11 @@ object Pipeline {
       case "textindex" :: docsPath :: idCol :: textCol :: indexDir :: Nil =>
         val docs = spark.read.parquet(docsPath)
         graft.operators.Retrieval.writeIndex(docs, idCol, textCol, indexDir)
-        // generation layout: postings live in batch dirs under data/
-        val n = spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$indexDir/data/postings").count()
+        // count ONLY the batches the live generation's manifest serves —
+        // a recursive lookup would also count orphans of crashed appends
+        // and superseded rebuilds, overstating the built index
+        val n = spark.read.parquet(graft.operators.Retrieval
+            .livePostingsPaths(spark, indexDir): _*).count()
         println(s"[pipeline] built text index: $n postings → $indexDir")
 
       case "textsearch" :: indexDir :: idCol :: rest if rest.nonEmpty =>
@@ -148,9 +150,11 @@ object Pipeline {
         val dupPk = df.groupBy(col(idCol)).count()
           .filter(col("count") > 1).count()
         // ALL null counts in ONE aggregation pass (a per-column filter
-        // job would scan the full table once per checked column)
+        // job would scan the full table once per checked column);
+        // count(when(...)), not sum(...): sum over a ZERO-ROW table is
+        // NULL and the getLong below would NPE on an empty parquet table
         val nullAggs = (idCol +: cols).map(c =>
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+          count(when(col(c).isNull, lit(1))).as(c))
         val nulls = df.agg(nullAggs.head, nullAggs.tail: _*).head()
         val checks = Seq(s"duplicate $idCol" -> dupPk,
           s"null $idCol" -> nulls.getLong(0)) ++

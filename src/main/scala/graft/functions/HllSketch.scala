@@ -29,7 +29,37 @@ object Hll {
   val P = 12 // 4096 registers, standard error ≈ 1.04/√m ≈ 1.6 %
   val M = 1 << P
 
-  def emptySketch(): Array[Byte] = new Array[Byte](M)
+  /** Sketch byte layout: `[version][register 0..M-1]` — M+1 bytes total.
+    * The leading version byte exists because the v1 format (bare M
+    * register bytes, register index = top 12 hash bits) was silently
+    * broken over the engine's portable hash (bit 63 permanently clear →
+    * estimates capped at m·ln 2 ≈ 2839): v2 moved the index to bits
+    * 62..51, which REASSIGNS every hash to a different register, so
+    * merging v1 and v2 register arrays would OR unrelated registers into
+    * meaningless values with no error. The version byte makes any
+    * persisted pre-fix sketch fail loudly in [[merge]]/[[estimate]]
+    * (v1 sketches are also distinguishable by length alone). */
+  val Version: Byte = 2
+  private val SketchLen = M + 1
+
+  def emptySketch(): Array[Byte] = {
+    val s = new Array[Byte](SketchLen)
+    s(0) = Version
+    s
+  }
+
+  private def requireV2(op: String, sk: Array[Byte]): Unit = {
+    if (sk.length == M) throw new IllegalArgumentException(
+      s"$op: v1 graft HLL sketch bytes ($M bytes, no version byte) — the " +
+        "v1 register indexing was broken over the portable hash and its " +
+        "registers do not line up with v2's; re-sketch the source data " +
+        "instead of merging stale bytes")
+    require(sk.length == SketchLen && sk(0) == Version,
+      s"$op: input is not a graft HLL v$Version sketch — expected " +
+        s"$SketchLen bytes starting with version $Version, got " +
+        s"${sk.length} bytes (feed only columns produced by " +
+        "hll_sketch/hll_merge)")
+  }
 
   def add(sketch: Array[Byte], hash: Long): Unit = {
     // register index from bits 62..51, NOT the top 12 bits: the engine's
@@ -40,18 +70,16 @@ object Hll {
     // bit costs full-range feeds (xxhash64) nothing: the index needs 12
     // uniform bits and the rank a geometric source, and bits 62..51 /
     // 50..0 supply both for every feed.
-    val idx = ((hash >>> 51) & (M - 1)).toInt
+    val idx = ((hash >>> 51) & (M - 1)).toInt + 1 // +1: version header
     val rest = hash << 13
     val rank = (if (rest == 0) 51 else java.lang.Long.numberOfLeadingZeros(rest)) + 1
     if (rank > sketch(idx)) sketch(idx) = rank.toByte
   }
 
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    require(b.length == M,
-      s"hll_merge: input is not a graft HLL sketch — expected $M register " +
-        s"bytes, got ${b.length} (feed only columns produced by hll_sketch/hll_merge)")
-    var i = 0
-    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    requireV2("hll_merge", b)
+    var i = 1
+    while (i < SketchLen) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
     a
   }
 
@@ -65,16 +93,13 @@ object Hll {
     * sequential float accumulation was ulp-sensitive to register order —
     * the one step that kept the estimate off the DuckDB hash gate. */
   def estimate(sketch: Array[Byte]): Long = {
-    require(sketch.length == M,
-      s"hll_estimate: input is not a graft HLL sketch — expected $M " +
-        s"register bytes, got ${sketch.length} (feed only columns " +
-        "produced by hll_sketch/hll_merge)")
+    requireV2("hll_estimate", sketch)
     val m = M.toDouble
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     var s = BigInt(0)
     var zeros = 0
-    var i = 0
-    while (i < M) {
+    var i = 1
+    while (i < SketchLen) {
       val r = sketch(i) & 0xff
       s += BigInt(1) << math.max(0, 53 - r)
       if (r == 0) zeros += 1

@@ -214,6 +214,10 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/gen-$next/stats")
     writeManifest(fs, path, next, Seq(next))
     publishLatest(fs, path, next)
+    // first generation over a legacy flat layout: the flat dirs are now
+    // dead — retire them so a later pointer loss can't silently revive
+    // the stale pre-migration index through the legacy fallback
+    if (next == 0L) retireFlatLayout(fs, path)
   }
 
   /** Stats row: the two doubles the score expression reads, plus the
@@ -252,7 +256,9 @@ object Retrieval {
              batches.map(k => s"$path/data/postings/batch-$k"): _*),
            s"$path/gen-$gen/df", s"$path/gen-$gen/stats", None)
         case None =>
-          // LEGACY flat layout (pre-generation): serve-only support
+          // LEGACY flat layout (pre-generation): serve-only support.
+          // Pointer-less generation dirs are damage, not legacy — refuse
+          refuseIfPointerlessGenerations(fs, path)
           assertNoTornAppend(spark, path)
           (spark.read.parquet(s"$path/postings"),
            s"$path/df", s"$path/stats", Some(s"$path/doclen"))
@@ -370,21 +376,43 @@ object Retrieval {
     publishLatest(fs, path, next)
   }
 
-  /** Janitor for a generation-versioned index: delete every generation
-    * dir below `_LATEST` and every data batch dir the live manifest does
-    * not reference (superseded rebuilds, orphans of crashed appends) —
-    * the mview old-version pruning, applied here. Safe concurrently with
-    * READERS that loaded `_LATEST` after the current generation
-    * published (time-travel readers of older generations lose their
-    * snapshot — that is the point of pruning); run it from the single
-    * maintainer, like [[appendToIndex]]. Returns the number of
-    * directories removed. */
-  def pruneIndex(spark: SparkSession, path: String): Int = {
+  /** Janitor for a generation-versioned index: delete superseded
+    * generation dirs and every data batch dir no RETAINED generation's
+    * manifest references (superseded rebuilds, orphans of crashed
+    * appends) — the mview old-version pruning, applied here.
+    *
+    * Retention grace (the Delta-VACUUM pattern): the newest
+    * `keepGenerations` published generations survive, so a reader that
+    * loaded `_LATEST` = N and is still mid-scan when the maintainer
+    * publishes N+1 and immediately prunes keeps its snapshot — with the
+    * default `keepGenerations = 2`, a reader is only ever broken if it
+    * lags a FULL publish-to-publish cycle behind (run the janitor less
+    * often than your slowest reader, or raise K). `keepGenerations = 1`
+    * restores the aggressive everything-but-live prune. Orphan gen dirs
+    * ABOVE the live pointer (a crashed append's debris) are always
+    * removed — they were never published, so no reader can hold them.
+    * Retired legacy flat dirs (`_retired-flat/`, see [[writeIndex]]) are
+    * removed for good. Run from the single maintainer, like
+    * [[appendToIndex]]. Returns the number of directories removed. */
+  def pruneIndex(
+      spark: SparkSession,
+      path: String,
+      keepGenerations: Int = 2): Int = {
+    require(keepGenerations >= 1,
+      s"pruneIndex: keepGenerations must be >= 1 (got $keepGenerations)")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = latestGen(fs, path).getOrElse(sys.error(
       s"pruneIndex: $path is not a generation-versioned index"))
-    val live = readManifest(fs, path, gen).toSet
+    val published = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("gen-"))
+        .flatMap(_.stripPrefix("gen-").toLongOption)
+        .filter(_ <= gen).sorted.reverse.toSeq
+    }
+    val keptGens = published.take(keepGenerations).toSet
+    val liveBatch = keptGens.flatMap(g => readManifest(fs, path, g))
     var removed = 0
     def pruneDir(parent: String, prefix: String, keep: String => Boolean): Unit = {
       val p = new org.apache.hadoop.fs.Path(parent)
@@ -396,11 +424,25 @@ object Retrieval {
         }
       }
     }
-    pruneDir(path, "gen-", _ == gen.toString)
-    val liveBatch = (s: String) => s.toLongOption.exists(live.contains)
-    pruneDir(s"$path/data/postings", "batch-", liveBatch)
-    pruneDir(s"$path/data/doclen", "batch-", liveBatch)
+    pruneDir(path, "gen-",
+      _.toLongOption.exists(keptGens.contains))
+    val keepBatch = (s: String) => s.toLongOption.exists(liveBatch.contains)
+    pruneDir(s"$path/data/postings", "batch-", keepBatch)
+    pruneDir(s"$path/data/doclen", "batch-", keepBatch)
+    val retired = new org.apache.hadoop.fs.Path(path, "_retired-flat")
+    if (fs.exists(retired)) { fs.delete(retired, true); removed += 1 }
     removed
+  }
+
+  /** The postings batch dirs the LIVE generation serves — the exact
+    * reader's view, for tooling (postings counts, size audits) that must
+    * not see orphans of crashed appends or superseded rebuilds. */
+  def livePostingsPaths(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = latestGen(fs, path).getOrElse(sys.error(
+      s"livePostingsPaths: $path is not a generation-versioned index"))
+    readManifest(fs, path, gen).map(k => s"$path/data/postings/batch-$k")
   }
 
   /** Crash-injection seam for the atomicity spec: appendToIndex raises
@@ -413,6 +455,53 @@ object Retrieval {
 
   private def latestPointer(path: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(path, "_LATEST")
+
+  /** Guard for the no-`_LATEST` reader path: generation dirs WITHOUT a
+    * pointer and WITHOUT a flat layout to fall back to mean the pointer
+    * is damaged (or a migration retired the flat dirs and the pointer
+    * was then lost) — refuse loudly rather than serving nothing or, on
+    * a layout whose flat dirs were left in place, silently serving the
+    * STALE pre-migration index. A flat layout alongside gen dirs is the
+    * one legitimate in-between: a first-generation rebuild in progress
+    * (or crashed before its publish) over a live legacy index — the
+    * legacy data is still the truth, so the fallback serves it. */
+  private def refuseIfPointerlessGenerations(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val hasGen = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("gen-"))
+    val hasFlat = fs.exists(new org.apache.hadoop.fs.Path(path, "postings"))
+    if (hasGen && !hasFlat) sys.error(
+      s"index at $path has generation dirs but no _LATEST pointer and " +
+        "no flat layout — the pointer is damaged or was deleted after " +
+        "migration. Refusing to guess a generation (serving an arbitrary " +
+        "one could return stale scores); restore _LATEST (one line: the " +
+        "live generation number) or rebuild with writeIndex.")
+  }
+
+  /** After the FIRST generation publishes over a legacy flat layout,
+    * move the flat dirs out of the reader probe paths (into
+    * `_retired-flat/`, removed for good by [[pruneIndex]]): left in
+    * place, a later pointer loss would silently serve the stale
+    * pre-migration index through the legacy fallback. Runs strictly
+    * AFTER the `_LATEST` publish, so a crash anywhere in here leaves a
+    * fully served generation layout plus dead flat dirs — never a torn
+    * read. */
+  private def retireFlatLayout(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val retired = new org.apache.hadoop.fs.Path(path, "_retired-flat")
+    Seq("postings", "doclen", "df", "stats").foreach { d =>
+      val src = new org.apache.hadoop.fs.Path(path, d)
+      if (fs.exists(src)) {
+        fs.mkdirs(retired)
+        val dst = new org.apache.hadoop.fs.Path(retired, d)
+        fs.delete(dst, true) // a crashed earlier retirement's partial copy
+        require(fs.rename(src, dst),
+          s"Retrieval: cannot retire legacy dir $src -> $dst")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_APPEND_INPROGRESS"), false)
+  }
 
   /** Live generation number, if `path` is a generation-versioned layout. */
   private def latestGen(fs: org.apache.hadoop.fs.FileSystem,
@@ -428,18 +517,22 @@ object Retrieval {
     }
   }
 
-  /** Swing `_LATEST` to `gen` — write-temp-then-rename, NOT
-    * `create(p, true)`: an in-place overwrite truncates the LIVE pointer
-    * the moment create() opens it (the `mviewMaintain` discipline). */
+  /** Swing `_LATEST` to `gen` — write-temp-then-ATOMIC-OVERWRITE-rename.
+    * Not `create(p, true)`: an in-place overwrite truncates the LIVE
+    * pointer the moment create() opens it. And not delete-then-rename:
+    * that leaves a window with NO pointer at all, in which a crash or a
+    * concurrent reader sees a pointer-less layout — a refusal at best,
+    * a silent fallback to retired flat dirs at worst.
+    * `FileContext.rename(OVERWRITE)` replaces the pointer in one step. */
   private def publishLatest(fs: org.apache.hadoop.fs.FileSystem,
       path: String, gen: Long): Unit = {
-    val p = latestPointer(path)
-    val tmp = new org.apache.hadoop.fs.Path(path, s"._LATEST.tmp-$gen")
+    val p = fs.makeQualified(latestPointer(path))
+    val tmp = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(path, s"._LATEST.tmp-$gen"))
     val out = fs.create(tmp, true)
     try out.write(s"$gen".getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p),
-      s"Retrieval: cannot publish pointer $tmp -> $p")
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
@@ -496,6 +589,7 @@ object Retrieval {
     val (dfPath, statsPath) = latestGen(fs, path) match {
       case Some(gen) => (s"$path/gen-$gen/df", s"$path/gen-$gen/stats")
       case None =>
+        refuseIfPointerlessGenerations(fs, path)
         assertNoTornAppend(spark, path)
         (s"$path/df", s"$path/stats")
     }

@@ -36,11 +36,24 @@ object Salting {
     // re-enumerates ids in a different order, rows land in different
     // (key, salt) groups than the first attempt, and phase 2 merges
     // partials from BOTH attempts — silently double-counted sums.
-    // Hashing all columns keeps identical rows on one salt (harmless for
-    // algebraic merges) while hot KEYS still spread across buckets
-    // through their varying payload columns.
+    // Hashing all HASHABLE columns keeps identical rows on one salt
+    // while hot KEYS still spread across buckets through their varying
+    // payload columns. Map-typed columns are excluded (xxhash64 fails
+    // analysis on them — maps have no canonical order to hash).
+    // LIMITATION, accepted: rows that are fully identical necessarily
+    // share a salt bucket — ANY deterministic content hash must send
+    // them together, and a positional/random salt is exactly the retry
+    // bug above. A hot key whose rows are exact duplicates therefore
+    // stays skewed; aggregate duplicates upstream (they collapse to a
+    // count) or carry a distinct discriminator column if that shape
+    // matters.
+    val hashable = df.schema.fields
+      .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
+    require(hashable.nonEmpty,
+      "saltedSumCount: every column is map-typed — nothing deterministic " +
+        "to salt on; add a non-map discriminator column")
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
+      pmod(xxhash64(hashable.toIndexedSeq: _*), lit(saltBuckets)))
     val phase1Aggs =
       sums.toSeq.map { case (c, n) => sum(c).as(s"__p_$n") } ++
         countName.map(n => count(lit(1)).as(s"__p_$n")).toSeq
@@ -54,4 +67,16 @@ object Salting {
       .groupBy(keys.map(col): _*)
       .agg(phase2Aggs.head, phase2Aggs.tail: _*)
   }
+
+  /** xxhash64 rejects MapType anywhere in a type (no canonical entry
+    * order) — detect it through structs and arrays. */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        containsMap(a.elementType)
+      case _ => false
+    }
 }

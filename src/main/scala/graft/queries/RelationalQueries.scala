@@ -450,10 +450,10 @@ object RelationalQueries {
       val hUdf = udf((x: String) => TextOps.portableTokenHash64(x))
       val ckUdf = udf { (sk: Array[Byte]) =>
         var sum = 0L; var nz = 0L; var wsum = 0L
-        var i = 0
+        var i = 1 // byte 0 is the sketch-format version header
         while (i < sk.length) {
           val r = sk(i) & 0xff
-          sum += r; if (r > 0) nz += 1; wsum += (i + 1).toLong * r
+          sum += r; if (r > 0) nz += 1; wsum += i.toLong * r
           i += 1
         }
         (sum, nz, wsum)

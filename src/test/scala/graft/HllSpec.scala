@@ -62,6 +62,24 @@ class HllSpec extends SparkSpec {
     assert(got === 40L)
   }
 
+  test("v1 sketch bytes (pre-register-fix, no version header) are " +
+      "refused loudly, never merged into garbage") {
+    // the v1→v2 register-index move reassigned every hash to a different
+    // register — OR-merging v1 bytes would corrupt silently; the version
+    // header (and v1's distinct length) makes it a loud refusal instead
+    val v1 = new Array[Byte](Hll.M) // bare registers, no header
+    val e = intercept[IllegalArgumentException] { Hll.estimate(v1) }
+    assert(e.getMessage.contains("v1") && e.getMessage.contains("re-sketch"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Hll.merge(Hll.emptySketch(), v1)
+    }
+    assert(e2.getMessage.contains("v1"), e2.getMessage)
+    // and a current sketch carries the version marker
+    assert(Hll.emptySketch().length === Hll.M + 1)
+    assert(Hll.emptySketch()(0) === Hll.Version)
+  }
+
   test("hll_merge rejects non-sketch binary with a descriptive error") {
     val junk = Seq(Array[Byte](1, 2, 3)).toDF("sk")
     val e = intercept[Exception] {

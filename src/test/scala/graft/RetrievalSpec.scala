@@ -183,7 +183,8 @@ class RetrievalSpec extends SparkSpec {
     val terms = qTerms.as[String].collect().toSeq
     val before = Retrieval.searchIndex(spark, p, "doc_id", terms)
       .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
-    val removed = Retrieval.pruneIndex(spark, p)
+    // keepGenerations = 1: the aggressive everything-but-live prune
+    val removed = Retrieval.pruneIndex(spark, p, keepGenerations = 1)
     // superseded gen-0/gen-1 dirs + gen-0's batch-0 postings/doclen (the
     // rebuild's batch-1 is referenced by the live manifest, the crashed
     // attempt's gen-2 dirs were overwritten by the retry)
@@ -194,7 +195,85 @@ class RetrievalSpec extends SparkSpec {
       .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
     assert(after.toSeq === before.toSeq)
     // idempotent: a second prune removes nothing
-    assert(Retrieval.pruneIndex(spark, p) === 0)
+    assert(Retrieval.pruneIndex(spark, p, keepGenerations = 1) === 0)
+  }
+
+  test("retention grace: a reader mid-scan on gen N survives " +
+      "publish(N+1) + prune with the default keepGenerations = 2") {
+    val p = java.nio.file.Files.createTempDirectory("retr-idx-grace").toString
+    val half1 = docs.filter($"doc_id" % 2 === 1)
+    val half2 = docs.filter($"doc_id" % 2 === 0)
+    Retrieval.writeIndex(half1, "doc_id", "text", p)   // gen 0
+    val terms = qTerms.as[String].collect().toSeq
+    // the reader: a plan HOLDING gen-0's concrete paths, collected once
+    // now and once after the publish+prune race it must survive
+    val held = Retrieval.searchIndex(spark, p, "doc_id", terms)
+      .select("doc_id", "bm25")
+    val snapshot = held.as[(Long, Double)].collect().sortBy(_._1)
+    Retrieval.appendToIndex(half2, "doc_id", "text", p) // gen 1 (live)
+    assert(Retrieval.pruneIndex(spark, p) === 0,
+      "with K=2 and two generations, nothing is prunable")
+    val again = held.as[(Long, Double)].collect().sortBy(_._1)
+    assert(again.toSeq === snapshot.toSeq,
+      "the gen-0 reader's snapshot changed under publish+prune")
+    // and a THIRD generation pushes gen 0 out of the retention window
+    Retrieval.appendToIndex(docs.limit(1), "doc_id", "text", p) // gen 2
+    assert(Retrieval.pruneIndex(spark, p) >= 1)
+    val dirs = new java.io.File(p).listFiles().map(_.getName).toSet
+    assert(!dirs.contains("gen-0") && dirs.contains("gen-1") &&
+      dirs.contains("gen-2"), dirs)
+  }
+
+  test("migration retires the flat layout; a lost pointer then refuses " +
+      "instead of silently serving the stale legacy index") {
+    val p = java.nio.file.Files.createTempDirectory("retr-idx-migrate").toString
+    // legacy flat index over HALF the corpus — the stale data a lost
+    // pointer must never silently revive
+    val half1 = docs.filter($"doc_id" % 2 === 1)
+    val t = half1.select($"doc_id", explode(split($"text", " ")).as("term"))
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("__dl"))
+    t.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .write.parquet(s"$p/postings")
+    t.groupBy("term").agg(countDistinct($"doc_id").as("df"))
+      .write.parquet(s"$p/df")
+    dl.write.parquet(s"$p/doclen")
+    dl.agg(
+        count(lit(1)).cast("double").as("__n"),
+        (sum($"__dl").cast("double") / count(lit(1))).as("__avgdl"))
+      .write.parquet(s"$p/stats")
+    // migrate: first generation over the legacy layout, FULL corpus
+    Retrieval.writeIndex(docs, "doc_id", "text", p)
+    val terms = qTerms.as[String].collect().toSeq
+    val got = Retrieval.searchIndex(spark, p, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    val full = Retrieval.searchIndex(spark, indexPath, "doc_id", terms)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === full.toSeq)
+    val dirs = new java.io.File(p).listFiles().map(_.getName).toSet
+    assert(!dirs.contains("postings") && dirs.contains("_retired-flat"),
+      s"flat dirs not retired: $dirs")
+    // pointer lost after migration: refuse loudly — the legacy fallback
+    // (which would serve half1's STALE scores) must not fire
+    new java.io.File(p, "_LATEST").delete()
+    val e = intercept[RuntimeException] {
+      Retrieval.searchIndex(spark, p, "doc_id", terms).collect()
+    }
+    assert(e.getMessage.contains("no _LATEST pointer"), e.getMessage)
+    val e2 = intercept[RuntimeException] {
+      Retrieval.loadProfile(spark, p, terms)
+    }
+    assert(e2.getMessage.contains("no _LATEST pointer"), e2.getMessage)
+  }
+
+  test("pruneIndex removes retired flat dirs for good") {
+    val p = java.nio.file.Files.createTempDirectory("retr-idx-retire").toString
+    docs.limit(3).select($"doc_id", lit(1L).as("tf"),
+        explode(split($"text", " ")).as("term"))
+      .write.parquet(s"$p/postings") // any flat debris
+    Retrieval.writeIndex(docs, "doc_id", "text", p)
+    assert(new java.io.File(p, "_retired-flat").exists())
+    assert(Retrieval.pruneIndex(spark, p) >= 1)
+    assert(!new java.io.File(p, "_retired-flat").exists())
   }
 
   test("rebuild over a live index supersedes it atomically") {

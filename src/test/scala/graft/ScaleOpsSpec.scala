@@ -31,6 +31,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("map-typed payload columns don't break the salt (excluded from " +
+      "the content hash); all-map payloads refused") {
+    // xxhash64 fails analysis on MapType — the salt hashes only the
+    // hashable columns, so a map payload rides along untouched
+    val df = Seq(
+      ("a", 1L, Map("k" -> 1)), ("a", 2L, Map("k" -> 2)),
+      ("b", 3L, Map("x" -> 9)))
+      .toDF("key", "v", "props")
+    val got = Salting.saltedSumCount(df, Seq("key"), 4,
+        Map(col("v") -> "sv"), Some("n"))
+      .orderBy("key").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 3L, 2L), ("b", 3L, 1L)))
+    // nothing hashable at all → loud refusal, not an analysis error
+    val allMap = Seq((Map("k" -> 1), 1L)).toDF("m", "v")
+      .select($"m", map($"v".cast("string"), $"v").as("v2"))
+    val e = intercept[IllegalArgumentException] {
+      Salting.saltedSumCount(allMap, Seq("m"), 4, Map(col("v2") -> "s"))
+    }
+    assert(e.getMessage.contains("map-typed"), e.getMessage)
+  }
+
   test("contrastive negatives: explicit null-label policy, NaN scores " +
       "never claim ranks") {
     import graft.operators.Contrastive
