@@ -188,6 +188,9 @@ object Bench {
       catch { case _: Throwable => -1L }
     }
     val samples = collection.mutable.Map.empty[String, Vector[Double]]
+    // index of the last anchor sample taken BEFORE each timed sample —
+    // pairs every (query, trial) with the ambient measured around it
+    val anchorIdxOf = collection.mutable.Map.empty[String, Vector[Int]]
     val shuffleMb = collection.mutable.Map.empty[String, Double]
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
@@ -206,6 +209,8 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+      anchorIdxOf(name) = anchorIdxOf.getOrElse(name, Vector.empty) :+
+        (anchorCpuMtSamples.size - 1)
       if (trial == 1) {
         drainListenerBus(spark)
         shuffleMb(name) = math.rint((tally.bytes - before) / 1e6 * 100) / 100
@@ -252,6 +257,19 @@ object Bench {
     val aCpuMtIqr = r(if (aCpuMt > 0)
       (quantile(anchorCpuMt, 0.75) - quantile(anchorCpuMt, 0.25)) / aCpuMt
       else 0.0)
+    // per-query MICRO-anchor normalization (r15 verdict #3 — structural):
+    // the run-median anchor rescales the whole total by one number, so a
+    // mid-run ambient shift under-corrects exactly the queries it slowed
+    // and the graded total still swings on WHEN the host was busy. Here
+    // every timed sample is divided by the ambient measured AROUND it
+    // (mean of the interleaved anchor just before and just after), the
+    // per-query median is taken over those unitless ratios, and the sum
+    // is scaled back by the fixed base anchor — so a shift rescales only
+    // the samples it actually touched. total_vs_base_mt stays for
+    // cross-round comparability with r12-r15 artifacts.
+    val medMicro = names.map { n =>
+      n -> median(microNormalized(samples(n), anchorIdxOf(n), anchorCpuMt))
+    }.toMap
     // Diagnostics line (full-precision medians, spread per query,
     // machine-noise anchors): its own JSON line so the PRIMARY line below
     // stays compact.
@@ -316,7 +334,8 @@ object Bench {
         s""","anchor_cpu_base":$base,"total_vs_base":${r2(total * base / aCpu)}"""
       else "") +
       (if (aCpuMt > 0)
-        s""","anchor_cpu_mt_base":$baseMt,"total_vs_base_mt":${r2(total * baseMt / aCpuMt)}"""
+        s""","anchor_cpu_mt_base":$baseMt,"total_vs_base_mt":${r2(total * baseMt / aCpuMt)}""" +
+          s""","total_vs_base_mt_pq":${r2(medMicro.values.sum * baseMt)}"""
       else "")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
@@ -329,6 +348,21 @@ object Bench {
     catch { case _: Throwable => () } // emission must never kill the bench
     println(primaryLine(names, med, total, sfName))
   }
+
+  /** Per-sample micro-anchor normalization (pure, spec-tested): sample i
+    * was timed after anchor sample `anchorIdx(i)` and before (if one
+    * exists) `anchorIdx(i) + 1` — its ambient estimate is the mean of
+    * the two, and the returned value is the unitless dt/ambient ratio
+    * (scale by the fixed base anchor to get comparable seconds). */
+  def microNormalized(dts: Vector[Double], anchorIdx: Vector[Int],
+      anchors: Vector[Double]): Vector[Double] =
+    dts.zip(anchorIdx).map { case (dt, k) =>
+      val kk = math.min(math.max(k, 0), anchors.size - 1)
+      val est =
+        if (kk + 1 < anchors.size) (anchors(kk) + anchors(kk + 1)) / 2
+        else anchors(kk)
+      if (est > 0) dt / est else 0.0
+    }
 
   /** The bounded primary contract line (pure, spec-tested). Tries the full
     * per-query map at 2 then 1 decimals; if still over `budget`, keeps the

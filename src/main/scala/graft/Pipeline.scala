@@ -16,6 +16,7 @@ import graft.operators.AnnIvf
   * runMain graft.Pipeline corpus <docsParquet> <idCol> <textCol> <langCol> <outDir> [evalParquet]
   * runMain graft.Pipeline textindex  <docsParquet> <idCol> <textCol> <indexDir>
   * runMain graft.Pipeline textsearch <indexDir> <idCol> <term> [term ...]
+  * runMain graft.Pipeline textprune  <indexDir> [keepGenerations]
   * }}}
   *
   * `partitions` is the reference's shard-subset spec (`"1,2,5-10"`) —
@@ -140,6 +141,14 @@ object Pipeline {
           hits.show(20, truncate = false)
           println(s"[pipeline] ${hits.count()} results for terms $rest")
         } finally hits.unpersist()
+
+      // janitor for a textindex layout: drop superseded generations and
+      // orphan batches outside the retention window (single maintainer)
+      case "textprune" :: indexDir :: rest if rest.length <= 1 =>
+        val keep = rest.headOption.map(_.toInt).getOrElse(2)
+        val removed = graft.operators.Retrieval.pruneIndex(spark, indexDir, keep)
+        println(s"[pipeline] pruned $removed superseded dir(s) from " +
+          s"$indexDir (keeping $keep generation(s))")
 
       // dbt-style data-quality audit on any parquet table: PK
       // uniqueness/nullability plus per-column null counts — one

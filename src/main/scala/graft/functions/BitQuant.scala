@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -75,19 +75,30 @@ case class HammingPacked(left: Expression, right: Expression) extends BinaryExpr
 
 object BitQuant {
 
-  /** Sign-bit packing: bit i of word w is set iff v(64·w + i) > 0. */
+  /** Sign-bit packing: bit i of word w is set iff v(64·w + i) > 0.
+    * NULL elements are refused (getFloat would silently read them as 0f
+    * and launder a corrupt vector into a valid-looking signature — the
+    * L2NormalizeFP32 contract); NaN packs as 0 deterministically
+    * (NaN > 0f is false). Output is a primitive-backed UnsafeArrayData:
+    * the coarse Hamming scan reads these words per candidate row, and a
+    * boxed array would allocate on every read. */
   def pack(a: ArrayData): ArrayData = {
     val n = a.numElements()
-    val words = new Array[Any]((n + 63) >>> 6)
+    val words = new Array[Long]((n + 63) >>> 6)
     var w = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"PackSignBits: vector element $i is NULL — binary-quantizing it " +
+          "would silently treat the vector as valid; filter or repair " +
+          "null-element vectors first")
       if (a.getFloat(i) > 0f) w |= 1L << (i & 63)
       if ((i & 63) == 63) { words(i >>> 6) = w; w = 0L }
       i += 1
     }
     if ((n & 63) != 0) words(n >>> 6) = w
-    new GenericArrayData(words)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(words)
   }
 
   /** Σ POPCNT(aᵢ XOR bᵢ); lengths must match ([[HammingPacked]] contract). */

@@ -1,11 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types._
 
 /** 64-bit Hilbert-curve index of two integer keys — the locality-tighter
   * sibling of [[ZOrder64]] (docs/NEXT.md #4): consecutive curve positions
@@ -22,33 +19,13 @@ import org.apache.spark.sql.types._
   * frame. Aligned 2ᵏ×2ᵏ blocks occupy CONTIGUOUS index ranges of length
   * 4ᵏ — the property the layout spec asserts. */
 case class Hilbert64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends IntegralPairExpression {
 
-  override def dataType: DataType = LongType
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case LongType | IntegerType | ShortType | ByteType => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"hilbert64 needs two integral columns, got ${left.dataType.sql}, ${right.dataType.sql}")
-  }
-
-  private def asLong(v: Any): Long = v match {
-    case l: Long => l
-    case i: Int => i.toLong
-    case s: Short => s.toLong
-    case b: Byte => b.toLong
-  }
-
-  override def nullSafeEval(l: Any, r: Any): Any =
-    Hilbert64.index(asLong(l), asLong(r))
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.Hilbert64.index((long)$a, (long)$b);")
+  override protected def prettyFn: String = "hilbert64"
+  override protected def compute(a: Long, b: Long): Long =
+    Hilbert64.index(a, b)
+  override protected def staticCall: String =
+    "graft.functions.Hilbert64.index"
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Hilbert64 =

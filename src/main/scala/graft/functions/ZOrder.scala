@@ -1,11 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types._
 
 /** 64-bit Morton (Z-order) interleave of two integer keys — the
   * multi-column clustering primitive: sorting a table by `z(a, b)` before
@@ -21,33 +18,13 @@ import org.apache.spark.sql.types._
   * unsigned bit patterns.
   */
 case class ZOrder64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends IntegralPairExpression {
 
-  override def dataType: DataType = LongType
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case LongType | IntegerType | ShortType | ByteType => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"zorder64 needs two integral columns, got ${left.dataType.sql}, ${right.dataType.sql}")
-  }
-
-  private def asLong(v: Any): Long = v match {
-    case l: Long => l
-    case i: Int => i.toLong
-    case s: Short => s.toLong
-    case b: Byte => b.toLong
-  }
-
-  override def nullSafeEval(l: Any, r: Any): Any =
-    ZOrder64.interleave(asLong(l), asLong(r))
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.ZOrder64.interleave((long)$a, (long)$b);")
+  override protected def prettyFn: String = "zorder64"
+  override protected def compute(a: Long, b: Long): Long =
+    ZOrder64.interleave(a, b)
+  override protected def staticCall: String =
+    "graft.functions.ZOrder64.interleave"
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ZOrder64 =

@@ -525,15 +525,8 @@ object Retrieval {
     * a silent fallback to retired flat dirs at worst.
     * `FileContext.rename(OVERWRITE)` replaces the pointer in one step. */
   private def publishLatest(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, gen: Long): Unit = {
-    val p = fs.makeQualified(latestPointer(path))
-    val tmp = fs.makeQualified(
-      new org.apache.hadoop.fs.Path(path, s"._LATEST.tmp-$gen"))
-    val out = fs.create(tmp, true)
-    try out.write(s"$gen".getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      path: String, gen: Long): Unit =
+    publishPointerAtomic(fs, path, "_LATEST", s"._LATEST.tmp-$gen", s"$gen")
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       path: String, gen: Long, batches: Seq[Long]): Unit = {

@@ -37,6 +37,27 @@ package object operators {
       case _ => ()
     }
 
+  /** Publish a small control file (a `_LATEST` pointer) by temp-write +
+    * ATOMIC OVERWRITE rename. Not `create(dst, true)`: an in-place
+    * overwrite truncates the LIVE file the moment create() opens it. And
+    * not delete-then-rename: that leaves a window with NO file at all, in
+    * which a crash makes readers see a fresh/legacy layout and silently
+    * reset or mis-serve (the exact failure the pointer exists to
+    * prevent). `FileContext.rename(OVERWRITE)` replaces in one step. */
+  private[graft] def publishPointerAtomic(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      name: String,
+      tmpName: String,
+      content: String): Unit = {
+    val dst = fs.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
+    val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(dir, tmpName))
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, fs.getConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Fail fast on the numeric-id contract shared by the blocked/aggregated
     * operators (bruteForceBlocked, TopKAggregator.topK, minhashPairs,
     * embeddingPairs): ids are carried as primitive longs in their hot

@@ -526,8 +526,21 @@ object EventStreams {
       new java.net.URI(statePath),
       spark.sessionState.newHadoopConf())
     val p = new org.apache.hadoop.fs.Path(statePath, "_LATEST")
-    if (!fs.exists(p)) None
-    else {
+    if (!fs.exists(p)) {
+      // no pointer + existing state versions = a damaged dir, not a
+      // fresh one — treating it as fresh would fold the next batch into
+      // nothing and overwrite v0 (silent loss of the maintained state)
+      val base = new org.apache.hadoop.fs.Path(statePath)
+      val hasVersions = fs.exists(base) && fs.listStatus(base)
+        .exists(st => st.getPath.getName.startsWith("v") &&
+          st.getPath.getName.drop(1).forall(_.isDigit))
+      if (hasVersions) sys.error(
+        s"mview state at $statePath has version dirs but no _LATEST " +
+          "pointer — refusing to treat it as fresh (that would reset the " +
+          "maintained aggregate); restore _LATEST (3 lines: seq, batch " +
+          "id, run key) or move the old versions away")
+      None
+    } else {
       val in = fs.open(p)
       val raw =
         try new String(
@@ -546,18 +559,15 @@ object EventStreams {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(statePath),
       spark.sessionState.newHadoopConf())
-    val p = new org.apache.hadoop.fs.Path(statePath, "_LATEST")
-    // write-temp-then-rename, NOT create(p, true): an in-place overwrite
-    // truncates the LIVE pointer the moment create() opens it, so a crash
-    // before close() (or a torn concurrent read) destroys the
-    // exactly-once commit record this machinery exists to keep — the
-    // same staged-publish discipline as compact/rebalance/writeShards
-    val tmp = new org.apache.hadoop.fs.Path(statePath, s"._LATEST.tmp-$seq")
-    val out = fs.create(tmp, true)
-    try out.write(s"$seq\n$id\n$runKey".getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p),
-      s"mviewMaintain: cannot publish pointer $tmp -> $p")
+    // ATOMIC overwrite publish (shared with Retrieval's generation
+    // pointer): the previous delete-then-rename left a window with NO
+    // pointer — a crash there made the next run read `last = None`,
+    // fold its batch as a FRESH state, and overwrite v0: silent loss of
+    // the entire maintained aggregate. There is no window now, and
+    // mviewPointer additionally refuses a pointer-less dir that holds
+    // state versions (damage, not freshness).
+    graft.operators.publishPointerAtomic(
+      fs, statePath, "_LATEST", s"._LATEST.tmp-$seq", s"$seq\n$id\n$runKey")
   }
 
   /** Micro-batch ANN SERVING: a stream of query vectors answered against

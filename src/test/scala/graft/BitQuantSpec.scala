@@ -32,6 +32,29 @@ class BitQuantSpec extends SparkSpec {
     assert(viaSpark(Seq(0f, 1f), Seq(1f, 1f)) === 1)
   }
 
+  test("a NULL vector element is refused at pack time, not laundered " +
+      "into a 0-bit") {
+    // getFloat on a null slot reads 0f — a corrupt vector would pack
+    // into a valid-looking signature and quietly join the candidate scan
+    val df = Seq(Tuple1(Seq(Some(1f), None, Some(-1f)))).toDF("v")
+    val e = intercept[Exception] {
+      df.select(BitQuant.packCol(col("v"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("element 1 is NULL")),
+      msgs(e).mkString(" | "))
+  }
+
+  test("packed words are primitive-backed (no boxed reads in the scan)") {
+    val arr = graft.functions.BitQuant.pack(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(1f, -1f, 1f)))
+    assert(arr.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData])
+    assert(arr.toLongArray().toSeq === Seq(5L))
+  }
+
   test("packed Hamming equals positional sign-disagreement count across dims") {
     val rnd = new scala.util.Random(13)
     for (dim <- Seq(1, 7, 63, 64, 65, 128, 200)) {

@@ -697,5 +697,13 @@ class StreamingSpec extends SparkSpec {
       .awaitTermination(120000)
     assert(state === Mview.result(Mview.init(batchEvents, keys, "value"), keys)
       .orderBy("event_type").collect().toSeq)
+    // a LOST pointer over existing versions is damage, not freshness:
+    // treating it as fresh would fold the next batch into nothing and
+    // overwrite v0 — the maintained aggregate silently reset. Refuse.
+    new java.io.File(statePath, "_LATEST").delete()
+    val e = intercept[RuntimeException] {
+      EventStreams.mviewState(spark, statePath)
+    }
+    assert(e.getMessage.contains("no _LATEST"), e.getMessage)
   }
 }
