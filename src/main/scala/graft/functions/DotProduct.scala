@@ -22,9 +22,12 @@ import org.apache.spark.sql.types._
   * this is one allocation-free fused loop, ~3-4× faster on the
   * brute-force KNN bench.
   *
-  * Length mismatch → the shorter prefix (same as `zip_with`'s null-pad
-  * would yield NaN; we choose the defensive prefix, and engine call sites
-  * guarantee equal dims anyway — A3 dim check).
+  * Length mismatch → LOUD IllegalArgumentException, matching the integer
+  * twin ([[DotProductInt]]) and the engine-wide posture (CentroidGemm,
+  * Mmr, L2NormalizeFP32): this is a registered SQL function (`graft_dot`),
+  * and a silent shorter-prefix product is a plausible-but-wrong score a
+  * user cannot detect. The check is once per CALL (two cached lengths),
+  * not per element — free next to the fused loop.
   */
 case class DotProductFP64(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -56,7 +59,11 @@ case class DotProductFP64(left: Expression, right: Expression)
 object DotProductFP64 {
   /** Strict sequential fp64 fold; static so generated code can call it. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"graft_dot: dimension mismatch ($n vs ${b.numElements()}) — a " +
+        "silent prefix product would be a plausible wrong score; fix the " +
+        "ragged vector upstream")
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }

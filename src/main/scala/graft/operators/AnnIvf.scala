@@ -263,6 +263,16 @@ object AnnIvf {
             val counts = new Array[Long](kk)
             it.grouped(CentroidGemm.BlockSize).foreach { block =>
               val b = block.length
+              // loud on ragged dims (the CentroidGemm posture): a
+              // truncated row would silently pull every centroid toward
+              // a partial vector — mis-trained routing with no error
+              var rv = 0
+              while (rv < b) {
+                require(block(rv).length == d,
+                  s"distributedKMeans: vector dim ${block(rv).length} != " +
+                    s"training dim $d — fix the ragged vector upstream")
+                rv += 1
+              }
               val best = new Array[Int](b)
               val bestS = Array.fill(b)(Double.NegativeInfinity)
               var c2 = 0
@@ -271,9 +281,8 @@ object AnnIvf {
                 var r = 0
                 while (r < b) {
                   val v = block(r)
-                  val n = math.min(d, v.length)
                   var s = 0.0; var i = 0
-                  while (i < n) { s += flat(off + i).toDouble * v(i).toDouble; i += 1 }
+                  while (i < d) { s += flat(off + i).toDouble * v(i).toDouble; i += 1 }
                   if (s > bestS(r)) { bestS(r) = s; best(r) = c2 }
                   r += 1
                 }
@@ -283,9 +292,8 @@ object AnnIvf {
               while (r < b) {
                 val v = block(r)
                 val off = best(r) * d
-                val n = math.min(d, v.length)
                 var i = 0
-                while (i < n) { sums(off + i) += v(i); i += 1 }
+                while (i < d) { sums(off + i) += v(i); i += 1 }
                 counts(best(r)) += 1
                 r += 1
               }
@@ -869,8 +877,11 @@ object AnnIvf {
       .groupBy(_._1).map { case (pid, rows) => pid -> rows.map(_._2.toArray) }
     val maxId = maxPidOf(index)
     def dot(a: Array[Float], b: Array[Float]): Double = {
+      require(a.length == b.length,
+        s"rebalance: sampled vector dims differ (${a.length} vs " +
+          s"${b.length}) — fix the ragged vector upstream")
       var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
+      val n = a.length
       while (i < n) { s += a(i).toDouble * b(i); i += 1 }
       s
     }

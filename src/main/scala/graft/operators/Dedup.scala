@@ -562,7 +562,14 @@ object Dedup {
           while (li < ls.length) {
             val (lid, lv) = ls(li)
             if (lid < rid) {
-              val n = math.min(lv.length, rv.length)
+              // loud on ragged dims (the CentroidGemm/graft_dot posture):
+              // a truncated prefix similarity would silently decide
+              // near-dup membership on partial vectors
+              if (lv.length != rv.length) throw new IllegalArgumentException(
+                s"embeddingPairs: vector dim mismatch ($lid has " +
+                  s"${lv.length}, $rid has ${rv.length}) — fix the ragged " +
+                  "vector upstream")
+              val n = lv.length
               var s = 0.0; var i = 0
               while (i < n) { s += lv(i).toDouble * rv(i).toDouble; i += 1 }
               if (s >= cut) out += ((lid, rid, s))

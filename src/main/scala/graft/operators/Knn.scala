@@ -111,8 +111,15 @@ object Knn {
           while (qi < qs.length) {
             val (qid, qv) = qs(qi)
             if (!(excludeSelf && id == qid)) {
+              // loud on ragged dims, like the plan path's graft_dot — a
+              // truncated prefix score would rank a corrupt vector
+              // plausibly instead of failing the scan
+              if (v.length != qv.length) throw new IllegalArgumentException(
+                s"bruteForceBlocked: candidate $id has dim ${v.length}, " +
+                  s"query $qid has dim ${qv.length} — fix the ragged " +
+                  "vector upstream")
               var s = 0.0; var i = 0
-              val n = math.min(v.length, qv.length)
+              val n = v.length
               while (i < n) { s += v(i).toDouble * qv(i).toDouble; i += 1 }
               tops(qi) = TopKAggregator.insert(tops(qi), (id, s), k)
             }

@@ -101,6 +101,20 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("fp64 dot refuses a dimension mismatch like its integer twin") {
+    // graft_dot is a registered SQL function; before this check it
+    // scored the shorter PREFIX — a plausible wrong similarity a user
+    // cannot detect (the posture already enforced by DotProductInt,
+    // CentroidGemm, Mmr, and L2NormalizeFP32)
+    val m = intercept[Throwable] {
+      Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+        .select(graft.functions.VectorOps.dot($"a", $"b")).collect()
+    }
+    val mc = Iterator.iterate(m)(_.getCause).takeWhile(_ != null).toSeq
+    assert(mc.exists(t => t.isInstanceOf[IllegalArgumentException] &&
+      t.getMessage.contains("dimension mismatch")), m.toString)
+  }
+
   test("cosine(v, v) = 1 for non-zero vectors") {
     val vecs = sample(vecGen, 40).filter(_.exists(_ != 0f))
     val got = vecs.map(v => (v, v)).toDF("a", "b")
