@@ -190,7 +190,12 @@ object Retrieval {
     val next = latestGen(fs, path).map(_ + 1L).getOrElse(0L)
     val toks = TextOps.tokens(col(textCol))
     val t = docs.select(col(idCol), explode(toks).as("term"))
+    // doclen is PERSISTED across the four write actions below: without
+    // it, the doclen write and the stats agg each re-run the full corpus
+    // tokenize + doc-grouping — at 100 TB that is two extra corpus
+    // passes for a table of |docs| rows that fits executor storage
     val dl = t.groupBy(idCol).agg(count(lit(1)).as("__dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // __dl DENORMALIZED into the postings rows (one int per posting, paid
     // once at build): a query then never touches the corpus-sized doclen
     // table — without it, every serving query joined its few-term
@@ -200,18 +205,26 @@ object Retrieval {
     // postings would otherwise land in ONE write task; the id tiebreak
     // lets sampling cut inside a heavy term while files stay
     // term-clustered for row-group min/max pushdown
-    t.groupBy("term", idCol).agg(count(lit(1)).as("tf"))
-      .join(dl, Seq(idCol))
-      .repartitionByRange(col("term"), col(idCol))
-      .sortWithinPartitions("term", idCol)
-      .write.mode("overwrite").parquet(s"$path/data/postings/batch-$next")
-    dl.write.mode("overwrite").parquet(s"$path/data/doclen/batch-$next")
-    t.groupBy("term").agg(countDistinct(col(idCol)).as("df"))
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$path/gen-$next/df")
-    dl.agg(statsCols.head, statsCols.tail: _*)
-      .write.mode("overwrite").parquet(s"$path/gen-$next/stats")
+    try {
+      t.groupBy("term", idCol).agg(count(lit(1)).as("tf"))
+        .join(dl, Seq(idCol))
+        .repartitionByRange(col("term"), col(idCol))
+        .sortWithinPartitions("term", idCol)
+        .write.mode("overwrite").parquet(s"$path/data/postings/batch-$next")
+      dl.write.mode("overwrite").parquet(s"$path/data/doclen/batch-$next")
+      // df from the JUST-WRITTEN postings, not a third corpus tokenize:
+      // postings hold exactly one row per (term, id), so rows-per-term IS
+      // countDistinct(id) — and the read-back touches only the term
+      // column of the term-sorted batch, columnar and tiny next to the
+      // corpus
+      spark.read.parquet(s"$path/data/postings/batch-$next")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$path/gen-$next/df")
+      dl.agg(statsCols.head, statsCols.tail: _*)
+        .write.mode("overwrite").parquet(s"$path/gen-$next/stats")
+    } finally dl.unpersist(blocking = false)
     writeManifest(fs, path, next, Seq(next))
     publishLatest(fs, path, next)
     // first generation over a legacy flat layout: the flat dirs are now
@@ -340,28 +353,38 @@ object Retrieval {
     // writeIndex/bm25 (and the oracle), so half-build + append equals a
     // full build exactly; __dl rides the delta postings exactly as in
     // writeIndex, and heavy terms split by the id range tiebreak
+    // persisted for the same reason as writeIndex's dl: the doclen write
+    // and the stats delta would otherwise each re-tokenize the new docs
     val dlDelta = t.groupBy(idCol).agg(count(lit(1)).as("__dl"))
-    t.groupBy("term", idCol).agg(count(lit(1)).as("tf"))
-      .join(dlDelta, Seq(idCol))
-      .repartitionByRange(col("term"), col(idCol))
-      .sortWithinPartitions("term", idCol)
-      .write.mode("overwrite").parquet(s"$path/data/postings/batch-$next")
-    maybeCrash(1)
-    dlDelta.write.mode("overwrite")
-      .parquet(s"$path/data/doclen/batch-$next")
-    maybeCrash(2)
-    spark.read.parquet(s"$path/gen-$gen/df")
-      .unionByName(t.groupBy("term").agg(countDistinct(col(idCol)).as("df")))
-      .groupBy("term").agg(sum(col("df")).as("df"))
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$path/gen-$next/df")
-    maybeCrash(3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val delta = try {
+      t.groupBy("term", idCol).agg(count(lit(1)).as("tf"))
+        .join(dlDelta, Seq(idCol))
+        .repartitionByRange(col("term"), col(idCol))
+        .sortWithinPartitions("term", idCol)
+        .write.mode("overwrite").parquet(s"$path/data/postings/batch-$next")
+      maybeCrash(1)
+      dlDelta.write.mode("overwrite")
+        .parquet(s"$path/data/doclen/batch-$next")
+      maybeCrash(2)
+      // delta df read back from the delta postings batch written in step
+      // 1 (one row per (term, id) — see writeIndex), not a second
+      // tokenize of the new docs
+      spark.read.parquet(s"$path/gen-$gen/df")
+        .unionByName(
+          spark.read.parquet(s"$path/data/postings/batch-$next")
+            .groupBy("term").agg(count(lit(1)).as("df")))
+        .groupBy("term").agg(sum(col("df")).as("df"))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$path/gen-$next/df")
+      maybeCrash(3)
+      dlDelta.agg(statsCols.head, statsCols.tail: _*)
+        .select("__ndocs", "__sumdl").head()
+    } finally dlDelta.unpersist(blocking = false)
     // stats: exact long counters merge old + delta in O(1); the double
     // columns re-derive from the longs, bit-equal to a rebuild's
     val old = spark.read.parquet(s"$path/gen-$gen/stats")
-      .select("__ndocs", "__sumdl").head()
-    val delta = dlDelta.agg(statsCols.head, statsCols.tail: _*)
       .select("__ndocs", "__sumdl").head()
     val (n, s) = (old.getLong(0) + delta.getLong(0),
       old.getLong(1) + delta.getLong(1))
