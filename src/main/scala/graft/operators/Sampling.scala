@@ -214,9 +214,19 @@ object Sampling {
     val denom = 1000003
     val u = (portableSplitBucket(keyCol, seed, denom) + lit(1L))
       .cast("double") / lit(denom.toDouble)
+    // NON-POSITIVE/NULL/NaN weights raise IN-PLAN (the prefixSum guard
+    // pattern): a null weight makes wkey null, and ascending sort puts
+    // nulls FIRST — the weightless row would silently WIN the top-k; a
+    // zero/negative weight flips or collapses the exponential key. The
+    // guard lives inside the ranked expression so pruning cannot drop it
+    // and it only fires on a row actually ranked.
+    val wd = weightCol.cast("double")
+    val wGuarded = when(wd.isNotNull && wd > 0.0, wd).otherwise(
+      raise_error(lit("weightedTopK: weight must be positive and " +
+        "non-null — a null weight would silently rank FIRST; filter or " +
+        "coalesce weights upstream")).cast("double"))
     capPerGroupRanked(
-      df.withColumn("wkey",
-        round(-log(u) / weightCol.cast("double"), 6)),
+      df.withColumn("wkey", round(-log(u) / wGuarded, 6)),
       strataCol, Seq(col("wkey"), keyCol), k)
   }
 

@@ -142,6 +142,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("weightedTopK: null / non-positive weights are refused in-plan, " +
+      "never silently ranked first") {
+    // a null weight makes wkey null, and ascending sort puts nulls
+    // FIRST — the weightless row would WIN the top-k with no error
+    def run(w: Any) = {
+      val df = Seq((1L, "x", Option(w).map(_.toString.toLong)),
+          (2L, "x", Some(10L))).toDF("doc_id", "lang", "w")
+      graft.operators.Sampling.weightedTopK(
+        df, "lang", $"doc_id", $"w", k = 2, seed = 11L).collect()
+    }
+    for (bad <- Seq(null, 0L, -5L)) {
+      val e = intercept[Exception] { run(bad) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("weightedTopK")),
+        s"weight=$bad: " + msgs(e).mkString(" | "))
+    }
+  }
+
   test("weightedTopK: raising a row's weight never worsens its selection key") {
     val base = Seq((1L, "x", 10L), (2L, "x", 10L), (3L, "x", 10L))
       .toDF("doc_id", "lang", "w")
