@@ -496,10 +496,12 @@ object Retrieval {
     val hasFlat = fs.exists(new org.apache.hadoop.fs.Path(path, "postings"))
     if (hasGen && !hasFlat) sys.error(
       s"index at $path has generation dirs but no _LATEST pointer and " +
-        "no flat layout — the pointer is damaged or was deleted after " +
-        "migration. Refusing to guess a generation (serving an arbitrary " +
-        "one could return stale scores); restore _LATEST (one line: the " +
-        "live generation number) or rebuild with writeIndex.")
+        "no flat layout — the pointer is damaged, was deleted after " +
+        "migration, or a FIRST build is still in progress (its publish " +
+        "is the last step). Refusing to guess a generation (serving an " +
+        "arbitrary one could return stale scores); wait for the build, " +
+        "restore _LATEST (one line: the live generation number), or " +
+        "rebuild with writeIndex.")
   }
 
   /** After the FIRST generation publishes over a legacy flat layout,
