@@ -77,6 +77,10 @@ object Hll {
   }
 
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    // BOTH operands: `a` is the aggregator's own buffer on every internal
+    // call today, but merge is public API — a v1 `a` must fail with the
+    // same descriptive re-sketch message, not an ArrayIndexOutOfBounds
+    requireV2("hll_merge", a)
     requireV2("hll_merge", b)
     var i = 1
     while (i < SketchLen) { if (b(i) > a(i)) a(i) = b(i); i += 1 }

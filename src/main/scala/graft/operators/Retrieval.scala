@@ -227,10 +227,14 @@ object Retrieval {
     } finally dl.unpersist(blocking = false)
     writeManifest(fs, path, next, Seq(next))
     publishLatest(fs, path, next)
-    // first generation over a legacy flat layout: the flat dirs are now
-    // dead — retire them so a later pointer loss can't silently revive
-    // the stale pre-migration index through the legacy fallback
-    if (next == 0L) retireFlatLayout(fs, path)
+    // flat dirs are dead once ANY generation is published — retire them
+    // so a later pointer loss can't silently revive the stale
+    // pre-migration index through the legacy fallback. Unconditional (4
+    // exists probes when there's nothing to do): a crash mid-retirement
+    // at gen 0 must not strand the remaining flat dirs forever — the
+    // first-generation-only call never retried, so doclen/df/stats
+    // residue accumulated as dead weight
+    retireFlatLayout(fs, path)
   }
 
   /** Stats row: the two doubles the score expression reads, plus the
@@ -415,14 +419,32 @@ object Retrieval {
     * ABOVE the live pointer (a crashed append's debris) are always
     * removed — they were never published, so no reader can hold them.
     * Retired legacy flat dirs (`_retired-flat/`, see [[writeIndex]]) are
-    * removed for good. Run from the single maintainer, like
-    * [[appendToIndex]]. Returns the number of directories removed. */
+    * removed for good — and stranded TOP-LEVEL flat dirs (a crash
+    * mid-retirement moved some but not all of them) are retired first,
+    * so legacy residue can never outlive the janitor: a generation
+    * layout being live (the `_LATEST` pointer this janitor requires)
+    * means every flat dir is definitionally dead. Run from the single
+    * maintainer, like [[appendToIndex]].
+    *
+    * `minAgeMs` is the AGE floor (Delta VACUUM's second knob): a
+    * generation whose publish is younger than the floor survives
+    * REGARDLESS of `keepGenerations` — the structural protection for a
+    * reader slower than a full publish-to-publish cycle, which the
+    * count-based knob documents but cannot cover (set it above the
+    * slowest reader's scan time). Age is measured from the generation's
+    * MANIFEST modification time — the last write before its publish.
+    * The default 0 keeps r16's count-only behavior.
+    *
+    * Returns the number of directories removed. */
   def pruneIndex(
       spark: SparkSession,
       path: String,
-      keepGenerations: Int = 2): Int = {
+      keepGenerations: Int = 2,
+      minAgeMs: Long = 0L): Int = {
     require(keepGenerations >= 1,
       s"pruneIndex: keepGenerations must be >= 1 (got $keepGenerations)")
+    require(minAgeMs >= 0L,
+      s"pruneIndex: minAgeMs must be >= 0 (got $minAgeMs)")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = latestGen(fs, path).getOrElse(sys.error(
@@ -434,7 +456,18 @@ object Retrieval {
         .flatMap(_.stripPrefix("gen-").toLongOption)
         .filter(_ <= gen).sorted.reverse.toSeq
     }
-    val keptGens = published.take(keepGenerations).toSet
+    // age floor applies only to PUBLISHED generations: orphan gens above
+    // the live pointer were never serveable, so no reader can hold them
+    // at any age
+    val now = System.currentTimeMillis()
+    val youngEnough: Long => Boolean = g =>
+      minAgeMs > 0L && {
+        val m = new org.apache.hadoop.fs.Path(s"$path/gen-$g", "MANIFEST")
+        try now - fs.getFileStatus(m).getModificationTime < minAgeMs
+        catch { case _: java.io.IOException => false } // no manifest, no age
+      }
+    val keptGens =
+      (published.take(keepGenerations) ++ published.filter(youngEnough)).toSet
     val liveBatch = keptGens.flatMap(g => readManifest(fs, path, g))
     var removed = 0
     def pruneDir(parent: String, prefix: String, keep: String => Boolean): Unit = {
@@ -452,6 +485,11 @@ object Retrieval {
     val keepBatch = (s: String) => s.toLongOption.exists(liveBatch.contains)
     pruneDir(s"$path/data/postings", "batch-", keepBatch)
     pruneDir(s"$path/data/doclen", "batch-", keepBatch)
+    // stranded flat residue (a crash mid-retirement moved postings but
+    // not doclen/df/stats): retire the leftovers into _retired-flat,
+    // then remove _retired-flat for good — safe here because this
+    // janitor required a live _LATEST above, so the flat layout is dead
+    retireFlatLayout(fs, path)
     val retired = new org.apache.hadoop.fs.Path(path, "_retired-flat")
     if (fs.exists(retired)) { fs.delete(retired, true); removed += 1 }
     removed
@@ -504,14 +542,22 @@ object Retrieval {
         "rebuild with writeIndex.")
   }
 
-  /** After the FIRST generation publishes over a legacy flat layout,
-    * move the flat dirs out of the reader probe paths (into
-    * `_retired-flat/`, removed for good by [[pruneIndex]]): left in
-    * place, a later pointer loss would silently serve the stale
-    * pre-migration index through the legacy fallback. Runs strictly
-    * AFTER the `_LATEST` publish, so a crash anywhere in here leaves a
-    * fully served generation layout plus dead flat dirs — never a torn
-    * read. */
+  /** Once any generation is published over a legacy flat layout, move
+    * the flat dirs out of the reader probe paths (into `_retired-flat/`,
+    * removed for good by [[pruneIndex]]): left in place, a later pointer
+    * loss would silently serve the stale pre-migration index through the
+    * legacy fallback. Runs strictly AFTER the `_LATEST` publish (every
+    * [[writeIndex]] publish, and again from [[pruneIndex]] so a crash
+    * mid-retirement cannot strand residue forever), so a crash anywhere
+    * in here leaves a fully served generation layout plus dead flat
+    * dirs — never a torn read.
+    *
+    * QUIET-WINDOW posture (one-time migration event, recorded in
+    * COVERAGE.md): a legacy reader that planned over `$path/postings`
+    * just before the first-generation publish has its files renamed out
+    * from under its scan — a LOUD missing-files failure, never a wrong
+    * answer. Same single-maintainer/quiet-window family as the janitor:
+    * migrate during a window with no live legacy readers. */
   private def retireFlatLayout(
       fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     val retired = new org.apache.hadoop.fs.Path(path, "_retired-flat")

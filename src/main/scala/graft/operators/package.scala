@@ -43,7 +43,19 @@ package object operators {
     * not delete-then-rename: that leaves a window with NO file at all, in
     * which a crash makes readers see a fresh/legacy layout and silently
     * reset or mis-serve (the exact failure the pointer exists to
-    * prevent). `FileContext.rename(OVERWRITE)` replaces in one step. */
+    * prevent). `FileContext.rename(OVERWRITE)` replaces in one step.
+    *
+    * FILESYSTEM CONTRACT: the one-step replacement is atomic only where
+    * the filesystem's rename is — HDFS, posix-local, ADLS Gen2 (abfs,
+    * hierarchical namespace). On object stores whose "rename" is
+    * copy+delete (s3a, s3n, swift, oss, cosn; gs without hierarchical
+    * namespace) the torn/pointer-less windows this helper exists to
+    * close RE-OPEN inside the connector's copy+delete. Every durable
+    * layout in the engine funnels through here, so the check is central:
+    * a known-non-atomic scheme logs one loud warning per scheme (not a
+    * refusal — the crash window is narrow and some deployments accept
+    * it), naming the mitigation: front the pointer with a rename-atomic
+    * store, or a manifest service. */
   private[graft] def publishPointerAtomic(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: String,
@@ -51,12 +63,43 @@ package object operators {
       tmpName: String,
       content: String): Unit = {
     val dst = fs.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
+    renameAtomicityWarning(dst.toUri.getScheme).foreach { msg =>
+      if (warnedSchemes.add(dst.toUri.getScheme))
+        org.slf4j.LoggerFactory.getLogger("graft.operators").warn(msg)
+    }
     val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(dir, tmpName))
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, fs.getConf)
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  /** URI schemes whose Hadoop connector implements rename as COPY+DELETE
+    * (never atomic). `gs` is listed too: the GCS connector is atomic only
+    * on hierarchical-namespace buckets, which the scheme alone cannot
+    * prove — the warning text says so. */
+  private val nonAtomicRenameSchemes =
+    Set("s3a", "s3n", "s3", "swift", "oss", "cosn", "wasb", "wasbs", "gs")
+  private val warnedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Pure probe (spec-tested): the warning for publishing a pointer on
+    * `scheme`, or None when rename is atomic there (hdfs, file, abfs —
+    * and a null scheme, the un-qualified local default). */
+  private[graft] def renameAtomicityWarning(scheme: String): Option[String] =
+    Option(scheme).map(_.toLowerCase(java.util.Locale.ROOT))
+      .filter(nonAtomicRenameSchemes.contains)
+      .map { s =>
+        s"publishPointerAtomic: filesystem scheme '$s' implements rename " +
+          "as copy+delete, NOT atomically" +
+          (if (s == "gs") " (unless the bucket has hierarchical namespace " +
+            "enabled, which this probe cannot see)" else "") +
+          " — the pointer-less/torn window the atomic publish exists to " +
+          "close re-opens inside the connector. A crash mid-publish can " +
+          "leave readers refusing (or, pre-migration, serving stale " +
+          "data). Host _LATEST pointers on a rename-atomic store (HDFS, " +
+          "posix, ADLS Gen2) or front them with a manifest service."
+      }
 
   /** Fail fast on the numeric-id contract shared by the blocked/aggregated
     * operators (bruteForceBlocked, TopKAggregator.topK, minhashPairs,

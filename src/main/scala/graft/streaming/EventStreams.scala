@@ -531,9 +531,15 @@ object EventStreams {
       // fresh one — treating it as fresh would fold the next batch into
       // nothing and overwrite v0 (silent loss of the maintained state)
       val base = new org.apache.hadoop.fs.Path(statePath)
+      // at least one digit required: drop(1).forall(_.isDigit) is
+      // vacuously true for a bare "v", so unrelated debris named "v"
+      // would make a genuinely fresh state dir refuse to initialize
       val hasVersions = fs.exists(base) && fs.listStatus(base)
-        .exists(st => st.getPath.getName.startsWith("v") &&
-          st.getPath.getName.drop(1).forall(_.isDigit))
+        .exists { st =>
+          val name = st.getPath.getName
+          name.length > 1 && name.startsWith("v") &&
+            name.drop(1).forall(_.isDigit)
+        }
       if (hasVersions) sys.error(
         s"mview state at $statePath has version dirs but no _LATEST " +
           "pointer — refusing to treat it as fresh (that would reset the " +

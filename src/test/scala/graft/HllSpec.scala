@@ -75,6 +75,15 @@ class HllSpec extends SparkSpec {
       Hll.merge(Hll.emptySketch(), v1)
     }
     assert(e2.getMessage.contains("v1"), e2.getMessage)
+    // BOTH operands are validated: a v1 LEFT operand (merge is public
+    // API, even though internal calls always pass the aggregator's own
+    // buffer) gets the same descriptive re-sketch message, never a raw
+    // ArrayIndexOutOfBoundsException at a(M)
+    val e3 = intercept[IllegalArgumentException] {
+      Hll.merge(v1, Hll.emptySketch())
+    }
+    assert(e3.getMessage.contains("v1") && e3.getMessage.contains("re-sketch"),
+      e3.getMessage)
     // and a current sketch carries the version marker
     assert(Hll.emptySketch().length === Hll.M + 1)
     assert(Hll.emptySketch()(0) === Hll.Version)

@@ -50,6 +50,25 @@ class RetrievalSpec extends SparkSpec {
     assert(served.toSeq === inline.toSeq)
   }
 
+  test("rename-atomicity probe: copy+delete object-store schemes warn, " +
+      "rename-atomic schemes do not") {
+    // every durable layout (BM25 _LATEST, mview _LATEST, WebDataset
+    // publish) funnels through publishPointerAtomic, whose atomicity is
+    // FILESYSTEM-conditional: object-store renames are copy+delete and
+    // re-open the torn window. The probe is the central guard.
+    import graft.operators.renameAtomicityWarning
+    for (s <- Seq("s3a", "s3n", "s3", "wasb", "wasbs", "swift", "oss",
+        "cosn", "gs", "S3A")) {
+      val w = renameAtomicityWarning(s)
+      assert(w.isDefined, s"scheme $s should warn")
+      assert(w.get.contains("copy+delete"), w.get)
+    }
+    // gs names the hierarchical-namespace nuance the scheme can't prove
+    assert(renameAtomicityWarning("gs").get.contains("hierarchical"))
+    for (s <- Seq("hdfs", "file", "abfs", "abfss", "viewfs", null))
+      assert(renameAtomicityWarning(s).isEmpty, s"scheme $s should not warn")
+  }
+
   test("serving scan pushes the term set into the postings parquet scan") {
     val p = Retrieval.searchIndex(spark, indexPath, "doc_id",
         Seq("the", "a", "spark"))
@@ -222,6 +241,62 @@ class RetrievalSpec extends SparkSpec {
     val dirs = new java.io.File(p).listFiles().map(_.getName).toSet
     assert(!dirs.contains("gen-0") && dirs.contains("gen-1") &&
       dirs.contains("gen-2"), dirs)
+  }
+
+  test("age floor: a generation inside minAgeMs survives a K-eviction " +
+      "that would otherwise remove it") {
+    val p = java.nio.file.Files.createTempDirectory("retr-idx-age").toString
+    val half1 = docs.filter($"doc_id" % 2 === 1)
+    val half2 = docs.filter($"doc_id" % 2 === 0)
+    Retrieval.writeIndex(half1, "doc_id", "text", p)            // gen 0
+    Retrieval.appendToIndex(half2, "doc_id", "text", p)         // gen 1
+    Retrieval.appendToIndex(docs.limit(1), "doc_id", "text", p) // gen 2
+    // all three generations published seconds ago: with a 1-hour age
+    // floor, even the aggressive K=1 prune must keep every one — the
+    // slower-than-a-publish-cycle reader's protection
+    assert(Retrieval.pruneIndex(spark, p, keepGenerations = 1,
+      minAgeMs = 3600L * 1000) === 0)
+    val dirs = new java.io.File(p).listFiles().map(_.getName).toSet
+    assert(dirs.contains("gen-0") && dirs.contains("gen-1") &&
+      dirs.contains("gen-2"), dirs)
+    // age the superseded generations' manifests past the floor: the same
+    // prune now evicts them (and the floor never protects the live gen)
+    for (g <- Seq(0, 1))
+      new java.io.File(s"$p/gen-$g", "MANIFEST")
+        .setLastModified(System.currentTimeMillis() - 7200L * 1000)
+    assert(Retrieval.pruneIndex(spark, p, keepGenerations = 1,
+      minAgeMs = 3600L * 1000) >= 2)
+    val after = new java.io.File(p).listFiles().map(_.getName).toSet
+    assert(!after.contains("gen-0") && !after.contains("gen-1") &&
+      after.contains("gen-2"), after)
+  }
+
+  test("stranded flat residue (crash mid-retirement) is cleaned by the " +
+      "next publish and by the janitor") {
+    val p = java.nio.file.Files.createTempDirectory("retr-idx-residue").toString
+    Retrieval.writeIndex(docs, "doc_id", "text", p) // gen 0, nothing to retire
+    // simulate a crashed retirement's leftovers: postings moved, the
+    // rest stranded at the top level (the ADVICE shape — the old
+    // first-generation-only retirement never retried them)
+    for (d <- Seq("doclen", "df", "stats")) {
+      val dir = new java.io.File(p, d)
+      dir.mkdirs()
+      java.nio.file.Files.write(dir.toPath.resolve("part-stale.parquet"),
+        Array[Byte](1, 2, 3))
+    }
+    // a subsequent rebuild (gen 1) retires the residue out of the probe
+    // paths even though it is not the first generation
+    Retrieval.writeIndex(docs, "doc_id", "text", p)
+    val dirs = new java.io.File(p).listFiles().map(_.getName).toSet
+    assert(!dirs.contains("doclen") && !dirs.contains("df") &&
+      !dirs.contains("stats"), s"flat residue survived a rebuild: $dirs")
+    // and the janitor path alone also cleans residue (including
+    // _retired-flat itself) when a generation layout is live
+    new java.io.File(p, "stats").mkdirs()
+    assert(Retrieval.pruneIndex(spark, p) >= 1)
+    val after = new java.io.File(p).listFiles().map(_.getName).toSet
+    assert(!after.contains("stats") && !after.contains("_retired-flat"),
+      s"janitor left flat residue: $after")
   }
 
   test("migration retires the flat layout; a lost pointer then refuses " +

@@ -706,4 +706,20 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no _LATEST"), e.getMessage)
   }
+
+  test("mview damage detection: debris named exactly \"v\" does not make a fresh dir refuse") {
+    // drop(1).forall(_.isDigit) is vacuously true on the empty string, so
+    // a directory named bare "v" used to read as a state version and a
+    // genuinely fresh dir refused to initialize
+    val statePath = Files.createTempDirectory("mview-vdebris").toString
+    new java.io.File(statePath, "v").mkdirs()
+    assert(EventStreams.mviewState(spark, statePath).isEmpty,
+      "bare-\"v\" debris was mistaken for a state version")
+    // a REAL version dir without a pointer still refuses
+    new java.io.File(statePath, "v0").mkdirs()
+    val e = intercept[RuntimeException] {
+      EventStreams.mviewState(spark, statePath)
+    }
+    assert(e.getMessage.contains("no _LATEST"), e.getMessage)
+  }
 }
