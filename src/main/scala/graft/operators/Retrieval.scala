@@ -14,12 +14,13 @@ import graft.functions.TextOps
   * document-length-normalized ranking production lexical search actually
   * runs (tf saturation via k1, length prior via b).
   *
-  * Shape at scale: one explode + two hash aggregations over the corpus
-  * (tf, df) — both shuffle on `term`, the natural inverted-index
-  * partitioning — then an equi-join with the (broadcast) query-term set,
-  * so the per-query cost after the corpus stats exist is proportional to
-  * the postings of the query's terms, not the corpus. Corpus-level stats
-  * (N, avgdl) enter as a 1-row broadcast cross join, not a driver count.
+  * Shape at scale: ONE corpus pass — one explode + one (id, term) hash
+  * aggregation (tf), from which dl, df, and the corpus stats all derive
+  * through runtime-reused exchanges — then an equi-join with the
+  * (broadcast) query-term set, so the per-query cost after the corpus
+  * stats exist is proportional to the postings of the query's terms, not
+  * the corpus. Corpus-level stats (N, avgdl) enter as a 1-row broadcast
+  * cross join, not a driver count.
   *
   * Portability: integer tf/df/dl and exact-integer-sum avgdl feed a
   * per-term score rounded to 6 dp, then DECIMAL(18,6)-summed per doc —
@@ -58,15 +59,41 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
+    // ONE corpus scan + tokenize + (id, term) shuffle — r17 plan surgery,
+    // pinned by the scan-count sweep. dl, df, and stats all DERIVE from
+    // tf (dl = Σ tf per doc; df = rows per term, since tf holds exactly
+    // one row per (term, id) — the writeIndex trick applied to the
+    // inline path), and every derivation shares tf's exchange subtree
+    // CANONICALLY so runtime exchange reuse pays the corpus pass once.
+    // Three plan-shaping details make the canonical equality hold:
+    //  - the id/term null filters are EXPLICIT on t, because each join
+    //    branch otherwise infers a different isnotnull subset and the
+    //    branches stop being canonically equal (semantics: a null-id doc
+    //    can never be returned — the dl join drops it — so excluding it
+    //    from __n/__avgdl too is the consistent corpus-stats contract);
+    //  - df is computed from the QUERY-FILTERED tf (per-term row counts
+    //    are unchanged by filtering on the term itself, and only the
+    //    query terms' df rows are ever joined);
+    //  - the vacuous-but-unfoldable `tf >= 1` predicate keeps the count
+    //    column referenced in the df branch — without it the optimizer
+    //    rewrites that branch's tf to a keys-only distinct, whose
+    //    exchange no longer matches and the corpus is scanned,
+    //    tokenized, and shuffled a SECOND time.
+    // The former shape re-derived dl and df from the raw token stream:
+    // 3 corpus scans + 3 tokenizes + 3 corpus-sized shuffles.
     val t = docs.select(col(idCol), explode(toks).as("term"))
-    val dl = t.groupBy(idCol).agg(count(lit(1)).as("__dl"))
+      .filter(col(idCol).isNotNull && col("term").isNotNull)
+    val tf = t.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol).agg(sum(col("tf")).as("__dl"))
     val stats = dl.agg(
       count(lit(1)).cast("double").as("__n"),
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
-    val tf = t.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val dfc = t.groupBy("term").agg(countDistinct(col(idCol)).as("df"))
-    sumTerms(idCol)(
+    val tfq =
       tf.join(broadcast(queryTerms.select(col("term")).distinct()), Seq("term"))
+    val dfc = tfq.filter(col("tf") >= 1)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    sumTerms(idCol)(
+      tfq
         .join(dfc, Seq("term"))
         .join(dl, Seq(idCol))
         .crossJoin(broadcast(stats))
@@ -189,7 +216,11 @@ object Retrieval {
     // its own fresh batch; the old generation's batches become orphans
     val next = latestGen(fs, path).map(_ + 1L).getOrElse(0L)
     val toks = TextOps.tokens(col(textCol))
+    // null-id docs excluded like [[bm25]] (they can never be served, so
+    // they must not skew __n/__avgdl — keeps the three scoring paths'
+    // corpus stats bit-identical on any corpus, not just null-free ones)
     val t = docs.select(col(idCol), explode(toks).as("term"))
+      .filter(col(idCol).isNotNull && col("term").isNotNull)
     // doclen is PERSISTED across the four write actions below: without
     // it, the doclen write and the stats agg each re-run the full corpus
     // tokenize + doc-grouping — at 100 TB that is two extra corpus
@@ -352,7 +383,9 @@ object Retrieval {
     val batches = readManifest(fs, path, gen)
     val next = gen + 1L
     val toks = TextOps.tokens(col(textCol))
+    // null-id exclusion: same contract as writeIndex/bm25
     val t = newDocs.select(col(idCol), explode(toks).as("term"))
+      .filter(col(idCol).isNotNull && col("term").isNotNull)
     // doclen rows only for docs with ≥1 token — the same convention as
     // writeIndex/bm25 (and the oracle), so half-build + append equals a
     // full build exactly; __dl rides the delta postings exactly as in

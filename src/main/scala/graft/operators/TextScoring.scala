@@ -47,19 +47,31 @@ object TextScoring {
     * as a 1-row broadcast crossJoin, not a driver collect. */
   def unigramCrossEntropy(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(TextOps.tokens(col(textCol))).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
+    // ONE corpus scan + tokenize + (id, tok) shuffle (scan-count sweep,
+    // r17): the vocab model AND the per-doc scoring both derive from the
+    // per-doc term frequencies — vocab count = Σ tf (SUM keeps __tf
+    // referenced, so the model branch's exchange stays canonically equal
+    // to the scoring branch's and runtime reuse pays the corpus pass
+    // once; a count(1) here would let the optimizer rewrite the branch
+    // to a keys-only distinct and re-scan the corpus). Per-doc sums are
+    // unchanged EXACTLY: tf identical copies of the 6-dp-rounded term
+    // sum to tf × round(nll) in DECIMAL, and n_tokens = Σ tf.
+    val tfd = docs.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy("id", "tok").agg(count(lit(1)).as("__tf"))
+    val vocab = tfd.groupBy("tok").agg(sum(col("__tf")).as("__c"))
     // N derives from the vocab-sized table (sum of exact counts ≡ the
-    // corpus token count) — aggregating toks directly would tokenize and
-    // explode the whole corpus a second time
+    // corpus token count)
     val total = vocab.agg(sum(col("__c")).as("__N"))
-    toks.join(vocab, Seq("tok"))
+    tfd.join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))
       .withColumn("__nll",
         round(-log(col("__c").cast("double") / col("__N").cast("double")), 6))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"), decSum(col("__nll")).as("__s"))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        sum(col("__nll").cast(DecimalType(18, 6)) * col("__tf"))
+          .cast("double").as("__s"))
       // FLOOR-quantized mean (the emb_dim_stats lesson): the exact-decimal
       // sum ÷ count can land on a .xxxxx5 boundary where Spark's decimal
       // HALF_UP and DuckDB's double-value ROUND disagree (hit at sf0.1 in
@@ -87,22 +99,34 @@ object TextScoring {
     * rounded-term DECIMAL accumulation as [[unigramCrossEntropy]]. */
   def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.75): DataFrame = {
+    // TWO corpus passes, each paid once (scan-count sweep, r17): the
+    // unigram stream (all docs — 1-token docs count toward __N) and the
+    // bigram stream (docs with ≥2 tokens). Within the bigram stream the
+    // per-doc pair frequencies feed BOTH the model (cb = Σ tfb, cw1 from
+    // cb — SUMs keep __tfb referenced so the model branches' exchanges
+    // stay canonically equal to the scoring branch's) and the scoring
+    // join; the explicit w1/w2 null filters keep join-inferred isnotnull
+    // subsets from splitting the branches. Per-doc sums unchanged
+    // EXACTLY: tfb copies of the rounded term = tfb × round(nll) in
+    // DECIMAL; n_bigrams = Σ tfb. The former shape re-scanned and
+    // re-tokenized the corpus four times.
     val toks = docs.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("__cu"))
-    // N from the vocab table, cw1 from the bigram-count table below —
-    // each derived total saves one full corpus tokenize+explode pass
+    // N from the vocab table — a derived total, not a corpus re-pass
     val total = uni.agg(sum(col("__cu")).as("__N"))
-    val bi = docs
+    val bid = docs
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .filter(size(col("__toks")) >= 2)
       .select(col(idCol).as("id"), explode(expr(
         """transform(sequence(0, size(__toks) - 2),
            i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))""")).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+      .groupBy("id", "w1", "w2").agg(count(lit(1)).as("__tfb"))
+    val cb = bid.groupBy("w1", "w2").agg(sum(col("__tfb")).as("__cb"))
     val cw1 = cb.groupBy("w1").agg(sum(col("__cb")).as("__cw1"))
-    bi.join(cb, Seq("w1", "w2"))
+    bid.join(cb, Seq("w1", "w2"))
       .join(cw1, Seq("w1"))
       .join(uni.withColumnRenamed("tok", "w2"), Seq("w2"))
       .crossJoin(broadcast(total))
@@ -110,7 +134,9 @@ object TextScoring {
         lit(lambda) * (col("__cb").cast("double") / col("__cw1").cast("double")) +
         lit(1.0 - lambda) * (col("__cu").cast("double") / col("__N").cast("double"))), 6))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_bigrams"), decSum(col("__nll")).as("__s"))
+      .agg(sum(col("__tfb")).as("n_bigrams"),
+        sum(col("__nll").cast(DecimalType(18, 6)) * col("__tfb"))
+          .cast("double").as("__s"))
       // FLOOR-quantized mean — same tie-boundary rationale as the unigram
       // twin above (2 of 5000 docs diverged at sf0.1 with round())
       .select(col("id"), col("n_bigrams"),
@@ -150,6 +176,13 @@ object TextScoring {
         """transform(sequence(0, size(__toks) - 2),
            i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))""")).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // explicit null filters: the scoring branch's joins infer
+      // isnotnull(w1)/isnotnull(w2) below cabAll while the t2 total
+      // branch does not — the subtrees stopped being canonically equal
+      // and the corpus was re-scanned + re-tokenized for the total
+      // (scan-count sweep, r17; vacuous filters — transform over a
+      // non-null token array never yields null pair members)
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
     val cabAll = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
     val t2 = cabAll.agg(sum(col("cab")).cast("double").as("t2"))
     cabAll

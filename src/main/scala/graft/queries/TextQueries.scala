@@ -1270,15 +1270,16 @@ object TextQueries {
         .select(TextOps.tokenCount(col("text")).as("n_tokens"))
         .groupBy(expr("n_tokens div 16").as("bucket"))
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
-      // doc total as a broadcast 1-row aggregate; the remaining global
-      // running sum rides the bucket axis, whose cardinality is bounded
-      // by max document length / 16 — not by corpus size
-      val tot = hist.agg(sum(col("n_docs")).as("__t"))
-      hist.crossJoin(broadcast(tot))
+      // doc total as a SECOND window over the same bucket axis (whose
+      // cardinality is bounded by max document length / 16, not corpus
+      // size — the global-window allowlist entry): the former broadcast
+      // 1-row aggregate branch re-derived hist with a narrower partial
+      // agg, which broke exchange canonical-equality and re-scanned +
+      // re-tokenized the whole corpus (scan-count sweep, r17)
+      hist
         .withColumn("cum_share", round(
           expr("sum(n_docs) over (order by bucket)").cast("double")
-            / col("__t"), 6))
-        .drop("__t")
+            / expr("sum(n_docs) over ()"), 6))
         .orderBy("bucket")
     },
 
