@@ -104,10 +104,24 @@ object Bench {
     * AQE — stages execute cloned fragments — hence the listener.) */
   private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
     @volatile var bytes = 0L
+    // ambient-immune work measures (r16 verdict #2 → r17): the hog
+    // experiment falsified the anchor load-shape model — BOTH anchor
+    // normalizers over-corrected ~40% under partial-width constant load
+    // while raw wall moved −2%, because Spark stages don't saturate all
+    // 32 cores. executorCpuTime is the task threads' actual CPU
+    // nanoseconds — a constant external hog cannot steal time already
+    // spent on-core, so per-query cpu_sec stays flat when wall diverges;
+    // executorRunTime (ms, includes scheduler/IO wait) rides along as
+    // the queueing diagnostic.
+    @volatile var cpuNs = 0L
+    @volatile var runMs = 0L
     override def onStageCompleted(
         e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-      bytes += Option(e.stageInfo.taskMetrics)
-        .map(_.shuffleWriteMetrics.bytesWritten).getOrElse(0L)
+      Option(e.stageInfo.taskMetrics).foreach { m =>
+        bytes += m.shuffleWriteMetrics.bytesWritten
+        cpuNs += m.executorCpuTime
+        runMs += m.executorRunTime
+      }
   }
 
   /** Drain the async listener bus so the tally covers every stage of the
@@ -196,25 +210,37 @@ object Bench {
     spark.sparkContext.addSparkListener(tally)
     // ~18 anchor sample points spread evenly across the sweep, plus one
     // at each end — anchor cost is ~0.6 s per point, noise in the gaps
-    // between query timings, never inside them
+    // between query timings, never inside them.
+    // GRANULARITY (recorded, ADVICE r16): with ~190 queries × 5 trials
+    // the bracketing anchors sit ~53 timed samples apart, so
+    // total_vs_base_mt_pq still under-corrects ambient shifts that start
+    // AND end between anchor points — metric precision only, never
+    // correctness. The structural ambient-immune channel is per-query
+    // cpu_sec (task-metrics CPU time, below), which needs no ambient
+    // model at all; the anchors stay for r12-r16 cross-round continuity.
     val anchorEvery = math.max(1, names.size * trials / 18)
     var sinceAnchor = 0
     sampleAnchors()
+    val cpuSamples = collection.mutable.Map.empty[String, Vector[Double]]
     for (trial <- 1 to trials; name <- names) {
       val fn = SparkEntry.queries(name)
-      val before = if (trial == 1) {
-        drainListenerBus(spark); tally.bytes
-      } else 0L
+      // every trial brackets the tally with listener-bus drains (outside
+      // the timed section on both ends), so per-trial executorCpuTime
+      // diffs attribute exactly this query's stages
+      drainListenerBus(spark)
+      val shufBefore = tally.bytes
+      val cpuBefore = tally.cpuNs
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
       anchorIdxOf(name) = anchorIdxOf.getOrElse(name, Vector.empty) :+
         (anchorCpuMtSamples.size - 1)
-      if (trial == 1) {
-        drainListenerBus(spark)
-        shuffleMb(name) = math.rint((tally.bytes - before) / 1e6 * 100) / 100
-      }
+      drainListenerBus(spark)
+      cpuSamples(name) = cpuSamples.getOrElse(name, Vector.empty) :+
+        (tally.cpuNs - cpuBefore) / 1e9
+      if (trial == 1)
+        shuffleMb(name) = math.rint((tally.bytes - shufBefore) / 1e6 * 100) / 100
       sinceAnchor += 1
       if (sinceAnchor >= anchorEvery) { sinceAnchor = 0; sampleAnchors() }
     }
@@ -270,6 +296,12 @@ object Bench {
     val medMicro = names.map { n =>
       n -> median(microNormalized(samples(n), anchorIdxOf(n), anchorCpuMt))
     }.toMap
+    // per-query CPU seconds (median over trials of the bracketed
+    // executorCpuTime diffs): the ambient-immune work measure — an
+    // external hog inflates wall but cannot steal CPU time already
+    // spent on-core, so cross-run cpu_sec deltas are plan deltas
+    val cpuMed = names.map(n => n -> r(median(cpuSamples(n)))).toMap
+    val cpuTotal = r(cpuMed.values.sum)
     // Diagnostics line (full-precision medians, spread per query,
     // machine-noise anchors): its own JSON line so the PRIMARY line below
     // stays compact.
@@ -337,9 +369,11 @@ object Bench {
         s""","anchor_cpu_mt_base":$baseMt,"total_vs_base_mt":${r2(total * baseMt / aCpuMt)}""" +
           s""","total_vs_base_mt_pq":${r2(medMicro.values.sum * baseMt)}"""
       else "")
+    val cpuMap = names.map(n => s"\"$n\":" + cpuMed(n)).mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (line(r).dropRight(1) +
+        s""","cpu_sec":$cpuMap,"cpu_sec_total":$cpuTotal""" +
         s""","shuffle_mb":$shuf,"anchor_cpu":$aCpu,"anchor_cpu_mt":$aCpuMt,"anchor_spark":$aSpark""" +
         s""","anchor_cpu_mt_iqr":$aCpuMtIqr,"anchor_samples":${anchorCpuMt.size}""" +
         s""","spread_mean":$spreadMean,"spread_iqr_mean":$spreadIqrMean""" +
