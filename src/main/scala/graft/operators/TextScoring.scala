@@ -47,31 +47,27 @@ object TextScoring {
     * as a 1-row broadcast crossJoin, not a driver collect. */
   def unigramCrossEntropy(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    // ONE corpus scan + tokenize + (id, tok) shuffle (scan-count sweep,
-    // r17): the vocab model AND the per-doc scoring both derive from the
-    // per-doc term frequencies — vocab count = Σ tf (SUM keeps __tf
-    // referenced, so the model branch's exchange stays canonically equal
-    // to the scoring branch's and runtime reuse pays the corpus pass
-    // once; a count(1) here would let the optimizer rewrite the branch
-    // to a keys-only distinct and re-scan the corpus). Per-doc sums are
-    // unchanged EXACTLY: tf identical copies of the 6-dp-rounded term
-    // sum to tf × round(nll) in DECIMAL, and n_tokens = Σ tf.
-    val tfd = docs.select(col(idCol).as("id"),
-        explode(TextOps.tokens(col(textCol))).as("tok"))
-      .filter(col("tok").isNotNull)
-      .groupBy("id", "tok").agg(count(lit(1)).as("__tf"))
-    val vocab = tfd.groupBy("tok").agg(sum(col("__tf")).as("__c"))
+    // Scan-count posture (r17, priced by the bench fingerprint and kept
+    // DELIBERATELY): this shape pays 2 pruned scans + 2 tokenizes but
+    // its only exchanges are vocab-sized and doc-sized partial aggs.
+    // The bm25-style collapse to one scan (score from per-doc tf) was
+    // built, measured, and REVERTED: it introduces a distinct-(id,tok)
+    // corpus exchange that did not exist (shuffle_mb 0.03 -> 1.18 at
+    // sf0.1) — trading a map-local re-tokenize, which scales linearly
+    // across executors, for network+disk+sort. Minimize shuffles wins.
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
     // N derives from the vocab-sized table (sum of exact counts ≡ the
-    // corpus token count)
+    // corpus token count) — aggregating toks directly would tokenize and
+    // explode the whole corpus a second time
     val total = vocab.agg(sum(col("__c")).as("__N"))
-    tfd.join(vocab, Seq("tok"))
+    toks.join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))
       .withColumn("__nll",
         round(-log(col("__c").cast("double") / col("__N").cast("double")), 6))
       .groupBy("id")
-      .agg(sum(col("__tf")).as("n_tokens"),
-        sum(col("__nll").cast(DecimalType(18, 6)) * col("__tf"))
-          .cast("double").as("__s"))
+      .agg(count(lit(1)).as("n_tokens"), decSum(col("__nll")).as("__s"))
       // FLOOR-quantized mean (the emb_dim_stats lesson): the exact-decimal
       // sum ÷ count can land on a .xxxxx5 boundary where Spark's decimal
       // HALF_UP and DuckDB's double-value ROUND disagree (hit at sf0.1 in
@@ -99,34 +95,27 @@ object TextScoring {
     * rounded-term DECIMAL accumulation as [[unigramCrossEntropy]]. */
   def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.75): DataFrame = {
-    // TWO corpus passes, each paid once (scan-count sweep, r17): the
-    // unigram stream (all docs — 1-token docs count toward __N) and the
-    // bigram stream (docs with ≥2 tokens). Within the bigram stream the
-    // per-doc pair frequencies feed BOTH the model (cb = Σ tfb, cw1 from
-    // cb — SUMs keep __tfb referenced so the model branches' exchanges
-    // stay canonically equal to the scoring branch's) and the scoring
-    // join; the explicit w1/w2 null filters keep join-inferred isnotnull
-    // subsets from splitting the branches. Per-doc sums unchanged
-    // EXACTLY: tfb copies of the rounded term = tfb × round(nll) in
-    // DECIMAL; n_bigrams = Σ tfb. The former shape re-scanned and
-    // re-tokenized the corpus four times.
+    // Scan-count posture (r17): same priced revert as
+    // [[unigramCrossEntropy]] — the per-doc-pair collapse shipped the
+    // ENTIRE bigram stream through a new exchange (bigrams rarely
+    // repeat within a doc: shuffle_mb 0.05 -> 4.93 at sf0.1) to save
+    // map-local re-tokenizes. Re-derivation is the cheaper plan.
     val toks = docs.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("__cu"))
-    // N from the vocab table — a derived total, not a corpus re-pass
+    // N from the vocab table, cw1 from the bigram-count table below —
+    // each derived total saves one full corpus tokenize+explode pass
     val total = uni.agg(sum(col("__cu")).as("__N"))
-    val bid = docs
+    val bi = docs
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .filter(size(col("__toks")) >= 2)
       .select(col(idCol).as("id"), explode(expr(
         """transform(sequence(0, size(__toks) - 2),
            i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))""")).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .filter(col("w1").isNotNull && col("w2").isNotNull)
-      .groupBy("id", "w1", "w2").agg(count(lit(1)).as("__tfb"))
-    val cb = bid.groupBy("w1", "w2").agg(sum(col("__tfb")).as("__cb"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
     val cw1 = cb.groupBy("w1").agg(sum(col("__cb")).as("__cw1"))
-    bid.join(cb, Seq("w1", "w2"))
+    bi.join(cb, Seq("w1", "w2"))
       .join(cw1, Seq("w1"))
       .join(uni.withColumnRenamed("tok", "w2"), Seq("w2"))
       .crossJoin(broadcast(total))
@@ -134,9 +123,7 @@ object TextScoring {
         lit(lambda) * (col("__cb").cast("double") / col("__cw1").cast("double")) +
         lit(1.0 - lambda) * (col("__cu").cast("double") / col("__N").cast("double"))), 6))
       .groupBy("id")
-      .agg(sum(col("__tfb")).as("n_bigrams"),
-        sum(col("__nll").cast(DecimalType(18, 6)) * col("__tfb"))
-          .cast("double").as("__s"))
+      .agg(count(lit(1)).as("n_bigrams"), decSum(col("__nll")).as("__s"))
       // FLOOR-quantized mean — same tie-boundary rationale as the unigram
       // twin above (2 of 5000 docs diverged at sf0.1 with round())
       .select(col("id"), col("n_bigrams"),

@@ -796,9 +796,13 @@ class PlanAuditSpec extends SparkSpec {
     // N>1 of one path requires an allowlist entry with the reason.
     //
     // What this sweep already fixed (r17): bm25 (3 corpus scans +
-    // tokenizes + shuffles → 1, Retrieval.scala), unigramCrossEntropy
-    // (2 → 1), bigramCrossEntropy (4 → 2 = its two distinct streams),
-    // pmiPairs (3 → 2), text_len_hist (2 → 1). The collapse recipe —
+    // tokenizes + shuffles → 1, with shuffle bytes DOWN 40% —
+    // Retrieval.scala), pmiPairs (3 → 2, shuffle flat), text_len_hist
+    // (2 → 1, shuffle flat). Two further collapses (unigram/bigram
+    // cross-entropy) were built, measured, and REVERTED because the
+    // bench fingerprint showed them trading map-local re-tokenizes for
+    // NEW corpus-sized exchanges — the sweep prices candidates, the
+    // shuffle channel decides. The collapse recipe —
     // derive every secondary table from the shared post-shuffle frame,
     // keep the frame's value columns REFERENCED in every branch (a
     // count-only branch gets rewritten to a keys-only distinct whose
@@ -872,9 +876,13 @@ class PlanAuditSpec extends SparkSpec {
         "branch over its table)"),
       "profile_psi" -> branchAgg,
       "profile_sources" -> branchAgg,
-      "text_bigram_ppl" -> ("its two distinct streams (unigram model " +
-        "over ALL docs, bigram stream over >=2-token docs), each paid " +
-        "once after the r17 collapse"),
+      "text_bigram_ppl" -> (branchAgg + " — the one-scan collapse was " +
+        "BUILT, MEASURED, and REVERTED: it shipped the whole bigram " +
+        "stream through a new exchange (shuffle_mb 0.05 -> 4.93 at " +
+        "sf0.1); see the priced note at TextScoring.bigramCrossEntropy"),
+      "text_unigram_ppl" -> (branchAgg + " — same priced revert " +
+        "(shuffle_mb 0.03 -> 1.18); note at " +
+        "TextScoring.unigramCrossEntropy"),
       "text_pmi" -> ("its two distinct streams (token counts, " +
         "adjacent-pair counts), each paid once after the r17 collapse"),
       "text_bpe_apply" -> branchAgg,
