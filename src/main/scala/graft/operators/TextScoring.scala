@@ -212,10 +212,18 @@ object TextScoring {
       .drop("__h")
     val rawF = feats(raw, col(idCol).as("id"))
     val tgtF = feats(target)
-    val nRaw = rawF.agg(count(lit(1)).as("__nr"))
-    val nTgt = tgtF.agg(count(lit(1)).as("__nt"))
     val cRaw = rawF.groupBy("b").agg(count(lit(1)).as("__cr"))
     val cTgt = tgtF.groupBy("b").agg(count(lit(1)).as("__ct"))
+    // totals DERIVE from the bucket histograms (Σ counts ≡ the feature
+    // count, exact in longs) — each derived total removes a full
+    // scan+tokenize+shingle pass over its side, and the histograms'
+    // numBuckets-sized exchanges already exist, so this passes the r17
+    // existing-exchange rule (scan-count sweep: 5 → 3 scans, no new
+    // exchange). The apply branch stays its own scan deliberately:
+    // collapsing it would INTRODUCE a corpus-sized (id, b) exchange —
+    // the exact trade the unigram/bigram reverts priced out.
+    val nRaw = cRaw.agg(coalesce(sum(col("__cr")), lit(0L)).as("__nr"))
+    val nTgt = cTgt.agg(coalesce(sum(col("__ct")), lit(0L)).as("__nt"))
     val ratios = cRaw.join(cTgt, Seq("b"), "left")
       .na.fill(0L, Seq("__ct"))
       .crossJoin(broadcast(nTgt)).crossJoin(broadcast(nRaw))

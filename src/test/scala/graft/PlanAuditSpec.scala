@@ -886,7 +886,12 @@ class PlanAuditSpec extends SparkSpec {
       "text_pmi" -> ("its two distinct streams (token counts, " +
         "adjacent-pair counts), each paid once after the r17 collapse"),
       "text_bpe_apply" -> branchAgg,
-      "text_dsir" -> branchAgg,
+      "text_dsir" -> (branchAgg + " — already reduced 5 -> 3 (r17: " +
+        "both side totals derive from the bucket histograms, whose " +
+        "numBuckets-sized exchanges already existed); the remaining " +
+        "three are the raw histogram, the raw apply branch (collapsing " +
+        "it would introduce a corpus-sized (id,b) exchange — the " +
+        "priced-out trade), and the target slice"),
       "text_entropy" -> branchAgg,
       "text_oov" -> branchAgg,
       "text_tfidf_top_terms" -> branchAgg)
