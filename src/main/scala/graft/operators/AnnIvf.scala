@@ -1059,6 +1059,9 @@ object AnnIvf {
     val retired = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}__retired")
     fs.delete(retired, true)
+    // dir-swap publish assumes rename is a metadata move — warn loud on
+    // copy+delete object stores where the swap windows widen per-object
+    graft.operators.warnIfNonAtomicRename(fs, target.toString, "rebalance")
     require(fs.rename(target, retired), s"rebalance: cannot retire $target")
     require(fs.rename(staging, target), s"rebalance: cannot publish $staging")
     // recover vector files a concurrent appender landed after the snapshot

@@ -304,6 +304,9 @@ object Ingest {
     val retired = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}__retired")
     fs.delete(retired, true)
+    // the swap below relies on dir rename being a metadata move — on
+    // copy+delete object stores the windows widen per-object; warn loud
+    graft.operators.warnIfNonAtomicRename(fs, target.toString, "compact")
     require(fs.rename(target, retired), s"compact: cannot retire $target")
     // publish. A concurrent append can RECREATE the target dir between
     // the two renames (its commit mkdirs the output path): then the

@@ -63,10 +63,7 @@ package object operators {
       tmpName: String,
       content: String): Unit = {
     val dst = fs.makeQualified(new org.apache.hadoop.fs.Path(dir, name))
-    renameAtomicityWarning(dst.toUri.getScheme).foreach { msg =>
-      if (warnedSchemes.add(dst.toUri.getScheme))
-        org.slf4j.LoggerFactory.getLogger("graft.operators").warn(msg)
-    }
+    warnIfNonAtomicRename(fs, dir, "publishPointerAtomic")
     val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(dir, tmpName))
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
@@ -82,6 +79,23 @@ package object operators {
     Set("s3a", "s3n", "s3", "swift", "oss", "cosn", "wasb", "wasbs", "gs")
   private val warnedSchemes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** One loud warning per (site, scheme) when `dir`'s filesystem
+    * implements rename as copy+delete — shared by every rename-dependent
+    * durability site: the `_LATEST` pointer publishes, the compact/
+    * rebalance dir swaps, and the WebDataset shard publish. */
+  private[graft] def warnIfNonAtomicRename(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      site: String): Unit = {
+    val scheme = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+      .toUri.getScheme
+    renameAtomicityWarning(scheme).foreach { msg =>
+      if (warnedSchemes.add(s"$site|$scheme"))
+        org.slf4j.LoggerFactory.getLogger("graft.operators")
+          .warn(s"$site: $msg")
+    }
+  }
 
   /** Pure probe (spec-tested): the warning for publishing a pointer on
     * `scheme`, or None when rename is atomic there (hdfs, file, abfs —

@@ -305,6 +305,11 @@ object WebDataset {
             os.write(new Array[Byte](2 * BlockSize))
             bytes += 2 * BlockSize
           } finally os.close()
+          // rename-into-place publish assumes an atomic move; on
+          // copy+delete object stores the invisible-shard window widens
+          // to the whole copy — warn loud (once per executor JVM)
+          graft.operators.warnIfNonAtomicRename(
+            fs, path.toString, "writeShards")
           fs.delete(path, false)
           require(fs.rename(tmp, path),
             s"writeShards: cannot publish $tmp -> $path")
