@@ -947,6 +947,23 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan
     assert(ScanCountAudit.multiScans(shifted).nonEmpty,
       "detector missed a double scan behind two DIFFERENT aggregates")
+    // (e) the serving-batch idiom: a second scan bounded by a key
+    // point/range pushdown (doc_id < 100 on the unique fixture key)
+    // reads <= k rows, not a second corpus pass — must NOT count
+    val keyed = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang")
+    val served = keyed
+      .unionByName(keyed.filter(col("doc_id") < 100))
+      .queryExecution.executedPlan
+    assert(ScanCountAudit.multiScans(served).isEmpty,
+      "detector counted a key-bounded query-batch scan as a corpus pass")
+    // ... while a NON-key literal filter proves nothing about
+    // cardinality and still counts
+    val unkeyed = keyed
+      .unionByName(keyed.filter(col("lang") === "en"))
+      .queryExecution.executedPlan
+    assert(ScanCountAudit.multiScans(unkeyed).nonEmpty,
+      "detector let a non-key value filter vouch for a bounded scan")
   }
 
   test("mview_join_incremental: delta joins are equi; state merge is hash agg") {
