@@ -222,6 +222,7 @@ object Bench {
     var sinceAnchor = 0
     sampleAnchors()
     val cpuSamples = collection.mutable.Map.empty[String, Vector[Double]]
+    val runSamples = collection.mutable.Map.empty[String, Vector[Double]]
     for (trial <- 1 to trials; name <- names) {
       val fn = SparkEntry.queries(name)
       // every trial brackets the tally with listener-bus drains (outside
@@ -230,6 +231,7 @@ object Bench {
       drainListenerBus(spark)
       val shufBefore = tally.bytes
       val cpuBefore = tally.cpuNs
+      val runBefore = tally.runMs
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -239,6 +241,8 @@ object Bench {
       drainListenerBus(spark)
       cpuSamples(name) = cpuSamples.getOrElse(name, Vector.empty) :+
         (tally.cpuNs - cpuBefore) / 1e9
+      runSamples(name) = runSamples.getOrElse(name, Vector.empty) :+
+        (tally.runMs - runBefore) / 1e3
       if (trial == 1)
         shuffleMb(name) = math.rint((tally.bytes - shufBefore) / 1e6 * 100) / 100
       sinceAnchor += 1
@@ -302,6 +306,11 @@ object Bench {
     // spent on-core, so cross-run cpu_sec deltas are plan deltas
     val cpuMed = names.map(n => n -> r(median(cpuSamples(n)))).toMap
     val cpuTotal = r(cpuMed.values.sum)
+    // run_sec = executorRunTime (wall the tasks spent scheduled,
+    // including IO/shuffle-fetch wait): run_sec - cpu_sec per query is
+    // the queueing/IO diagnostic the cpu channel alone can't show
+    val runMed = names.map(n => n -> r(median(runSamples(n)))).toMap
+    val runTotal = r(runMed.values.sum)
     // Diagnostics line (full-precision medians, spread per query,
     // machine-noise anchors): its own JSON line so the PRIMARY line below
     // stays compact.
@@ -370,10 +379,12 @@ object Bench {
           s""","total_vs_base_mt_pq":${r2(medMicro.values.sum * baseMt)}"""
       else "")
     val cpuMap = names.map(n => s"\"$n\":" + cpuMed(n)).mkString("{", ",", "}")
+    val runMap = names.map(n => s"\"$n\":" + runMed(n)).mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (line(r).dropRight(1) +
         s""","cpu_sec":$cpuMap,"cpu_sec_total":$cpuTotal""" +
+        s""","run_sec":$runMap,"run_sec_total":$runTotal""" +
         s""","shuffle_mb":$shuf,"anchor_cpu":$aCpu,"anchor_cpu_mt":$aCpuMt,"anchor_spark":$aSpark""" +
         s""","anchor_cpu_mt_iqr":$aCpuMtIqr,"anchor_samples":${anchorCpuMt.size}""" +
         s""","spread_mean":$spreadMean,"spread_iqr_mean":$spreadIqrMean""" +
