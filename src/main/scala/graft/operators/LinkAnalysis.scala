@@ -4,7 +4,7 @@ import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Link analysis — fixed-point PageRank (Page et al. 1999) over an edge
@@ -56,6 +56,25 @@ import org.apache.spark.storage.StorageLevel
 object LinkAnalysis {
 
   val Scale: Long = 1000000000000L // 1e12: ranks in units of 1e-12
+
+  /** Size the iteration partitioner to the GRAPH, not the cluster
+    * default: one partition per [[EdgesPerPartition]] edge endpoints up
+    * to the cluster's parallelism. Both bounds are load-bearing — tiny
+    * graphs must not dissolve into pure task-launch latency (hundreds of
+    * near-empty tasks per round), and large graphs cap at the cluster
+    * width anyway. 64 Ki edges/partition ≈ tens of ms of boxed-key work
+    * per task per round, ~10× the task-launch cost, while the previous
+    * 1 M-edge target left a 32-core box running the whole fixed-point
+    * loop on 1-2 partitions (measured: graph_hits wall ≈ its single-task
+    * cpu_sec at sf0.1). Output of every caller is pinned bit-identical
+    * under any partitioning (integer recurrences; LinkAnalysisSpec), so
+    * this is purely a throughput knob. */
+  private val EdgesPerPartition = 65536L
+  private def roundPartitioner(
+      spark: org.apache.spark.sql.SparkSession, m: Long): HashPartitioner =
+    new HashPartitioner(
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (m / EdgesPerPartition).toInt + 1)))
 
   /** Fixed-point PageRank.
     *
@@ -125,9 +144,7 @@ object LinkAnalysis {
         StructType(Seq(StructField("node", nodeType, nullable = false),
           StructField("pr", LongType, nullable = false))))
     }
-    val part = new HashPartitioner(
-      math.max(1, math.min(spark.sparkContext.defaultParallelism,
-        (m / 1000000L).toInt + 1)))
+    val part = roundPartitioner(spark, m)
 
     // collapse to per-source adjacency ONCE; every later round joins
     // rank against NODE-sized tables only, and the edge set is traversed
@@ -266,9 +283,7 @@ object LinkAnalysis {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m = e.count()
     require(m > 0, "HITS needs at least one edge")
-    val part = new HashPartitioner(
-      math.max(1, math.min(spark.sparkContext.defaultParallelism,
-        (m / 1000000L).toInt + 1)))
+    val part = roundPartitioner(spark, m)
 
     def adjacency(pairs: RDD[(Any, Any)]) = pairs
       .aggregateByKey(
@@ -365,12 +380,21 @@ object LinkAnalysis {
     * recursive-SQL replay — correctness is KCoreSpec's (brute-force
     * peeling equivalence + the degree/maximality invariants).
     *
-    * Scale shape, per round: one node-sized degree aggregate + two
-    * left-semi joins of the edge list against the (shrinking) keep set,
-    * lineage truncated by localCheckpoint exactly like [[Components]].
-    * The edge count strictly decreases, so convergence is an exact count
-    * compare — no hash signature needed — and the round count is bounded
-    * by the peeling depth (≤ graph diameter in practice, not |V|).
+    * Scale shape (INCREMENTAL degree maintenance — the r18 rewrite of
+    * the recompute-from-scratch DataFrame loop): the adjacency is
+    * collapsed ONCE into the hash-partitioned per-node neighbor-list
+    * layout [[pageRank]] uses (mega-hubs sliced, so no task materializes
+    * a full hub list), and the loop carries only the NODE-sized live
+    * degree map. Per round, the set of sub-k nodes is dropped and each
+    * dropped node sends one decrement per incident edge — so the TOTAL
+    * work across ALL rounds is O(E) (every edge dies at most twice),
+    * where the old shape paid a full 2·E degree aggregate plus two
+    * edge-set semi-joins and an edge-set checkpoint write EVERY round
+    * (O(E·depth) — measured 16-20 executor-CPU-seconds at sf0.1 vs ~3
+    * after). Rounds are the same synchronous Matula–Beck peel (all
+    * current sub-k nodes leave together), so the per-round survivor sets
+    * — and the maxIter-truncated partial result — are exactly the old
+    * implementation's; KCoreSpec pins that equivalence.
     *
     * A graph whose peeling depth exceeds `maxIter` (pathological chains)
     * does NOT fail the query: peeling is monotone deletion, so the
@@ -387,41 +411,92 @@ object LinkAnalysis {
       k: Int,
       maxIter: Int = 100): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("u").as("node"))
-        .unionAll(e.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("core_degree"))
-    var edges = pairs
+    val spark = pairs.sparkSession
+    val nodeType = pairs.schema(leftCol).dataType
+    require(pairs.schema(rightCol).dataType == nodeType,
+      s"endpoint type mismatch: $nodeType vs ${pairs.schema(rightCol).dataType}")
+    val eDist = pairs
       .select(col(leftCol).as("a"), col(rightCol).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint(eager = true)
-    var n = edges.count()
+    // symmetrize: every undirected edge contributes one endpoint record
+    // each way, so |sym| = 2·E and a node's record count IS its degree
+    val sym: RDD[(Any, Any)] = eDist.rdd
+      .flatMap(r => Iterator((r.get(0), r.get(1)), (r.get(1), r.get(0))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m2 = sym.count()
+    if (m2 == 0L) {
+      sym.unpersist(blocking = false)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("node", nodeType, nullable = false),
+          StructField("core_degree", LongType, nullable = false))))
+    }
+    val part = roundPartitioner(spark, m2)
+    val hubSplit = 100000
+    // static adjacency (never shrinks — dead neighbors' decrements fall
+    // out of the leftOuterJoin naturally); hub slices like pageRank's,
+    // each carrying only its slice of the neighbor list
+    val adj: RDD[(Any, Array[Any])] = sym.aggregateByKey(
+        scala.collection.mutable.ArrayBuffer.empty[Any], part)(
+        (b, d) => b += d, (a, b) => a ++= b)
+      .mapPartitions(_.flatMap { case (s, buf) =>
+        if (buf.length <= hubSplit) Iterator.single((s, buf.toArray))
+        else buf.grouped(hubSplit).map(g => (s, g.toArray))
+      }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // live degrees, node-sized; slices of one hub sum back to its degree
+    var alive: RDD[(Any, Long)] = adj
+      .mapPartitions(_.map { case (n, a) => (n, a.length.toLong) },
+        preservesPartitioning = true)
+      .reduceByKey(part, _ + _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    sym.unpersist(blocking = false)
     var iter = 0
-    var converged = n == 0L
+    var converged = false
     while (!converged && iter < maxIter) {
-      val keep = degrees(edges).filter(col("core_degree") >= k).select("node")
-      val pruned = edges
-        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .localCheckpoint(eager = true)
-      val m = pruned.count()
-      converged = m == n
-      // pruned is MATERIALIZED (eager), so the superseded round's edge
-      // copy can go — without this a deep peel pins O(rounds) edge-set
-      // copies of un-evictable (lineage-truncated) blocks. The FINAL
-      // round's checkpoint stays: the returned degrees plan reads it.
-      releaseCheckpoint(edges)
-      edges = pruned
-      n = m
+      val removed = alive.filter(_._2 < k)
+      if (removed.count() == 0L) converged = true
+      else {
+        // each removed node decrements every neighbor once; decrements
+        // aimed at other removed nodes vanish in the join below — the
+        // survivor degrees are exactly the induced-subgraph degrees, so
+        // each round equals one synchronous recompute-from-scratch peel
+        val dec = adj.join(removed, part)
+          .flatMap { case (_, (nbrs, _)) => nbrs.iterator.map((_, 1L)) }
+          .reduceByKey(part, _ + _)
+        val next = alive.filter(_._2 >= k)
+          .leftOuterJoin(dec, part)
+          .mapValues { case (d, dd) => d - dd.getOrElse(0L) }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // bound closure/lineage depth on pathological deep peels — the
+        // truncation is metadata-only (the RDD is persisted either way)
+        if (iter % 16 == 15) next.localCheckpoint()
+        next.count()
+        alive.unpersist(blocking = false)
+        alive = next
+      }
       iter += 1
     }
-    if (!converged && n > 0L)
-      org.slf4j.LoggerFactory.getLogger(LinkAnalysis.getClass).warn(
-        s"kCore: no fixpoint after $maxIter rounds ($n edges live); " +
-          "returning the current still-shrinking superset of the k-core")
-    degrees(edges)
+    if (!converged) {
+      val live = alive.filter(_._2 >= 1L).count()
+      if (live > 0L)
+        org.slf4j.LoggerFactory.getLogger(LinkAnalysis.getClass).warn(
+          s"kCore: no fixpoint after $maxIter rounds ($live nodes live); " +
+            "returning the current still-shrinking superset of the k-core")
+    }
+    // degree-0 stragglers (possible only on the truncated path) match the
+    // old shape's "no edge rows -> no degree row" behavior via the filter
+    val rows = alive.filter(_._2 >= 1L).map { case (n, d) => Row(n, d) }
+    val out = spark.createDataFrame(rows,
+        StructType(Seq(StructField("node", nodeType, nullable = false),
+          StructField("core_degree", LongType, nullable = false))))
+      .localCheckpoint(eager = true)
+    adj.unpersist(blocking = false)
+    alive.unpersist(blocking = false)
+    out
   }
 
   def triangles(pairs: DataFrame, leftCol: String, rightCol: String): DataFrame = {
@@ -824,12 +899,19 @@ object LinkAnalysis {
     * eccentricity are no-ops — the early-exit on an empty frontier is
     * purely an optimization, never a semantic change.
     *
-    * Spark shape: classic frontier BFS — each round joins the edge list
-    * against the CURRENT frontier only (not the full distance map) and
-    * anti-joins the known set, so every edge is relaxed at most once per
-    * endpoint discovery and total work is O(E) across ALL rounds, not
-    * O(E·D). Frontier/known sets are localCheckpoint-ed per round
-    * (lineage truncation, exactly like [[kCore]]).
+    * Spark shape (the r18 rewrite of the DataFrame frontier loop, which
+    * re-shuffled the FULL edge list three times per round — semi-join,
+    * distinct, anti-join — plus a per-round checkpoint write): the
+    * adjacency is collapsed ONCE into the hash-partitioned hub-sliced
+    * per-node neighbor-list layout [[pageRank]] uses; every later round
+    * touches only the frontier's adjacency rows via a co-partitioned
+    * (narrow) join, so total adjacency-expansion work is O(E) across ALL
+    * rounds — each node's list is expanded exactly once, the round it
+    * enters the frontier. The known-distance map stays co-partitioned,
+    * so the dedup reduce and the known-set subtraction are narrow too;
+    * the only per-round shuffle-sized object is the new-neighbor
+    * candidate set. Hop distances are unique integers, so the output is
+    * bit-identical to the old shape under any partitioning.
     *
     * @return (node BIGINT, dist INT) for every node within `maxHops` of
     *         `source`; the source itself has dist 0. Empty if `source`
@@ -841,47 +923,87 @@ object LinkAnalysis {
       source: Long,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0)
+    val spark = pairs.sparkSession
     val und = pairs
       .select(col(leftCol).cast("long").as("a"), col(rightCol).cast("long").as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-    val edges = und.select(col("u"), col("v"))
-      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(eager = true) // scanned once per round
-    // seed only if the source actually appears in the graph
-    var dist = edges.filter(col("u") === source)
-      .select(col("u").as("node")).distinct()
-      .withColumn("dist", lit(0))
-      .localCheckpoint(eager = true)
-    var frontier = dist.select("node")
-    var prevNext: DataFrame = null
+    val sym: RDD[(Long, Long)] = und.rdd
+      .flatMap { r =>
+        val u = r.getLong(0); val v = r.getLong(1)
+        Iterator((u, v), (v, u))
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m2 = sym.count()
+    val outSchema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("dist", IntegerType, nullable = false)))
+    if (m2 == 0L) {
+      sym.unpersist(blocking = false)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    }
+    val part = roundPartitioner(spark, m2)
+    val hubSplit = 100000
+    val adj: RDD[(Long, Array[Long])] = sym.aggregateByKey(
+        scala.collection.mutable.ArrayBuffer.empty[Long], part)(
+        (b, d) => b += d, (a, b) => a ++= b)
+      .mapPartitions(_.flatMap { case (s, buf) =>
+        if (buf.length <= hubSplit) Iterator.single((s, buf.toArray))
+        else buf.grouped(hubSplit).map(g => (s, g.toArray))
+      }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    sym.unpersist(blocking = false)
+    // seed only if the source actually appears in the graph; the filter
+    // preserves adj's partitioning, and the reduce collapses hub slices
+    var dist: RDD[(Long, Int)] = adj
+      .mapPartitions(_.collect { case (n, _) if n == source => (n, 0) },
+        preservesPartitioning = true)
+      .reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier: RDD[(Long, Int)] = dist
+    var prevFrontier: RDD[(Long, Int)] = null
     var k = 1
-    var frontierSize = frontier.count()
+    var frontierSize = dist.count()
     while (k <= maxHops && frontierSize > 0L) {
-      val next = edges
-        .join(frontier.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .select(col("v").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .withColumn("dist", lit(k))
-        .localCheckpoint(eager = true)
+      val hop = k
+      // expand the frontier's neighbor lists (narrow: co-partitioned),
+      // dedup candidates, drop already-known nodes (narrow again); the
+      // collect-mapPartitions keeps keys so the partitioner survives
+      val next = adj.join(frontier, part)
+        .flatMap { case (_, (nbrs, _)) => nbrs.iterator.map((_, hop)) }
+        .reduceByKey(part, (a, _) => a)
+        .leftOuterJoin(dist, part)
+        .mapPartitions(_.collect { case (n, (d, None)) => (n, d) },
+          preservesPartitioning = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       frontierSize = next.count()
-      val prevDist = dist
-      dist = dist.unionByName(next).localCheckpoint(eager = true)
-      // both the superseded dist copy and the PREVIOUS round's frontier
-      // are dead once this round's next and dist are materialized —
-      // releasing them keeps pinned storage O(1), not O(hops)
-      releaseCheckpoint(prevDist)
-      if (prevNext != null) releaseCheckpoint(prevNext)
-      prevNext = next
-      frontier = next.select("node")
+      if (frontierSize > 0L) {
+        // same-partitioner union is partitioner-aware (narrow), so dist
+        // stays co-partitioned for the next round's known-set join
+        val merged = dist.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+        merged.count()
+        dist.unpersist(blocking = false)
+        dist = merged
+        // the PREVIOUS frontier backed this round's join; dead now that
+        // next and merged are materialized — pinned storage stays O(1)
+        if (prevFrontier != null) prevFrontier.unpersist(blocking = false)
+        prevFrontier = next
+        frontier = next
+      } else {
+        next.unpersist(blocking = false)
+      }
       k += 1
     }
-    // the returned dist is its own materialized checkpoint: the edge
-    // list and the final frontier no longer back anything
-    releaseCheckpoint(edges)
-    if (prevNext != null) releaseCheckpoint(prevNext)
-    dist
+    if (prevFrontier != null) prevFrontier.unpersist(blocking = false)
+    val out = spark.createDataFrame(
+        dist.map { case (n, d) => Row(n, d) }, outSchema)
+      .localCheckpoint(eager = true)
+    adj.unpersist(blocking = false)
+    dist.unpersist(blocking = false)
+    out
   }
 
   /** One LPA plurality vote: per-node argmax (count DESC, label ASC) over
@@ -946,9 +1068,7 @@ object LinkAnalysis {
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m = e.count()
-    val part = new HashPartitioner(
-      math.max(1, math.min(spark.sparkContext.defaultParallelism,
-        (m / 1000000L).toInt + 1)))
+    val part = roundPartitioner(spark, m)
     val adj: RDD[(Long, Array[Long])] = e.aggregateByKey(
         scala.collection.mutable.ArrayBuffer.empty[Long], part)(
         (b, d) => b += d, (a, b) => a ++= b)
