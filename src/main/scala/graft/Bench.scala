@@ -223,6 +223,12 @@ object Bench {
     sampleAnchors()
     val cpuSamples = collection.mutable.Map.empty[String, Vector[Double]]
     val runSamples = collection.mutable.Map.empty[String, Vector[Double]]
+    // a query that THROWS must not masquerade as a near-zero sample that
+    // LOWERS the total (r17 verdict #3 / ADVICE): the error is recorded
+    // per query, its cpu/run samples for the failed trial are skipped
+    // (so the cpu channel can't read a partial run as an improved plan),
+    // and the bench exits nonzero at the end
+    val errs = collection.mutable.Map.empty[String, String]
     for (trial <- 1 to trials; name <- names) {
       val fn = SparkEntry.queries(name)
       // every trial brackets the tally with listener-bus drains (outside
@@ -233,16 +239,25 @@ object Bench {
       val cpuBefore = tally.cpuNs
       val runBefore = tally.runMs
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val failed =
+        try { fn(spark, sfDir).count(); false }
+        catch { case t: Throwable =>
+          errs.getOrElseUpdate(name, (t.getClass.getSimpleName + ": " +
+            Option(t.getMessage).getOrElse("")).replaceAll("[\"\\n\\r]", " ")
+            .take(200))
+          true
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
       anchorIdxOf(name) = anchorIdxOf.getOrElse(name, Vector.empty) :+
         (anchorCpuMtSamples.size - 1)
       drainListenerBus(spark)
-      cpuSamples(name) = cpuSamples.getOrElse(name, Vector.empty) :+
-        (tally.cpuNs - cpuBefore) / 1e9
-      runSamples(name) = runSamples.getOrElse(name, Vector.empty) :+
-        (tally.runMs - runBefore) / 1e3
+      if (!failed) {
+        cpuSamples(name) = cpuSamples.getOrElse(name, Vector.empty) :+
+          (tally.cpuNs - cpuBefore) / 1e9
+        runSamples(name) = runSamples.getOrElse(name, Vector.empty) :+
+          (tally.runMs - runBefore) / 1e3
+      }
       if (trial == 1)
         shuffleMb(name) = math.rint((tally.bytes - shufBefore) / 1e6 * 100) / 100
       sinceAnchor += 1
@@ -304,12 +319,14 @@ object Bench {
     // executorCpuTime diffs): the ambient-immune work measure — an
     // external hog inflates wall but cannot steal CPU time already
     // spent on-core, so cross-run cpu_sec deltas are plan deltas
-    val cpuMed = names.map(n => n -> r(median(cpuSamples(n)))).toMap
+    val cpuMed = names.map(n =>
+      n -> r(median(cpuSamples.getOrElse(n, Vector(0.0))))).toMap
     val cpuTotal = r(cpuMed.values.sum)
     // run_sec = executorRunTime (wall the tasks spent scheduled,
     // including IO/shuffle-fetch wait): run_sec - cpu_sec per query is
     // the queueing/IO diagnostic the cpu channel alone can't show
-    val runMed = names.map(n => n -> r(median(runSamples(n)))).toMap
+    val runMed = names.map(n =>
+      n -> r(median(runSamples.getOrElse(n, Vector(0.0))))).toMap
     val runTotal = r(runMed.values.sum)
     // Diagnostics line (full-precision medians, spread per query,
     // machine-noise anchors): its own JSON line so the PRIMARY line below
@@ -380,6 +397,10 @@ object Bench {
       else "")
     val cpuMap = names.map(n => s"\"$n\":" + cpuMed(n)).mkString("{", ",", "}")
     val runMap = names.map(n => s"\"$n\":" + runMed(n)).mkString("{", ",", "}")
+    val errMap =
+      if (errs.isEmpty) ""
+      else errs.toSeq.sorted.map { case (n, m) => s"\"$n\":\"$m\"" }
+        .mkString(""","errors":{""", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (line(r).dropRight(1) +
@@ -388,10 +409,16 @@ object Bench {
         s""","shuffle_mb":$shuf,"anchor_cpu":$aCpu,"anchor_cpu_mt":$aCpuMt,"anchor_spark":$aSpark""" +
         s""","anchor_cpu_mt_iqr":$aCpuMtIqr,"anchor_samples":${anchorCpuMt.size}""" +
         s""","spread_mean":$spreadMean,"spread_iqr_mean":$spreadIqrMean""" +
-        s""","trials":$trials$anchorExtra$baseExtra}""" + "\n")
+        s""","trials":$trials$errMap$anchorExtra$baseExtra}""" + "\n")
         .getBytes("UTF-8"))
     catch { case _: Throwable => () } // emission must never kill the bench
     println(primaryLine(names, med, total, sfName))
+    if (errs.nonEmpty) {
+      System.err.println(s"[bench] ${errs.size} quer${
+        if (errs.size == 1) "y" else "ies"} FAILED: ${errs.keys.toSeq.sorted
+        .mkString(", ")} — totals above are NOT comparable")
+      sys.exit(1)
+    }
   }
 
   /** Per-sample micro-anchor normalization (pure, spec-tested): sample i

@@ -145,13 +145,20 @@ object Bpe {
   private[graft] def trainDistributedImpl(docs: DataFrame, textCol: String,
       numMerges: Int, pin: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
     val vocab = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
     import org.apache.spark.sql.graftbridge.DatasetBridge
+    // pinnedKeepLayout, not pinned: round r's state RDD is ALREADY
+    // hash-partitioned by w and sorted by (w, p) — its producing plan
+    // ends in the row_number window over exactly that layout — so
+    // keeping the layout in the checkpoint wrap lets every later round
+    // skip the Exchange(w) a layout-blind wrap would re-pay (measured at
+    // sf0.1: one shuffle per round × 12 rounds of vocab-sized state).
     def pinned(df: DataFrame): DataFrame =
-      if (pin) DatasetBridge.pinned(df) else df
+      if (pin) DatasetBridge.pinnedKeepLayout(df) else df
     var st = pinned(vocab
       .select(col("w"), col("freq"),
         posexplode(concat(split(col("w"), ""), array(lit(Eow))))
@@ -170,25 +177,58 @@ object Bpe {
       // "previous row" == "position p−1" in the lag.
       val byP = Window.partitionBy("w").orderBy("p")
       val withNext = st.withColumn("__nsym", lead(col("sym"), 1).over(byP))
-      val best = pinned(withNext
+      val best = withNext
         .filter(col("__nsym").isNotNull)
         .groupBy(col("sym").as("a"), col("__nsym").as("b"))
         .agg(sum(col("freq")).as("pair_count"))
         .orderBy(desc("pair_count"), desc("a"), desc("b"))
-        .limit(1))
+        .limit(1)
       // train's stopping rules, verbatim: no adjacent pairs left, or the
       // best pair no longer repeats (count < 2 — no signal) → stop WITHOUT
       // emitting, exactly where the driver-side trainer stops. The 1-row
-      // collect per round is the price of parity (and of not letting an
-      // empty `best` silently wipe the state through the cross join).
-      val bestRow = best.select(col("pair_count")).head(1)
-      if (bestRow.isEmpty || bestRow.head.getLong(0) < 2L) done = true
+      // collect per round is the price of parity; collecting the WHOLE
+      // row (not pin + head) makes it the round's ONLY driver roundtrip —
+      // the merge row and the next round's (a, b) operand become driver
+      // literals instead of a re-read checkpoint (one job per round, not
+      // two, and no 1-row checkpoint write).
+      val bestRow = best.collect()
+      if (bestRow.isEmpty || bestRow.head.getLong(2) < 2L) done = true
       else {
-        rounds += best.select(lit(r).as("merge_rank"), col("a").as("left_sym"),
-          col("b").as("right_sym"), col("pair_count"))
+        if (pin) {
+          rounds += spark.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(
+              r, bestRow.head.getString(0), bestRow.head.getString(1),
+              bestRow.head.getLong(2))),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("merge_rank",
+                org.apache.spark.sql.types.IntegerType, nullable = false),
+              org.apache.spark.sql.types.StructField("left_sym",
+                org.apache.spark.sql.types.StringType, nullable = true),
+              org.apache.spark.sql.types.StructField("right_sym",
+                org.apache.spark.sql.types.StringType, nullable = true),
+              org.apache.spark.sql.types.StructField("pair_count",
+                org.apache.spark.sql.types.LongType, nullable = true))))
+        } else {
+          // audit path (pin = false): keep the round's plans VISIBLE in
+          // the returned union so PlanAuditSpec can assert the shape
+          rounds += best.select(lit(r).as("merge_rank"),
+            col("a").as("left_sym"), col("b").as("right_sym"),
+            col("pair_count"))
+        }
         // the final round's state is never read — skip its rebuild
-        if (r < numMerges)
-          st = pinned(applyMergeStep(withNext, best.select(col("a"), col("b"))))
+        if (r < numMerges) {
+          val bestLit =
+            if (pin) spark.createDataFrame(
+              java.util.Arrays.asList(org.apache.spark.sql.Row(
+                bestRow.head.getString(0), bestRow.head.getString(1))),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("a",
+                  org.apache.spark.sql.types.StringType, nullable = true),
+                org.apache.spark.sql.types.StructField("b",
+                  org.apache.spark.sql.types.StringType, nullable = true))))
+            else best.select(col("a"), col("b"))
+          st = pinned(applyMergeStep(withNext, bestLit))
+        }
       }
       r += 1
     }

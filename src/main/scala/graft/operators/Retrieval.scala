@@ -496,8 +496,16 @@ object Retrieval {
     val youngEnough: Long => Boolean = g =>
       minAgeMs > 0L && {
         val m = new org.apache.hadoop.fs.Path(s"$path/gen-$g", "MANIFEST")
+        // ONLY a missing manifest means "no age" (nothing was published,
+        // no reader can hold it). Any OTHER IOException — object-store
+        // timeout, 500 — must NOT silently strip the age floor and evict
+        // a generation a slow reader may still hold: treat it as young
+        // (the conservative direction; the next prune retries the probe).
         try now - fs.getFileStatus(m).getModificationTime < minAgeMs
-        catch { case _: java.io.IOException => false } // no manifest, no age
+        catch {
+          case _: java.io.FileNotFoundException => false // no manifest, no age
+          case _: java.io.IOException => true // transient probe error: keep
+        }
       }
     val keptGens =
       (published.take(keepGenerations) ++ published.filter(youngEnough)).toSet

@@ -90,29 +90,39 @@ package object operators {
       site: String): Unit = {
     val scheme = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
       .toUri.getScheme
-    renameAtomicityWarning(scheme).foreach { msg =>
+    renameAtomicityWarning(scheme, site).foreach { msg =>
       if (warnedSchemes.add(s"$site|$scheme"))
         org.slf4j.LoggerFactory.getLogger("graft.operators")
           .warn(s"$site: $msg")
     }
   }
 
-  /** Pure probe (spec-tested): the warning for publishing a pointer on
-    * `scheme`, or None when rename is atomic there (hdfs, file, abfs —
-    * and a null scheme, the un-qualified local default). */
-  private[graft] def renameAtomicityWarning(scheme: String): Option[String] =
+  /** Pure probe (spec-tested): the warning for a rename-dependent publish
+    * on `scheme`, or None when rename is atomic there (hdfs, file, abfs —
+    * and a null scheme, the un-qualified local default). The caller's
+    * `site` prefixes the logged line (warnIfNonAtomicRename), so the text
+    * here carries no site name; the `_LATEST`-pointer mitigation sentence
+    * appears only for the pointer-publish site (ADVICE r17) — the
+    * compact/rebalance/shard sites get the generic move-the-swap advice. */
+  private[graft] def renameAtomicityWarning(
+      scheme: String,
+      site: String = "publishPointerAtomic"): Option[String] =
     Option(scheme).map(_.toLowerCase(java.util.Locale.ROOT))
       .filter(nonAtomicRenameSchemes.contains)
       .map { s =>
-        s"publishPointerAtomic: filesystem scheme '$s' implements rename " +
+        s"filesystem scheme '$s' implements rename " +
           "as copy+delete, NOT atomically" +
           (if (s == "gs") " (unless the bucket has hierarchical namespace " +
             "enabled, which this probe cannot see)" else "") +
-          " — the pointer-less/torn window the atomic publish exists to " +
-          "close re-opens inside the connector. A crash mid-publish can " +
-          "leave readers refusing (or, pre-migration, serving stale " +
-          "data). Host _LATEST pointers on a rename-atomic store (HDFS, " +
-          "posix, ADLS Gen2) or front them with a manifest service."
+          " — the torn window the atomic rename exists to close re-opens " +
+          "inside the connector; a crash mid-publish can leave readers " +
+          "refusing (or, pre-migration, serving stale data). " +
+          (if (site == "publishPointerAtomic")
+            "Host _LATEST pointers on a rename-atomic store (HDFS, " +
+              "posix, ADLS Gen2) or front them with a manifest service."
+          else
+            "Run this directory swap on a rename-atomic store (HDFS, " +
+              "posix, ADLS Gen2), or accept the documented window.")
       }
 
   /** Fail fast on the numeric-id contract shared by the blocked/aggregated

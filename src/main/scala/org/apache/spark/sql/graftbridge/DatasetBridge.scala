@@ -30,4 +30,32 @@ object DatasetBridge {
     val ck = df.localCheckpoint(eager)
     fromInternal(df.sparkSession, ck.queryExecution.toRdd, ck.schema)
   }
+
+  /** [[pinned]] that KEEPS the checkpointed plan's physical layout.
+    * `internalCreateDataFrame` builds a LogicalRDD with unknown
+    * partitioning/ordering, so an iterative loop whose every round
+    * windows over the same key pays a fresh Exchange + Sort per round
+    * even though the checkpointed RDD is already hash-partitioned and
+    * sorted by that key (its producing plan ended in exactly that
+    * window). Spark's own `localCheckpoint` preserves the layout in its
+    * LogicalRDD but inherits the origin stats (the compounding-BigInt
+    * bug `pinned` exists to stop); this keeps the layout AND resets the
+    * stats — rebuild the LogicalRDD with the same output/rdd/layout and
+    * `originStats = None` (the same constant-default stats `pinned`
+    * yields). Rows, schema, lineage truncation: identical to [[pinned]].
+    */
+  def pinnedKeepLayout(df: DataFrame, eager: Boolean = false): DataFrame = {
+    val ck = df.localCheckpoint(eager)
+    val session =
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ck.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val fresh = new org.apache.spark.sql.execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.getStream)(session, None, None)
+        org.apache.spark.sql.classic.Dataset.ofRows(session, fresh)
+      case _ => // not a checkpoint wrap (never expected) — stats-only pin
+        fromInternal(df.sparkSession, ck.queryExecution.toRdd, ck.schema)
+    }
+  }
 }
