@@ -391,8 +391,16 @@ object Dedup {
     // stay proportional to ids, not to corpus token count.
     val idPairs = sortedNeighborhoodCandidates(
       docs, idCol, textCol, blockTokens, window)
-    val shTab = docs.select(col(idCol).as("id"),
-      SortedLongJaccard.sortedHashedShingles(toks, shingleSize).as("sh"))
+    // BIND the token array before shingling (the shinglesFromTokens
+    // bound-column contract the other dedup callers honor): passing the
+    // raw split() expression re-evaluates the full tokenize inside every
+    // interpreted HOF lambda element — element_at(split(text), x+i)
+    // re-splits the whole document PER SHINGLE POSITION, O(tokens²) per
+    // doc (measured: this one projection was ~80% of dedup_snm's CPU)
+    val shTab = docs
+      .withColumn("__toks", toks)
+      .select(col(idCol).as("id"),
+        SortedLongJaccard.sortedHashedShingles(col("__toks"), shingleSize).as("sh"))
     idPairs
       .join(shTab.select(col("id").as("__lid"), col("sh").as("left_sh")), Seq("__lid"))
       .join(shTab.select(col("id").as("__rid"), col("sh").as("right_sh")), Seq("__rid"))

@@ -76,6 +76,45 @@ object LinkAnalysis {
       math.max(1, math.min(spark.sparkContext.defaultParallelism,
         (m / EdgesPerPartition).toInt + 1)))
 
+  /** Canonical undirected LONG edge frame (u, v) → hash-partitioned,
+    * hub-sliced PRIMITIVE adjacency: (node, Array[Long] neighbors), plus
+    * |sym| = 2·E and the shared round partitioner. The frame is read
+    * through `queryExecution.toRdd` (primitive `getLong`, no external
+    * Row decode — the Row path measured ~7 µs/edge of pure boxing) and
+    * the per-node lists grow in `ArrayBuilder.ofLong` (primitive
+    * backing array, no element boxing). Returns (null, 0, null) for an
+    * empty graph. Caller owns unpersisting `adj`. */
+  private def buildAdjLong(eDist: DataFrame, hubSplit: Int)
+      : (RDD[(Long, Array[Long])], Long, HashPartitioner) = {
+    val spark = eDist.sparkSession
+    val sym: RDD[(Long, Long)] = eDist.queryExecution.toRdd
+      .mapPartitions(_.flatMap { r =>
+        val u = r.getLong(0); val v = r.getLong(1)
+        Iterator((u, v), (v, u))
+      })
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m2 = sym.count()
+    if (m2 == 0L) { sym.unpersist(blocking = false); return (null, 0L, null) }
+    val part = roundPartitioner(spark, m2)
+    val adj: RDD[(Long, Array[Long])] = sym.aggregateByKey(
+        new scala.collection.mutable.ArrayBuilder.ofLong, part)(
+        (b, d) => { b += d; b },
+        (a, b) => { // primitive element-wise merge: no boxing wrapper
+          val arr = b.result(); var i = 0
+          while (i < arr.length) { a += arr(i); i += 1 }
+          a
+        })
+      .mapPartitions(_.flatMap { case (s, buf) =>
+        val arr = buf.result()
+        if (arr.length <= hubSplit) Iterator.single((s, arr))
+        else arr.grouped(hubSplit).map(g => (s, g))
+      }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    sym.unpersist(blocking = false)
+    (adj, m2, part)
+  }
+
   /** Fixed-point PageRank.
     *
     * @param edges   directed edge list; duplicates are collapsed; src
@@ -381,20 +420,25 @@ object LinkAnalysis {
     * peeling equivalence + the degree/maximality invariants).
     *
     * Scale shape (INCREMENTAL degree maintenance — the r18 rewrite of
-    * the recompute-from-scratch DataFrame loop): the adjacency is
-    * collapsed ONCE into the hash-partitioned per-node neighbor-list
-    * layout [[pageRank]] uses (mega-hubs sliced, so no task materializes
-    * a full hub list), and the loop carries only the NODE-sized live
-    * degree map. Per round, the set of sub-k nodes is dropped and each
-    * dropped node sends one decrement per incident edge — so the TOTAL
-    * work across ALL rounds is O(E) (every edge dies at most twice),
-    * where the old shape paid a full 2·E degree aggregate plus two
-    * edge-set semi-joins and an edge-set checkpoint write EVERY round
-    * (O(E·depth) — measured 16-20 executor-CPU-seconds at sf0.1 vs ~3
-    * after). Rounds are the same synchronous Matula–Beck peel (all
-    * current sub-k nodes leave together), so the per-round survivor sets
-    * — and the maxIter-truncated partial result — are exactly the old
-    * implementation's; KCoreSpec pins that equivalence.
+    * the recompute-from-scratch DataFrame loop, for INTEGRAL node ids):
+    * the adjacency is collapsed ONCE into the hash-partitioned
+    * hub-sliced PRIMITIVE layout of [[buildAdjLong]], and the loop
+    * carries only the NODE-sized live degree map. Per round, the set of
+    * sub-k nodes is dropped and each dropped node sends one decrement
+    * per incident edge — decrement traffic TOTALS O(E) across all
+    * rounds (every edge dies at most twice), where the old shape paid a
+    * full 2·E degree aggregate plus two edge-set semi-joins and an
+    * edge-set checkpoint write EVERY round. The per-round adjacency
+    * probe is a narrow co-partitioned zipPartitions with a sorted-array
+    * membership test — no shuffle, no cogroup hash build, no boxing
+    * (the boxed join form of this loop measured 5× the OLD shape's
+    * CPU before the primitive specialization; measure first). Rounds
+    * are the same synchronous Matula–Beck peel (all current sub-k nodes
+    * leave together), so the per-round survivor sets — and the
+    * maxIter-truncated partial result — are exactly the old
+    * implementation's; KCoreSpec pins that equivalence. Non-integral
+    * node ids (no primitive encoding) take the pre-r18 DataFrame peel,
+    * kept verbatim.
     *
     * A graph whose peeling depth exceeds `maxIter` (pathological chains)
     * does NOT fail the query: peeling is monotone deletion, so the
@@ -411,66 +455,87 @@ object LinkAnalysis {
       k: Int,
       maxIter: Int = 100): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
-    val spark = pairs.sparkSession
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType}
     val nodeType = pairs.schema(leftCol).dataType
     require(pairs.schema(rightCol).dataType == nodeType,
       s"endpoint type mismatch: $nodeType vs ${pairs.schema(rightCol).dataType}")
+    nodeType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        kCoreIntegral(pairs, leftCol, rightCol, k, maxIter)
+      case _ => kCoreGeneric(pairs, leftCol, rightCol, k, maxIter)
+    }
+  }
+
+  private def kCoreIntegral(
+      pairs: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      k: Int,
+      maxIter: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    val nodeType = pairs.schema(leftCol).dataType
     val eDist = pairs
-      .select(col(leftCol).as("a"), col(rightCol).as("b"))
+      .select(col(leftCol).cast("long").as("a"),
+        col(rightCol).cast("long").as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-    // symmetrize: every undirected edge contributes one endpoint record
-    // each way, so |sym| = 2·E and a node's record count IS its degree
-    val sym: RDD[(Any, Any)] = eDist.rdd
-      .flatMap(r => Iterator((r.get(0), r.get(1)), (r.get(1), r.get(0))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val m2 = sym.count()
-    if (m2 == 0L) {
-      sym.unpersist(blocking = false)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("node", nodeType, nullable = false),
-          StructField("core_degree", LongType, nullable = false))))
-    }
-    val part = roundPartitioner(spark, m2)
-    val hubSplit = 100000
-    // static adjacency (never shrinks — dead neighbors' decrements fall
-    // out of the leftOuterJoin naturally); hub slices like pageRank's,
-    // each carrying only its slice of the neighbor list
-    val adj: RDD[(Any, Array[Any])] = sym.aggregateByKey(
-        scala.collection.mutable.ArrayBuffer.empty[Any], part)(
-        (b, d) => b += d, (a, b) => a ++= b)
-      .mapPartitions(_.flatMap { case (s, buf) =>
-        if (buf.length <= hubSplit) Iterator.single((s, buf.toArray))
-        else buf.grouped(hubSplit).map(g => (s, g.toArray))
-      }, preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (adj, m2, part) = buildAdjLong(eDist, hubSplit = 100000)
+    val outSchema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("core_degree", LongType, nullable = false)))
+    def toNodeType(df: DataFrame): DataFrame =
+      if (nodeType == LongType) df
+      else df.select(col("node").cast(nodeType).as("node"), col("core_degree"))
+    if (m2 == 0L)
+      return toNodeType(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema))
     // live degrees, node-sized; slices of one hub sum back to its degree
-    var alive: RDD[(Any, Long)] = adj
+    var alive: RDD[(Long, Long)] = adj
       .mapPartitions(_.map { case (n, a) => (n, a.length.toLong) },
         preservesPartitioning = true)
       .reduceByKey(part, _ + _)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
-    sym.unpersist(blocking = false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val removed = alive.filter(_._2 < k)
+      // removed recomputes narrowly from the persisted alive — cheaper
+      // than persist/unpersist churn for a set read twice per round
+      val removed = alive.mapPartitions(_.filter(_._2 < k),
+        preservesPartitioning = true)
       if (removed.count() == 0L) converged = true
       else {
         // each removed node decrements every neighbor once; decrements
-        // aimed at other removed nodes vanish in the join below — the
-        // survivor degrees are exactly the induced-subgraph degrees, so
-        // each round equals one synchronous recompute-from-scratch peel
-        val dec = adj.join(removed, part)
-          .flatMap { case (_, (nbrs, _)) => nbrs.iterator.map((_, 1L)) }
-          .reduceByKey(part, _ + _)
-        val next = alive.filter(_._2 >= k)
-          .leftOuterJoin(dec, part)
-          .mapValues { case (d, dd) => d - dd.getOrElse(0L) }
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        // aimed at other removed nodes vanish in the survivor probe —
+        // the survivor degrees are exactly the induced-subgraph degrees,
+        // so each round equals one synchronous recompute-from-scratch
+        // peel. Membership tests are sorted-Array binary search / LongMap
+        // probes over CO-PARTITIONED sides (zipPartitions — no cogroup
+        // hash build, no boxing; the boxed join form of this loop
+        // measured 5× the CPU of the old DataFrame peel): the round's
+        // only shuffle is the decrement reduceByKey, sized by the
+        // round's dying edges.
+        // preservesPartitioning MUST be false here: the emitted key is
+        // the NEIGHBOR, not the probed node — claiming the old layout
+        // would let reduceByKey skip its shuffle and sum only
+        // partition-local decrements (caught by the sf0.01 oracle diff:
+        // kcore over-kept 267 nodes, bfs under-discovered 6k)
+        val dec: RDD[(Long, Long)] = adj.zipPartitions(removed) { (aIt, rIt) =>
+          val rs = rIt.map(_._1).toArray
+          java.util.Arrays.sort(rs)
+          if (rs.isEmpty) Iterator.empty
+          else aIt.flatMap { case (n, nbrs) =>
+            if (java.util.Arrays.binarySearch(rs, n) >= 0)
+              nbrs.iterator.map((_, 1L))
+            else Iterator.empty
+          }
+        }.reduceByKey(part, _ + _)
+        val next = alive.zipPartitions(
+            dec, preservesPartitioning = true) { (aIt, dIt) =>
+          val dm = new scala.collection.mutable.LongMap[Long]()
+          dIt.foreach { case (n, c) => dm(n) = c }
+          aIt.collect { case (n, d) if d >= k => (n, d - dm.getOrElse(n, 0L)) }
+        }.persist(StorageLevel.MEMORY_AND_DISK)
         // bound closure/lineage depth on pathological deep peels — the
         // truncation is metadata-only (the RDD is persisted either way)
         if (iter % 16 == 15) next.localCheckpoint()
@@ -490,13 +555,56 @@ object LinkAnalysis {
     // degree-0 stragglers (possible only on the truncated path) match the
     // old shape's "no edge rows -> no degree row" behavior via the filter
     val rows = alive.filter(_._2 >= 1L).map { case (n, d) => Row(n, d) }
-    val out = spark.createDataFrame(rows,
-        StructType(Seq(StructField("node", nodeType, nullable = false),
-          StructField("core_degree", LongType, nullable = false))))
+    val out = toNodeType(spark.createDataFrame(rows, outSchema))
       .localCheckpoint(eager = true)
     adj.unpersist(blocking = false)
     alive.unpersist(blocking = false)
     out
+  }
+
+  /** The pre-r18 DataFrame peel, kept verbatim for NON-integral node
+    * ids (strings, decimals), which have no primitive-long encoding. */
+  private def kCoreGeneric(
+      pairs: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      k: Int,
+      maxIter: Int): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_degree"))
+    var edges = pairs
+      .select(col(leftCol).as("a"), col(rightCol).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var n = edges.count()
+    var iter = 0
+    var converged = n == 0L
+    while (!converged && iter < maxIter) {
+      val keep = degrees(edges).filter(col("core_degree") >= k).select("node")
+      val pruned = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(eager = true)
+      val m = pruned.count()
+      converged = m == n
+      // pruned is MATERIALIZED (eager), so the superseded round's edge
+      // copy can go — without this a deep peel pins O(rounds) edge-set
+      // copies of un-evictable (lineage-truncated) blocks. The FINAL
+      // round's checkpoint stays: the returned degrees plan reads it.
+      releaseCheckpoint(edges)
+      edges = pruned
+      n = m
+      iter += 1
+    }
+    if (!converged && n > 0L)
+      org.slf4j.LoggerFactory.getLogger(LinkAnalysis.getClass).warn(
+        s"kCore: no fixpoint after $maxIter rounds ($n edges live); " +
+          "returning the current still-shrinking superset of the k-core")
+    degrees(edges)
   }
 
   def triangles(pairs: DataFrame, leftCol: String, rightCol: String): DataFrame = {
@@ -903,15 +1011,16 @@ object LinkAnalysis {
     * re-shuffled the FULL edge list three times per round — semi-join,
     * distinct, anti-join — plus a per-round checkpoint write): the
     * adjacency is collapsed ONCE into the hash-partitioned hub-sliced
-    * per-node neighbor-list layout [[pageRank]] uses; every later round
-    * touches only the frontier's adjacency rows via a co-partitioned
-    * (narrow) join, so total adjacency-expansion work is O(E) across ALL
-    * rounds — each node's list is expanded exactly once, the round it
-    * enters the frontier. The known-distance map stays co-partitioned,
-    * so the dedup reduce and the known-set subtraction are narrow too;
-    * the only per-round shuffle-sized object is the new-neighbor
-    * candidate set. Hop distances are unique integers, so the output is
-    * bit-identical to the old shape under any partitioning.
+    * PRIMITIVE layout of [[buildAdjLong]]; every later round probes it
+    * with a narrow co-partitioned zipPartitions (sorted-array frontier
+    * membership — no cogroup hash build, no boxing), so total
+    * adjacency-EXPANSION work is O(E) across ALL rounds — each node's
+    * list is expanded exactly once, the round it enters the frontier.
+    * The known-distance map stays co-partitioned, so the dedup reduce
+    * and the known-set subtraction are narrow too; the only per-round
+    * shuffle-sized object is the new-neighbor candidate set. Hop
+    * distances are unique integers, so the output is bit-identical to
+    * the old shape under any partitioning.
     *
     * @return (node BIGINT, dist INT) for every node within `maxHops` of
     *         `source`; the source itself has dist 0. Empty if `source`
@@ -929,33 +1038,13 @@ object LinkAnalysis {
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-    val sym: RDD[(Long, Long)] = und.rdd
-      .flatMap { r =>
-        val u = r.getLong(0); val v = r.getLong(1)
-        Iterator((u, v), (v, u))
-      }
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val m2 = sym.count()
+    val (adj, m2, part) = buildAdjLong(und, hubSplit = 100000)
     val outSchema = StructType(Seq(
       StructField("node", LongType, nullable = false),
       StructField("dist", IntegerType, nullable = false)))
-    if (m2 == 0L) {
-      sym.unpersist(blocking = false)
+    if (m2 == 0L)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], outSchema)
-    }
-    val part = roundPartitioner(spark, m2)
-    val hubSplit = 100000
-    val adj: RDD[(Long, Array[Long])] = sym.aggregateByKey(
-        scala.collection.mutable.ArrayBuffer.empty[Long], part)(
-        (b, d) => b += d, (a, b) => a ++= b)
-      .mapPartitions(_.flatMap { case (s, buf) =>
-        if (buf.length <= hubSplit) Iterator.single((s, buf.toArray))
-        else buf.grouped(hubSplit).map(g => (s, g.toArray))
-      }, preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
-    sym.unpersist(blocking = false)
     // seed only if the source actually appears in the graph; the filter
     // preserves adj's partitioning, and the reduce collapses hub slices
     var dist: RDD[(Long, Int)] = adj
@@ -969,25 +1058,41 @@ object LinkAnalysis {
     var frontierSize = dist.count()
     while (k <= maxHops && frontierSize > 0L) {
       val hop = k
-      // expand the frontier's neighbor lists (narrow: co-partitioned),
-      // dedup candidates, drop already-known nodes (narrow again); the
-      // collect-mapPartitions keeps keys so the partitioner survives
-      val next = adj.join(frontier, part)
-        .flatMap { case (_, (nbrs, _)) => nbrs.iterator.map((_, hop)) }
+      // expand the frontier's neighbor lists via a narrow co-partitioned
+      // zipPartitions probe (sorted-array membership — no cogroup hash
+      // build over the full adjacency, no boxing), dedup candidates in
+      // the round's only shuffle (sized by discovered neighbors), then
+      // drop already-known nodes with a LongMap probe (narrow again)
+      // preservesPartitioning deliberately NOT claimed on the expansion:
+      // its output key is the NEIGHBOR (a different node), so the dedup
+      // reduce below genuinely needs its shuffle (claiming the layout
+      // made reduceByKey skip it and lose cross-partition discoveries)
+      val next = adj.zipPartitions(frontier) { (aIt, fIt) =>
+          val fs = fIt.map(_._1).toArray
+          java.util.Arrays.sort(fs)
+          if (fs.isEmpty) Iterator.empty
+          else aIt.flatMap { case (n, nbrs) =>
+            if (java.util.Arrays.binarySearch(fs, n) >= 0)
+              nbrs.iterator.map((_, hop))
+            else Iterator.empty
+          }
+        }
         .reduceByKey(part, (a, _) => a)
-        .leftOuterJoin(dist, part)
-        .mapPartitions(_.collect { case (n, (d, None)) => (n, d) },
-          preservesPartitioning = true)
+        .zipPartitions(dist, preservesPartitioning = true) { (cIt, dIt) =>
+          val known = new scala.collection.mutable.LongMap[Boolean]()
+          dIt.foreach { case (n, _) => known(n) = true }
+          cIt.filter(c => !known.contains(c._1))
+        }
         .persist(StorageLevel.MEMORY_AND_DISK)
       frontierSize = next.count()
       if (frontierSize > 0L) {
         // same-partitioner union is partitioner-aware (narrow), so dist
-        // stays co-partitioned for the next round's known-set join
+        // stays co-partitioned for the next round's known-set probe
         val merged = dist.union(next).persist(StorageLevel.MEMORY_AND_DISK)
         merged.count()
         dist.unpersist(blocking = false)
         dist = merged
-        // the PREVIOUS frontier backed this round's join; dead now that
+        // the PREVIOUS frontier backed this round's probe; dead now that
         // next and merged are materialized — pinned storage stays O(1)
         if (prevFrontier != null) prevFrontier.unpersist(blocking = false)
         prevFrontier = next

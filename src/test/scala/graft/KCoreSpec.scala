@@ -89,6 +89,23 @@ class KCoreSpec extends SparkSpec {
         s"(expected <= 1, the result-backing one): $leaked")
   }
 
+  test("multi-partition peel equals brute force (regression: the decrement " +
+    "probe RE-KEYS to the neighbor, so its reduce must shuffle)") {
+    // the r18 incremental peel emits (neighbor, 1) decrements from a
+    // zipPartitions probe; a false preservesPartitioning claim let
+    // reduceByKey skip its shuffle and sum only partition-local
+    // decrements — invisible on the tiny graphs above (1 round
+    // partition), caught only by the sf0.01 oracle. This graph is big
+    // enough (~80k symmetric endpoints) to force >= 2 round partitions.
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(40000)(
+      (rnd.nextInt(2500).toLong, rnd.nextInt(2500).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = run(edges, k = 8)
+    val want = localKCore(edges, k = 8).map { case (n, d) => (n, d.toLong) }
+    assert(got === want)
+  }
+
   test("invariants: min within-core degree >= k; result is maximal") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))

@@ -296,6 +296,30 @@ class LinkAnalysisSpec extends SparkSpec {
         s"(expected <= 1, the result-backing dist): $leaked")
   }
 
+  test("BFS: multi-partition frontier equals driver BFS (regression: the " +
+    "expansion RE-KEYS to the neighbor, so its dedup reduce must shuffle)") {
+    // same bug class as the kCore multi-partition regression: a false
+    // preservesPartitioning claim on the re-keyed expansion let the
+    // dedup reduceByKey skip its shuffle and drop cross-partition
+    // discoveries; needs >= 2 round partitions (~80k endpoints) to show.
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(40000)(
+      (rnd.nextInt(2500).toLong, rnd.nextInt(2500).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val adjacency = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2).toSet }
+    var dist = Map(0L -> 0)
+    var frontier = Set(0L)
+    var d = 0
+    while (frontier.nonEmpty && d < 4) {
+      d += 1
+      val nxt = frontier.flatMap(adjacency.getOrElse(_, Set.empty)) -- dist.keySet
+      nxt.foreach(n => dist += (n -> d))
+      frontier = nxt
+    }
+    assert(bfs(edges, 0L, 4) === dist)
+  }
+
   test("BFS: isolated source yields empty; repartition-stable") {
     val g = Seq(1L -> 2L, 2L -> 3L)
     assert(bfs(g, 9L, 3) === Map.empty)
