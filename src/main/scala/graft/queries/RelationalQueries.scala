@@ -793,10 +793,17 @@ object RelationalQueries {
         .filter(col("a.pk") < col("b.pk"))
         .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
         .agg(count(lit(1)).as("co"))
+      // both directions from ONE pair pipeline: the union-of-two-selects
+      // form recomputed the whole self-join + pair aggregate per branch
+      // (plan showed the subtree twice; ~2x the query's CPU) — explode
+      // emits the same rows from a single pass
       val sym = pairs
-        .select(col("p1").as("part"), col("p2").as("partner"), col("co"))
-        .unionByName(pairs
-          .select(col("p2").as("part"), col("p1").as("partner"), col("co")))
+        .select(explode(array(
+            struct(col("p1").as("part"), col("p2").as("partner")),
+            struct(col("p2").as("part"), col("p1").as("partner")))).as("__e"),
+          col("co"))
+        .select(col("__e.part").as("part"), col("__e.partner").as("partner"),
+          col("co"))
         .filter(col("part") % 100 === 0)
       val scored = sym
         .join(cnt.select(col("pk").as("part"), col("n").as("na")), "part")
@@ -1271,10 +1278,16 @@ object RelationalQueries {
         .filter(col("a.pk") < col("b.pk"))
         .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
         .agg(count(lit(1)).as("co")).filter(col("co") >= 3)
+      // both rule directions from ONE pair pipeline (same surgery as
+      // q45_copurchase: the union form recomputed the self-join + pair
+      // aggregate per branch)
       val directed = pairs
-        .select(col("p1").as("antecedent"), col("p2").as("consequent"), col("co"))
-        .unionByName(pairs
-          .select(col("p2").as("antecedent"), col("p1").as("consequent"), col("co")))
+        .select(explode(array(
+            struct(col("p1").as("antecedent"), col("p2").as("consequent")),
+            struct(col("p2").as("antecedent"), col("p1").as("consequent")))).as("__e"),
+          col("co"))
+        .select(col("__e.antecedent").as("antecedent"),
+          col("__e.consequent").as("consequent"), col("co"))
       directed
         .join(cnt.select(col("pk").as("antecedent"), col("n_item").as("__na")),
           Seq("antecedent"))
