@@ -217,17 +217,11 @@ object Bpe {
         }
         // the final round's state is never read — skip its rebuild
         if (r < numMerges) {
-          val bestLit =
-            if (pin) spark.createDataFrame(
-              java.util.Arrays.asList(org.apache.spark.sql.Row(
-                bestRow.head.getString(0), bestRow.head.getString(1))),
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("a",
-                  org.apache.spark.sql.types.StringType, nullable = true),
-                org.apache.spark.sql.types.StructField("b",
-                  org.apache.spark.sql.types.StringType, nullable = true))))
-            else best.select(col("a"), col("b"))
-          st = pinned(applyMergeStep(withNext, bestLit))
+          st =
+            if (pin) pinned(applyMergeStepLit(withNext,
+              bestRow.head.getString(0), bestRow.head.getString(1)))
+            else pinned(applyMergeStep(withNext,
+              best.select(col("a"), col("b"))))
         }
       }
       r += 1
@@ -243,12 +237,24 @@ object Bpe {
     * (w, freq, p, sym, __nsym) adjacency view: `best` is a 1-row (a, b)
     * frame (broadcast). Returns the renumbered (w, freq, p, sym) state. */
   private def applyMergeStep(withNext: DataFrame,
-      best: DataFrame): DataFrame = {
+      best: DataFrame): DataFrame =
+    applyMergeCore(withNext.crossJoin(broadcast(best)), col("a"), col("b"))
+
+  /** [[applyMergeStep]] with the merge pair as DRIVER LITERALS — the
+    * production-round form (the pair was just collected for the stop
+    * rule anyway): no 1-row cross join, no per-round broadcast stage to
+    * plan and schedule. The plan-audited crossJoin form stays for the
+    * pin=false shape audit. */
+  private def applyMergeStepLit(withNext: DataFrame,
+      a: String, b: String): DataFrame =
+    applyMergeCore(withNext, lit(a), lit(b))
+
+  private def applyMergeCore(flagged0: DataFrame,
+      aExpr: Column, bExpr: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byP = Window.partitionBy("w").orderBy("p")
-    val flagged = withNext
-      .crossJoin(broadcast(best))
-      .withColumn("__m", col("sym") === col("a") && col("__nsym") === col("b"))
+    val flagged = flagged0
+      .withColumn("__m", col("sym") === aExpr && col("__nsym") === bExpr)
       .withColumn("__rnm", sum(when(col("__m"), 1L).otherwise(0L)).over(
         byP.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       // p − running-match-count is constant within a maximal run of

@@ -243,17 +243,25 @@ object LinkAnalysis {
         } else Iterator.empty // init 0 off-seed: nothing to contribute
       }.reduceByKey(part, _ + _)
     for (_ <- 2 to iterations) {
-      // adj⋈insum is narrow AND node-sized (both carry `part`); the
-      // reduceByKey is the round's ONLY shuffle and is node-sized after
-      // map-side combine — contribution order never matters (integer
-      // adds); a hub's slices each join the same rank record and emit
-      // the same `rank div totalDeg` per edge
-      insum = adj.leftOuterJoin(insum, part)
-        .flatMap { case (src, ((deg, dsts), s)) =>
-          val c = rankOf(src, s) / deg
+      // the round's rank attach is a narrow co-partitioned zipPartitions
+      // probe: the NODE-sized in-sum builds a small hash map and the
+      // persisted adjacency streams past it (the cogroup join form
+      // hash-built the whole adjacency every round — measured ~2 cpu-s
+      // a round at bench scale for pure rebuild). The output re-keys to
+      // the destination, so the reduceByKey keeps its (node-sized,
+      // map-side combined) shuffle — the round's ONLY one; contribution
+      // order never matters (integer adds); a hub's slices each probe
+      // the same rank record and emit the same `rank div totalDeg`.
+      insum = adj.zipPartitions(insum) { (aIt, sIt) =>
+        val sm = new java.util.HashMap[Any, java.lang.Long]()
+        sIt.foreach { case (nd, s) => sm.put(nd, s) }
+        aIt.flatMap { case (src, (deg, dsts)) =>
+          val sv = sm.get(src)
+          val c = rankOf(src,
+            if (sv == null) None else Some(sv.longValue())) / deg
           dsts.iterator.map(d => (d, c))
         }
-        .reduceByKey(part, _ + _)
+      }.reduceByKey(part, _ + _)
     }
     val pr: RDD[(Any, Long)] =
       if (insum == null)
@@ -324,18 +332,30 @@ object LinkAnalysis {
     require(m > 0, "HITS needs at least one edge")
     val part = roundPartitioner(spark, m)
 
-    def adjacency(pairs: RDD[(Any, Any)]) = pairs
+    // ONE aggregate pass builds out-lists, in-lists, AND the node set
+    // (the previous shape paid three edge-sized shuffles and pinned
+    // three RDDs: fwd, rev, and a distinct-endpoints reduce — measured
+    // ~4 cpu-s of the query's total at bench scale). `both` has exactly
+    // one record per endpoint, so its KEYS are the node set; fwd/rev
+    // are narrow partition-preserving views over the one persisted RDD.
+    val both: RDD[(Any, (Array[Any], Array[Any]))] = e
+      .flatMap { case (s, d) => Iterator((s, (d, true)), (d, (s, false))) }
       .aggregateByKey(
-        scala.collection.mutable.ArrayBuffer.empty[Any], part)(
-        (b, d) => b += d, (a, b) => a ++= b)
-      .mapValues(_.toArray)
+        (scala.collection.mutable.ArrayBuffer.empty[Any],
+          scala.collection.mutable.ArrayBuffer.empty[Any]), part)(
+        (b, v) => { if (v._2) b._1 += v._1 else b._2 += v._1; b },
+        (a, b) => { a._1 ++= b._1; a._2 ++= b._2; a })
+      .mapValues { case (o, i) => (o.toArray, i.toArray) }
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val fwd = adjacency(e)                                  // u -> out(u)
-    val rev = adjacency(e.map { case (s, d) => (d, s) })    // v -> in(v)
-    val nodes = e.flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
-      .reduceByKey(part, (a, _) => a)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count(); fwd.count(); rev.count()
+    both.count()
+    val fwd = both.mapPartitions(                           // u -> out(u)
+      _.collect { case (n, (o, _)) if o.nonEmpty => (n, o) },
+      preservesPartitioning = true)
+    val rev = both.mapPartitions(                           // v -> in(v)
+      _.collect { case (n, (_, i)) if i.nonEmpty => (n, i) },
+      preservesPartitioning = true)
+    val nodes = both.mapPartitions(
+      _.map { case (n, _) => (n, ()) }, preservesPartitioning = true)
     e.unpersist(blocking = false)
 
     val live = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
@@ -343,10 +363,21 @@ object LinkAnalysis {
     // `init` on round 1, else the node-keyed partner RDD), then max-norm
     def halfRound(a: RDD[(Any, Array[Any])], partner: RDD[(Any, Long)],
         init: Long): RDD[(Any, Long)] = {
+      // partner attach = narrow co-partitioned zipPartitions probe (the
+      // node-sized partner score map streams the persisted adjacency —
+      // no per-round cogroup hash build of the adjacency; inner-join
+      // semantics kept: unscored nodes contribute nothing). Output
+      // re-keys to the neighbor, so the reduce keeps its shuffle.
       val raw = (if (partner == null)
           a.flatMap { case (_, ds) => ds.iterator.map(d => (d, init)) }
-        else a.join(partner, part).flatMap { case (_, (ds, s)) =>
-          ds.iterator.map(d => (d, s))
+        else a.zipPartitions(partner) { (aIt, pIt) =>
+          val pm = new java.util.HashMap[Any, java.lang.Long]()
+          pIt.foreach { case (nd, s) => pm.put(nd, s) }
+          aIt.flatMap { case (src, ds) =>
+            val sv = pm.get(src)
+            if (sv == null) Iterator.empty
+            else { val s = sv.longValue(); ds.iterator.map(d => (d, s)) }
+          }
         })
         .reduceByKey(part, _ + _)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -371,18 +402,25 @@ object LinkAnalysis {
       hub = halfRound(rev, auth, 0L)
     }
 
-    val scored = nodes
-      .leftOuterJoin(auth, part)
-      .leftOuterJoin(hub, part)
-      .map { case (node, ((_, a), h)) =>
-        Row(node, a.getOrElse(0L), h.getOrElse(0L))
+    // final attach: one narrow 3-way zipPartitions over the
+    // co-partitioned node set and score maps (was two cogroup joins)
+    val scored = nodes.zipPartitions(auth, hub) { (nIt, aIt, hIt) =>
+      val am = new java.util.HashMap[Any, java.lang.Long]()
+      aIt.foreach { case (n, s) => am.put(n, s) }
+      val hm = new java.util.HashMap[Any, java.lang.Long]()
+      hIt.foreach { case (n, s) => hm.put(n, s) }
+      nIt.map { case (node, _) =>
+        val a = am.get(node); val h = hm.get(node)
+        Row(node, if (a == null) 0L else a.longValue(),
+          if (h == null) 0L else h.longValue())
       }
+    }
     val out = spark.createDataFrame(scored,
         StructType(Seq(StructField("node", nodeType, nullable = false),
           StructField("auth", LongType, nullable = false),
           StructField("hub", LongType, nullable = false))))
       .localCheckpoint(eager = true)
-    (live ++ Seq(fwd, rev, nodes)).foreach(_.unpersist(blocking = false))
+    (live ++ Seq(both)).foreach(_.unpersist(blocking = false))
     out
   }
 
