@@ -42,6 +42,14 @@ object Bench {
       // SAME timestamp plans — a host-timezone bench would measure
       // expressions the oracle never verified
       .config("spark.sql.session.timeZone", "UTC")
+      // Kryo for RDD shuffles (the graph fixed-point loops; DataFrame
+      // exchanges are Tungsten-serialized regardless of this setting):
+      // JavaSerializer writes a boxed (Long, Long) edge tuple at ~5x the
+      // bytes. Measured on this box (A/B, 5-trial medians, r18): bfs
+      // -17%, hits -22%, pagerank -9%, kcore -4%; no effect on DF-only
+      // queries. Scale-independent — the standard production setting,
+      // not a local[32] tune.
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -87,15 +87,20 @@ object LinkAnalysis {
   private def buildAdjLong(eDist: DataFrame, hubSplit: Int)
       : (RDD[(Long, Array[Long])], Long, HashPartitioner) = {
     val spark = eDist.sparkSession
+    // size the partitioner with a DataFrame-side count (codegen-cheap);
+    // the symmetrized pair stream is then consumed EXACTLY ONCE by the
+    // aggregate below, so persisting it bought nothing but a 2E-record
+    // block write+read and session storage churn (measured ~1.5 cpu-s
+    // at bench scale). The distinct executes twice (count + build) —
+    // Tungsten scan+agg, far cheaper than the boxed persist it replaces.
+    val m2 = eDist.count() * 2
+    if (m2 == 0L) return (null, 0L, null)
+    val part = roundPartitioner(spark, m2)
     val sym: RDD[(Long, Long)] = eDist.queryExecution.toRdd
       .mapPartitions(_.flatMap { r =>
         val u = r.getLong(0); val v = r.getLong(1)
         Iterator((u, v), (v, u))
       })
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val m2 = sym.count()
-    if (m2 == 0L) { sym.unpersist(blocking = false); return (null, 0L, null) }
-    val part = roundPartitioner(spark, m2)
     val adj: RDD[(Long, Array[Long])] = sym.aggregateByKey(
         new scala.collection.mutable.ArrayBuilder.ofLong, part)(
         (b, d) => { b += d; b },
@@ -111,7 +116,6 @@ object LinkAnalysis {
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
-    sym.unpersist(blocking = false)
     (adj, m2, part)
   }
 
@@ -325,11 +329,13 @@ object LinkAnalysis {
 
     val eDist = edges.select(col(srcCol), col(dstCol))
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
-    val e: RDD[(Any, Any)] = (if (assumeDistinct) eDist else eDist.distinct())
-      .rdd.map(r => (r.get(0), r.get(1)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val m = e.count()
+    val eFrame = if (assumeDistinct) eDist else eDist.distinct()
+    // DataFrame-side sizing count; the edge stream is then consumed
+    // exactly once by the combined-adjacency build, so it is not
+    // persisted (same reasoning as buildAdjLong)
+    val m = eFrame.count()
     require(m > 0, "HITS needs at least one edge")
+    val e: RDD[(Any, Any)] = eFrame.rdd.map(r => (r.get(0), r.get(1)))
     val part = roundPartitioner(spark, m)
 
     // ONE aggregate pass builds out-lists, in-lists, AND the node set
@@ -356,7 +362,6 @@ object LinkAnalysis {
       preservesPartitioning = true)
     val nodes = both.mapPartitions(
       _.map { case (n, _) => (n, ()) }, preservesPartitioning = true)
-    e.unpersist(blocking = false)
 
     val live = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
     // one half-round: raw = Σ over `a` of the partner score (uniform

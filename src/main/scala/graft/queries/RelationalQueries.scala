@@ -1219,15 +1219,17 @@ object RelationalQueries {
         .groupBy("decile").agg(
           count(lit(1)).as("n_customers"),
           sum(col("__rev")).as("__drev"))
-      val total = bucketed.agg(
-        sum(col("__drev")).cast(DecimalType(28, 6)).as("__tot"))
-      val prior = bucketed
-        .select(col("decile").as("__d2"), col("__drev").as("__c2"))
-      bucketed.crossJoin(broadcast(total))
-        .join(broadcast(prior), col("__d2") <= col("decile"))
-        .groupBy(col("decile"), col("n_customers"), col("__drev"),
-          col("__tot"))
-        .agg(sum(col("__c2")).as("cum"))
+      // total and cumulative share as windows over the DECILE AXIS —
+      // bounded at 10 rows by construction (global-window sweep
+      // allowlist). The previous total-aggregate + prior-decile-join
+      // form recomputed the whole per-customer rollup + ntile pipeline
+      // once per branch (three executions in the plan); same exact
+      // DECIMAL sums, one execution.
+      bucketed
+        .withColumn("__tot", sum(col("__drev"))
+          .over(Window.partitionBy()).cast(DecimalType(28, 6)))
+        .withColumn("cum", sum(col("__drev"))
+          .over(Window.partitionBy().orderBy("decile")))
         .select(col("decile"), col("n_customers"),
           col("__drev").cast("double").as("revenue"),
           round(col("__drev").cast("double") / col("__tot").cast("double"), 6)

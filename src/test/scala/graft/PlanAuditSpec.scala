@@ -373,9 +373,15 @@ class PlanAuditSpec extends SparkSpec {
     // executedPlan: under AQE the executed plan is an AdaptiveSparkPlanExec
     // LEAF whose inner tree collect() never visits (GlobalRankSpec's
     // negative control proves this collector sees windows).
+    // q52_pareto left the list in r18: its ENTITY-sized ranking still
+    // rides GlobalRank.ntile, but its total/cumulative shares are now
+    // windows over the 10-row DECILE rollup (global-window sweep
+    // allowlist carries the bound) — the windowed form replaced a
+    // total-agg + prior-decile join that executed the rollup + ntile
+    // pipeline three times.
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("eval_auc", "eval_calibration", "sample_curriculum",
-        "q51_rfm", "q52_pareto", "profile_gini")) {
+        "q51_rfm", "profile_gini")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       val bad = df.queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
@@ -458,7 +464,11 @@ class PlanAuditSpec extends SparkSpec {
       "q47_autocorr" -> ("row_number over an hour-grain series — rows " +
         "bounded by calendar span, not event volume"),
       "text_len_hist" -> ("running share over the n_tokens div 16 bucket " +
-        "axis — rows bounded by max document length, not corpus size"))
+        "axis — rows bounded by max document length, not corpus size"),
+      "q52_pareto" -> ("total + running share over the DECILE axis — " +
+        "exactly 10 rows by ntile construction; the window form replaced " +
+        "a total-agg + prior-decile join that executed the per-customer " +
+        "rollup + ntile pipeline three times (r18)"))
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val plan = fn(spark, sf0001).queryExecution.sparkPlan
