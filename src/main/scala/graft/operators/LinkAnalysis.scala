@@ -70,11 +70,52 @@ object LinkAnalysis {
     * under any partitioning (integer recurrences; LinkAnalysisSpec), so
     * this is purely a throughput knob. */
   private val EdgesPerPartition = 65536L
+  private def roundPartitionCount(
+      spark: org.apache.spark.sql.SparkSession, m: Long): Int =
+    math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (m / EdgesPerPartition).toInt + 1))
   private def roundPartitioner(
       spark: org.apache.spark.sql.SparkSession, m: Long): HashPartitioner =
-    new HashPartitioner(
-      math.max(1, math.min(spark.sparkContext.defaultParallelism,
-        (m / EdgesPerPartition).toInt + 1)))
+    new HashPartitioner(roundPartitionCount(spark, m))
+
+  /** RDD partitioner replicating a DataFrame `repartition(n, col)` hash
+    * layout for a LONG key — `pmod(murmur3_hash(key, seed=42), n)`, the
+    * exact `HashPartitioning.partitionIdExpression` Spark plans for that
+    * exchange. Lets an RDD rebuilt from the exchange's output be
+    * CO-PARTITIONED with every later `reduceByKey(part)` in the loop
+    * without a second shuffle (spec-pinned against spark_partition_id
+    * in LinkAnalysisSpec). */
+  private[graft] final class DfLongHashPartitioner(n: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashLong(key.asInstanceOf[Long], 42)
+      val m = h % n
+      if (m < 0) m + n else m
+    }
+    override def equals(other: Any): Boolean = other match {
+      case p: DfLongHashPartitioner => p.numPartitions == n
+      case _ => false
+    }
+    override def hashCode: Int = n
+  }
+
+  /** Zero-copy narrow view that ATTACHES partitioner metadata to an RDD
+    * whose physical layout already is `p` (rebuilt from a DataFrame
+    * exchange with the matching hash) — so downstream `reduceByKey(p)`
+    * over it stays shuffle-free. */
+  private final class KeyedView[K, V](parent: RDD[(K, V)],
+      p: org.apache.spark.Partitioner)(implicit
+      kt: scala.reflect.ClassTag[K], vt: scala.reflect.ClassTag[V])
+      extends RDD[(K, V)](parent) {
+    override val partitioner: Option[org.apache.spark.Partitioner] = Some(p)
+    override protected def getPartitions: Array[org.apache.spark.Partition] =
+      firstParent[(K, V)].partitions
+    override def compute(split: org.apache.spark.Partition,
+        context: org.apache.spark.TaskContext): Iterator[(K, V)] =
+      firstParent[(K, V)].iterator(split, context)
+  }
 
   /** Canonical undirected LONG edge frame (u, v) → hash-partitioned,
     * hub-sliced PRIMITIVE adjacency: (node, Array[Long] neighbors), plus
@@ -85,36 +126,45 @@ object LinkAnalysis {
     * backing array, no element boxing). Returns (null, 0, null) for an
     * empty graph. Caller owns unpersisting `adj`. */
   private def buildAdjLong(eDist: DataFrame, hubSplit: Int)
-      : (RDD[(Long, Array[Long])], Long, HashPartitioner) = {
+      : (RDD[(Long, Array[Long])], Long, org.apache.spark.Partitioner) = {
     val spark = eDist.sparkSession
-    // size the partitioner with a DataFrame-side count (codegen-cheap);
-    // the symmetrized pair stream is then consumed EXACTLY ONCE by the
-    // aggregate below, so persisting it bought nothing but a 2E-record
-    // block write+read and session storage churn (measured ~1.5 cpu-s
-    // at bench scale). The distinct executes twice (count + build) —
-    // Tungsten scan+agg, far cheaper than the boxed persist it replaces.
     val m2 = eDist.count() * 2
     if (m2 == 0L) return (null, 0L, null)
-    val part = roundPartitioner(spark, m2)
-    val sym: RDD[(Long, Long)] = eDist.queryExecution.toRdd
-      .mapPartitions(_.flatMap { r =>
-        val u = r.getLong(0); val v = r.getLong(1)
-        Iterator((u, v), (v, u))
-      })
-    val adj: RDD[(Long, Array[Long])] = sym.aggregateByKey(
-        new scala.collection.mutable.ArrayBuilder.ofLong, part)(
-        (b, d) => { b += d; b },
-        (a, b) => { // primitive element-wise merge: no boxing wrapper
-          val arr = b.result(); var i = 0
-          while (i < arr.length) { a += arr(i); i += 1 }
-          a
-        })
-      .mapPartitions(_.flatMap { case (s, buf) =>
-        val arr = buf.result()
-        if (arr.length <= hubSplit) Iterator.single((s, arr))
-        else arr.grouped(hubSplit).map(g => (s, g))
-      }, preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nParts = roundPartitionCount(spark, m2)
+    val part = new DfLongHashPartitioner(nParts)
+    // symmetrize + place THROUGH A DATAFRAME EXCHANGE (Tungsten rows,
+    // whole-stage codegen, no per-record Kryo): r18's aggregateByKey
+    // Kryo-(de)serialized an ArrayBuilder combiner per key on both
+    // shuffle sides — tools/Profile measured that build at 7.3 of
+    // graph_bfs' 19 cpu-s; an RDD partitionBy of the raw pairs paid
+    // ~6 µs/record in Kryo stream overhead instead. The DF exchange
+    // ships compact UnsafeRows, and the grouped primitive adjacency is
+    // read straight off it (InternalRow getLong — no Row decode). The
+    // murmur3-matched `part` (above) keeps the result co-partitioned
+    // with every later reduceByKey(part) — no second shuffle.
+    // (A columnar persist of eDist to avoid its double execution was
+    // measured SLOWER than the re-execution — cache build+read 4.2 cpu-s
+    // vs 1.6 for the second scan+distinct — so the count executes the
+    // plan once and the union below executes it again, deliberately.)
+    val c0 = eDist.columns(0)
+    val c1 = eDist.columns(1)
+    val symDf = eDist.select(col(c0).as("n"), col(c1).as("d"))
+      .union(eDist.select(col(c1).as("n"), col(c0).as("d")))
+      .repartition(nParts, col("n"))
+    val adj: RDD[(Long, Array[Long])] = new KeyedView(
+      symDf.queryExecution.toRdd.mapPartitions { rows =>
+        val m = new scala.collection.mutable.LongMap[
+          scala.collection.mutable.ArrayBuilder.ofLong]()
+        rows.foreach { r =>
+          m.getOrElseUpdate(r.getLong(0),
+            new scala.collection.mutable.ArrayBuilder.ofLong) += r.getLong(1)
+        }
+        m.iterator.flatMap { case (s, b) =>
+          val arr = b.result()
+          if (arr.length <= hubSplit) Iterator.single((s, arr))
+          else arr.grouped(hubSplit).map(g => (s, g))
+        }
+      }, part).persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     (adj, m2, part)
   }
@@ -203,13 +253,28 @@ object LinkAnalysis {
     // that task. Splitting the BUILD too needs salted keys plus a
     // total-degree join; do it if a corpus with 10^8-degree hubs ever
     // actually shows up
-    val adj: RDD[(Any, (Int, Array[Any]))] = e.aggregateByKey(
-        scala.collection.mutable.ArrayBuffer.empty[Any], part)(
-        (b, d) => b += d, (a, b) => a ++= b)
-      .mapPartitions(_.flatMap { case (s, buf) =>
-        val n = buf.length
-        if (n <= hubSplit) Iterator.single((s, (n, buf.toArray)))
-        else buf.grouped(hubSplit).map(g => (s, (n, g.toArray)))
+    // flat hash shuffle + one single-pass per-partition group (see
+    // buildAdjLong): the aggregateByKey combiner form Kryo-serialized an
+    // ArrayBuffer per key both ways — tools/Profile measured its reduce
+    // side at 5.0 of graph_pagerank's 10.2 cpu-s at sf0.1
+    val adj: RDD[(Any, (Int, Array[Any]))] = e.partitionBy(part)
+      .mapPartitions({ it =>
+        val m = new java.util.HashMap[
+          Any, scala.collection.mutable.ArrayBuffer[Any]]()
+        it.foreach { case (s, d) =>
+          var b = m.get(s)
+          if (b == null) {
+            b = scala.collection.mutable.ArrayBuffer.empty[Any]; m.put(s, b)
+          }
+          b += d
+        }
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala.flatMap { en =>
+          val s = en.getKey; val buf = en.getValue
+          val n = buf.length
+          if (n <= hubSplit) Iterator.single((s, (n, buf.toArray)))
+          else buf.grouped(hubSplit).map(g => (s, (n, g.toArray)))
+        }
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
@@ -329,31 +394,49 @@ object LinkAnalysis {
 
     val eDist = edges.select(col(srcCol), col(dstCol))
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
-    val eFrame = if (assumeDistinct) eDist else eDist.distinct()
-    // DataFrame-side sizing count; the edge stream is then consumed
-    // exactly once by the combined-adjacency build, so it is not
-    // persisted (same reasoning as buildAdjLong)
+    // ONE execution of the edge plan (columnar cache serves the sizing
+    // count and the build — without it an assumeDistinct=false caller
+    // would pay its distinct exchange twice, the buildAdjLong lesson)
+    val eFrame = (if (assumeDistinct) eDist else eDist.distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val m = eFrame.count()
     require(m > 0, "HITS needs at least one edge")
     val e: RDD[(Any, Any)] = eFrame.rdd.map(r => (r.get(0), r.get(1)))
     val part = roundPartitioner(spark, m)
 
-    // ONE aggregate pass builds out-lists, in-lists, AND the node set
-    // (the previous shape paid three edge-sized shuffles and pinned
-    // three RDDs: fwd, rev, and a distinct-endpoints reduce — measured
-    // ~4 cpu-s of the query's total at bench scale). `both` has exactly
-    // one record per endpoint, so its KEYS are the node set; fwd/rev
-    // are narrow partition-preserving views over the one persisted RDD.
+    // ONE grouping pass builds out-lists, in-lists, AND the node set
+    // (the pre-r18 shape paid three edge-sized shuffles and pinned
+    // three RDDs: fwd, rev, and a distinct-endpoints reduce). `both` has
+    // exactly one record per endpoint, so its KEYS are the node set;
+    // fwd/rev are narrow partition-preserving views over the one
+    // persisted RDD. Grouping is a flat hash shuffle + one per-partition
+    // pass (see buildAdjLong) — the r18 aggregateByKey combiner form
+    // Kryo-serialized a pair-of-ArrayBuffers per key both ways, measured
+    // (tools/Profile) at 3.0 of graph_hits' 5.9 cpu-s at sf0.1.
     val both: RDD[(Any, (Array[Any], Array[Any]))] = e
       .flatMap { case (s, d) => Iterator((s, (d, true)), (d, (s, false))) }
-      .aggregateByKey(
-        (scala.collection.mutable.ArrayBuffer.empty[Any],
-          scala.collection.mutable.ArrayBuffer.empty[Any]), part)(
-        (b, v) => { if (v._2) b._1 += v._1 else b._2 += v._1; b },
-        (a, b) => { a._1 ++= b._1; a._2 ++= b._2; a })
-      .mapValues { case (o, i) => (o.toArray, i.toArray) }
+      .partitionBy(part)
+      .mapPartitions({ it =>
+        val m = new java.util.HashMap[Any,
+          (scala.collection.mutable.ArrayBuffer[Any],
+            scala.collection.mutable.ArrayBuffer[Any])]()
+        it.foreach { case (n, (p, isOut)) =>
+          var b = m.get(n)
+          if (b == null) {
+            b = (scala.collection.mutable.ArrayBuffer.empty[Any],
+              scala.collection.mutable.ArrayBuffer.empty[Any])
+            m.put(n, b)
+          }
+          if (isOut) b._1 += p else b._2 += p
+        }
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala.map { en =>
+          (en.getKey, (en.getValue._1.toArray, en.getValue._2.toArray))
+        }
+      }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     both.count()
+    eFrame.unpersist(blocking = false)
     val fwd = both.mapPartitions(                           // u -> out(u)
       _.collect { case (n, (o, _)) if o.nonEmpty => (n, o) },
       preservesPartitioning = true)
@@ -539,6 +622,11 @@ object LinkAnalysis {
         preservesPartitioning = true)
       .reduceByKey(part, _ + _)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // convergence is detected from the survivor count (next == alive ⟺
+    // the round removed nothing ⟺ no node had degree < k), so each round
+    // is ONE action — the r18 shape paid a separate removed.count() job
+    // per round on top of next.count()
+    var aliveCount = alive.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -546,8 +634,7 @@ object LinkAnalysis {
       // than persist/unpersist churn for a set read twice per round
       val removed = alive.mapPartitions(_.filter(_._2 < k),
         preservesPartitioning = true)
-      if (removed.count() == 0L) converged = true
-      else {
+      locally {
         // each removed node decrements every neighbor once; decrements
         // aimed at other removed nodes vanish in the survivor probe —
         // the survivor degrees are exactly the induced-subgraph degrees,
@@ -582,9 +669,16 @@ object LinkAnalysis {
         // bound closure/lineage depth on pathological deep peels — the
         // truncation is metadata-only (the RDD is persisted either way)
         if (iter % 16 == 15) next.localCheckpoint()
-        next.count()
-        alive.unpersist(blocking = false)
-        alive = next
+        val nextCount = next.count()
+        if (nextCount == aliveCount) {
+          // nothing was removed (next ≡ alive): fixpoint reached
+          converged = true
+          next.unpersist(blocking = false)
+        } else {
+          alive.unpersist(blocking = false)
+          alive = next
+          aliveCount = nextCount
+        }
       }
       iter += 1
     }
@@ -1090,15 +1184,22 @@ object LinkAnalysis {
         spark.sparkContext.emptyRDD[Row], outSchema)
     // seed only if the source actually appears in the graph; the filter
     // preserves adj's partitioning, and the reduce collapses hub slices
-    var dist: RDD[(Long, Int)] = adj
+    val seed: RDD[(Long, Int)] = adj
       .mapPartitions(_.collect { case (n, _) if n == source => (n, 0) },
         preservesPartitioning = true)
       .reduceByKey(part, (a, _) => a)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier: RDD[(Long, Int)] = dist
-    var prevFrontier: RDD[(Long, Int)] = null
+    // dist = the per-hop frontiers, each persisted once and UNIONED
+    // narrowly (same partitioner → PartitionerAwareUnionRDD) — the r18
+    // shape instead re-persisted and re-counted a merged COPY of the
+    // whole known map every round, an O(V) cache write + count per hop
+    // that the r18 verdict flagged in the cpu channel; the union view
+    // reads the same persisted blocks with no copies (guide §1.2 step 1)
+    var frontiers = List[RDD[(Long, Int)]](seed)
+    var known: RDD[(Long, Int)] = seed
+    var frontier: RDD[(Long, Int)] = seed
     var k = 1
-    var frontierSize = dist.count()
+    var frontierSize = seed.count()
     while (k <= maxHops && frontierSize > 0L) {
       val hop = k
       // expand the frontier's neighbor lists via a narrow co-partitioned
@@ -1121,36 +1222,27 @@ object LinkAnalysis {
           }
         }
         .reduceByKey(part, (a, _) => a)
-        .zipPartitions(dist, preservesPartitioning = true) { (cIt, dIt) =>
-          val known = new scala.collection.mutable.LongMap[Boolean]()
-          dIt.foreach { case (n, _) => known(n) = true }
-          cIt.filter(c => !known.contains(c._1))
+        .zipPartitions(known, preservesPartitioning = true) { (cIt, dIt) =>
+          val seen = new scala.collection.mutable.LongMap[Boolean]()
+          dIt.foreach { case (n, _) => seen(n) = true }
+          cIt.filter(c => !seen.contains(c._1))
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
       frontierSize = next.count()
       if (frontierSize > 0L) {
-        // same-partitioner union is partitioner-aware (narrow), so dist
-        // stays co-partitioned for the next round's known-set probe
-        val merged = dist.union(next).persist(StorageLevel.MEMORY_AND_DISK)
-        merged.count()
-        dist.unpersist(blocking = false)
-        dist = merged
-        // the PREVIOUS frontier backed this round's probe; dead now that
-        // next and merged are materialized — pinned storage stays O(1)
-        if (prevFrontier != null) prevFrontier.unpersist(blocking = false)
-        prevFrontier = next
+        frontiers ::= next
+        known = known.union(next) // partitioner-aware → stays narrow
         frontier = next
       } else {
         next.unpersist(blocking = false)
       }
       k += 1
     }
-    if (prevFrontier != null) prevFrontier.unpersist(blocking = false)
     val out = spark.createDataFrame(
-        dist.map { case (n, d) => Row(n, d) }, outSchema)
+        known.map { case (n, d) => Row(n, d) }, outSchema)
       .localCheckpoint(eager = true)
     adj.unpersist(blocking = false)
-    dist.unpersist(blocking = false)
+    frontiers.foreach(_.unpersist(blocking = false))
     out
   }
 

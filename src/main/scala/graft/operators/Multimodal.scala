@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is a TEMP FILE per created
+  // image input/output stream: every header decode and every PNG encode
+  // paid a file create+write+delete — serially slow, and under
+  // concurrent tasks the codec stage sat in IO wait (tools/Profile r19:
+  // 32 decode tasks, 10 cpu-s, 111 run-s). Payloads here are in-memory
+  // byte arrays; the memory cache is strictly better. One-time global
+  // JVM switch, triggered when the object loads on each executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed result of the decode pass. Non-image payloads decode as
     * format "unknown" with 0×0 dims rather than failing the batch. */
   final case class MediaMeta(
@@ -71,8 +80,23 @@ object Multimodal {
     * oracle-checkable from the id alone. */
   def withPngPayload(df: DataFrame, idCol: String): DataFrame = {
     val pngUdf = udf { (id: Long) => encodePng(id, perturb = false) }
-    df.select(col(idCol).cast("long").as("media_id"),
-      pngUdf(col(idCol).cast("long")).as("payload"))
+    spreadForPerRowCodec(df.select(col(idCol).cast("long").as("media_id")))
+      .select(col("media_id"), pngUdf(col("media_id")).as("payload"))
+  }
+
+  /** Spread a (small-rowed) frame across the cluster before a per-row
+    * image codec: the payload attach costs ~0.4 ms/row of pure CPU, and
+    * a narrow small-file scan otherwise runs the WHOLE codec chain in
+    * one task (tools/Profile r19: multimodal_decode = one 2.3 cpu-s task
+    * — serial, and invisible to the core-scaling probe). Repartition of
+    * the id-only projection is a few bytes/row; never fewer partitions
+    * than the source already has (guide §2.2 — fit parallelism to the
+    * cluster, don't shrink a big scan). */
+  private def spreadForPerRowCodec(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val n = math.max(spark.sparkContext.defaultParallelism,
+      ids.rdd.getNumPartitions)
+    ids.repartition(n)
   }
 
   /** Near-duplicate PNG fixtures: [[withPngPayload]]'s image for the id
@@ -85,8 +109,9 @@ object Multimodal {
     val pngUdf = udf { (id: Long) =>
       encodePng(id, perturb = true)
     }
-    df.select((col(idCol).cast("long") + idOffset).as("media_id"),
-      pngUdf(col(idCol).cast("long")).as("payload"))
+    spreadForPerRowCodec(df.select(col(idCol).cast("long").as("__id")))
+      .select((col("__id") + idOffset).as("media_id"),
+        pngUdf(col("__id")).as("payload"))
   }
 
   private[graft] def encodePng(id: Long, perturb: Boolean): Array[Byte] = {

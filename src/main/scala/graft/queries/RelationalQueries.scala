@@ -789,22 +789,21 @@ object RelationalQueries {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val cnt = li.groupBy("pk").agg(count(lit(1)).as("n"))
-      val pairs = li.as("a").join(li.as("b"), Seq("ok"))
-        .filter(col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      // sym = both directions of the co-occurrence pairs, restricted to
+      // presented parts (part % 100 = 0). r17 union-of-two-selects pushed
+      // the % filter per branch to the scan but ran the self-join twice;
+      // r18's explode ran it once but UNFILTERED (the filter sat above
+      // the explode — a plan regression, r18 verdict #1). This form gets
+      // both: filter ONE join side at the scan (it pushes through the
+      // distinct — group-key filter) and emit (part, partner) directly
+      // with part ≠ partner, which IS the symmetrized-and-filtered pair
+      // set of both earlier forms: co counts the orders containing both,
+      // once per unordered pair per direction kept.
+      val sym = li.filter(col("pk") % 100 === 0).as("a")
+        .join(li.as("b"), Seq("ok"))
+        .filter(col("a.pk") =!= col("b.pk"))
+        .groupBy(col("a.pk").as("part"), col("b.pk").as("partner"))
         .agg(count(lit(1)).as("co"))
-      // both directions from ONE pair pipeline: the union-of-two-selects
-      // form recomputed the whole self-join + pair aggregate per branch
-      // (plan showed the subtree twice; ~2x the query's CPU) — explode
-      // emits the same rows from a single pass
-      val sym = pairs
-        .select(explode(array(
-            struct(col("p1").as("part"), col("p2").as("partner")),
-            struct(col("p2").as("part"), col("p1").as("partner")))).as("__e"),
-          col("co"))
-        .select(col("__e.part").as("part"), col("__e.partner").as("partner"),
-          col("co"))
-        .filter(col("part") % 100 === 0)
       val scored = sym
         .join(cnt.select(col("pk").as("part"), col("n").as("na")), "part")
         .join(cnt.select(col("pk").as("partner"), col("n").as("nb")), "partner")

@@ -490,4 +490,26 @@ class LinkAnalysisSpec extends SparkSpec {
       .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
     assert(a === b)
   }
+
+  test("DfLongHashPartitioner replays the DataFrame repartition(n, col) " +
+    "layout exactly (the adjacency/loop co-partitioning contract)") {
+    // buildAdjLong places the adjacency with a DataFrame exchange and the
+    // fixed-point loops place their reduceByKey output with this RDD
+    // partitioner — any divergence between the two hash layouts silently
+    // breaks every zipPartitions probe, so pin them against each other on
+    // keys exercising sign, parity, and magnitude.
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    for (n <- Seq(1, 3, 7, 19)) {
+      val p = new LinkAnalysis.DfLongHashPartitioner(n)
+      val keys = (-1000L to 1000L by 7L) ++
+        Seq(0L, Long.MaxValue, Long.MinValue, 1L << 40, -(1L << 40))
+      val got = keys.toDF("k").repartition(n, col("k"))
+        .select(col("k"), spark_partition_id().as("pid"))
+        .as[(Long, Int)].collect().toMap
+      keys.foreach { k =>
+        assert(got(k) === p.getPartition(k),
+          s"key $k, n=$n: DF exchange ${got(k)} vs partitioner ${p.getPartition(k)}")
+      }
+    }
+  }
 }
