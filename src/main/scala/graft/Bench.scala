@@ -123,12 +123,22 @@ object Bench {
     // the queueing diagnostic.
     @volatile var cpuNs = 0L
     @volatile var runMs = 0L
+    // task/stage counts per query (r18 verdict #2): the core-scaling
+    // probe reads ≈1 at sf0.1 because per-query fixed cost swamps the
+    // compute, so the driver cannot tell a parallel operator from a
+    // serial one from seconds alone — task counts are the direct
+    // evidence (tasks >> stages ⇒ the plan fans out; tasks ≈ stages ⇒
+    // the fixture is too small to exercise parallelism, not the plan)
+    @volatile var tasks = 0L
+    @volatile var stages = 0L
     override def onStageCompleted(
         e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
       Option(e.stageInfo.taskMetrics).foreach { m =>
         bytes += m.shuffleWriteMetrics.bytesWritten
         cpuNs += m.executorCpuTime
         runMs += m.executorRunTime
+        tasks += e.stageInfo.numTasks
+        stages += 1
       }
   }
 
@@ -237,6 +247,8 @@ object Bench {
     // (so the cpu channel can't read a partial run as an improved plan),
     // and the bench exits nonzero at the end
     val errs = collection.mutable.Map.empty[String, String]
+    val taskCounts = collection.mutable.Map.empty[String, Long]
+    val stageCounts = collection.mutable.Map.empty[String, Long]
     for (trial <- 1 to trials; name <- names) {
       val fn = SparkEntry.queries(name)
       // every trial brackets the tally with listener-bus drains (outside
@@ -246,6 +258,8 @@ object Bench {
       val shufBefore = tally.bytes
       val cpuBefore = tally.cpuNs
       val runBefore = tally.runMs
+      val tasksBefore = tally.tasks
+      val stagesBefore = tally.stages
       val t0 = System.nanoTime()
       val failed =
         try { fn(spark, sfDir).count(); false }
@@ -256,18 +270,26 @@ object Bench {
           true
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
-      anchorIdxOf(name) = anchorIdxOf.getOrElse(name, Vector.empty) :+
-        (anchorCpuMtSamples.size - 1)
       drainListenerBus(spark)
+      // a failed trial contributes NO samples on any channel (r18
+      // ADVICE: the wall sample of a fast-failing trial deflated the
+      // primary line's median even though the error was recorded) — a
+      // query that fails every trial reports 0.0 + its errors entry,
+      // and the bench still exits nonzero
       if (!failed) {
+        samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+        anchorIdxOf(name) = anchorIdxOf.getOrElse(name, Vector.empty) :+
+          (anchorCpuMtSamples.size - 1)
         cpuSamples(name) = cpuSamples.getOrElse(name, Vector.empty) :+
           (tally.cpuNs - cpuBefore) / 1e9
         runSamples(name) = runSamples.getOrElse(name, Vector.empty) :+
           (tally.runMs - runBefore) / 1e3
       }
-      if (trial == 1)
+      if (trial == 1 && !failed) {
         shuffleMb(name) = math.rint((tally.bytes - shufBefore) / 1e6 * 100) / 100
+        taskCounts(name) = tally.tasks - tasksBefore
+        stageCounts(name) = tally.stages - stagesBefore
+      }
       sinceAnchor += 1
       if (sinceAnchor >= anchorEvery) { sinceAnchor = 0; sampleAnchors() }
     }
@@ -277,9 +299,9 @@ object Bench {
     def median(v: Vector[Double]): Double = { val s = v.sorted; s(s.size / 2) }
     def r(x: Double): Double = math.rint(x * 1e6) / 1e6
     def r2(x: Double): Double = math.rint(x * 1e2) / 1e2
-    val med = names.map(n => n -> median(samples(n))).toMap
+    val med = names.map(n => n -> median(samples.getOrElse(n, Vector(0.0)))).toMap
     val spread = names.map { n =>
-      val v = samples(n)
+      val v = samples.getOrElse(n, Vector(0.0))
       n -> r(if (med(n) > 0) (v.max - v.min) / med(n) else 0.0)
     }.toMap
     // IQR-based spread: unlike range/median (above, kept one transition
@@ -291,7 +313,7 @@ object Bench {
       s(math.min(s.size - 1, math.max(0, math.ceil(p * s.size).toInt - 1)))
     }
     val spreadIqr = names.map { n =>
-      val v = samples(n)
+      val v = samples.getOrElse(n, Vector(0.0))
       n -> r(if (med(n) > 0) (quantile(v, 0.75) - quantile(v, 0.25)) / med(n)
              else 0.0)
     }.toMap
@@ -321,7 +343,8 @@ object Bench {
     // the samples it actually touched. total_vs_base_mt stays for
     // cross-round comparability with r12-r15 artifacts.
     val medMicro = names.map { n =>
-      n -> median(microNormalized(samples(n), anchorIdxOf(n), anchorCpuMt))
+      n -> median(microNormalized(samples.getOrElse(n, Vector(0.0)),
+        anchorIdxOf.getOrElse(n, Vector(0)), anchorCpuMt))
     }.toMap
     // per-query CPU seconds (median over trials of the bracketed
     // executorCpuTime diffs): the ambient-immune work measure — an
@@ -405,6 +428,14 @@ object Bench {
       else "")
     val cpuMap = names.map(n => s"\"$n\":" + cpuMed(n)).mkString("{", ",", "}")
     val runMap = names.map(n => s"\"$n\":" + runMed(n)).mkString("{", ",", "}")
+    // trial-1 task/stage counts (r18 verdict #2 — core-scaling
+    // evidence): a query with tasks >> stages provably fans out across
+    // the cluster even when sf0.1 seconds are fixed-cost-bound and the
+    // 8-vs-32-core wall ratio reads ≈1
+    val taskMap = names.map(n =>
+      s"\"$n\":" + taskCounts.getOrElse(n, 0L)).mkString("{", ",", "}")
+    val stageMap = names.map(n =>
+      s"\"$n\":" + stageCounts.getOrElse(n, 0L)).mkString("{", ",", "}")
     val errMap =
       if (errs.isEmpty) ""
       else errs.toSeq.sorted.map { case (n, m) => s"\"$n\":\"$m\"" }
@@ -412,8 +443,10 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (line(r).dropRight(1) +
+        s""","cpus":$cpus""" +
         s""","cpu_sec":$cpuMap,"cpu_sec_total":$cpuTotal""" +
         s""","run_sec":$runMap,"run_sec_total":$runTotal""" +
+        s""","tasks":$taskMap,"stages":$stageMap""" +
         s""","shuffle_mb":$shuf,"anchor_cpu":$aCpu,"anchor_cpu_mt":$aCpuMt,"anchor_spark":$aSpark""" +
         s""","anchor_cpu_mt_iqr":$aCpuMtIqr,"anchor_samples":${anchorCpuMt.size}""" +
         s""","spread_mean":$spreadMean,"spread_iqr_mean":$spreadIqrMean""" +

@@ -177,28 +177,24 @@ object Bpe {
       // "previous row" == "position p−1" in the lag.
       val byP = Window.partitionBy("w").orderBy("p")
       val withNext = st.withColumn("__nsym", lead(col("sym"), 1).over(byP))
-      val best = withNext
-        .filter(col("__nsym").isNotNull)
-        .groupBy(col("sym").as("a"), col("__nsym").as("b"))
-        .agg(sum(col("freq")).as("pair_count"))
-        .orderBy(desc("pair_count"), desc("a"), desc("b"))
-        .limit(1)
       // train's stopping rules, verbatim: no adjacent pairs left, or the
       // best pair no longer repeats (count < 2 — no signal) → stop WITHOUT
-      // emitting, exactly where the driver-side trainer stops. The 1-row
-      // collect per round is the price of parity; collecting the WHOLE
-      // row (not pin + head) makes it the round's ONLY driver roundtrip —
-      // the merge row and the next round's (a, b) operand become driver
-      // literals instead of a re-read checkpoint (one job per round, not
-      // two, and no 1-row checkpoint write).
-      val bestRow = best.collect()
-      if (bestRow.isEmpty || bestRow.head.getLong(2) < 2L) done = true
-      else {
-        if (pin) {
+      // emitting, exactly where the driver-side trainer stops.
+      if (pin) {
+        // production argmax: partial pair counts per partition off the
+        // InternalRow iterator, merged + tie-broken on the driver — the
+        // round's ONLY job is one single-stage collect (the DataFrame
+        // agg paid an exchange, an AQE stage round-trip, and a
+        // TakeOrdered job per round; this 12-round loop's wall was ~5×
+        // its task CPU, pure driver/scheduling — r19 profile). The
+        // driver merge is vocab-bounded (distinct adjacent pairs), the
+        // ordering is bit-identical (BpeSpec pins pin=true ≡ pin=false).
+        val bp = rddPairArgmax(withNext)
+        if (bp.isEmpty || bp.get._3 < 2L) done = true
+        else {
+          val (a, b, cnt) = bp.get
           rounds += spark.createDataFrame(
-            java.util.Arrays.asList(org.apache.spark.sql.Row(
-              r, bestRow.head.getString(0), bestRow.head.getString(1),
-              bestRow.head.getLong(2))),
+            java.util.Arrays.asList(org.apache.spark.sql.Row(r, a, b, cnt)),
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("merge_rank",
                 org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -208,19 +204,26 @@ object Bpe {
                 org.apache.spark.sql.types.StringType, nullable = true),
               org.apache.spark.sql.types.StructField("pair_count",
                 org.apache.spark.sql.types.LongType, nullable = true))))
-        } else {
-          // audit path (pin = false): keep the round's plans VISIBLE in
-          // the returned union so PlanAuditSpec can assert the shape
+          // the final round's state is never read — skip its rebuild
+          if (r < numMerges) st = pinned(applyMergeStepLit(withNext, a, b))
+        }
+      } else {
+        // audit path (pin = false): keep the round's plans VISIBLE in
+        // the returned union so PlanAuditSpec can assert the shape
+        val best = withNext
+          .filter(col("__nsym").isNotNull)
+          .groupBy(col("sym").as("a"), col("__nsym").as("b"))
+          .agg(sum(col("freq")).as("pair_count"))
+          .orderBy(desc("pair_count"), desc("a"), desc("b"))
+          .limit(1)
+        val bestRow = best.collect()
+        if (bestRow.isEmpty || bestRow.head.getLong(2) < 2L) done = true
+        else {
           rounds += best.select(lit(r).as("merge_rank"),
             col("a").as("left_sym"), col("b").as("right_sym"),
             col("pair_count"))
-        }
-        // the final round's state is never read — skip its rebuild
-        if (r < numMerges) {
-          st =
-            if (pin) pinned(applyMergeStepLit(withNext,
-              bestRow.head.getString(0), bestRow.head.getString(1)))
-            else pinned(applyMergeStep(withNext,
+          if (r < numMerges)
+            st = pinned(applyMergeStep(withNext,
               best.select(col("a"), col("b"))))
         }
       }
@@ -231,6 +234,54 @@ object Bpe {
       s"trainDistributed: no repeating adjacent pair in the corpus — " +
         s"0 of $numMerges merges learnable")
     out.reduce(_ unionAll _)
+  }
+
+  /** pin=true per-round argmax over the (sym, __nsym, freq) adjacency
+    * view: per-partition partial pair counts read straight off the
+    * InternalRow iterator (the state is already hash(w)-placed and
+    * (w, p)-sorted via pinnedKeepLayout, so the whole plan — checkpoint
+    * scan, lead() window, filter, partial count — is ONE stage with no
+    * exchange), merged and tie-broken on the driver with the EXACT
+    * ordering of the `orderBy(desc(pair_count), desc(a), desc(b))` form
+    * it replaces: Long sums are associative, and string descent compares
+    * UTF8 binary — `UTF8String.compareTo`, Spark's own string order.
+    * The collect ships one (a, b, count) tuple per distinct adjacent
+    * pair per partition — vocab-bounded, the same volume the exchange
+    * carried. */
+  private def rddPairArgmax(withNext: DataFrame)
+      : Option[(String, String, Long)] = {
+    val partial = withNext
+      .filter(col("__nsym").isNotNull)
+      .select(col("sym"), col("__nsym"), col("freq"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val m = new scala.collection.mutable.HashMap[(String, String), Long]()
+        it.foreach { row =>
+          // toString copies out of the (reused) UnsafeRow buffer
+          val k = (row.getUTF8String(0).toString,
+            row.getUTF8String(1).toString)
+          m.update(k, m.getOrElse(k, 0L) + row.getLong(2))
+        }
+        m.iterator.map { case ((a, b), c) => (a, b, c) }
+      }.collect()
+    if (partial.isEmpty) return None
+    val agg = new scala.collection.mutable.HashMap[(String, String), Long]()
+    partial.foreach { case (a, b, c) =>
+      agg.update((a, b), agg.getOrElse((a, b), 0L) + c)
+    }
+    import org.apache.spark.unsafe.types.UTF8String
+    def gt(x: (String, String, Long), y: (String, String, Long)): Boolean =
+      if (x._3 != y._3) x._3 > y._3
+      else {
+        val ca = UTF8String.fromString(x._1).compareTo(UTF8String.fromString(y._1))
+        if (ca != 0) ca > 0
+        else UTF8String.fromString(x._2).compareTo(UTF8String.fromString(y._2)) > 0
+      }
+    var best: (String, String, Long) = null
+    agg.foreach { case ((a, b), c) =>
+      val cand = (a, b, c)
+      if (best == null || gt(cand, best)) best = cand
+    }
+    Some(best)
   }
 
   /** One left-to-right non-overlapping merge application over the

@@ -163,34 +163,60 @@ object Dedup {
     // signatures ride along with the ids, so the Hamming verify needs no
     // join back to `sig`. Cap semantics identical to the old
     // size-filter+self-join form: an over-cap bucket emits nothing.
-    val cands = banded.as[(Int, Long, Long, Long)]
-      .groupByKey { case (band, chunk, _, _) => (band, chunk) }
-      .flatMapGroups { (_, it) =>
-        // stop buffering the moment the cap is exceeded: a degenerate
-        // bucket never materializes beyond maxBucketSize+1 members
-        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-        var over = false
-        while (it.hasNext && !over) {
-          val (_, _, id, sim) = it.next()
-          buf += ((id, sim))
-          if (buf.length > maxBucketSize) over = true
+    // collect_list + pair UDF, NOT groupByKey.flatMapGroups (the sibling
+    // minhashPairs shape): the typed path planned
+    // AppendColumns→Exchange→MapGroups — per-row Tuple4 ser/deser around
+    // an interpreted lambda, an 18 MB exchange for a ~1 MB bucket stream,
+    // and no partial aggregation (r19 profile: 1.27 cpu-s in one task).
+    // The agg form is whole-stage-codegen through the exchange and
+    // collects buckets map-side.
+    val bucketPairsUdf = udf { (ms: Seq[org.apache.spark.sql.Row]) =>
+      // over-cap (degenerate) buckets emit nothing — same loud-guard
+      // semantics as the typed form's early-stop, which only bounded
+      // MEMORY: the cap bounds the quadratic pair fan-out either way
+      if (ms.length < 2 || ms.length > maxBucketSize) Seq.empty[(Long, Long, Long, Long)]
+      else {
+        val arr = ms.map(r => (r.getLong(0), r.getLong(1))).toArray
+        java.util.Arrays.sort(arr, Ordering.by[(Long, Long), Long](_._1))
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)](
+          arr.length * (arr.length - 1) / 2)
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            out += ((arr(i)._1, arr(j)._1, arr(i)._2, arr(j)._2))
+            j += 1
+          }
+          i += 1
         }
-        if (over || buf.length < 2) Iterator.empty
-        else {
-          val ms = buf.toArray
-          java.util.Arrays.sort(ms, Ordering.by[(Long, Long), Long](_._1))
-          for {
-            i <- ms.indices.iterator
-            j <- ((i + 1) until ms.length).iterator
-          } yield (ms(i)._1, ms(j)._1, ms(i)._2, ms(j)._2)
-        }
+        out.toSeq
       }
-      .toDF("left_id", "right_id", "left_sim", "right_sim")
-      .dropDuplicates("left_id", "right_id")
-    cands
+    }
+    // explicit-width repartition, not the groupBy's own ENSURE_REQUIREMENTS
+    // exchange: the banded stream is under a megabyte, so AQE coalesces
+    // that exchange to ONE partition — and the quadratic pair fan-out
+    // downstream of it (the query's whole cost) ran serial (r19 profile:
+    // one 1.1 cpu-s task). A user-specified partition count is exempt
+    // from AQE coalescing; the groupBy reuses the layout with no second
+    // exchange. Bytes-blind-but-compute-heavy is exactly the case AQE's
+    // size heuristic cannot see (guide §2.2).
+    val nP = spark.sessionState.conf.numShufflePartitions
+    val cands = banded
+      .repartition(nP, col("band"), col("chunk"))
+      .groupBy("band", "chunk")
+      .agg(collect_list(struct(col("id"), col("sim"))).as("ms"))
+      .select(explode(bucketPairsUdf(col("ms"))).as("p"))
+      .select(col("p._1").as("left_id"), col("p._2").as("right_id"),
+        col("p._3").as("left_sim"), col("p._4").as("right_sim"))
+      // verify BEFORE the dedup exchange: hamming is a pure function of
+      // the two signatures, and a pair's signatures are identical across
+      // its duplicates, so filter∘dropDuplicates ≡ dropDuplicates∘filter
+      // — but the filtered exchange ships only the true near-dups
+      // (~0.1 MB) instead of every candidate pair (18 MB at sf0.1)
       .withColumn("hamming", TextOps.hamming64(col("left_sim"), col("right_sim")))
       .filter(col("hamming") <= maxHamming)
-      .select("left_id", "right_id", "hamming")
+      .dropDuplicates("left_id", "right_id")
+    cands.select("left_id", "right_id", "hamming")
   }
 
   /** Exact n-gram-Jaccard near-dup pairs via PPJoin-style prefix filtering

@@ -906,7 +906,16 @@ object LinkAnalysis {
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(eager = true) // adjacency ranks + per-step edge probe
+      // LAZY checkpoints throughout this builder (eager = false): each
+      // eager one was a separate driver-blocking job — 7 sequential jobs
+      // for a query whose total task cpu is ~0.7 s (r19 profile: wall
+      // 2.1 s, 33 stages, driver-bound). Lazy keeps the dedup property
+      // (localCheckpoint persists the RDD, so each frame still computes
+      // exactly once inside the single final action — the probe reuse
+      // and the step-st/union double-read both hit the cached blocks)
+      // while the whole walk materializes in ONE job. Lineage depth is
+      // bounded by `length` (4), so the eager truncation bought nothing.
+      .localCheckpoint(eager = false) // adjacency ranks + per-step edge probe
     val sym = e.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
     import org.apache.spark.sql.expressions.Window
@@ -914,14 +923,14 @@ object LinkAnalysis {
       .withColumn("rank",
         row_number().over(Window.partitionBy("node").orderBy("nbr")))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("node")))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     def drawKey(st: Int) =
       (col("start") * walksPerNode + col("walk")) * (length + 1) + lit(st)
     val starts = ranked.select(col("node")).distinct()
       .withColumn("walk", explode(array((0 until walksPerNode).map(lit): _*)))
       .select(col("node").as("start"), col("walk"), lit(0).as("step"),
         lit(null).cast("long").as("prev"), col("node"))
-    var frontier = starts.localCheckpoint(eager = true)
+    var frontier = starts.localCheckpoint(eager = false)
     val steps = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
     for (st <- 1 to length) {
       val cands = frontier.join(ranked, Seq("node"))
@@ -955,7 +964,7 @@ object LinkAnalysis {
             .select(col("start"), col("walk"), lit(st).as("step"),
               col("node").as("prev"), col("nbr").as("node"))
         }
-      frontier = next.localCheckpoint(eager = true)
+      frontier = next.localCheckpoint(eager = false)
       steps += frontier
     }
     // all steps live until (and beyond) the union — see randomWalks

@@ -95,6 +95,12 @@ object TextScoring {
     * rounded-term DECIMAL accumulation as [[unigramCrossEntropy]]. */
   def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.75): DataFrame = {
+    // Deliberately NOT spreadToCluster'd (r19): repartitioning (id,
+    // text) before the three tokenize passes made them 32-wide but
+    // inflated total task CPU ~12× (tokenize is allocation-bound;
+    // parallel copies contend on memory bandwidth) with no reliable
+    // wall win — the serial ~0.4 cpu-s per pass is the honest cost at
+    // this corpus size, and a real corpus arrives already split.
     // Scan-count posture (r17): same priced revert as
     // [[unigramCrossEntropy]] — the per-doc-pair collapse shipped the
     // ENTIRE bigram stream through a new exchange (bigrams rarely

@@ -126,6 +126,12 @@ object RelationalQueries {
     },
 
     // Join + aggregate + TakeOrderedAndProject (top-k, no full sort).
+    // Deliberately NOT spread across the cluster (r19): repartitioning
+    // the fact side before the broadcast join parallelized the probe but
+    // destroyed the map-side aggregation (partial-agg exchange 3.2 MB →
+    // 12.5 MB, 150k → 480k partial groups) and multiplied measured task
+    // CPU ~7× for no reliable wall gain — the scan+probe+partial-agg in
+    // one pass over each split IS the right 100 TB plan (guide §2.3).
     "q03_top_orders" -> { (s, dir) =>
       table(s, dir, "lineitem")
         .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))

@@ -552,7 +552,14 @@ object VectorQueries {
         .select(col("vec_id").as("query_id"), col("__q").as("__qq"))
       val bf = AnnIvfInt.bruteForce(ix, "vec_id", pred, k = 10)
         .select(col("query_id"), col("vec_id"))
+      // lazy checkpoint: the ADC scoring subtree feeds THREE consumers
+      // (top-10, top-50, and the refine join through the top-50) — left
+      // as a plain plan it executed per consumer (r19 profile: the two
+      // heaviest stages were byte-identical duplicates, ~6 of the
+      // query's 10 cpu-s). One |queries|×|vecs| score table computes
+      // once; lazy so it materializes inside the query's own first job.
       val adc = graft.operators.AnnPqInt.adcScores(pq, queries, "vec_id")
+        .localCheckpoint(eager = false)
       val adcTop = Knn.topKPerGroup(adc, Seq(col("query_id")), 10,
         desc("adc"), asc("vec_id")).select("query_id", "vec_id")
       val cand50 = Knn.topKPerGroup(adc, Seq(col("query_id")), 50,
