@@ -114,10 +114,15 @@ object Dedup {
       numBands: Int = 4,
       maxBucketSize: Int = 1024): DataFrame = {
     requireIntegralId(docs, idCol, "simhashPairs")
+    // near-dup text corpora have hot buckets (that is the point of the
+    // query) — opt in to the explicit pair-stage width (see
+    // hamming64Pairs' pairParallelism doc)
     hamming64Pairs(
       docs.select(col(idCol).cast("long").as("id"),
         TextOps.simhashFromTokensUdf(TextOps.tokens(col(textCol))).as("sim")),
-      "id", "sim", maxHamming, numBands, maxBucketSize)
+      "id", "sim", maxHamming, numBands, maxBucketSize,
+      pairParallelism =
+        docs.sparkSession.sessionState.conf.numShufflePartitions)
   }
 
   /** Banded Hamming near-dup pairs over ANY 64-bit signature column
@@ -129,13 +134,24 @@ object Dedup {
     * verify needs no join back. Over-cap (degenerate) buckets emit
     * nothing, bounding worst-case candidate blowup; emitted pairs are
     * exact (zero false positives), the cap is the only recall trade. */
+  /** @param pairParallelism explicit width for the bucket/pair-fan-out
+    *   exchange, 0 = leave it to the planner. Opt IN for corpora whose
+    *   pair fan-out is the query's dominant compute (dedup_simhash: hot
+    *   near-dup buckets, quadratic pair emission): AQE coalesces the
+    *   sub-MB banded exchange to ONE partition and serializes that
+    *   compute (r19 profile: 1.27 cpu-s in one task; explicit width cut
+    *   the query 2×). Leave 0 for small/uniform signature sets (the
+    *   phash fixtures: 240 rows, near-singleton buckets) where the r19
+    *   bench measured the forced fan-out costing ~60 ms of fixed task
+    *   CPU per task — 0.2 → 6 cpu-s for identical output. */
   def hamming64Pairs(
       sig0: DataFrame,
       idCol: String,
       hashCol: String,
       maxHamming: Int = 3,
       numBands: Int = 4,
-      maxBucketSize: Int = 1024): DataFrame = {
+      maxBucketSize: Int = 1024,
+      pairParallelism: Int = 0): DataFrame = {
     val bits = 64 / numBands
     require(64 % numBands == 0, s"numBands must divide 64 ($numBands)")
     require(maxHamming < numBands,
@@ -192,17 +208,20 @@ object Dedup {
         out.toSeq
       }
     }
-    // explicit-width repartition, not the groupBy's own ENSURE_REQUIREMENTS
-    // exchange: the banded stream is under a megabyte, so AQE coalesces
-    // that exchange to ONE partition — and the quadratic pair fan-out
-    // downstream of it (the query's whole cost) ran serial (r19 profile:
+    // pairParallelism > 0: explicit-width repartition, not the groupBy's
+    // own ENSURE_REQUIREMENTS exchange — the banded stream is under a
+    // megabyte, so AQE coalesces that exchange to ONE partition, and the
+    // quadratic pair fan-out downstream of it ran serial (r19 profile:
     // one 1.1 cpu-s task). A user-specified partition count is exempt
     // from AQE coalescing; the groupBy reuses the layout with no second
     // exchange. Bytes-blind-but-compute-heavy is exactly the case AQE's
-    // size heuristic cannot see (guide §2.2).
-    val nP = spark.sessionState.conf.numShufflePartitions
-    val cands = banded
-      .repartition(nP, col("band"), col("chunk"))
+    // size heuristic cannot see (guide §2.2) — but the forced width is a
+    // per-task fixed-cost tax on small inputs, so it is caller opt-in.
+    val pre =
+      if (pairParallelism > 0)
+        banded.repartition(pairParallelism, col("band"), col("chunk"))
+      else banded
+    val cands = pre
       .groupBy("band", "chunk")
       .agg(collect_list(struct(col("id"), col("sim"))).as("ms"))
       .select(explode(bucketPairsUdf(col("ms"))).as("p"))

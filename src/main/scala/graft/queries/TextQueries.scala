@@ -178,6 +178,14 @@ object TextQueries {
           docs.filter(col("doc_id") % 5 === 0), "doc_id", idOffset = 10000L))
       media.select(col("media_id"),
           Multimodal.dHashUdf(col("payload")).as("phash"))
+        // repartition(1), NOT coalesce: coalesce is narrow and would
+        // fold the 64-wide PNG decode above into one task; the exchange
+        // keeps the decode wide and lands the 240-row signature fixture
+        // in ONE cached block — without it the spread decode's
+        // 64-partition layout taxed every post-cache read with a
+        // 64-task contention stage (r19 bench: phash query cpu 0.2 → 6 s
+        // for identical output, all fixed per-task cost)
+        .repartition(1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
